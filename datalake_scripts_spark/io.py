@@ -1,0 +1,183 @@
+"""Sources and sinks.
+
+Spark-first replacements for the reference's I/O surface:
+
+- JSON glob scan with an explicit schema (reference: inferred
+  ``spark.read.json``, ``monkey_proc.py:125-127``; inference is an extra
+  full pass over the data — S1 in SURVEY.md §2.1).
+- Parquet scan/sink (``save_parquet``, ``monkey_proc.py:200-209``).
+- JDBC sink (``save_spark_postgres``, ``monkey_proc.py:163-198``) —
+  expressed as options on ``df.write.format('jdbc')``; DDL side-channel
+  (psycopg2 ``send_query``, ``monkey_proc.py:98-120``) replaced by
+  ``createTableColumnTypes``.
+- Reconciliation check (generalized ``check_loaded``,
+  ``zoom_proc.py:266-312``).
+
+The testdata catalog (``read_table``/``register_views``) fixes up the one
+local-fixture quirk: ``events.parquet`` stores TIMESTAMP(NANOS), which
+Spark's parquet reader only accepts as long (nanosAsLong); we convert to a
+microsecond TIMESTAMP_NTZ, matching DuckDB's truncation semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def _events_fixup(df: DataFrame) -> DataFrame:
+    """events.ts arrives as nanosecond bigint (nanosAsLong) -> NTZ micros.
+
+    Integer ``div`` keeps full precision (a double round-trip would lose
+    up to ~128 ns at 2024 epochs); truncation toward zero matches
+    DuckDB's ns->us cast.
+    """
+    if isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
+    elif isinstance(df.schema["ts"].dataType, T.TimestampType):
+        df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    return df
+
+
+def _read_events_arrow_fallback(spark: SparkSession, path: str) -> DataFrame:
+    """Driver-side fallback when the session can't read TIMESTAMP(NANOS)
+    parquet at all (static conf, not settable at runtime). Fine at test
+    scale; real deployments would land events with us timestamps."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(path)
+    pdf = tbl.to_pandas()
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    return spark.createDataFrame(pdf)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table; normalizes events timestamps to NTZ us."""
+    from .session import apply_runtime_conf
+
+    apply_runtime_conf(spark)
+    path = f"{sf_dir}/{name}.parquet"
+    if name != "events":
+        return spark.read.parquet(path)
+    try:
+        df = spark.read.parquet(path)
+        df = _events_fixup(df)
+        df.schema  # force analysis
+        return df
+    except Exception:
+        return _read_events_arrow_fallback(spark, path)
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
+    """Register all testdata tables as temp views for spark.sql use."""
+    for name in tables:
+        read_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+# ---------------------------------------------------------------------------
+# Generic sources
+# ---------------------------------------------------------------------------
+
+
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    multiline: bool = False,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """JSON scan (reference S1). Explicit schema strongly preferred: at
+    100 TB the inference pass (`spark.read.json` with no schema,
+    ``monkey_proc.py:125``) doubles the read. PERMISSIVE mode keeps bad
+    documents in ``corrupt_col`` instead of crashing the select (the
+    reference's blanket try/except, ``vk_proc.py:811-812``)."""
+    reader = spark.read.option("multiLine", multiline).option(
+        "columnNameOfCorruptRecord", corrupt_col
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_binary_files(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
+    """Binary-object scan for multimodal ingest (reference stores Zoom
+    recordings as raw S3 objects, ``zoom_load.py:148-206``; here they
+    become first-class rows: path, modificationTime, length, content)."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
+# ---------------------------------------------------------------------------
+# Sinks
+# ---------------------------------------------------------------------------
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Parquet sink (reference S5, ``save_parquet`` ``monkey_proc.py:200-209``).
+    ``partition_by`` (e.g. an ingest-date column) replaces the reference's
+    manual path-glob pruning (S2) with Catalyst partition pruning."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    properties: dict[str, str] | None = None,
+    batchsize: int = 10_000,
+    num_partitions: int | None = None,
+    create_table_column_types: str | None = None,
+) -> None:
+    """JDBC sink (reference S6, ``save_spark_postgres``
+    ``monkey_proc.py:163-198``). ``create_table_column_types`` carries the
+    reference's hand-written DDL column types (S7) without a psycopg2
+    side-channel; ``batchsize``/``numPartitions`` bound connection count
+    and round-trips at scale."""
+    writer = (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batchsize))
+        .mode(mode)
+    )
+    if num_partitions:
+        writer = writer.option("numPartitions", str(num_partitions))
+    if create_table_column_types:
+        writer = writer.option("createTableColumnTypes", create_table_column_types)
+    for k, v in (properties or {}).items():
+        writer = writer.option(k, v)
+    writer.save()
+
+
+def reconcile_counts(spark: SparkSession, parquet_path: str, expected: int) -> bool:
+    """Generalized ``check_loaded`` (``zoom_proc.py:266-312``): verify a
+    sink holds the expected row count. Library-level, opt-in (each count
+    is a full job — the reference ran them unconditionally)."""
+    return spark.read.parquet(parquet_path).count() == expected

@@ -1,0 +1,260 @@
+"""Deduplication operators for training-data pipelines: exact,
+n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine near-dup.
+
+Not in the reference (dedup of its append-mode ``hst_*`` tables is
+"deferred to consumers", SURVEY.md §2.7 note); first-class here because
+dedup is the canonical 100 TB pre-training job.
+
+Scale design:
+- exact dedup is a hash aggregation on the key (one shuffle);
+- candidate generation for fuzzy dedup NEVER does an all-pairs cross
+  join: pairs come from inverted-index joins (shared shingle), LSH band
+  buckets, or block keys, so the shuffle key is the shingle/band/block —
+  the classic map-side-explode + bucket-join shape;
+- verification (exact Jaccard / cosine) runs only on candidate pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+
+def exact_dedup(df: DataFrame, keys: list[str], id_col: str) -> DataFrame:
+    """Keep one deterministic representative (min id) per duplicate group.
+
+    ``dropDuplicates`` picks an arbitrary row (partition-order dependent);
+    min-id is reproducible run-to-run — required for auditable pipelines.
+    """
+    return df.groupBy(*keys).agg(
+        F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_dups")
+    )
+
+
+def word_shingles(col: str | Column, n: int = 3) -> Column:
+    """n-token shingles (as ' '-joined strings) from whitespace tokens."""
+    toks = tokens(col)
+    # start indices 0..size-n (empty when the doc has fewer than n tokens)
+    idx = F.when(F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+
+
+def _shingle_table(
+    df: DataFrame, id_col: str, text_col: str, n: int, block_col: str | None = None
+) -> DataFrame:
+    """(id[, block], shingle) inverted-index rows, distinct per doc."""
+    cols = [F.col(id_col)]
+    if block_col:
+        cols.append(F.col(block_col))
+    return df.select(
+        *cols, F.explode(F.array_distinct(word_shingles(text_col, n))).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by exact n-gram Jaccard, via inverted index.
+
+    shingle-explode -> self-join on shingle (counts intersections) ->
+    join per-doc shingle counts -> |A∩B| / (|A|+|B|-|A∩B|) >= threshold.
+    ``block_col`` (e.g. language) restricts pairs to the same block,
+    shrinking the candidate space. Shuffle key is the shingle, so hot
+    shingles (stopword runs) are the skew risk — mitigated by dropping
+    shingles shared by > ~50% of docs upstream if needed. Returns
+    (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    sh = _shingle_table(df, id_col, text_col, n, block_col)
+    join_keys = ["shingle"] + ([block_col] if block_col else [])
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), *join_keys)
+    b = sh.select(F.col(id_col).alias("id_b"), *join_keys)
+    inter = (
+        a.join(b, join_keys)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """MinHash signature per doc: for seed i, min over shingles of
+    xxhash64(seed_i, shingle). One explode + one groupBy (shuffle on id);
+    signature is an array<bigint> of length num_hashes."""
+    sh = _shingle_table(df, id_col, text_col, n)
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    agg = sh.groupBy(id_col).agg(*mins)
+    return agg.select(
+        id_col, F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    verify_threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + banded LSH candidate pairs, verified with exact Jaccard.
+
+    signatures -> split into ``bands`` bands of r=num_hashes/bands rows ->
+    bucket-join on (band_idx, band_hash) -> exact-Jaccard verify of
+    candidates only. At 100 TB the band-bucket join is the only wide op
+    and its key count grows with corpus size (no skew from popular
+    shingles — band hashes are uniform).
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    band_rows = sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col("signature")[b * r + j] for j in range(r)]
+                        ).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bh")
+    a = band_rows.select(F.col(id_col).alias("id_a"), "band", "bh")
+    b = band_rows.select(F.col(id_col).alias("id_b"), "band", "bh")
+    cand = (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # exact verify on candidates only
+    sh = _shingle_table(df, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    ia = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    ib = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        cand.join(ia, "id_a")
+        .join(ib, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= verify_threshold)
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+    """64-bit SimHash per document over whitespace tokens.
+
+    Per token: xxhash64; per bit: sum of +-1 across tokens; sign -> bit.
+    Computed with one explode + one groupBy (64 conditional sums — all
+    map-side partial), no UDF.
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    h = F.xxhash64("tok")
+    # bit 63 is the sign bit: the mask literal must stay in signed-long range
+    masks = [(1 << i) if i < 63 else -(2**63) for i in range(bits)]
+    bit_sums = [
+        F.sum(F.when(h.bitwiseAND(F.lit(masks[i])) != 0, 1).otherwise(-1)).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agg = tok.groupBy(id_col).agg(*bit_sums)
+    sig = None
+    for i in range(bits):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i if i < 63 else -(2**63))).otherwise(
+            F.lit(0)
+        )
+        sig = term if sig is None else (sig + term)
+    return agg.select(id_col, sig.cast("bigint").alias("simhash"))
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = "label",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within blocks.
+
+    Blocking (here: the label column; in production an LSH bucket or IVF
+    coarse centroid) keeps the pair generation from being a full cross
+    join. Cosine is a left-to-right fold over double-cast elements —
+    bit-reproducible across engines.
+    """
+    from .similarity import cosine
+
+    cols = [F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")]
+    if block_col:
+        cols.append(F.col(block_col))
+    base = df.select(*cols)
+    a = base.select(
+        F.col(id_col).alias("id_a"),
+        F.col("v").alias("va"),
+        *([F.col(block_col)] if block_col else []),
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"),
+        F.col("v").alias("vb"),
+        *([F.col(block_col)] if block_col else []),
+    )
+    pairs = a.join(b, [block_col] if block_col else None, "inner") if block_col else a.crossJoin(b)
+    pairs = pairs.filter(F.col("id_a") < F.col("id_b"))
+    sim = cosine(F.col("va"), F.col("vb"))
+    out_cols = ["id_a", "id_b"]
+    if block_col:
+        out_cols.append(block_col)
+    return pairs.select(*out_cols, sim.alias("cosine")).filter(
+        F.col("cosine") >= threshold
+    )

@@ -1,0 +1,74 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media are opaque ``binary`` payload columns + typed metadata, read via
+``spark.read.format('binaryFile')`` (io.read_binary_files) — the engine
+upgrade of the reference's download-to-S3-object handling of Zoom
+recordings (zoom_load.py:148-206), which never put binaries in a table.
+
+Decode / feature-extract run as Arrow-batched ``mapInPandas`` stages so
+bytes stay columnar across the Python boundary. The image/audio codecs
+are NOT in this environment, so the decode body is a deterministic STUB
+(clearly marked); schema, partitioning, UDF signature, and batch shape —
+the Spark-side contract — are real and tested (tests/test_multimodal.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DECODED_META_SCHEMA = (
+    "doc_id bigint, n_bytes bigint, content_md5 string, "
+    "fake_width int, fake_height int, fake_n_frames int"
+)
+
+
+def _stub_decode(payload: bytes) -> tuple[int, int, int]:
+    """STUB decode: real implementations would call PIL/ffmpeg here.
+    Deterministic fake dimensions derived from the content hash so tests
+    are stable. Raises nothing — a real decoder's failure path would map
+    to NULL metadata + a quarantine flag."""
+    h = hashlib.md5(payload).digest()
+    return 16 + h[0] % 64, 16 + h[1] % 64, 1 + h[2] % 8
+
+
+def decode_metadata(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+    """mapInPandas decode stage: binary payload -> typed metadata.
+
+    Arrow moves the bytes in columnar batches; each batch is processed
+    vectorized-per-row in Python (the unavoidable Python part), and only
+    small typed metadata returns to the JVM. Partitioning is preserved —
+    no shuffle."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf[payload_col]
+            dims = [_stub_decode(bytes(p)) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "n_bytes": payloads.map(len),
+                    "content_md5": payloads.map(
+                        lambda p: hashlib.md5(bytes(p)).hexdigest()
+                    ),
+                    "fake_width": [d[0] for d in dims],
+                    "fake_height": [d[1] for d in dims],
+                    "fake_n_frames": [d[2] for d in dims],
+                }
+            )
+
+    return df.mapInPandas(_decode, DECODED_META_SCHEMA)
+
+
+def frame_sample_plan(df: DataFrame, every_n: int = 2) -> DataFrame:
+    """Frame-sampling plumbing: explode a (stubbed) frame-index array per
+    video row, keeping every ``every_n``-th index. Real frame extraction
+    would run in a follow-up mapInPandas over (payload, frame_idx)."""
+    return df.withColumn(
+        "frame_idx",
+        F.explode(F.sequence(F.lit(0), F.col("fake_n_frames") - 1, F.lit(every_n))),
+    )

@@ -1,0 +1,150 @@
+"""Similarity search over embedding columns (array<float>).
+
+Not in the reference; engine surface for 100 TB training-data pipelines
+(SURVEY.md §7 phase 4b). Two tiers:
+
+- :func:`brute_force_topk` — exact cosine top-k; the correctness
+  baseline. Query side broadcasts, corpus side streams: no shuffle of
+  the corpus. O(|Q| * |C|) compute, fine when |Q| is small.
+- :func:`lsh_bucket_topk` — sign-random-projection LSH: both sides
+  bucket by the sign pattern of dot products with fixed hyperplanes;
+  candidates come from an equi-join on the bucket, so the corpus
+  shuffles once on a uniform key. The scale path (trades recall for a
+  |C|/2^bits candidate-set reduction).
+
+Cosine is a left-to-right fold over double-cast elements; the DuckDB
+oracle states the identical formula (list_dot_product / sqrt(n_a * n_b))
+so both engines produce bit-identical doubles.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (matches DuckDB list_dot_product
+    evaluation order, so results are bit-identical)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """dot(a,b) / sqrt(dot(a,a) * dot(b,b)) — the DuckDB formula shape."""
+    return dot(a, b) / F.sqrt(dot(a, a) * dot(b, b))
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit-free hyperplanes (pure-Python
+    seeded generator — reproducible across runs and inlinable into the
+    SQL oracle; no numpy dependency in the plan)."""
+    import random
+
+    rng = random.Random(seed)
+    planes = []
+    for _ in range(n_planes):
+        v = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        # round to float32 grid so Spark float lits and SQL lits agree
+        planes.append([struct.unpack("f", struct.pack("f", x))[0] for x in v])
+    return planes
+
+
+def srp_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-random-projection bucket id: bit i = sign(dot(vec, plane_i))."""
+    bucket = F.lit(0).cast("bigint")
+    for i, p in enumerate(planes):
+        arr = F.array(*[F.lit(float(x)) for x in p])
+        bucket = bucket + F.when(dot(vec, arr) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket
+
+
+def brute_force_topk(
+    queries_df: DataFrame,
+    corpus_df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    Broadcast the (small) query side; corpus partitions score locally;
+    per-query top-k via window on (cosine desc, neighbor id) — a single
+    shuffle of |Q|*|C| scored pairs reduced map-side by the rank filter
+    under AQE. Self-matches excluded.
+    """
+    q = queries_df.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    c = corpus_df.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
+def lsh_bucket_topk(
+    queries_df: DataFrame,
+    corpus_df: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's SRP bucket.
+
+    2^n_planes buckets; corpus shuffles once on the bucket key. Recall
+    loss is the standard SRP tradeoff — raise n_planes for bigger corpora
+    or probe neighboring buckets (not needed at test scale).
+    """
+    planes = hyperplanes(dim, n_planes, seed)
+    q = queries_df.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).withColumn("bucket", srp_bucket(F.col("qv"), planes))
+    c = corpus_df.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    ).withColumn("bucket", srp_bucket(F.col("cv"), planes))
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "bucket",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
+def sql_dot(a: str, b: str) -> str:
+    """DuckDB oracle fragment mirroring :func:`dot`."""
+    return f"list_dot_product({a}, {b})"
+
+
+def sql_cosine(a: str, b: str) -> str:
+    return f"({sql_dot(a,b)} / sqrt({sql_dot(a,a)} * {sql_dot(b,b)}))"
+
+
+def sql_plane_literal(plane: list[float]) -> str:
+    """Inline a hyperplane as a DOUBLE[] SQL literal (float32-gridded
+    values print exactly via repr)."""
+    return "[" + ", ".join(repr(x) for x in plane) + "]::DOUBLE[]"

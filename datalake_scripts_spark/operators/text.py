@@ -1,0 +1,120 @@
+"""Text-analysis operators for training-data pipelines: tokenization,
+quality scoring, language ID, fingerprinting.
+
+Not in the reference (its text columns pass through untyped); required
+engine surface for 100 TB document processing (SURVEY.md §7 phase 4c).
+All pure built-in expressions — JVM-side, codegen'd, no Python in the
+hot path. Formulas are written to be exactly replicable in ANSI SQL so
+the DuckDB oracle can hash-match them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker lists for the n-gram/stopword language
+# heuristic. Deliberately small and inlined: the same constants appear in
+# the DuckDB oracle so both engines compute identical scores.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "es": ["el", "la", "que", "de", "es"],
+    "fr": ["le", "la", "et", "les", "est"],
+}
+
+STOPWORDS_EN = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
+
+
+def tokens(col: str | Column) -> Column:
+    """Whitespace tokenization of lowercased text (empty tokens dropped)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(c), r"\s+"), lambda x: x != "")
+
+
+def token_count(col: str | Column) -> Column:
+    """Whitespace token count (the cheap len(text.split()) proxy)."""
+    return F.size(tokens(col)).cast("bigint")
+
+
+def bpe_ish_token_count(col: str | Column) -> Column:
+    """BPE-ish subword proxy: count of word/number/punct units via regex
+    (one unit per letter-run, digit-run, or punct char)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(
+        F.filter(F.split(c, r"(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])"), lambda x: F.trim(x) != "")
+    ).cast("bigint")
+
+
+def char_count(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c).cast("bigint")
+
+
+def punct_ratio(col: str | Column) -> Column:
+    """Punctuation chars / total chars.
+
+    Plain double division of identical integer operands — bit-identical
+    across engines, so NOT rounded (decimal rounding of doubles differs
+    at half-way boundaries between engines; raw IEEE ops don't).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[\.,;:!\?]", ""))
+    return n_punct.cast("double") / F.greatest(F.length(c), F.lit(1))
+
+
+def _contains(arr: Column):
+    # single-arg lambda factory: F.filter treats a 2-arg lambda as
+    # (element, index), so a default-arg closure would misbind.
+    return lambda x: F.array_contains(arr, x)
+
+
+def stopword_ratio(col: str | Column, stopwords: list[str] | None = None) -> Column:
+    """Stopword tokens / total tokens (unrounded; see punct_ratio)."""
+    toks = tokens(col)
+    sw = F.array(*[F.lit(w) for w in (stopwords or STOPWORDS_EN)])
+    n_sw = F.size(F.filter(toks, _contains(sw)))
+    return n_sw.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
+def quality_score(col: str | Column) -> Column:
+    """Composite quality heuristic in [0,1]: favors mid-length documents
+    with low punctuation density and moderate stopword share. Fixed
+    left-to-right evaluation order -> bit-reproducible."""
+    c = F.col(col) if isinstance(col, str) else col
+    len_score = F.least(F.length(c).cast("double") / F.lit(400.0), F.lit(1.0))
+    return (
+        0.5 * len_score + 0.25 * (1.0 - punct_ratio(c)) + 0.25 * (1.0 - stopword_ratio(c))
+    )
+
+
+def lang_scores(col: str | Column) -> dict[str, Column]:
+    """Per-language marker-hit counts over the token set."""
+    toks = tokens(col)
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(w) for w in markers])
+        out[lang] = F.size(F.filter(toks, _contains(arr))).cast("bigint")
+    return out
+
+
+def lang_id(col: str | Column) -> Column:
+    """argmax language by marker count; 'und' when no marker hits.
+
+    Ties break in fixed LANG_MARKERS key order (en > de > es > fr), which
+    the oracle replicates with a CASE chain.
+    """
+    scores = lang_scores(col)
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    for lang in reversed(list(scores)):
+        expr = F.when(scores[lang] == best, F.lit(lang)).otherwise(expr)
+    return F.when(best > 0, expr).otherwise(F.lit("und"))
+
+
+def fingerprint(col: str | Column) -> Column:
+    """Order-insensitive document fingerprint: md5 of the sorted distinct
+    token set. Identical token multisets (ignoring order/dup) collide —
+    the classic shingle-free near-dup prefilter."""
+    toks = F.array_sort(F.array_distinct(tokens(col)))
+    return F.md5(F.concat_ws(" ", toks))

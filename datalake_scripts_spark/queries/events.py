@@ -1,0 +1,216 @@
+"""Event-stream queries: windowed aggregations (tumbling / sliding /
+session), streaming-style dedup, as-of and range joins.
+
+The reference has no streaming (SURVEY.md §2.7) — its closest shape is
+cron micro-batches over hour-partitioned paths (jhub_proc.py:267-276).
+The engine re-expresses that surface with Spark's event-time operators;
+these batch queries pin the exact window semantics, and
+``streaming/windows.py`` runs the same logic as a Structured Streaming
+query (tested with a memory sink in tests/test_streaming.py — the
+readStream path itself is not ANSI-SQL-expressible).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ..operators.asof import asof_join, range_join_broadcast
+from .registry import query, t
+
+SQL_DEC_VALUE = "CAST(value AS DECIMAL(12,2))"
+
+
+@query(
+    "events_tumbling_hourly",
+    sql=f"""
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM({SQL_DEC_VALUE}) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    headline=True,
+)
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows (F.window; epoch-aligned like
+    DuckDB time_bucket). Identical code runs under readStream with a
+    watermark — see streaming.windows.tumbling_agg."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "n_users",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "events_sliding_windows",
+    sql=f"""
+    WITH expanded AS (
+      SELECT unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+                     time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE])
+               AS window_start,
+             event_type, value
+      FROM events)
+    SELECT window_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM({SQL_DEC_VALUE}) AS DOUBLE) AS sum_value
+    FROM expanded
+    GROUP BY 1, 2
+    """,
+)
+def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 h length, 30 min slide): every event lands in 2
+    overlapping windows. Oracle replicates Spark's window assignment by
+    expanding each event into both half-hour-grid starts."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "events_session_windows",
+    sql=f"""
+    WITH marked AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 10 MINUTE OR
+                       LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events),
+    sessions AS (
+      SELECT user_id, ts, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM marked)
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 10 MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM({SQL_DEC_VALUE}) AS DOUBLE) AS sum_value
+    FROM sessions
+    GROUP BY user_id, sid
+    """,
+)
+def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (10-minute inactivity gap) per user via
+    F.session_window. Oracle is the classic gaps-and-islands rewrite;
+    Spark's session end = last event + gap, which the oracle mirrors."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "10 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "events_dedup_latest_state",
+    sql="""
+    SELECT user_id, event_type, ts, value FROM (
+      SELECT user_id, event_type, ts, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) x
+    WHERE rn = 1
+    """,
+)
+def events_dedup_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the latest event per (user, type) — the compaction/dedup
+    pattern behind streaming dropDuplicates-within-watermark and CDC
+    last-write-wins."""
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "ts", "value")
+    )
+
+
+@query(
+    "asof_join_purchase_to_signup",
+    sql="""
+    SELECT p.event_id, p.user_id, p.ts,
+           s.value AS value_matched, s.ts AS ts_matched
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      ON p.user_id = s.user_id AND p.ts >= s.ts
+    """,
+)
+def asof_join_purchase_to_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators.asof.asof_join): each purchase matched to
+    the user's latest signup at-or-before it. Union+window — one shuffle
+    on user_id; DuckDB's native ASOF JOIN is the oracle."""
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select("user_id", "ts", "value")
+    return asof_join(
+        purchases, signups, on="user_id", left_ts="ts", right_ts="ts", right_cols=["value"]
+    )
+
+
+@query(
+    "range_join_value_tiers",
+    sql="""
+    WITH tiers(tier, lo, hi) AS (
+      VALUES ('micro', 0.0, 25.0), ('small', 25.0, 75.0),
+             ('mid', 75.0, 150.0), ('large', 150.0, 100000.0))
+    SELECT tier, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events LEFT JOIN tiers ON value >= lo AND value < hi
+    GROUP BY tier
+    """,
+)
+def range_join_value_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join against a tiny tier table — broadcast
+    nested-loop on purpose (operators.asof.range_join_broadcast)."""
+    ev = t(spark, sf_dir, "events")
+    tiers = spark.createDataFrame(
+        [("micro", 0.0, 25.0), ("small", 25.0, 75.0), ("mid", 75.0, 150.0),
+         ("large", 150.0, 100000.0)],
+        "tier string, lo double, hi double",
+    )
+    joined = range_join_broadcast(ev, tiers, "value")
+    return joined.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+    )

@@ -1,0 +1,322 @@
+"""Training-data pipeline queries: deduplication, similarity search,
+text analysis, multimodal metadata (SURVEY.md §7 phase 4; the driver's
+documents/embeddings fixtures exist for exactly these).
+
+Oracle notes: formulas are written so both engines compute identical
+doubles (same fold order; see operators.similarity), then round to 6 dp.
+MinHash/SimHash use Spark's xxhash64, which DuckDB lacks -> registered
+without oracle SQL (driver rows-only check), as the contract allows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators import similarity as S
+from ..operators import text as X
+from .registry import query, t
+
+# Shared DuckDB fragments ---------------------------------------------------
+SQL_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+SQL_COS = S.sql_cosine("a.v", "b.v")
+
+
+@query(
+    "dedup_exact_subset_keys",
+    sql="""
+    SELECT lang, source, MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
+    FROM documents GROUP BY lang, source
+    """,
+)
+def dedup_exact_subset_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on a key subset, deterministic min-id representative
+    (operators.dedup.exact_dedup — vs dropDuplicates' arbitrary row)."""
+    docs = t(spark, sf_dir, "documents")
+    return D.exact_dedup(docs, ["lang", "source"], "doc_id")
+
+
+@query(
+    "dedup_exact_full_text",
+    sql="""
+    SELECT text, MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
+    FROM documents GROUP BY text
+    """,
+)
+def dedup_exact_full_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact full-text dedup (hash groupBy on the document body)."""
+    docs = t(spark, sf_dir, "documents")
+    return D.exact_dedup(docs, ["text"], "doc_id")
+
+
+@query(
+    "dedup_fingerprint_token_set",
+    sql=f"""
+    SELECT md5(array_to_string(list_sort(list_distinct({SQL_TOKS})), ' ')) AS fingerprint,
+           MIN(doc_id) AS doc_id, COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_fingerprint_token_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (operators.text.fingerprint): md5 of the
+    sorted distinct token set — order/duplication-insensitive near-dup
+    prefilter; identical-set docs collapse to one group."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", X.fingerprint("text").alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    sql=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, {SQL_TOKS} AS tk FROM documents),
+    sh AS (
+      SELECT doc_id, lang,
+             unnest(list_distinct(list_transform(range(1, len(tk)),
+                    i -> array_to_string(tk[i:i+1], ' ')))) AS shingle
+      FROM toks WHERE len(tk) >= 2),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.lang = b.lang
+      WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact word-2-gram Jaccard >= 0.5, blocked by
+    lang, via inverted shingle index (operators.dedup.ngram_jaccard_pairs
+    — no cross join; shuffle key is the shingle)."""
+    docs = t(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=2, threshold=0.5, block_col="lang"
+    )
+
+
+@query("dedup_minhash_lsh")  # xxhash64 has no DuckDB twin -> rows-only check
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32 hashes) + 8-band LSH candidates, exact-Jaccard verified
+    at >= 0.5 (operators.dedup.minhash_lsh_pairs). The 100 TB fuzzy-dedup
+    shape: uniform band-hash bucket join, verify candidates only."""
+    docs = t(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=2, num_hashes=32, bands=8, verify_threshold=0.5
+    )
+
+
+@query("dedup_simhash")  # xxhash64-based -> rows-only check
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash signatures (operators.dedup.simhash): one explode +
+    one groupBy, 64 conditional sums, no UDF."""
+    docs = t(spark, sf_dir, "documents")
+    return D.simhash(docs, "doc_id", "text")
+
+
+@query(
+    "dedup_embedding_cosine",
+    sql=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label,
+           {SQL_COS} AS cosine
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {SQL_COS} >= 0.3
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: cosine >= 0.3 within label blocks
+    (operators.dedup.embedding_near_dup_pairs; blocking avoids the cross
+    join — in production the block is an LSH bucket)."""
+    emb = t(spark, sf_dir, "embeddings")
+    return D.embedding_near_dup_pairs(
+        emb, "vec_id", "embedding", block_col="label", threshold=0.3
+    )
+
+
+def _ann_brute_sql() -> str:
+    cos = S.sql_cosine("q.qv", "e.v")
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+    scored AS (
+      SELECT query_id, e.vec_id AS neighbor_id, {cos} AS cosine
+      FROM q, e WHERE e.vec_id <> q.query_id)
+    SELECT query_id, neighbor_id, cosine, CAST(rnk AS INT) AS rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM scored) x
+    WHERE rnk <= 5
+    """
+
+
+@query("ann_brute_force_topk", sql=_ann_brute_sql())
+def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for 10 query vectors
+    (operators.similarity.brute_force_topk: broadcast queries, stream the
+    corpus, window top-k)."""
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    return S.brute_force_topk(q, emb, k=5)
+
+
+def _ann_lsh_sql() -> str:
+    planes = S.hyperplanes(dim=64, n_planes=4, seed=42)
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_dot_product({{side}}.v, {S.sql_plane_literal(p)}) >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    cos = S.sql_cosine("q.qv", "c.v")
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (SELECT vec_id, v, {bucket_terms.format(side='e')} AS bucket
+          FROM e e),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 10),
+    scored AS (
+      SELECT query_id, q.bucket AS bucket, c.vec_id AS neighbor_id,
+             {cos} AS cosine
+      FROM q JOIN b c ON q.bucket = c.bucket AND c.vec_id <> q.query_id)
+    SELECT query_id, CAST(bucket AS BIGINT) AS bucket, neighbor_id, cosine,
+           CAST(rnk AS INT) AS rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM scored) x
+    WHERE rnk <= 3
+    """
+
+
+@query("ann_lsh_bucketed_topk", sql=_ann_lsh_sql())
+def ann_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-3 via sign-random-projection buckets (16 buckets,
+    fixed seeded hyperplanes inlined in both engines —
+    operators.similarity.lsh_bucket_topk). Candidates = same bucket only."""
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    return S.lsh_bucket_topk(q, emb, k=3, n_planes=4, dim=64, seed=42)
+
+
+@query(
+    "text_token_stats",
+    sql=f"""
+    SELECT doc_id,
+           CAST(len({SQL_TOKS}) AS BIGINT) AS n_tokens,
+           CAST(LENGTH(text) AS BIGINT) AS n_chars_measured,
+           n_chars,
+           CAST(len(list_distinct({SQL_TOKS})) AS BIGINT) AS n_unique_tokens,
+           CAST(len(list_distinct({SQL_TOKS})) AS DOUBLE)
+                 / GREATEST(len({SQL_TOKS}), 1) AS ttr
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + type-token ratio (operators.text.token_count)."""
+    docs = t(spark, sf_dir, "documents")
+    toks = X.tokens("text")
+    return docs.select(
+        "doc_id",
+        X.token_count("text").alias("n_tokens"),
+        X.char_count("text").alias("n_chars_measured"),
+        "n_chars",
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_unique_tokens"),
+        (
+            F.size(F.array_distinct(toks)).cast("double")
+            / F.greatest(F.size(toks), F.lit(1))
+        ).alias("ttr"),
+    )
+
+
+def _quality_sql() -> str:
+    punct = "(CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')) AS DOUBLE) / GREATEST(LENGTH(text), 1))"
+    sw_list = "[" + ", ".join(f"'{w}'" for w in X.STOPWORDS_EN) + "]"
+    stop = (
+        f"(CAST(len(list_filter({SQL_TOKS}, x -> list_contains({sw_list}, x))) AS DOUBLE)"
+        f" / CAST(GREATEST(len({SQL_TOKS}), 1) AS DOUBLE))"
+    )
+    return f"""
+    SELECT doc_id,
+           {punct} AS punct_ratio,
+           {stop} AS stopword_ratio,
+           0.5 * LEAST(CAST(LENGTH(text) AS DOUBLE) / 400.0, 1.0)
+                 + 0.25 * (1.0 - {punct})
+                 + 0.25 * (1.0 - {stop}) AS quality
+    FROM documents
+    """
+
+
+@query("text_quality_scores", sql=_quality_sql())
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: punctuation density, stopword share, composite
+    score (operators.text.quality_score)."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        X.punct_ratio("text").alias("punct_ratio"),
+        X.stopword_ratio("text").alias("stopword_ratio"),
+        X.quality_score("text").alias("quality"),
+    )
+
+
+def _langid_sql() -> str:
+    scores = {
+        lang: f"len(list_filter({SQL_TOKS}, x -> list_contains(["
+        + ", ".join(f"'{w}'" for w in markers)
+        + "], x)))"
+        for lang, markers in X.LANG_MARKERS.items()
+    }
+    best = "GREATEST(" + ", ".join(scores.values()) + ")"
+    chain = " ".join(
+        f"WHEN {scores[lang]} = best THEN '{lang}'" for lang in X.LANG_MARKERS
+    )
+    return f"""
+    SELECT doc_id, lang AS lang_actual,
+           CASE WHEN best > 0 THEN (CASE {chain} ELSE 'und' END)
+                ELSE 'und' END AS lang_pred
+    FROM (SELECT doc_id, lang, {best} AS best, text FROM documents) s
+    """
+
+
+@query("text_lang_id", sql=_langid_sql())
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language ID heuristic (operators.text.lang_id),
+    deterministic tie-break in marker-table order."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_actual"),
+        X.lang_id("text").alias("lang_pred"),
+    )
+
+
+@query(
+    "multimodal_binary_metadata",
+    sql="""
+    SELECT doc_id,
+           CAST(LENGTH(text) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5,
+           UPPER(substring(hex(text), 1, 8)) AS magic_hex
+    FROM documents
+    """,
+)
+def multimodal_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary-column plumbing (operators.multimodal): documents'
+    bodies as binary payloads; metadata extraction (byte length, content
+    hash, leading-bytes magic) stays JVM-side. Real decode is a stubbed
+    Pandas-UDF stage (see operators/multimodal.py + tests)."""
+    docs = t(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "utf-8")
+    return docs.select(
+        "doc_id",
+        F.octet_length(payload).cast("bigint").alias("n_bytes"),
+        F.md5(payload).alias("content_md5"),
+        F.upper(F.substring(F.hex(payload), 1, 8)).alias("magic_hex"),
+    )

@@ -1,0 +1,87 @@
+"""SparkSession builder with engine defaults.
+
+Replaces the reference's five copy-pasted ``SparkConf`` blocks
+(``zoom_proc.py:52-63``, ``monkey_proc.py:44-56``, ``vk_proc.py:44-56``,
+``jhub_proc.py:45-57``) with one builder. Differences from the reference,
+on purpose:
+
+- ``SparkSession.builder`` instead of ``SparkContext(conf)``.
+- AQE + partition coalescing on (runtime re-plan, skew-join handling).
+- Arrow enabled for any pandas interop (vectorized exchange).
+- UTC session timezone (deterministic timestamp semantics; DuckDB-oracle
+  comparable).
+- ``spark.sql.legacy.parquet.nanosAsLong`` so TIMESTAMP(NANOS) parquet
+  (the ``events`` fixture) is readable; the io layer converts to
+  microsecond timestamps.
+- shuffle partitions sized to cores, not the 200 default.
+
+S3A tuning from the reference (multipart 100 MB, block 32 MB, 256
+threads — ``zoom_proc.py:57-63``) is kept behind the ``s3`` profile for
+real-cluster use; it is inert locally.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+ENGINE_CONF: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+    "spark.ui.enabled": "false",
+}
+
+# Reference S3A profile (zoom_proc.py:57-63), endpoint left to the caller.
+S3A_CONF: dict[str, str] = {
+    "spark.hadoop.fs.s3a.multipart.size": str(100 * 1024 * 1024),
+    "spark.hadoop.fs.s3a.block.size": str(32 * 1024 * 1024),
+    "spark.hadoop.fs.s3a.threads.max": "256",
+    "spark.hadoop.fs.s3a.fast.upload": "true",
+}
+
+
+def get_spark(
+    app_name: str = "datalake_scripts_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+    s3: bool = False,
+) -> SparkSession:
+    """Build (or get) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default all
+    cores). ``shuffle_partitions`` defaults to the local core count so
+    small-scale runs aren't over-parallelized; on a real cluster pass an
+    explicit value sized to the data (~2-3x total cores).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = SparkSession.builder.appName(app_name).master(master or f"local[{cpus}]")
+    n_shuffle = shuffle_partitions or (os.cpu_count() or 8)
+    builder = builder.config("spark.sql.shuffle.partitions", str(n_shuffle))
+    for k, v in ENGINE_CONF.items():
+        builder = builder.config(k, v)
+    if s3:
+        for k, v in S3A_CONF.items():
+            builder = builder.config(k, v)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def apply_runtime_conf(spark: SparkSession) -> None:
+    """Best-effort apply of runtime-settable engine conf to a session we
+    didn't build (e.g. the verification driver's). Static conf (already
+    bound at session start) is skipped silently."""
+    for k, v in ENGINE_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass

@@ -1,0 +1,129 @@
+"""Structured Streaming surface.
+
+The reference's streaming-shaped behavior is cron micro-batches over
+hour-partitioned path globs with a lag-window re-run for late data
+(jhub_proc.py:267-276, monkey_load.py:210-214; SURVEY.md §2.7). Here
+that becomes real event-time processing: file-source readStream ->
+withWatermark -> tumbling/sliding/session windows -> append sinks.
+Late data is handled by the watermark instead of re-runs; dedup within
+the watermark replaces "append now, dedup downstream".
+
+The transformations are the SAME functions the batch queries use —
+Structured Streaming's incrementalization, not a parallel codebase.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def events_schema() -> T.StructType:
+    """Explicit schema for the events stream (no inference on streams).
+
+    ``ts`` is TIMESTAMP (with zone, instant semantics): Spark watermarks
+    require it — NTZ event time is rejected. Batch oracle queries use NTZ;
+    the io layer converts at the boundary."""
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+def stream_from_directory(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream: the incremental-listing upgrade of the
+    reference's "process the previous hour's glob" pattern. New files in
+    ``path`` become micro-batches; checkpointing makes it exactly-once."""
+    reader = spark.readStream.format(fmt).schema(schema or events_schema())
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.load(path)
+
+
+def tumbling_agg(
+    events: DataFrame, window: str = "1 hour", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Tumbling event-time counts/sums; watermark bounds state and
+    admits late data up to the horizon (vs the reference's lag-day
+    re-runs)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_agg(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("window.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+def session_agg(
+    events: DataFrame, gap: str = "10 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Session windows with an inactivity gap — merging windows, stateful."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Streaming dedup on event_id within the watermark horizon —
+    replaces the reference's "append duplicates, consumers dedup" policy
+    (SURVEY.md §2.7) with at-source exactly-once semantics."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
+    """Drive a streaming query over all currently-available input and
+    stop — the synchronous local test harness (memory sink)."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return q

@@ -1,0 +1,84 @@
+"""Dedup operators on planted fixtures: exact, jaccard, minhash-lsh,
+simhash, embedding near-dup."""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from datalake_scripts_spark.operators import dedup as D
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = "the quick brown fox jumps over the lazy cat again and again"
+    far = "completely different words about spark query engines at scale"
+    return spark.createDataFrame(
+        [
+            Row(doc_id=1, text=base, lang="en"),
+            Row(doc_id=2, text=base, lang="en"),  # exact dup of 1
+            Row(doc_id=3, text=near, lang="en"),  # near dup of 1
+            Row(doc_id=4, text=far, lang="en"),
+            Row(doc_id=5, text=base, lang="de"),  # same text, other block
+        ]
+    )
+
+
+def test_exact_dedup_min_representative(docs):
+    out = D.exact_dedup(docs, ["text", "lang"], "doc_id")
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = {(r.text, r.lang): (r.doc_id, r.n_dups) for r in out.collect()}
+    assert rows[(base, "en")] == (1, 2)
+    assert rows[(base, "de")] == (5, 1)
+
+
+def test_word_shingles_short_doc(spark):
+    df = spark.createDataFrame([Row(text="one two")])
+    out = df.select(D.word_shingles("text", 3).alias("sh")).first()
+    assert out.sh == []
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = D.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=2, threshold=0.4, block_col="lang"
+    ).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 2) in found  # exact dup -> jaccard 1.0
+    assert (1, 3) in found and (2, 3) in found  # near dup
+    assert not any(4 in p for p in found)
+    assert not any(5 in p for p in found)  # blocked by lang
+    j12 = [r.jaccard for r in pairs if (r.id_a, r.id_b) == (1, 2)][0]
+    assert j12 == 1.0
+
+
+def test_minhash_lsh_finds_planted_dups(docs):
+    pairs = D.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=2, num_hashes=32, bands=16, verify_threshold=0.4
+    ).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    # exact dups always collide in every band; near-dup collides whp with r=2
+    assert (1, 2) in found
+    assert (1, 5) in found or (2, 5) in found  # same text across langs (no blocking here)
+    assert not any(4 in p for p in found)
+
+
+def test_simhash_identical_docs_equal_signatures(docs):
+    sigs = {r.doc_id: r.simhash for r in D.simhash(docs, "doc_id", "text").collect()}
+    assert sigs[1] == sigs[2] == sigs[5]
+    # near-dup within small hamming distance; far doc further away
+    ham_near = bin((sigs[1] ^ sigs[3]) & (2**64 - 1)).count("1")
+    ham_far = bin((sigs[1] ^ sigs[4]) & (2**64 - 1)).count("1")
+    assert ham_near < ham_far
+
+
+def test_embedding_near_dup(spark):
+    emb = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=[1.0, 0.0, 0.0], label=0),
+            Row(vec_id=2, embedding=[0.99, 0.01, 0.0], label=0),
+            Row(vec_id=3, embedding=[0.0, 1.0, 0.0], label=0),
+            Row(vec_id=4, embedding=[1.0, 0.0, 0.0], label=1),  # other block
+        ]
+    )
+    pairs = D.embedding_near_dup_pairs(emb, threshold=0.95).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
+    assert pairs[0].cosine > 0.99

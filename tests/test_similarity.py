@@ -1,0 +1,48 @@
+"""Similarity search: exact brute-force top-k and SRP-LSH bucketing."""
+
+from pyspark.sql import Row
+
+from datalake_scripts_spark.operators import similarity as S
+
+
+def _emb(spark):
+    return spark.createDataFrame(
+        [
+            Row(vec_id=0, embedding=[1.0, 0.0, 0.0, 0.0]),
+            Row(vec_id=1, embedding=[0.9, 0.1, 0.0, 0.0]),
+            Row(vec_id=2, embedding=[0.0, 1.0, 0.0, 0.0]),
+            Row(vec_id=3, embedding=[0.0, 0.0, 1.0, 0.0]),
+            Row(vec_id=4, embedding=[-1.0, 0.0, 0.0, 0.0]),
+        ]
+    )
+
+
+def test_brute_force_topk_ordering(spark):
+    emb = _emb(spark)
+    q = emb.filter("vec_id = 0")
+    out = S.brute_force_topk(q, emb, k=2).collect()
+    assert [r.neighbor_id for r in sorted(out, key=lambda r: r.rnk)] == [1, 2]
+    assert out[0].query_id == 0
+
+
+def test_brute_force_excludes_self(spark):
+    emb = _emb(spark)
+    out = S.brute_force_topk(emb, emb, k=4)
+    assert out.filter("query_id = neighbor_id").count() == 0
+
+
+def test_hyperplanes_deterministic():
+    a = S.hyperplanes(8, 4, seed=42)
+    b = S.hyperplanes(8, 4, seed=42)
+    assert a == b
+    assert len(a) == 4 and len(a[0]) == 8
+
+
+def test_lsh_bucket_recall_of_identical(spark):
+    emb = _emb(spark)
+    q = emb.filter("vec_id = 0")
+    out = S.lsh_bucket_topk(q, emb, k=3, n_planes=2, dim=4).collect()
+    # identical-direction vector 1 must share vector 0's bucket
+    assert 1 in [r.neighbor_id for r in out]
+    # antipodal vector 4 lands in the complementary bucket
+    assert 4 not in [r.neighbor_id for r in out]

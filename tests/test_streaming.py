@@ -1,0 +1,59 @@
+"""Structured Streaming: the streaming path produces the same results as
+the batch path over the same files (memory-sink harness)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datalake_scripts_spark.io import read_table
+from datalake_scripts_spark.streaming import (
+    dedup_within_watermark,
+    run_to_memory,
+    stream_from_directory,
+    tumbling_agg,
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir, tmp_path_factory):
+    """Events re-landed as a normal (microsecond-ts) parquet directory,
+    as a streaming file source requires."""
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    df = read_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    df.write.mode("overwrite").parquet(out)
+    return out
+
+
+def test_stream_tumbling_equals_batch(spark, events_dir):
+    stream = stream_from_directory(spark, events_dir)
+    assert stream.isStreaming
+    run_to_memory(tumbling_agg(stream, "1 hour"), "t_tumbling", output_mode="complete")
+    streamed = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.sql("SELECT * FROM t_tumbling").collect()
+    }
+    batch_df = tumbling_agg(spark.read.parquet(events_dir), "1 hour")
+    batch = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in batch_df.collect()
+    }
+    assert streamed == batch
+    assert len(batch) > 0
+
+
+def test_stream_dedup_within_watermark(spark, events_dir):
+    stream = stream_from_directory(spark, events_dir)
+    run_to_memory(dedup_within_watermark(stream), "t_dedup")
+    n = spark.sql("SELECT COUNT(*) AS n FROM t_dedup").first().n
+    n_src = spark.read.parquet(events_dir).select("event_id").distinct().count()
+    assert n == n_src
+
+
+def test_session_agg_is_streaming_compatible(spark, events_dir):
+    from datalake_scripts_spark.streaming import session_agg
+
+    stream = stream_from_directory(spark, events_dir)
+    run_to_memory(session_agg(stream, gap="10 minutes"), "t_sessions")
+    rows = spark.sql("SELECT * FROM t_sessions").collect()
+    assert all(r.session_end > r.session_start for r in rows)
