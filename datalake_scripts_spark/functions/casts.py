@@ -15,19 +15,26 @@ FRACTIONAL = "yyyy-MM-dd HH:mm:ss.SSS"  # jhub log body (jhub_proc.py:162-169)
 FRACTIONAL_NANO = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSSSS'Z'"  # fluent-bit `time`
 
 
+def _parse(col: str | Column, fmt: str) -> Column:
+    # try_to_timestamp: NULL on malformed input — the pre-ANSI semantics
+    # the reference relies on (Spark 4 ANSI to_timestamp would throw).
+    c = F.col(col) if isinstance(col, str) else col
+    return F.try_to_timestamp(c, F.lit(fmt))
+
+
 def to_ts_iso(col: str | Column) -> Column:
     """ISO-8601 without zone suffix (monkey_proc.py:129-136)."""
-    return F.to_timestamp(col, ISO)
+    return _parse(col, ISO)
 
 
 def to_ts_iso_z(col: str | Column) -> Column:
     """ISO-8601 with literal 'Z' (zoom_proc.py:141-144)."""
-    return F.to_timestamp(col, ISO_Z)
+    return _parse(col, ISO_Z)
 
 
 def to_ts_fractional(col: str | Column, nano: bool = False) -> Column:
     """Fractional-seconds formats (jhub_proc.py:162-169)."""
-    return F.to_timestamp(col, FRACTIONAL_NANO if nano else FRACTIONAL)
+    return _parse(col, FRACTIONAL_NANO if nano else FRACTIONAL)
 
 
 def to_ts_epoch_seconds(col: str | Column) -> Column:

@@ -43,7 +43,6 @@ def test_null_timestamp_on_mismatch(spark):
     # to_timestamp yields NULL on format mismatch (reference crashes the
     # select instead; engine policy is explicit nullability)
     df = spark.createDataFrame([Row(s="not-a-date")])
-    spark.conf.set("spark.sql.ansi.enabled", "false")
     assert df.select(to_ts_iso("s").alias("ts")).first().ts is None
 
 
