@@ -41,8 +41,12 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     spark = get_spark("bench", shuffle_partitions=max(cpus, 8))
 
-    # warm the JVM + file listing with a trivial action
+    # warm the JVM (parquet reader, codegen, shuffle machinery) so
+    # per-query numbers measure the queries, not one-time JIT cost
     spark.range(1).count()
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").groupBy(
+        "l_returnflag"
+    ).count().collect()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

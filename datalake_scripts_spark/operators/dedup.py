@@ -233,25 +233,28 @@ def embedding_near_dup_pairs(
     join. Cosine is a left-to-right fold over double-cast elements —
     bit-reproducible across engines.
     """
-    from .similarity import cosine
+    from .similarity import cosine_with_norms, dot
 
-    cols = [F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")]
+    vv = F.col(vec_col).cast("array<double>")
+    cols = [F.col(id_col), vv.alias("v"), dot(vv, vv).alias("n2")]
     if block_col:
         cols.append(F.col(block_col))
     base = df.select(*cols)
     a = base.select(
         F.col(id_col).alias("id_a"),
         F.col("v").alias("va"),
+        F.col("n2").alias("na"),
         *([F.col(block_col)] if block_col else []),
     )
     b = base.select(
         F.col(id_col).alias("id_b"),
         F.col("v").alias("vb"),
+        F.col("n2").alias("nb"),
         *([F.col(block_col)] if block_col else []),
     )
     pairs = a.join(b, [block_col] if block_col else None, "inner") if block_col else a.crossJoin(b)
     pairs = pairs.filter(F.col("id_a") < F.col("id_b"))
-    sim = cosine(F.col("va"), F.col("vb"))
+    sim = cosine_with_norms(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
     out_cols = ["id_a", "id_b"]
     if block_col:
         out_cols.append(block_col)

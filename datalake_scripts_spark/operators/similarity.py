@@ -40,6 +40,17 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / F.sqrt(dot(a, a) * dot(b, b))
 
 
+def cosine_with_norms(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
+    """Cosine with precomputed self-dot-products.
+
+    dot(v,v) depends only on the vector, so computing it once per row
+    instead of once per PAIR removes 2/3 of the fold work in pairwise
+    ops (Spark's higher-order aggregate is interpreted, not codegen'd —
+    it dominates). Bit-identical to :func:`cosine`: same fold order,
+    same operand values."""
+    return dot(a, b) / F.sqrt(norm_a * norm_b)
+
+
 def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random unit-free hyperplanes (pure-Python
     seeded generator — reproducible across runs and inlinable into the
@@ -78,18 +89,21 @@ def brute_force_topk(
     shuffle of |Q|*|C| scored pairs reduced map-side by the rank filter
     under AQE. Self-matches excluded.
     """
+    qv = F.col(vec_col).cast("array<double>")
     q = queries_df.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+        F.col(id_col).alias("query_id"), qv.alias("qv"), dot(qv, qv).alias("qn")
     )
     c = corpus_df.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv")
+        F.col(id_col).alias("neighbor_id"), qv.alias("cv"), dot(qv, qv).alias("cn")
     )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("qv"), F.col("cv")).alias("cosine"),
+            cosine_with_norms(
+                F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+            ).alias("cosine"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -113,14 +127,19 @@ def lsh_bucket_topk(
     or probe neighboring buckets (not needed at test scale).
     """
     planes = hyperplanes(dim, n_planes, seed)
-    q = queries_df.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("qv"),
-    ).withColumn("bucket", srp_bucket(F.col("qv"), planes))
-    c = corpus_df.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("cv"),
-    ).withColumn("bucket", srp_bucket(F.col("cv"), planes))
+    vv = F.col(vec_col).cast("array<double>")
+    q = (
+        queries_df.select(
+            F.col(id_col).alias("query_id"), vv.alias("qv"), dot(vv, vv).alias("qn")
+        )
+        .withColumn("bucket", srp_bucket(F.col("qv"), planes))
+    )
+    c = (
+        corpus_df.select(
+            F.col(id_col).alias("neighbor_id"), vv.alias("cv"), dot(vv, vv).alias("cn")
+        )
+        .withColumn("bucket", srp_bucket(F.col("cv"), planes))
+    )
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -128,7 +147,9 @@ def lsh_bucket_topk(
             "query_id",
             "bucket",
             "neighbor_id",
-            cosine(F.col("qv"), F.col("cv")).alias("cosine"),
+            cosine_with_norms(
+                F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+            ).alias("cosine"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
