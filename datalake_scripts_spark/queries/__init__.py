@@ -18,6 +18,7 @@ Determinism rules (so order-insensitive value hashes match DuckDB):
 from .registry import REGISTRY, Q, query  # noqa: F401
 
 from . import relational  # noqa: F401,E402
+from . import relational2  # noqa: F401,E402
 from . import normalize  # noqa: F401,E402
 from . import llmops  # noqa: F401,E402
 from . import events  # noqa: F401,E402

@@ -1,0 +1,351 @@
+"""Relational surface, batch 2: more TPC-H shapes, subqueries (scalar /
+IN / correlated EXISTS via the SQL API), HAVING, ntile/percent_rank,
+unpivot, sorted array aggregation, split_part, approx distinct, and an
+event-funnel aggregation.
+
+Some queries deliberately go through ``spark.sql`` over registered temp
+views — the SQL API is engine surface too (Catalyst produces the same
+plans either way), and correlated subqueries are most natural there.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ..io import register_views
+from .registry import query, t
+from .relational import SQL_REV, dec, one, revenue, _ts
+
+
+@query(
+    "q6_forecast_revenue",
+    sql=f"""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: multi-predicate scan -> ungrouped agg. Every
+    predicate reaches the parquet reader (PushedFilters)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1997-01-01"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.sum(dec("l_extendedprice") * dec("l_discount", 3, 2))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@query(
+    "q10_returned_revenue",
+    sql=f"""
+    SELECT c_custkey, c_name, n_name,
+           CAST(SUM({SQL_REV}) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-07-01'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    headline=True,
+)
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer, top 20."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1997-01-01"))
+        & (F.col("o_orderdate") < _ts("1997-07-01"))
+    )
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nat = t(spark, sf_dir, "nation")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(revenue()).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q14_promo_revenue_share",
+    sql=f"""
+    SELECT CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN {SQL_REV} END) AS DOUBLE)
+             / CAST(SUM({SQL_REV}) AS DOUBLE) * 100.0 AS promo_share_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+      AND l_shipdate <  TIMESTAMP '1996-10-01'
+    """,
+)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-aggregate ratio (promo revenue %).
+    Both sums decimal-exact; the ratio is one double division."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-09-01"))
+        & (F.col("l_shipdate") < _ts("1996-10-01"))
+    )
+    part = t(spark, sf_dir, "part")
+    promo = F.when(F.col("p_type").like("PROMO%"), revenue())
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                F.sum(promo).cast("double") / F.sum(revenue()).cast("double") * 100.0
+            ).alias("promo_share_pct")
+        )
+    )
+
+
+@query(
+    "q18_large_orders",
+    sql="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderkey, o_custkey, o_totalprice
+    HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 150
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: group + HAVING on the aggregate (decimal-exact
+    threshold compare)."""
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderkey", "o_custkey", "o_totalprice")
+        .agg(F.sum(dec("l_quantity")).alias("_qty_dec"))
+        .filter(F.col("_qty_dec") > 150)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.col("_qty_dec").cast("double").alias("total_qty"),
+        )
+    )
+
+
+@query(
+    "subquery_scalar_above_avg",
+    sql="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                              / COUNT(*) FROM customer)
+    """,
+)
+def subquery_scalar_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery: customers above the mean balance (SQL API;
+    Catalyst plans the subquery as a broadcast scalar)."""
+    register_views(spark, sf_dir, ["customer"])
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                                  / COUNT(*) FROM customer)
+        """
+    )
+
+
+@query(
+    "subquery_in_segment",
+    sql="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer
+                        WHERE c_mktsegment = 'MACHINERY')
+    """,
+)
+def subquery_in_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN subquery (planned as left-semi join)."""
+    register_views(spark, sf_dir, ["orders", "customer"])
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer
+                            WHERE c_mktsegment = 'MACHINERY')
+        """
+    )
+
+
+@query(
+    "subquery_correlated_exists",
+    sql="""
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_suppkey = s_suppkey AND l_quantity > 45)
+    """,
+)
+def subquery_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS (decorrelated by Catalyst into a semi join)."""
+    register_views(spark, sf_dir, ["supplier", "lineitem"])
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name
+        FROM supplier
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_suppkey = s_suppkey AND l_quantity > 45)
+        """
+    )
+
+
+@query(
+    "window_ntile_percent_rank",
+    sql="""
+    SELECT c_custkey,
+           CAST(NTILE(4) OVER w AS INT) AS quartile,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume
+    FROM customer
+    WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def window_ntile_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: ntile / percent_rank / cume_dist
+    (both engines use the same (rank-1)/(n-1) double formulas)."""
+    cust = t(spark, sf_dir, "customer")
+    w = W.orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@query(
+    "unpivot_order_metrics",
+    sql="""
+    SELECT o_orderkey, metric, value FROM (
+      SELECT o_orderkey, 'totalprice' AS metric,
+             o_totalprice AS value FROM orders
+      UNION ALL
+      SELECT o_orderkey, 'year', CAST(year(o_orderdate) AS DOUBLE) FROM orders
+    ) u
+    """,
+)
+def unpivot_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT via stack(): wide metrics to (key, metric, value) rows."""
+    orders = t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.expr(
+            "stack(2, 'totalprice', o_totalprice,"
+            " 'year', CAST(year(o_orderdate) AS DOUBLE)) AS (metric, value)"
+        ),
+    )
+
+
+@query(
+    "array_agg_sorted_orders",
+    sql="""
+    SELECT o_custkey AS custkey,
+           list_sort(list(o_orderkey)) AS orderkeys,
+           CAST(len(list(o_orderkey)) AS INT) AS n_orders
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def array_agg_sorted_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: collect_list + sort_array (sorted so the
+    nondeterministic collect order can't leak into results)."""
+    orders = t(spark, sf_dir, "orders")
+    return orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sort_array(F.collect_list("o_orderkey")).alias("orderkeys"),
+        F.size(F.collect_list("o_orderkey")).alias("n_orders"),
+    )
+
+
+@query(
+    "string_split_part",
+    sql="""
+    SELECT p_partkey,
+           split_part(p_type, ' ', 1) AS type_class,
+           split_part(p_type, ' ', -1) AS type_last,
+           CAST(len(string_split(p_type, ' ')) AS INT) AS n_words
+    FROM part
+    """,
+)
+def string_split_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """split_part / token extraction from delimited strings."""
+    part = t(spark, sf_dir, "part")
+    toks = F.split(F.col("p_type"), " ")
+    return part.select(
+        "p_partkey",
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_class"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(-1)).alias("type_last"),
+        F.size(toks).alias("n_words"),
+    )
+
+
+@query("approx_distinct_stats")  # HLL sketches are engine-specific -> rows-only
+def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct + approx percentiles — the at-scale
+    replacements for exact distinct/quantiles (SURVEY.md §2.4 A3: the
+    reference imports countDistinct but never calls it). Sketch results
+    are engine-specific, so no SQL oracle (rows-only check)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey").alias("approx_supps"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99]).alias(
+            "price_quantiles"
+        ),
+    )
+
+
+@query(
+    "events_signup_purchase_funnel",
+    sql="""
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+      FROM events GROUP BY user_id)
+    SELECT COUNT(*) AS n_users,
+           COUNT(first_signup) AS n_signed_up,
+           COUNT(CASE WHEN first_purchase > first_signup THEN 1 END) AS n_converted
+    FROM firsts
+    """,
+)
+def events_signup_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analytics: users whose first purchase follows their first
+    signup — one conditional-min aggregation, no self-join."""
+    ev = t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+            "first_signup"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    return firsts.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("first_signup").alias("n_signed_up"),
+        F.count(
+            F.when(F.col("first_purchase") > F.col("first_signup"), F.lit(1))
+        ).alias("n_converted"),
+    )
