@@ -1,0 +1,65 @@
+"""I/O layer: partitioned parquet sink, reconciliation, permissive JSON
+reads with corrupt-record capture, binaryFile source."""
+
+import json
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from datalake_scripts_spark.io import (
+    read_binary_files,
+    read_json,
+    read_table,
+    reconcile_counts,
+    write_parquet,
+)
+
+
+def test_write_parquet_partitioned_and_reconcile(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "orders_by_status")
+    orders = read_table(spark, sf_dir, "orders")
+    write_parquet(orders, out, mode="overwrite", partition_by=["o_orderstatus"])
+    # partition layout on disk (the engine's replacement for glob masks)
+    dirs = {p.name for p in (tmp_path / "orders_by_status").iterdir() if p.is_dir()}
+    assert {"o_orderstatus=O", "o_orderstatus=F", "o_orderstatus=P"} <= dirs
+    assert reconcile_counts(spark, out, orders.count())
+    # partition pruning: reading one partition scans only that directory
+    one = spark.read.parquet(out).filter(F.col("o_orderstatus") == "P")
+    assert 0 < one.count() < orders.count()
+
+
+def test_write_parquet_append_mode(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "appended")
+    nation = read_table(spark, sf_dir, "nation")
+    write_parquet(nation, out, mode="append")
+    write_parquet(nation, out, mode="append")
+    assert spark.read.parquet(out).count() == 2 * nation.count()
+
+
+def test_read_json_permissive_corrupt_capture(spark, tmp_path):
+    p = tmp_path / "raw.jsonl"
+    p.write_text('{"a": 1, "b": "x"}\n{not json at all}\n{"a": 2, "b": "y"}')
+    schema = T.StructType(
+        [
+            T.StructField("a", T.LongType()),
+            T.StructField("b", T.StringType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    df = read_json(spark, str(p), schema=schema).cache()
+    assert df.count() == 3
+    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    # the reference's blanket try/except loses these rows (vk_proc.py:811);
+    # the engine keeps them addressable
+    assert bad.count() == 1
+    assert "not json" in bad.first()._corrupt_record
+
+
+def test_read_binary_files(spark, tmp_path):
+    (tmp_path / "x.bin").write_bytes(b"\x89PNG123")
+    (tmp_path / "y.txt").write_bytes(b"hello")
+    df = read_binary_files(spark, str(tmp_path), glob="*.bin")
+    rows = df.collect()
+    assert len(rows) == 1
+    assert rows[0].content == b"\x89PNG123"
+    assert rows[0].length == len(b"\x89PNG123")
