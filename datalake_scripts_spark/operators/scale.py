@@ -1,0 +1,96 @@
+"""Scale techniques: skew salting, bucketed co-located joins, history
+snapshots, sessionization without session_window.
+
+These are the knobs a 100 TB deployment turns when the default plans
+stop being enough; each is a pure DataFrame rewrite with unchanged
+semantics (so the DuckDB oracle can verify them against the naive
+form).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def salted_group_sum(
+    df: DataFrame,
+    keys: list[str],
+    sum_col: Column,
+    alias: str,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation with an explicit salt for hot keys.
+
+    Phase 1 groups on (keys + salt) so a hot key's rows spread over
+    ``salt_buckets`` reducers; phase 2 merges the partials. With
+    decimal-exact sums the result is identical to the direct groupBy —
+    this is a pure shuffle-shape rewrite. (Spark's partial aggregation
+    already does this implicitly when map-side combine is effective;
+    explicit salting is for when the hot key dominates single reducers,
+    e.g. high-cardinality count-distinct per hot key.)
+    """
+    salted = df.withColumn(
+        "_salt", (F.monotonically_increasing_id() % salt_buckets).cast("int")
+    )
+    partial = salted.groupBy(*keys, "_salt").agg(sum_col.alias("_partial"))
+    return partial.groupBy(*keys).agg(F.sum("_partial").alias(alias))
+
+
+def write_bucketed(
+    df: DataFrame, table_name: str, bucket_col: str, n_buckets: int = 8
+) -> None:
+    """Persist as a bucketed (+sorted) table: later equi-joins/aggs on
+    ``bucket_col`` between co-bucketed tables need NO exchange — the
+    pre-shuffled layout amortizes one shuffle across every downstream
+    join (pyspark guide: bucketing)."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .saveAsTable(table_name)
+    )
+
+
+def latest_snapshot(
+    df: DataFrame, keys: list[str], version_col: str, tiebreak: str | None = None
+) -> DataFrame:
+    """Current-state view over an append-only history table.
+
+    The reference's ``hst_*`` tables accumulate duplicates per load
+    (append mode + load_datetime audit column, monkey_proc.py:138-141)
+    and defer dedup to consumers (SURVEY.md §2.7). This is that
+    consumer op: latest version per key, deterministic tiebreak.
+    """
+    order = [F.desc(version_col)] + ([F.desc(tiebreak)] if tiebreak else [])
+    w = W.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    key: str,
+    ts_col: str = "ts",
+    gap_minutes: int = 10,
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Batch sessionization via gaps-and-islands (lag + running sum) —
+    the window-function alternative to F.session_window, useful when
+    per-event session ids are needed (session_window only yields the
+    aggregated window). One shuffle on the key."""
+    order = [F.col(ts_col)] + ([F.col(order_tiebreak)] if order_tiebreak else [])
+    w = W.partitionBy(key).orderBy(*order)
+    micros = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gap = micros - F.lag(micros).over(w)
+    is_new = F.when(
+        gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return df.withColumn("_is_new", is_new).withColumn(
+        "session_id", F.sum("_is_new").over(run)
+    ).drop("_is_new")

@@ -22,6 +22,7 @@ from . import relational2  # noqa: F401,E402
 from . import normalize  # noqa: F401,E402
 from . import llmops  # noqa: F401,E402
 from . import events  # noqa: F401,E402
+from . import scale  # noqa: F401,E402
 
 
 def queries():

@@ -1,0 +1,85 @@
+"""Scale techniques: salting equivalence, bucketed join plan shape,
+history snapshot, sessionization."""
+
+import datetime as dt
+
+from pyspark.sql import Row, functions as F
+
+from datalake_scripts_spark.operators import scale as SC
+
+
+def test_salted_sum_equals_plain(spark, sf_dir):
+    from datalake_scripts_spark.io import read_table
+    from datalake_scripts_spark.queries.relational import dec
+
+    li = read_table(spark, sf_dir, "lineitem")
+    salted = SC.salted_group_sum(
+        li, ["l_returnflag"], F.sum(dec("l_quantity")), "s", salt_buckets=8
+    )
+    plain = li.groupBy("l_returnflag").agg(F.sum(dec("l_quantity")).alias("s"))
+    a = {r.l_returnflag: r.s for r in salted.collect()}
+    b = {r.l_returnflag: r.s for r in plain.collect()}
+    assert a == b
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    from datalake_scripts_spark.io import read_table
+
+    import shutil
+
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for tbl in ("b_orders", "b_cust"):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(f"{warehouse}/{tbl}", ignore_errors=True)
+    SC.write_bucketed(orders, "b_orders", "o_custkey", n_buckets=4)
+    SC.write_bucketed(
+        cust.withColumn("o_custkey", F.col("c_custkey")), "b_cust", "o_custkey", 4
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force a sort-merge join so the bucketing (not a broadcast)
+        # is what eliminates the shuffle
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("b_orders").join(spark.table("b_cust"), "o_custkey")
+        assert joined.count() > 0
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # co-bucketed layout: the SMJ runs with NO shuffle exchange
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE b_orders")
+        spark.sql("DROP TABLE b_cust")
+
+
+def test_latest_snapshot(spark):
+    rows = [
+        Row(k=1, v=10.0, ts=dt.datetime(2024, 1, 1), id=1),
+        Row(k=1, v=20.0, ts=dt.datetime(2024, 1, 2), id=2),
+        Row(k=2, v=30.0, ts=dt.datetime(2024, 1, 1), id=3),
+        Row(k=2, v=40.0, ts=dt.datetime(2024, 1, 1), id=4),  # tie on ts
+    ]
+    df = spark.createDataFrame(rows)
+    out = {
+        r.k: r.v
+        for r in SC.latest_snapshot(df, ["k"], "ts", tiebreak="id").collect()
+    }
+    assert out == {1: 20.0, 2: 40.0}
+
+
+def test_sessionize(spark):
+    t0 = dt.datetime(2024, 1, 1, 0, 0)
+    rows = [
+        Row(user=1, ts=t0, eid=1),
+        Row(user=1, ts=t0 + dt.timedelta(minutes=5), eid=2),   # same session
+        Row(user=1, ts=t0 + dt.timedelta(minutes=30), eid=3),  # new session
+        Row(user=2, ts=t0, eid=4),
+    ]
+    df = spark.createDataFrame(rows)
+    out = SC.sessionize(df, "user", ts_col="ts", gap_minutes=10, order_tiebreak="eid")
+    sid = {r.eid: r.session_id for r in out.collect()}
+    assert sid[1] == sid[2] == 1
+    assert sid[3] == 2
+    assert sid[4] == 1
