@@ -320,3 +320,39 @@ def multimodal_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(payload).alias("content_md5"),
         F.upper(F.substring(F.hex(payload), 1, 8)).alias("magic_hex"),
     )
+
+
+def _hexbyte_sql(i: int) -> str:
+    """DuckDB: i-th byte of md5(text) via hex-digit lookup (no hex->int
+    builtin in DuckDB 1.0)."""
+    hi, lo = 2 * i + 1, 2 * i + 2
+    lut = "'0123456789abcdef'"
+    return (
+        f"(16*(strpos({lut}, substr(md5(text),{hi},1))-1)"
+        f" + (strpos({lut}, substr(md5(text),{lo},1))-1))"
+    )
+
+
+@query(
+    "multimodal_decode_stub",
+    sql=f"""
+    SELECT doc_id,
+           CAST(LENGTH(text) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5,
+           CAST(16 + {_hexbyte_sql(0)} % 64 AS INT) AS fake_width,
+           CAST(16 + {_hexbyte_sql(1)} % 64 AS INT) AS fake_height,
+           CAST(1 + {_hexbyte_sql(2)} % 8 AS INT) AS fake_n_frames
+    FROM documents
+    """,
+)
+def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow-batched mapInPandas decode stage itself
+    (operators.multimodal.decode_metadata), oracle-checked: the stub
+    derives fake dimensions from the md5 digest, which the oracle
+    recomputes hex-digit-wise — so even the Python-side batch path is
+    hash-verified, proving batch shape, schema, and determinism."""
+    from ..operators.multimodal import decode_metadata
+
+    docs = t(spark, sf_dir, "documents")
+    payloads = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return decode_metadata(payloads)

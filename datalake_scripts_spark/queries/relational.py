@@ -250,13 +250,18 @@ def join_semi_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_anti_dormant_customers",
     sql="""
     SELECT c_custkey, c_name, c_acctbal FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
     """,
 )
 def join_anti_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT ANTI join (NOT EXISTS): customers who never ordered."""
+    """LEFT ANTI join (NOT EXISTS): customers with no pending orders.
+
+    (Anti-joins against the full orders table are vacuously empty in
+    this generator — every customer has orders — so the build side is
+    filtered to keep the result non-trivial.)"""
     cust = t(spark, sf_dir, "customer")
-    orders = t(spark, sf_dir, "orders")
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
     return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
         "c_custkey", "c_name", "c_acctbal"
     )
