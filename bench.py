@@ -30,6 +30,8 @@ BENCH_QUERIES = [
     "dedup_embedding_cosine",
     "ann_brute_force_topk",
     "text_quality_scores",
+    "q10_returned_revenue",
+    "dedup_minhash_lsh",
 ]
 
 

@@ -57,3 +57,21 @@ def test_session_agg_is_streaming_compatible(spark, events_dir):
     run_to_memory(session_agg(stream, gap="10 minutes"), "t_sessions")
     rows = spark.sql("SELECT * FROM t_sessions").collect()
     assert all(r.session_end > r.session_start for r in rows)
+
+
+def test_foreach_batch_parquet_sink(spark, events_dir, tmp_path):
+    from datalake_scripts_spark.streaming import foreach_batch_parquet
+
+    out = str(tmp_path / "stream_out")
+    stream = stream_from_directory(spark, events_dir)
+    q = (
+        tumbling_agg(stream, "1 hour")
+        .writeStream.outputMode("complete")
+        .foreachBatch(foreach_batch_parquet(out, mode="overwrite"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    written = spark.read.parquet(out)
+    batch = tumbling_agg(spark.read.parquet(events_dir), "1 hour")
+    assert written.count() == batch.count()
