@@ -34,13 +34,21 @@ def exact_dedup(df: DataFrame, keys: list[str], id_col: str) -> DataFrame:
 
 
 def word_shingles(col: str | Column, n: int = 3) -> Column:
-    """n-token shingles (as ' '-joined strings) from whitespace tokens."""
+    """n-token shingles (as ' '-joined strings) from whitespace tokens.
+
+    Built with n-1 chained zip_withs against shifted views of the token
+    array — O(n) array passes per doc. (The per-index slice+concat
+    formulation costs one interpreted slice per shingle and dominated
+    the fuzzy-dedup operators' runtime.) Trailing entries where the
+    shift runs past the end concat to NULL and are sliced off.
+    """
     toks = tokens(col)
-    # start indices 0..size-n (empty when the doc has fewer than n tokens)
-    idx = F.when(F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)).otherwise(
-        F.array().cast("array<int>")
-    )
-    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    sh = toks
+    for k in range(1, n):
+        shifted = F.slice(toks, k + 1, F.greatest(F.size(toks) - k, F.lit(0)))
+        sh = F.zip_with(sh, shifted, lambda x, y: F.concat(x, F.lit(" "), y))
+    keep = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    return F.slice(sh, 1, keep)
 
 
 def _shingle_table(
@@ -73,7 +81,7 @@ def ngram_jaccard_pairs(
     shingles shared by > ~50% of docs upstream if needed. Returns
     (id_a, id_b, jaccard) with id_a < id_b.
     """
-    sh = _shingle_table(df, id_col, text_col, n, block_col)
+    sh = _shingle_table(df, id_col, text_col, n, block_col).persist()
     join_keys = ["shingle"] + ([block_col] if block_col else [])
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), *join_keys)
@@ -107,14 +115,19 @@ def minhash_signatures(
     text_col: str,
     n: int = 3,
     num_hashes: int = 32,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signature per doc: for seed i, min over shingles of
     xxhash64(seed_i, shingle). One explode + one groupBy (shuffle on id);
-    signature is an array<bigint> of length num_hashes."""
-    sh = _shingle_table(df, id_col, text_col, n)
+    signature is an array<bigint> of length num_hashes. Pass a prebuilt
+    (persisted) ``shingles`` table when the caller reuses it."""
+    sh = shingles if shingles is not None else _shingle_table(df, id_col, text_col, n)
+    # hash the shingle STRING once; derive the k hash family members by
+    # re-hashing the resulting 8-byte long with the seed — string bytes
+    # are only walked once per shingle instead of k times
+    base = F.xxhash64(F.col("shingle"))
     mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
-        for i in range(num_hashes)
+        F.min(F.xxhash64(F.lit(i), base)).alias(f"h{i}") for i in range(num_hashes)
     ]
     agg = sh.groupBy(id_col).agg(*mins)
     return agg.select(
@@ -141,7 +154,11 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    # one shingle generation, shared by signatures and the exact verify
+    # (shingle expressions are interpreted HOFs — regenerating them per
+    # consumer dominated this operator's runtime before the persist)
+    sh = _shingle_table(df, id_col, text_col, n).persist()
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes, shingles=sh)
     band_rows = sig.select(
         id_col,
         F.explode(
@@ -166,8 +183,7 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    # exact verify on candidates only
-    sh = _shingle_table(df, id_col, text_col, n)
+    # exact verify on candidates only (reusing the persisted shingles)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     ia = sh.select(F.col(id_col).alias("id_a"), "shingle")
     ib = sh.select(F.col(id_col).alias("id_b"), "shingle")
