@@ -39,10 +39,14 @@ def normalize_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
         if pdf[c].dtype == object:
             import numpy as np
 
-            pdf[c] = pdf[c].map(
-                lambda v: tuple(v) if isinstance(v, (list, tuple, np.ndarray)) else v,
-                na_action="ignore",
-            )
+            def _hashable(v):
+                if isinstance(v, dict):
+                    return tuple(sorted(v.items()))
+                if isinstance(v, (list, tuple, np.ndarray)):
+                    return tuple(_hashable(x) for x in v)
+                return v
+
+            pdf[c] = pdf[c].map(_hashable, na_action="ignore")
         if str(pdf[c].dtype).startswith("datetime64"):
             pdf[c] = pdf[c].astype("datetime64[us]")
     pdf = pdf.sort_values(by=list(pdf.columns), ignore_index=True)

@@ -1,0 +1,74 @@
+"""Plan-shape regression tests: lock the physical-plan properties the
+100 TB posture depends on (pushdown, pruning, broadcast, partial agg,
+top-k without global sort). A change that silently loses one of these
+passes value-correctness but regresses at scale — these tests catch it.
+"""
+
+import io
+import contextlib
+
+import pytest
+
+from datalake_scripts_spark.queries.registry import REGISTRY
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = REGISTRY[name].fn(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q1_filter_pushdown_and_pruning(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: only the 7 needed columns reach the scan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" not in read_schema and "l_partkey" not in read_schema
+    # partial (map-side) aggregation before the exchange
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q6_all_predicates_pushed(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q6_forecast_revenue")
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {pushed}"
+
+
+def test_q5_dims_broadcast(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q5_local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") >= 3  # supplier, nation, region
+    assert "CartesianProduct" not in plan
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "sort_limit_top_orders")
+    # global top-k: per-partition heap + merge, never a full global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_semi_anti_join_shapes(spark, sf_dir):
+    assert "LeftSemi" in plan_of(spark, sf_dir, "join_semi_active_customers")
+    assert "LeftAnti" in plan_of(spark, sf_dir, "join_anti_dormant_customers")
+
+
+def test_correlated_exists_decorrelates(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "subquery_correlated_exists")
+    assert "LeftSemi" in plan  # Catalyst decorrelated the EXISTS
+    assert "CartesianProduct" not in plan
+
+
+def test_range_join_broadcasts_intervals(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "range_join_value_tiers")
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_asof_join_single_shuffle(spark, sf_dir):
+    import re
+
+    plan = plan_of(spark, sf_dir, "asof_join_purchase_to_signup")
+    # union + window: exactly one exchange (hash partition on user_id)
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchanges == 1, plan
