@@ -221,3 +221,56 @@ def events_hourly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("v").over(lag_w).alias("prev_v"),
         (F.col("v") - F.lag("v").over(lag_w)).alias("delta"),
     )
+
+
+@query(
+    "window_range_frame",
+    sql="""
+    WITH o AS (SELECT o_custkey, o_orderkey,
+                      date_diff('day', DATE '1995-01-01', o_orderdate) AS day_no,
+                      o_totalprice
+               FROM orders)
+    SELECT o_custkey, o_orderkey, CAST(day_no AS INT) AS day_no,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                OVER (PARTITION BY o_custkey ORDER BY day_no
+                      RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS spend_30d,
+           FIRST_VALUE(o_orderkey) OVER w AS first_order,
+           LAST_VALUE(o_orderkey) OVER
+             (PARTITION BY o_custkey ORDER BY day_no, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS last_order,
+           NTH_VALUE(o_orderkey, 2) OVER w AS second_order
+    FROM o
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY day_no, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame (value-based: trailing-30-day spend — rows
+    with equal/near ORDER BY values share the frame, unlike ROWS) plus
+    first_value/last_value/nth_value over full-partition frames."""
+    orders = t(spark, sf_dir, "orders")
+    o = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01")).alias("day_no"),
+        "o_totalprice",
+    )
+    range_w = (
+        W.partitionBy("o_custkey").orderBy("day_no").rangeBetween(-30, W.currentRow)
+    )
+    full_w = (
+        W.partitionBy("o_custkey")
+        .orderBy("day_no", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "day_no",
+        F.sum(dec("o_totalprice")).over(range_w).cast("double").alias("spend_30d"),
+        F.first("o_orderkey").over(full_w).alias("first_order"),
+        F.last("o_orderkey").over(full_w).alias("last_order"),
+        F.nth_value("o_orderkey", 2).over(full_w).alias("second_order"),
+    )
