@@ -79,9 +79,17 @@ def get_spark(
 def apply_runtime_conf(spark: SparkSession) -> None:
     """Best-effort apply of runtime-settable engine conf to a session we
     didn't build (e.g. the verification driver's). Static conf (already
-    bound at session start) is skipped silently."""
+    bound at session start) is skipped silently. Also right-sizes
+    shuffle partitions to the local core count if the session still has
+    the 200 default (wrong for local runs; AQE coalescing softens but
+    doesn't remove the overhead)."""
     for k, v in ENGINE_CONF.items():
         try:
             spark.conf.set(k, v)
         except Exception:
             pass
+    try:
+        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+            spark.conf.set("spark.sql.shuffle.partitions", str(os.cpu_count() or 8))
+    except Exception:
+        pass
