@@ -78,3 +78,38 @@ def sessionize_per_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SC.sessionize(
         ev, "user_id", ts_col="ts", gap_minutes=10, order_tiebreak="event_id"
     )
+
+
+@query(
+    "profile_table_stats",
+    sql="""
+    WITH w AS (
+      SELECT COUNT(*) AS n_rows,
+             CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ck_nulls,
+             COUNT(DISTINCT o_custkey) AS ck_distinct,
+             CAST(MIN(o_custkey) AS VARCHAR) AS ck_min,
+             CAST(MAX(o_custkey) AS VARCHAR) AS ck_max,
+             CAST(SUM(CAST(o_custkey AS DECIMAL(28,2))) AS DOUBLE) AS ck_sum,
+             CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS st_nulls,
+             COUNT(DISTINCT o_orderstatus) AS st_distinct,
+             MIN(o_orderstatus) AS st_min,
+             MAX(o_orderstatus) AS st_max,
+             CAST(NULL AS DOUBLE) AS st_sum
+      FROM orders)
+    SELECT 'o_custkey' AS column, n_rows, ck_nulls AS n_nulls,
+           ck_distinct AS n_distinct, ck_min AS min_str, ck_max AS max_str,
+           ck_sum AS sum_value
+    FROM w
+    UNION ALL
+    SELECT 'o_orderstatus', n_rows, st_nulls, st_distinct, st_min, st_max, st_sum
+    FROM w
+    """,
+)
+def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass per-column profiling (operators.profile.profile) —
+    the engine's replacement for the reference's one-count()-job-per-
+    transform observability (SURVEY.md §2.4 A2)."""
+    from ..operators.profile import profile
+
+    orders = t(spark, sf_dir, "orders")
+    return profile(orders, ["o_custkey", "o_orderstatus"])

@@ -1,0 +1,59 @@
+"""JDBC sink (reference S6, save_spark_postgres) exercised against
+Spark's bundled embedded Derby — same code path as the PostgreSQL sink
+(driver class + url swap), including append mode, batchsize, and the
+createTableColumnTypes DDL carry (the S7 replacement)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datalake_scripts_spark.io import read_table, write_jdbc
+
+DERBY = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+
+
+@pytest.fixture(scope="module")
+def derby_url(tmp_path_factory):
+    d = tmp_path_factory.mktemp("derby")
+    return f"jdbc:derby:{d}/sinkdb;create=true"
+
+
+def _read_back(spark, url, table):
+    return (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("driver", DERBY["driver"])
+        .load()
+    )
+
+
+def test_jdbc_write_read_roundtrip(spark, sf_dir, derby_url):
+    nation = read_table(spark, sf_dir, "nation")
+    write_jdbc(nation, derby_url, "nation_t", mode="overwrite", properties=DERBY)
+    back = _read_back(spark, derby_url, "nation_t")
+    assert back.count() == nation.count()
+    assert {f.name.lower() for f in back.schema.fields} == {
+        "n_nationkey", "n_name", "n_regionkey",
+    }
+
+
+def test_jdbc_append_mode(spark, sf_dir, derby_url):
+    region = read_table(spark, sf_dir, "region")
+    write_jdbc(region, derby_url, "region_t", mode="overwrite", properties=DERBY)
+    write_jdbc(region, derby_url, "region_t", mode="append", properties=DERBY)
+    assert _read_back(spark, derby_url, "region_t").count() == 2 * region.count()
+
+
+def test_jdbc_create_table_column_types(spark, sf_dir, derby_url):
+    # the reference managed column types via a psycopg2 side-channel
+    # (S7); createTableColumnTypes carries them in-band
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang").limit(10)
+    write_jdbc(
+        docs,
+        derby_url,
+        "docs_t",
+        mode="overwrite",
+        properties=DERBY,
+        create_table_column_types="doc_id bigint, lang varchar(8)",
+    )
+    assert _read_back(spark, derby_url, "docs_t").count() == 10

@@ -72,3 +72,28 @@ def test_asof_join_single_shuffle(spark, sf_dir):
     # union + window: exactly one exchange (hash partition on user_id)
     n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
     assert n_exchanges == 1, plan
+
+
+def test_partition_pruned_scan(spark, sf_dir, tmp_path):
+    """S2 upgrade: ingest-date partition columns replace glob masks;
+    Catalyst prunes partitions statically (PartitionFilters in the scan,
+    one directory read instead of all)."""
+    from datalake_scripts_spark.io import read_table, write_parquet
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "orders_part")
+    orders = read_table(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    write_parquet(orders, out, mode="overwrite", partition_by=["order_year"])
+    q = spark.read.parquet(out).filter(F.col("order_year") == 1996)
+    import io as _io
+    import contextlib
+
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    assert "order_year" in [l for l in plan.splitlines() if "PartitionFilters" in l][0]
+    assert q.count() > 0
