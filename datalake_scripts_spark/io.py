@@ -145,6 +145,21 @@ def write_parquet(
     writer.parquet(path)
 
 
+def write_json(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Raw-JSON landing-zone sink (reference S14: json.dumps +
+    s3.put_object, monkey_load.py:133-195 — here the engine writes the
+    landing zone itself, partitioned for pruned re-reads)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.json(path)
+
+
 def write_jdbc(
     df: DataFrame,
     url: str,

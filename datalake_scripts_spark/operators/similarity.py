@@ -19,7 +19,6 @@ so both engines produce bit-identical doubles.
 
 from __future__ import annotations
 
-import math
 import struct
 
 from pyspark.sql import Column, DataFrame

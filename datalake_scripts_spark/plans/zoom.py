@@ -61,8 +61,15 @@ def meetings_table(spark: SparkSession, path: str) -> DataFrame | None:
 
 
 def zoom_tables(
-    spark: SparkSession, meetings_path: str, participants_path: str
+    spark: SparkSession,
+    meetings_path: str,
+    participants_path: str,
+    history: bool = False,
 ) -> dict[str, DataFrame]:
+    """``history=True`` reproduces zoom_proc_hst.py: every output table
+    carries a ``load_datetime`` audit column (zoom_proc_hst.py:145-148,
+    172-175, 212-215) and is intended for append-mode hst_* sinks; the
+    current-state view is operators.scale.latest_snapshot."""
     out: dict[str, DataFrame] = {}
     flat = meetings_table(spark, meetings_path)
     if flat is not None:
@@ -94,4 +101,9 @@ def zoom_tables(
         .withColumn("internal_ip_addresses", array_to_csv("internal_ip_addresses"))
     )
     out["participants"] = pts
+    if history:
+        out = {
+            name: df.withColumn("load_datetime", F.current_timestamp())
+            for name, df in out.items()
+        }
     return out

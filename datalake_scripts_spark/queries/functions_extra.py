@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from .registry import query, t
-from .relational import dec, _ts
+from .relational import dec
 
 
 @query(

@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 
 from ..io import register_views
 from .registry import query, t
-from .relational import SQL_REV, dec, revenue, _ts
+from .relational import SQL_REV, revenue
 
 
 @query(

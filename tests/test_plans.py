@@ -346,3 +346,16 @@ def test_jhub_table(spark, fixdir):
     bad = rows[""]
     assert bad.log_msg == "plain line no brackets"
     assert bad.log_timestamp is None
+
+
+def test_zoom_history_mode(spark, fixdir):
+    out = zoom.zoom_tables(
+        spark,
+        f"{fixdir}/zoom/meetings_logs_*.json",
+        f"{fixdir}/zoom/participants_*.json",
+        history=True,
+    )
+    # zoom_proc_hst.py parity: audit column on every table
+    for name, df in out.items():
+        assert "load_datetime" in df.columns, name
+    assert out["meetings"].filter("load_datetime IS NULL").count() == 0
