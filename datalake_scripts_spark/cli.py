@@ -1,0 +1,107 @@
+"""Pipeline CLI — the engine's replacement for the reference's script
+entry points (``python zoom_proc.py <head> <mode> <date>``,
+``python monkey_proc.py`` etc., SURVEY.md §3).
+
+One command per domain; globs are passed explicitly (the reference
+interpolated dates into glob masks — callers can still do that), output
+is a directory of parquet tables (one per contract table) written in
+``--mode`` append/overwrite, with optional JDBC mirroring via
+``--jdbc-url`` (the reference's dual-sink pattern) and a row-count
+reconciliation printed per table (its ``check_loaded``).
+
+    python -m datalake_scripts_spark zoom --meetings G --participants G --out D [--history]
+    python -m datalake_scripts_spark monkey --details G --responses G --out D
+    python -m datalake_scripts_spark vk --groups G --members G --group-id N --walls G --out D
+    python -m datalake_scripts_spark jhub --logs G --out D
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import DataFrame
+
+
+def _write_all(
+    spark, tables: dict[str, DataFrame], out: str, mode: str, jdbc_url: str | None,
+    jdbc_driver: str | None,
+) -> None:
+    from .io import reconcile_counts, write_jdbc, write_parquet
+
+    for name, df in tables.items():
+        path = f"{out}/{name}"
+        df = df.persist()
+        n = df.count()
+        write_parquet(df, path, mode=mode)
+        if jdbc_url:
+            props = {"driver": jdbc_driver} if jdbc_driver else {}
+            write_jdbc(df, jdbc_url, name, mode=mode, properties=props)
+        ok = reconcile_counts(spark, path, n) if mode == "overwrite" else True
+        print(f"{name}: {n} rows -> {path}" + ("" if ok else " RECONCILE-MISMATCH"))
+        df.unpersist()
+
+
+def main(argv: list[str] | None = None) -> int:
+    common = argparse.ArgumentParser(add_help=False)
+    common.add_argument("--out", required=True, help="output directory for parquet tables")
+    common.add_argument("--mode", default="append", choices=["append", "overwrite"])
+    common.add_argument("--jdbc-url", default=None)
+    common.add_argument("--jdbc-driver", default=None)
+    common.add_argument("--master", default=None)
+
+    p = argparse.ArgumentParser(prog="datalake_scripts_spark")
+    sub = p.add_subparsers(dest="domain", required=True)
+
+    z = sub.add_parser("zoom", parents=[common])
+    z.add_argument("--meetings", required=True)
+    z.add_argument("--participants", required=True)
+    z.add_argument("--history", action="store_true",
+                   help="zoom_proc_hst parity: load_datetime audit columns")
+
+    m = sub.add_parser("monkey", parents=[common])
+    m.add_argument("--details", required=True)
+    m.add_argument("--responses", required=True)
+
+    v = sub.add_parser("vk", parents=[common])
+    v.add_argument("--groups", required=True)
+    v.add_argument("--members", required=True)
+    v.add_argument("--group-id", type=int, required=True)
+    v.add_argument("--walls", required=True)
+
+    j = sub.add_parser("jhub", parents=[common])
+    j.add_argument("--logs", required=True)
+
+    args = p.parse_args(argv)
+
+    from .session import get_spark
+
+    spark = get_spark(f"pipeline-{args.domain}", master=args.master)
+
+    if args.domain == "zoom":
+        from .plans.zoom import zoom_tables
+
+        tables = zoom_tables(
+            spark, args.meetings, args.participants, history=args.history
+        )
+    elif args.domain == "monkey":
+        from .plans.monkey import monkey_tables
+
+        tables = monkey_tables(spark, args.details, args.responses)
+    elif args.domain == "vk":
+        from .plans.vk import vk_group_tables, vk_member_tables, vk_wall_tables
+
+        tables = vk_group_tables(spark, args.groups)
+        tables.update(vk_member_tables(spark, args.members, args.group_id))
+        tables.update(vk_wall_tables(spark, args.walls))
+    else:
+        from .plans.jhub import jhub_logs_table
+
+        tables = {"jhublogs": jhub_logs_table(spark, args.logs)}
+
+    _write_all(spark, tables, args.out, args.mode, args.jdbc_url, args.jdbc_driver)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -24,8 +24,9 @@ from ..io import read_json
 from . import schemas
 
 
-def jhub_logs_table(spark: SparkSession, path: str) -> DataFrame:
-    raw = read_json(spark, path, schema=schemas.JHUB_LOG)
+def jhub_transform(raw: DataFrame) -> DataFrame:
+    """The parse/typing transform, shared verbatim by the batch and
+    streaming paths (Structured Streaming incrementalizes it)."""
     parsed = raw.select(
         F.col("time").alias("time_stamp"),
         F.col("kubernetes.container_name").alias("kuber_container_name"),
@@ -45,3 +46,22 @@ def jhub_logs_table(spark: SparkSession, path: str) -> DataFrame:
         F.col("code").alias("log_code"),
         F.col("msg").alias("log_msg"),
     )
+
+
+def jhub_logs_table(spark: SparkSession, path: str) -> DataFrame:
+    """Batch: glob/partition read -> transform (jhub_proc.py parity)."""
+    return jhub_transform(read_json(spark, path, schema=schemas.JHUB_LOG))
+
+
+def jhub_logs_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Streaming: file-source readStream over the landing directory —
+    the event-time replacement for the reference's hour-glob cron runs
+    (jhub_proc.py:258-276). New log files become micro-batches; pair
+    with streaming.sinks.foreach_batch_parquet/_jdbc for the dual sink,
+    and a checkpoint dir for exactly-once."""
+    raw = (
+        spark.readStream.format("json")
+        .schema(schemas.JHUB_LOG)
+        .load(path)
+    )
+    return jhub_transform(raw)

@@ -359,3 +359,20 @@ def test_zoom_history_mode(spark, fixdir):
     for name, df in out.items():
         assert "load_datetime" in df.columns, name
     assert out["meetings"].filter("load_datetime IS NULL").count() == 0
+
+
+def test_cli_jhub_end_to_end(spark, fixdir, tmp_path):
+    """CLI parity: `python -m datalake_scripts_spark jhub ...` — the
+    engine's replacement for the reference's script entry points
+    (SURVEY.md §3). Runs in-process against the shared session."""
+    from datalake_scripts_spark.cli import main
+
+    out = str(tmp_path / "cli_out")
+    rc = main([
+        "jhub", "--logs", f"{fixdir}/jhub/*.jsonl", "--out", out,
+        "--mode", "overwrite",
+    ])
+    assert rc == 0
+    written = spark.read.parquet(f"{out}/jhublogs")
+    assert written.count() == 2
+    assert "log_msg" in written.columns

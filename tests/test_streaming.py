@@ -75,3 +75,33 @@ def test_foreach_batch_parquet_sink(spark, events_dir, tmp_path):
     written = spark.read.parquet(out)
     batch = tumbling_agg(spark.read.parquet(events_dir), "1 hour")
     assert written.count() == batch.count()
+
+
+def test_jhub_streaming_pipeline(spark, tmp_path):
+    """The jhub pipeline under readStream: identical output to batch
+    over the same files (the cron-glob -> streaming upgrade)."""
+    import json
+
+    from datalake_scripts_spark.plans.jhub import jhub_logs_stream, jhub_logs_table
+
+    d = tmp_path / "jhub_stream"
+    d.mkdir()
+    lines = [
+        {"time": "2023-05-01T10:00:00.123456789Z",
+         "log": "[I 2023-05-01 10:00:00.123 JupyterHub app:1] started",
+         "kubernetes": {"container_name": "hub", "host": "n1", "pod_name": "p0",
+                        "annotations": None, "labels": None}},
+        {"time": "2023-05-01T11:00:00.000000000Z",
+         "log": "malformed",
+         "kubernetes": {"container_name": "hub", "host": "n1", "pod_name": "p0",
+                        "annotations": None, "labels": None}},
+    ]
+    (d / "part0.json").write_text("\n".join(json.dumps(x) for x in lines))
+
+    stream = jhub_logs_stream(spark, str(d))
+    assert stream.isStreaming
+    run_to_memory(stream, "t_jhub")
+    streamed = spark.sql("SELECT * FROM t_jhub").collect()
+    batch = jhub_logs_table(spark, f"{d}/*.json").collect()
+    assert sorted(map(str, streamed)) == sorted(map(str, batch))
+    assert len(streamed) == 2
