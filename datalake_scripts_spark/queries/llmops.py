@@ -2,8 +2,9 @@
 text analysis, multimodal metadata (SURVEY.md §7 phase 4; the driver's
 documents/embeddings fixtures exist for exactly these).
 
-Oracle notes: formulas are written so both engines compute identical
-doubles (same fold order; see operators.similarity), then round to 6 dp.
+Oracle notes: formulas are written so both engines compute bit-identical
+doubles (same fold order and operand values; see operators.similarity) —
+no decimal rounding anywhere (engines disagree at half-way points).
 MinHash/SimHash use Spark's xxhash64, which DuckDB lacks -> registered
 without oracle SQL (driver rows-only check), as the contract allows.
 """
