@@ -297,3 +297,62 @@ def regex_parse_bracketed_log(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("event_type") == "error", well_formed).otherwise(malformed).alias("log"),
     )
     return lines.select("event_id", *parse_bracketed_log("log"))
+
+
+@query(
+    "nested_shred_three_levels",
+    sql="""
+    SELECT c.c_custkey AS custkey,
+           o.o_orderkey AS orderkey,
+           l.l_linenumber AS linenumber,
+           l.l_quantity AS quantity
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    """,
+)
+def nested_shred_three_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-level shred — the deep-nesting chain of the reference's
+    survey pipeline (pages->questions->headings->choices,
+    monkey_proc.py:294-355), oracle-checked end to end.
+
+    customer->orders->lineitems is first assembled into the nested JSON
+    shape (array-of-struct inside array-of-struct), then shredded back
+    to line grain with both ancestor keys carried — landing byte-equal
+    to the flat join the oracle states.
+    """
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+
+    lines_per_order = li.groupBy(F.col("l_orderkey").alias("orderkey")).agg(
+        F.collect_list(
+            F.struct(
+                F.col("l_linenumber").alias("linenumber"),
+                F.col("l_quantity").alias("quantity"),
+            )
+        ).alias("lines")
+    )
+    orders_nested = (
+        orders.join(lines_per_order, orders.o_orderkey == lines_per_order.orderkey)
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.collect_list(
+                F.struct(F.col("orderkey"), F.col("lines"))
+            ).alias("orders")
+        )
+    )
+    doc = cust.select(F.col("c_custkey").alias("custkey")).join(
+        orders_nested, "custkey"
+    )
+    # shred back down: two explode_into levels, keys carried like the
+    # reference carries survey_id/pages_id into every child
+    level1 = explode_into(doc, "orders", carry=["custkey"], alias="o")
+    level1 = level1.select("custkey", F.col("o.orderkey").alias("orderkey"), "o.lines")
+    level2 = explode_into(level1, "lines", carry=["custkey", "orderkey"], alias="ln")
+    return level2.select(
+        "custkey",
+        "orderkey",
+        F.col("ln.linenumber").alias("linenumber"),
+        F.col("ln.quantity").alias("quantity"),
+    )

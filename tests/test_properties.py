@@ -1,0 +1,78 @@
+"""Property-based tests (hypothesis) for the normalization kit and text
+operators: invariants that hold for ALL inputs, not just fixtures.
+
+Each example builds one small DataFrame (batched rows per example keep
+the Spark-job count low; deadline disabled because JVM round-trips
+aren't constant-time).
+"""
+
+import re
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import Row, functions as F
+
+from datalake_scripts_spark.operators.dedup import word_shingles
+from datalake_scripts_spark.operators.nested import flatten
+from datalake_scripts_spark.operators.text import tokens
+
+SLOW = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+words = st.text(alphabet="abcxyz", min_size=1, max_size=6)
+texts = st.lists(words, min_size=0, max_size=12).map(" ".join)
+
+
+@SLOW
+@given(st.lists(st.tuples(st.integers(-1000, 1000), words, st.floats(allow_nan=False, allow_infinity=False, width=32)), min_size=1, max_size=20))
+def test_flatten_nest_roundtrip(spark, rows):
+    """nest -> flatten == identity (modulo path-prefixed names)."""
+    df = spark.createDataFrame([Row(a=a, b=b, c=float(c)) for a, b, c in rows])
+    nested = df.select(F.struct(F.col("a"), F.struct("b", "c").alias("in")).alias("top"))
+    flat = flatten(nested)
+    assert flat.columns == ["top_a", "top_in_b", "top_in_c"]
+    orig = sorted(map(tuple, df.collect()))
+    back = sorted(map(tuple, flat.collect()))
+    assert orig == back
+
+
+@SLOW
+@given(st.lists(texts, min_size=1, max_size=10), st.integers(1, 4))
+def test_shingle_count_invariant(spark, docs, n):
+    """len(shingles) == max(0, len(tokens) - n + 1), every shingle has
+    exactly n tokens."""
+    df = spark.createDataFrame([Row(i=i, t=t) for i, t in enumerate(docs)])
+    out = df.select(
+        "i",
+        F.size(tokens("t")).alias("n_tok"),
+        word_shingles("t", n).alias("sh"),
+    ).collect()
+    for r in out:
+        assert len(r.sh) == max(0, r.n_tok - n + 1), (r, n)
+        for s in r.sh:
+            assert len(s.split(" ")) == n
+
+
+@SLOW
+@given(st.lists(texts, min_size=2, max_size=8))
+def test_jaccard_bounds_and_symmetry(spark, docs):
+    """0 < jaccard <= 1 on emitted pairs; identical docs always hit 1.0."""
+    from datalake_scripts_spark.operators.dedup import ngram_jaccard_pairs
+
+    rows = [Row(doc_id=i, text=t) for i, t in enumerate(docs)]
+    # plant a guaranteed duplicate of doc 0
+    rows.append(Row(doc_id=len(rows), text=docs[0]))
+    df = spark.createDataFrame(rows)
+    pairs = ngram_jaccard_pairs(df, "doc_id", "text", n=1, threshold=0.0).collect()
+    for p in pairs:
+        assert 0.0 < p.jaccard <= 1.0
+        assert p.id_a < p.id_b
+    if len(tokens_of(docs[0])) > 0:
+        dup = [p for p in pairs if p.id_a == 0 and p.id_b == len(docs)]
+        assert dup and dup[0].jaccard == 1.0
+
+
+def tokens_of(text: str) -> list[str]:
+    return [w for w in re.split(r"\s+", text.lower()) if w]
