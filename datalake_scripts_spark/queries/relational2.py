@@ -349,3 +349,84 @@ def events_signup_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame
             F.when(F.col("first_purchase") > F.col("first_signup"), F.lit(1))
         ).alias("n_converted"),
     )
+
+
+@query(
+    "window_share_of_total",
+    sql=f"""
+    WITH per_nation AS (
+      SELECT n_name, SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS bal_dec
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name)
+    SELECT n_name, CAST(bal_dec AS DOUBLE) AS bal,
+           CAST(bal_dec AS DOUBLE) / CAST(SUM(bal_dec) OVER () AS DOUBLE) AS share
+    FROM per_nation
+    """,
+)
+def window_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: per-group value / unpartitioned-window total.
+
+    Scale note: an empty-partition window funnels all rows through one
+    reducer — fine here (25 nation rows post-agg), but on a large frame
+    compute the total as a broadcast scalar instead. The window total is
+    summed as DECIMAL (exact, order-independent: a double window sum
+    would differ in the last bit across engines' accumulation orders)."""
+    cust = t(spark, sf_dir, "customer")
+    nat = t(spark, sf_dir, "nation")
+    per_nation = (
+        cust.join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(dec("c_acctbal")).alias("bal_dec"))
+    )
+    w = W.partitionBy()
+    return per_nation.select(
+        "n_name",
+        F.col("bal_dec").cast("double").alias("bal"),
+        (
+            F.col("bal_dec").cast("double")
+            / F.sum("bal_dec").over(w).cast("double")
+        ).alias("share"),
+    )
+
+
+@query(
+    "grouping_sets_explicit",
+    sql="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag)*2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+)
+def grouping_sets_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (neither rollup nor cube): two independent
+    groupings in one pass over the fact."""
+    from ..io import register_views
+
+    register_views(spark, sf_dir, ["lineitem"])
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag)*2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
+@query(
+    "set_union_distinct",
+    sql="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct semantics) — completes the set-op family next to
+    union-all/intersect/except."""
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()

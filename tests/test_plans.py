@@ -376,3 +376,20 @@ def test_cli_jhub_end_to_end(spark, fixdir, tmp_path):
     written = spark.read.parquet(f"{out}/jhublogs")
     assert written.count() == 2
     assert "log_msg" in written.columns
+
+
+def test_cli_monkey_end_to_end(spark, fixdir, tmp_path):
+    from datalake_scripts_spark.cli import main
+
+    out = str(tmp_path / "cli_monkey")
+    rc = main([
+        "monkey",
+        "--details", f"{fixdir}/monkey/survey_*.json",
+        "--responses", f"{fixdir}/monkey/responses_*.json",
+        "--out", out, "--mode", "overwrite",
+    ])
+    assert rc == 0
+    for tbl, n in [("hst_surveys", 1), ("hst_surveys_questions", 3),
+                   ("hst_surveys_choices", 2), ("hst_surveys_responses", 1),
+                   ("hst_surveys_answers", 2)]:
+        assert spark.read.parquet(f"{out}/{tbl}").count() == n, tbl
