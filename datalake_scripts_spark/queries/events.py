@@ -214,3 +214,55 @@ def range_join_value_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
     )
+
+
+@query(
+    "events_gap_filled_hours",
+    sql=f"""
+    WITH bounds AS (
+      SELECT time_bucket(INTERVAL 1 HOUR, MIN(ts)) AS lo,
+             time_bucket(INTERVAL 1 HOUR, MAX(ts)) AS hi
+      FROM events),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_start
+      FROM bounds),
+    hourly AS (
+      SELECT time_bucket(INTERVAL 1 HOUR, ts) AS hour_start,
+             COUNT(*) AS n_events,
+             CAST(SUM({SQL_DEC_VALUE}) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1)
+    SELECT s.hour_start,
+           COALESCE(h.n_events, 0) AS n_events,
+           COALESCE(h.sum_value, 0.0) AS sum_value
+    FROM spine s LEFT JOIN hourly h ON s.hour_start = h.hour_start
+    """,
+)
+def events_gap_filled_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled time series: generate the full hourly calendar spine
+    (F.sequence + explode) and left-join the aggregates, so silent hours
+    appear as explicit zeros — the dashboard/training-feature pattern the
+    raw groupBy can't produce. The spine generates from one (min,max)
+    scalar row: no driver loop, no cross join."""
+    ev = t(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(F.window("ts", "1 hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("window.start").alias("hour_start"), "n_events", "sum_value")
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour_start")
+    )
+    return spine.join(hourly, "hour_start", "left").select(
+        "hour_start",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+    )

@@ -430,3 +430,26 @@ def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     return c.union(s).distinct()
+
+
+@query(
+    "agg_exact_percentiles",
+    sql="""
+    SELECT c_mktsegment,
+           quantile_cont(c_acctbal, 0.25) AS p25,
+           quantile_cont(c_acctbal, 0.5)  AS p50,
+           quantile_cont(c_acctbal, 0.95) AS p95
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (F.percentile / quantile_cont —
+    both engines use the same (n-1)p linear interpolation, verified
+    bit-identical). The at-scale variant is percentile_approx
+    (approx_distinct_stats, rows-only)."""
+    cust = t(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.percentile("c_acctbal", 0.25).alias("p25"),
+        F.percentile("c_acctbal", 0.5).alias("p50"),
+        F.percentile("c_acctbal", 0.95).alias("p95"),
+    )

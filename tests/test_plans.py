@@ -393,3 +393,28 @@ def test_cli_monkey_end_to_end(spark, fixdir, tmp_path):
                    ("hst_surveys_choices", 2), ("hst_surveys_responses", 1),
                    ("hst_surveys_answers", 2)]:
         assert spark.read.parquet(f"{out}/{tbl}").count() == n, tbl
+
+
+def test_cli_zoom_and_vk_end_to_end(spark, fixdir, tmp_path):
+    from datalake_scripts_spark.cli import main
+
+    out_z = str(tmp_path / "cli_zoom")
+    rc = main([
+        "zoom", "--meetings", f"{fixdir}/zoom/meetings_logs_*.json",
+        "--participants", f"{fixdir}/zoom/participants_*.json",
+        "--out", out_z, "--mode", "overwrite", "--history",
+    ])
+    assert rc == 0
+    assert spark.read.parquet(f"{out_z}/meetings").count() == 2
+    assert "load_datetime" in spark.read.parquet(f"{out_z}/participants").columns
+
+    out_v = str(tmp_path / "cli_vk")
+    rc = main([
+        "vk", "--groups", f"{fixdir}/vk/gsom_ma.json",
+        "--members", f"{fixdir}/vk/members_full_group_123.json",
+        "--group-id", "123", "--walls", f"{fixdir}/vk/wall_owner_id_-123.json",
+        "--out", out_v, "--mode", "overwrite",
+    ])
+    assert rc == 0
+    assert spark.read.parquet(f"{out_v}/hst_members").count() == 2
+    assert spark.read.parquet(f"{out_v}/hst_wall_history").count() == 1

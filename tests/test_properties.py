@@ -76,3 +76,41 @@ def test_jaccard_bounds_and_symmetry(spark, docs):
 
 def tokens_of(text: str) -> list[str]:
     return [w for w in re.split(r"\s+", text.lower()) if w]
+
+
+@SLOW
+@given(
+    st.lists(st.tuples(st.integers(0, 3), st.integers(0, 1000)), min_size=1, max_size=15),
+    st.lists(st.tuples(st.integers(0, 3), st.integers(0, 1000), st.floats(0, 100, allow_nan=False)), min_size=0, max_size=15),
+)
+def test_asof_join_invariants(spark, left_rows, right_rows):
+    """For every matched left row: ts_matched <= ts, and it is the MAX
+    right ts at-or-before among the same key; unmatched rows have no
+    earlier right row."""
+    import datetime as dt
+
+    from datalake_scripts_spark.operators.asof import asof_join
+
+    base = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [Row(k=k, ts=base + dt.timedelta(seconds=s), lid=i)
+         for i, (k, s) in enumerate(left_rows)]
+    )
+    rrows = [Row(k=k, ts=base + dt.timedelta(seconds=s), value=float(v))
+             for k, s, v in right_rows]
+    right = (
+        spark.createDataFrame(rrows)
+        if rrows
+        else spark.createDataFrame([], "k int, ts timestamp, value double")
+    )
+    out = asof_join(left, right, on="k", right_cols=["value"]).collect()
+    rights = {}
+    for r in rrows:
+        rights.setdefault(r.k, []).append((r.ts, r.value))
+    for row in out:
+        cands = [(ts, v) for ts, v in rights.get(row.k, []) if ts <= row.ts]
+        if not cands:
+            assert row.ts_matched is None and row.value_matched is None
+        else:
+            best_ts = max(ts for ts, _ in cands)
+            assert row.ts_matched == best_ts
