@@ -277,3 +277,59 @@ def embedding_near_dup_pairs(
     return pairs.select(*out_cols, sim.alias("cosine")).filter(
         F.col("cosine") >= threshold
     )
+
+
+def duplicate_clusters(pairs: DataFrame, max_iters: int = 15) -> DataFrame:
+    """Connected components of the duplicate-pair graph by iterative
+    min-label propagation: every node repeatedly adopts the smallest id
+    reachable through its edges until no label changes. Converges in
+    O(diameter) joins; duplicate clusters are shallow (near-cliques), so
+    a handful of iterations suffice. Returns (doc_id, cluster_id) for
+    every node appearing in a pair, cluster_id = min doc_id reachable.
+
+    At very large scale swap in the large-star/small-star algorithm
+    (fewer skewed shuffles); the fixpoint loop shape is the same.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = edges.groupBy("src").agg(F.min("dst").alias("nbr_min"))
+    labels = labels.select(
+        F.col("src").alias("doc_id"),
+        F.least("src", "nbr_min").alias("cluster_id"),
+    ).persist()
+    for _ in range(max_iters):
+        # propagate: my new label = min(my label, min of neighbors' labels)
+        nbr = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.doc_id == nbr.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nbr_label", F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels

@@ -357,3 +357,57 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     payloads = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
     return decode_metadata(payloads)
+
+
+@query(
+    "text_top_bigrams_per_lang",
+    sql=f"""
+    WITH toks AS (SELECT doc_id, lang, {SQL_TOKS} AS tk FROM documents),
+    sh AS (SELECT lang,
+                  unnest(list_transform(range(1, len(tk)),
+                         i -> array_to_string(tk[i:i+1], ' '))) AS bigram
+           FROM toks WHERE len(tk) >= 2),
+    counts AS (SELECT lang, bigram, COUNT(*) AS n FROM sh GROUP BY 1, 2)
+    SELECT lang, bigram, n, CAST(rnk AS INT) AS rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                                   ORDER BY n DESC, bigram) AS rnk
+      FROM counts) x
+    WHERE rnk <= 5
+    """,
+)
+def text_top_bigrams_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 word bigrams per language: shingle explode -> count ->
+    per-group window top-k (the n-gram frequency table behind LM data
+    diagnostics). Bigrams are counted WITH multiplicity (unlike the
+    dedup path's distinct shingle sets)."""
+    from ..operators.dedup import word_shingles
+
+    docs = t(spark, sf_dir, "documents")
+    sh = docs.select(
+        "lang", F.explode(word_shingles("text", 2)).alias("bigram")
+    )
+    counts = sh.groupBy("lang", "bigram").agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("lang").orderBy(F.desc("n"), F.asc("bigram"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("lang", "bigram", "n", "rnk")
+    )
+
+
+@query("dedup_duplicate_clusters")  # iterative fixpoint -> rows-only check
+def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-duplicate pair graph
+    (operators.dedup.duplicate_clusters): iterative min-label
+    propagation to a fixpoint — the step after pairwise dedup that
+    yields keep-one-per-CLUSTER semantics (pairs alone can't: a~b, b~c
+    must collapse a,b,c together). Iterative, hence rows-only per the
+    driver contract."""
+    from ..operators.dedup import duplicate_clusters, ngram_jaccard_pairs
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.5,
+                                block_col="lang")
+    return duplicate_clusters(pairs)

@@ -127,3 +127,51 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
     q.processAllAvailable()
     q.stop()
     return q
+
+
+def running_user_totals(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user running event count + value total maintained across
+    micro-batches (what windowed aggs can't express: unbounded
+    accumulation keyed by user, emitted on every update).
+
+    State is one (count, total) pair per user — O(users) memory bounded
+    by the key space, not the stream length. Batch-mode DataFrames fall
+    back to a plain groupBy (same semantics at end-of-input).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id bigint, n_events bigint, total_value double"
+
+    if not events.isStreaming:
+        return (
+            events.groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(12,2)")).cast("double")
+                .alias("total_value"),
+            )
+        )
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType="n bigint, total double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -22,6 +22,7 @@ def test_registry_consistency():
         "dedup_minhash_lsh",
         "dedup_simhash",
         "approx_distinct_stats",
+        "dedup_duplicate_clusters",
     }
 
 

@@ -105,3 +105,25 @@ def test_jhub_streaming_pipeline(spark, tmp_path):
     batch = jhub_logs_table(spark, f"{d}/*.json").collect()
     assert sorted(map(str, streamed)) == sorted(map(str, batch))
     assert len(streamed) == 2
+
+
+def test_stateful_running_user_totals(spark, events_dir):
+    from datalake_scripts_spark.streaming.windows import running_user_totals
+
+    stream = stream_from_directory(spark, events_dir)
+    run_to_memory(running_user_totals(stream), "t_state", output_mode="update")
+    # the LAST update per user equals the batch totals
+    rows = spark.sql(
+        """
+        SELECT user_id, n_events, total_value FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY n_events DESC) rn
+          FROM t_state) WHERE rn = 1
+        """
+    ).collect()
+    streamed = {r.user_id: r.n_events for r in rows}
+    batch = {
+        r.user_id: r.n_events
+        for r in running_user_totals(spark.read.parquet(events_dir)).collect()
+    }
+    assert streamed == batch and len(batch) > 0
