@@ -356,3 +356,57 @@ def nested_shred_three_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ln.linenumber").alias("linenumber"),
         F.col("ln.quantity").alias("quantity"),
     )
+
+
+@query(
+    "json_serialize_roundtrip",
+    sql="""
+    SELECT n_nationkey,
+           to_json(struct_pack(n_nationkey := n_nationkey, n_name := n_name)) AS doc,
+           CAST(json_extract_string(
+               to_json(struct_pack(n_nationkey := n_nationkey, n_name := n_name)),
+               '$.n_name') AS VARCHAR) AS name_back
+    FROM nation
+    """,
+)
+def json_serialize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """to_json serialization + field extraction back out — the write
+    direction of the reference's raw-zone (de)serialization (SURVEY.md
+    §2.6 F8; json.dumps at monkey_load.py:123). Compact key:value
+    rendering is byte-identical across engines for scalar fields."""
+    nat = t(spark, sf_dir, "nation")
+    doc = F.to_json(F.struct("n_nationkey", "n_name"))
+    return nat.select(
+        "n_nationkey",
+        doc.alias("doc"),
+        F.get_json_object(doc, "$.n_name").alias("name_back"),
+    )
+
+
+@query(
+    "union_missing_columns",
+    sql="""
+    SELECT CAST(r_regionkey AS BIGINT) AS key, r_name AS name,
+           CAST(NULL AS VARCHAR) AS extra
+    FROM region
+    UNION ALL
+    SELECT CAST(n_nationkey AS BIGINT), n_name, CAST(n_regionkey AS VARCHAR)
+    FROM nation
+    """,
+)
+def union_missing_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName(allowMissingColumns=True): schema-evolution-tolerant
+    union — the absent column null-fills (what the reference's
+    schema-inference union does implicitly across JSON files of
+    different vintages, FIXTURES.md cross-cutting case 1)."""
+    reg = t(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("key"), F.col("r_name").alias("name")
+    )
+    nat = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("key"),
+        F.col("n_name").alias("name"),
+        F.col("n_regionkey").cast("string").alias("extra"),
+    )
+    return reg.unionByName(nat, allowMissingColumns=True).select(
+        F.col("key").cast("bigint").alias("key"), "name", "extra"
+    )
