@@ -196,3 +196,34 @@ def reconcile_counts(spark: SparkSession, parquet_path: str, expected: int) -> b
     sink holds the expected row count. Library-level, opt-in (each count
     is a full job — the reference ran them unconditionally)."""
     return spark.read.parquet(parquet_path).count() == expected
+
+
+def dual_sink(
+    spark: SparkSession,
+    df: DataFrame,
+    parquet_path: str,
+    jdbc_url: str | None = None,
+    jdbc_table: str | None = None,
+    mode: str = "append",
+    jdbc_properties: dict[str, str] | None = None,
+    reconcile: bool = True,
+) -> int:
+    """The reference's core write pattern as one call: columnar staging
+    (Parquet) + row-store serving (JDBC), e.g. zoom_proc.py:399-400 —
+    but with the lineage persisted ONCE before the fan-out (the
+    reference recomputes the whole read+transform per sink, SURVEY.md
+    §4 anti-pattern) and an opt-in count reconciliation (check_loaded).
+    Returns the row count written."""
+    df = df.persist()
+    try:
+        n = df.count()
+        write_parquet(df, parquet_path, mode=mode)
+        if jdbc_url and jdbc_table:
+            write_jdbc(df, jdbc_url, jdbc_table, mode=mode, properties=jdbc_properties)
+        if reconcile and mode == "overwrite":
+            assert reconcile_counts(spark, parquet_path, n), (
+                f"reconcile failed for {parquet_path}"
+            )
+        return n
+    finally:
+        df.unpersist()

@@ -411,3 +411,91 @@ def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.5,
                                 block_col="lang")
     return duplicate_clusters(pairs)
+
+
+@query(
+    "decontaminate_against_benchmark",
+    sql=f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKS} AS tk FROM documents),
+    sh AS (SELECT doc_id,
+                  unnest(list_distinct(list_transform(range(1, len(tk) - 1),
+                         i -> array_to_string(tk[i:i+2], ' ')))) AS shingle
+           FROM toks WHERE len(tk) >= 3),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 10),
+    hits AS (
+      SELECT c.doc_id, COUNT(*) AS n_contaminated_ngrams
+      FROM sh c JOIN bench b ON c.shingle = b.shingle
+      WHERE c.doc_id >= 10
+      GROUP BY c.doc_id)
+    SELECT doc_id, n_contaminated_ngrams FROM hits
+    WHERE n_contaminated_ngrams >= 5
+    """,
+)
+def decontaminate_against_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing >= 5
+    distinct word-3-grams with an eval set (here: doc_id < 10 stands in
+    for the benchmark). Inverted-index join on the shingle — the
+    standard exact-substring-overlap decontamination pass of pretraining
+    pipelines; no cross join, eval-set shingles broadcast at real scale."""
+    docs = t(spark, sf_dir, "documents")
+    sh = D._shingle_table(docs, "doc_id", "text", 3)
+    bench = (
+        sh.filter(F.col("doc_id") < 10).select("shingle").distinct()
+    )
+    return (
+        sh.filter(F.col("doc_id") >= 10)
+        .join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated_ngrams"))
+        .filter(F.col("n_contaminated_ngrams") >= 5)
+    )
+
+
+@query(
+    "sample_stratified_hash",
+    sql="""
+    SELECT doc_id, lang FROM documents
+    WHERE (doc_id * 2654435761) % 100 < 10
+    """,
+)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sampling by modular arithmetic on the key
+    (Knuth multiplicative hash) — reproducible across engines, runs,
+    and partitionings, unlike df.sample(). The pattern for auditable
+    training-data subsets; stratification comes free by applying the
+    same predicate within any group."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang").filter(
+        (F.col("doc_id") * F.lit(2654435761)) % 100 < 10
+    )
+
+
+@query(
+    "embedding_vector_stats",
+    sql=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT vec_id,
+           sqrt(list_dot_product(v, v)) AS l2_norm,
+           list_min(v) AS min_elem,
+           list_max(v) AS max_elem,
+           list_dot_product(v, [1.0 FOR x IN v]) / len(v) AS mean_elem
+    FROM e
+    """,
+)
+def embedding_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector statistics JVM-side (norm / min / max / mean) — the
+    embedding-QC pass before similarity indexing. The mean uses
+    dot(v, ones): the same sequential fold in both engines (a generic
+    list_sum's accumulation order is unspecified)."""
+    from ..operators.similarity import dot
+
+    emb = t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    ones = F.transform(v, lambda x: F.lit(1.0))
+    return emb.select(
+        "vec_id",
+        F.sqrt(dot(v, v)).alias("l2_norm"),
+        F.array_min(v).alias("min_elem"),
+        F.array_max(v).alias("max_elem"),
+        (dot(v, ones) / F.size(v)).alias("mean_elem"),
+    )

@@ -57,3 +57,21 @@ def test_jdbc_create_table_column_types(spark, sf_dir, derby_url):
         create_table_column_types="doc_id bigint, lang varchar(8)",
     )
     assert _read_back(spark, derby_url, "docs_t").count() == 10
+
+
+def test_dual_sink_parquet_and_jdbc(spark, sf_dir, derby_url, tmp_path):
+    from datalake_scripts_spark.io import dual_sink, read_table
+
+    region = read_table(spark, sf_dir, "region")
+    n = dual_sink(
+        spark,
+        region,
+        str(tmp_path / "region_stage"),
+        jdbc_url=derby_url,
+        jdbc_table="region_dual",
+        mode="overwrite",
+        jdbc_properties=DERBY,
+    )
+    assert n == region.count()
+    assert spark.read.parquet(str(tmp_path / "region_stage")).count() == n
+    assert _read_back(spark, derby_url, "region_dual").count() == n
