@@ -227,3 +227,24 @@ def dual_sink(
         return n
     finally:
         df.unpersist()
+
+
+def write_sorted_parquet(
+    df: DataFrame,
+    path: str,
+    range_col: str,
+    n_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Range-partitioned, sorted-within-file parquet layout: rows are
+    repartitionByRange'd then sortWithinPartitions'd on ``range_col``,
+    so each output file covers a narrow, non-overlapping value range and
+    parquet min/max footer stats skip whole files for selective range
+    predicates (the poor man's clustering — the Delta/Iceberg Z-ORDER
+    precursor, usable on plain parquet)."""
+    (
+        df.repartitionByRange(n_files, F.col(range_col))
+        .sortWithinPartitions(range_col)
+        .write.mode(mode)
+        .parquet(path)
+    )

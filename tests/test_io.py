@@ -63,3 +63,28 @@ def test_read_binary_files(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0].content == b"\x89PNG123"
     assert rows[0].length == len(b"\x89PNG123")
+
+
+def test_write_sorted_parquet_enables_file_skipping(spark, sf_dir, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from datalake_scripts_spark.io import write_sorted_parquet
+
+    out = str(tmp_path / "orders_sorted")
+    orders = read_table(spark, sf_dir, "orders")
+    write_sorted_parquet(orders, out, "o_totalprice", n_files=4)
+    files = sorted(glob.glob(f"{out}/*.parquet"))
+    assert len(files) >= 3
+    # footer min/max ranges must be (near-)disjoint across files
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.to_arrow_schema().get_field_index("o_totalprice")
+        mins = min(md.row_group(i).column(idx).statistics.min for i in range(md.num_row_groups))
+        maxs = max(md.row_group(i).column(idx).statistics.max for i in range(md.num_row_groups))
+        ranges.append((mins, maxs))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint: selective predicates skip whole files

@@ -97,3 +97,39 @@ def test_partition_pruned_scan(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in plan
     assert "order_year" in [l for l in plan.splitlines() if "PartitionFilters" in l][0]
     assert q.count() > 0
+
+
+def test_plan_linter(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from datalake_scripts_spark.io import read_table
+    from datalake_scripts_spark.operators.plan_lint import lint_plan
+    from datalake_scripts_spark.queries.registry import REGISTRY
+
+    # clean plan: no findings
+    clean = REGISTRY["q1_pricing_summary"].fn(spark, sf_dir)
+    assert lint_plan(clean) == []
+    # cartesian product is flagged
+    a = read_table(spark, sf_dir, "region")
+    bad = a.crossJoin(read_table(spark, sf_dir, "nation"))
+    assert any(f.rule == "cartesian-product" for f in lint_plan(bad))
+    # row-at-a-time Python UDF is flagged
+    @F.udf("long")
+    def slow(x):
+        return x + 1
+
+    with_udf = read_table(spark, sf_dir, "region").select(slow("r_regionkey"))
+    assert any(f.rule == "row-python-udf" for f in lint_plan(with_udf))
+    # single-partition exchange (unpartitioned window) is flagged
+    from pyspark.sql import Window as W
+
+    w = W.orderBy("r_regionkey")
+    glob_win = read_table(spark, sf_dir, "region").select(
+        F.row_number().over(w).alias("rn")
+    )
+    assert any(f.rule == "single-partition-exchange" for f in lint_plan(glob_win))
+    # column-pruning expectation
+    wide = read_table(spark, sf_dir, "lineitem")
+    assert any(
+        f.rule == "column-pruning" for f in lint_plan(wide, expect_pruned_columns=2)
+    )
