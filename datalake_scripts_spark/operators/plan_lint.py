@@ -37,7 +37,11 @@ def lint_plan(df: DataFrame, expect_pruned_columns: int | None = None) -> list[F
     plan = plan_text(df)
     findings: list[Finding] = []
 
-    if "CartesianProduct" in plan:
+    if "CartesianProduct" in plan or (
+        "BroadcastNestedLoopJoin" in plan and re.search(r"\bCross\b", plan)
+    ):
+        # condition-bearing BNLJ (e.g. a broadcast range join) is fine;
+        # a Cross-type BNLJ or CartesianProduct multiplies partitions
         findings.append(
             Finding("cartesian-product", "unconstrained cross join in plan")
         )
