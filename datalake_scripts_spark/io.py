@@ -248,3 +248,29 @@ def write_sorted_parquet(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def compact_parquet(
+    spark: SparkSession, path: str, n_files: int, sort_col: str | None = None
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ``n_files`` files (optionally re-sorted for data skipping). THE
+    operational chore of streaming/append sinks — micro-batches leave
+    thousands of KB-files that destroy scan throughput (per-file open
+    cost + tiny row groups). Returns the row count. Writes to a temp
+    subdir then swaps, so readers never see a half-compacted directory."""
+    import os
+    import shutil
+
+    df = spark.read.parquet(path)
+    n = df.count()
+    out = df.repartitionByRange(n_files, F.col(sort_col)) if sort_col else df.coalesce(
+        n_files
+    )
+    if sort_col:
+        out = out.sortWithinPartitions(sort_col)
+    tmp = f"{path}__compact_tmp"
+    out.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return n

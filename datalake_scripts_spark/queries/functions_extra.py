@@ -274,3 +274,34 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_orderkey").over(full_w).alias("last_order"),
         F.nth_value("o_orderkey", 2).over(full_w).alias("second_order"),
     )
+
+
+@query(
+    "map_functions_and_regex_all",
+    sql="""
+    SELECT event_id,
+           regexp_extract_all(props, '[0-9]+') AS all_numbers,
+           map_keys(map(['type', 'props'], [event_type, props])) AS mkeys,
+           map_values(map(['type', 'props'], [event_type, props])) AS mvalues,
+           CAST(cardinality(map(['type', 'props'], [event_type, props])) AS INT)
+             AS msize
+    FROM events
+    """,
+)
+def map_functions_and_regex_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map accessors (map_keys/map_values/size) + regexp_extract_all —
+    completes the map family beyond create_map+explode and the regex
+    family beyond single-group extraction."""
+    from .registry import t as _t
+
+    ev = _t(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"), F.lit("props"), F.col("props")
+    )
+    return ev.select(
+        "event_id",
+        F.regexp_extract_all("props", F.lit("([0-9]+)"), F.lit(1)).alias("all_numbers"),
+        F.map_keys(m).alias("mkeys"),
+        F.map_values(m).alias("mvalues"),
+        F.size(m).alias("msize"),
+    )

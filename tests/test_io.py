@@ -88,3 +88,21 @@ def test_write_sorted_parquet_enables_file_skipping(spark, sf_dir, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2  # disjoint: selective predicates skip whole files
+
+
+def test_compact_parquet(spark, sf_dir, tmp_path):
+    import glob
+
+    from datalake_scripts_spark.io import compact_parquet, write_parquet
+
+    out = str(tmp_path / "fragmented")
+    orders = read_table(spark, sf_dir, "orders")
+    # simulate micro-batch fragmentation: many small appends
+    for i in range(5):
+        write_parquet(orders.filter(F.col("o_orderkey") % 5 == i), out, mode="append")
+    n_before = len(glob.glob(f"{out}/*.parquet"))
+    total = spark.read.parquet(out).count()
+    n = compact_parquet(spark, out, n_files=2)
+    assert n == total
+    assert len(glob.glob(f"{out}/*.parquet")) <= 2 < n_before
+    assert spark.read.parquet(out).count() == total
