@@ -249,10 +249,11 @@ def embedding_near_dup_pairs(
     join. Cosine is a left-to-right fold over double-cast elements —
     bit-reproducible across engines.
     """
-    from .similarity import cosine_with_norms, dot
+    from .similarity import _dim_of, cosine_with_norms, dot
 
+    dim = _dim_of(df, vec_col)
     vv = F.col(vec_col).cast("array<double>")
-    cols = [F.col(id_col), vv.alias("v"), dot(vv, vv).alias("n2")]
+    cols = [F.col(id_col), vv.alias("v"), dot(vv, vv, dim).alias("n2")]
     if block_col:
         cols.append(F.col(block_col))
     base = df.select(*cols)
@@ -270,7 +271,7 @@ def embedding_near_dup_pairs(
     )
     pairs = a.join(b, [block_col] if block_col else None, "inner") if block_col else a.crossJoin(b)
     pairs = pairs.filter(F.col("id_a") < F.col("id_b"))
-    sim = cosine_with_norms(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
+    sim = cosine_with_norms(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"), dim)
     out_cols = ["id_a", "id_b"]
     if block_col:
         out_cols.append(block_col)
