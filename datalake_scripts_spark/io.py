@@ -274,3 +274,26 @@ def compact_parquet(
     shutil.rmtree(path)
     os.rename(tmp, path)
     return n
+
+
+def list_files(
+    spark: SparkSession, path: str, suffix: str | None = None
+) -> list[tuple[str, int]]:
+    """Object listing via the Hadoop FileSystem API (reference S4:
+    driver-side boto3 ``s3_all_files`` with a substring mask,
+    monkey_proc.py:211-217). Works on any Hadoop-supported store
+    (file://, s3a://, ...); returns (path, size) pairs. At scale prefer
+    file-notification or a streaming file source over full listings —
+    this is the explicit-listing escape hatch."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    out: list[tuple[str, int]] = []
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().toString()
+        if suffix is None or name.endswith(suffix):
+            out.append((name, st.getLen()))
+    return out

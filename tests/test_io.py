@@ -106,3 +106,15 @@ def test_compact_parquet(spark, sf_dir, tmp_path):
     assert n == total
     assert len(glob.glob(f"{out}/*.parquet")) <= 2 < n_before
     assert spark.read.parquet(out).count() == total
+
+
+def test_list_files_hadoop_fs(spark, sf_dir, tmp_path):
+    from datalake_scripts_spark.io import list_files, write_parquet
+
+    out = str(tmp_path / "listed")
+    write_parquet(read_table(spark, sf_dir, "region"), out, mode="overwrite")
+    files = list_files(spark, out, suffix=".parquet")
+    assert len(files) >= 1
+    assert all(name.endswith(".parquet") and size > 0 for name, size in files)
+    everything = list_files(spark, out)
+    assert len(everything) >= len(files)  # _SUCCESS marker included
