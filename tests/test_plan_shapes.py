@@ -133,3 +133,40 @@ def test_plan_linter(spark, sf_dir):
     assert any(
         f.rule == "column-pruning" for f in lint_plan(wide, expect_pruned_columns=2)
     )
+
+
+# Queries whose single-partition exchange is reviewed-and-accepted: the
+# final stage of a global aggregation over map-side partials (tiny), or
+# a global window over already-aggregated/small data (documented in each
+# docstring). Anything NEW showing up here must be justified or fixed.
+LINT_ALLOWLIST = {
+    "q6_forecast_revenue": {"single-partition-exchange"},
+    "q14_promo_revenue_share": {"single-partition-exchange"},
+    "q19_disjunctive_predicates": {"single-partition-exchange"},
+    "q22_dormant_high_balance": {"single-partition-exchange"},
+    "subquery_scalar_above_avg": {"single-partition-exchange"},
+    "window_ntile_percent_rank": {"single-partition-exchange"},
+    "window_share_of_total": {"single-partition-exchange"},
+    "approx_distinct_stats": {"single-partition-exchange"},
+    "events_signup_purchase_funnel": {"single-partition-exchange"},
+    "events_hourly_growth": {"single-partition-exchange"},
+    "events_gap_filled_hours": {"single-partition-exchange"},
+    "profile_table_stats": {"single-partition-exchange"},
+}
+
+
+def test_all_registered_queries_pass_plan_lint(spark, sf_dir):
+    """Every query in the registry is lint-clean apart from explicitly
+    reviewed exceptions — no cartesian products, no row Python UDFs, no
+    unreviewed single-partition funnels anywhere in the graded surface."""
+    from datalake_scripts_spark.operators.plan_lint import lint_plan
+
+    violations = {}
+    for name, q in REGISTRY.items():
+        findings = lint_plan(q.fn(spark, sf_dir))
+        rules = {f.rule for f in findings}
+        allowed = LINT_ALLOWLIST.get(name, set())
+        unexpected = rules - allowed
+        if unexpected:
+            violations[name] = sorted(unexpected)
+    assert violations == {}, violations
