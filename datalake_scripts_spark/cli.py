@@ -25,20 +25,27 @@ from pyspark.sql import DataFrame
 
 def _write_all(
     spark, tables: dict[str, DataFrame], out: str, mode: str, jdbc_url: str | None,
-    jdbc_driver: str | None,
+    jdbc_driver: str | None, versioned: bool = False,
 ) -> None:
     from .io import reconcile_counts, write_jdbc, write_parquet
+    from .operators.versioned import write_versioned
 
     for name, df in tables.items():
         path = f"{out}/{name}"
         df = df.persist()
         n = df.count()
-        write_parquet(df, path, mode=mode)
+        if versioned:
+            v = write_versioned(spark, df, path, mode=mode)
+            label = f"{path} (v{v})"
+            ok = True
+        else:
+            write_parquet(df, path, mode=mode)
+            label = path
+            ok = reconcile_counts(spark, path, n) if mode == "overwrite" else True
         if jdbc_url:
             props = {"driver": jdbc_driver} if jdbc_driver else {}
             write_jdbc(df, jdbc_url, name, mode=mode, properties=props)
-        ok = reconcile_counts(spark, path, n) if mode == "overwrite" else True
-        print(f"{name}: {n} rows -> {path}" + ("" if ok else " RECONCILE-MISMATCH"))
+        print(f"{name}: {n} rows -> {label}" + ("" if ok else " RECONCILE-MISMATCH"))
         df.unpersist()
 
 
@@ -49,6 +56,11 @@ def main(argv: list[str] | None = None) -> int:
     common.add_argument("--jdbc-url", default=None)
     common.add_argument("--jdbc-driver", default=None)
     common.add_argument("--master", default=None)
+    common.add_argument(
+        "--versioned", action="store_true",
+        help="write snapshot tables (operators.versioned: atomic commits, "
+        "time travel) instead of plain parquet directories",
+    )
 
     p = argparse.ArgumentParser(prog="datalake_scripts_spark")
     sub = p.add_subparsers(dest="domain", required=True)
@@ -99,7 +111,10 @@ def main(argv: list[str] | None = None) -> int:
 
         tables = {"jhublogs": jhub_logs_table(spark, args.logs)}
 
-    _write_all(spark, tables, args.out, args.mode, args.jdbc_url, args.jdbc_driver)
+    _write_all(
+        spark, tables, args.out, args.mode, args.jdbc_url, args.jdbc_driver,
+        versioned=args.versioned,
+    )
     return 0
 
 

@@ -418,3 +418,23 @@ def test_cli_zoom_and_vk_end_to_end(spark, fixdir, tmp_path):
     assert rc == 0
     assert spark.read.parquet(f"{out_v}/hst_members").count() == 2
     assert spark.read.parquet(f"{out_v}/hst_wall_history").count() == 1
+
+
+def test_cli_versioned_sink(spark, fixdir, tmp_path):
+    from datalake_scripts_spark.cli import main
+    from datalake_scripts_spark.operators.versioned import (
+        current_version,
+        read_versioned,
+    )
+
+    out = str(tmp_path / "cli_versioned")
+    for _ in range(2):  # two runs -> two snapshots
+        rc = main([
+            "jhub", "--logs", f"{fixdir}/jhub/*.jsonl", "--out", out,
+            "--mode", "append", "--versioned",
+        ])
+        assert rc == 0
+    table = f"{out}/jhublogs"
+    assert current_version(table) == 2
+    assert read_versioned(spark, table).count() == 4
+    assert read_versioned(spark, table, version=1).count() == 2
