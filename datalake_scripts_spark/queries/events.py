@@ -266,3 +266,46 @@ def events_gap_filled_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_events", F.lit(0)).alias("n_events"),
         F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
     )
+
+
+@query(
+    "events_weekly_cohort_retention",
+    sql="""
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+      FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
+      FROM events)
+    SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.active_week) // 7 AS INT)
+             AS week_offset,
+           COUNT(*) AS n_active_users
+    FROM firsts f JOIN activity a ON f.user_id = a.user_id
+    GROUP BY 1, 2
+    """,
+)
+def events_weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen week, counted
+    in each later active week — two aggregations and one join on
+    user_id, no per-user windows. Weeks via date_trunc (Monday-aligned
+    in both engines; F.window's 1-week buckets are epoch/Thursday-
+    aligned and would disagree with DuckDB's time_bucket)."""
+    ev = t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("active_week")
+    ).distinct()
+    return (
+        firsts.join(activity, "user_id")
+        .select(
+            "cohort_week",
+            F.floor(
+                F.datediff(F.col("active_week"), F.col("cohort_week")) / 7
+            ).cast("int").alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+    )

@@ -127,3 +127,54 @@ def test_stateful_running_user_totals(spark, events_dir):
         for r in running_user_totals(spark.read.parquet(events_dir)).collect()
     }
     assert streamed == batch and len(batch) > 0
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Event-time watermark semantics for real: a second micro-batch
+    arriving far behind the advanced watermark is excluded from append
+    output — the engine's replacement for the reference's lag-day
+    re-runs actually enforces the lateness bound."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    d = tmp_path / "late_events"
+    d.mkdir()
+    base = dt.datetime(2024, 1, 1, 0, 0)
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        ).write.mode("overwrite").parquet(str(d / name))
+
+    # batch 1: on-time events advancing the watermark to ~10:00-0:10
+    write_batch("b1", [
+        Row(event_id=i, ts=base + dt.timedelta(hours=10, minutes=i),
+            user_id=1, event_type="view", value=1.0, props="{}")
+        for i in range(5)
+    ])
+    stream = stream_from_directory(spark, str(d) + "/*", max_files_per_trigger=1)
+    agg = tumbling_agg(stream, window="1 hour", watermark="10 minutes")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory").queryName("t_late").start()
+    )
+    q.processAllAvailable()
+    # batch 2: an event 10 HOURS late — far beyond the 10-minute watermark
+    write_batch("b2", [
+        Row(event_id=99, ts=base, user_id=1, event_type="view",
+            value=1.0, props="{}")
+    ])
+    q.processAllAvailable()
+    # batch 3: on-time event far ahead; closes earlier windows
+    write_batch("b3", [
+        Row(event_id=100, ts=base + dt.timedelta(hours=20), user_id=1,
+            event_type="view", value=1.0, props="{}")
+    ])
+    q.processAllAvailable()
+    q.stop()
+    out = spark.sql("SELECT * FROM t_late").collect()
+    starts = {r.window_start for r in out}
+    # the 10:00 window emitted; the midnight window (late event) must NOT
+    assert any(r.window_start.hour == 10 for r in out)
+    assert not any(r.window_start.hour == 0 for r in out)
