@@ -20,6 +20,7 @@ from .registry import REGISTRY, Q, query  # noqa: F401
 from . import relational  # noqa: F401,E402
 from . import relational2  # noqa: F401,E402
 from . import tpch_extra  # noqa: F401,E402
+from . import tpch_extra2  # noqa: F401,E402
 from . import functions_extra  # noqa: F401,E402
 from . import normalize  # noqa: F401,E402
 from . import llmops  # noqa: F401,E402

@@ -1,0 +1,220 @@
+"""TPC-H-shaped queries, batch 4: national market share (Q8), top
+supplier by revenue (Q15), supplier-part variety counts (Q16 shape over
+the lineitem bridge — testdata has no partsupp table), and
+small-quantity-order revenue with a correlated avg (Q17).
+
+Reference parity note: the reference repo (vgarshin/datalake_scripts)
+implements no joins at all (SURVEY.md §2.3); these exist to cover the
+full relational surface the engine must provide. All dims are broadcast
+(nation/region/part/supplier are tiny relative to lineitem at any SF);
+the fact-side filters sit directly on the scan so Parquet gets them as
+PushedFilters.
+
+Determinism: monetary sums are decimal-exact then cast to double at the
+boundary; ratios divide two already-identical doubles (bit-equal in both
+engines); year()/rank() outputs cast to INT explicitly (Spark int32 vs
+DuckDB int64).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .registry import query, t
+from .relational import SQL_REV, revenue
+
+
+@query(
+    "q8_national_market_share",
+    sql=f"""
+    SELECT o_year,
+           CAST(CAST(SUM(CASE WHEN nation = 'NATION_2' THEN volume
+                              ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+                / CAST(SUM(volume) AS DOUBLE) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+             {SQL_REV} AS volume,
+             n2.n_name AS nation
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region    ON n1.n_regionkey = r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+        AND o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+    ) all_nations
+    GROUP BY o_year
+    """,
+)
+def q8_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: 7-table star with the nation dim joined on both
+    the customer and supplier sides, conditional-sum share per year.
+    Plan shape at scale: lineitem scans once with the date predicate
+    pushed; every dim is broadcast, so the whole query is one shuffle
+    (the final year groupBy)."""
+    part = t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") <= F.lit("1996-12-31").cast("timestamp_ntz"))
+    )
+    cust = t(spark, sf_dir, "customer")
+    n1 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    region = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    supp = t(spark, sf_dir, "supplier")
+
+    zero = F.lit(0).cast("decimal(12,2)")
+    vol = revenue().alias("volume")
+    all_nations = (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(region), F.col("n1_region") == F.col("r_regionkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .select(F.year("o_orderdate").cast("int").alias("o_year"), vol, "nation")
+    )
+    return all_nations.groupBy("o_year").agg(
+        (
+            F.sum(F.when(F.col("nation") == "NATION_2", F.col("volume")).otherwise(zero))
+            .cast("double")
+            / F.sum("volume").cast("double")
+        )
+        .cast("double")
+        .alias("mkt_share")
+    )
+
+
+@query(
+    "q15_top_supplier",
+    sql=f"""
+    WITH revenue0 AS (
+      SELECT l_suppkey AS supplier_no, SUM({SQL_REV}) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+    FROM supplier JOIN revenue0 ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue0)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: aggregate-then-argmax via an unpartitioned
+    max comparison. Implemented as a rank-free max-join (decimal-exact
+    revenue, so the equality is safe in both engines) instead of a
+    global window — at scale the revenue0 aggregate is one shuffle and
+    the max is a broadcast scalar, so no single-partition window
+    bottleneck."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    revenue0 = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(revenue()).alias("total_revenue")
+    )
+    max_rev = revenue0.agg(F.max("total_revenue").alias("mx"))
+    supp = t(spark, sf_dir, "supplier")
+    return (
+        revenue0.join(F.broadcast(max_rev), F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("supplier_no"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@query(
+    "q16_supplier_variety",
+    sql="""
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape re-based on the lineitem bridge (testdata has no
+    partsupp): distinct-supplier counts per part attribute triple, with
+    a NOT IN anti-join excluding negative-balance suppliers (stand-in
+    for the complaints predicate). The anti side is broadcast; the
+    distinct count is the only wide operation."""
+    part = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    )
+    li = t(spark, sf_dir, "lineitem")
+    bad_supp = t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(
+            F.broadcast(bad_supp),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    sql="""
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                / 7.0 AS DOUBLE) AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN (SELECT l_partkey AS a_partkey,
+                 0.2 * (SUM(l_quantity) / COUNT(l_quantity)) AS qty_limit
+          FROM lineitem GROUP BY l_partkey) pa
+      ON p_partkey = a_partkey
+    WHERE p_brand = 'Brand#3' AND l_quantity < qty_limit
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average
+    quantity) decorrelated into an aggregate self-join — the form
+    Catalyst itself rewrites Q17 into. l_quantity holds integer values,
+    so sum/count is order-independent and the 0.2x threshold is
+    bit-identical across engines. At scale: per-part agg and the
+    fact join shuffle on the same key (l_partkey), so AQE can reuse
+    the exchange; part is broadcast."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    per_part = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        (
+            F.lit(0.2) * (F.sum("l_quantity") / F.count("l_quantity"))
+        ).alias("qty_limit")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(per_part, F.col("p_partkey") == F.col("a_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_limit"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast("double")
+                / F.lit(7.0)
+            )
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )

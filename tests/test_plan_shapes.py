@@ -144,6 +144,10 @@ LINT_ALLOWLIST = {
     "q14_promo_revenue_share": {"single-partition-exchange"},
     "q19_disjunctive_predicates": {"single-partition-exchange"},
     "q22_dormant_high_balance": {"single-partition-exchange"},
+    # global scalar results: partial agg runs map-side, only one tiny
+    # row per task crosses the single-partition exchange
+    "q15_top_supplier": {"single-partition-exchange"},
+    "q17_small_quantity_revenue": {"single-partition-exchange"},
     "subquery_scalar_above_avg": {"single-partition-exchange"},
     "window_ntile_percent_rank": {"single-partition-exchange"},
     "window_share_of_total": {"single-partition-exchange"},
