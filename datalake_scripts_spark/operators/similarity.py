@@ -173,6 +173,125 @@ def lsh_bucket_topk(
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
 
 
+def ivf_centroids(
+    corpus_df: DataFrame,
+    stride: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic seeded centroids: every ``stride``-th corpus vector
+    by id. At 100 TB the centroid set would come from sampled k-means
+    (Spark ML KMeans on a 0.1% sample); a modular pick keeps the DuckDB
+    oracle exactly expressible while exercising the identical plan
+    shape. Returns driver-side (cid, float32-exact values) — the
+    centroid table is tiny by construction (|C|/stride)."""
+    rows = (
+        corpus_df.filter((F.col(id_col) % stride) == 0)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+        .collect()
+    )
+    return sorted((int(r.cid), [float(x) for x in r.cvec]) for r in rows)
+
+
+def _centroid_scores(vec: Column, vec_norm: Column, cents) -> list[tuple[int, Column]]:
+    """Per-centroid cosine columns against an inlined centroid literal.
+
+    Centroid self-dot-products are folded driver-side (same
+    left-to-right double accumulation as the in-engine fold, so the
+    value is bit-identical to DuckDB's list_dot_product(c,c))."""
+    out = []
+    for cid, cvec in cents:
+        carr = F.array(*[F.lit(float(x)) for x in cvec])
+        cn = 0.0
+        for x in cvec:
+            cn += x * x
+        out.append((cid, dot(vec, carr, len(cvec)) / F.sqrt(vec_norm * F.lit(cn))))
+    return out
+
+
+def ivf_assign_cell(vec: Column, vec_norm: Column, cents) -> Column:
+    """Nearest-centroid cell id, computed entirely map-side (no join, no
+    shuffle — the IVF assignment path that survives a 1000-executor
+    scale-up). max over (cosine, -cid) structs == ORDER BY cosine DESC,
+    cid ASC with row_number()=1."""
+    structs = [
+        F.struct(c.alias("ccos"), F.lit(-cid).cast("bigint").alias("ncid"))
+        for cid, c in _centroid_scores(vec, vec_norm, cents)
+    ]
+    best = structs[0] if len(structs) == 1 else F.greatest(*structs)
+    return (-best["ncid"]).cast("bigint")
+
+
+def ivf_probe_cells(vec: Column, vec_norm: Column, cents, nprobe: int) -> Column:
+    """Array of the ``nprobe`` nearest cell ids, map-side: sort an
+    inline (cosine, -cid) struct array descending and slice — no window,
+    no shuffle on the query side."""
+    arr = F.array(
+        *[
+            F.struct(c.alias("ccos"), F.lit(-cid).cast("bigint").alias("ncid"))
+            for cid, c in _centroid_scores(vec, vec_norm, cents)
+        ]
+    )
+    top = F.slice(F.sort_array(arr, asc=False), 1, nprobe)
+    return F.transform(top, lambda s: -s["ncid"])
+
+
+def ivf_topk(
+    queries_df: DataFrame,
+    corpus_df: DataFrame,
+    k: int = 3,
+    nprobe: int = 2,
+    stride: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k cosine neighbors.
+
+    Corpus vectors partition into cells by nearest centroid (map-side
+    argmax, :func:`ivf_assign_cell`); each query probes its ``nprobe``
+    nearest cells; candidates come from an equi-join on the cell id, so
+    the corpus shuffles once on a data-balanced key and the scored
+    candidate set shrinks by ~|cells|/nprobe. The standard IVF recall
+    knobs (more centroids, more probes) map directly to ``stride`` and
+    ``nprobe``."""
+    cents = ivf_centroids(corpus_df, stride=stride, id_col=id_col, vec_col=vec_col)
+    dim = len(cents[0][1]) if cents else None
+    vv = F.col(vec_col).cast("array<double>")
+    c = (
+        corpus_df.select(
+            F.col(id_col).alias("neighbor_id"),
+            vv.alias("cv"),
+            dot(vv, vv, dim).alias("cn"),
+        )
+        .withColumn("cell", ivf_assign_cell(F.col("cv"), F.col("cn"), cents))
+    )
+    q = (
+        queries_df.select(
+            F.col(id_col).alias("query_id"),
+            vv.alias("qv"),
+            dot(vv, vv, dim).alias("qn"),
+        )
+        .withColumn(
+            "cell",
+            F.explode(ivf_probe_cells(F.col("qv"), F.col("qn"), cents, nprobe)),
+        )
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "cell",
+            "neighbor_id",
+            cosine_with_norms(
+                F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn"), dim
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
 def sql_dot(a: str, b: str) -> str:
     """DuckDB oracle fragment mirroring :func:`dot`."""
     return f"list_dot_product({a}, {b})"

@@ -206,6 +206,48 @@ def ann_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_bucket_topk(q, emb, k=3, n_planes=4, dim=64, seed=42)
 
 
+def _ann_ivf_sql() -> str:
+    acos = S.sql_cosine("e.v", "c.cvec")
+    qcos = S.sql_cosine("p.qv", "ce.v")
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cid, v AS cvec FROM e WHERE vec_id % 50 = 0),
+    assign AS (
+      SELECT e.vec_id, c.cid, ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id ORDER BY {acos} DESC, c.cid) AS crn
+      FROM e CROSS JOIN cent c),
+    cells AS (
+      SELECT a.vec_id, a.cid AS cell, e.v
+      FROM assign a JOIN e ON a.vec_id = e.vec_id WHERE a.crn = 1),
+    probes AS (
+      SELECT a.vec_id AS query_id, a.cid AS cell, e.v AS qv
+      FROM assign a JOIN e ON a.vec_id = e.vec_id
+      WHERE a.vec_id < 10 AND a.crn <= 2),
+    scored AS (
+      SELECT p.query_id, p.cell, ce.vec_id AS neighbor_id, {qcos} AS cosine
+      FROM probes p JOIN cells ce ON p.cell = ce.cell AND ce.vec_id <> p.query_id)
+    SELECT query_id, CAST(cell AS BIGINT) AS cell, neighbor_id, cosine,
+           CAST(rnk AS INT) AS rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM scored) x
+    WHERE rnk <= 3
+    """
+
+
+@query("ann_ivf_topk", sql=_ann_ivf_sql())
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-3: corpus partitioned into inverted-file
+    cells by nearest seeded centroid (map-side argmax — no shuffle for
+    assignment, operators.similarity.ivf_topk), queries probe their 2
+    nearest cells, candidates restricted to probed cells via an
+    equi-join on the cell id. The scale path when SRP-LSH recall is
+    insufficient: stride/nprobe tune the recall/cost tradeoff."""
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    return S.ivf_topk(q, emb, k=3, nprobe=2, stride=50)
+
+
 @query(
     "text_token_stats",
     sql=f"""

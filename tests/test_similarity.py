@@ -46,3 +46,35 @@ def test_lsh_bucket_recall_of_identical(spark):
     assert 1 in [r.neighbor_id for r in out]
     # antipodal vector 4 lands in the complementary bucket
     assert 4 not in [r.neighbor_id for r in out]
+
+
+def test_ivf_centroids_deterministic(spark):
+    emb = _emb(spark)
+    cents = S.ivf_centroids(emb, stride=2)
+    assert [cid for cid, _ in cents] == [0, 2, 4]
+    assert cents[0][1] == [1.0, 0.0, 0.0, 0.0]
+
+
+def test_ivf_assignment_and_recall(spark):
+    emb = _emb(spark)
+    q = emb.filter("vec_id = 0")
+    out = S.ivf_topk(q, emb, k=2, nprobe=1, stride=2).collect()
+    # vec 1 (same direction as centroid 0) is in the probed cell and wins
+    assert [r.neighbor_id for r in sorted(out, key=lambda r: r.rnk)][0] == 1
+    # antipodal vec 4 is its own centroid's cell -> never a candidate
+    assert 4 not in [r.neighbor_id for r in out]
+    assert all(r.query_id == 0 for r in out)
+
+
+def test_ivf_matches_brute_force_when_probing_all_cells(spark):
+    emb = _emb(spark)
+    q = emb.filter("vec_id = 0")
+    exact = {
+        (r.query_id, r.neighbor_id, r.rnk)
+        for r in S.brute_force_topk(q, emb, k=4).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id, r.rnk)
+        for r in S.ivf_topk(q, emb, k=4, nprobe=3, stride=2).collect()
+    }
+    assert ivf == exact
