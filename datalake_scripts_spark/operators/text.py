@@ -112,6 +112,48 @@ def lang_id(col: str | Column) -> Column:
     return F.when(best > 0, expr).otherwise(F.lit("und"))
 
 
+def with_winnow_fingerprints(
+    df, text_col: str = "text", k: int = 16, w: int = 8, out_col: str = "fps"
+):
+    """Winnowing document fingerprints (Schleimer et al., MOSS): hash
+    every character ``k``-gram (the rolling-hash pass), then keep the
+    minimum hash of each sliding window of ``w`` consecutive k-gram
+    hashes. Adds ``out_col`` = sorted distinct minima — a
+    position-robust fingerprint set whose overlap localizes shared
+    substrings. All native HOFs (transform/slice/array_min), JVM-side;
+    md5 is bit-identical in DuckDB so the oracle states the formula.
+
+    DataFrame-level on purpose: the k-gram hash array MUST be
+    materialized as its own projection before the window pass. Inlining
+    it into the window lambda re-evaluates the whole O(n) md5 transform
+    per window — O(n^2) per row, measured 20-50x slower (CollapseProject
+    leaves the split alone because the alias is non-cheap and
+    multiply-referenced). Rows shorter than k + w - 1 chars get an empty
+    fingerprint set (guarded — ``sequence`` would otherwise count DOWN)."""
+    text = F.col(text_col)
+    hs_col = f"_{out_col}_hs"
+    hashes = F.when(
+        F.length(text) >= k + w - 1,
+        F.transform(
+            F.sequence(F.lit(1), F.length(text) - k + 1),
+            lambda i: F.md5(F.substr(text, i, F.lit(k))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    h = F.col(hs_col)
+    wins = F.when(
+        F.size(h) >= w,
+        F.transform(
+            F.sequence(F.lit(1), F.size(h) - w + 1),
+            lambda j: F.array_min(F.slice(h, j, w)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.withColumn(hs_col, hashes)
+        .withColumn(out_col, F.array_sort(F.array_distinct(wins)))
+        .drop(hs_col)
+    )
+
+
 def fingerprint(col: str | Column) -> Column:
     """Order-insensitive document fingerprint: md5 of the sorted distinct
     token set. Identical token multisets (ignoring order/dup) collide —

@@ -206,6 +206,85 @@ def ann_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_bucket_topk(q, emb, k=3, n_planes=4, dim=64, seed=42)
 
 
+# winnowing fingerprint CTE shared by the two queries below (k=16, w=8;
+# k chosen so common short word sequences don't dominate fingerprints —
+# k=8 made ~80% of all doc pairs share >=3 minima, k=16 -> 0.1%)
+_SQL_WINNOW = """
+    h AS (SELECT doc_id,
+                 CASE WHEN length(text) >= 23 THEN
+                   list_transform(range(1, length(text) - 16 + 2),
+                                  i -> md5(substr(text, i, 16)))
+                 ELSE [] END AS hs
+          FROM documents),
+    wmin AS (SELECT doc_id,
+                    list_sort(list_distinct(
+                      CASE WHEN len(hs) >= 8 THEN
+                        list_transform(range(1, len(hs) - 8 + 2),
+                                       j -> list_aggregate(hs[j:j+7], 'min'))
+                      ELSE [] END)) AS fps
+             FROM h)
+"""
+
+
+@query(
+    "text_winnowing_fingerprint",
+    sql=f"""
+    WITH {_SQL_WINNOW}
+    SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps,
+           md5(array_to_string(fps, ',')) AS fp_digest
+    FROM wmin
+    """,
+)
+def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting (winnowing / MOSS): min-hash
+    of each sliding window over character-16-gram hashes, reduced to a
+    per-doc digest (operators.text.with_winnow_fingerprints). Fully
+    map-side: no shuffle, no Python."""
+    docs = X.with_winnow_fingerprints(t(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        F.size("fps").cast("bigint").alias("n_fps"),
+        F.md5(F.concat_ws(",", F.col("fps"))).alias("fp_digest"),
+    )
+
+
+@query(
+    "dedup_winnowing_pairs",
+    sql=f"""
+    WITH {_SQL_WINNOW},
+    ex AS (SELECT doc_id, unnest(fps) AS fp FROM wmin)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+    FROM ex a JOIN ex b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= 3
+    """,
+)
+def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs via shared winnowing fingerprints (>= 3
+    shared window minima localizes a common substring run). Scale shape:
+    explode -> equi-join on the fingerprint hash (uniform key, one
+    shuffle) -> pair count; the classic plagiarism/contamination
+    detector without pairwise text comparison. explode_outer +
+    null-filter on purpose: plain explode triggers
+    InferFiltersFromGenerate, which clones the whole fingerprint
+    expression into a pushed-down size()>0 filter (measured 25x
+    slower); the rule skips outer generators."""
+    docs = X.with_winnow_fingerprints(t(spark, sf_dir, "documents"))
+    ex = docs.select("doc_id", F.explode_outer("fps").alias("fp")).filter(
+        F.col("fp").isNotNull()
+    )
+    a = ex.alias("a")
+    b = ex.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 3)
+    )
+
+
 def _ann_ivf_sql() -> str:
     acos = S.sql_cosine("e.v", "c.cvec")
     qcos = S.sql_cosine("p.qv", "ce.v")

@@ -50,3 +50,28 @@ def test_quality_score_bounds(spark):
     df = spark.createDataFrame([Row(t="x " * 300), Row(t="a,;:!?.")])
     vals = [r.q for r in df.select(X.quality_score("t").alias("q")).collect()]
     assert all(0.0 <= v <= 1.0 for v in vals)
+
+
+def test_winnow_fingerprints_short_text_guard(spark):
+    from datalake_scripts_spark.operators.text import with_winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [(1, "tiny"), (2, ""), (3, None), (4, "x" * 40)], "doc_id int, text string"
+    )
+    out = {r.doc_id: r.fps for r in with_winnow_fingerprints(df).collect()}
+    assert out[1] == [] and out[2] == []
+    assert out[3] is None or out[3] == []  # null text propagates
+    # 40 identical chars -> all k-grams identical -> exactly one fingerprint
+    assert len(out[4]) == 1
+
+
+def test_winnow_fingerprints_shift_invariance(spark):
+    from datalake_scripts_spark.operators.text import with_winnow_fingerprints
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [(1, base), (2, "PREFIX PAD >> " + base)], "doc_id int, text string"
+    )
+    out = {r.doc_id: set(r.fps) for r in with_winnow_fingerprints(df).collect()}
+    # winnowing fingerprints of the shared substring survive the shift
+    assert len(out[1] & out[2]) >= 3
