@@ -64,6 +64,79 @@ def decode_metadata(df: DataFrame, id_col: str = "doc_id", payload_col: str = "p
     return df.mapInPandas(_decode, DECODED_META_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "doc_id bigint, payload binary, width int, height int, "
+    "orig_width int, orig_height int"
+)
+
+
+def resize_stub(
+    df: DataFrame,
+    target_width: int = 32,
+    target_height: int = 32,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """mapInPandas resize stage: binary payload -> binary payload with
+    target dimensions. STUB body (real implementations call
+    PIL.Image.resize / ffmpeg scale here): the "resized" payload is a
+    deterministic truncation/padding of the original bytes to
+    target_width*target_height, so batch shape, binary-in/binary-out
+    Arrow transfer, and the metadata contract are all exercised for
+    real. Narrow op — partitioning preserved, bytes never leave the
+    executor."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n_out = target_width * target_height
+        for pdf in batches:
+            payloads = pdf[payload_col]
+            dims = [_stub_decode(bytes(p)) for p in payloads]
+            resized = [
+                bytes(p)[:n_out].ljust(n_out, b"\x00") for p in payloads
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": resized,
+                    "width": target_width,
+                    "height": target_height,
+                    "orig_width": [d[0] for d in dims],
+                    "orig_height": [d[1] for d in dims],
+                }
+            )
+
+    return df.mapInPandas(_resize, RESIZED_SCHEMA)
+
+
+FEATURES_SCHEMA = "doc_id bigint, embedding array<float>"
+
+
+def feature_extract_stub(
+    df: DataFrame,
+    dim: int = 16,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """mapInPandas feature-extraction stage: binary payload -> dense
+    embedding (array<float>), the bridge from multimodal ingest into the
+    similarity/dedup operators (operators.similarity takes exactly this
+    column shape). STUB body (a real pipeline runs an ONNX/torch encoder
+    per Arrow batch here): deterministic pseudo-embedding from the md5
+    digest bytes, L2-normalized so downstream cosine math behaves."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            embs = []
+            for p in pdf[payload_col]:
+                h = hashlib.md5(bytes(p)).digest()
+                raw = [float(h[i % 16]) - 127.5 for i in range(dim)]
+                norm = sum(x * x for x in raw) ** 0.5 or 1.0
+                embs.append([x / norm for x in raw])
+            yield pd.DataFrame({"doc_id": pdf[id_col], "embedding": embs})
+
+    return df.mapInPandas(_extract, FEATURES_SCHEMA)
+
+
 def frame_sample_plan(df: DataFrame, every_n: int = 2) -> DataFrame:
     """Frame-sampling plumbing: explode a (stubbed) frame-index array per
     video row, keeping every ``every_n``-th index. Real frame extraction

@@ -46,3 +46,31 @@ def test_frame_sampling(spark, sf_dir):
     frames = frame_sample_plan(meta, every_n=2)
     r = frames.groupBy("doc_id").count().first()
     assert r["count"] >= 1
+
+
+def test_resize_stub_contract(spark, sf_dir):
+    from datalake_scripts_spark.operators.multimodal import resize_stub
+
+    out = resize_stub(_payloads(spark, sf_dir), target_width=8, target_height=4)
+    rows = out.collect()
+    assert out.columns == [
+        "doc_id", "payload", "width", "height", "orig_width", "orig_height",
+    ]
+    assert all(len(r.payload) == 32 and r.width == 8 and r.height == 4 for r in rows)
+    assert all(16 <= r.orig_width < 80 for r in rows)
+
+
+def test_feature_extract_feeds_similarity(spark, sf_dir):
+    from datalake_scripts_spark.operators import similarity as S
+    from datalake_scripts_spark.operators.multimodal import feature_extract_stub
+
+    emb = feature_extract_stub(_payloads(spark, sf_dir), dim=8)
+    rows = emb.collect()
+    assert all(len(r.embedding) == 8 for r in rows)
+    # unit-norm embeddings
+    assert all(abs(sum(x * x for x in r.embedding) - 1.0) < 1e-5 for r in rows)
+    # the extracted column plugs straight into the ANN operator
+    q = emb.filter("doc_id < 3").withColumnRenamed("doc_id", "vec_id")
+    c = emb.withColumnRenamed("doc_id", "vec_id")
+    topk = S.brute_force_topk(q, c, k=2)
+    assert topk.count() == 3 * 2
