@@ -327,6 +327,20 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(q, emb, k=3, nprobe=2, stride=50)
 
 
+@query("ann_ivf_topk_vectorized")
+def ann_ivf_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-3 with the vectorized Arrow/numpy cell assignment
+    (operators.similarity.ivf_assign_pandas) — the 1000+-centroid scale
+    path (one BLAS matmul per batch; measured 30x faster than inlined
+    literal centroids at 1000 centroids / 50k vectors). Rows-only check:
+    numpy's pairwise summation isn't bit-identical to DuckDB's
+    sequential fold; argmax agreement with the oracle-checked literal
+    path is asserted in tests/test_similarity.py instead."""
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    return S.ivf_topk(q, emb, k=3, nprobe=2, stride=50, assignment="pandas")
+
+
 @query(
     "text_token_stats",
     sql=f"""

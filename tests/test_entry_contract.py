@@ -23,6 +23,7 @@ def test_registry_consistency():
         "dedup_simhash",
         "approx_distinct_stats",
         "dedup_duplicate_clusters",
+        "ann_ivf_topk_vectorized",
     }
 
 

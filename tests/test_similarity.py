@@ -78,3 +78,21 @@ def test_ivf_matches_brute_force_when_probing_all_cells(spark):
         for r in S.ivf_topk(q, emb, k=4, nprobe=3, stride=2).collect()
     }
     assert ivf == exact
+
+
+def test_ivf_pandas_assignment_agrees_with_literal(spark, sf_dir):
+    from datalake_scripts_spark.io import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter("vec_id < 10")
+    lit_rows = {
+        (r.query_id, r.neighbor_id, r.rnk)
+        for r in S.ivf_topk(q, emb, k=3, nprobe=2, stride=50).collect()
+    }
+    pd_rows = {
+        (r.query_id, r.neighbor_id, r.rnk)
+        for r in S.ivf_topk(
+            q, emb, k=3, nprobe=2, stride=50, assignment="pandas"
+        ).collect()
+    }
+    assert lit_rows == pd_rows and len(lit_rows) > 0
