@@ -265,6 +265,8 @@ def ivf_assign_pandas(
 
     def _assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if len(pdf) == 0:  # np.stack rejects empty partitions
+                continue
             V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
             vn = (V * V).sum(axis=1)
             sims = (V @ C.T) / np.sqrt(np.outer(vn, Cn * Cn))
