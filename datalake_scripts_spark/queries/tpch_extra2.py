@@ -278,3 +278,64 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+_Q12_SQL = """
+    SELECT CAST(year(l_shipdate) AS INT) AS ship_year,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_returnflag = 'N'
+    GROUP BY ship_year
+"""
+
+
+@query("q12_priority_line_classes", sql=_Q12_SQL)
+def q12_priority_line_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: fact-dim join + dual conditional counts per
+    group (testdata has no shipmode/commit/receipt dates, so classes
+    re-base on order priority and the window on ship year). One shuffle
+    (the year groupBy); the returnflag filter is pushed to the lineitem
+    scan."""
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "N")
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(F.year("l_shipdate").cast("int").alias("ship_year"))
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+_Q11_SQL = """
+    WITH value_by_part AS (
+      SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS val
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_3'
+      GROUP BY l_partkey)
+    SELECT l_partkey, CAST(val AS DOUBLE) AS part_value
+    FROM value_by_part
+    WHERE val > (SELECT SUM(val) * 0.001 FROM value_by_part)
+"""
+
+
+@query("q11_important_part_values", sql=_Q11_SQL)
+def q11_important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape re-based on the lineitem bridge (no partsupp):
+    per-part value within one nation, kept only above a fraction of the
+    nation's total — the HAVING-against-global-scalar shape. SQL API on
+    purpose: Catalyst plans the scalar subquery as a broadcast reused
+    against the same aggregate, and AQE reuses the value_by_part
+    exchange for both consumers. Decimal-exact sums; the 0.001 threshold
+    multiply happens on identical doubles in both engines."""
+    from ..io import register_views
+
+    register_views(spark, sf_dir, ["lineitem", "supplier", "nation"])
+    return spark.sql(_Q11_SQL)

@@ -149,6 +149,9 @@ LINT_ALLOWLIST = {
     "q15_top_supplier": {"single-partition-exchange"},
     "q17_small_quantity_revenue": {"single-partition-exchange"},
     "subquery_scalar_above_avg": {"single-partition-exchange"},
+    # scalar-subquery threshold: global sum over the already-aggregated
+    # per-part values (tiny input crosses the exchange)
+    "q11_important_part_values": {"single-partition-exchange"},
     "window_ntile_percent_rank": {"single-partition-exchange"},
     "window_share_of_total": {"single-partition-exchange"},
     "approx_distinct_stats": {"single-partition-exchange"},
