@@ -339,3 +339,48 @@ def q11_important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ["lineitem", "supplier", "nation"])
     return spark.sql(_Q11_SQL)
+
+
+_Q9_SQL = f"""
+    SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+    FROM (
+      SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+             {SQL_REV}
+               - CAST(p_retailprice AS DECIMAL(12,2))
+                 * CAST(l_quantity AS DECIMAL(12,2)) AS amount
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%bolt%'
+    ) profit
+    GROUP BY nation, o_year
+"""
+
+
+@query("q9_product_type_profit", sql=_Q9_SQL)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: LIKE-filtered part dim, 5-table join, profit
+    expression spanning three tables, nation x year rollup (testdata has
+    no partsupp, so supply cost re-bases on p_retailprice). Dims
+    broadcast; lineitem streams through with one final shuffle."""
+    from .relational import dec, one
+
+    part = t(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
+    li = t(spark, sf_dir, "lineitem")
+    supp = t(spark, sf_dir, "supplier")
+    orders = t(spark, sf_dir, "orders")
+    nation = t(spark, sf_dir, "nation")
+    amount = revenue() - dec("p_retailprice") * dec("l_quantity")
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+    )
