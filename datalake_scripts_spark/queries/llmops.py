@@ -206,6 +206,77 @@ def ann_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_bucket_topk(q, emb, k=3, n_planes=4, dim=64, seed=42)
 
 
+@query(
+    "text_clean_normalize",
+    sql=r"""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text),
+                'https?://\S+', ' ', 'g'), '\s+', ' ', 'g')) AS clean_text
+    FROM documents
+    """,
+)
+def text_clean_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text cleaning stage: lowercase, strip URLs, collapse whitespace —
+    the first hop of every training-data pipeline. Pure native regex
+    (JVM codegen'd, map-side); Spark's regexp_replace is global by
+    default, matching DuckDB's 'g' flag."""
+    docs = t(spark, sf_dir, "documents")
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"https?://\S+", " "),
+            r"\s+",
+            " ",
+        )
+    )
+    return docs.select("doc_id", clean.alias("clean_text"))
+
+
+@query(
+    "text_repetition_stats",
+    sql=f"""
+    SELECT doc_id, n_bigrams, n_unique_bigrams,
+           CAST(n_bigrams - n_unique_bigrams AS DOUBLE)
+             / GREATEST(n_bigrams, 1) AS rep_bigram_frac
+    FROM (
+      SELECT doc_id, CAST(len(bi) AS BIGINT) AS n_bigrams,
+             CAST(len(list_distinct(bi)) AS BIGINT) AS n_unique_bigrams
+      FROM (
+        SELECT doc_id,
+               list_filter(list_transform(range(1, len(t)),
+                           i -> t[i] || ' ' || t[i+1]),
+                           x -> x IS NOT NULL) AS bi
+        FROM (SELECT doc_id, {SQL_TOKS} AS t FROM documents)))
+    """,
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signal: fraction of duplicated
+    word bigrams per document (high -> boilerplate/spam). Bigrams build
+    via one zip_with against the shifted token array — O(n), two
+    references to the token array total (never per-element: that
+    re-evaluates the split per element, the HOF trap from
+    operators/text.py)."""
+    docs = t(spark, sf_dir, "documents")
+    toks = X.tokens("text")
+    bi = F.filter(
+        F.zip_with(
+            toks,
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    n = F.size(bi).cast("bigint")
+    uniq = F.size(F.array_distinct(bi)).cast("bigint")
+    return docs.select(
+        "doc_id",
+        n.alias("n_bigrams"),
+        uniq.alias("n_unique_bigrams"),
+        (
+            (n - uniq).cast("double") / F.greatest(n, F.lit(1).cast("bigint"))
+        ).alias("rep_bigram_frac"),
+    )
+
+
 # winnowing fingerprint CTE shared by the two queries below (k=16, w=8;
 # k chosen so common short word sequences don't dominate fingerprints —
 # k=8 made ~80% of all doc pairs share >=3 minima, k=16 -> 0.1%)
