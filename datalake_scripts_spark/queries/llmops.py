@@ -72,6 +72,59 @@ def dedup_fingerprint_token_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _keep_best_sql() -> str:
+    punct = "(CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')) AS DOUBLE) / GREATEST(LENGTH(text), 1))"
+    sw_list = "[" + ", ".join(f"'{w}'" for w in X.STOPWORDS_EN) + "]"
+    stop = (
+        f"(CAST(len(list_filter({SQL_TOKS}, x -> list_contains({sw_list}, x))) AS DOUBLE)"
+        f" / CAST(GREATEST(len({SQL_TOKS}), 1) AS DOUBLE))"
+    )
+    quality = (
+        "0.5 * LEAST(CAST(LENGTH(text) AS DOUBLE) / 400.0, 1.0)"
+        f" + 0.25 * (1.0 - {punct}) + 0.25 * (1.0 - {stop})"
+    )
+    return f"""
+    SELECT fingerprint, doc_id, quality, n_dups
+    FROM (
+      SELECT fingerprint, doc_id, quality,
+             CAST(COUNT(*) OVER (PARTITION BY fingerprint) AS BIGINT) AS n_dups,
+             ROW_NUMBER() OVER (PARTITION BY fingerprint
+                                ORDER BY quality DESC, doc_id) AS rn
+      FROM (
+        SELECT md5(array_to_string(list_sort(list_distinct({SQL_TOKS})), ' '))
+                 AS fingerprint,
+               doc_id, {quality} AS quality
+        FROM documents))
+    WHERE rn = 1
+    """
+
+
+@query("dedup_keep_best_quality", sql=_keep_best_sql())
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup: group documents by token-set fingerprint and
+    keep the highest-quality representative (ties -> lowest doc_id) —
+    the realistic pipeline policy, vs exact_dedup's min-id. One window
+    over the fingerprint shuffle; quality doubles are bit-reproducible
+    in both engines (fixed evaluation order, see operators.text)."""
+    docs = t(spark, sf_dir, "documents").select(
+        X.fingerprint("text").alias("fingerprint"),
+        "doc_id",
+        X.quality_score("text").alias("quality"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("fingerprint")
+    ranked = docs.withColumn(
+        "n_dups", F.count(F.lit(1)).over(w).cast("bigint")
+    ).withColumn(
+        "rn",
+        F.row_number().over(w.orderBy(F.desc("quality"), F.asc("doc_id"))),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "fingerprint", "doc_id", "quality", "n_dups"
+    )
+
+
 @query(
     "dedup_ngram_jaccard",
     sql=f"""
