@@ -257,15 +257,19 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     l3 = li.filter(F.col("l_returnflag") == "R").select(
         F.col("l_orderkey").alias("y_orderkey"), F.col("l_suppkey").alias("y_suppkey")
     )
+    # the semi/anti sides are same-sized fact projections: force the
+    # sort-merge join — AQE's compressed-size estimate can pick a
+    # broadcast (or hash build) that exhausts memory at scale (seen at
+    # 6M rows, k=10); SMJ spills instead of failing
     waiting = (
         l1.join(
-            l2,
+            l2.hint("merge"),
             (F.col("l_orderkey") == F.col("x_orderkey"))
             & (F.col("l_suppkey") != F.col("x_suppkey")),
             "left_semi",
         )
         .join(
-            l3,
+            l3.hint("merge"),
             (F.col("l_orderkey") == F.col("y_orderkey"))
             & (F.col("l_suppkey") != F.col("y_suppkey")),
             "left_anti",

@@ -62,6 +62,13 @@ def get_spark(
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     builder = SparkSession.builder.appName(app_name).master(master or f"local[{cpus}]")
+    # local mode defaults to a 1g JVM heap regardless of machine size —
+    # with 32 concurrent tasks that starves sort/hash buffers (seen:
+    # OOM on 3-way fact self-joins at 6M rows). Static conf: only takes
+    # effect for the session that launches the JVM.
+    builder = builder.config(
+        "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+    )
     n_shuffle = shuffle_partitions or (os.cpu_count() or 8)
     builder = builder.config("spark.sql.shuffle.partitions", str(n_shuffle))
     for k, v in ENGINE_CONF.items():
