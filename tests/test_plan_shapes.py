@@ -177,3 +177,31 @@ def test_all_registered_queries_pass_plan_lint(spark, sf_dir):
         if unexpected:
             violations[name] = sorted(unexpected)
     assert violations == {}, violations
+
+
+def test_q8_single_shuffle_star(spark, sf_dir):
+    """q8: lineitem streams through 7 broadcast joins; the ONLY
+    exchange is the final year groupBy (plus broadcast exchanges)."""
+    import re
+
+    plan = plan_of(spark, sf_dir, "q8_national_market_share")
+    assert len(re.findall(r"^\(\d+\) BroadcastHashJoin", plan, re.M)) == 7
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
+
+
+def test_q21_fact_branches_sort_merge(spark, sf_dir):
+    """q21: the semi/anti self-join branches must stay sort-merge —
+    a broadcast/hash build of a fact projection OOMs at scale."""
+    plan = plan_of(spark, sf_dir, "q21_waiting_suppliers")
+    assert "SortMergeJoin" in plan and "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_winnowing_no_inferred_generate_filter(spark, sf_dir):
+    """dedup_winnowing_pairs: InferFiltersFromGenerate must not clone
+    the fingerprint expression into a pushed-down filter (25x cost);
+    the explode_outer formulation keeps the scan filter trivial."""
+    plan = plan_of(spark, sf_dir, "dedup_winnowing_pairs")
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert all("md5" not in l and "transform" not in l for l in pushed), pushed
+    scan_filters = [l for l in plan.splitlines() if "Condition :" in l]
+    assert all("slice" not in l for l in scan_filters), scan_filters
