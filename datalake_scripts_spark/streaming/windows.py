@@ -237,3 +237,14 @@ def running_user_totals_tws(events: DataFrame, watermark: str = "30 minutes") ->
             timeMode="None",
         )
     )
+
+
+def enrich_with_static(stream_df: DataFrame, static_df: DataFrame, on: str) -> DataFrame:
+    """Stream-static join: enrich a stream with a (broadcastable) static
+    dimension — the streaming upgrade of the reference's carry-the-fk
+    denormalization (SURVEY.md §2.3: parent ids re-selected into each child
+    before explode). Spark re-reads the static side per micro-batch, so
+    a Delta/parquet dim picks up slowly-changing updates without
+    restarting the query; the join itself is stateless (no watermark
+    needed)."""
+    return stream_df.join(F.broadcast(static_df), on, "left")

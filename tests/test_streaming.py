@@ -230,3 +230,24 @@ def test_transform_with_state_batch_fallback(spark, events_dir):
     b = {r.user_id: (r.n_events, r.total_value)
          for r in running_user_totals(batch).collect()}
     assert a == b and len(a) > 0
+
+
+def test_stream_static_enrichment(spark, events_dir):
+    from datalake_scripts_spark.streaming.windows import enrich_with_static
+
+    users = spark.createDataFrame(
+        [(u, f"tier_{u % 3}") for u in range(200)], "user_id bigint, tier string"
+    )
+    stream = stream_from_directory(spark, events_dir)
+    run_to_memory(enrich_with_static(stream, users, "user_id"), "t_enriched")
+    streamed = spark.sql(
+        "SELECT tier, COUNT(*) AS n FROM t_enriched GROUP BY tier"
+    ).collect()
+    batch = (
+        enrich_with_static(spark.read.parquet(events_dir), users, "user_id")
+        .groupBy("tier")
+        .count()
+        .collect()
+    )
+    assert {(r.tier, r.n) for r in streamed} == {(r.tier, r["count"]) for r in batch}
+    assert len(streamed) > 0
