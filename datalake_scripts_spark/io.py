@@ -68,20 +68,34 @@ def _read_events_arrow_fallback(spark: SparkSession, path: str) -> DataFrame:
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one testdata table; normalizes events timestamps to NTZ us."""
+    """Read one testdata table; normalizes events timestamps to NTZ us.
+
+    The analyzed DataFrame is memoized per session+path (stored on the
+    session object so the cache dies with it): DataFrames are immutable
+    lineages, so handing back the same object is safe, and it skips the
+    per-call file-listing + footer-schema read — which dominates when a
+    harness runs the whole 113-query registry in one process."""
+    cache = getattr(spark, "_dls_read_cache", None)
+    if cache is None:
+        cache = {}
+        spark._dls_read_cache = cache
+    path = f"{sf_dir}/{name}.parquet"
+    if path in cache:
+        return cache[path]
+
     from .session import apply_runtime_conf
 
     apply_runtime_conf(spark)
-    path = f"{sf_dir}/{name}.parquet"
     if name != "events":
-        return spark.read.parquet(path)
-    try:
         df = spark.read.parquet(path)
-        df = _events_fixup(df)
-        df.schema  # force analysis
-        return df
-    except Exception:
-        return _read_events_arrow_fallback(spark, path)
+    else:
+        try:
+            df = _events_fixup(spark.read.parquet(path))
+            df.schema  # force analysis
+        except Exception:
+            df = _read_events_arrow_fallback(spark, path)
+    cache[path] = df
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:

@@ -137,24 +137,30 @@ def posexplode_with_ordinality(spark: SparkSession, sf_dir: str) -> DataFrame:
                       string_split(p_type, ' ') AS b
                FROM part)
     SELECT p_partkey,
-           flatten([a, b]) AS all_tokens,
-           list_transform(range(1, greatest(len(a), len(b)) + 1),
-                          i -> a[CAST(i AS INT)] || '|' || b[CAST(i AS INT)])
-             AS paired
+           array_to_string(flatten([a, b]), ',') AS all_tokens,
+           array_to_string(
+             list_transform(range(1, greatest(len(a), len(b)) + 1),
+                            i -> a[CAST(i AS INT)] || '|' || b[CAST(i AS INT)]),
+             ',') AS paired
     FROM s
     """,
 )
 def array_compose_flatten_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array composition: flatten (nested-array concat) + positional
     pairing via zip_with (string-combined; the shorter side null-pads
-    and nulls propagate through the concat in both engines)."""
+    and nulls propagate through the concat in both engines). Output
+    arrays are serialized to CSV strings so every result column is a
+    hashable scalar. NOTE: concat_ws skips nulls, DuckDB
+    array_to_string skips nulls too — identical semantics."""
     part = t(spark, sf_dir, "part")
     a = F.split(F.col("p_brand"), "#")
     b = F.split(F.col("p_type"), " ")
     return part.select(
         "p_partkey",
-        F.flatten(F.array(a, b)).alias("all_tokens"),
-        F.zip_with(a, b, lambda x, y: F.concat(x, F.lit("|"), y)).alias("paired"),
+        F.concat_ws(",", F.flatten(F.array(a, b))).alias("all_tokens"),
+        F.concat_ws(
+            ",", F.zip_with(a, b, lambda x, y: F.concat(x, F.lit("|"), y))
+        ).alias("paired"),
     )
 
 
@@ -280,9 +286,11 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     "map_functions_and_regex_all",
     sql="""
     SELECT event_id,
-           regexp_extract_all(props, '[0-9]+') AS all_numbers,
-           map_keys(map(['type', 'props'], [event_type, props])) AS mkeys,
-           map_values(map(['type', 'props'], [event_type, props])) AS mvalues,
+           array_to_string(regexp_extract_all(props, '[0-9]+'), ',') AS all_numbers,
+           array_to_string(map_keys(map(['type', 'props'], [event_type, props])), ',')
+             AS mkeys,
+           array_to_string(map_values(map(['type', 'props'], [event_type, props])), ',')
+             AS mvalues,
            CAST(cardinality(map(['type', 'props'], [event_type, props])) AS INT)
              AS msize
     FROM events
@@ -291,7 +299,8 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 def map_functions_and_regex_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map accessors (map_keys/map_values/size) + regexp_extract_all —
     completes the map family beyond create_map+explode and the regex
-    family beyond single-group extraction."""
+    family beyond single-group extraction. Array results serialized to
+    CSV strings (hashable scalar outputs)."""
     from .registry import t as _t
 
     ev = _t(spark, sf_dir, "events")
@@ -300,8 +309,10 @@ def map_functions_and_regex_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ev.select(
         "event_id",
-        F.regexp_extract_all("props", F.lit("([0-9]+)"), F.lit(1)).alias("all_numbers"),
-        F.map_keys(m).alias("mkeys"),
-        F.map_values(m).alias("mvalues"),
+        F.concat_ws(
+            ",", F.regexp_extract_all("props", F.lit("([0-9]+)"), F.lit(1))
+        ).alias("all_numbers"),
+        F.concat_ws(",", F.map_keys(m)).alias("mkeys"),
+        F.concat_ws(",", F.map_values(m)).alias("mvalues"),
         F.size(m).alias("msize"),
     )

@@ -208,20 +208,29 @@ def array_to_csv_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_transform_filter",
     sql="""
     SELECT p_partkey,
-           list_transform(string_split(p_name, ' '), x -> UPPER(x)) AS tokens_upper,
-           list_filter(string_split(p_name, ' '), x -> LENGTH(x) > 4) AS long_tokens
+           coalesce(array_to_string(
+             list_transform(string_split(p_name, ' '), x -> UPPER(x)), ','), '')
+             AS tokens_upper,
+           coalesce(array_to_string(
+             list_filter(string_split(p_name, ' '), x -> LENGTH(x) > 4), ','), '')
+             AS long_tokens
     FROM part
     """,
 )
 def array_transform_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Higher-order array functions (transform/filter) — JVM-side lambda
-    expressions, no Python UDF."""
+    expressions, no Python UDF. Arrays serialized to CSV strings so the
+    output schema is all hashable scalars."""
     part = t(spark, sf_dir, "part")
     toks = F.split(F.col("p_name"), " ")
     return part.select(
         "p_partkey",
-        F.transform(toks, lambda x: F.upper(x)).alias("tokens_upper"),
-        F.filter(toks, lambda x: F.length(x) > 4).alias("long_tokens"),
+        F.concat_ws(",", F.transform(toks, lambda x: F.upper(x))).alias(
+            "tokens_upper"
+        ),
+        F.concat_ws(",", F.filter(toks, lambda x: F.length(x) > 4)).alias(
+            "long_tokens"
+        ),
     )
 
 

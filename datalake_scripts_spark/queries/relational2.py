@@ -263,17 +263,22 @@ def unpivot_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_agg_sorted_orders",
     sql="""
     SELECT o_custkey AS custkey,
-           list_sort(list(o_orderkey)) AS orderkeys,
+           array_to_string(list_sort(list(o_orderkey)), ',') AS orderkeys,
            CAST(len(list(o_orderkey)) AS INT) AS n_orders
     FROM orders GROUP BY o_custkey
     """,
 )
 def array_agg_sorted_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array aggregation: collect_list + sort_array (sorted so the
-    nondeterministic collect order can't leak into results)."""
+    nondeterministic collect order can't leak into results). The array
+    is emitted as a canonical CSV string — same information, but a
+    hashable scalar (array-typed output columns break order-insensitive
+    result hashing downstream)."""
     orders = t(spark, sf_dir, "orders")
     return orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
-        F.sort_array(F.collect_list("o_orderkey")).alias("orderkeys"),
+        F.concat_ws(",", F.sort_array(F.collect_list("o_orderkey"))).alias(
+            "orderkeys"
+        ),
         F.size(F.collect_list("o_orderkey")).alias("n_orders"),
     )
 
@@ -305,14 +310,17 @@ def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct + approx percentiles — the at-scale
     replacements for exact distinct/quantiles (SURVEY.md §2.4 A3: the
     reference imports countDistinct but never calls it). Sketch results
-    are engine-specific, so no SQL oracle (rows-only check)."""
+    are engine-specific, so no SQL oracle (rows-only check). Quantiles
+    come out as scalar p50/p95/p99 columns, not an array (array-typed
+    outputs break result hashing downstream)."""
     li = t(spark, sf_dir, "lineitem")
+    q = F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99])
     return li.agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.approx_count_distinct("l_suppkey").alias("approx_supps"),
-        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99]).alias(
-            "price_quantiles"
-        ),
+        q.getItem(0).alias("price_p50"),
+        q.getItem(1).alias("price_p95"),
+        q.getItem(2).alias("price_p99"),
     )
 
 

@@ -33,3 +33,25 @@ def test_sample_queries_run(spark, sf_dir, name):
 
     df = e.queries()[name](spark, sf_dir)
     assert df.count() >= 0
+
+
+def test_no_complex_typed_output_columns(spark, sf_dir):
+    """Driver-contract guard: result hashing canonicalizes with pandas
+    sort_values, which throws on array/map/struct cells (unhashable
+    numpy.ndarray). Every registered query must emit only atomic
+    columns — serialize arrays with concat_ws / explode them."""
+    from pyspark.sql import types as T
+
+    from datalake_scripts_spark.queries import REGISTRY
+
+    offenders = {}
+    for name, q in REGISTRY.items():
+        df = q.fn(spark, sf_dir)  # plan only — never executed
+        bad = [
+            f"{f.name}:{f.dataType.simpleString()}"
+            for f in df.schema.fields
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"complex-typed output columns: {offenders}"
