@@ -63,6 +63,35 @@ def _shingle_table(
     )
 
 
+def cap_shingle_df(
+    sh: DataFrame,
+    join_keys: list[str],
+    n_docs: int,
+    max_df_frac: float = 0.5,
+    min_df_keep: int = 100,
+) -> DataFrame:
+    """Drop hot shingles: join keys whose document frequency exceeds
+    max(max_df_frac * n_docs, min_df_keep).
+
+    A stopword shingle present in most documents contributes O(df^2)
+    rows to the inverted-index self-join and lands on ONE reducer — the
+    classic skew melt at scale. Shingles that common carry no near-dup
+    signal (they match everything), so dropping them changes scores only
+    for degenerate pairs. The blacklist is tiny by construction (few
+    keys can exceed half the corpus), so it broadcasts and the filter is
+    a map-side anti-join — the shingle table is never shuffled on the
+    hot key. ``min_df_keep`` floors the cap so small corpora don't drop
+    legitimate duplicates.
+    """
+    hot = (
+        sh.groupBy(*join_keys)
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > max(max_df_frac * n_docs, float(min_df_keep)))
+        .drop("_df")
+    )
+    return sh.join(F.broadcast(hot), join_keys, "left_anti")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -70,19 +99,28 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     block_col: str | None = None,
+    max_df_frac: float = 0.5,
+    min_df_keep: int = 100,
 ) -> DataFrame:
     """Near-duplicate pairs by exact n-gram Jaccard, via inverted index.
 
-    shingle-explode -> self-join on shingle (counts intersections) ->
-    join per-doc shingle counts -> |A∩B| / (|A|+|B|-|A∩B|) >= threshold.
+    shingle-explode -> hot-shingle df cap (see :func:`cap_shingle_df`)
+    -> self-join on shingle (counts intersections) -> join per-doc
+    shingle counts -> |A∩B| / (|A|+|B|-|A∩B|) >= threshold.
     ``block_col`` (e.g. language) restricts pairs to the same block,
-    shrinking the candidate space. Shuffle key is the shingle, so hot
-    shingles (stopword runs) are the skew risk — mitigated by dropping
-    shingles shared by > ~50% of docs upstream if needed. Returns
-    (id_a, id_b, jaccard) with id_a < id_b.
+    shrinking the candidate space. Per-doc sizes are counted AFTER the
+    cap, so Jaccard is exact over the capped shingle universe
+    (self-consistent; scores involving dropped stopword shingles are
+    deliberately not representable). Returns (id_a, id_b, jaccard) with
+    id_a < id_b.
     """
-    sh = _shingle_table(df, id_col, text_col, n, block_col).persist()
+    n_docs = df.count()  # parquet-metadata count — cheap even at scale
     join_keys = ["shingle"] + ([block_col] if block_col else [])
+    # persist the RAW shingle table: the hot-key aggregation and the
+    # capped main branch both consume it — without the persist the
+    # interpreted shingle HOFs are evaluated twice
+    sh0 = _shingle_table(df, id_col, text_col, n, block_col).persist()
+    sh = cap_shingle_df(sh0, join_keys, n_docs, max_df_frac, min_df_keep).persist()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), *join_keys)
     b = sh.select(F.col(id_col).alias("id_b"), *join_keys)
@@ -143,6 +181,8 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     verify_threshold: float = 0.5,
+    max_df_frac: float = 0.5,
+    min_df_keep: int = 100,
 ) -> DataFrame:
     """MinHash + banded LSH candidate pairs, verified with exact Jaccard.
 
@@ -150,14 +190,21 @@ def minhash_lsh_pairs(
     bucket-join on (band_idx, band_hash) -> exact-Jaccard verify of
     candidates only. At 100 TB the band-bucket join is the only wide op
     and its key count grows with corpus size (no skew from popular
-    shingles — band hashes are uniform).
+    shingles — band hashes are uniform). The exact-verify self-join IS
+    keyed by the shingle, so the hot-shingle df cap
+    (:func:`cap_shingle_df`) applies here too; signatures and Jaccard
+    both run over the capped universe (self-consistent).
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    # one shingle generation, shared by signatures and the exact verify
-    # (shingle expressions are interpreted HOFs — regenerating them per
-    # consumer dominated this operator's runtime before the persist)
-    sh = _shingle_table(df, id_col, text_col, n).persist()
+    # one shingle generation, shared by the hot-key agg, signatures, and
+    # the exact verify (shingle expressions are interpreted HOFs —
+    # regenerating them per consumer dominated this operator's runtime
+    # before the persist)
+    sh0 = _shingle_table(df, id_col, text_col, n).persist()
+    sh = cap_shingle_df(
+        sh0, ["shingle"], df.count(), max_df_frac, min_df_keep
+    ).persist()
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes, shingles=sh)
     band_rows = sig.select(
         id_col,
@@ -239,57 +286,116 @@ def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    block_col: str | None = "label",
+    block_col: str | None = None,
     threshold: float = 0.95,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    seed: int = 42,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs within blocks.
+    """Embedding-cosine near-duplicate pairs via banded SRP-LSH blocking.
 
-    Blocking (here: the label column; in production an LSH bucket or IVF
-    coarse centroid) keeps the pair generation from being a full cross
-    join. Cosine is a left-to-right fold over double-cast elements —
-    bit-reproducible across engines.
+    Default path (``block_col=None``): candidates come from ``n_tables``
+    independent sign-random-projection hash tables of ``n_planes``
+    planes each (similarity.srp_bucket) — the minhash-band shape applied
+    to vectors. Explode each vector to (id, table, bucket) rows, ONE
+    self-join on the uniform (table, bucket) key, distinct candidate
+    pairs, then exact-cosine verify of candidates only. No cross join
+    exists in any configuration; there is deliberately no all-pairs
+    fallback (the former ``crossJoin`` escape hatch was a silent O(n²)
+    at scale). OR-amplification across tables sets recall: a pair
+    colliding in ANY table is scored.
+
+    ``block_col`` switches to explicit equi-blocking (e.g. a label or a
+    precomputed IVF cell) — for callers whose blocking key is already
+    skew-safe; within-block all-pairs is O(B²), so keep blocks small.
+
+    Cosine is a left-to-right fold over double-cast elements —
+    bit-reproducible across engines (the SQL oracle replicates the
+    plane literals, bucket arithmetic, and fold order exactly).
     """
-    from .similarity import _dim_of, cosine_with_norms, dot
+    from .similarity import _dim_of, cosine_with_norms, dot, hyperplanes, srp_bucket
 
     dim = _dim_of(df, vec_col)
     vv = F.col(vec_col).cast("array<double>")
-    cols = [F.col(id_col), vv.alias("v"), dot(vv, vv, dim).alias("n2")]
+    base_cols = [F.col(id_col), vv.alias("v"), dot(vv, vv, dim).alias("n2")]
     if block_col:
-        cols.append(F.col(block_col))
-    base = df.select(*cols)
-    a = base.select(
-        F.col(id_col).alias("id_a"),
-        F.col("v").alias("va"),
-        F.col("n2").alias("na"),
-        *([F.col(block_col)] if block_col else []),
+        base = df.select(*base_cols, F.col(block_col))
+        a = base.select(
+            F.col(id_col).alias("id_a"), F.col("v").alias("va"),
+            F.col("n2").alias("na"), F.col(block_col),
+        )
+        b = base.select(
+            F.col(id_col).alias("id_b"), F.col("v").alias("vb"),
+            F.col("n2").alias("nb"), F.col(block_col),
+        )
+        pairs = a.join(b, [block_col]).filter(F.col("id_a") < F.col("id_b"))
+        sim = cosine_with_norms(
+            F.col("va"), F.col("vb"), F.col("na"), F.col("nb"), dim
+        )
+        return pairs.select("id_a", "id_b", block_col, sim.alias("cosine")).filter(
+            F.col("cosine") >= threshold
+        )
+
+    # repartition to cluster parallelism BEFORE the bucket projection:
+    # the n_tables * n_planes interpreted dot-product folds are the CPU
+    # hot spot, and a small source (one parquet file -> one scan
+    # partition) would otherwise run them all on a single task. One
+    # narrow-ish shuffle of (id, vec, norm) is minor next to the
+    # bucket self-join, and at real scale the scan already has
+    # thousands of partitions so the round-robin just rebalances.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    base = df.select(*base_cols).repartition(par).persist()
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                srp_bucket(
+                    "v", hyperplanes(dim or 0, n_planes, seed + t)
+                ).alias("bkt"),
+            )
+            for t in range(n_tables)
+        ]
     )
-    b = base.select(
-        F.col(id_col).alias("id_b"),
-        F.col("v").alias("vb"),
-        F.col("n2").alias("nb"),
-        *([F.col(block_col)] if block_col else []),
+    band_rows = base.select(F.col(id_col), F.explode(bands).alias("bb")).select(
+        F.col(id_col), F.col("bb.tbl").alias("tbl"), F.col("bb.bkt").alias("bkt")
     )
-    pairs = a.join(b, [block_col] if block_col else None, "inner") if block_col else a.crossJoin(b)
-    pairs = pairs.filter(F.col("id_a") < F.col("id_b"))
+    a = band_rows.select(F.col(id_col).alias("id_a"), "tbl", "bkt")
+    b = band_rows.select(F.col(id_col).alias("id_b"), "tbl", "bkt")
+    cand = (
+        a.join(b, ["tbl", "bkt"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = base.select(
+        F.col(id_col).alias("id_a"), F.col("v").alias("va"), F.col("n2").alias("na")
+    )
+    vb = base.select(
+        F.col(id_col).alias("id_b"), F.col("v").alias("vb"), F.col("n2").alias("nb")
+    )
     sim = cosine_with_norms(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"), dim)
-    out_cols = ["id_a", "id_b"]
-    if block_col:
-        out_cols.append(block_col)
-    return pairs.select(*out_cols, sim.alias("cosine")).filter(
-        F.col("cosine") >= threshold
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", sim.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
     )
 
 
 def duplicate_clusters(pairs: DataFrame, max_iters: int = 15) -> DataFrame:
     """Connected components of the duplicate-pair graph by iterative
-    min-label propagation: every node repeatedly adopts the smallest id
-    reachable through its edges until no label changes. Converges in
-    O(diameter) joins; duplicate clusters are shallow (near-cliques), so
-    a handful of iterations suffice. Returns (doc_id, cluster_id) for
+    min-label propagation with pointer jumping: each round every node
+    adopts min(own label, neighbors' labels, label-of-its-label). The
+    pointer-jump halves the distance to the cluster minimum each round,
+    so convergence is O(log diameter) joins — a 1000-hop chain resolves
+    in ~10 rounds instead of 1000. Returns (doc_id, cluster_id) for
     every node appearing in a pair, cluster_id = min doc_id reachable.
 
-    At very large scale swap in the large-star/small-star algorithm
-    (fewer skewed shuffles); the fixpoint loop shape is the same.
+    Raises if the loop exits by iteration count without converging
+    (silent partial labels would split one duplicate cluster across ids
+    — exactly the wrong failure mode for a dedup pipeline). At very
+    large scale swap in large-star/small-star (fewer skewed shuffles);
+    the fixpoint loop shape is the same.
     """
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -304,19 +410,27 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 15) -> DataFrame:
         F.col("src").alias("doc_id"),
         F.least("src", "nbr_min").alias("cluster_id"),
     ).persist()
+    converged = False
     for _ in range(max_iters):
-        # propagate: my new label = min(my label, min of neighbors' labels)
+        # propagate: min over neighbors' labels
         nbr = (
             edges.join(labels, edges.dst == labels.doc_id)
             .groupBy("src")
             .agg(F.min("cluster_id").alias("nbr_label"))
         )
+        # pointer jump: the label of my current label
+        hop = labels.select(
+            F.col("doc_id").alias("_lbl"), F.col("cluster_id").alias("hop_label")
+        )
         new_labels = (
             labels.join(nbr, labels.doc_id == nbr.src, "left")
+            .join(hop, labels.cluster_id == hop._lbl, "left")
             .select(
                 "doc_id",
                 F.least(
-                    F.col("cluster_id"), F.coalesce("nbr_label", F.col("cluster_id"))
+                    F.col("cluster_id"),
+                    F.coalesce("nbr_label", F.col("cluster_id")),
+                    F.coalesce("hop_label", F.col("cluster_id")),
                 ).alias("cluster_id"),
             )
             .persist()
@@ -331,6 +445,13 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 15) -> DataFrame:
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in {max_iters} iterations; "
+            "labels would silently split clusters — raise max_iters "
+            "(pointer jumping makes the requirement ~log2(graph diameter))"
+        )
     return labels

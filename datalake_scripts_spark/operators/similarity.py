@@ -80,15 +80,50 @@ def _dim_of(df: DataFrame, vec_col: str) -> int | None:
     return int(row.d) if row else None
 
 
-def srp_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-random-projection bucket id: bit i = sign(dot(vec, plane_i))."""
-    bucket = F.lit(0).cast("bigint")
-    for i, p in enumerate(planes):
-        arr = F.array(*[F.lit(float(x)) for x in p])
-        bucket = bucket + F.when(
-            dot(vec, arr, len(p)) >= 0, F.lit(1 << i)
-        ).otherwise(F.lit(0))
-    return bucket
+def _sql_double(x: float) -> str:
+    """Spark SQL double literal with exact round-trip (repr is the
+    shortest string parsing back to the identical IEEE double in both
+    Python and Spark's parser — verified incl. scientific notation)."""
+    return repr(float(x)) + "D"
+
+
+def dot_sql_literal(vec_sql: str, values: list[float]) -> str:
+    """Spark SQL text of the sequential-fold dot product of a column
+    expression against a constant vector — same fold order and operand
+    values as :func:`dot`, so results are bit-identical.
+
+    The constant side is ``from_json('<json>', 'array<double>')``, ONE
+    string-literal node that ConstantFolding collapses to a Literal
+    before execution — an inline ``array(x1, ..., x64)`` would put dim
+    nodes per use into the tree and make the analyzer the dominant cost
+    when many of these stack up (measured: ~8k nodes -> seconds of
+    plan time for 64 plane dots). json.dumps floats use repr, which
+    round-trips to the identical IEEE double in both engines."""
+    import json
+
+    arr = f"from_json('{json.dumps([float(v) for v in values])}', 'array<double>')"
+    return (
+        f"aggregate(zip_with({vec_sql}, {arr}, (x, y) -> x * y), "
+        "0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def srp_bucket(vec_sql: str, planes: list[list[float]]) -> Column:
+    """Sign-random-projection bucket id: bit i = sign(dot(vec, plane_i)).
+
+    ``vec_sql`` is the vector column as SQL text (e.g. ``"v"``): the
+    whole bucket expression is assembled as ONE string and crosses py4j
+    once via F.expr. The previous Column-API build made one gateway
+    round-trip per plane ELEMENT (n_planes * dim F.lit calls — ~4k
+    for 8 tables x 8 planes x 64 dims), and those round-trips, not
+    execution, dominated the operator's wall time. Identical result:
+    double literals round-trip exactly (:func:`_sql_double`) and the
+    fold order matches :func:`dot`."""
+    terms = " + ".join(
+        f"(CASE WHEN {dot_sql_literal(vec_sql, p)} >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return F.expr(f"CAST({terms} AS BIGINT)")
 
 
 def brute_force_topk(
@@ -149,13 +184,13 @@ def lsh_bucket_topk(
         queries_df.select(
             F.col(id_col).alias("query_id"), vv.alias("qv"), dot(vv, vv, dim).alias("qn")
         )
-        .withColumn("bucket", srp_bucket(F.col("qv"), planes))
+        .withColumn("bucket", srp_bucket("qv", planes))
     )
     c = (
         corpus_df.select(
             F.col(id_col).alias("neighbor_id"), vv.alias("cv"), dot(vv, vv, dim).alias("cn")
         )
-        .withColumn("bucket", srp_bucket(F.col("cv"), planes))
+        .withColumn("bucket", srp_bucket("cv", planes))
     )
     scored = (
         c.join(F.broadcast(q), "bucket")
@@ -180,17 +215,66 @@ def ivf_centroids(
     vec_col: str = "embedding",
 ) -> list[tuple[int, list[float]]]:
     """Deterministic seeded centroids: every ``stride``-th corpus vector
-    by id. At 100 TB the centroid set would come from sampled k-means
-    (Spark ML KMeans on a 0.1% sample); a modular pick keeps the DuckDB
-    oracle exactly expressible while exercising the identical plan
-    shape. Returns driver-side (cid, float32-exact values) — the
-    centroid table is tiny by construction (|C|/stride)."""
+    by id. A modular pick keeps the DuckDB oracle exactly expressible
+    while exercising the identical plan shape — but the collected row
+    count GROWS with the corpus (|C|/stride), so this is the
+    oracle-twin path only; production uses
+    :func:`ivf_centroids_kmeans`, whose driver footprint is constant.
+    Returns driver-side (cid, float32-exact values)."""
     rows = (
         corpus_df.filter((F.col(id_col) % stride) == 0)
         .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
         .collect()
     )
     return sorted((int(r.cid), [float(x) for x in r.cvec]) for r in rows)
+
+
+def ivf_centroids_kmeans(
+    corpus_df: DataFrame,
+    n_centroids: int = 64,
+    max_sample: int = 10_000,
+    iters: int = 5,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Sampled-k-means IVF centroids — the at-scale path.
+
+    Driver memory is bounded by ``max_sample * dim`` REGARDLESS of
+    corpus size: sample a fraction sized to yield ~max_sample rows
+    (hard-capped with limit), collect only the sample, run ``iters``
+    Lloyd iterations in numpy. Deterministic for a fixed corpus+seed.
+    Returns the same (cid, values) shape as :func:`ivf_centroids` so
+    both assignment paths (inline-literal and Arrow/numpy) accept it.
+
+    Empty cells are re-seeded from the sample's first rows (standard
+    k-means guard), so exactly ``min(n_centroids, |sample|)`` centroids
+    come back.
+    """
+    import numpy as np
+
+    n = corpus_df.count()
+    if n == 0:
+        return []
+    sample = corpus_df.select(F.col(vec_col))
+    if n > max_sample:
+        # 1.2x oversample so the post-limit sample is (almost) always full
+        sample = sample.sample(fraction=min(1.0, 1.2 * max_sample / n), seed=seed)
+    rows = sample.limit(max_sample).collect()
+    X = np.asarray([list(r[vec_col]) for r in rows], dtype=np.float64)
+    k = min(n_centroids, len(X))
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=k, replace=False)]
+    for _ in range(iters):
+        # cosine assignment (matches the operator's metric): normalize,
+        # then nearest = argmax of dot
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+        assign = (Xn @ Cn.T).argmax(axis=1)
+        for j in range(k):
+            members = X[assign == j]
+            C[j] = members.mean(axis=0) if len(members) else X[j % len(X)]
+    return [(int(i), [float(x) for x in C[i]]) for i in range(k)]
 
 
 def _centroid_scores(vec: Column, vec_norm: Column, cents) -> list[tuple[int, Column]]:
@@ -296,6 +380,9 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     assignment: str = "literal",
+    centroids: str = "stride",
+    n_centroids: int = 64,
+    max_sample: int = 10_000,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k cosine neighbors.
 
@@ -304,15 +391,26 @@ def ivf_topk(
     nearest cells; candidates come from an equi-join on the cell id, so
     the corpus shuffles once on a data-balanced key and the scored
     candidate set shrinks by ~|cells|/nprobe. The standard IVF recall
-    knobs (more centroids, more probes) map directly to ``stride`` and
-    ``nprobe``.
+    knobs (more centroids, more probes) map directly to
+    ``n_centroids``/``stride`` and ``nprobe``.
 
     ``assignment``: "literal" inlines centroids as expressions —
     JVM-native and exactly DuckDB-replicable, but O(n_centroids)
     interpreted folds per row (fine to ~100 centroids); "pandas" uses
     the vectorized Arrow/numpy path (:func:`ivf_assign_pandas`) —
-    centroid-count-flat, the choice at scale, not bit-replicable."""
-    cents = ivf_centroids(corpus_df, stride=stride, id_col=id_col, vec_col=vec_col)
+    centroid-count-flat, the choice at scale, not bit-replicable.
+
+    ``centroids``: "stride" picks every stride-th vector (oracle-twin
+    path; collected count grows with the corpus) — "kmeans" uses
+    :func:`ivf_centroids_kmeans` (bounded driver memory, the 100 TB
+    path)."""
+    if centroids == "kmeans":
+        cents = ivf_centroids_kmeans(
+            corpus_df, n_centroids=n_centroids, max_sample=max_sample,
+            id_col=id_col, vec_col=vec_col,
+        )
+    else:
+        cents = ivf_centroids(corpus_df, stride=stride, id_col=id_col, vec_col=vec_col)
     dim = len(cents[0][1]) if cents else None
     vv = F.col(vec_col).cast("array<double>")
     if assignment == "pandas":

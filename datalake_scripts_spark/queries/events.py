@@ -204,10 +204,16 @@ def range_join_value_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range (interval) join against a tiny tier table — broadcast
     nested-loop on purpose (operators.asof.range_join_broadcast)."""
     ev = t(spark, sf_dir, "events")
-    tiers = spark.createDataFrame(
-        [("micro", 0.0, 25.0), ("small", 25.0, 75.0), ("mid", 75.0, 150.0),
-         ("large", 150.0, 100000.0)],
-        "tier string, lo double, hi double",
+    # VALUES -> LocalRelation: stays JVM-side. createDataFrame would
+    # parallelize through a Python-worker RDD (32 near-empty tasks, or a
+    # slow single worker under coalesce) just to broadcast 4 rows.
+    tiers = spark.sql(
+        """
+        SELECT tier, CAST(lo AS DOUBLE) AS lo, CAST(hi AS DOUBLE) AS hi
+        FROM VALUES ('micro', 0.0D, 25.0D), ('small', 25.0D, 75.0D),
+                    ('mid', 75.0D, 150.0D), ('large', 150.0D, 100000.0D)
+          AS t(tier, lo, hi)
+        """
     )
     joined = range_join_broadcast(ev, tiers, "value")
     return joined.groupBy("tier").agg(

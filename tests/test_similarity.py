@@ -96,3 +96,48 @@ def test_ivf_pandas_assignment_agrees_with_literal(spark, sf_dir):
         ).collect()
     }
     assert lit_rows == pd_rows and len(lit_rows) > 0
+
+
+def test_kmeans_centroid_count_constant_wrt_corpus_size(spark, sf_dir):
+    """The scale contract: centroid count (and the driver-side sample)
+    is a parameter, NOT a function of corpus size — unlike the stride
+    path where |collected| = |corpus|/stride."""
+    from datalake_scripts_spark.io import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    small = emb.filter("vec_id < 100")
+    c_small = S.ivf_centroids_kmeans(small, n_centroids=8, max_sample=50)
+    c_full = S.ivf_centroids_kmeans(emb, n_centroids=8, max_sample=50)
+    assert len(c_small) == len(c_full) == 8
+    # stride path, by contrast, grows with the corpus
+    assert len(S.ivf_centroids(emb, stride=50)) > len(
+        S.ivf_centroids(small, stride=50)
+    )
+
+
+def test_kmeans_centroids_deterministic_and_usable(spark, sf_dir):
+    from datalake_scripts_spark.io import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    a = S.ivf_centroids_kmeans(emb, n_centroids=8, max_sample=200, seed=7)
+    b = S.ivf_centroids_kmeans(emb, n_centroids=8, max_sample=200, seed=7)
+    assert a == b
+    dim = len(a[0][1])
+    assert all(len(v) == dim for _, v in a)
+    # both assignment paths accept kmeans centroids and agree
+    q = emb.filter("vec_id < 5")
+    lit = {
+        (r.query_id, r.neighbor_id, r.rnk)
+        for r in S.ivf_topk(
+            q, emb, k=3, nprobe=2, centroids="kmeans", n_centroids=8,
+            max_sample=200,
+        ).collect()
+    }
+    pd_rows = {
+        (r.query_id, r.neighbor_id, r.rnk)
+        for r in S.ivf_topk(
+            q, emb, k=3, nprobe=2, centroids="kmeans", n_centroids=8,
+            max_sample=200, assignment="pandas",
+        ).collect()
+    }
+    assert lit == pd_rows and len(lit) > 0
