@@ -271,8 +271,15 @@ def compact_parquet(
     ``n_files`` files (optionally re-sorted for data skipping). THE
     operational chore of streaming/append sinks — micro-batches leave
     thousands of KB-files that destroy scan throughput (per-file open
-    cost + tiny row groups). Returns the row count. Writes to a temp
-    subdir then swaps, so readers never see a half-compacted directory."""
+    cost + tiny row groups). Returns the row count.
+
+    Swap discipline: write to ``path__compact_tmp``, rename the live dir
+    aside (``path__compact_old``), rename tmp into place, then delete
+    the old dir — the window where ``path`` is absent is two renames,
+    not a full recursive delete. Still NOT atomic and local-FS-only
+    (os.rename / shutil.rmtree): single writer, and concurrent readers
+    can race the rename pair. On object stores use a manifest-committed
+    table (operators.versioned) instead — renames there are copies."""
     import os
     import shutil
 
@@ -284,9 +291,13 @@ def compact_parquet(
     if sort_col:
         out = out.sortWithinPartitions(sort_col)
     tmp = f"{path}__compact_tmp"
+    old = f"{path}__compact_old"
     out.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(path, old)
     os.rename(tmp, path)
+    shutil.rmtree(old)
     return n
 
 

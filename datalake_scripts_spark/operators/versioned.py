@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -126,6 +127,10 @@ def vacuum(table_dir: str, keep_last: int = 1) -> int:
             os.remove(os.path.join(data_dir, name))
             removed += 1
     for name in os.listdir(_manifest_dir(table_dir)):
+        # only vNNNNN.json manifests — a stray file (editor temp, an
+        # interrupted _latest .tmp) must not abort vacuum mid-delete
+        if not re.fullmatch(r"v\d{5}\.json", name):
+            continue
         v = int(name[1:6])
         if v not in keep_versions:
             os.remove(os.path.join(_manifest_dir(table_dir), name))

@@ -7,4 +7,10 @@ from .windows import (  # noqa: F401
     dedup_within_watermark,
     run_to_memory,
 )
-from .sinks import foreach_batch_parquet, foreach_batch_jdbc  # noqa: F401
+from .sinks import (  # noqa: F401
+    foreach_batch_dual,
+    foreach_batch_epoch_jdbc,
+    foreach_batch_epoch_parquet,
+    foreach_batch_jdbc,
+    foreach_batch_parquet,
+)

@@ -1,11 +1,23 @@
 """Streaming sinks via foreachBatch — each micro-batch reuses the batch
 sink implementations (io.write_parquet / io.write_jdbc), giving the
 reference's dual-sink pattern (Parquet staging + JDBC serving,
-zoom_proc.py:399-400) exactly-once semantics under checkpointing."""
+zoom_proc.py:399-400) under checkpointing.
+
+Exactly-once discipline: Structured Streaming's checkpoint guarantees
+each epoch is DELIVERED at-least-once to foreachBatch; end-to-end
+exactly-once therefore requires the sink itself to be idempotent per
+``epoch_id``. The two epoch-keyed sinks below are the standard recipes:
+parquet lands each epoch in its own ``batch_id=<epoch>`` partition
+directory (a replay overwrites the same directory — same bytes, no
+dupes), and JDBC stamps rows with ``batch_id`` and skips epochs already
+present (a replay sees its own committed rows and no-ops). Compose both
+with :func:`foreach_batch_dual` for staging + serving from one stream
+with one checkpoint."""
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def foreach_batch_parquet(path: str, mode: str = "append"):
@@ -22,5 +34,75 @@ def foreach_batch_jdbc(url: str, table: str, properties: dict | None = None):
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
         write_jdbc(batch_df, url, table, mode="append", properties=properties)
+
+    return _sink
+
+
+def foreach_batch_epoch_parquet(path: str):
+    """Idempotent parquet sink: epoch N lands in ``path/batch_id=N``
+    (partition-discovery layout, so ``spark.read.parquet(path)`` sees a
+    ``batch_id`` column). A replayed epoch overwrites ONLY its own
+    directory — exactly-once without a transaction log."""
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{path}/batch_id={epoch_id}")
+
+    return _sink
+
+
+def foreach_batch_epoch_jdbc(url: str, table: str, properties: dict | None = None):
+    """Idempotent JDBC sink: rows are stamped with ``batch_id`` and an
+    epoch whose stamp already exists in the table is skipped — the
+    replay-after-failure no-op that upgrades at-least-once delivery to
+    exactly-once rows (the check and the append are not one transaction,
+    so the guard assumes a single writer per table, which a single
+    streaming query is)."""
+    from ..io import write_jdbc
+
+    props = dict(properties or {})
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            # dbtable + DataFrame filter (NOT a raw SQL string): Spark
+            # resolves the schema and quotes identifiers per dialect —
+            # the writer creates case-exact quoted columns, so a raw
+            # unquoted batch_id would case-fold and miss on Derby/PG
+            reader = spark.read.format("jdbc").option("url", url).option(
+                "dbtable", table
+            )
+            for k, v in props.items():
+                reader = reader.option(k, v)
+            already = (
+                reader.load().filter(F.col("batch_id") == int(epoch_id)).count()
+            )
+        except Exception:  # table not created yet -> first epoch
+            already = 0
+        if already:
+            return
+        write_jdbc(
+            batch_df.withColumn("batch_id", F.lit(int(epoch_id))),
+            url,
+            table,
+            mode="append",
+            properties=properties,
+        )
+
+    return _sink
+
+
+def foreach_batch_dual(*sinks):
+    """Fan one micro-batch out to several sinks (staging parquet +
+    serving JDBC, the reference's dual-write). The batch is persisted
+    across the fan-out so the micro-batch plan runs once, not once per
+    sink."""
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.persist()
+        try:
+            for s in sinks:
+                s(batch_df, epoch_id)
+        finally:
+            batch_df.unpersist()
 
     return _sink
