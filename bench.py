@@ -19,6 +19,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# The first 12 are the stable round-over-round set (BENCH_r01 baseline);
+# compare totals on this shared prefix. Entries after it extend coverage
+# to the heaviest operators of later rounds without breaking
+# comparability.
 BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -32,6 +36,10 @@ BENCH_QUERIES = [
     "text_quality_scores",
     "q10_returned_revenue",
     "dedup_minhash_lsh",
+    # round 2 additions
+    "dedup_winnowing_pairs",
+    "dedup_duplicate_clusters",
+    "nested_flatten_struct",
 ]
 
 

@@ -54,7 +54,13 @@ def word_shingles(col: str | Column, n: int = 3) -> Column:
 def _shingle_table(
     df: DataFrame, id_col: str, text_col: str, n: int, block_col: str | None = None
 ) -> DataFrame:
-    """(id[, block], shingle) inverted-index rows, distinct per doc."""
+    """(id[, block], shingle) inverted-index rows, distinct per doc.
+
+    No repartition here on purpose: the shingle HOFs run in the scan
+    stage, but every consumer immediately shuffles (groupBy/join on the
+    shingle or the doc id), so those shuffles — not the scan stage —
+    set the operators' parallelism; an up-front repartition measured as
+    pure overhead (+45% warm on minhash at sf0.1)."""
     cols = [F.col(id_col)]
     if block_col:
         cols.append(F.col(block_col))
@@ -336,15 +342,17 @@ def embedding_near_dup_pairs(
             F.col("cosine") >= threshold
         )
 
-    # repartition to cluster parallelism BEFORE the bucket projection:
-    # the n_tables * n_planes interpreted dot-product folds are the CPU
-    # hot spot, and a small source (one parquet file -> one scan
-    # partition) would otherwise run them all on a single task. One
-    # narrow-ish shuffle of (id, vec, norm) is minor next to the
-    # bucket self-join, and at real scale the scan already has
-    # thousands of partitions so the round-robin just rebalances.
+    # spread to cluster parallelism BEFORE the bucket projection, but
+    # ONLY when the source is under-parallelized (single-row-group
+    # parquet -> unsplittable one-partition scan): the n_tables *
+    # n_planes dot-product folds run in the scan stage and would
+    # serialize on one task. At real scale the scan already has >=
+    # parallelism partitions and no shuffle is added.
     par = df.sparkSession.sparkContext.defaultParallelism
-    base = df.select(*base_cols).repartition(par).persist()
+    base = df.select(*base_cols)
+    if df.rdd.getNumPartitions() < par:
+        base = base.repartition(par)
+    base = base.persist()
     bands = F.array(
         *[
             F.struct(
@@ -406,10 +414,15 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 15) -> DataFrame:
         .persist()
     )
     labels = edges.groupBy("src").agg(F.min("dst").alias("nbr_min"))
+    # localCheckpoint (not persist): truncates the logical plan so each
+    # iteration's analysis/optimization works on a constant-size tree —
+    # with persist alone the lineage grows per round and Catalyst
+    # re-optimizes the whole history every action (measured: the
+    # driver-side plan work, not the joins, dominated the loop)
     labels = labels.select(
         F.col("src").alias("doc_id"),
         F.least("src", "nbr_min").alias("cluster_id"),
-    ).persist()
+    ).localCheckpoint()
     converged = False
     for _ in range(max_iters):
         # propagate: min over neighbors' labels
@@ -433,7 +446,7 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 15) -> DataFrame:
                     F.coalesce("hop_label", F.col("cluster_id")),
                 ).alias("cluster_id"),
             )
-            .persist()
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -442,7 +455,6 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 15) -> DataFrame:
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             converged = True

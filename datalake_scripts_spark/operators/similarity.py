@@ -282,10 +282,19 @@ def _centroid_scores(vec: Column, vec_norm: Column, cents) -> list[tuple[int, Co
 
     Centroid self-dot-products are folded driver-side (same
     left-to-right double accumulation as the in-engine fold, so the
-    value is bit-identical to DuckDB's list_dot_product(c,c))."""
+    value is bit-identical to DuckDB's list_dot_product(c,c)).
+
+    Each centroid crosses py4j as ONE from_json literal (folded to a
+    Literal by the optimizer) — per-element F.lit made plan
+    construction O(n_centroids * dim) gateway round-trips, which
+    dominated ivf_topk's wall time before execution even started."""
+    import json
+
     out = []
     for cid, cvec in cents:
-        carr = F.array(*[F.lit(float(x)) for x in cvec])
+        carr = F.expr(
+            f"from_json('{json.dumps([float(x) for x in cvec])}', 'array<double>')"
+        )
         cn = 0.0
         for x in cvec:
             cn += x * x

@@ -135,6 +135,15 @@ def with_winnow_fingerprints(
     width the original winnowing paper uses. The window-min pass does
     O(n_chars * w) string comparisons, so 8-char operands instead of
     32-char cut the operator's wall time ~40% at equal semantics."""
+    # spread to cluster parallelism ONLY when the source is
+    # under-parallelized (single-row-group parquet -> unsplittable
+    # one-partition scan): the O(n_chars * w) hash + window-min passes
+    # run in the scan stage and would serialize on one task. At real
+    # scale the scan already has >= parallelism partitions and no
+    # shuffle is added.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if not df.isStreaming and df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
     text = F.col(text_col)
     hs_col = f"_{out_col}_hs"
     hashes = F.when(
