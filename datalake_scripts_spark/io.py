@@ -174,6 +174,32 @@ def write_json(
     writer.json(path)
 
 
+def execute_jdbc_statements(
+    spark: SparkSession,
+    url: str,
+    statements: list[str],
+    driver: str | None = None,
+) -> None:
+    """Run DDL/DCL statements over a driver-side JDBC connection (the
+    in-band replacement for the reference's psycopg2 side-channel,
+    zoom_proc.py:357-359 pg_tables probe / :482-486 GRANT). Uses the
+    JVM's DriverManager so whatever JDBC driver the write used serves
+    the DDL too — no extra Python DB client."""
+    jvm = spark.sparkContext._jvm
+    if driver:
+        jvm.java.lang.Class.forName(driver)
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        st = conn.createStatement()
+        try:
+            for sql in statements:
+                st.executeUpdate(sql)
+        finally:
+            st.close()
+    finally:
+        conn.close()
+
+
 def write_jdbc(
     df: DataFrame,
     url: str,
@@ -183,12 +209,19 @@ def write_jdbc(
     batchsize: int = 10_000,
     num_partitions: int | None = None,
     create_table_column_types: str | None = None,
+    grants: list[str] | None = None,
 ) -> None:
     """JDBC sink (reference S6, ``save_spark_postgres``
     ``monkey_proc.py:163-198``). ``create_table_column_types`` carries the
     reference's hand-written DDL column types (S7) without a psycopg2
     side-channel; ``batchsize``/``numPartitions`` bound connection count
-    and round-trips at scale."""
+    and round-trips at scale.
+
+    ``grants``: roles granted SELECT on the table after the write (the
+    reference's serving-side GRANT, zoom_proc.py:482-486) — executed
+    over the same JDBC url via :func:`execute_jdbc_statements`. Needs a
+    server with SQL authorization enabled (PostgreSQL yes; embedded
+    Derby only with sqlAuthorization)."""
     writer = (
         df.write.format("jdbc")
         .option("url", url)
@@ -203,6 +236,13 @@ def write_jdbc(
     for k, v in (properties or {}).items():
         writer = writer.option(k, v)
     writer.save()
+    if grants:
+        execute_jdbc_statements(
+            df.sparkSession,
+            url,
+            [f"GRANT SELECT ON {table} TO {grantee}" for grantee in grants],
+            driver=(properties or {}).get("driver"),
+        )
 
 
 def reconcile_counts(spark: SparkSession, parquet_path: str, expected: int) -> bool:

@@ -75,3 +75,46 @@ def test_dual_sink_parquet_and_jdbc(spark, sf_dir, derby_url, tmp_path):
     assert n == region.count()
     assert spark.read.parquet(str(tmp_path / "region_stage")).count() == n
     assert _read_back(spark, derby_url, "region_dual").count() == n
+
+
+def test_execute_jdbc_statements_ddl_channel(spark, sf_dir, derby_url):
+    """The psycopg2-side-channel replacement (S7/grants): arbitrary
+    DDL/DML runs over the same JDBC url as the write. Exercised with an
+    index + insert (embedded Derby rejects GRANT without
+    sqlAuthorization; grant-statement generation is covered below)."""
+    from datalake_scripts_spark.io import execute_jdbc_statements
+
+    region = read_table(spark, sf_dir, "region")
+    write_jdbc(region, derby_url, "region_ddl", mode="overwrite", properties=DERBY)
+    execute_jdbc_statements(
+        spark,
+        derby_url,
+        [
+            'CREATE INDEX region_ddl_idx ON region_ddl ("r_regionkey")',
+            "INSERT INTO region_ddl VALUES (99, 'NOWHERE')",
+        ],
+        driver=DERBY["driver"],
+    )
+    assert _read_back(spark, derby_url, "region_ddl").count() == region.count() + 1
+
+
+def test_write_jdbc_grants_statement_shape(spark, sf_dir, derby_url, monkeypatch):
+    """grants=[...] issues GRANT SELECT per grantee after the write."""
+    import datalake_scripts_spark.io as io_mod
+
+    seen = {}
+
+    def fake_exec(spark_, url, statements, driver=None):
+        seen["url"], seen["statements"], seen["driver"] = url, statements, driver
+
+    monkeypatch.setattr(io_mod, "execute_jdbc_statements", fake_exec)
+    region = read_table(spark, sf_dir, "region")
+    io_mod.write_jdbc(
+        region, derby_url, "region_g", mode="overwrite", properties=DERBY,
+        grants=["analyst", "dashboard_ro"],
+    )
+    assert seen["statements"] == [
+        "GRANT SELECT ON region_g TO analyst",
+        "GRANT SELECT ON region_g TO dashboard_ro",
+    ]
+    assert seen["driver"] == DERBY["driver"] and seen["url"] == derby_url
