@@ -38,7 +38,7 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     # round 2 additions
     "dedup_winnowing_pairs",
-    "dedup_duplicate_clusters",
+    "dedup_duplicate_clusters_star",
     "nested_flatten_struct",
 ]
 

@@ -467,3 +467,103 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 15) -> DataFrame:
             "(pointer jumping makes the requirement ~log2(graph diameter))"
         )
     return labels
+
+
+def duplicate_clusters_star(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the at-scale alternative to :func:`duplicate_clusters`.
+
+    Each round rewires edges toward per-neighborhood minima:
+
+    - large-star: per node u over its full (symmetric) neighborhood,
+      m = min(N(u) + {u}); every LARGER neighbor v > u re-attaches as
+      (v, m).
+    - small-star: per node u over its SMALLER neighbors (edges oriented
+      max->min), m = min; every smaller neighbor and u itself attach to
+      m.
+
+    The edge set monotonically contracts into a star forest rooted at
+    each component's minimum id in O(log n) rounds, and — unlike label
+    propagation — the per-round state is the EDGE set itself: no
+    label table joined against an ever-reused edge relation, so the
+    heaviest shuffle shrinks every round as stars collapse. Convergence
+    is detected via an order-insensitive (count, xor-of-hashes)
+    signature of the edge set — a collision (~2^-64 per round) could
+    end the loop one round early with an uncontracted forest; if that
+    risk matters, compare with exceptAll instead. Returns
+    (doc_id, cluster_id), identical to
+    :func:`duplicate_clusters` (equivalence is tested on chains,
+    cliques, forests, and random graphs).
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _signature(e: DataFrame) -> tuple[int, int]:
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # bit_xor: order-insensitive and overflow-free (ANSI mode
+            # rejects a plain SUM of 64-bit hashes)
+            F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+        ).first()
+        return (int(row.n), int(row.h))
+
+    sig = _signature(edges)
+    converged = False
+    for _ in range(max_iters):
+        # large-star over the symmetric neighborhood
+        sym = (
+            edges.unionByName(
+                edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+            )
+            .distinct()
+        )
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("_mnv"))
+            .select("u", F.least("u", "_mnv").alias("m"))
+        )
+        ls = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star over max->min oriented edges
+        dir_ = ls.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        mins2 = dir_.groupBy("u").agg(F.min("v").alias("m"))
+        ss_leaves = (
+            dir_.join(mins2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        ss_self = mins2.select(F.col("u"), F.col("m").alias("v"))
+        edges_new = (
+            ss_leaves.unionByName(ss_self)
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        new_sig = _signature(edges_new)
+        edges = edges_new
+        if new_sig == sig:
+            converged = True
+            break
+        sig = new_sig
+    if not converged:
+        raise RuntimeError(
+            f"duplicate_clusters_star did not converge in {max_iters} rounds "
+            "(expected ~log2(n)); raise max_iters"
+        )
+    # fixpoint edge set is a star forest oriented leaf(u) -> root(v)
+    roots = edges.select(F.col("v").alias("doc_id")).distinct().select(
+        "doc_id", F.col("doc_id").alias("cluster_id")
+    )
+    leaves = edges.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
+    return leaves.unionByName(roots)

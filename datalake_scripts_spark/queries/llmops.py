@@ -813,3 +813,20 @@ def embedding_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max(v).alias("max_elem"),
         (dot(v, ones) / F.size(v)).alias("mean_elem"),
     )
+
+
+@query("dedup_duplicate_clusters_star")  # iterative fixpoint -> rows-only check
+def dedup_duplicate_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-duplicate pair graph via
+    alternating large-star/small-star contraction
+    (operators.dedup.duplicate_clusters_star) — the at-scale CC: the
+    per-round state is the contracting edge set itself, O(log n) rounds,
+    no label table re-joined against a static edge relation. Produces
+    clusters identical to dedup_duplicate_clusters (equivalence tested);
+    registered separately so both algorithms stay driver-checked."""
+    from ..operators.dedup import duplicate_clusters_star, ngram_jaccard_pairs
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.5,
+                                block_col="lang")
+    return duplicate_clusters_star(pairs)

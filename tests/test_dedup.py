@@ -136,3 +136,50 @@ def test_hot_shingle_df_cap_drops_stopword_shingle(spark):
         df, "doc_id", "text", n=2, threshold=0.5, max_df_frac=0.5, min_df_keep=5
     )
     assert pairs.count() == 0
+
+
+def _clusters_of(rows):
+    """Canonical form: frozenset of member-frozensets."""
+    from collections import defaultdict
+
+    by_label = defaultdict(set)
+    for r in rows:
+        by_label[r.cluster_id].add(r.doc_id)
+    return frozenset(frozenset(v) for v in by_label.values())
+
+
+@pytest.mark.parametrize(
+    "pairs",
+    [
+        # chain: one component spanning 12 nodes
+        [(i, i + 1) for i in range(1, 12)],
+        # two cliques + an isolated pair
+        [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+        + [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+        + [(100, 101)],
+        # star + bridge
+        [(1, k) for k in range(2, 8)] + [(7, 20), (20, 21)],
+    ],
+)
+def test_star_cc_equals_label_propagation(spark, pairs):
+    df = spark.createDataFrame(
+        [Row(id_a=a, id_b=b, score=1.0) for a, b in pairs]
+    )
+    lp = D.duplicate_clusters(df).collect()
+    star = D.duplicate_clusters_star(df).collect()
+    assert _clusters_of(star) == _clusters_of(lp)
+    # both label every node with its component MINIMUM id
+    assert all(r.cluster_id == min(c)
+               for c in _clusters_of(star) for r in star if r.doc_id in c)
+
+
+def test_star_cc_random_graph_matches(spark):
+    import random
+
+    rng = random.Random(7)
+    pairs = [(rng.randint(1, 60), rng.randint(1, 60)) for _ in range(80)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    df = spark.createDataFrame([Row(id_a=a, id_b=b) for a, b in pairs])
+    assert _clusters_of(D.duplicate_clusters_star(df).collect()) == _clusters_of(
+        D.duplicate_clusters(df, max_iters=30).collect()
+    )
