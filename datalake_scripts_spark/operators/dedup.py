@@ -107,46 +107,124 @@ def ngram_jaccard_pairs(
     block_col: str | None = None,
     max_df_frac: float = 0.5,
     min_df_keep: int = 100,
+    prefix_filter: bool = True,
 ) -> DataFrame:
-    """Near-duplicate pairs by exact n-gram Jaccard, via inverted index.
+    """Near-duplicate pairs by exact n-gram Jaccard, via inverted index
+    with prefix filtering.
 
     shingle-explode -> hot-shingle df cap (see :func:`cap_shingle_df`)
-    -> self-join on shingle (counts intersections) -> join per-doc
-    shingle counts -> |A∩B| / (|A|+|B|-|A∩B|) >= threshold.
+    -> PREFIX-filtered self-join on shingle -> exact verify.
     ``block_col`` (e.g. language) restricts pairs to the same block,
     shrinking the candidate space. Per-doc sizes are counted AFTER the
     cap, so Jaccard is exact over the capped shingle universe
     (self-consistent; scores involving dropped stopword shingles are
     deliberately not representable). Returns (id_a, id_b, jaccard) with
     id_a < id_b.
+
+    Prefix filtering (Bayardo et al. all-pairs / PPJoin family): under
+    a global rarest-first shingle order, any pair with J >= t shares a
+    shingle within each side's first ``n_sh - ceil(t * n_sh) + 1``
+    shingles (J >= t implies |A∩B| >= t*|A|, so an intersection element
+    survives in the prefix). The inverted-index self-join therefore
+    explodes only prefixes — candidate volume shrinks ~(1-t)^2 and the
+    rarest-first order moves the join key DISTRIBUTION toward uniform
+    (rare shingles carry the prefixes). Verification computes exact
+    |A∩B| via array_intersect of the full per-doc shingle sets, joined
+    only to surviving candidates. LOSSLESS: the result set is
+    bit-identical to the exhaustive join (property-tested both ways);
+    ``prefix_filter=False`` keeps the exhaustive path for audits.
     """
+    from pyspark.sql import Window as W
+
     n_docs = df.count()  # parquet-metadata count — cheap even at scale
     join_keys = ["shingle"] + ([block_col] if block_col else [])
+    blk = [block_col] if block_col else []
     # persist the RAW shingle table: the hot-key aggregation and the
     # capped main branch both consume it — without the persist the
     # interpreted shingle HOFs are evaluated twice
     sh0 = _shingle_table(df, id_col, text_col, n, block_col).persist()
     sh = cap_shingle_df(sh0, join_keys, n_docs, max_df_frac, min_df_keep).persist()
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("id_a"), *join_keys)
-    b = sh.select(F.col(id_col).alias("id_b"), *join_keys)
-    inter = (
-        a.join(b, join_keys)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    # force the cache NOW: downstream the capped table feeds 3+ branches
+    # of one DAG (df ranking, prefix join, verify sets), and a lazy
+    # persist would be recomputed by each branch on the first job
+    # (measured 3x the whole operator's runtime)
+    sh.count()
+
+    if not prefix_filter:
+        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+        a = sh.select(F.col(id_col).alias("id_a"), *join_keys)
+        b = sh.select(F.col(id_col).alias("id_b"), *join_keys)
+        inter = (
+            a.join(b, join_keys)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+        sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+        sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+        return (
+            inter.join(sa, "id_a")
+            .join(sb, "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                (
+                    F.col("n_inter").cast("double")
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
+                ).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= threshold)
+        )
+
+    # global rarest-first order: df asc, shingle asc as tie-break (any
+    # fixed total order is valid; rarity maximizes pruning)
+    dfs = sh.groupBy(*join_keys).agg(F.count(F.lit(1)).alias("_df"))
+    shd = sh.join(dfs, join_keys)
+    w_rank = W.partitionBy(id_col, *blk).orderBy("_df", "shingle")
+    w_all = W.partitionBy(id_col, *blk)
+    ranked = shd.select(
+        id_col,
+        *blk,
+        "shingle",
+        F.row_number().over(w_rank).alias("_rn"),
+        F.count(F.lit(1)).over(w_all).alias("_n_sh"),
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    prefix = ranked.filter(
+        F.col("_rn")
+        <= F.col("_n_sh") - F.ceil(F.lit(float(threshold)) * F.col("_n_sh")) + 1
+    ).persist()
+    pa = prefix.select(F.col(id_col).alias("id_a"), *join_keys)
+    pb = prefix.select(F.col(id_col).alias("id_b"), *join_keys)
+    cand = (
+        pa.join(pb, join_keys)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # exact verify on candidates only: per-doc sorted shingle sets
+    # (array per doc is bounded by doc length, not corpus size)
+    sets = sh.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("shingle")).alias("_arr"),
+        F.count(F.lit(1)).alias("_n_sh"),
+    )
+    sa = sets.select(
+        F.col(id_col).alias("id_a"), F.col("_arr").alias("_aa"),
+        F.col("_n_sh").alias("n_a"),
+    )
+    sb = sets.select(
+        F.col(id_col).alias("id_b"), F.col("_arr").alias("_ab"),
+        F.col("_n_sh").alias("n_b"),
+    )
+    n_inter = F.size(F.array_intersect(F.col("_aa"), F.col("_ab")))
     return (
-        inter.join(sa, "id_a")
+        cand.join(sa, "id_a")
         .join(sb, "id_b")
         .select(
             "id_a",
             "id_b",
             (
-                F.col("n_inter").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
+                n_inter.cast("double")
+                / (F.col("n_a") + F.col("n_b") - n_inter).cast("double")
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)

@@ -183,3 +183,25 @@ def test_star_cc_random_graph_matches(spark):
     assert _clusters_of(D.duplicate_clusters_star(df).collect()) == _clusters_of(
         D.duplicate_clusters(df, max_iters=30).collect()
     )
+
+
+def test_prefix_filter_lossless(spark, sf_dir):
+    """Prefix filtering must be invisible in the result: identical pair
+    set and identical jaccard values vs the exhaustive inverted join."""
+    from datalake_scripts_spark.io import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    kw = dict(n=2, threshold=0.5, block_col="lang")
+    fast = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in D.ngram_jaccard_pairs(
+            docs, "doc_id", "text", prefix_filter=True, **kw
+        ).collect()
+    }
+    slow = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in D.ngram_jaccard_pairs(
+            docs, "doc_id", "text", prefix_filter=False, **kw
+        ).collect()
+    }
+    assert fast == slow and len(fast) > 0
