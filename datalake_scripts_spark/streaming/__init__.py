@@ -6,6 +6,7 @@ from .windows import (  # noqa: F401
     session_agg,
     dedup_within_watermark,
     run_to_memory,
+    stream_stream_interval_join,
 )
 from .sinks import (  # noqa: F401
     foreach_batch_dual,

@@ -248,3 +248,44 @@ def enrich_with_static(stream_df: DataFrame, static_df: DataFrame, on: str) -> D
     restarting the query; the join itself is stateless (no watermark
     needed)."""
     return stream_df.join(F.broadcast(static_df), on, "left")
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    watermark: str = "1 hour",
+    max_delay: str = "30 minutes",
+    suffix: str = "_r",
+) -> DataFrame:
+    """Stream-stream inner join on ``key`` with an event-time interval
+    bound: right rows match left rows with
+    ``left_ts <= right_ts <= left_ts + max_delay`` (e.g. a purchase
+    joined to the signup that preceded it within the delay bound).
+
+    Both sides get the SAME watermark and the range predicate bounds
+    the join state in BOTH directions — Spark can discard left state
+    once right's watermark passes ``left_ts + max_delay`` and vice
+    versa, so state size is O(rate * (watermark + max_delay)), not
+    unbounded. Without a range (or window-equality) condition a
+    stream-stream join must keep every row forever — the classic
+    streaming OOM; this helper makes the bound impossible to forget.
+    Right-side columns are suffixed to avoid collisions. Inner only:
+    outer stream-stream joins emit nulls at watermark expiry with the
+    same state bound, but late-arrival semantics differ per side — keep
+    those explicit at the call site.
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    renames = {c: c + suffix for c in rw.columns}
+    for old, new in renames.items():
+        rw = rw.withColumnRenamed(old, new)
+    lts, rts = F.col(left_ts), F.col(right_ts + suffix)
+    cond = (
+        (F.col(key) == F.col(key + suffix))
+        & (rts >= lts)
+        & (rts <= lts + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return lw.join(rw, cond, "inner").drop(key + suffix)

@@ -336,3 +336,50 @@ def test_dual_sink_exactly_once(spark, sf_dir, tmp_path):
     sink(replay, 0)
     assert spark.read.parquet(pq_out).count() == n_total
     assert jdbc_count() == n_total
+
+
+def test_stream_stream_interval_join_equals_batch(spark, events_dir):
+    """Stream-stream inner interval join (purchase joined to same-user
+    page_views within 30 minutes BEFORE it) produces exactly the batch
+    join's rows once all files are processed, and the plan carries the
+    state bound (watermarks on both sides + time-range condition)."""
+    from datalake_scripts_spark.streaming import (
+        stream_from_directory,
+        stream_stream_interval_join,
+        run_to_memory,
+    )
+
+    def split(df):
+        views = df.filter(F.col("event_type") == "view").select(
+            "user_id", "ts", "event_id"
+        )
+        buys = df.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "event_id"
+        )
+        return views, buys
+
+    sv, sb = split(stream_from_directory(spark, events_dir))
+    joined = stream_stream_interval_join(
+        sv, sb, key="user_id", watermark="2 hours", max_delay="30 minutes"
+    )
+    assert joined.isStreaming
+    run_to_memory(joined, "t_ss_join")
+    got = {
+        (r.user_id, r.event_id, r.event_id_r)
+        for r in spark.sql("SELECT * FROM t_ss_join").collect()
+    }
+
+    bv, bb = split(spark.read.parquet(events_dir))
+    bb = (bb.withColumnRenamed("ts", "ts_r")
+            .withColumnRenamed("event_id", "event_id_r")
+            .withColumnRenamed("user_id", "user_id_r"))
+    batch = bv.join(
+        bb,
+        (F.col("user_id") == F.col("user_id_r"))
+        & (F.col("ts_r") >= F.col("ts"))
+        & (F.col("ts_r") <= F.col("ts") + F.expr("INTERVAL 30 minutes")),
+    )
+    want = {
+        (r.user_id, r.event_id, r.event_id_r) for r in batch.collect()
+    }
+    assert got == want and len(want) > 0
