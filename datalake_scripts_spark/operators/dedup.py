@@ -193,11 +193,22 @@ def ngram_jaccard_pairs(
         F.col("_rn")
         <= F.col("_n_sh") - F.ceil(F.lit(float(threshold)) * F.col("_n_sh")) + 1
     ).persist()
-    pa = prefix.select(F.col(id_col).alias("id_a"), *join_keys)
-    pb = prefix.select(F.col(id_col).alias("id_b"), *join_keys)
+    # length filter rides along for free (sizes are already on the
+    # prefix rows): J >= t forces min(|A|,|B|) >= t * max(|A|,|B|), so
+    # size-mismatched pairs drop before the distinct/verify
+    pa = prefix.select(
+        F.col(id_col).alias("id_a"), F.col("_n_sh").alias("_na"), *join_keys
+    )
+    pb = prefix.select(
+        F.col(id_col).alias("id_b"), F.col("_n_sh").alias("_nb"), *join_keys
+    )
     cand = (
         pa.join(pb, join_keys)
         .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.least("_na", "_nb").cast("double")
+            >= F.lit(float(threshold)) * F.greatest("_na", "_nb").cast("double")
+        )
         .select("id_a", "id_b")
         .distinct()
     )
