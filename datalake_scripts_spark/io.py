@@ -149,11 +149,21 @@ def write_parquet(
     path: str,
     mode: str = "append",
     partition_by: list[str] | None = None,
+    dynamic_overwrite: bool = False,
 ) -> None:
     """Parquet sink (reference S5, ``save_parquet`` ``monkey_proc.py:200-209``).
     ``partition_by`` (e.g. an ingest-date column) replaces the reference's
-    manual path-glob pruning (S2) with Catalyst partition pruning."""
+    manual path-glob pruning (S2) with Catalyst partition pruning.
+
+    ``dynamic_overwrite``: with ``mode='overwrite'``, replace ONLY the
+    partitions present in ``df`` and leave the rest of the table intact —
+    the idempotent shape of the reference's lag-day re-runs
+    (re-process one load date, SURVEY.md §2.1 S2): re-landing a date
+    cannot clobber its neighbors. Static overwrite (the default) drops
+    the whole table first."""
     writer = df.write.mode(mode)
+    if dynamic_overwrite:
+        writer = writer.option("partitionOverwriteMode", "dynamic")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)

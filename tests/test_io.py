@@ -183,3 +183,33 @@ def test_zorder_layout_skips_files_on_both_dims(spark, sf_dir, tmp_path):
     assert zc_admit < z_total * 3 / 4, zc_admit
     # correctness: same rows both layouts
     assert spark.read.parquet(z_dir).count() == orders.count()
+
+
+def test_dynamic_partition_overwrite_replaces_only_landed_dates(spark, sf_dir, tmp_path):
+    """Re-landing one date partition (the reference's lag-day re-run)
+    must not clobber sibling partitions: dynamic overwrite replaces only
+    the partitions present in the incoming frame."""
+    from pyspark.sql import functions as F
+
+    from datalake_scripts_spark.io import read_table, write_parquet
+
+    out = str(tmp_path / "orders_by_year")
+    orders = read_table(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    write_parquet(orders, out, mode="overwrite", partition_by=["order_year"])
+    n_total = orders.count()
+    one_year = orders.filter(F.col("order_year") == 1996)
+    n_1996 = one_year.count()
+
+    # re-land 1996 with half the rows, dynamic: siblings survive
+    half = one_year.filter(F.col("o_orderkey") % 2 == 0)
+    write_parquet(half, out, mode="overwrite", partition_by=["order_year"],
+                  dynamic_overwrite=True)
+    back = spark.read.parquet(out)
+    assert back.filter("order_year = 1996").count() == half.count()
+    assert back.count() == n_total - n_1996 + half.count()
+
+    # static overwrite of the same frame drops every other partition
+    write_parquet(half, out, mode="overwrite", partition_by=["order_year"])
+    assert spark.read.parquet(out).count() == half.count()
