@@ -66,6 +66,10 @@ def main() -> None:
         n = df.count()
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+        # drop blocks persisted inside the measured query: later queries
+        # must not pay eviction churn for earlier queries' caches (the
+        # cached-table reads via read_table are plain scans, unaffected)
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     sf = 0.1 if "sf0.1" in sf_dir else (0.01 if "sf0.01" in sf_dir else sf_dir)

@@ -585,8 +585,14 @@ def duplicate_clusters_star(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
     :func:`duplicate_clusters` (equivalence is tested on chains,
     cliques, forests, and random graphs).
     """
+    # normalize orientation to max->min once: afterwards no round can
+    # produce both (a,b) and (b,a), so the symmetric view below needs
+    # no dedup of its own
     edges = (
-        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        pairs.select(
+            F.greatest("id_a", "id_b").alias("u"),
+            F.least("id_a", "id_b").alias("v"),
+        )
         .filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint()
@@ -604,24 +610,23 @@ def duplicate_clusters_star(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
     sig = _signature(edges)
     converged = False
     for _ in range(max_iters):
-        # large-star over the symmetric neighborhood
-        sym = (
-            edges.unionByName(
-                edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-            )
-            .distinct()
+        # large-star over the symmetric neighborhood (edges are oriented
+        # max->min and distinct, so the two union branches are disjoint
+        # — no dedup needed here)
+        sym = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
         mins = (
             sym.groupBy("u")
             .agg(F.min("v").alias("_mnv"))
             .select("u", F.least("u", "_mnv").alias("m"))
         )
+        # duplicates among (v, m) collapse in dir_'s distinct below
         ls = (
             sym.join(mins, "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
-            .distinct()
         )
         # small-star over max->min oriented edges
         dir_ = ls.select(
