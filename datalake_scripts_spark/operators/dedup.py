@@ -139,16 +139,18 @@ def ngram_jaccard_pairs(
     n_docs = df.count()  # parquet-metadata count — cheap even at scale
     join_keys = ["shingle"] + ([block_col] if block_col else [])
     blk = [block_col] if block_col else []
-    # persist the RAW shingle table: the hot-key aggregation and the
-    # capped main branch both consume it — without the persist the
-    # interpreted shingle HOFs are evaluated twice
-    sh0 = _shingle_table(df, id_col, text_col, n, block_col).persist()
-    sh = cap_shingle_df(sh0, join_keys, n_docs, max_df_frac, min_df_keep).persist()
-    # force the cache NOW: downstream the capped table feeds 3+ branches
-    # of one DAG (df ranking, prefix join, verify sets), and a lazy
-    # persist would be recomputed by each branch on the first job
-    # (measured 3x the whole operator's runtime)
-    sh.count()
+    # EAGER localCheckpoint (not lazy persist) on the shared shingle
+    # tables, for two measured reasons: (1) each table feeds 2+ branches
+    # of one DAG (hot-key agg + main; df ranking + prefix join + verify
+    # sets), and a LAZY cache is recomputed by every branch on the first
+    # job — 3x the operator's runtime; (2) persist() entries live in the
+    # session's CacheManager until unpersist, so a harness running the
+    # whole registry in one session accumulates eviction churn, while
+    # checkpoint blocks are GC'd with the query's DataFrames. Trade-off:
+    # checkpoints drop lineage, so a lost executor means job failure
+    # instead of recompute — acceptable for these small intermediates.
+    sh0 = _shingle_table(df, id_col, text_col, n, block_col).localCheckpoint()
+    sh = cap_shingle_df(sh0, join_keys, n_docs, max_df_frac, min_df_keep).localCheckpoint()
 
     if not prefix_filter:
         sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
@@ -192,7 +194,7 @@ def ngram_jaccard_pairs(
     prefix = ranked.filter(
         F.col("_rn")
         <= F.col("_n_sh") - F.ceil(F.lit(float(threshold)) * F.col("_n_sh")) + 1
-    ).persist()
+    ).localCheckpoint()  # feeds both join sides; see barrier note above
     # length filter rides along for free (sizes are already on the
     # prefix rows): J >= t forces min(|A|,|B|) >= t * max(|A|,|B|), so
     # size-mismatched pairs drop before the distinct/verify
@@ -294,12 +296,15 @@ def minhash_lsh_pairs(
     r = num_hashes // bands
     # one shingle generation, shared by the hot-key agg, signatures, and
     # the exact verify (shingle expressions are interpreted HOFs —
-    # regenerating them per consumer dominated this operator's runtime
-    # before the persist)
-    sh0 = _shingle_table(df, id_col, text_col, n).persist()
+    # regenerating them per consumer dominated this operator's runtime).
+    # Eager localCheckpoint, not lazy persist: multi-branch consumers
+    # would recompute a lazy cache per branch, and checkpoint blocks are
+    # GC'd after the query instead of pinning the session's CacheManager
+    # (see ngram_jaccard_pairs barrier note).
+    sh0 = _shingle_table(df, id_col, text_col, n).localCheckpoint()
     sh = cap_shingle_df(
         sh0, ["shingle"], df.count(), max_df_frac, min_df_keep
-    ).persist()
+    ).localCheckpoint()
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes, shingles=sh)
     band_rows = sig.select(
         id_col,
@@ -441,7 +446,10 @@ def embedding_near_dup_pairs(
     base = df.select(*base_cols)
     if df.rdd.getNumPartitions() < par:
         base = base.repartition(par)
-    base = base.persist()
+    # eager localCheckpoint: base feeds three branches (band explode +
+    # both verify sides) — a lazy cache would recompute the norm folds
+    # per branch, and checkpoint blocks free themselves after the query
+    base = base.localCheckpoint()
     bands = F.array(
         *[
             F.struct(
