@@ -750,9 +750,11 @@ def decontaminate_against_benchmark(spark: SparkSession, sf_dir: str) -> DataFra
     standard exact-substring-overlap decontamination pass of pretraining
     pipelines; no cross join, eval-set shingles broadcast at real scale."""
     docs = t(spark, sf_dir, "documents")
-    # persist: the shingle HOFs are interpreted — without it the bench
-    # branch and the corpus branch each re-run the full shingling
-    sh = D._shingle_table(docs, "doc_id", "text", 3).persist()
+    # eager localCheckpoint: the shingle HOFs are interpreted, and the
+    # bench branch + corpus branch consume them in ONE action — a lazy
+    # cache would re-run the full shingling per branch (and persist()
+    # would pin the session CacheManager; see operators.dedup note)
+    sh = D._shingle_table(docs, "doc_id", "text", 3).localCheckpoint()
     bench = (
         sh.filter(F.col("doc_id") < 10).select("shingle").distinct()
     )
