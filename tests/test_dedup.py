@@ -205,3 +205,16 @@ def test_prefix_filter_lossless(spark, sf_dir):
         ).collect()
     }
     assert fast == slow and len(fast) > 0
+
+
+def test_cc_nonconvergence_raises_not_silent(spark):
+    """Both CC variants must refuse to return partial labels: an
+    iteration budget too small for the graph raises instead of silently
+    splitting one duplicate cluster across ids."""
+    chain = spark.createDataFrame(
+        [Row(id_a=i, id_b=i + 1) for i in range(1, 40)]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.duplicate_clusters(chain, max_iters=2)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.duplicate_clusters_star(chain, max_iters=1)
