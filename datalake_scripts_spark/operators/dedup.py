@@ -195,21 +195,39 @@ def ngram_jaccard_pairs(
         F.col("_rn")
         <= F.col("_n_sh") - F.ceil(F.lit(float(threshold)) * F.col("_n_sh")) + 1
     ).localCheckpoint()  # feeds both join sides; see barrier note above
-    # length filter rides along for free (sizes are already on the
-    # prefix rows): J >= t forces min(|A|,|B|) >= t * max(|A|,|B|), so
-    # size-mismatched pairs drop before the distinct/verify
+    # length + positional filters ride along for free (sizes and
+    # positions are already on the prefix rows):
+    # - length: J >= t forces min(|A|,|B|) >= t * max(|A|,|B|);
+    # - positional (PPJoin): a shared prefix token at sorted positions
+    #   (i, j) bounds the overlap by 1 + min(|A|-i, |B|-j), which must
+    #   reach t/(1+t) * (|A|+|B|). Lossless with filter-then-distinct:
+    #   under the global (df, shingle) order, a qualifying pair's FIRST
+    #   shared token has every other shared token after it on BOTH
+    #   sides, so its row always passes.
     pa = prefix.select(
-        F.col(id_col).alias("id_a"), F.col("_n_sh").alias("_na"), *join_keys
+        F.col(id_col).alias("id_a"), F.col("_n_sh").alias("_na"),
+        F.col("_rn").alias("_ra"), *join_keys,
     )
     pb = prefix.select(
-        F.col(id_col).alias("id_b"), F.col("_n_sh").alias("_nb"), *join_keys
+        F.col(id_col).alias("id_b"), F.col("_n_sh").alias("_nb"),
+        F.col("_rn").alias("_rb"), *join_keys,
     )
+    t_frac = float(threshold) / (1.0 + float(threshold))
     cand = (
         pa.join(pb, join_keys)
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(
             F.least("_na", "_nb").cast("double")
             >= F.lit(float(threshold)) * F.greatest("_na", "_nb").cast("double")
+        )
+        .filter(
+            (
+                1
+                + F.least(
+                    F.col("_na") - F.col("_ra"), F.col("_nb") - F.col("_rb")
+                )
+            ).cast("double")
+            >= F.lit(t_frac) * (F.col("_na") + F.col("_nb")).cast("double")
         )
         .select("id_a", "id_b")
         .distinct()
