@@ -39,6 +39,7 @@ from .text import (  # noqa: F401
 from .scale import (  # noqa: F401
     latest_snapshot,
     salted_group_sum,
+    salted_join,
     sessionize,
     write_bucketed,
 )

@@ -38,6 +38,37 @@ def salted_group_sum(
     return partial.groupBy(*keys).agg(F.sum("_partial").alias(alias))
 
 
+def salted_join(
+    skewed: DataFrame,
+    dim: DataFrame,
+    on: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: the dim side is replicated ``salt_buckets``x
+    (map-side explode, no join node) with an explicit ``_salt``; the
+    skewed side gets a deterministic row salt; the join key becomes
+    (key, salt), so one hot key's rows spread over ``salt_buckets``
+    reducers instead of melting a single task.
+
+    Use when AQE's skew-join split doesn't apply — a broadcast is too
+    big, AQE is off, or the skew re-emerges in a downstream stage that
+    inherits the join's partitioning. Cost: the dim side inflates
+    ``salt_buckets``x, so keep it for small-but-unbroadcastable dims.
+    Row-identical to the plain join for ``inner``/``left`` (each skewed
+    row matches exactly the one dim replica carrying its salt)."""
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left only")
+    salted = skewed.withColumn(
+        "_salt", (F.monotonically_increasing_id() % salt_buckets).cast("int")
+    )
+    rep = dim.withColumn(
+        "_salt",
+        F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)).cast("array<int>")),
+    )
+    return salted.join(rep, [on, "_salt"], how).drop("_salt")
+
+
 def write_bucketed(
     df: DataFrame, table_name: str, bucket_col: str, n_buckets: int = 8
 ) -> None:

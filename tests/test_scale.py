@@ -83,3 +83,35 @@ def test_sessionize(spark):
     assert sid[1] == sid[2] == 1
     assert sid[3] == 2
     assert sid[4] == 1
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    """Salting is a pure shuffle-shape rewrite: row-identical to the
+    plain join for inner and left, including unmatched left rows."""
+    from datalake_scripts_spark.io import read_table
+    from datalake_scripts_spark.operators import salted_join
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"), "o_orderkey", "o_totalprice"
+    )
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    for how in ("inner", "left"):
+        plain = orders.join(cust, "c_custkey", how)
+        salted = salted_join(orders, cust, "c_custkey", salt_buckets=8, how=how)
+        key = lambda r: (r.c_custkey, r.o_orderkey, r.c_name)
+        assert sorted(map(key, salted.collect())) == sorted(
+            map(key, plain.collect())
+        )
+
+    # a pathological hot key still joins correctly
+    from pyspark.sql import Row
+
+    hot = spark.createDataFrame(
+        [Row(k=1, v=i) for i in range(5000)] + [Row(k=2, v=0)]
+    )
+    dim = spark.createDataFrame([Row(k=1, name="hot"), Row(k=3, name="cold")])
+    out = salted_join(hot, dim, "k", salt_buckets=4, how="left")
+    assert out.filter("name = 'hot'").count() == 5000
+    assert out.filter("k = 2").first().name is None
