@@ -125,10 +125,10 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_ngram_jaccard",
-    sql=f"""
-    WITH toks AS (
+# word-2-gram jaccard-pair CTEs (cap included), shared by the pairs query
+# and the connected-components oracles below
+_SQL_JACCARD_CTES = f"""
+    toks AS (
       SELECT doc_id, lang, {SQL_TOKS} AS tk FROM documents),
     sh0 AS (
       SELECT doc_id, lang,
@@ -145,13 +145,37 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.lang = b.lang
-      WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
-    SELECT id_a, id_b,
-           CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) AS jaccard
-    FROM inter
-    JOIN sizes sa ON sa.doc_id = id_a
-    JOIN sizes sb ON sb.doc_id = id_b
-    WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.5
+      WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+    jpairs AS (
+      SELECT id_a, id_b,
+             CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.5)
+"""
+
+# connected components over the pair graph as a recursive transitive
+# closure — exact on the sf0.01 graph (tiny), which upgrades the
+# iterative CC queries from rows-only to full hash checks
+_SQL_CLUSTERS = f"""
+    WITH RECURSIVE {_SQL_JACCARD_CTES},
+    edges AS (SELECT id_a AS u, id_b AS v FROM jpairs
+              UNION SELECT id_b, id_a FROM jpairs),
+    reach(doc_id, r) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT e.u, r.r FROM edges e JOIN reach r ON r.doc_id = e.v)
+    SELECT doc_id, LEAST(doc_id, MIN(r)) AS cluster_id
+    FROM reach GROUP BY doc_id
+"""
+
+
+@query(
+    "dedup_ngram_jaccard",
+    sql=f"""
+    WITH {_SQL_JACCARD_CTES}
+    SELECT id_a, id_b, jaccard FROM jpairs
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -709,14 +733,15 @@ def text_top_bigrams_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_duplicate_clusters")  # iterative fixpoint -> rows-only check
+@query("dedup_duplicate_clusters", sql=_SQL_CLUSTERS)
 def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the near-duplicate pair graph
     (operators.dedup.duplicate_clusters): iterative min-label
     propagation to a fixpoint — the step after pairwise dedup that
     yields keep-one-per-CLUSTER semantics (pairs alone can't: a~b, b~c
-    must collapse a,b,c together). Iterative, hence rows-only per the
-    driver contract."""
+    must collapse a,b,c together). Iterative on the Spark side, yet
+    fully hash-checked: the oracle states the same fixpoint as a
+    recursive-CTE transitive closure (exact on the sf0.01 graph)."""
     from ..operators.dedup import duplicate_clusters, ngram_jaccard_pairs
 
     docs = t(spark, sf_dir, "documents")
@@ -817,7 +842,7 @@ def embedding_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_duplicate_clusters_star")  # iterative fixpoint -> rows-only check
+@query("dedup_duplicate_clusters_star", sql=_SQL_CLUSTERS)
 def dedup_duplicate_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the near-duplicate pair graph via
     alternating large-star/small-star contraction
@@ -825,7 +850,8 @@ def dedup_duplicate_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame
     per-round state is the contracting edge set itself, O(log n) rounds,
     no label table re-joined against a static edge relation. Produces
     clusters identical to dedup_duplicate_clusters (equivalence tested);
-    registered separately so both algorithms stay driver-checked."""
+    registered separately so both algorithms stay driver-checked against
+    the same recursive-CTE closure oracle."""
     from ..operators.dedup import duplicate_clusters_star, ngram_jaccard_pairs
 
     docs = t(spark, sf_dir, "documents")

@@ -22,8 +22,6 @@ def test_registry_consistency():
         "dedup_minhash_lsh",
         "dedup_simhash",
         "approx_distinct_stats",
-        "dedup_duplicate_clusters",
-        "dedup_duplicate_clusters_star",
         "ann_ivf_topk_vectorized",
         "ann_ivf_kmeans_topk",
     }
