@@ -114,3 +114,35 @@ def test_asof_join_invariants(spark, left_rows, right_rows):
         else:
             best_ts = max(ts for ts, _ in cands)
             assert row.ts_matched == best_ts
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(texts, min_size=2, max_size=10), st.sampled_from([0.3, 0.5, 0.8]))
+def test_prefix_positional_filters_lossless(spark, docs, threshold):
+    """For ANY corpus and threshold, the prefix+length+positional
+    filtered jaccard returns exactly the exhaustive inverted-join
+    result (same pairs, same scores) — the PPJoin bounds are necessary
+    conditions, never heuristics."""
+    from datalake_scripts_spark.operators.dedup import ngram_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(docs)]
+    )
+    kw = dict(n=2, threshold=threshold, min_df_keep=3)
+    fast = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", "text", prefix_filter=True, **kw
+        ).collect()
+    }
+    slow = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", "text", prefix_filter=False, **kw
+        ).collect()
+    }
+    assert fast == slow
