@@ -315,3 +315,52 @@ def events_weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFram
         .groupBy("cohort_week", "week_offset")
         .agg(F.count(F.lit(1)).alias("n_active_users"))
     )
+
+
+@query(
+    "events_view_purchase_attribution",
+    sql="""
+    WITH v AS (SELECT user_id, ts, event_id FROM events
+               WHERE event_type = 'view'),
+    p AS (SELECT user_id, ts, event_id, value FROM events
+          WHERE event_type = 'purchase')
+    SELECT p.event_id AS purchase_id,
+           COUNT(*) AS n_views,
+           MIN(v.ts) AS first_view_ts,
+           CAST(p.value AS DOUBLE) AS purchase_value
+    FROM p JOIN v ON v.user_id = p.user_id
+      AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL '2 hours'
+    GROUP BY p.event_id, p.value
+    """,
+)
+def events_view_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-join attribution: each purchase credited with the views
+    by the same user in the 2 hours before it — the BATCH twin of
+    streaming.stream_stream_interval_join (same key + time-range
+    condition; the streaming variant additionally bounds state with
+    watermarks). Counts and first-view timestamps per purchase."""
+    ev = t(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("v_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+        "value",
+    )
+    joined = p.join(
+        v,
+        (p.user_id == v.user_id)
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 2 hours")),
+    )
+    return joined.groupBy("purchase_id", "value").agg(
+        F.count(F.lit(1)).alias("n_views"),
+        F.min("v_ts").alias("first_view_ts"),
+    ).select(
+        "purchase_id",
+        "n_views",
+        "first_view_ts",
+        F.col("value").cast("double").alias("purchase_value"),
+    )
