@@ -409,6 +409,7 @@ def embedding_near_dup_pairs(
     n_planes: int = 4,
     n_tables: int = 8,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via banded SRP-LSH blocking.
 
@@ -433,7 +434,9 @@ def embedding_near_dup_pairs(
     """
     from .similarity import _dim_of, cosine_with_norms, dot, hyperplanes, srp_bucket
 
-    dim = _dim_of(df, vec_col)
+    # dim: pass it when known (a schema contract) — the probe is a
+    # 1-row job per call, pure overhead when the caller already knows
+    dim = dim if dim is not None else _dim_of(df, vec_col)
     vv = F.col(vec_col).cast("array<double>")
     base_cols = [F.col(id_col), vv.alias("v"), dot(vv, vv, dim).alias("n2")]
     if block_col:

@@ -253,7 +253,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit."""
     emb = t(spark, sf_dir, "embeddings")
     return D.embedding_near_dup_pairs(
-        emb, "vec_id", "embedding", threshold=0.3, n_planes=8, n_tables=8, seed=42
+        emb, "vec_id", "embedding", threshold=0.3, n_planes=8, n_tables=8, seed=42,
+        dim=64
     )
 
 
