@@ -233,11 +233,13 @@ def ngram_jaccard_pairs(
         .distinct()
     )
     # exact verify on candidates only: per-doc sorted shingle sets
-    # (array per doc is bounded by doc length, not corpus size)
+    # (array per doc is bounded by doc length, not corpus size).
+    # Checkpointed because BOTH join sides consume it in one action —
+    # otherwise the full-table aggregation runs twice.
     sets = sh.groupBy(id_col).agg(
         F.sort_array(F.collect_list("shingle")).alias("_arr"),
         F.count(F.lit(1)).alias("_n_sh"),
-    )
+    ).localCheckpoint()
     sa = sets.select(
         F.col(id_col).alias("id_a"), F.col("_arr").alias("_aa"),
         F.col("_n_sh").alias("n_a"),
