@@ -67,25 +67,33 @@ def _read_events_arrow_fallback(spark: SparkSession, path: str) -> DataFrame:
     return spark.createDataFrame(pdf)
 
 
-def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def read_table(
+    spark: SparkSession, sf_dir: str, name: str, refresh: bool = False
+) -> DataFrame:
     """Read one testdata table; normalizes events timestamps to NTZ us.
 
     The analyzed DataFrame is memoized per session+path (stored on the
     session object so the cache dies with it): DataFrames are immutable
     lineages, so handing back the same object is safe, and it skips the
     per-call file-listing + footer-schema read — which dominates when a
-    harness runs the whole 113-query registry in one process."""
+    harness runs the whole query registry in one process. The testdata
+    directories are immutable by contract; if a caller rewrites a path
+    mid-session, pass ``refresh=True`` to drop the stale file-listing
+    snapshot."""
+    from .session import apply_runtime_conf
+
+    # runtime conf must apply on cache HITS too (a plain driver session
+    # relies on it for the events nanos fixup)
+    apply_runtime_conf(spark)
     cache = getattr(spark, "_dls_read_cache", None)
     if cache is None:
         cache = {}
         spark._dls_read_cache = cache
     path = f"{sf_dir}/{name}.parquet"
+    if refresh:
+        cache.pop(path, None)
     if path in cache:
         return cache[path]
-
-    from .session import apply_runtime_conf
-
-    apply_runtime_conf(spark)
     if name != "events":
         df = spark.read.parquet(path)
     else:
@@ -161,6 +169,11 @@ def write_parquet(
     (re-process one load date, SURVEY.md §2.1 S2): re-landing a date
     cannot clobber its neighbors. Static overwrite (the default) drops
     the whole table first."""
+    if dynamic_overwrite and mode != "overwrite":
+        # partitionOverwriteMode only applies to overwrite mode; under
+        # append the flag would silently no-op and the re-landed
+        # partition would DUPLICATE — the exact corruption it prevents
+        raise ValueError("dynamic_overwrite=True requires mode='overwrite'")
     writer = df.write.mode(mode)
     if dynamic_overwrite:
         writer = writer.option("partitionOverwriteMode", "dynamic")
@@ -401,18 +414,31 @@ def write_zorder_parquet(
     range repartition + in-partition sort on the z-value lays files on
     the curve. Columns must be numeric/orderable; NULLs rank lowest.
     """
+    if not cols:
+        raise ValueError("write_zorder_parquet needs at least one z column")
     n_buckets = 1 << bits_per_col
     qs = [i / n_buckets for i in range(1, n_buckets)]
     import json
 
+    # ONE sample + quantile job for every z column (approxQuantile
+    # takes a column list and sketches them in a single pass; nulls are
+    # ignored by the sketch) — per-column probes would scan the source
+    # len(cols) times
+    casted = df.select(
+        *[F.col(c).cast("double").alias(f"_z{ci}") for ci, c in enumerate(cols)]
+    ).sample(fraction=sample_fraction, seed=7)
+    all_bounds = casted.approxQuantile(
+        [f"_z{ci}" for ci in range(len(cols))], qs, 0.01
+    )
     zbits = None
     for ci, c in enumerate(cols):
-        bounds = (
-            df.select(F.col(c).cast("double").alias("_x"))
-            .where(F.col("_x").isNotNull())
-            .sample(fraction=sample_fraction, seed=7)
-            .approxQuantile("_x", qs, 0.01)
-        )
+        bounds = all_bounds[ci]
+        if not bounds:
+            raise ValueError(
+                f"z column {c!r} has no non-null values in the sample — "
+                "its interleaved bits would be constant and the layout "
+                "silently degrades; drop the column or fix the data"
+            )
         arr = f"from_json('{json.dumps(bounds)}', 'array<double>')"
         rank = F.expr(
             f"size(filter({arr}, b -> b <= CAST({c} AS DOUBLE)))"

@@ -265,10 +265,10 @@ def ivf_centroids_kmeans(
     k = min(n_centroids, len(X))
     rng = np.random.default_rng(seed)
     C = X[rng.choice(len(X), size=k, replace=False)]
+    # cosine assignment (matches the operator's metric): normalize,
+    # then nearest = argmax of dot; X never changes, only C does
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     for _ in range(iters):
-        # cosine assignment (matches the operator's metric): normalize,
-        # then nearest = argmax of dot
-        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
         Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
         assign = (Xn @ Cn.T).argmax(axis=1)
         for j in range(k):

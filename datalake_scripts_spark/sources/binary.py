@@ -52,6 +52,8 @@ def stream_download(url: str, dest: str, open_stream: StreamTransport | None = N
     ``dest``. Retries restart the whole object (the default transport
     has no range support; an injected one may resume internally).
     """
+    if max_attempts < 1:
+        raise ValueError(f"max_attempts must be >= 1, got {max_attempts}")
     opener = open_stream or _default_open_stream
     os.makedirs(os.path.dirname(dest) or ".", exist_ok=True)
     tmp = dest + ".part"
@@ -108,11 +110,15 @@ def mirror_recordings(
     results: list[FetchResult] = []
     for meeting in meetings:
         for rec in meeting.get("recording_files", []):
-            url = str(rec["download_url"]) + url_suffix
-            dest = os.path.join(
-                landing_dir, str(meeting["id"]), recording_file_name(rec)
-            )
+            # spec construction stays INSIDE the isolation boundary: a
+            # malformed record (missing download_url/id/file_extension)
+            # must become a FetchResult row, not abort the mirror run
+            url = dest = ""
             try:
+                url = str(rec["download_url"]) + url_suffix
+                dest = os.path.join(
+                    landing_dir, str(meeting["id"]), recording_file_name(rec)
+                )
                 n = stream_download(
                     url, dest, open_stream=open_stream, max_attempts=max_attempts
                 )

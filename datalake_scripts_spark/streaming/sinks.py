@@ -61,6 +61,13 @@ def foreach_batch_epoch_jdbc(url: str, table: str, properties: dict | None = Non
 
     props = dict(properties or {})
 
+    import re
+
+    _missing_table = re.compile(
+        r"does not exist|not found|no such table|unknown (table|relation)",
+        re.IGNORECASE,
+    )
+
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         try:
@@ -76,7 +83,14 @@ def foreach_batch_epoch_jdbc(url: str, table: str, properties: dict | None = Non
             already = (
                 reader.load().filter(F.col("batch_id") == int(epoch_id)).count()
             )
-        except Exception:  # table not created yet -> first epoch
+        except Exception as e:
+            # ONLY table-not-created-yet may pass (first epoch). Any
+            # other guard failure (connection refused, timeout, auth)
+            # must fail the batch: swallowing it would report already=0
+            # and re-append a committed epoch on replay — the exact
+            # duplicate this sink exists to prevent.
+            if not _missing_table.search(str(e)):
+                raise
             already = 0
         if already:
             return

@@ -90,3 +90,28 @@ def test_mirror_recordings_isolation_and_layout(tmp_path):
     bad = by_url["http://x/gone?tok=t"]
     assert bad.n_bytes is None and "404" in bad.error
     assert os.path.exists(str(tmp_path / "43" / "chat-r3.txt"))
+
+
+def test_mirror_recordings_malformed_record_is_isolated(tmp_path):
+    """A record missing required keys becomes an error row; the rest of
+    the run proceeds (spec construction is inside the try boundary)."""
+    meetings = [
+        {"id": 1, "recording_files": [
+            {"recording_type": "chat", "id": "r1"},  # no extension/url
+            {"recording_type": "audio_only", "id": "r2",
+             "file_extension": "m4a", "download_url": "http://x/r2"},
+        ]},
+    ]
+    res = B.mirror_recordings(
+        meetings, str(tmp_path), open_stream=fake_stream({"http://x/r2": b"OK"}),
+        max_attempts=1,
+    )
+    assert len(res) == 2
+    assert res[0].error is not None and "KeyError" in res[0].error
+    assert res[1].n_bytes == 2 and res[1].error is None
+
+
+def test_stream_download_rejects_zero_attempts(tmp_path):
+    with pytest.raises(ValueError, match="max_attempts"):
+        B.stream_download("http://x/a", str(tmp_path / "f"),
+                          open_stream=fake_stream({}), max_attempts=0)

@@ -46,7 +46,9 @@ def test_no_complex_typed_output_columns(spark, sf_dir):
 
     offenders = {}
     for name, q in REGISTRY.items():
-        df = q.fn(spark, sf_dir)  # plan only — never executed
+        # builders with eager barriers (jaccard checkpoints, CC loops)
+        # DO run jobs here — acceptable at sf0.001, the fixture scale
+        df = q.fn(spark, sf_dir)
         bad = [
             f"{f.name}:{f.dataType.simpleString()}"
             for f in df.schema.fields

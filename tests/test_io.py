@@ -213,3 +213,32 @@ def test_dynamic_partition_overwrite_replaces_only_landed_dates(spark, sf_dir, t
     # static overwrite of the same frame drops every other partition
     write_parquet(half, out, mode="overwrite", partition_by=["order_year"])
     assert spark.read.parquet(out).count() == half.count()
+
+
+def test_dynamic_overwrite_requires_overwrite_mode(spark, sf_dir, tmp_path):
+    import pytest
+
+    from datalake_scripts_spark.io import read_table, write_parquet
+
+    with pytest.raises(ValueError, match="dynamic_overwrite"):
+        write_parquet(
+            read_table(spark, sf_dir, "region"), str(tmp_path / "x"),
+            mode="append", partition_by=["r_regionkey"], dynamic_overwrite=True,
+        )
+
+
+def test_zorder_rejects_empty_and_allnull_columns(spark, sf_dir, tmp_path):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from datalake_scripts_spark.io import read_table, write_zorder_parquet
+
+    orders = read_table(spark, sf_dir, "orders")
+    with pytest.raises(ValueError, match="at least one"):
+        write_zorder_parquet(orders, str(tmp_path / "z0"), [])
+    nulled = orders.withColumn("all_null", F.lit(None).cast("double"))
+    with pytest.raises(ValueError, match="all_null"):
+        write_zorder_parquet(
+            nulled, str(tmp_path / "z1"), ["o_custkey", "all_null"],
+            sample_fraction=1.0,
+        )
