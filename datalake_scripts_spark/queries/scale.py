@@ -113,3 +113,33 @@ def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = t(spark, sf_dir, "orders")
     return profile(orders, ["o_custkey", "o_orderstatus"])
+
+
+@query(
+    "salted_join_segment_revenue",
+    sql="""
+    SELECT c.c_mktsegment AS segment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def salted_join_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order revenue per customer segment THROUGH the salted join
+    (operators.scale.salted_join): the dim replicates 8x with a salt,
+    the fact side salts deterministically, and the oracle states the
+    PLAIN join — hash-equality proves salting is a pure shuffle-shape
+    rewrite with zero result drift."""
+    orders = t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"), "o_totalprice"
+    )
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = SC.salted_join(orders, cust, "c_custkey", salt_buckets=8)
+    return joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
+    )
