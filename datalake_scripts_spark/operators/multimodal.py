@@ -145,3 +145,47 @@ def frame_sample_plan(df: DataFrame, every_n: int = 2) -> DataFrame:
         "frame_idx",
         F.explode(F.sequence(F.lit(0), F.col("fake_n_frames") - 1, F.lit(every_n))),
     )
+
+
+FRAME_FEATURES_SCHEMA = (
+    "doc_id bigint, frame_idx int, frame_embedding array<float>"
+)
+
+
+def extract_frame_features_stub(
+    df: DataFrame,
+    dim: int = 8,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    frame_col: str = "frame_idx",
+) -> DataFrame:
+    """Per-frame feature extraction over (payload, frame_idx) rows — the
+    follow-up stage of :func:`frame_sample_plan`, completing the video
+    path: binaryFile scan -> decode_metadata -> frame_sample_plan
+    (explode sampled indices) -> THIS (one embedding per sampled frame)
+    -> similarity/dedup operators on ``frame_embedding``.
+
+    Arrow-batched mapInPandas; partitioning follows the exploded rows,
+    so one long video's frames spread across tasks instead of pinning
+    one executor. STUB body (a real pipeline decodes the frame at
+    ``frame_idx`` and runs a vision encoder per Arrow batch):
+    deterministic pseudo-embedding from md5(payload bytes + frame index),
+    L2-normalized so downstream cosine math behaves."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            embs = []
+            for p, fi in zip(pdf[payload_col], pdf[frame_col]):
+                h = hashlib.md5(bytes(p) + int(fi).to_bytes(4, "big")).digest()
+                raw = [float(h[i % 16]) - 127.5 for i in range(dim)]
+                norm = sum(x * x for x in raw) ** 0.5 or 1.0
+                embs.append([x / norm for x in raw])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "frame_idx": pdf[frame_col].astype("int32"),
+                    "frame_embedding": embs,
+                }
+            )
+
+    return df.mapInPandas(_extract, FRAME_FEATURES_SCHEMA)

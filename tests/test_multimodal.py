@@ -74,3 +74,35 @@ def test_feature_extract_feeds_similarity(spark, sf_dir):
     c = emb.withColumnRenamed("doc_id", "vec_id")
     topk = S.brute_force_topk(q, c, k=2)
     assert topk.count() == 3 * 2
+
+
+def test_frame_feature_pipeline_end_to_end(spark):
+    """binary payloads -> decode -> frame sample -> per-frame features:
+    row count = sum of sampled frames; embeddings unit-norm and
+    deterministic per (payload, frame)."""
+    from pyspark.sql import Row
+
+    from datalake_scripts_spark.operators.multimodal import (
+        decode_metadata,
+        extract_frame_features_stub,
+        frame_sample_plan,
+    )
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, payload=bytearray(b"VIDEO-A")),
+         Row(doc_id=2, payload=bytearray(b"VIDEO-B"))]
+    )
+    meta = decode_metadata(df, id_col="doc_id").join(df, "doc_id")
+    sampled = frame_sample_plan(meta, every_n=2)
+    expected_rows = sampled.count()
+    feats = extract_frame_features_stub(sampled).collect()
+    assert len(feats) == expected_rows > 0
+    for r in feats:
+        norm = sum(x * x for x in r.frame_embedding) ** 0.5
+        assert abs(norm - 1.0) < 1e-5
+    # determinism: same (payload, frame) -> same embedding
+    again = extract_frame_features_stub(sampled).collect()
+    key = lambda r: (r.doc_id, r.frame_idx)
+    assert {key(r): tuple(r.frame_embedding) for r in feats} == {
+        key(r): tuple(r.frame_embedding) for r in again
+    }
