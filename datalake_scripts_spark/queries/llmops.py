@@ -859,3 +859,38 @@ def dedup_duplicate_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame
     pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.5,
                                 block_col="lang")
     return duplicate_clusters_star(pairs)
+
+
+@query(
+    "multimodal_frame_sample",
+    sql=f"""
+    WITH meta AS (
+      SELECT doc_id, CAST(1 + {_hexbyte_sql(2)} % 8 AS INT) AS fake_n_frames
+      FROM documents)
+    SELECT doc_id,
+           CAST(CEIL(fake_n_frames / 2.0) AS BIGINT) AS n_sampled,
+           array_to_string(list_transform(range(0, fake_n_frames, 2),
+                                          i -> CAST(i AS VARCHAR)), ',')
+             AS frame_idxs
+    FROM meta
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over the decoded video metadata
+    (operators.multimodal.frame_sample_plan, every 2nd frame): per doc,
+    the sampled index list and its count — the row-multiplying explode
+    that feeds extract_frame_features_stub, checked exactly against the
+    oracle's range arithmetic over the same md5-derived frame counts."""
+    from ..operators.multimodal import decode_metadata, frame_sample_plan
+
+    docs = t(spark, sf_dir, "documents")
+    payloads = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    meta = decode_metadata(payloads)
+    sampled = frame_sample_plan(meta, every_n=2)
+    return sampled.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.concat_ws(
+            ",", F.transform(F.array_sort(F.collect_list("frame_idx")),
+                             lambda x: x.cast("string"))
+        ).alias("frame_idxs"),
+    )
