@@ -1,0 +1,325 @@
+"""Training-data curation queries: published-heuristic quality rules,
+chunk-level dedup, sequence packing, mixture sampling, vocabulary build.
+
+These extend the LLM-ops family (llmops.py) with the remaining steps a
+large-scale pretraining-data pipeline runs between "raw corpus" and
+"tokenizer-ready shards". Reference parity: the reference engine has no
+equivalents (its scope ends at normalize+serve, monkey_proc.py /
+vk_proc.py); these are engine extensions per SURVEY.md §2.8b.
+
+Scale notes (100 TB shapes):
+- quality rules and mixture sampling are map-only (no shuffle);
+- chunk dedup shuffles once on the chunk hash (uniform key — md5);
+- sequence packing windows inside hash buckets, never a global sort;
+- vocabulary build is partial-agg + TakeOrdered (map-side combine,
+  driver receives only the top-k).
+
+Determinism: integer arithmetic + double division of exact integer
+parts everywhere (bit-identical across engines); deterministic
+tie-breaks on every top-k/keep-first rule; the Knuth multiplicative
+hash (`(key * 2654435761) % m`) for engine-portable sampling/bucketing
+(same pattern as llmops.sample_stratified_hash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import text as X
+from .registry import query, t
+
+SQL_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality rules (Rae et al. 2021, §A1.1 heuristics family)
+# ---------------------------------------------------------------------------
+
+_GOPHER_MIN_WORDS = 10
+_GOPHER_MAX_WORDS = 200
+_GOPHER_MIN_MWL = 2.0
+_GOPHER_MAX_MWL = 10.0
+_GOPHER_MIN_ALPHA = 0.8
+_GOPHER_MIN_STOP_HITS = 2
+
+
+def _gopher_sql() -> str:
+    sw = "[" + ", ".join(f"'{w}'" for w in X.STOPWORDS_EN) + "]"
+    return f"""
+    WITH s AS (
+      SELECT doc_id, {SQL_TOKS} AS tk FROM documents
+    ), m AS (
+      SELECT doc_id,
+             CAST(len(tk) AS BIGINT) AS n_words,
+             CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE)
+               / GREATEST(len(tk), 1) AS mean_word_len,
+             CAST(len(list_filter(tk, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+               / GREATEST(len(tk), 1) AS alpha_word_ratio,
+             CAST(len(list_filter(tk, x -> list_contains({sw}, x))) AS BIGINT)
+               AS stopword_hits
+      FROM s
+    )
+    SELECT doc_id, n_words, mean_word_len, alpha_word_ratio, stopword_hits,
+           CAST(CASE WHEN n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS}
+                      AND mean_word_len BETWEEN {_GOPHER_MIN_MWL} AND {_GOPHER_MAX_MWL}
+                      AND alpha_word_ratio >= {_GOPHER_MIN_ALPHA}
+                      AND stopword_hits >= {_GOPHER_MIN_STOP_HITS}
+                     THEN 1 ELSE 0 END AS INT) AS keep
+    FROM m
+    """
+
+
+@query("quality_gopher_rules", sql=_gopher_sql())
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-paper-style repetition-free quality gates: word-count
+    bounds, mean-word-length bounds, alphabetic-word ratio, minimum
+    stopword evidence. Map-only; every rule a native expression (one
+    whole-stage-codegen span, no UDF)."""
+    docs = t(spark, sf_dir, "documents")
+    toks = X.tokens("text")
+    n_words = F.size(toks)
+    mwl = F.aggregate(
+        toks, F.lit(0), lambda acc, x: acc + F.length(x)
+    ).cast("double") / F.greatest(n_words, F.lit(1))
+    sw = F.array(*[F.lit(w) for w in X.STOPWORDS_EN])
+    alpha = F.size(F.filter(toks, lambda x: x.rlike("[a-z]"))).cast(
+        "double"
+    ) / F.greatest(n_words, F.lit(1))
+    hits = F.size(F.filter(toks, X._contains(sw))).cast("bigint")
+    m = docs.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        mwl.alias("mean_word_len"),
+        alpha.alias("alpha_word_ratio"),
+        hits.alias("stopword_hits"),
+    )
+    keep = (
+        F.col("n_words").between(_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS)
+        & F.col("mean_word_len").between(_GOPHER_MIN_MWL, _GOPHER_MAX_MWL)
+        & (F.col("alpha_word_ratio") >= _GOPHER_MIN_ALPHA)
+        & (F.col("stopword_hits") >= _GOPHER_MIN_STOP_HITS)
+    )
+    return m.withColumn("keep", keep.cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# Chunk-level exact dedup (the distributed form of C4's line-level dedup)
+# ---------------------------------------------------------------------------
+
+_CHUNK_WORDS = 20
+
+
+def _chunk_dedup_sql() -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {SQL_TOKS} AS tk FROM documents
+    ), ch AS (
+      SELECT doc_id,
+             unnest(list_transform(range(CAST(ceil(len(tk)/{_CHUNK_WORDS}.0) AS BIGINT)),
+                    i -> struct_pack(idx := i,
+                                     h := md5(array_to_string(
+                                        tk[i*{_CHUNK_WORDS}+1:i*{_CHUNK_WORDS}+{_CHUNK_WORDS}], ' '))))) AS c
+      FROM toks WHERE len(tk) > 0
+    ), ranked AS (
+      SELECT doc_id, c.idx AS chunk_idx, c.h AS chunk_hash,
+             row_number() OVER (PARTITION BY c.h ORDER BY doc_id, c.idx) AS rn
+      FROM ch
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS total_chunks,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS kept_chunks,
+           CAST(SUM(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS BIGINT) AS dup_chunks
+    FROM ranked GROUP BY doc_id
+    """
+
+
+@query("dedup_paragraph_chunks", sql=_chunk_dedup_sql())
+def dedup_paragraph_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level exact dedup: shred each document into fixed 20-token
+    chunks (the paragraph unit for this corpus — the synthetic docs have
+    no newlines), keep the first corpus-wide occurrence of each chunk
+    (min (doc_id, chunk_idx)), report per-doc survival. One shuffle, on
+    the md5 chunk hash — a uniform key, so no skew at 100 TB; the
+    shred itself is a generate (no Python)."""
+    docs = t(spark, sf_dir, "documents")
+    toks = X.tokens("text")
+    n_chunks = F.ceil(F.size(toks) / F.lit(float(_CHUNK_WORDS))).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.md5(
+            F.array_join(F.slice(toks, i * _CHUNK_WORDS + 1, _CHUNK_WORDS), " ")
+        ),
+    )
+    ch = (
+        docs.filter(F.size(toks) > 0)
+        .select("doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk_hash"))
+    )
+    w = Window.partitionBy("chunk_hash").orderBy("doc_id", "chunk_idx")
+    ranked = ch.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("doc_id").agg(
+        F.count("*").alias("total_chunks"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("kept_chunks"),
+        F.sum(F.when(F.col("rn") == 1, 0).otherwise(1))
+        .cast("bigint")
+        .alias("dup_chunks"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (bucketed greedy — the distributed sample-packing step)
+# ---------------------------------------------------------------------------
+
+_PACK_CAPACITY = 512
+_PACK_BUCKETS = 8
+
+
+def _pack_sql() -> str:
+    return f"""
+    WITH d AS (
+      SELECT doc_id,
+             (doc_id * 2654435761) % {_PACK_BUCKETS} AS bucket,
+             CAST(len({SQL_TOKS}) AS BIGINT) AS n_tokens
+      FROM documents
+    ), packed AS (
+      SELECT doc_id, bucket, n_tokens,
+             CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+                    PARTITION BY bucket ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  / {_PACK_CAPACITY}.0) AS BIGINT) AS pack_id
+      FROM d
+    )
+    SELECT bucket, pack_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM packed GROUP BY bucket, pack_id
+    """
+
+
+@query("pack_sequences_greedy", sql=_pack_sql())
+def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents to fixed-token-capacity packs
+    for training shards. Greedy-sequential within Knuth-hash buckets —
+    the distributed form: a global first-fit needs a global sort +
+    sequential state, so we pack per bucket (window over bucket, ordered
+    by key; exclusive running token sum div capacity). At 100 TB the
+    bucket count scales with the cluster and no stage sees more than one
+    bucket's worth of window state."""
+    docs = t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        ((F.col("doc_id") * F.lit(2654435761)) % _PACK_BUCKETS).alias("bucket"),
+        X.token_count("text").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = d.withColumn(
+        "pack_id",
+        F.floor(
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+            / F.lit(float(_PACK_CAPACITY))
+        ).cast("bigint"),
+    )
+    return packed.groupBy("bucket", "pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("pack_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mixture sampling (per-source target rates, reproducible)
+# ---------------------------------------------------------------------------
+
+_MIX_RATES = {"src0": 500, "src1": 250, "src2": 100, "src3": 50}  # per-mille
+_MIX_DEFAULT = 20
+
+
+def _mixture_sql() -> str:
+    cases = " ".join(
+        f"WHEN source = '{s}' THEN {r}" for s, r in _MIX_RATES.items()
+    )
+    return f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             CASE {cases} ELSE {_MIX_DEFAULT} END AS rate_pm,
+             (doc_id * 2654435761) % 1000 AS h
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN h < rate_pm THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN h < rate_pm THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS achieved_rate
+    FROM d GROUP BY source
+    """
+
+
+@query("mixture_weighted_sample", sql=_mixture_sql())
+def mixture_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture construction: per-source target sampling rates
+    applied via the Knuth hash — reproducible across engines, runs and
+    partitionings (df.sample() is neither), so a mixture recipe is an
+    auditable artifact. Map-only + one tiny agg; the keep decision
+    never shuffles the corpus."""
+    docs = t(spark, sf_dir, "documents")
+    rate = F.lit(_MIX_DEFAULT)
+    for s, r in reversed(_MIX_RATES.items()):
+        rate = F.when(F.col("source") == s, F.lit(r)).otherwise(rate)
+    d = docs.select(
+        "source",
+        rate.alias("rate_pm"),
+        ((F.col("doc_id") * F.lit(2654435761)) % 1000).alias("h"),
+    )
+    kept = F.sum(F.when(F.col("h") < F.col("rate_pm"), 1).otherwise(0))
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_total"),
+        kept.cast("bigint").alias("n_kept"),
+        (kept.cast("double") / F.count("*")).alias("achieved_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary build (tokenizer-training prep)
+# ---------------------------------------------------------------------------
+
+_VOCAB_TOP = 50
+
+
+def _vocab_sql() -> str:
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({SQL_TOKS}) AS token FROM documents
+    )
+    SELECT token,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM tok GROUP BY token
+    ORDER BY n_occurrences DESC, token
+    LIMIT {_VOCAB_TOP}
+    """
+
+
+@query("vocab_token_frequencies", sql=_vocab_sql())
+def vocab_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary with term + document frequencies, top-k by
+    count (tie-broken by token — the rank-50 boundary is deterministic
+    so both engines pick the same set). Partial aggregation map-side;
+    the driver receives only k rows via TakeOrdered."""
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(X.tokens("text")).alias("token"))
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), "token")
+        .limit(_VOCAB_TOP)
+    )
