@@ -289,6 +289,75 @@ def mixture_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Vocabulary build (tokenizer-training prep)
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# TF-IDF top terms (relevance scoring over the corpus vocabulary)
+# ---------------------------------------------------------------------------
+
+_TFIDF_TOP = 3
+
+
+def _tfidf_sql() -> str:
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({SQL_TOKS}) AS token FROM documents
+    ), tf AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, token
+    ), df AS (
+      SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY token
+    ), n AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.token,
+             ROUND(tf.tf * LN(n.n_docs / df.df), 6) AS tfidf
+      FROM tf JOIN df USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, token, tfidf FROM (
+      SELECT doc_id, token, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, token) AS rn
+      FROM scored
+    ) WHERE rn <= {_TFIDF_TOP}
+    """
+
+
+@query("text_tfidf_top_terms", sql=_tfidf_sql())
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF per (doc, term), top-3 terms per document. Scale shape:
+    term frequencies shuffle once on (doc_id, token); the document-
+    frequency table is vocabulary-sized (tiny vs the corpus) so it and
+    the 1-row corpus count enter as BROADCAST joins — the fact table
+    never re-shuffles for the score; the final per-doc top-k windows on
+    doc_id. ROUND(...,6) on the LN output only (libm parity rule,
+    queries/__init__.py)."""
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(X.tokens("text")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count("*").cast("double").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "token")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TFIDF_TOP)
+        .select("doc_id", "token", "tfidf")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary build (tokenizer-training prep)
+# ---------------------------------------------------------------------------
+
 _VOCAB_TOP = 50
 
 
