@@ -137,6 +137,69 @@ def read_json(
     return reader.json(path)
 
 
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    header: bool = True,
+    delimiter: str = ",",
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """CSV scan (lake-format completeness beyond the reference's
+    JSON/parquet surface, SURVEY.md §2.8b). Same policy as read_json:
+    explicit schema preferred (inference is a second full read at
+    100 TB), PERMISSIVE mode parks malformed lines in ``corrupt_col``
+    instead of failing the job."""
+    reader = (
+        spark.read.option("header", header)
+        .option("sep", delimiter)
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .option("mode", "PERMISSIVE")
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
+def write_csv(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    header: bool = True,
+    delimiter: str = ",",
+    partition_by: list[str] | None = None,
+) -> None:
+    """CSV sink — the interchange format for downstream non-Spark
+    consumers. Complex columns (array/map/struct) are not CSV-encodable;
+    callers flatten first (operators.nested.flatten_struct)."""
+    writer = df.write.mode(mode).option("header", header).option("sep", delimiter)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.csv(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — columnar twin of the parquet path with the same
+    pushdown/pruning behavior (Catalyst treats both as v2 file sources);
+    for lakes standardized on ORC rather than parquet."""
+    return spark.read.orc(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+) -> None:
+    """ORC sink (see read_orc)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
 def read_binary_files(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
     """Binary-object scan for multimodal ingest (reference stores Zoom
     recordings as raw S3 objects, ``zoom_load.py:148-206``; here they

@@ -242,3 +242,44 @@ def test_zorder_rejects_empty_and_allnull_columns(spark, sf_dir, tmp_path):
             nulled, str(tmp_path / "z1"), ["o_custkey", "all_null"],
             sample_fraction=1.0,
         )
+
+
+def test_csv_round_trip_with_corrupt_capture(spark, sf_dir, tmp_path):
+    from datalake_scripts_spark.io import read_csv, read_table, write_csv
+
+    region = read_table(spark, sf_dir, "region").select(
+        "r_regionkey", "r_name"
+    )
+    out = str(tmp_path / "region_csv")
+    write_csv(region, out, mode="overwrite")
+    schema = T.StructType(
+        [
+            T.StructField("r_regionkey", T.LongType()),
+            T.StructField("r_name", T.StringType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    back = read_csv(spark, out, schema=schema).drop("_corrupt_record")
+    assert sorted(back.collect()) == sorted(region.collect())
+    # malformed line lands in _corrupt_record, does not fail the scan
+    p = tmp_path / "bad.csv"
+    p.write_text("r_regionkey,r_name\nnot_a_number_with,too,many,cols\n7,ok\n")
+    df = read_csv(spark, str(p), schema=schema)
+    rows = df.collect()
+    assert any(r._corrupt_record is not None for r in rows)
+    assert any(r.r_regionkey == 7 for r in rows)
+
+
+def test_orc_round_trip_partitioned(spark, sf_dir, tmp_path):
+    from datalake_scripts_spark.io import read_orc, read_table, write_orc
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    out = str(tmp_path / "orders_orc")
+    write_orc(orders, out, mode="overwrite", partition_by=["o_orderstatus"])
+    back = read_orc(spark, out)
+    assert back.count() == orders.count()
+    # partition pruning: a status filter must not scan other partitions
+    plan = back.filter(F.col("o_orderstatus") == "F")._jdf.queryExecution().executedPlan().toString()
+    assert "o_orderstatus" in plan
