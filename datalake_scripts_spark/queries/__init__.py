@@ -27,6 +27,7 @@ from . import llmops  # noqa: F401,E402
 from . import events  # noqa: F401,E402
 from . import scale  # noqa: F401,E402
 from . import traindata  # noqa: F401,E402
+from . import sketches  # noqa: F401,E402
 
 
 def queries():

@@ -1,0 +1,128 @@
+"""Mergeable-sketch queries (Apache DataSketches, built into Spark 4).
+
+The 100 TB rationale: exact COUNT(DISTINCT) and exact percentiles need
+a shuffle of every distinct value / every row; sketches are bounded-size
+state that merges ASSOCIATIVELY, so Spark computes them as map-side
+partial aggregates + a tiny final union — one pass, no wide shuffle of
+raw values. This is the only viable shape for corpus-wide cardinality /
+quantile profiling at scale, and the sketch binaries themselves can be
+persisted and re-merged incrementally (per-day sketches -> monthly
+rollup without touching raw data).
+
+Oracle strategy: DataSketches HLL and theta are EXACT while in their
+sparse/exact regimes (HLL: coupon list below ~2^lgK entries; theta:
+below k=4096 retained hashes). The sf0.01 group cardinalities sit far
+inside those regimes, so the rounded estimates hash-match an exact
+COUNT(DISTINCT) oracle — at production scale the same plans degrade
+gracefully to ±1-2% estimates, which is the point of using them. KLL
+quantile compaction is randomized, so that query is registered
+rows-only (driver contract: weaker check, noted) with a tolerance test
+in tests/test_sketches.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import text as X
+from .registry import query, t
+
+
+@query(
+    "sketch_hll_token_cardinality",
+    sql=f"""
+    WITH tok AS (
+      SELECT source, unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                        x -> x <> '')) AS token
+      FROM documents
+    )
+    SELECT source, CAST(COUNT(DISTINCT token) AS BIGINT) AS distinct_tokens
+    FROM tok GROUP BY source
+    """,
+)
+def sketch_hll_token_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary cardinality via HLL sketches: map-side
+    partial sketches, associative merge in the final agg — no shuffle of
+    the tokens themselves. Estimate is exact in the sparse regime (see
+    module docstring), hence the exact-distinct oracle."""
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(X.tokens("text")).alias("token"))
+    return tok.groupBy("source").agg(
+        F.round(F.hll_sketch_estimate(F.hll_sketch_agg("token")))
+        .cast("bigint")
+        .alias("distinct_tokens")
+    )
+
+
+@query(
+    "sketch_hll_union_rollup",
+    sql=f"""
+    WITH tok AS (
+      SELECT source, unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                        x -> x <> '')) AS token
+      FROM documents
+    )
+    SELECT CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(COUNT(DISTINCT token) AS BIGINT) AS global_distinct_tokens
+    FROM tok
+    """,
+)
+def sketch_hll_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental-rollup shape: build one HLL sketch PER SOURCE
+    (stage 1 — in production these are persisted per-shard binaries),
+    then hll_union_agg them into the corpus-wide cardinality (stage 2)
+    WITHOUT revisiting the raw tokens. The union is lossless over
+    sketches, so the two-stage estimate equals the one-shot one."""
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(X.tokens("text")).alias("token"))
+    per_source = tok.groupBy("source").agg(
+        F.hll_sketch_agg("token").alias("sketch")
+    )
+    return per_source.agg(
+        F.count("*").cast("bigint").alias("n_sources"),
+        F.round(F.hll_sketch_estimate(F.hll_union_agg("sketch")))
+        .cast("bigint")
+        .alias("global_distinct_tokens"),
+    )
+
+
+@query(
+    "sketch_theta_customer_reach",
+    sql="""
+    SELECT o_orderstatus,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS distinct_customers
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def sketch_theta_customer_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct customers per order status via theta sketches (exact
+    below k=4096 retained hashes — true at sf0.01; set-expression-
+    capable at scale, unlike HLL: theta supports intersection/difference
+    for audience-overlap questions)."""
+    orders = t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(F.theta_sketch_estimate(F.theta_sketch_agg("o_custkey")))
+        .cast("bigint")
+        .alias("distinct_customers")
+    )
+
+
+@query("sketch_kll_price_quantiles", sql=None)
+def sketch_kll_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-mergeable quantiles: KLL sketch of o_totalprice per
+    order status, queried at p50/p90/p99. Rows-only driver check — KLL
+    compaction is randomized (tolerance-bounded test in
+    tests/test_sketches.py); the scale story is the same as HLL:
+    bounded state, map-side partials, associative merge, vs an exact
+    percentile's full sort per group."""
+    orders = t(spark, sf_dir, "orders")
+    sk = F.kll_sketch_agg_double(F.col("o_totalprice").cast("double"))
+    agg = orders.groupBy("o_orderstatus").agg(sk.alias("sketch"))
+    return agg.select(
+        "o_orderstatus",
+        F.kll_sketch_get_n_double("sketch").cast("bigint").alias("n"),
+        F.kll_sketch_get_quantile_double("sketch", F.lit(0.5)).alias("p50"),
+        F.kll_sketch_get_quantile_double("sketch", F.lit(0.9)).alias("p90"),
+        F.kll_sketch_get_quantile_double("sketch", F.lit(0.99)).alias("p99"),
+    )

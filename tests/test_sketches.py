@@ -1,0 +1,55 @@
+"""Sketch-family tests: exactness in the sparse regime, tolerance for
+the randomized KLL quantiles, and mergeability (two-stage union ==
+one-shot sketch)."""
+
+from pyspark.sql import functions as F
+
+from datalake_scripts_spark.io import read_table
+from datalake_scripts_spark.queries import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_hll_exact_in_sparse_regime(spark):
+    pdf = REGISTRY["sketch_hll_token_cardinality"].fn(spark, SF).toPandas()
+    docs = read_table(spark, SF, "documents")
+    from datalake_scripts_spark.operators import text as X
+
+    exact = (
+        docs.select("source", F.explode(X.tokens("text")).alias("token"))
+        .groupBy("source")
+        .agg(F.countDistinct("token").alias("exact"))
+        .toPandas()
+    )
+    m = pdf.merge(exact, on="source")
+    assert (m.distinct_tokens == m.exact).all()
+
+
+def test_hll_union_equals_one_shot(spark):
+    pdf = REGISTRY["sketch_hll_union_rollup"].fn(spark, SF).toPandas()
+    docs = read_table(spark, SF, "documents")
+    from datalake_scripts_spark.operators import text as X
+
+    tok = docs.select("source", F.explode(X.tokens("text")).alias("token"))
+    one_shot = tok.agg(
+        F.round(F.hll_sketch_estimate(F.hll_sketch_agg("token"))).cast("bigint")
+    ).first()[0]
+    assert pdf.global_distinct_tokens.iloc[0] == one_shot
+
+
+def test_kll_quantiles_within_sketch_error(spark):
+    pdf = REGISTRY["sketch_kll_price_quantiles"].fn(spark, SF).toPandas()
+    orders = read_table(spark, SF, "orders")
+    for _, row in pdf.iterrows():
+        vals = (
+            orders.filter(F.col("o_orderstatus") == row.o_orderstatus)
+            .select(F.col("o_totalprice").cast("double").alias("v"))
+            .toPandas()
+            .v.sort_values()
+            .reset_index(drop=True)
+        )
+        assert row.n == len(vals)
+        # KLL default k=200: normalized rank error ~1.65%; allow 3%
+        for q, got in [(0.5, row.p50), (0.9, row.p90), (0.99, row.p99)]:
+            rank = (vals <= got).mean()
+            assert abs(rank - q) <= 0.03, (row.o_orderstatus, q, rank)
