@@ -40,6 +40,9 @@ BENCH_QUERIES = [
     "dedup_winnowing_pairs",
     "dedup_duplicate_clusters_star",
     "nested_flatten_struct",
+    "dedup_paragraph_chunks",
+    "text_tfidf_top_terms",
+    "sketch_hll_union_rollup",
 ]
 
 
