@@ -26,7 +26,12 @@ from __future__ import annotations
 import json
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StructType
 
 
@@ -101,6 +106,84 @@ class RestPagesReader(DataSourceReader):
                 yield tuple(rec.get(n) for n in self.field_names)
 
 
+class RestStreamDataSource(DataSource):
+    """``readStream.format("reststream")`` — incremental cursor-polling
+    ingest: each microbatch fetches the pages that appeared since the
+    last committed offset (the Spark-native continuous form of the
+    reference's cron-driven re-runs of its loader scripts).
+
+    Options: ``url_template`` (``{page}`` placeholder), optional
+    ``records_field``, optional ``max_pages_per_batch`` (default 10).
+    Offsets are ``{"page": n}`` — the next page to fetch; a page that
+    fails to fetch is treated as not-yet-published and ends the batch
+    (probe semantics: attempts=1, no backoff — a transient failure just
+    retries next trigger). readBetweenOffsets re-fetches a committed
+    range verbatim for replay, so exactly-once holds end-to-end when
+    pages are immutable (the usual contract for numbered pages)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "reststream"
+
+    def schema(self) -> str | StructType:
+        raise ValueError("reststream requires an explicit .schema(...)")
+
+    def simpleStreamReader(self, schema: StructType) -> "RestStreamReader":
+        return RestStreamReader(schema, self.options)
+
+
+class RestStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, schema: StructType, options: dict) -> None:
+        if "url_template" not in options:
+            raise ValueError("reststream requires the url_template option")
+        self.url_template = options["url_template"]
+        self.records_field = options.get("records_field")
+        self.batch_cap = int(options.get("max_pages_per_batch", 10))
+        self.field_names = [f.name for f in schema.fields]
+
+    def initialOffset(self) -> dict:
+        return {"page": 0}
+
+    def _fetch_page(self, page: int) -> list | None:
+        from .rest import RestClient
+
+        client = RestClient(max_attempts=1)
+        try:
+            doc = json.loads(client.get(self.url_template.format(page=page)))
+        except Exception:
+            return None
+        if self.records_field is not None:
+            doc = doc[self.records_field]
+        return doc if isinstance(doc, list) else [doc]
+
+    def _rows(self, records: list) -> Iterator[tuple]:
+        for rec in records:
+            yield tuple(rec.get(n) for n in self.field_names)
+
+    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        page = start["page"]
+        out: list[tuple] = []
+        while page - start["page"] < self.batch_cap:
+            records = self._fetch_page(page)
+            if records is None:
+                break
+            out.extend(self._rows(records))
+            page += 1
+        return iter(out), {"page": page}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        for page in range(start["page"], end["page"]):
+            records = self._fetch_page(page)
+            if records is None:
+                raise RuntimeError(
+                    f"replay of committed page {page} failed — numbered pages "
+                    "must be immutable for exactly-once recovery"
+                )
+            yield from self._rows(records)
+
+
 def register_rest_datasource(spark) -> None:
-    """Make ``format('restpages')`` available on this session."""
+    """Make ``format('restpages')`` / ``format('reststream')``
+    available on this session."""
     spark.dataSource.register(RestPagesDataSource)
+    spark.dataSource.register(RestStreamDataSource)

@@ -70,3 +70,55 @@ def test_restpages_requires_schema_and_options(spark, tmp_path):
             .load()
             .collect()
         )
+
+
+def test_reststream_incremental_pages(spark, tmp_path):
+    import json as _json
+    import time
+
+    from datalake_scripts_spark.sources.rest_datasource import (
+        register_rest_datasource,
+    )
+
+    register_rest_datasource(spark)
+
+    def put(p):
+        (tmp_path / f"page{p}.json").write_text(
+            _json.dumps([{"id": p, "name": f"r{p}"}])
+        )
+
+    put(0)
+    put(1)
+    url = f"file://{tmp_path}/page{{page}}.json"
+    stream = (
+        spark.readStream.format("reststream")
+        .schema("id long, name string")
+        .option("url_template", url)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("rest_stream_sink")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.sql("select count(*) c from rest_stream_sink").first().c >= 2:
+                break
+            time.sleep(0.5)
+        # a new page published after the stream started is picked up
+        put(2)
+        while time.time() < deadline:
+            if spark.sql("select count(*) c from rest_stream_sink").first().c >= 3:
+                break
+            time.sleep(0.5)
+        rows = sorted(
+            (r.id, r.name)
+            for r in spark.sql("select * from rest_stream_sink").collect()
+        )
+        assert rows == [(0, "r0"), (1, "r1"), (2, "r2")]
+    finally:
+        q.stop()
