@@ -364,3 +364,43 @@ def events_view_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFr
         "first_view_ts",
         F.col("value").cast("double").alias("purchase_value"),
     )
+
+
+@query(
+    "events_hierarchical_rollup",
+    sql=f"""
+    SELECT time_bucket(INTERVAL 1 DAY, ts) AS day_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM({SQL_DEC_VALUE}) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def events_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: daily stats
+    computed FROM the hourly aggregate, never re-scanning raw events —
+    at 100 TB the hourly table is the only thing the daily (and
+    monthly) jobs read. Counts and decimal sums compose by SUM; distinct
+    users do NOT compose, so the hourly level carries an HLL sketch per
+    bucket and the daily level merges sketches (hll_union_agg — exact
+    in the sparse regime, the oracle is the raw-scan daily aggregate).
+    """
+    ev = t(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.window("ts", "1 hour")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.hll_sketch_agg("user_id").alias("users_sketch"),
+        F.sum(F.col("value").cast("decimal(12,2)")).alias("sum_value_dec"),
+    )
+    return (
+        hourly.groupBy(
+            F.date_trunc("DAY", F.col("window.start")).alias("day_start")
+        )
+        .agg(
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.round(F.hll_sketch_estimate(F.hll_union_agg("users_sketch")))
+            .cast("bigint")
+            .alias("n_users"),
+            F.sum("sum_value_dec").cast("double").alias("sum_value"),
+        )
+    )
