@@ -419,3 +419,33 @@ def union_missing_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reg.unionByName(nat, allowMissingColumns=True).select(
         F.col("key").cast("bigint").alias("key"), "name", "extra"
     )
+
+
+@query(
+    "json_variant_typed_extract",
+    sql="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           CAST(CASE WHEN json_extract_string(props, '$.missing') IS NULL
+                     THEN 1 ELSE 0 END AS INT) AS missing_is_null
+    FROM events
+    """,
+)
+def json_variant_typed_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access via Spark 4 VARIANT: ``parse_json`` once
+    into the binary variant encoding, then typed ``variant_get`` paths.
+    At scale this beats per-extraction ``get_json_object`` (which
+    re-parses the string for every path) and enables shredded columnar
+    variant storage; ``try_variant_get`` returns NULL for absent paths
+    instead of erroring (reference's blanket try/except,
+    vk_proc.py:811-812, done right)."""
+    ev = t(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "bigint").alias("k"),
+        F.try_variant_get(v, "$.missing", "string")
+        .isNull()
+        .cast("int")
+        .alias("missing_is_null"),
+    )
