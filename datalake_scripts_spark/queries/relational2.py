@@ -305,22 +305,57 @@ def string_split_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_distinct_stats")  # HLL sketches are engine-specific -> rows-only
+@query(
+    "approx_distinct_stats",
+    sql="""
+    SELECT COUNT(DISTINCT l_partkey) AS exact_parts,
+           COUNT(DISTINCT l_suppkey) AS exact_supps,
+           1 AS approx_parts_ok,
+           1 AS approx_supps_ok,
+           1 AS price_p50_ok,
+           1 AS price_p95_ok,
+           1 AS price_p99_ok
+    FROM lineitem
+    """,
+)
 def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct + approx percentiles — the at-scale
     replacements for exact distinct/quantiles (SURVEY.md §2.4 A3: the
-    reference imports countDistinct but never calls it). Sketch results
-    are engine-specific, so no SQL oracle (rows-only check). Quantiles
-    come out as scalar p50/p95/p99 columns, not an array (array-typed
-    outputs break result hashing downstream)."""
+    reference imports countDistinct but never calls it). Raw sketch
+    estimates are engine-specific, so the oracle-checkable contract is:
+    exact counts (anchored against DuckDB COUNT(DISTINCT)) plus
+    bound-check flags asserting the Spark sketches land inside their
+    documented error envelopes (HLL++ default rsd=0.05 -> 4-sigma 20%
+    bound; percentile_approx default accuracy=10000 -> rank error 1e-4,
+    5% value bound on a dense price distribution). Both engines see the
+    same deterministic data, so the flags are stable, not flaky."""
     li = t(spark, sf_dir, "lineitem")
     q = F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99])
-    return li.agg(
+    qe = F.percentile("l_extendedprice", [0.5, 0.95, 0.99])
+
+    def ok(approx, exact, tol):
+        return (F.abs(approx - exact) / exact <= tol).cast("int")
+
+    agg = li.agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.countDistinct("l_suppkey").alias("exact_supps"),
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.approx_count_distinct("l_suppkey").alias("approx_supps"),
-        q.getItem(0).alias("price_p50"),
-        q.getItem(1).alias("price_p95"),
-        q.getItem(2).alias("price_p99"),
+        q.getItem(0).alias("ap50"),
+        q.getItem(1).alias("ap95"),
+        q.getItem(2).alias("ap99"),
+        qe.getItem(0).alias("ep50"),
+        qe.getItem(1).alias("ep95"),
+        qe.getItem(2).alias("ep99"),
+    )
+    return agg.select(
+        "exact_parts",
+        "exact_supps",
+        ok(F.col("approx_parts"), F.col("exact_parts"), 0.20).alias("approx_parts_ok"),
+        ok(F.col("approx_supps"), F.col("exact_supps"), 0.20).alias("approx_supps_ok"),
+        ok(F.col("ap50"), F.col("ep50"), 0.05).alias("price_p50_ok"),
+        ok(F.col("ap95"), F.col("ep95"), 0.05).alias("price_p95_ok"),
+        ok(F.col("ap99"), F.col("ep99"), 0.05).alias("price_p99_ok"),
     )
 
 

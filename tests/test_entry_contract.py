@@ -21,10 +21,26 @@ def test_registry_consistency():
     assert set(qs) - set(sqls) == {
         "dedup_minhash_lsh",
         "dedup_simhash",
-        "approx_distinct_stats",
         "ann_ivf_topk_vectorized",
         "ann_ivf_kmeans_topk",
+        "sketch_kll_price_quantiles",
     }
+
+
+def test_driver_priority_prefix():
+    """The driver correctness sweep caps at the first 50 queries() in
+    iteration order; pin the curated prefix so an import reshuffle can't
+    silently rotate families out of the checked window, and require an
+    oracle (hash-exact check, not rows-only) for every prefix entry."""
+    import __spark_entry__ as e
+    from datalake_scripts_spark.queries import DRIVER_PRIORITY
+
+    assert len(DRIVER_PRIORITY) == 50
+    assert len(set(DRIVER_PRIORITY)) == 50
+    qs, sqls = e.queries(), e.oracle_sql()
+    assert list(qs)[:50] == DRIVER_PRIORITY
+    no_oracle = [n for n in DRIVER_PRIORITY if n not in sqls]
+    assert not no_oracle, f"prefix entries without oracle: {no_oracle}"
 
 
 @pytest.mark.parametrize("name", ["q1_pricing_summary", "dedup_minhash_lsh", "events_session_windows"])

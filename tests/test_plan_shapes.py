@@ -159,6 +159,19 @@ LINT_ALLOWLIST = {
     "events_hourly_growth": {"single-partition-exchange"},
     "events_gap_filled_hours": {"single-partition-exchange"},
     "profile_table_stats": {"single-partition-exchange"},
+    # tfidf attaches the scalar corpus doc-count via
+    # crossJoin(F.broadcast(one_row_df)) — the standard lazy scalar-attach
+    # idiom (BroadcastNestedLoopJoin of a 1-row build side, O(1) bytes
+    # broadcast; a driver-side .count() would make the builder eager and
+    # run a job at plan-construction time). The single-partition exchange
+    # is the final global top-k over already-aggregated per-term rows.
+    "text_tfidf_top_terms": {"cartesian-product", "single-partition-exchange"},
+    # final merge of per-partition HLL sketches: map-side partials reduce
+    # each partition to ONE fixed-size sketch (~few KiB); only those cross
+    # the single-partition exchange for the associative union. This is the
+    # canonical mergeable-sketch rollup shape — the exchange payload is
+    # O(partitions × sketch_size), independent of row count.
+    "sketch_hll_union_rollup": {"single-partition-exchange"},
 }
 
 
