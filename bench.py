@@ -8,6 +8,11 @@ Each query is executed to completion (count + a cheap checksum action via
 collect of the aggregated result — all headline queries return small
 results) after a warm-up of the session. Wall time per query includes
 plan + execution, excluding session startup.
+
+Each query runs $SPARK_GRAFT_BENCH_REPS times (default 3) and reports
+the MEDIAN — a single co-tenant load spike on the bench machine must not
+masquerade as a round-over-round regression (the recorded r2 artifact
+was 2x inflated by exactly that).
 """
 
 from __future__ import annotations
@@ -61,18 +66,34 @@ def main() -> None:
         "l_returnflag"
     ).count().collect()
 
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         q = REGISTRY[name]
-        t0 = time.time()
-        df = q.fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
-        # drop blocks persisted inside the measured query: later queries
-        # must not pay eviction churn for earlier queries' caches (the
-        # cached-table reads via read_table are plain scans, unaffected)
-        spark.catalog.clearCache()
+        samples: list[float] = []
+        n = 0
+        for _ in range(reps):
+            t0 = time.time()
+            df = q.fn(spark, sf_dir)
+            n = df.count()
+            samples.append(time.time() - t0)
+            # drop blocks persisted inside the measured query: later
+            # queries (and the next rep) must not pay eviction churn for
+            # earlier caches (read_table scans are plain, unaffected)
+            spark.catalog.clearCache()
+            # localCheckpoint blocks (iterative CC, jaccard single-pass
+            # shingles) are only freed by ContextCleaner once the Python
+            # DataFrame refs die — force that now, or reps accumulate
+            # executor storage and later reps measure eviction, not the
+            # query (observed: 10s -> 22s -> 31s without this)
+            del df
+            import gc
+
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+        timings[name] = round(sorted(samples)[len(samples) // 2], 3)
+        shown = "/".join(f"{s:.2f}" for s in sorted(samples))
+        print(f"# {name}: {n} rows, median {timings[name]}s of [{shown}]", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     sf = 0.1 if "sf0.1" in sf_dir else (0.01 if "sf0.01" in sf_dir else sf_dir)
