@@ -1,0 +1,188 @@
+"""End-to-end streaming pipeline — the engine's thesis in one job.
+
+The reference's architecture is load (REST -> raw JSON) -> process
+(normalize/typed projection) -> dual-serve (parquet staging + JDBC
+serving), run as cron-separated scripts (SURVEY.md §3). This test runs
+the same three stages as ONE Structured Streaming query:
+
+    format("reststream")            cursor-polling REST pages
+      -> to_timestamp projection    the typed-projection stage
+      -> watermarked tumbling agg   event-time processing (replaces
+                                    the reference's lag-day re-runs)
+      -> foreach_batch_dual         epoch-keyed parquet + JDBC sinks
+
+and asserts exactly-once across a forced checkpoint restart plus a
+forced epoch replay, with the streaming result equal to the batch twin
+over the same records.
+"""
+
+import json
+
+from pyspark.sql import functions as F
+
+DERBY = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+
+N_PER_PAGE = 4
+
+
+def _publish_page(tmp_path, page: int) -> None:
+    """Page p carries N events inside hour p of 2024-01-01 (ISO strings:
+    the raw zone is untyped; the pipeline does the timestamp parse)."""
+    recs = [
+        {
+            "event_id": page * 100 + i,
+            "ts": f"2024-01-01T{page:02d}:{5 * i + 1:02d}:00",
+            "event_type": "view" if i % 2 == 0 else "click",
+            "value": float(10 * page + i),
+        }
+        for i in range(N_PER_PAGE)
+    ]
+    (tmp_path / f"page{page}.json").write_text(json.dumps(recs))
+
+
+def _pipeline(spark, url_template: str):
+    """reststream scan -> typed projection -> watermarked tumbling agg."""
+    from datalake_scripts_spark.sources.rest_datasource import (
+        register_rest_datasource,
+    )
+    from datalake_scripts_spark.streaming import tumbling_agg
+
+    register_rest_datasource(spark)
+    raw = (
+        spark.readStream.format("reststream")
+        .schema("event_id long, ts string, event_type string, value double")
+        .option("url_template", url_template)
+        .load()
+    )
+    typed = raw.select(
+        "event_id",
+        F.to_timestamp("ts").alias("ts"),
+        "event_type",
+        "value",
+    )
+    return tumbling_agg(typed, window="1 hour", watermark="1 second")
+
+
+def test_reststream_window_dual_sink_exactly_once(spark, tmp_path):
+    from datalake_scripts_spark.streaming import (
+        foreach_batch_dual,
+        foreach_batch_epoch_jdbc,
+        foreach_batch_epoch_parquet,
+    )
+
+    url = f"file://{tmp_path}/page{{page}}.json"
+    jdbc_url = f"jdbc:derby:{tmp_path}/e2edb;create=true"
+    pq_out = str(tmp_path / "staging")
+    ckpt = str(tmp_path / "ckpt")
+    sink = foreach_batch_dual(
+        foreach_batch_epoch_parquet(pq_out),
+        foreach_batch_epoch_jdbc(jdbc_url, "hourly_serve", properties=DERBY),
+    )
+
+    def run_once():
+        q = (
+            _pipeline(spark, url)
+            .writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    def staged():
+        try:
+            return spark.read.parquet(pq_out)
+        except Exception:  # no epoch directory yet
+            return None
+
+    def served():
+        return (
+            spark.read.format("jdbc")
+            .option("url", jdbc_url)
+            .option("dbtable", "hourly_serve")
+            .option("driver", DERBY["driver"])
+            .load()
+        )
+
+    # ---- phase 1: pages 0-2 published, first run of the query --------
+    for p in range(3):
+        _publish_page(tmp_path, p)
+    run_once()
+    # append mode: watermark (max ts in hour 2, minus 1s) finalizes
+    # hours 0 and 1; hour 2 stays open in state
+    df = staged()
+    finalized1 = (
+        {r.window_start.hour for r in df.select("window_start").collect()}
+        if df is not None
+        else set()
+    )
+    assert finalized1 <= {0, 1}
+
+    # ---- phase 2: pages 3-4 appear, RESTART from the checkpoint ------
+    for p in (3, 4):
+        _publish_page(tmp_path, p)
+    run_once()
+
+    df = staged()
+    hours = sorted(r.window_start.hour for r in df.select("window_start").distinct().collect())
+    # hours 0-3 closed exactly once each (x2 event types); hour 4 open
+    assert {0, 1, 2, 3} <= set(hours) and 4 not in hours
+
+    # exactly-once: no (window, event_type) appears twice across epochs
+    dupes = (
+        df.groupBy("window_start", "event_type")
+        .count()
+        .filter("count > 1")
+        .count()
+    )
+    assert dupes == 0
+
+    # both sinks converged to the same rows
+    pq_rows = sorted(
+        (r.window_start, r.event_type, r.n_events, r.sum_value)
+        for r in df.select("window_start", "event_type", "n_events", "sum_value").collect()
+    )
+    jd_rows = sorted(
+        (r.window_start, r.event_type, r.n_events, r.sum_value)
+        for r in served().collect()
+    )
+    assert len(pq_rows) == len(jd_rows)
+    assert [t[1:] for t in pq_rows] == [t[1:] for t in jd_rows]
+
+    # ---- batch twin: streaming result == batch agg over hours 0-3 ----
+    recs = []
+    for p in range(5):
+        recs.extend(json.loads((tmp_path / f"page{p}.json").read_text()))
+    batch = spark.createDataFrame(recs).select(
+        F.to_timestamp("ts").alias("ts"), "event_type", "value"
+    )
+    expected = sorted(
+        (r.h, r.event_type, r.n, float(r.s))
+        for r in batch.filter(F.hour("ts") <= 3)
+        .groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("s"),
+        )
+        .collect()
+    )
+    got = sorted((w, t, n, float(s)) for (w, t, n, s) in pq_rows)
+    assert got == expected
+
+    # ---- phase 3: restart with nothing new -> nothing re-delivered ---
+    n_before, j_before = df.count(), served().count()
+    run_once()
+    assert staged().count() == n_before
+    assert served().count() == j_before
+
+    # ---- forced epoch replay (crash between sink write and commit):
+    # both epoch-keyed sinks must no-op on an already-committed epoch
+    epochs = [r.batch_id for r in staged().select("batch_id").distinct().collect()]
+    replay_epoch = min(epochs)
+    replay_rows = spark.read.parquet(f"{pq_out}/batch_id={replay_epoch}").collect()
+    schema = "window_start timestamp, event_type string, n_events bigint, sum_value double"
+    replay = spark.createDataFrame(replay_rows, schema)
+    sink(replay, replay_epoch)
+    assert staged().count() == n_before
+    assert served().count() == j_before
