@@ -58,6 +58,86 @@ def _load_manifest(table_dir: str, version: int) -> dict:
         return json.load(f)
 
 
+def _json_safe(v):
+    """Render a parquet-footer statistic JSON-serializable while keeping
+    its ordering semantics (ISO datetime strings sort chronologically)."""
+    import datetime
+    import decimal
+
+    if isinstance(v, bytes):
+        return v.decode("utf-8", "replace")
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    return v
+
+
+def _file_stats(path: str) -> dict:
+    """Per-file column stats straight from the parquet footer (pyarrow,
+    no Spark job — the same metadata Delta collects at write time).
+    Nested columns (dotted path_in_schema) are skipped: skipping
+    predicates target top-level scalars."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    cols: dict[str, dict] = {}
+    for rg in range(md.num_row_groups):
+        row_group = md.row_group(rg)
+        for ci in range(row_group.num_columns):
+            col = row_group.column(ci)
+            name = col.path_in_schema
+            if "." in name:
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                # no stats for this column in this row group -> the
+                # column is unprunable for the whole file (conservative)
+                cols[name] = None
+                continue
+            mn, mx = _json_safe(st.min), _json_safe(st.max)
+            nulls = int(st.null_count or 0)
+            prev = cols.get(name)
+            if name in cols and prev is None:
+                continue
+            if prev is None:
+                cols[name] = {"min": mn, "max": mx, "nulls": nulls}
+            else:
+                cols[name] = {
+                    "min": min(prev["min"], mn),
+                    "max": max(prev["max"], mx),
+                    "nulls": prev["nulls"] + nulls,
+                }
+    return {
+        "rows": md.num_rows,
+        "columns": {k: v for k, v in cols.items() if v is not None},
+    }
+
+
+def _file_may_match(stats: dict | None, skip_filter) -> bool:
+    """Conservative pruning: a file is kept unless its [min, max]
+    PROVABLY excludes every row for ALL conjuncts. Missing stats (file,
+    column, or all-null column) keep the file."""
+    if not stats or not skip_filter:
+        return True
+    for col, op, val in skip_filter:
+        cs = stats.get("columns", {}).get(col)
+        if cs is None:
+            continue
+        mn, mx = cs["min"], cs["max"]
+        if op == "=" and not (mn <= val <= mx):
+            return False
+        if op in (">=",) and not (mx >= val):
+            return False
+        if op in (">",) and not (mx > val):
+            return False
+        if op in ("<=",) and not (mn <= val):
+            return False
+        if op in ("<",) and not (mn < val):
+            return False
+    return True
+
+
 def write_versioned(
     spark: SparkSession, df: DataFrame, table_dir: str, mode: str = "append"
 ) -> int:
@@ -80,13 +160,21 @@ def write_versioned(
 
     shutil.rmtree(staging)
 
-    # 2. commit the manifest
+    # 2. commit the manifest, carrying per-file footer stats (row count
+    # + column min/max/nulls) so snapshots support metadata-only counts
+    # and file skipping; append re-uses prior files' recorded stats
+    new_stats = {
+        f: _file_stats(os.path.join(table_dir, f)) for f in new_files
+    }
     prev = current_version(table_dir)
     files = new_files
+    stats = new_stats
     if mode == "append" and prev > 0:
-        files = _load_manifest(table_dir, prev)["files"] + new_files
+        prev_manifest = _load_manifest(table_dir, prev)
+        files = prev_manifest["files"] + new_files
+        stats = {**prev_manifest.get("stats", {}), **new_stats}
     version = prev + 1
-    manifest = {"version": version, "mode": mode, "files": files}
+    manifest = {"version": version, "mode": mode, "files": files, "stats": stats}
     mpath = os.path.join(_manifest_dir(table_dir), f"v{version:05d}.json")
     with open(mpath, "w") as f:
         json.dump(manifest, f)
@@ -100,15 +188,81 @@ def write_versioned(
 
 
 def read_versioned(
-    spark: SparkSession, table_dir: str, version: int | None = None
+    spark: SparkSession,
+    table_dir: str,
+    version: int | None = None,
+    skip_filter: list[tuple] | None = None,
 ) -> DataFrame:
-    """Read a snapshot (latest by default; ``version`` time-travels)."""
+    """Read a snapshot (latest by default; ``version`` time-travels).
+
+    ``skip_filter`` is a conjunctive list of ``(column, op, value)``
+    with op in {=, <, <=, >, >=}: files whose manifest min/max provably
+    exclude all matching rows are never opened (Delta-style data
+    skipping from the manifest stats), and the residual predicate is
+    applied to the surviving rows so results are exact either way.
+    Values compare against footer stats — numbers as numbers, strings
+    lexicographically, timestamps as ISO strings."""
     v = version or current_version(table_dir)
     if v == 0:
         raise FileNotFoundError(f"no committed version in {table_dir}")
-    files = _load_manifest(table_dir, v)["files"]
+    manifest = _load_manifest(table_dir, v)
+    files = manifest["files"]
+    if skip_filter:
+        stats = manifest.get("stats", {})
+        files = [f for f in files if _file_may_match(stats.get(f), skip_filter)]
+    if not files:
+        # every file pruned: preserve the schema via a zero-row scan of
+        # one manifest file with an always-false filter
+        from pyspark.sql import functions as F
+
+        first = os.path.join(table_dir, manifest["files"][0])
+        return spark.read.parquet(first).filter(F.lit(False))
     paths = [os.path.join(table_dir, f) for f in files]
-    return spark.read.parquet(*paths)
+    df = spark.read.parquet(*paths)
+    if skip_filter:
+        from pyspark.sql import functions as F
+
+        _OPS = {
+            "=": lambda c, v: c == v,
+            "<": lambda c, v: c < v,
+            "<=": lambda c, v: c <= v,
+            ">": lambda c, v: c > v,
+            ">=": lambda c, v: c >= v,
+        }
+        for col, op, val in skip_filter:
+            df = df.filter(_OPS[op](F.col(col), F.lit(val)))
+    return df
+
+
+def files_for_read(
+    table_dir: str,
+    version: int | None = None,
+    skip_filter: list[tuple] | None = None,
+) -> list[str]:
+    """The manifest-relative file list a read would open after skipping —
+    the observable for data-skipping tests and for job planning."""
+    v = version or current_version(table_dir)
+    manifest = _load_manifest(table_dir, v)
+    stats = manifest.get("stats", {})
+    return [
+        f
+        for f in manifest["files"]
+        if _file_may_match(stats.get(f), skip_filter)
+    ]
+
+
+def snapshot_row_count(table_dir: str, version: int | None = None) -> int:
+    """Metadata-only row count from manifest stats (no Spark job) — the
+    engine's replacement for the reference's count-after-every-transform
+    full jobs (SURVEY.md §2.4 A2)."""
+    v = version or current_version(table_dir)
+    manifest = _load_manifest(table_dir, v)
+    stats = manifest.get("stats", {})
+    if set(stats) != set(manifest["files"]):
+        raise ValueError(
+            "manifest predates stats collection — re-commit or count via Spark"
+        )
+    return sum(s["rows"] for s in stats.values())
 
 
 def vacuum(table_dir: str, keep_last: int = 1) -> int:

@@ -9,7 +9,9 @@ from pyspark.sql import functions as F
 from datalake_scripts_spark.io import read_table
 from datalake_scripts_spark.operators.versioned import (
     current_version,
+    files_for_read,
     read_versioned,
+    snapshot_row_count,
     vacuum,
     write_versioned,
 )
@@ -63,3 +65,61 @@ def test_vacuum_drops_unreferenced(spark, sf_dir, table_dir):
     assert read_versioned(spark, table_dir).count() == region.count()
     with pytest.raises(FileNotFoundError):
         read_versioned(spark, table_dir, version=1)
+
+
+def test_manifest_carries_stats_and_metadata_count(spark, sf_dir, table_dir):
+    """Snapshots carry per-file footer stats: row counts sum without a
+    Spark job and survive append commits."""
+    orders = read_table(spark, sf_dir, "orders")
+    n = orders.count()
+    write_versioned(spark, orders, table_dir, mode="append")
+    assert snapshot_row_count(table_dir) == n
+    write_versioned(spark, orders, table_dir, mode="append")
+    assert snapshot_row_count(table_dir) == 2 * n
+    assert snapshot_row_count(table_dir, version=1) == n
+
+
+def test_data_skipping_prunes_files(spark, sf_dir, table_dir):
+    """Range-sorted layout + manifest min/max => a point/range predicate
+    opens a strict subset of files, with results identical to the full
+    scan + filter."""
+    orders = read_table(spark, sf_dir, "orders")
+    ranged = orders.repartitionByRange(8, "o_orderkey")
+    write_versioned(spark, ranged, table_dir, mode="append")
+
+    all_files = files_for_read(table_dir)
+    assert len(all_files) == 8
+
+    lo, hi = 100, 500
+    flt = [("o_orderkey", ">=", lo), ("o_orderkey", "<=", hi)]
+    kept = files_for_read(table_dir, skip_filter=flt)
+    assert 0 < len(kept) < len(all_files), (len(kept), len(all_files))
+
+    got = read_versioned(spark, table_dir, skip_filter=flt)
+    expected = orders.filter(
+        (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") <= hi)
+    )
+    assert got.count() == expected.count()
+    assert got.count() > 0
+    # the skipped scan reads only the kept files
+    assert set(got.select(F.col("_metadata.file_name")).distinct().toPandas()["file_name"]) <= {
+        f.split("/")[-1] for f in kept
+    }
+
+
+def test_data_skipping_string_and_empty_result(spark, sf_dir, table_dir):
+    nation = read_table(spark, sf_dir, "nation").repartitionByRange(4, "n_name")
+    write_versioned(spark, nation, table_dir, mode="append")
+    # a value beyond every file's max prunes ALL files; schema preserved
+    none = read_versioned(spark, table_dir, skip_filter=[("n_name", ">", "ZZZZZZ")])
+    assert none.count() == 0
+    assert [f.name for f in none.schema.fields] == [
+        f.name for f in read_versioned(spark, table_dir).schema.fields
+    ]
+    assert files_for_read(table_dir, skip_filter=[("n_name", ">", "ZZZZZZ")]) == []
+    # equality predicate on a string column prunes to the owning file(s)
+    target = nation.select("n_name").orderBy("n_name").limit(1).first().n_name
+    kept = files_for_read(table_dir, skip_filter=[("n_name", "=", target)])
+    assert 0 < len(kept) < 4
+    got = read_versioned(spark, table_dir, skip_filter=[("n_name", "=", target)])
+    assert got.count() == 1
