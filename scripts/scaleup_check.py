@@ -30,7 +30,29 @@ DEFAULT_QUERIES = [
     "events_tumbling_hourly",
     "window_running_spend",
     "dedup_exact_subset_keys",
+    # round-2 heavy set (documents are replica-distinct, see below)
+    "dedup_ngram_jaccard",
+    "ngram_jaccard_noprefix",  # A/B: Bayardo prefix filter off
+    "dedup_duplicate_clusters_star",
+    "text_tfidf_top_terms",
+    "sketch_hll_union_rollup",
 ]
+
+
+def _ngram_jaccard_noprefix(spark, sf_dir):
+    """Exhaustive-inverted-index twin of dedup_ngram_jaccard (same
+    params, prefix_filter=False) — quantifies the candidate-volume win
+    of the PPJoin prefix filter at scale."""
+    from datalake_scripts_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=2, threshold=0.5, block_col="lang",
+        prefix_filter=False,
+    )
+
+
+EXTRA = {"ngram_jaccard_noprefix": _ngram_jaccard_noprefix}
 
 
 def main() -> None:
@@ -52,11 +74,16 @@ def main() -> None:
         "orders": "o_orderkey",
         "events": "event_id",
         "customer": "c_custkey",
-        # id-shifted replicas for the LLM-ops tables; texts/vectors stay
-        # identical, so PAIR-producing ops (dedup_*_pairs) blow up
-        # quadratically by construction — time per-doc/per-query ops
-        # (text_winnowing_fingerprint, ann_*_topk) here, not pair ops
+        # documents get REPLICA-DISTINCT texts (every word prefixed with
+        # the replica id): a verbatim copy would make each replica a
+        # near-dup of every other, so pair-producing ops (jaccard, CC)
+        # would grow k^2 BY CONSTRUCTION — an artifact, not a property
+        # of the engine. With disjoint shingle spaces per replica, the
+        # dup-cluster structure repeats k times and honest scaling for
+        # pair ops is ~linear.
         "documents": "doc_id",
+        # embeddings keep identical vectors — fine for per-query top-k
+        # ops (ann_*); do NOT time embedding pair-dedup on this corpus
         "embeddings": "vec_id",
     }
     t0 = time.time()
@@ -73,14 +100,29 @@ def main() -> None:
             rep = rep.withColumn(
                 "o_custkey", F.col("o_custkey") + F.col("_rep") * 150000
             )
+        if name == "documents":
+            rep = rep.withColumn(
+                "text",
+                F.regexp_replace(
+                    F.col("text"),
+                    r"(\w+)",
+                    F.concat(F.lit("r"), F.col("_rep").cast("string"), F.lit("_$1")),
+                ),
+            )
         rep.drop("_rep").write.mode("overwrite").parquet(f"{dst}/{name}.parquet")
     print(f"# replication x{k} done in {time.time() - t0:.1f}s")
 
     spark.read.parquet(f"{dst}/lineitem.parquet").count()  # warm
+    import gc
+
     for name in names:
+        fn = EXTRA.get(name) or REGISTRY[name].fn
         t0 = time.time()
-        cnt = REGISTRY[name].fn(spark, dst).count()
+        cnt = fn(spark, dst).count()
         print(f"{name}: {cnt} rows in {time.time() - t0:.2f}s (sf0.1 x{k})")
+        spark.catalog.clearCache()
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
 
 
 if __name__ == "__main__":
