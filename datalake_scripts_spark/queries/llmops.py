@@ -862,6 +862,59 @@ def dedup_duplicate_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "dedup_corpus_keep",
+    sql=f"""
+    WITH RECURSIVE {_SQL_JACCARD_CTES},
+    edges AS (SELECT id_a AS u, id_b AS v FROM jpairs
+              UNION SELECT id_b, id_a FROM jpairs),
+    reach(doc_id, r) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT e.u, r.r FROM edges e JOIN reach r ON r.doc_id = e.v),
+    clusters AS (SELECT doc_id, LEAST(doc_id, MIN(r)) AS cluster_id
+                 FROM reach GROUP BY doc_id),
+    dropped AS (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
+    SELECT d.doc_id, d.lang,
+           CAST(CASE WHEN reps.doc_id IS NOT NULL THEN 1 ELSE 0 END AS INT)
+             AS is_cluster_rep
+    FROM documents d
+    LEFT JOIN (SELECT doc_id FROM clusters WHERE doc_id = cluster_id) reps
+      ON d.doc_id = reps.doc_id
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
+    """,
+)
+def dedup_corpus_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline a corpus owner actually runs, end-to-end:
+    near-dup pairs -> connected components -> keep ONE representative
+    (the min-id member) per cluster plus every singleton — returning
+    the cleaned corpus rather than diagnostics. Composition of
+    ngram_jaccard_pairs + duplicate_clusters_star + one broadcastable
+    anti-join (the drop set is |docs in clusters| - |clusters|, tiny
+    relative to the corpus at any scale)."""
+    from ..operators.dedup import duplicate_clusters_star, ngram_jaccard_pairs
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.5,
+                                block_col="lang")
+    clusters = duplicate_clusters_star(pairs)
+    dropped = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    reps = (
+        clusters.filter(F.col("doc_id") == F.col("cluster_id"))
+        .select("doc_id")
+        .withColumn("is_cluster_rep", F.lit(1))
+    )
+    return (
+        docs.join(dropped, "doc_id", "left_anti")
+        .join(reps, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce("is_cluster_rep", F.lit(0)).cast("int").alias("is_cluster_rep"),
+        )
+    )
+
+
+@query(
     "multimodal_frame_sample",
     sql=f"""
     WITH meta AS (

@@ -392,3 +392,41 @@ def vocab_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), "token")
         .limit(_VOCAB_TOP)
     )
+
+
+@query(
+    "split_train_val_test",
+    sql="""
+    WITH assigned AS (
+      SELECT doc_id,
+             CASE WHEN (doc_id * 2654435761) % 100 < 90 THEN 'train'
+                  WHEN (doc_id * 2654435761) % 100 < 95 THEN 'val'
+                  ELSE 'test' END AS split,
+             length(text) AS n_chars
+      FROM documents)
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM assigned GROUP BY split
+    """,
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment by Knuth
+    multiplicative hash of the key — reproducible across engines, runs,
+    partitionings, and corpus growth (a doc's split never changes when
+    other docs are added, unlike randomSplit). Map-only assignment;
+    the summary agg is partial-aggregated. The per-doc assignment is
+    the same expression users would write into a partition column."""
+    docs = t(spark, sf_dir, "documents")
+    h = (F.col("doc_id") * F.lit(2654435761)) % 100
+    assigned = docs.select(
+        "doc_id",
+        F.when(h < 90, "train").when(h < 95, "val").otherwise("test").alias("split"),
+        F.length("text").alias("n_chars"),
+    )
+    return assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    )

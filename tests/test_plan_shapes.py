@@ -12,12 +12,15 @@ import pytest
 from datalake_scripts_spark.queries.registry import REGISTRY
 
 
-def plan_of(spark, sf_dir, name: str) -> str:
-    df = REGISTRY[name].fn(spark, sf_dir)
+def _plan_text(df) -> str:
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
     return buf.getvalue()
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    return _plan_text(REGISTRY[name].fn(spark, sf_dir))
 
 
 def test_q1_filter_pushdown_and_pruning(spark, sf_dir):
@@ -190,6 +193,42 @@ def test_all_registered_queries_pass_plan_lint(spark, sf_dir):
         if unexpected:
             violations[name] = sorted(unexpected)
     assert violations == {}, violations
+
+
+def test_runtime_bloom_filter_injection(spark, sf_dir):
+    """Catalyst's runtime bloom-filter (the injected semi-join filter
+    that prunes fact rows BEFORE the shuffle) must fire for a selective
+    dim joined without broadcast — at 100 TB this is what keeps a
+    sort-merge fact-dim join from shuffling the whole fact table. The
+    size thresholds exist for real clusters, so the test lowers the
+    application-side floor to make injection observable at test scale."""
+    from pyspark.sql import functions as F
+
+    from datalake_scripts_spark.io import read_table
+
+    assert spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+    )
+    try:
+        li = read_table(spark, sf_dir, "lineitem")
+        part = read_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+        j = li.join(part, li.l_partkey == part.p_partkey).groupBy("p_brand").count()
+        plan = _plan_text(j)
+        assert "might_contain" in plan, "runtime bloom filter not injected"
+        assert "bloom_filter_agg" in plan
+        # the filter lands on the FACT side scan condition
+        fact_cond = [
+            l for l in plan.splitlines() if "might_contain" in l and "Condition" in l
+        ]
+        assert any("l_partkey" in l for l in fact_cond), fact_cond
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        )
 
 
 def test_q8_single_shuffle_star(spark, sf_dir):
