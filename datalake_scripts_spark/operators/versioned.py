@@ -139,9 +139,15 @@ def _file_may_match(stats: dict | None, skip_filter) -> bool:
 
 
 def write_versioned(
-    spark: SparkSession, df: DataFrame, table_dir: str, mode: str = "append"
+    spark: SparkSession,
+    df: DataFrame,
+    table_dir: str,
+    mode: str = "append",
+    meta: dict | None = None,
 ) -> int:
-    """Commit ``df`` as a new snapshot; returns the new version number."""
+    """Commit ``df`` as a new snapshot; returns the new version number.
+    ``meta`` (JSON-serializable) is stored on the manifest — e.g. a
+    streaming epoch id for idempotent replay (see :func:`has_meta`)."""
     assert mode in ("append", "overwrite")
     os.makedirs(_manifest_dir(table_dir), exist_ok=True)
     data_dir = os.path.join(table_dir, "data")
@@ -175,6 +181,8 @@ def write_versioned(
         stats = {**prev_manifest.get("stats", {}), **new_stats}
     version = prev + 1
     manifest = {"version": version, "mode": mode, "files": files, "stats": stats}
+    if meta:
+        manifest["meta"] = meta
     mpath = os.path.join(_manifest_dir(table_dir), f"v{version:05d}.json")
     with open(mpath, "w") as f:
         json.dump(manifest, f)
@@ -249,6 +257,24 @@ def files_for_read(
         for f in manifest["files"]
         if _file_may_match(stats.get(f), skip_filter)
     ]
+
+
+def has_meta(table_dir: str, key: str, value) -> bool:
+    """True if any RETAINED manifest carries ``meta[key] == value``.
+    Used for idempotent streaming commits (epoch replay detection);
+    note vacuum() drops old manifests, so the replay-detection horizon
+    equals manifest retention — the same retention/replay trade Delta
+    makes. Structured Streaming only ever replays the LAST epoch, well
+    inside any sane retention."""
+    latest = current_version(table_dir)
+    for v in range(latest, 0, -1):
+        try:
+            m = _load_manifest(table_dir, v)
+        except FileNotFoundError:
+            break  # older manifests vacuumed
+        if m.get("meta", {}).get(key) == value:
+            return True
+    return False
 
 
 def snapshot_row_count(table_dir: str, version: int | None = None) -> int:

@@ -14,4 +14,5 @@ from .sinks import (  # noqa: F401
     foreach_batch_epoch_parquet,
     foreach_batch_jdbc,
     foreach_batch_parquet,
+    foreach_batch_versioned,
 )

@@ -105,6 +105,31 @@ def foreach_batch_epoch_jdbc(url: str, table: str, properties: dict | None = Non
     return _sink
 
 
+def foreach_batch_versioned(table_dir: str):
+    """Exactly-once streaming commits into a versioned (Delta-lite)
+    table: each epoch appends ONE snapshot whose manifest records the
+    epoch id; a replayed epoch finds its id already committed and
+    no-ops. This closes the loop the reference leaves open — its
+    append-mode history tables accumulate duplicates on re-runs and
+    defer dedup to consumers (SURVEY.md §2.7); here the transaction
+    log IS the idempotency ledger, and every epoch is time-travelable
+    (read_versioned(version=k) = state after epoch k's commit)."""
+    from ..operators import versioned as V
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if V.has_meta(table_dir, "epoch", int(epoch_id)):
+            return
+        V.write_versioned(
+            batch_df.sparkSession,
+            batch_df,
+            table_dir,
+            mode="append",
+            meta={"epoch": int(epoch_id)},
+        )
+
+    return _sink
+
+
 def foreach_batch_dual(*sinks):
     """Fan one micro-batch out to several sinks (staging parquet +
     serving JDBC, the reference's dual-write). The batch is persisted

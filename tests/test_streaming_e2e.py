@@ -186,3 +186,69 @@ def test_reststream_window_dual_sink_exactly_once(spark, tmp_path):
     sink(replay, replay_epoch)
     assert staged().count() == n_before
     assert served().count() == j_before
+
+
+def test_stream_into_versioned_table(spark, sf_dir, tmp_path):
+    """Streaming commits into the Delta-lite versioned table: one
+    snapshot per epoch (time-travelable), a checkpointed restart adds
+    nothing, and a forced epoch replay no-ops against the manifest's
+    epoch ledger."""
+    import pyspark.sql.types as T
+
+    from datalake_scripts_spark.io import read_table
+    from datalake_scripts_spark.operators.versioned import (
+        current_version,
+        read_versioned,
+        snapshot_row_count,
+    )
+    from datalake_scripts_spark.streaming import (
+        foreach_batch_versioned,
+        stream_from_directory,
+    )
+
+    src = str(tmp_path / "src")
+    table_dir = str(tmp_path / "vtable")
+    ckpt = str(tmp_path / "ckpt")
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    ev.repartition(3).write.mode("overwrite").parquet(src)
+    n_total = ev.count()
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    sink = foreach_batch_versioned(table_dir)
+
+    def run_once():
+        q = (
+            stream_from_directory(spark, src, schema=schema, max_files_per_trigger=1)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run_once()
+    assert current_version(table_dir) == 3  # one snapshot per epoch
+    assert read_versioned(spark, table_dir).count() == n_total
+    assert snapshot_row_count(table_dir) == n_total  # metadata-only
+    # time travel: v1 is exactly the first epoch's rows
+    v1 = read_versioned(spark, table_dir, version=1).count()
+    assert 0 < v1 < n_total
+
+    # restart with nothing new: no new snapshot
+    run_once()
+    assert current_version(table_dir) == 3
+
+    # forced replay of committed epoch 0: the epoch ledger no-ops it
+    first_epoch_rows = read_versioned(spark, table_dir, version=1).collect()
+    replay = spark.createDataFrame(first_epoch_rows, schema)
+    sink(replay, 0)
+    assert current_version(table_dir) == 3
+    assert read_versioned(spark, table_dir).count() == n_total
