@@ -264,6 +264,26 @@ def ngram_jaccard_pairs(
     )
 
 
+def _hash_member(i: int, hash_family: str):
+    """Member i of the hash family applied to a shingle string.
+
+    - ``xxhash64`` (production): hash the shingle bytes ONCE, derive k
+      members by re-hashing the resulting long with the seed — fastest
+      JVM path, but engine-specific (no DuckDB twin -> rows-only check).
+    - ``md5`` (portable): member i = md5(i || ':' || md5(shingle)) as a
+      lowercase-hex STRING; lexicographic min is identical in any engine
+      that has md5, making the whole LSH pipeline (signatures, band
+      hashes, candidates) expressible as an exact SQL oracle. ~3x the
+      hash cost of xxhash64 — the verification twin, not the 100 TB
+      default.
+    """
+    if hash_family == "xxhash64":
+        return F.xxhash64(F.lit(i), F.xxhash64(F.col("shingle")))
+    if hash_family == "md5":
+        return F.md5(F.concat(F.lit(f"{i}:"), F.md5(F.col("shingle"))))
+    raise ValueError(f"unknown hash_family {hash_family!r}")
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -271,18 +291,16 @@ def minhash_signatures(
     n: int = 3,
     num_hashes: int = 32,
     shingles: DataFrame | None = None,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """MinHash signature per doc: for seed i, min over shingles of
-    xxhash64(seed_i, shingle). One explode + one groupBy (shuffle on id);
-    signature is an array<bigint> of length num_hashes. Pass a prebuilt
-    (persisted) ``shingles`` table when the caller reuses it."""
+    hash_i(shingle). One explode + one groupBy (shuffle on id);
+    signature is an array<bigint> (xxhash64) or array<string> (md5) of
+    length num_hashes. Pass a prebuilt (persisted) ``shingles`` table
+    when the caller reuses it."""
     sh = shingles if shingles is not None else _shingle_table(df, id_col, text_col, n)
-    # hash the shingle STRING once; derive the k hash family members by
-    # re-hashing the resulting 8-byte long with the seed — string bytes
-    # are only walked once per shingle instead of k times
-    base = F.xxhash64(F.col("shingle"))
     mins = [
-        F.min(F.xxhash64(F.lit(i), base)).alias(f"h{i}") for i in range(num_hashes)
+        F.min(_hash_member(i, hash_family)).alias(f"h{i}") for i in range(num_hashes)
     ]
     agg = sh.groupBy(id_col).agg(*mins)
     return agg.select(
@@ -300,6 +318,7 @@ def minhash_lsh_pairs(
     verify_threshold: float = 0.5,
     max_df_frac: float = 0.5,
     min_df_keep: int = 100,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """MinHash + banded LSH candidate pairs, verified with exact Jaccard.
 
@@ -325,18 +344,22 @@ def minhash_lsh_pairs(
     sh = cap_shingle_df(
         sh0, ["shingle"], df.count(), max_df_frac, min_df_keep
     ).localCheckpoint()
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes, shingles=sh)
+    sig = minhash_signatures(
+        df, id_col, text_col, n, num_hashes, shingles=sh, hash_family=hash_family
+    )
+
+    def band_hash(b: int):
+        members = [F.col("signature")[b * r + j] for j in range(r)]
+        if hash_family == "md5":
+            return F.md5(F.concat_ws("|", *members))
+        return F.xxhash64(*members)
+
     band_rows = sig.select(
         id_col,
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col("signature")[b * r + j] for j in range(r)]
-                        ).alias("bh"),
-                    )
+                    F.struct(F.lit(b).alias("band"), band_hash(b).alias("bh"))
                     for b in range(bands)
                 ]
             )
@@ -400,6 +423,42 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
         )
         sig = term if sig is None else (sig + term)
     return agg.select(id_col, sig.cast("bigint").alias("simhash"))
+
+
+def simhash_md5_hex(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Cross-engine-verifiable SimHash twin: 64-bit signature derived
+    from the first 16 hex chars of md5(token), emitted AS a 16-char hex
+    string (no signed-long sign-bit gymnastics).
+
+    Per token, nibble p = instr('0123456789abcdef', substr(md5, p+1, 1))
+    - 1 (16 lookups, not 64); bit i tests nibble i//4 with modular
+    arithmetic — every primitive (md5/substr/instr/%/CASE) evaluates
+    identically in Spark and DuckDB, so the whole signature is
+    hash-exact against a SQL oracle. Same one-explode + one-groupBy
+    shape as :func:`simhash`; production stays on xxhash64."""
+    hexd = "0123456789abcdef"
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    nibs = [
+        F.expr(f"instr('{hexd}', substr(md5(tok), {p + 1}, 1)) - 1")
+        for p in range(16)
+    ]
+    bit_sums = []
+    for i in range(64):
+        v = nibs[i // 4]
+        k = i % 4
+        cond = (v % (2 ** (k + 1))) >= (2 ** k)
+        bit_sums.append(F.sum(F.when(cond, 1).otherwise(-1)).alias(f"b{i}"))
+    agg = tok.groupBy(id_col).agg(*bit_sums)
+    out_chars = []
+    for p in range(16):
+        val = None
+        for j in range(4):
+            term = F.when(F.col(f"b{4 * p + j}") > 0, F.lit(2 ** j)).otherwise(F.lit(0))
+            val = term if val is None else (val + term)
+        out_chars.append(F.lit(hexd).substr(val + 1, F.lit(1)))
+    return agg.select(
+        id_col, F.concat(*out_chars).alias("simhash_hex")
+    )
 
 
 def embedding_near_dup_pairs(

@@ -193,19 +193,131 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32 hashes) + 8-band LSH candidates, exact-Jaccard verified
     at >= 0.5 (operators.dedup.minhash_lsh_pairs). The 100 TB fuzzy-dedup
-    shape: uniform band-hash bucket join, verify candidates only."""
+    shape: uniform band-hash bucket join, verify candidates only.
+    Production hash family is xxhash64 (engine-specific -> rows-only);
+    the full pipeline is hash-verified cross-engine by the md5 twin
+    below (dedup_minhash_lsh_md5)."""
     docs = t(spark, sf_dir, "documents")
     return D.minhash_lsh_pairs(
         docs, "doc_id", "text", n=2, num_hashes=32, bands=8, verify_threshold=0.5
     )
 
 
+@query(
+    "dedup_minhash_lsh_md5",
+    sql=f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKS} AS tk FROM documents),
+    sh0 AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(tk)),
+                    i -> array_to_string(tk[i:i+1], ' ')))) AS shingle
+      FROM toks WHERE len(tk) >= 2),
+    sh AS (
+      SELECT * FROM sh0 s WHERE NOT EXISTS (
+        SELECT 1 FROM (SELECT shingle FROM sh0 GROUP BY shingle
+                       HAVING COUNT(*) > GREATEST(
+                         0.5 * (SELECT COUNT(*) FROM documents), 100)) hot
+        WHERE hot.shingle = s.shingle)),
+    seeds AS (SELECT unnest(range(32)) AS seed),
+    mh AS (
+      SELECT doc_id, seed, MIN(md5(seed || ':' || md5(shingle))) AS h
+      FROM sh CROSS JOIN seeds GROUP BY doc_id, seed),
+    bandkeys AS (
+      SELECT doc_id, seed // 4 AS band,
+             md5(string_agg(h, '|' ORDER BY seed)) AS bh
+      FROM mh GROUP BY doc_id, seed // 4),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bandkeys a JOIN bandkeys b ON a.band = b.band AND a.bh = b.bh
+      WHERE a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.id_a
+      JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+      GROUP BY c.id_a, c.id_b)
+    SELECT id_a, id_b,
+           CAST(n_inter AS DOUBLE)
+             / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(n_inter AS DOUBLE)
+            / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.5
+    """,
+)
+def dedup_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine-verifiable twin of dedup_minhash_lsh: identical
+    banding/bucketing/verify machinery, hash family switched to
+    md5-derived hex strings (lexicographic min — identical in any
+    engine with md5). This upgrades the ENTIRE LSH pipeline — member
+    hashes, per-band signatures, band-bucket candidates, exact verify —
+    to a hash-exact DuckDB oracle, not just the verified output.
+    Production stays on xxhash64 (~3x cheaper); same oracle-twin
+    pattern as the IVF stride path (operators.similarity)."""
+    docs = t(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(
+        docs,
+        "doc_id",
+        "text",
+        n=2,
+        num_hashes=32,
+        bands=8,
+        verify_threshold=0.5,
+        hash_family="md5",
+    )
+
+
 @query("dedup_simhash")  # xxhash64-based -> rows-only check
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash signatures (operators.dedup.simhash): one explode +
-    one groupBy, 64 conditional sums, no UDF."""
+    one groupBy, 64 conditional sums, no UDF. Production hash family is
+    xxhash64 (rows-only); the bit-for-bit machinery is hash-verified
+    cross-engine by dedup_simhash_md5 below."""
     docs = t(spark, sf_dir, "documents")
     return D.simhash(docs, "doc_id", "text")
+
+
+def _simhash_md5_sql() -> str:
+    """Generate the DuckDB twin of operators.dedup.simhash_md5_hex:
+    identical nibble/bit/sign/nibble-rebuild arithmetic, so the 16-char
+    hex signature is hash-exact across engines."""
+    hexd = "0123456789abcdef"
+    bit_sums = []
+    for i in range(64):
+        p, k = i // 4, i % 4
+        nib = f"(instr('{hexd}', substr(md5(tok), {p + 1}, 1)) - 1)"
+        cond = f"({nib} % {2 ** (k + 1)}) >= {2 ** k}"
+        bit_sums.append(f"SUM(CASE WHEN {cond} THEN 1 ELSE -1 END) AS b{i}")
+    out_chars = []
+    for p in range(16):
+        val = " + ".join(
+            f"(CASE WHEN b{4 * p + j} > 0 THEN {2 ** j} ELSE 0 END)" for j in range(4)
+        )
+        out_chars.append(f"substr('{hexd}', ({val}) + 1, 1)")
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({SQL_TOKS}) AS tok FROM documents),
+    sums AS (
+      SELECT doc_id, {", ".join(bit_sums)}
+      FROM tok GROUP BY doc_id)
+    SELECT doc_id, {" || ".join(out_chars)} AS simhash_hex
+    FROM sums
+    """
+
+
+@query("dedup_simhash_md5", sql=_simhash_md5_sql())
+def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine-verifiable SimHash twin
+    (operators.dedup.simhash_md5_hex): bits come from md5 hex nibbles
+    via instr/substr/% — primitives that evaluate identically in Spark
+    and DuckDB — so the full 64-bit signature is checked bit-for-bit by
+    the oracle, upgrading SimHash from rows-only to hash-exact. Same
+    one-explode + one-groupBy, map-side-partial shape; production stays
+    on xxhash64 (cheaper per token)."""
+    docs = t(spark, sf_dir, "documents")
+    return D.simhash_md5_hex(docs, "doc_id", "text")
 
 
 def _embedding_srp_sql(n_planes: int = 4, n_tables: int = 8, seed: int = 42,
