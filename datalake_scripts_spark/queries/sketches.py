@@ -108,21 +108,49 @@ def sketch_theta_customer_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sketch_kll_price_quantiles", sql=None)
+@query(
+    "sketch_kll_price_quantiles",
+    sql="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           1 AS p50_ok, 1 AS p90_ok, 1 AS p99_ok
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
 def sketch_kll_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming-mergeable quantiles: KLL sketch of o_totalprice per
-    order status, queried at p50/p90/p99. Rows-only driver check — KLL
-    compaction is randomized (tolerance-bounded test in
-    tests/test_sketches.py); the scale story is the same as HLL:
-    bounded state, map-side partials, associative merge, vs an exact
-    percentile's full sort per group."""
+    order status, queried at p50/p90/p99; the scale story is the same
+    as HLL: bounded state, map-side partials, associative merge, vs an
+    exact percentile's full sort per group.
+
+    KLL compaction is RANDOMIZED (unseeded), so raw sketch values can't
+    be hash-compared — the oracle-checkable contract is exact per-group
+    counts plus rank-window flags: each sketch quantile must land
+    between the EXACT quantiles at p±0.05, which KLL's rank-error
+    guarantee (~1.65%% at default k, 99%% confidence) satisfies with
+    ~1-1e-6 probability per cell — a stable gate, not a flaky one.
+    (Tighter tolerance behavior is covered by tests/test_sketches.py.)"""
     orders = t(spark, sf_dir, "orders")
-    sk = F.kll_sketch_agg_double(F.col("o_totalprice").cast("double"))
-    agg = orders.groupBy("o_orderstatus").agg(sk.alias("sketch"))
+    tp = F.col("o_totalprice").cast("double")
+    sk = F.kll_sketch_agg_double(tp)
+    # exact rank-window bounds: lo/hi = exact quantiles at p -/+ 0.05
+    bounds = F.percentile(tp, [0.45, 0.55, 0.85, 0.95, 0.94, 1.0])
+    agg = orders.groupBy("o_orderstatus").agg(
+        sk.alias("sketch"),
+        F.count(F.lit(1)).alias("n"),
+        bounds.alias("b"),
+    )
+
+    def ok(p: float, lo_i: int, hi_i: int):
+        q = F.kll_sketch_get_quantile_double("sketch", F.lit(p))
+        return (
+            (q >= F.col("b").getItem(lo_i)) & (q <= F.col("b").getItem(hi_i))
+        ).cast("int")
+
     return agg.select(
         "o_orderstatus",
-        F.kll_sketch_get_n_double("sketch").cast("bigint").alias("n"),
-        F.kll_sketch_get_quantile_double("sketch", F.lit(0.5)).alias("p50"),
-        F.kll_sketch_get_quantile_double("sketch", F.lit(0.9)).alias("p90"),
-        F.kll_sketch_get_quantile_double("sketch", F.lit(0.99)).alias("p99"),
+        F.col("n").cast("bigint").alias("n"),
+        ok(0.5, 0, 1).alias("p50_ok"),
+        ok(0.9, 2, 3).alias("p90_ok"),
+        ok(0.99, 4, 5).alias("p99_ok"),
     )

@@ -19,11 +19,12 @@ def test_registry_consistency():
     assert set(sqls) <= set(qs)
     # non-SQL-expressible ops are the documented exceptions
     assert set(qs) - set(sqls) == {
+        # xxhash64 production paths; md5 twins are oracle-backed
         "dedup_minhash_lsh",
         "dedup_simhash",
+        # numpy/Arrow assignment paths; stride twin is oracle-backed
         "ann_ivf_topk_vectorized",
         "ann_ivf_kmeans_topk",
-        "sketch_kll_price_quantiles",
     }
 
 

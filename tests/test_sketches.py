@@ -38,17 +38,32 @@ def test_hll_union_equals_one_shot(spark):
 
 
 def test_kll_quantiles_within_sketch_error(spark):
+    # the registry query's rank-window flags (the oracle contract) hold
     pdf = REGISTRY["sketch_kll_price_quantiles"].fn(spark, SF).toPandas()
+    assert (pdf[["p50_ok", "p90_ok", "p99_ok"]] == 1).all().all()
+    # and the raw sketch quantiles meet the tighter 3% rank error the
+    # flags' ±5% window is derived from
     orders = read_table(spark, SF, "orders")
-    for _, row in pdf.iterrows():
+    tp = F.col("o_totalprice").cast("double")
+    raw = (
+        orders.groupBy("o_orderstatus")
+        .agg(F.kll_sketch_agg_double(tp).alias("sketch"))
+        .select(
+            "o_orderstatus",
+            F.kll_sketch_get_quantile_double("sketch", F.lit(0.5)).alias("p50"),
+            F.kll_sketch_get_quantile_double("sketch", F.lit(0.9)).alias("p90"),
+            F.kll_sketch_get_quantile_double("sketch", F.lit(0.99)).alias("p99"),
+        )
+        .toPandas()
+    )
+    for _, row in raw.iterrows():
         vals = (
             orders.filter(F.col("o_orderstatus") == row.o_orderstatus)
-            .select(F.col("o_totalprice").cast("double").alias("v"))
+            .select(tp.alias("v"))
             .toPandas()
             .v.sort_values()
             .reset_index(drop=True)
         )
-        assert row.n == len(vals)
         # KLL default k=200: normalized rank error ~1.65%; allow 3%
         for q, got in [(0.5, row.p50), (0.9, row.p90), (0.99, row.p99)]:
             rank = (vals <= got).mean()
