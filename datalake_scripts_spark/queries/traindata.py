@@ -395,6 +395,67 @@ def vocab_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "quality_unigram_logprob",
+    sql=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({SQL_TOKS}) AS token FROM documents),
+    uni AS (
+      SELECT token, COUNT(*) AS c FROM tok GROUP BY token),
+    tot AS (SELECT SUM(c) AS n, COUNT(*) AS v FROM uni),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(round(ln((uni.c + 1.0) / (tot.n + tot.v)) * 1000000)
+                  AS BIGINT) AS lp_micro
+      FROM tok t JOIN uni ON uni.token = t.token CROSS JOIN tot)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(-SUM(lp_micro) AS BIGINT) AS sum_neglogprob_micro,
+           CAST(-SUM(lp_micro) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS avg_neglogprob_micro
+    FROM scored GROUP BY doc_id
+    """,
+)
+def quality_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality scoring: build a corpus unigram model
+    (add-one smoothing over vocab), score every document by its total
+    and average negative log-probability — the standard
+    'perplexity filter' gate of pretraining pipelines, here without any
+    external LM.
+
+    Determinism: per-token logprobs are fixed-pointed to micro-nats
+    (round(ln*1e6) -> BIGINT, round() wrapping a libm output per the
+    repo's determinism contract), so the per-doc SUM is exact integer
+    arithmetic — order-independent across partitionings and engines;
+    the avg is one double division of exact parts.
+
+    Scale shape: tokens shuffle once to build the unigram table, once
+    (by token) for the prob join — the model table is
+    vocabulary-sized, broadcastable at any corpus scale; the 1-row
+    totals cross-join is the lazy scalar-attach idiom (same as tfidf)."""
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(X.tokens("text")).alias("token"))
+    uni = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    tot = uni.agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")
+    )
+    lp_micro = F.round(
+        F.log((F.col("c") + F.lit(1.0)) / (F.col("n") + F.col("v"))) * 1e6
+    ).cast("bigint")
+    scored = (
+        tok.join(F.broadcast(uni), "token")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", lp_micro.alias("lp_micro"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        (-F.sum("lp_micro")).cast("bigint").alias("sum_neglogprob_micro"),
+        (
+            (-F.sum("lp_micro")).cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("avg_neglogprob_micro"),
+    )
+
+
+@query(
     "split_train_val_test",
     sql="""
     WITH assigned AS (

@@ -169,6 +169,10 @@ LINT_ALLOWLIST = {
     # run a job at plan-construction time). The single-partition exchange
     # is the final global top-k over already-aggregated per-term rows.
     "text_tfidf_top_terms": {"cartesian-product", "single-partition-exchange"},
+    # same lazy scalar-attach idiom as tfidf: the (n, v) totals row is a
+    # 1-row broadcast crossJoin; the single-partition exchange is the
+    # totals aggregation itself (one tiny row per task crosses it)
+    "quality_unigram_logprob": {"cartesian-product", "single-partition-exchange"},
     # final merge of per-partition HLL sketches: map-side partials reduce
     # each partition to ONE fixed-size sketch (~few KiB); only those cross
     # the single-partition exchange for the associative union. This is the
