@@ -56,11 +56,15 @@ def _shingle_table(
 ) -> DataFrame:
     """(id[, block], shingle) inverted-index rows, distinct per doc.
 
-    No repartition here on purpose: the shingle HOFs run in the scan
-    stage, but every consumer immediately shuffles (groupBy/join on the
-    shingle or the doc id), so those shuffles — not the scan stage —
-    set the operators' parallelism; an up-front repartition measured as
-    pure overhead (+45% warm on minhash at sf0.1)."""
+    No repartition here on purpose — re-measured round 3 with a proper
+    same-session A/B: a pre-explode repartition(32) of the doc rows
+    looks like a 3.4x win on a COLD isolated shingle checkpoint (2.9s
+    -> 0.8s, JIT-dominated), but WARM — which is what bench medians and
+    any long-lived job measure — it is a consistent loss (jaccard 3.95
+    -> 4.84s, minhash 1.55 -> 2.29s, star CC 5.52 -> 6.27s at sf0.1):
+    the warm single-task HOF explode is cheap, and the extra shuffle +
+    task overhead outweigh it. At real scale the input is already wide
+    and the question is moot."""
     cols = [F.col(id_col)]
     if block_col:
         cols.append(F.col(block_col))
