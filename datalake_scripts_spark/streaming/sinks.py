@@ -130,6 +130,55 @@ def foreach_batch_versioned(table_dir: str):
     return _sink
 
 
+def foreach_batch_merge_versioned(
+    table_dir: str, keys: list[str], latest_by: str | None = None
+):
+    """Streaming CDC apply: each epoch MERGEs the micro-batch into a
+    versioned table (operators.upsert.merge_upsert — matched keys
+    replace, new keys insert) and commits ONE snapshot stamped with the
+    epoch id, so replays no-op and every merge state is time-travelable.
+    The streaming upgrade of the reference's overwrite model (DROP +
+    full reload, monkey_proc.py:264-268): only the merge result is
+    rewritten, readers always see a complete snapshot, history stays.
+
+    ``latest_by``: a CDC micro-batch can carry several updates for one
+    key; name the ordering column and the batch is first reduced to the
+    latest row per key (deterministic tie-break on the key columns).
+    Without it, merge_upsert's unique-key contract applies as-is.
+
+    Scale note: each epoch rewrites the merge RESULT (current snapshot
+    size). For a large dimension, partition/bucket the target and merge
+    per touched partition; for an append-only fact, use
+    foreach_batch_versioned instead."""
+    from ..operators import versioned as V
+    from ..operators.upsert import merge_upsert
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if V.has_meta(table_dir, "epoch", int(epoch_id)):
+            return
+        source = batch_df
+        if latest_by is not None:
+            from pyspark.sql import Window as W
+
+            rn = F.row_number().over(
+                W.partitionBy(*keys).orderBy(F.desc(latest_by), *keys)
+            )
+            source = (
+                batch_df.withColumn("_rn", rn).filter(F.col("_rn") == 1).drop("_rn")
+            )
+        spark = batch_df.sparkSession
+        if V.current_version(table_dir) == 0:
+            merged = source
+        else:
+            target = V.read_versioned(spark, table_dir)
+            merged = merge_upsert(target, source, keys)
+        V.write_versioned(
+            spark, merged, table_dir, mode="overwrite", meta={"epoch": int(epoch_id)}
+        )
+
+    return _sink
+
+
 def foreach_batch_dual(*sinks):
     """Fan one micro-batch out to several sinks (staging parquet +
     serving JDBC, the reference's dual-write). The batch is persisted

@@ -252,3 +252,41 @@ def test_stream_into_versioned_table(spark, sf_dir, tmp_path):
     sink(replay, 0)
     assert current_version(table_dir) == 3
     assert read_versioned(spark, table_dir).count() == n_total
+
+
+def test_stream_cdc_merge_into_versioned(spark, tmp_path):
+    """Streaming CDC apply: micro-batches of keyed updates MERGE into a
+    versioned dimension — matched keys replace, new keys insert,
+    intra-batch duplicates reduce to the latest by ts, each merge state
+    is a time-travelable snapshot, and replays no-op."""
+    import json as _json
+
+    from datalake_scripts_spark.operators.versioned import (
+        current_version,
+        read_versioned,
+    )
+    from datalake_scripts_spark.streaming import foreach_batch_merge_versioned
+
+    table_dir = str(tmp_path / "dim")
+    sink = foreach_batch_merge_versioned(table_dir, keys=["k"], latest_by="ts")
+    schema = "k bigint, v string, ts bigint"
+
+    def batch(rows):
+        return spark.createDataFrame(rows, schema)
+
+    # epoch 0: initial load, including an intra-batch dup for k=2
+    sink(batch([(1, "a", 10), (2, "b", 11), (2, "b2", 12)]), 0)
+    # epoch 1: update k=1, insert k=3
+    sink(batch([(1, "a9", 20), (3, "c", 21)]), 1)
+
+    assert current_version(table_dir) == 2
+    cur = {r.k: r.v for r in read_versioned(spark, table_dir).collect()}
+    assert cur == {1: "a9", 2: "b2", 3: "c"}
+    # time travel to the state after epoch 0
+    v1 = {r.k: r.v for r in read_versioned(spark, table_dir, version=1).collect()}
+    assert v1 == {1: "a", 2: "b2"}
+
+    # replay of epoch 1: ledger no-op, state unchanged
+    sink(batch([(1, "a9", 20), (3, "c", 21)]), 1)
+    assert current_version(table_dir) == 2
+    assert {r.k: r.v for r in read_versioned(spark, table_dir).collect()} == cur
