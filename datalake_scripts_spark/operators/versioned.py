@@ -259,6 +259,71 @@ def files_for_read(
     ]
 
 
+def read_changes(
+    spark: SparkSession,
+    table_dir: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Change-data-feed emulation: the rows that changed between two
+    committed snapshots, with a ``_change_type`` column ('insert' /
+    'delete'; an update appears as its delete+insert pair).
+
+    Fast path: when every commit in (from, to] is an append, the change
+    set IS the set of files added by those manifests — read ONLY those
+    files, no row comparison, cost proportional to the delta (the shape
+    incremental downstream jobs need). Any overwrite in the range falls
+    back to a whole-row diff of the two snapshots (exceptAll both
+    ways) — exact, but proportional to snapshot size; avoid overwrites
+    on tables meant for incremental consumption (use append +
+    compaction, or the CDC merge sink whose deltas are the source
+    batches themselves)."""
+    to_version = to_version or current_version(table_dir)
+    if not 0 <= from_version <= to_version <= current_version(table_dir):
+        raise ValueError(
+            f"invalid version range {from_version}..{to_version} "
+            f"(latest {current_version(table_dir)})"
+        )
+    from pyspark.sql import functions as F
+
+    if from_version == to_version:
+        return read_versioned(spark, table_dir, to_version).filter(
+            F.lit(False)
+        ).withColumn("_change_type", F.lit("insert"))
+    all_appends = all(
+        _load_manifest(table_dir, v)["mode"] == "append"
+        for v in range(from_version + 1, to_version + 1)
+    )
+    if all_appends:
+        base = (
+            set(_load_manifest(table_dir, from_version)["files"])
+            if from_version > 0
+            else set()
+        )
+        new_files = [
+            f
+            for f in _load_manifest(table_dir, to_version)["files"]
+            if f not in base
+        ]
+        if not new_files:
+            return read_versioned(spark, table_dir, to_version).filter(
+                F.lit(False)
+            ).withColumn("_change_type", F.lit("insert"))
+        paths = [os.path.join(table_dir, f) for f in new_files]
+        return spark.read.parquet(*paths).withColumn(
+            "_change_type", F.lit("insert")
+        )
+    new = read_versioned(spark, table_dir, to_version)
+    old = (
+        read_versioned(spark, table_dir, from_version)
+        if from_version > 0
+        else new.filter(F.lit(False))
+    )
+    inserts = new.exceptAll(old).withColumn("_change_type", F.lit("insert"))
+    deletes = old.exceptAll(new).withColumn("_change_type", F.lit("delete"))
+    return inserts.unionByName(deletes)
+
+
 def has_meta(table_dir: str, key: str, value) -> bool:
     """True if any RETAINED manifest carries ``meta[key] == value``.
     Used for idempotent streaming commits (epoch replay detection);

@@ -107,6 +107,64 @@ def test_data_skipping_prunes_files(spark, sf_dir, table_dir):
     }
 
 
+def test_read_changes_append_fast_path(spark, sf_dir, table_dir):
+    """CDF between append snapshots reads ONLY the delta files."""
+    from datalake_scripts_spark.operators.versioned import read_changes
+
+    region = read_table(spark, sf_dir, "region")
+    nation5 = (
+        read_table(spark, sf_dir, "nation")
+        .limit(5)
+        .select(
+            F.col("n_nationkey").alias("r_regionkey"),
+            F.col("n_name").alias("r_name"),
+        )
+    )
+    write_versioned(spark, region, table_dir, mode="append")
+    write_versioned(spark, nation5, table_dir, mode="append")
+    ch = read_changes(spark, table_dir, from_version=1, to_version=2)
+    assert ch.filter("_change_type = 'insert'").count() == 5
+    assert ch.count() == 5
+    # only the delta files are opened
+    files = {
+        r.file_name
+        for r in ch.select(F.col("_metadata.file_name").alias("file_name"))
+        .distinct()
+        .collect()
+    }
+    from datalake_scripts_spark.operators.versioned import _load_manifest
+
+    v1_files = {f.split("/")[-1] for f in _load_manifest(table_dir, 1)["files"]}
+    assert files.isdisjoint(v1_files)
+    # since inception: everything is an insert
+    assert read_changes(spark, table_dir, 0, 2).count() == region.count() + 5
+
+
+def test_read_changes_overwrite_row_diff(spark, sf_dir, table_dir):
+    """An overwrite in the range falls back to the exact row diff:
+    updates appear as delete+insert pairs."""
+    from datalake_scripts_spark.operators.versioned import read_changes
+
+    region = read_table(spark, sf_dir, "region")
+    write_versioned(spark, region, table_dir, mode="append")
+    changed = region.withColumn(
+        "r_name",
+        F.when(F.col("r_regionkey") == 0, F.lit("RENAMED")).otherwise(
+            F.col("r_name")
+        ),
+    )
+    write_versioned(spark, changed, table_dir, mode="overwrite")
+    ch = read_changes(spark, table_dir, 1, 2).collect()
+    by_type = {}
+    for r in ch:
+        by_type.setdefault(r._change_type, []).append((r.r_regionkey, r.r_name))
+    assert by_type["insert"] == [(0, "RENAMED")]
+    assert len(by_type["delete"]) == 1 and by_type["delete"][0][0] == 0
+    # empty range: no changes, schema preserved
+    empty = read_changes(spark, table_dir, 2, 2)
+    assert empty.count() == 0 and "_change_type" in empty.columns
+
+
 def test_data_skipping_string_and_empty_result(spark, sf_dir, table_dir):
     nation = read_table(spark, sf_dir, "nation").repartitionByRange(4, "n_name")
     write_versioned(spark, nation, table_dir, mode="append")
