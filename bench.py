@@ -48,6 +48,9 @@ BENCH_QUERIES = [
     "dedup_paragraph_chunks",
     "text_tfidf_top_terms",
     "sketch_hll_union_rollup",
+    # round 3 additions
+    "quality_unigram_logprob",
+    "dedup_corpus_keep",
 ]
 
 

@@ -388,3 +388,138 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum(amount).cast("double").alias("sum_profit"))
     )
+
+
+# ---- derived partsupp -------------------------------------------------
+# testdata has no partsupp table, which round-1/2 diagnosed as making
+# the Q2/Q20 shapes unshapeable. But the oracle only requires BOTH
+# engines to see the same relation — so derive one as a deterministic
+# function of part x supplier, dbgen-style (each part stocked by 4
+# suppliers at arithmetic offsets; availqty/supplycost from integer
+# mixes of the keys). No cross join: 4 rows per part via explode, then
+# an equi-join to supplier. Keys start at 0 in the testdata, matching
+# the % arithmetic.
+_PS_SQL = """
+    nsup AS (SELECT COUNT(*) AS n FROM supplier),
+    ps AS (
+      SELECT p.p_partkey,
+             (p.p_partkey + j.j * (nsup.n // 4)) % nsup.n AS ps_suppkey,
+             ((p.p_partkey * 7 + ((p.p_partkey + j.j * (nsup.n // 4)) % nsup.n) * 11)
+               % 10000) + 1 AS ps_availqty,
+             ((p.p_partkey * 13 + ((p.p_partkey + j.j * (nsup.n // 4)) % nsup.n) * 17)
+               % 90000) + 1000 AS ps_supplycost_cents
+      FROM part p CROSS JOIN nsup CROSS JOIN (SELECT unnest([0,1,2,3]) AS j) j)
+"""
+
+
+def _derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = t(spark, sf_dir, "supplier").count()  # tiny dim; metadata-cheap
+    part = t(spark, sf_dir, "part")
+    j = F.explode(F.array(*[F.lit(x) for x in range(4)])).alias("j")
+    ps = part.select("p_partkey", j)
+    suppkey = (F.col("p_partkey") + F.col("j") * (n // 4)) % n
+    return ps.select(
+        "p_partkey",
+        suppkey.alias("ps_suppkey"),
+        ((F.col("p_partkey") * 7 + suppkey * 11) % 10000 + 1).alias("ps_availqty"),
+        ((F.col("p_partkey") * 13 + suppkey * 17) % 90000 + 1000).alias(
+            "ps_supplycost_cents"
+        ),
+    )
+
+
+@query(
+    "q2_min_cost_supplier",
+    sql=f"""
+    WITH {_PS_SQL}
+    SELECT p_partkey, p_brand, s_name, n_name, s_acctbal,
+           CAST(ps_supplycost_cents AS DOUBLE) / 100 AS supplycost
+    FROM ps
+    JOIN part USING (p_partkey)
+    JOIN supplier ON s_suppkey = ps_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+    WHERE r_name = 'EUROPE' AND p_size = 15
+    QUALIFY ps_supplycost_cents = MIN(ps_supplycost_cents)
+              OVER (PARTITION BY p_partkey)
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape over the derived partsupp: for each EUROPE-
+    stocked part of a given size, the supplier(s) offering the minimum
+    supply cost. The correlated min-cost subquery is expressed as a
+    window min over the region-restricted partsupp (one shuffle on
+    p_partkey); all dims broadcast; cost kept in integer cents until
+    the output boundary (exact min, single double division)."""
+    ps = _derived_partsupp(spark, sf_dir)
+    sup = t(spark, sf_dir, "supplier")
+    nat = t(spark, sf_dir, "nation")
+    reg = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    part = t(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    joined = (
+        ps.join(F.broadcast(part), "p_partkey")
+        .join(F.broadcast(sup), ps.ps_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        joined.withColumn("_mn", F.min("ps_supplycost_cents").over(w))
+        .filter(F.col("ps_supplycost_cents") == F.col("_mn"))
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_name",
+            "n_name",
+            "s_acctbal",
+            (F.col("ps_supplycost_cents").cast("double") / 100).alias("supplycost"),
+        )
+    )
+
+
+@query(
+    "q20_excess_stock_suppliers",
+    sql=f"""
+    WITH {_PS_SQL},
+    shipped AS (
+      SELECT l_partkey, l_suppkey, SUM(l_quantity) AS q
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1996-01-01'
+      GROUP BY l_partkey, l_suppkey)
+    SELECT DISTINCT s.s_suppkey, s.s_name, n.n_name
+    FROM ps
+    JOIN part p ON p.p_partkey = ps.p_partkey AND p.p_name LIKE 'small%'
+    JOIN shipped ON shipped.l_partkey = ps.p_partkey
+               AND shipped.l_suppkey = ps.ps_suppkey
+    JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE CAST(ps.ps_availqty AS DOUBLE) > 0.5 * CAST(shipped.q AS DOUBLE)
+    """,
+)
+def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape over the derived partsupp: suppliers holding
+    more than half a year's shipped quantity of any 'small%' part.
+    The only fact-sized input is the lineitem agg (pushed date filter,
+    partial agg on (part, supp)); partsupp/part/supplier/nation all
+    broadcast against it."""
+    ps = _derived_partsupp(spark, sf_dir)
+    part = t(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1996-01-01")
+    )
+    shipped = li.groupBy("l_partkey", "l_suppkey").agg(F.sum("l_quantity").alias("q"))
+    sup = t(spark, sf_dir, "supplier")
+    nat = t(spark, sf_dir, "nation")
+    return (
+        shipped.join(
+            F.broadcast(ps),
+            (F.col("l_partkey") == F.col("p_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .join(F.broadcast(part), "p_partkey")
+        .filter(F.col("ps_availqty").cast("double") > 0.5 * F.col("q").cast("double"))
+        .join(F.broadcast(sup), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+        .distinct()
+    )
