@@ -331,6 +331,64 @@ def write_jdbc(
         )
 
 
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    properties: dict[str, str] | None = None,
+    partition_column: str | None = None,
+    lower_bound=None,
+    upper_bound=None,
+    num_partitions: int | None = None,
+    predicates: list[str] | None = None,
+) -> DataFrame:
+    """JDBC source — the read-back half of the reference's serving
+    store (its ``check_loaded`` re-SELECTs the written table,
+    zoom_proc.py:266-312; downstream consumers read Postgres directly).
+
+    At scale a single-connection JDBC scan is the bottleneck, so expose
+    both parallel-read forms:
+    - ``partition_column`` + bounds + ``num_partitions``: Spark issues
+      one range-bounded query per partition (numeric/date column;
+      bounds don't filter, they stride) — the standard parallel ingest;
+    - ``predicates``: one query per explicit WHERE clause, for
+      non-numeric or skewed stride columns.
+    Filters/projections on the result push into the remote SQL
+    (JDBC pushdown), so ``.filter`` composes with both forms.
+    ``table`` may be a subquery alias ``(SELECT ...) t`` — pushing
+    heavy serving-side joins to the database when IT is the right
+    engine for them."""
+    if predicates is not None:
+        gw = spark.sparkContext._gateway
+        jprops = gw.jvm.java.util.Properties()
+        for k, v in (properties or {}).items():
+            jprops.setProperty(k, v)
+        jpreds = gw.new_array(gw.jvm.java.lang.String, len(predicates))
+        for i, p in enumerate(predicates):
+            jpreds[i] = p
+        jdf = spark._jsparkSession.read().jdbc(url, table, jpreds, jprops)
+        from pyspark.sql import DataFrame as _DF
+
+        return _DF(jdf, spark)
+    reader = (
+        spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    )
+    if partition_column is not None:
+        if lower_bound is None or upper_bound is None or not num_partitions:
+            raise ValueError(
+                "partition_column requires lower_bound, upper_bound, num_partitions"
+            )
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions))
+        )
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
 def reconcile_counts(spark: SparkSession, parquet_path: str, expected: int) -> bool:
     """Generalized ``check_loaded`` (``zoom_proc.py:266-312``): verify a
     sink holds the expected row count. Library-level, opt-in (each count

@@ -118,3 +118,57 @@ def test_write_jdbc_grants_statement_shape(spark, sf_dir, derby_url, monkeypatch
         "GRANT SELECT ON region_g TO dashboard_ro",
     ]
     assert seen["driver"] == DERBY["driver"] and seen["url"] == derby_url
+
+
+def test_jdbc_partitioned_parallel_read(spark, sf_dir, derby_url):
+    """read_jdbc with partitionColumn strides the scan across N
+    range-bounded queries; predicate pushdown reaches the remote SQL."""
+    from datalake_scripts_spark.io import read_jdbc, write_jdbc
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    write_jdbc(orders, derby_url, "orders_par", mode="overwrite", properties=DERBY)
+    back = read_jdbc(
+        spark,
+        derby_url,
+        "orders_par",
+        properties=DERBY,
+        partition_column="o_orderkey",
+        lower_bound=0,
+        upper_bound=int(orders.agg({"o_orderkey": "max"}).first()[0]),
+        num_partitions=4,
+    )
+    assert back.rdd.getNumPartitions() == 4
+    assert back.count() == orders.count()
+    # pushdown: the filter appears in the JDBC scan, not a Spark Filter
+    import io as _io
+    import contextlib
+
+    q = back.filter(F.col("o_totalprice") > 1000).select("o_orderkey")
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q.explain("formatted")
+    plan = buf.getvalue()
+    assert "PushedFilters" in plan and "o_totalprice" in plan
+    assert q.count() == orders.filter(F.col("o_totalprice") > 1000).count()
+
+
+def test_jdbc_predicates_read(spark, sf_dir, derby_url):
+    """One query per explicit predicate — the skew-safe parallel form."""
+    from datalake_scripts_spark.io import read_jdbc, write_jdbc
+
+    nation = read_table(spark, sf_dir, "nation")
+    write_jdbc(nation, derby_url, "nation_pred", mode="overwrite", properties=DERBY)
+    back = read_jdbc(
+        spark,
+        derby_url,
+        "nation_pred",
+        properties=DERBY,
+        predicates=[
+            '"n_regionkey" < 2',
+            '"n_regionkey" >= 2',
+        ],
+    )
+    assert back.rdd.getNumPartitions() == 2
+    assert back.count() == nation.count()
