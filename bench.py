@@ -48,9 +48,10 @@ BENCH_QUERIES = [
     "dedup_paragraph_chunks",
     "text_tfidf_top_terms",
     "sketch_hll_union_rollup",
-    # round 3 additions
+    # round 3 additions (dedup_corpus_keep is NOT benched: it is
+    # duplicate_clusters_star + one broadcast anti-join, so timing it
+    # would double-count the heaviest path for no new signal)
     "quality_unigram_logprob",
-    "dedup_corpus_keep",
 ]
 
 
