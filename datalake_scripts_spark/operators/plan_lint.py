@@ -54,15 +54,27 @@ def lint_plan(df: DataFrame, expect_pruned_columns: int | None = None) -> list[F
         )
     # a window/sort over an empty partition spec funnels ALL rows to one
     # task (explain('formatted') prints it as an Exchange with
-    # SinglePartition arguments)
-    if "SinglePartition" in plan and "TakeOrderedAndProject" not in plan:
-        findings.append(
-            Finding(
-                "single-partition-exchange",
-                "all rows funneled to one task (global window/sort without "
-                "partitioning or limit)",
+    # SinglePartition arguments). Exception: Catalyst's injected runtime
+    # bloom filter merges per-partition fixed-size sketches through a
+    # SinglePartition exchange (bloom_filter_agg in the lines just
+    # above) — that is the optimizer preventing a big shuffle, not
+    # causing one, and it can appear in ANY join once stats warrant it.
+    if "TakeOrderedAndProject" not in plan:
+        lines = plan.splitlines()
+        for i, line in enumerate(lines):
+            if "SinglePartition" not in line:
+                continue
+            ctx = "\n".join(lines[max(0, i - 10): i])
+            if "bloom_filter_agg" in ctx:
+                continue
+            findings.append(
+                Finding(
+                    "single-partition-exchange",
+                    "all rows funneled to one task (global window/sort without "
+                    "partitioning or limit)",
+                )
             )
-        )
+            break
     for m in re.finditer(r"PushedFilters: \[\]", plan):
         # only a hint: a filter above an un-pushed scan
         if "Filter" in plan:

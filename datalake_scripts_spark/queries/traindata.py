@@ -491,3 +491,95 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc_id"),
         F.sum("n_chars").cast("bigint").alias("sum_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Flagship composition: the full curation pipeline in one query
+# ---------------------------------------------------------------------------
+
+
+def _curate_sql() -> str:
+    from .llmops import _SQL_JACCARD_CTES
+
+    sw = "[" + ", ".join(f"'{w}'" for w in X.STOPWORDS_EN) + "]"
+    return f"""
+    WITH RECURSIVE {_SQL_JACCARD_CTES},
+    edges AS (SELECT id_a AS u, id_b AS v FROM jpairs
+              UNION SELECT id_b, id_a FROM jpairs),
+    reach(doc_id, r) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT e.u, r.r FROM edges e JOIN reach r ON r.doc_id = e.v),
+    clusters AS (SELECT doc_id, LEAST(doc_id, MIN(r)) AS cluster_id
+                 FROM reach GROUP BY doc_id),
+    dropped AS (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id),
+    gm AS (
+      SELECT doc_id,
+             CAST(len(tk) AS BIGINT) AS n_words,
+             CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE)
+               / GREATEST(len(tk), 1) AS mwl,
+             CAST(len(list_filter(tk, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+               / GREATEST(len(tk), 1) AS alpha,
+             CAST(len(list_filter(tk, x -> list_contains({sw}, x))) AS BIGINT)
+               AS sw_hits
+      FROM (SELECT doc_id, {SQL_TOKS} AS tk FROM documents)),
+    csh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(tk) - 1),
+                    i -> array_to_string(tk[i:i+2], ' ')))) AS shingle
+      FROM (SELECT doc_id, {SQL_TOKS} AS tk FROM documents)
+      WHERE len(tk) >= 3),
+    bench AS (SELECT DISTINCT shingle FROM csh WHERE doc_id < 10),
+    contaminated AS (
+      SELECT c.doc_id FROM csh c JOIN bench b ON c.shingle = b.shingle
+      WHERE c.doc_id >= 10
+      GROUP BY c.doc_id HAVING COUNT(*) >= 5)
+    SELECT d.doc_id, d.lang, gm.n_words
+    FROM documents d
+    JOIN gm ON gm.doc_id = d.doc_id
+    WHERE d.doc_id >= 10
+      AND gm.n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS}
+      AND gm.mwl BETWEEN {_GOPHER_MIN_MWL} AND {_GOPHER_MAX_MWL}
+      AND gm.alpha >= {_GOPHER_MIN_ALPHA}
+      AND gm.sw_hits >= {_GOPHER_MIN_STOP_HITS}
+      AND d.doc_id NOT IN (SELECT doc_id FROM dropped)
+      AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    """
+
+
+@query("curate_corpus_pipeline", sql=_curate_sql())
+def curate_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's thesis in one query — the full pretraining curation
+    pipeline: Gopher quality gates AND near-duplicate removal
+    (jaccard pairs -> connected components -> keep the min-id
+    representative) AND benchmark decontamination (drop docs sharing
+    >= 5 trigrams with the held-out set), emitting the cleaned corpus
+    with per-doc token counts.
+
+    Every stage reuses the already-verified building blocks
+    (quality_gopher_rules metrics, ngram_jaccard_pairs +
+    duplicate_clusters_star, decontaminate_against_benchmark), so this
+    checks their COMPOSITION end-to-end against one oracle. Scale
+    shape: the gates are map-only; the drop/contaminated sets are tiny
+    relative to the corpus and broadcast into anti-joins; nothing here
+    adds a shuffle beyond the stages' own."""
+    from ..operators.dedup import duplicate_clusters_star, ngram_jaccard_pairs
+    from .llmops import decontaminate_against_benchmark
+    from .traindata import quality_gopher_rules as _gopher  # self-module ref
+
+    docs = t(spark, sf_dir, "documents")
+    gates = _gopher(spark, sf_dir).filter(F.col("keep") == 1).select(
+        "doc_id", "n_words"
+    )
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.5,
+                                block_col="lang")
+    clusters = duplicate_clusters_star(pairs)
+    dropped = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    contaminated = decontaminate_against_benchmark(spark, sf_dir).select("doc_id")
+    return (
+        docs.filter(F.col("doc_id") >= 10)
+        .join(gates, "doc_id")
+        .join(F.broadcast(dropped), "doc_id", "left_anti")
+        .join(F.broadcast(contaminated), "doc_id", "left_anti")
+        .select("doc_id", "lang", "n_words")
+    )
