@@ -404,3 +404,51 @@ def events_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("sum_value_dec").cast("double").alias("sum_value"),
         )
     )
+
+
+@query(
+    "events_ewma_per_user",
+    sql="""
+    WITH per AS (
+      SELECT user_id,
+             list_sort(list(struct_pack(ts := ts, event_id := event_id,
+                                        v := CAST(value AS DOUBLE)))) AS l
+      FROM events GROUP BY user_id)
+    SELECT user_id,
+           CAST(len(l) AS BIGINT) AS n_events,
+           list_reduce(list_transform(l, s -> s.v),
+                       (acc, x) -> 0.3 * x + 0.7 * acc) AS ewma_value
+    FROM per
+    """,
+)
+def events_ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average of event value
+    (alpha=0.3) — the recursive time-series smoother window frames
+    can't express (each output depends on the previous OUTPUT, not a
+    fixed frame of inputs). Implemented as collect -> deterministic
+    struct sort (ts, event_id tiebreak) -> left fold; both engines run
+    the identical fold order so the IEEE result is bit-equal (the
+    repo's left-to-right-fold determinism rule). State is O(events per
+    user) — bounded by the per-key history, the same envelope any
+    exact EWMA needs; for unbounded streams the streaming counterpart
+    is running_user_totals' applyInPandasWithState shape."""
+    ev = t(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct("ts", "event_id", F.col("value").cast("double").alias("v"))
+            )
+        ).alias("l")
+    )
+    fold = F.aggregate(
+        F.transform(F.col("l"), lambda s: s["v"]),
+        F.lit(None).cast("double"),
+        lambda acc, x: F.when(acc.isNull(), x).otherwise(
+            F.lit(0.3) * x + F.lit(0.7) * acc
+        ),
+    )
+    return per.select(
+        "user_id",
+        F.size("l").cast("bigint").alias("n_events"),
+        fold.alias("ewma_value"),
+    )

@@ -143,3 +143,37 @@ def salted_join_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_price"),
     )
+
+
+@query(
+    "skew_report_orders_custkey",
+    sql="""
+    WITH c AS (SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(MAX(n) AS BIGINT) AS max_per_key,
+           CAST(MIN(n) AS BIGINT) AS min_per_key,
+           CAST(SUM(n) AS BIGINT) AS total_rows,
+           CAST(MAX(n) * COUNT(*) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)
+             AS skew_factor
+    FROM c
+    """,
+)
+def skew_report_orders_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnosis for a prospective shuffle key: per-key
+    cardinality extremes and the max/mean skew factor — the
+    measurement that decides between a plain shuffle, AQE skew-join,
+    and salting (operators.scale.salted_*). Two partial-aggregated
+    passes (key counts, then their 1-row summary); the skew factor is
+    exact-integer max*n_keys over total with a single double division."""
+    orders = t(spark, sf_dir, "orders")
+    c = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    return c.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("n").alias("max_per_key"),
+        F.min("n").alias("min_per_key"),
+        F.sum("n").alias("total_rows"),
+        (
+            (F.max("n") * F.count(F.lit(1))).cast("double")
+            / F.sum("n").cast("double")
+        ).alias("skew_factor"),
+    )

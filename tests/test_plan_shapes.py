@@ -173,6 +173,9 @@ LINT_ALLOWLIST = {
     # 1-row broadcast crossJoin; the single-partition exchange is the
     # totals aggregation itself (one tiny row per task crosses it)
     "quality_unigram_logprob": {"cartesian-product", "single-partition-exchange"},
+    # global scalar summary of per-key counts: partial agg map-side,
+    # one tiny row per task crosses the final exchange
+    "skew_report_orders_custkey": {"single-partition-exchange"},
     # final merge of per-partition HLL sketches: map-side partials reduce
     # each partition to ONE fixed-size sketch (~few KiB); only those cross
     # the single-partition exchange for the associative union. This is the
