@@ -356,6 +356,28 @@ def snapshot_row_count(table_dir: str, version: int | None = None) -> int:
     return sum(s["rows"] for s in stats.values())
 
 
+def compact_versioned(
+    spark: SparkSession, table_dir: str, target_files: int = 1
+) -> int:
+    """OPTIMIZE for the Delta-lite layer: rewrite the CURRENT snapshot
+    into ``target_files`` right-sized files as a new overwrite commit.
+    Streaming appends land one small file set per epoch; compaction
+    folds them without losing anything — prior versions stay
+    time-travelable until vacuum, readers never see a partial state
+    (same atomic pointer flip as any commit), and the epoch ledger in
+    older manifests keeps protecting against replays inside the
+    retention window. Returns the new version number."""
+    df = read_versioned(spark, table_dir).coalesce(target_files)
+    prev_meta = _load_manifest(table_dir, current_version(table_dir)).get("meta", {})
+    return write_versioned(
+        spark,
+        df,
+        table_dir,
+        mode="overwrite",
+        meta={**prev_meta, "compaction_of": current_version(table_dir)},
+    )
+
+
 def vacuum(table_dir: str, keep_last: int = 1) -> int:
     """Delete data files unreferenced by the last ``keep_last`` manifests
     (and drop the older manifests). Returns number of files removed."""

@@ -254,6 +254,53 @@ def test_stream_into_versioned_table(spark, sf_dir, tmp_path):
     assert read_versioned(spark, table_dir).count() == n_total
 
 
+def test_versioned_table_as_streaming_source(spark, sf_dir, tmp_path):
+    """A versioned APPEND table doubles as a streaming source: commits
+    add immutable files under data/, so a file-source stream over that
+    directory delivers each commit's rows exactly once — producer
+    commits snapshots, consumer streams them, no extra infrastructure.
+    (Overwrite/compaction commits rewrite data and need read_changes
+    instead — this is the same append-only contract Delta's streaming
+    source imposes by default.)"""
+    import pyspark.sql.types as T
+
+    from datalake_scripts_spark.io import read_table
+    from datalake_scripts_spark.operators.versioned import write_versioned
+    from datalake_scripts_spark.streaming import stream_from_directory
+
+    table_dir = str(tmp_path / "vsrc")
+    region = read_table(spark, sf_dir, "region")
+    write_versioned(spark, region, table_dir, mode="append")
+
+    schema = T.StructType(
+        [
+            T.StructField("r_regionkey", T.LongType()),
+            T.StructField("r_name", T.StringType()),
+        ]
+    )
+    out = []
+
+    def collect_batch(batch_df, epoch_id):
+        out.append(batch_df.count())
+
+    def run_once():
+        q = (
+            stream_from_directory(spark, f"{table_dir}/data", schema=schema)
+            .writeStream.foreachBatch(collect_batch)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run_once()
+    assert sum(out) == region.count()
+    # a second commit is picked up incrementally, not re-delivered
+    write_versioned(spark, region, table_dir, mode="append")
+    run_once()
+    assert sum(out) == 2 * region.count()
+
+
 def test_stream_cdc_merge_into_versioned(spark, tmp_path):
     """Streaming CDC apply: micro-batches of keyed updates MERGE into a
     versioned dimension — matched keys replace, new keys insert,

@@ -67,6 +67,37 @@ def test_vacuum_drops_unreferenced(spark, sf_dir, table_dir):
         read_versioned(spark, table_dir, version=1)
 
 
+def test_compaction_folds_small_files(spark, sf_dir, table_dir):
+    """OPTIMIZE: small per-commit file sets fold into one rewrite
+    commit; data identical, history time-travelable, vacuum reclaims."""
+    import glob as _glob
+
+    from datalake_scripts_spark.operators.versioned import (
+        compact_versioned,
+        files_for_read,
+        snapshot_row_count,
+    )
+
+    region = read_table(spark, sf_dir, "region").repartition(2)
+    for _ in range(3):
+        write_versioned(spark, region, table_dir, mode="append")
+    assert len(files_for_read(table_dir)) == 6
+    n = read_versioned(spark, table_dir).count()
+
+    v = compact_versioned(spark, table_dir, target_files=1)
+    assert v == 4
+    assert len(files_for_read(table_dir)) == 1
+    assert read_versioned(spark, table_dir).count() == n
+    assert snapshot_row_count(table_dir) == n
+    # pre-compaction history still travels
+    assert read_versioned(spark, table_dir, version=2).count() == n * 2 // 3
+    # vacuum reclaims the folded small files
+    removed = vacuum(table_dir, keep_last=1)
+    assert removed == 6
+    assert len(_glob.glob(f"{table_dir}/data/*")) == 1
+    assert read_versioned(spark, table_dir).count() == n
+
+
 def test_manifest_carries_stats_and_metadata_count(spark, sf_dir, table_dir):
     """Snapshots carry per-file footer stats: row counts sum without a
     Spark job and survive append commits."""
