@@ -535,8 +535,32 @@ def write_zorder_parquet(
     range repartition + in-partition sort on the z-value lays files on
     the curve. Columns must be numeric/orderable; NULLs rank lowest.
     """
+    zed = zorder_layout(
+        df,
+        cols,
+        n_files=n_files,
+        bits_per_col=bits_per_col,
+        sample_fraction=sample_fraction,
+    )
+    zed.write.mode(mode).parquet(path)
+
+
+def zorder_layout(
+    df: DataFrame,
+    cols: list[str],
+    n_files: int = 8,
+    bits_per_col: int = 6,
+    sample_fraction: float = 0.1,
+) -> DataFrame:
+    """The layout half of :func:`write_zorder_parquet` (see there for
+    the full mechanics): returns ``df`` range-repartitioned into
+    ``n_files`` partitions along the Morton curve and sorted within
+    each, ready for ANY writer — the direct parquet writer above, or a
+    versioned-table commit (operators.versioned.compact_versioned
+    ``zorder_by=``) where the manifest then records tight per-file
+    min/max for multi-column skipping."""
     if not cols:
-        raise ValueError("write_zorder_parquet needs at least one z column")
+        raise ValueError("zorder_layout needs at least one z column")
     n_buckets = 1 << bits_per_col
     qs = [i / n_buckets for i in range(1, n_buckets)]
     import json
@@ -573,10 +597,8 @@ def write_zorder_parquet(
             )
             zbits = contrib if zbits is None else zbits + contrib
     zed = df.withColumn("_zvalue", zbits.cast("bigint"))
-    (
+    return (
         zed.repartitionByRange(n_files, F.col("_zvalue"))
         .sortWithinPartitions("_zvalue")
         .drop("_zvalue")
-        .write.mode(mode)
-        .parquet(path)
     )

@@ -357,7 +357,11 @@ def snapshot_row_count(table_dir: str, version: int | None = None) -> int:
 
 
 def compact_versioned(
-    spark: SparkSession, table_dir: str, target_files: int = 1
+    spark: SparkSession,
+    table_dir: str,
+    target_files: int = 1,
+    sort_by: str | None = None,
+    zorder_by: list[str] | None = None,
 ) -> int:
     """OPTIMIZE for the Delta-lite layer: rewrite the CURRENT snapshot
     into ``target_files`` right-sized files as a new overwrite commit.
@@ -366,8 +370,27 @@ def compact_versioned(
     time-travelable until vacuum, readers never see a partial state
     (same atomic pointer flip as any commit), and the epoch ledger in
     older manifests keeps protecting against replays inside the
-    retention window. Returns the new version number."""
-    df = read_versioned(spark, table_dir).coalesce(target_files)
+    retention window. Returns the new version number.
+
+    ``sort_by``: range-cluster one column (OPTIMIZE + sort);
+    ``zorder_by``: Morton-curve cluster several (OPTIMIZE ZORDER,
+    io.zorder_layout). Either way the rewrite's manifest records tight
+    per-file min/max, so ``read_versioned(skip_filter=...)`` prunes
+    aggressively right after compaction — clustering is what makes the
+    stats selective."""
+    cur = read_versioned(spark, table_dir)
+    if zorder_by:
+        from ..io import zorder_layout
+
+        df = zorder_layout(cur, zorder_by, n_files=target_files)
+    elif sort_by:
+        from pyspark.sql import functions as F
+
+        df = cur.repartitionByRange(target_files, F.col(sort_by)).sortWithinPartitions(
+            sort_by
+        )
+    else:
+        df = cur.coalesce(target_files)
     prev_meta = _load_manifest(table_dir, current_version(table_dir)).get("meta", {})
     return write_versioned(
         spark,

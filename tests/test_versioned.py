@@ -98,6 +98,31 @@ def test_compaction_folds_small_files(spark, sf_dir, table_dir):
     assert read_versioned(spark, table_dir).count() == n
 
 
+def test_compaction_with_clustering_enables_skipping(spark, sf_dir, table_dir):
+    """OPTIMIZE ZORDER into the versioned layer: random append order
+    gives useless per-file min/max (no pruning); a z-ordered compaction
+    rewrite makes the manifest stats tight, so the same skip_filter
+    prunes files afterwards."""
+    from datalake_scripts_spark.operators.versioned import (
+        compact_versioned,
+        files_for_read,
+    )
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    # shuffled layout: every file spans ~the whole key range
+    write_versioned(spark, orders.repartition(6), table_dir, mode="append")
+    flt = [("o_orderkey", "<=", 100)]
+    assert len(files_for_read(table_dir, skip_filter=flt)) == 6  # no pruning
+
+    compact_versioned(spark, table_dir, target_files=6, zorder_by=["o_orderkey", "o_custkey"])
+    kept = files_for_read(table_dir, skip_filter=flt)
+    assert 0 < len(kept) < 6
+    got = read_versioned(spark, table_dir, skip_filter=flt)
+    assert got.count() == orders.filter(F.col("o_orderkey") <= 100).count()
+
+
 def test_manifest_carries_stats_and_metadata_count(spark, sf_dir, table_dir):
     """Snapshots carry per-file footer stats: row counts sum without a
     Spark job and survive append commits."""
