@@ -84,9 +84,54 @@ def main(argv: list[str] | None = None) -> int:
     j = sub.add_parser("jhub", parents=[common])
     j.add_argument("--logs", required=True)
 
+    # table maintenance (no pipeline run): the OPTIMIZE/VACUUM/history
+    # chores of the versioned layer as first-class commands
+    tbl = sub.add_parser("table", help="versioned-table maintenance")
+    tbl.add_argument("--dir", required=True, help="versioned table directory")
+    tbl.add_argument("--master", default=None)
+    tbl_sub = tbl.add_subparsers(dest="action", required=True)
+    c = tbl_sub.add_parser("compact", help="fold small files (OPTIMIZE)")
+    c.add_argument("--files", type=int, default=1)
+    c.add_argument("--sort", default=None, help="range-cluster one column")
+    c.add_argument("--zorder", default=None, help="comma-separated Z-ORDER columns")
+    vac = tbl_sub.add_parser("vacuum", help="drop unreferenced files")
+    vac.add_argument("--keep-last", type=int, default=1)
+    tbl_sub.add_parser("history", help="list committed versions")
+
     args = p.parse_args(argv)
 
     from .session import get_spark
+
+    if args.domain == "table":
+        from .operators import versioned as V
+
+        spark = get_spark("table-maintenance", master=args.master)
+        if args.action == "compact":
+            zcols = args.zorder.split(",") if args.zorder else None
+            v = V.compact_versioned(
+                spark, args.dir, target_files=args.files,
+                sort_by=args.sort, zorder_by=zcols,
+            )
+            print(f"compacted -> v{v} ({len(V.files_for_read(args.dir))} files)")
+        elif args.action == "vacuum":
+            removed = V.vacuum(args.dir, keep_last=args.keep_last)
+            print(f"vacuumed {removed} files")
+        else:
+            latest = V.current_version(args.dir)
+            for ver in range(1, latest + 1):
+                try:
+                    m = V._load_manifest(args.dir, ver)
+                except FileNotFoundError:
+                    continue
+                rows = sum(
+                    s["rows"] for s in m.get("stats", {}).values()
+                ) if m.get("stats") else "?"
+                meta = m.get("meta", {})
+                print(
+                    f"v{ver}: mode={m['mode']} files={len(m['files'])} "
+                    f"rows={rows}" + (f" meta={meta}" if meta else "")
+                )
+        return 0
 
     spark = get_spark(f"pipeline-{args.domain}", master=args.master)
 
