@@ -7,6 +7,7 @@ from .windows import (  # noqa: F401
     dedup_within_watermark,
     run_to_memory,
     stream_stream_interval_join,
+    stream_stream_interval_join_outer,
 )
 from .sinks import (  # noqa: F401
     foreach_batch_dual,

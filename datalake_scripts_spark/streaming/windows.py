@@ -289,3 +289,36 @@ def stream_stream_interval_join(
         & (rts <= lts + F.expr(f"INTERVAL {max_delay}"))
     )
     return lw.join(rw, cond, "inner").drop(key + suffix)
+
+
+def stream_stream_interval_join_outer(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    watermark: str = "1 hour",
+    max_delay: str = "30 minutes",
+    suffix: str = "_r",
+) -> DataFrame:
+    """LEFT OUTER variant of :func:`stream_stream_interval_join`: left
+    rows that never match emit once with NULL right columns — but only
+    AFTER the watermark passes ``left_ts + max_delay`` (before that,
+    a match could still arrive), so unmatched results are delayed by
+    the watermark horizon by construction. State bound is identical to
+    the inner form; the semantic difference is that expiry EMITS the
+    null row instead of just discarding state. This is the
+    streaming-native "purchases without an attributed view" /
+    "signups that never activated" query, replacing the reference's
+    consumer-side anti-joins over append tables (SURVEY.md §2.7)."""
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    for c in rw.columns:
+        rw = rw.withColumnRenamed(c, c + suffix)
+    lts, rts = F.col(left_ts), F.col(right_ts + suffix)
+    cond = (
+        (F.col(key) == F.col(key + suffix))
+        & (rts >= lts)
+        & (rts <= lts + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return lw.join(rw, cond, "leftOuter").drop(key + suffix)

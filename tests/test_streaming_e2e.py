@@ -301,6 +301,75 @@ def test_versioned_table_as_streaming_source(spark, sf_dir, tmp_path):
     assert sum(out) == 2 * region.count()
 
 
+def test_stream_stream_outer_join_emits_nulls_on_expiry(spark, tmp_path):
+    """Left-outer stream-stream interval join: an unmatched left row
+    emits exactly once with NULL right columns AFTER the watermark
+    passes its match horizon — the streaming-native anti-join the
+    reference deferred to consumers."""
+    import datetime as dt
+
+    from datalake_scripts_spark.streaming import (
+        events_schema,
+        stream_from_directory,
+        stream_stream_interval_join_outer,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_file(rows, name):
+        spark.createDataFrame(rows, events_schema()).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    T = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def ev(eid, minutes, user, etype):
+        return (eid, T + dt.timedelta(minutes=minutes), user, etype, 1.0, "{}")
+
+    # user 1: view with a purchase 10 min later (match);
+    # user 2: view with no purchase ever (expiry -> null row)
+    write_file(
+        [ev(1, 0, 1, "view"), ev(2, 10, 1, "purchase"), ev(3, 0, 2, "view")],
+        "f1",
+    )
+
+    out = []
+
+    def run_once():
+        stream = stream_from_directory(spark, src)
+        views = stream.filter(F.col("event_type") == "view").select(
+            "user_id", "ts", "event_id"
+        )
+        buys = stream.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "event_id"
+        )
+        joined = stream_stream_interval_join_outer(
+            views, buys, key="user_id", watermark="1 hour", max_delay="30 minutes"
+        )
+        q = (
+            joined.writeStream.outputMode("append")
+            .foreachBatch(lambda b, e: out.extend(b.collect()))
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run_once()
+    matched = {(r.user_id, r.event_id, r.event_id_r) for r in out}
+    assert (1, 1, 2) in matched  # the match emits promptly
+    assert not any(r.user_id == 2 for r in out)  # expiry not reached yet
+
+    # far-future events push both watermarks past user 2's horizon
+    write_file([ev(90, 300, 99, "view"), ev(91, 301, 99, "purchase")], "f2")
+    run_once()
+    run_once()  # one more cycle for the no-data watermark flush
+    user2 = [r for r in out if r.user_id == 2]
+    assert len(user2) == 1
+    assert user2[0].event_id == 3 and user2[0].event_id_r is None
+
+
 def test_stream_cdc_merge_into_versioned(spark, tmp_path):
     """Streaming CDC apply: micro-batches of keyed updates MERGE into a
     versioned dimension — matched keys replace, new keys insert,
