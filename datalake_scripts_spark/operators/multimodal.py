@@ -189,3 +189,62 @@ def extract_frame_features_stub(
             )
 
     return df.mapInPandas(_extract, FRAME_FEATURES_SCHEMA)
+
+
+AUDIO_CHUNK_SCHEMA = (
+    "doc_id bigint, chunk_idx int, start_ms bigint, end_ms bigint, "
+    "n_samples bigint, fake_rms double"
+)
+
+
+def audio_chunk_stub(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    sample_rate: int = 16000,
+    chunk_ms: int = 1000,
+) -> DataFrame:
+    """Audio chunking stage: opaque waveform payload -> fixed-duration
+    chunk rows with per-chunk features — the audio twin of
+    :func:`frame_sample_plan` (video) and :func:`decode_metadata`
+    (image). One input row fans out to duration/chunk_ms output rows,
+    ready for downstream per-chunk embedding / VAD / ASR stages.
+
+    STUB decode (no audio codecs in this environment): duration is
+    derived from the byte length as 16-bit mono PCM at ``sample_rate``
+    (2 bytes/sample), and ``fake_rms`` is an md5-derived deterministic
+    stand-in for the chunk's RMS energy. A real implementation swaps
+    ONLY the body (soundfile/librosa per chunk); schema, fan-out shape,
+    Arrow batching, and partition preservation are the real contract.
+    """
+    samples_per_chunk = sample_rate * chunk_ms // 1000
+
+    def _chunk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "chunk_idx": [], "start_ms": [],
+                "end_ms": [], "n_samples": [], "fake_rms": [],
+            }
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                payload = bytes(payload)
+                n_samples = len(payload) // 2
+                dur_ms = n_samples * 1000 // sample_rate
+                n_chunks = max(1, -(-n_samples // samples_per_chunk))
+                head = hashlib.md5(payload).digest()
+                for i in range(n_chunks):
+                    s0 = i * samples_per_chunk
+                    s1 = min(n_samples, s0 + samples_per_chunk)
+                    h = hashlib.md5(head + i.to_bytes(4, "little")).digest()
+                    out["doc_id"].append(did)
+                    out["chunk_idx"].append(i)
+                    out["start_ms"].append(i * chunk_ms)
+                    out["end_ms"].append(min(dur_ms, (i + 1) * chunk_ms))
+                    out["n_samples"].append(max(0, s1 - s0))
+                    out["fake_rms"].append(
+                        int.from_bytes(h[:4], "little") / 2**32
+                    )
+            yield pd.DataFrame(out)
+
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.col(payload_col)
+    ).mapInPandas(_chunk, AUDIO_CHUNK_SCHEMA)

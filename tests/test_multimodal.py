@@ -106,3 +106,32 @@ def test_frame_feature_pipeline_end_to_end(spark):
     assert {key(r): tuple(r.frame_embedding) for r in feats} == {
         key(r): tuple(r.frame_embedding) for r in again
     }
+
+
+def test_audio_chunk_stub_fanout(spark, sf_dir):
+    """Audio chunking: fan-out row count = ceil(samples/chunk), chunk
+    boundaries tile the duration, features deterministic across runs."""
+    from datalake_scripts_spark.io import read_table
+    from datalake_scripts_spark.operators.multimodal import audio_chunk_stub
+    from pyspark.sql import functions as F
+
+    docs = read_table(spark, sf_dir, "documents").limit(50).select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    chunks = audio_chunk_stub(docs, sample_rate=100, chunk_ms=1000)
+    pdf = chunks.toPandas().sort_values(["doc_id", "chunk_idx"])
+    src = {r.doc_id: len(bytearray(r.payload)) for r in docs.collect()}
+    for did, n_bytes in src.items():
+        n_samples = n_bytes // 2
+        expect_chunks = max(1, -(-n_samples // 100))  # 100 samples/chunk
+        got = pdf[pdf.doc_id == did]
+        assert len(got) == expect_chunks, did
+        assert list(got.chunk_idx) == list(range(expect_chunks))
+        assert int(got.n_samples.sum()) == n_samples
+        assert (got.start_ms == got.chunk_idx * 1000).all()
+    assert ((pdf.fake_rms >= 0) & (pdf.fake_rms < 1)).all()
+    # deterministic across runs
+    pdf2 = audio_chunk_stub(docs, sample_rate=100, chunk_ms=1000).toPandas().sort_values(
+        ["doc_id", "chunk_idx"]
+    )
+    assert (pdf.fake_rms.values == pdf2.fake_rms.values).all()
