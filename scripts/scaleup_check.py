@@ -101,12 +101,20 @@ def main() -> None:
                 "o_custkey", F.col("o_custkey") + F.col("_rep") * 150000
             )
         if name == "documents":
+            # replica 0 keeps the ORIGINAL text: the perturbation exists
+            # only to stop cross-replica near-duplicate pairs, and
+            # prefixed words break stopword/quality gates (a
+            # gate-dependent query would measure an empty corpus)
             rep = rep.withColumn(
                 "text",
-                F.regexp_replace(
-                    F.col("text"),
-                    r"(\w+)",
-                    F.concat(F.lit("r"), F.col("_rep").cast("string"), F.lit("_$1")),
+                F.when(F.col("_rep") == 0, F.col("text")).otherwise(
+                    F.regexp_replace(
+                        F.col("text"),
+                        r"(\w+)",
+                        F.concat(
+                            F.lit("r"), F.col("_rep").cast("string"), F.lit("_$1")
+                        ),
+                    )
                 ),
             )
         rep.drop("_rep").write.mode("overwrite").parquet(f"{dst}/{name}.parquet")
