@@ -154,3 +154,102 @@ def sketch_kll_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok(0.9, 2, 3).alias("p90_ok"),
         ok(0.99, 4, 5).alias("p99_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch heavy-hitter probe (hand-built, cross-engine exact)
+# ---------------------------------------------------------------------------
+
+_CMS_W = 1024
+_CMS_SEEDS = (0, 1)
+_CMS_TOPK = 10
+
+
+def _cms_bucket_expr(seed: int) -> str:
+    """Bucket hash as ONE SQL expression string evaluated verbatim by
+    BOTH engines (md5 -> first 8 hex nibbles -> base-16 fold -> % w):
+    instr/substr/md5/||/% behave identically in Spark SQL and DuckDB,
+    so the sketch contents are bit-equal by construction. Each term is
+    cast to BIGINT before the 16^i scale — nibble 15 * 16^7 overflows
+    int32."""
+    terms = " + ".join(
+        f"(CAST(instr('0123456789abcdef', "
+        f"substr(md5('{seed}:' || token), {i + 1}, 1)) - 1 AS BIGINT))"
+        f" * {16 ** i}"
+        for i in range(8)
+    )
+    return f"(({terms}) % {_CMS_W})"
+
+
+def _cms_sql() -> str:
+    toks = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+    cms_parts = " UNION ALL ".join(
+        f"SELECT {s} AS seed, {_cms_bucket_expr(s)} AS bucket, COUNT(*) AS c "
+        f"FROM tok GROUP BY 2"
+        for s in _CMS_SEEDS
+    )
+    probe_parts = " UNION ALL ".join(
+        f"SELECT token, n, {s} AS seed, {_cms_bucket_expr(s)} AS bucket FROM top"
+        for s in _CMS_SEEDS
+    )
+    return f"""
+    WITH tok AS (SELECT unnest({toks}) AS token FROM documents),
+    cnt AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY token),
+    top AS (SELECT token, n FROM cnt ORDER BY n DESC, token LIMIT {_CMS_TOPK}),
+    cms AS ({cms_parts}),
+    probe AS ({probe_parts})
+    SELECT p.token,
+           CAST(p.n AS BIGINT) AS exact_n,
+           CAST(MIN(c.c) AS BIGINT) AS cms_estimate,
+           CAST(CASE WHEN MIN(c.c) >= p.n THEN 1 ELSE 0 END AS INT)
+             AS overestimate_ok
+    FROM probe p JOIN cms c ON c.seed = p.seed AND c.bucket = p.bucket
+    GROUP BY p.token, p.n
+    """
+
+
+@query("sketch_cms_heavy_hitters", sql=_cms_sql())
+def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch built from scratch in relational ops (Spark has
+    no CMS builtin): d=2 hash rows x w=1024 counters = two
+    partial-aggregated groupBys over the token stream — fixed-size
+    mergeable state, the frequency twin of the HLL cardinality rollup.
+    Probed with the top-k exact tokens: estimate = min over rows of the
+    token's counter, always >= the true count (CMS one-sided error),
+    asserted per row.
+
+    The bucket hash is a single SQL string (_cms_bucket_expr) passed to
+    F.expr AND inlined in the oracle, so both engines compute the
+    identical sketch — the strongest form of the md5-twin pattern."""
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(X.tokens("text")).alias("token"))
+    cnt = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    top = cnt.orderBy(F.desc("n"), "token").limit(_CMS_TOPK)
+    cms = None
+    for s in _CMS_SEEDS:
+        part = tok.groupBy(
+            F.expr(_cms_bucket_expr(s)).alias("bucket")
+        ).agg(F.count(F.lit(1)).alias("c")).select(
+            F.lit(s).alias("seed"), "bucket", "c"
+        )
+        cms = part if cms is None else cms.unionByName(part)
+    probe = None
+    for s in _CMS_SEEDS:
+        part = top.select(
+            "token",
+            "n",
+            F.lit(s).alias("seed"),
+            F.expr(_cms_bucket_expr(s)).alias("bucket"),
+        )
+        probe = part if probe is None else probe.unionByName(part)
+    return (
+        probe.join(F.broadcast(cms), ["seed", "bucket"])
+        .groupBy("token", "n")
+        .agg(F.min("c").alias("est"))
+        .select(
+            "token",
+            F.col("n").cast("bigint").alias("exact_n"),
+            F.col("est").cast("bigint").alias("cms_estimate"),
+            (F.col("est") >= F.col("n")).cast("int").alias("overestimate_ok"),
+        )
+    )
