@@ -755,3 +755,63 @@ def duplicate_clusters_star(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
     )
     leaves = edges.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
     return leaves.unionByName(roots)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.3,
+    cents: list[tuple[int, list[float]]] | None = None,
+    stride: int = 50,
+    dim: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., 2023): the
+    corpus is clustered on its embeddings, and near-duplicate pruning
+    runs ONLY within a cluster — pair cost is sum over clusters of
+    c_k^2 instead of |C|^2, with cluster count (and so per-cluster
+    size) chosen to bound the quadratic term.
+
+    Stages (all expressible as DataFrame ops, no UDF):
+      1. map-side nearest-centroid assignment (similarity.ivf_assign_cell
+         — no shuffle: centroids enter the plan as folded literals);
+      2. within-cluster self-join keyed on the cluster id (one shuffle,
+         key cardinality = cluster count);
+      3. exact-cosine verify of within-cluster pairs; a document is
+         pruned when a LOWER-id cluster-mate scores >= ``threshold``
+         (the deterministic analogue of SemDeDup's keep-one-per-
+         epsilon-group, no connected components needed);
+      4. anti-join the pruned set back against the corpus.
+
+    ``cents`` defaults to the seeded stride centroids
+    (similarity.ivf_centroids — the oracle-twin path); production passes
+    similarity.ivf_centroids_kmeans output for constant driver footprint
+    and data-adaptive clusters. Returns kept (id, cell) rows.
+    """
+    from . import similarity as S
+
+    if cents is None:
+        cents = S.ivf_centroids(df, stride=stride, id_col=id_col, vec_col=vec_col)
+    if dim is None:
+        dim = S._dim_of(df, vec_col)
+    vv = F.col(vec_col).cast("array<double>")
+    e = df.select(F.col(id_col).alias("vec_id"), vv.alias("v"))
+    e = e.select("vec_id", "v", S.dot(F.col("v"), F.col("v"), dim).alias("vn"))
+    cells = e.withColumn(
+        "cell", S.ivf_assign_cell(F.col("v"), F.col("vn"), cents)
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    near = S.cosine_with_norms(
+        F.col("a.v"), F.col("b.v"), F.col("a.vn"), F.col("b.vn"), dim
+    ) >= F.lit(threshold)
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(near)
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return cells.select("vec_id", "cell").join(dropped, "vec_id", "left_anti")

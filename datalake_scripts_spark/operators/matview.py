@@ -1,0 +1,185 @@
+"""Incrementally-maintained aggregate tables (materialized views) over
+versioned sources — the engine's continuous-aggregate / hypertable-rollup
+primitive.
+
+The reference recomputes every serving table from scratch on each cron
+run (full ``read.json`` -> transform -> overwrite per invocation, e.g.
+``zoom_proc.py:314-343``); at 100 TB a full recompute per refresh is the
+single largest avoidable cost in the pipeline. This module maintains a
+grouped aggregate *incrementally*: each refresh reads ONLY the change
+feed of the versioned source since the last refresh (file-level fast
+path for append commits — cost proportional to the delta, see
+``versioned.read_changes``), folds it into the stored aggregate state,
+and commits the new state atomically.
+
+At-scale shape per refresh (append-only source):
+  - scan: the delta files only (never the full fact table);
+  - shuffle: one hash aggregation of the delta partials, then one
+    co-grouped merge with the current state — state size = number of
+    groups, typically orders of magnitude below the fact row count;
+  - write: one overwrite commit of the (small) state table.
+
+Merge algebra: every supported aggregate is a commutative monoid over
+append-only deltas — count/sum add, min/max combine by min/max. ``avg``
+is stored as (sum, count) internally and finalized on read, because avg
+itself is not mergeable. Deletes (an overwrite commit in the source
+range) break min/max mergeability, so any delete in the change feed
+triggers a documented full-recompute fallback — identical semantics,
+delta-cost only when the source behaves (append + compaction, the
+layout ``versioned.read_changes`` already prescribes).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import versioned
+
+# agg name -> (partial expr builder, merge expr builder)
+_MERGE = {
+    "count": lambda c: F.sum(c),
+    "sum": lambda c: F.sum(c),
+    "min": lambda c: F.min(c),
+    "max": lambda c: F.max(c),
+}
+
+
+def _validate_spec(agg_spec: dict[str, tuple[str, str]]) -> None:
+    for out, (fn, _col) in agg_spec.items():
+        if fn not in ("count", "sum", "min", "max", "avg"):
+            raise ValueError(f"unsupported aggregate {fn!r} for {out!r}")
+        if out.startswith("_"):
+            raise ValueError(f"output column {out!r}: '_' prefix is reserved")
+
+
+def _partial_cols(agg_spec: dict[str, tuple[str, str]]):
+    """Partial-aggregate expressions over raw rows. avg becomes a
+    (__sum, __cnt) pair; everything else aggregates directly."""
+    exprs = []
+    for out, (fn, col) in agg_spec.items():
+        if fn == "count":
+            exprs.append(F.count(F.lit(1)).alias(out))
+        elif fn == "avg":
+            exprs.append(F.sum(col).alias(f"{out}__sum"))
+            exprs.append(F.count(col).alias(f"{out}__cnt"))
+        else:
+            exprs.append(getattr(F, fn)(col).alias(out))
+    # group liveness counter: lets a future delete-aware merge drop
+    # emptied groups, and disambiguates all-null sum groups
+    exprs.append(F.count(F.lit(1)).alias("_rows"))
+    return exprs
+
+
+def _merge_cols(agg_spec: dict[str, tuple[str, str]]):
+    """Merge expressions combining stored state with delta partials
+    (both sides carry the partial schema)."""
+    exprs = []
+    for out, (fn, _col) in agg_spec.items():
+        if fn == "avg":
+            exprs.append(F.sum(f"{out}__sum").alias(f"{out}__sum"))
+            exprs.append(F.sum(f"{out}__cnt").alias(f"{out}__cnt"))
+        else:
+            exprs.append(_MERGE[fn](out).alias(out))
+    exprs.append(F.sum("_rows").alias("_rows"))
+    return exprs
+
+
+def _finalize(state: DataFrame, agg_spec: dict[str, tuple[str, str]]) -> DataFrame:
+    """User-facing view: avg pairs divided out, internal columns dropped."""
+    cols = []
+    for out, (fn, _col) in agg_spec.items():
+        if fn == "avg":
+            cols.append(
+                (F.col(f"{out}__sum") / F.col(f"{out}__cnt")).alias(out)
+            )
+        else:
+            cols.append(F.col(out))
+    group_cols = [
+        c
+        for c in state.columns
+        if c != "_rows"
+        and not any(
+            c == o or c.startswith(f"{o}__") for o in agg_spec
+        )
+    ]
+    return state.select(*group_cols, *cols)
+
+
+def refresh_aggregate(
+    spark: SparkSession,
+    source_dir: str,
+    view_dir: str,
+    group_cols: list[str],
+    agg_spec: dict[str, tuple[str, str]],
+) -> int:
+    """Bring the materialized aggregate at ``view_dir`` up to date with
+    the versioned source at ``source_dir``; returns the source version
+    the view now reflects. Idempotent: a refresh with no new source
+    commits is a no-op.
+
+    ``agg_spec`` maps output column -> (fn, input column) with fn in
+    {count, sum, min, max, avg}. State is committed via
+    ``versioned.write_versioned`` with ``meta={'source_version': N}`` so
+    refresh cursors survive restarts and the view itself is
+    time-travelable per refresh.
+    """
+    _validate_spec(agg_spec)
+    src_version = versioned.current_version(source_dir)
+    view_version = versioned.current_version(view_dir)
+    last_src = 0
+    if view_version > 0:
+        last_src = versioned._load_manifest(view_dir, view_version)["meta"][
+            "source_version"
+        ]
+    if src_version == last_src:
+        return last_src  # nothing new
+
+    changes = versioned.read_changes(spark, source_dir, last_src, src_version)
+    has_deletes = bool(
+        changes.where(F.col("_change_type") == "delete").limit(1).take(1)
+    )
+    if has_deletes or view_version == 0:
+        # full (re)build: min/max are not delete-mergeable; first build
+        # has no state to merge anyway
+        base = versioned.read_versioned(spark, source_dir, src_version)
+        state = base.groupBy(*group_cols).agg(*_partial_cols(agg_spec))
+    else:
+        delta = changes.drop("_change_type")
+        partial = delta.groupBy(*group_cols).agg(*_partial_cols(agg_spec))
+        prev = versioned.read_versioned(spark, view_dir, view_version)
+        state = (
+            prev.unionByName(partial)
+            .groupBy(*group_cols)
+            .agg(*_merge_cols(agg_spec))
+        )
+    versioned.write_versioned(
+        spark,
+        state,
+        view_dir,
+        mode="overwrite",
+        meta={"source_version": src_version},
+    )
+    return src_version
+
+
+def read_aggregate(
+    spark: SparkSession,
+    view_dir: str,
+    agg_spec: dict[str, tuple[str, str]],
+    version: int | None = None,
+) -> DataFrame:
+    """The user-facing view at the latest (or a time-traveled) refresh."""
+    state = versioned.read_versioned(spark, view_dir, version)
+    return _finalize(state, agg_spec)
+
+
+def view_source_version(view_dir: str) -> int:
+    """Which source version the current view state reflects (0 = never
+    refreshed) — the refresh cursor, readable without Spark."""
+    v = versioned.current_version(view_dir)
+    if v == 0:
+        return 0
+    return versioned._load_manifest(view_dir, v)["meta"]["source_version"]

@@ -95,7 +95,13 @@ def _file_stats(path: str) -> dict:
                 # column is unprunable for the whole file (conservative)
                 cols[name] = None
                 continue
-            mn, mx = _json_safe(st.min), _json_safe(st.max)
+            try:
+                mn, mx = _json_safe(st.min), _json_safe(st.max)
+            except Exception:
+                # pyarrow can't decode min/max for some physical types
+                # (e.g. certain decimal encodings) -> unprunable column
+                cols[name] = None
+                continue
             nulls = int(st.null_count or 0)
             prev = cols.get(name)
             if name in cols and prev is None:

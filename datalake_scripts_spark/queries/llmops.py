@@ -1059,3 +1059,42 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                              lambda x: x.cast("string"))
         ).alias("frame_idxs"),
     )
+
+
+def _semdedup_sql(threshold: float = 0.3, stride: int = 50) -> str:
+    acos = S.sql_cosine("e.v", "c.cvec")
+    pcos = S.sql_cosine("a.v", "b.v")
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cid, v AS cvec FROM e WHERE vec_id % {stride} = 0),
+    assign AS (
+      SELECT e.vec_id, c.cid, ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id ORDER BY {acos} DESC, c.cid) AS crn
+      FROM e CROSS JOIN cent c),
+    cells AS (
+      SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cell, e.v
+      FROM assign a JOIN e ON a.vec_id = e.vec_id WHERE a.crn = 1),
+    dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE {pcos} >= {threshold})
+    SELECT vec_id, cell FROM cells
+    WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+    """
+
+
+@query("dedup_semantic_clusters", sql=_semdedup_sql())
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (operators.dedup.semantic_dedup):
+    cluster the corpus on embeddings (map-side nearest-centroid
+    assignment, centroids as folded literals), prune within clusters
+    only — a doc is dropped when a lower-id cluster-mate has cosine >=
+    0.3. Pair cost is sum of cluster sizes squared, never |C|^2; the
+    cluster count scales with the corpus so per-cluster size stays
+    bounded. Seeded stride centroids here keep the oracle exactly
+    expressible; production swaps in ivf_centroids_kmeans (same
+    downstream plan, constant driver footprint)."""
+    emb = t(spark, sf_dir, "embeddings")
+    return D.semantic_dedup(
+        emb, "vec_id", "embedding", threshold=0.3, stride=50, dim=64
+    )

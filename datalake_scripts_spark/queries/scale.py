@@ -177,3 +177,68 @@ def skew_report_orders_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n").cast("double")
         ).alias("skew_factor"),
     )
+
+
+@query(
+    "matview_incremental_refresh",
+    sql="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS max_price,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS avg_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def matview_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained aggregate (operators.matview): orders
+    land in three append commits on a versioned source; each refresh
+    reads ONLY that commit's files (file-level change feed,
+    versioned.read_changes fast path) and merges partials into the
+    stored state. The oracle is the plain one-shot GROUP BY — three
+    delta-cost refreshes must equal one full recompute. Sum stays
+    decimal-exact through every merge, cast double at the edge; avg is
+    one double division of exact parts (order-independent)."""
+    import tempfile
+
+    from ..operators import matview, versioned
+
+    base = tempfile.mkdtemp(prefix="matview_q_")
+    src_dir, view_dir = f"{base}/src", f"{base}/view"
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("o_price_dec"),
+    )
+    spec = {
+        "n_orders": ("count", "*"),
+        "total_price_dec": ("sum", "o_price_dec"),
+        "min_price_dec": ("min", "o_totalprice"),
+        "max_price_dec": ("max", "o_totalprice"),
+    }
+    for i in range(3):
+        versioned.write_versioned(
+            spark,
+            orders.where(F.col("o_orderkey") % 3 == i),
+            src_dir,
+            mode="append",
+        )
+        matview.refresh_aggregate(
+            spark, src_dir, view_dir, ["o_orderstatus"], spec
+        )
+    view = matview.read_aggregate(spark, view_dir, spec)
+    return view.select(
+        "o_orderstatus",
+        "n_orders",
+        F.col("total_price_dec").cast("double").alias("total_price"),
+        F.col("min_price_dec").cast("double").alias("min_price"),
+        F.col("max_price_dec").cast("double").alias("max_price"),
+        (
+            F.col("total_price_dec").cast("double")
+            / F.col("n_orders").cast("double")
+        ).alias("avg_price"),
+    )

@@ -218,3 +218,77 @@ def test_cc_nonconvergence_raises_not_silent(spark):
         D.duplicate_clusters(chain, max_iters=2)
     with pytest.raises(RuntimeError, match="did not converge"):
         D.duplicate_clusters_star(chain, max_iters=1)
+
+
+def _emb(spark, sf_dir):
+    from datalake_scripts_spark.io import read_table
+
+    return read_table(spark, sf_dir, "embeddings")
+
+
+def test_semantic_dedup_invariants(spark, sf_dir):
+    """SemDeDup keep-set invariants: subset of corpus, min id of every
+    cluster survives, and each pruned doc really has a lower-id
+    cluster-mate at cosine >= threshold."""
+    from pyspark.sql import functions as F
+
+    from datalake_scripts_spark.operators import similarity as S
+
+    emb = _emb(spark, sf_dir)
+    kept = D.semantic_dedup(emb, "vec_id", "embedding", threshold=0.3, dim=64)
+    kept_rows = kept.collect()
+    all_ids = {r.vec_id for r in emb.select("vec_id").collect()}
+    kept_ids = {r.vec_id for r in kept_rows}
+    assert kept_ids <= all_ids and kept_ids
+
+    # rebuild assignment to audit the pruned set
+    cents = S.ivf_centroids(emb, stride=50)
+    vv = F.col("embedding").cast("array<double>")
+    cells = emb.select(
+        "vec_id", vv.alias("v"), S.dot(vv, vv, 64).alias("vn")
+    ).withColumn("cell", S.ivf_assign_cell(F.col("v"), F.col("vn"), cents))
+    # min id per cluster is always kept
+    min_ids = {
+        r.m for r in cells.groupBy("cell").agg(F.min("vec_id").alias("m")).collect()
+    }
+    assert min_ids <= kept_ids
+    # every pruned doc has a justifying lower-id near-neighbor in-cluster
+    a, b = cells.alias("a"), cells.alias("b")
+    justified = {
+        r.vid
+        for r in a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(
+            S.cosine_with_norms(
+                F.col("a.v"), F.col("b.v"), F.col("a.vn"), F.col("b.vn"), 64
+            )
+            >= 0.3
+        )
+        .select(F.col("b.vec_id").alias("vid"))
+        .collect()
+    }
+    assert all_ids - kept_ids == justified
+
+
+def test_semantic_dedup_kmeans_centroids_path(spark, sf_dir):
+    """Production path: sampled-k-means centroids plug into the same
+    plan; keep-set obeys the same invariants (different clusters, so
+    no equality with the stride path is expected)."""
+    from datalake_scripts_spark.operators import similarity as S
+
+    emb = _emb(spark, sf_dir)
+    cents = S.ivf_centroids_kmeans(
+        emb, n_centroids=8, max_sample=500, id_col="vec_id", vec_col="embedding"
+    )
+    kept = D.semantic_dedup(
+        emb, "vec_id", "embedding", threshold=0.3, cents=cents, dim=64
+    )
+    n_corpus = emb.count()
+    n_kept = kept.count()
+    assert 0 < n_kept <= n_corpus
+    # cells come from the provided centroids
+    cells = {r.cell for r in kept.select("cell").distinct().collect()}
+    assert cells <= {cid for cid, _ in cents}

@@ -1,0 +1,127 @@
+"""Incremental materialized aggregate: delta-cost refresh equals full
+recompute, cursor idempotence, delete fallback, avg finalization."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datalake_scripts_spark.io import read_table
+from datalake_scripts_spark.operators import versioned
+from datalake_scripts_spark.operators.matview import (
+    read_aggregate,
+    refresh_aggregate,
+    view_source_version,
+)
+
+SPEC = {
+    "n_orders": ("count", "*"),
+    "total_price": ("sum", "o_totalprice"),
+    "min_price": ("min", "o_totalprice"),
+    "max_price": ("max", "o_totalprice"),
+    "avg_price": ("avg", "o_totalprice"),
+}
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    return str(tmp_path / "src"), str(tmp_path / "view")
+
+
+def _expected(df):
+    return df.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_totalprice").alias("total_price"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.avg("o_totalprice").alias("avg_price"),
+    )
+
+
+def _rows(df):
+    return {
+        tuple(
+            round(v, 6) if isinstance(v, float) else v for v in r
+        )
+        for r in df.select(sorted(df.columns)).collect()
+    }
+
+
+def test_incremental_equals_full_recompute(spark, sf_dir, dirs):
+    src_dir, view_dir = dirs
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    slices = [
+        orders.where(F.col("o_orderkey") % 3 == i) for i in range(3)
+    ]
+    seen = None
+    for i, part in enumerate(slices):
+        versioned.write_versioned(spark, part, src_dir, mode="append")
+        got = refresh_aggregate(
+            spark, src_dir, view_dir, ["o_orderstatus"], SPEC
+        )
+        assert got == i + 1
+        seen = part if seen is None else seen.unionByName(part)
+        view = read_aggregate(spark, view_dir, SPEC)
+        assert _rows(view) == _rows(_expected(seen))
+    # refreshes 2 and 3 merged incrementally (view overwrites each time,
+    # so view versions == number of refreshes, and the cursor tracks src)
+    assert view_source_version(view_dir) == 3
+
+
+def test_refresh_is_idempotent_noop(spark, sf_dir, dirs):
+    src_dir, view_dir = dirs
+    region = read_table(spark, sf_dir, "region")
+    versioned.write_versioned(spark, region, src_dir, mode="append")
+    spec = {"n": ("count", "*")}
+    refresh_aggregate(spark, src_dir, view_dir, ["r_regionkey"], spec)
+    v_before = versioned.current_version(view_dir)
+    refresh_aggregate(spark, src_dir, view_dir, ["r_regionkey"], spec)
+    assert versioned.current_version(view_dir) == v_before  # no new commit
+
+
+def test_overwrite_source_triggers_exact_rebuild(spark, sf_dir, dirs):
+    src_dir, view_dir = dirs
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    versioned.write_versioned(spark, orders, src_dir, mode="append")
+    refresh_aggregate(spark, src_dir, view_dir, ["o_orderstatus"], SPEC)
+    # shrink the source via overwrite -> deletes in the change feed ->
+    # min/max can't merge -> full rebuild, still exact
+    kept = orders.where(F.col("o_totalprice") > 100000)
+    versioned.write_versioned(spark, kept, src_dir, mode="overwrite")
+    refresh_aggregate(spark, src_dir, view_dir, ["o_orderstatus"], SPEC)
+    assert _rows(read_aggregate(spark, view_dir, SPEC)) == _rows(
+        _expected(kept)
+    )
+
+
+def test_view_time_travel_per_refresh(spark, sf_dir, dirs):
+    src_dir, view_dir = dirs
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    first = orders.where(F.col("o_orderkey") % 2 == 0)
+    versioned.write_versioned(spark, first, src_dir, mode="append")
+    spec = {"n": ("count", "*")}
+    refresh_aggregate(spark, src_dir, view_dir, ["o_orderstatus"], spec)
+    versioned.write_versioned(
+        spark, orders.where(F.col("o_orderkey") % 2 == 1), src_dir, mode="append"
+    )
+    refresh_aggregate(spark, src_dir, view_dir, ["o_orderstatus"], spec)
+    old = read_aggregate(spark, view_dir, spec, version=1)
+    assert _rows(old) == _rows(
+        first.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def test_rejects_bad_spec(spark, dirs):
+    src_dir, view_dir = dirs
+    with pytest.raises(ValueError):
+        refresh_aggregate(
+            spark, src_dir, view_dir, ["k"], {"x": ("median", "v")}
+        )
+    with pytest.raises(ValueError):
+        refresh_aggregate(
+            spark, src_dir, view_dir, ["k"], {"_x": ("sum", "v")}
+        )
