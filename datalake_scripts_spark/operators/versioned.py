@@ -144,19 +144,74 @@ def _file_may_match(stats: dict | None, skip_filter) -> bool:
     return True
 
 
+def _evolve_schema(prev, new, merge_schema: bool):
+    """Schema enforcement/evolution for append commits (the Delta
+    behavior SURVEY.md §1.3 prescribes in place of the reference's
+    side-channel DDL):
+
+    - a column present in both MUST keep its type (no silent widening —
+      a type conflict raises, the writer must cast explicitly);
+    - a column missing from the new batch is fine (old declared schema
+      fills it with nulls on read — Delta's subset-write);
+    - a NEW column requires ``merge_schema=True`` (Delta's mergeSchema
+      opt-in) and is appended nullable, since prior files lack it.
+
+    Returns the evolved table schema (prev order + appended columns).
+    """
+    from pyspark.sql.types import StructField
+
+    prev_by_name = {f.name: f for f in prev.fields}
+    added = []
+    for f in new.fields:
+        p = prev_by_name.get(f.name)
+        if p is None:
+            if not merge_schema:
+                raise ValueError(
+                    f"append adds column {f.name!r} not in the table schema; "
+                    "pass merge_schema=True to evolve (or drop the column)"
+                )
+            added.append(StructField(f.name, f.dataType, nullable=True))
+        elif p.dataType != f.dataType:
+            raise ValueError(
+                f"column {f.name!r} type mismatch: table has "
+                f"{p.dataType.simpleString()}, batch has "
+                f"{f.dataType.simpleString()} — cast before writing"
+            )
+    out = type(prev)(list(prev.fields) + added)
+    return out
+
+
 def write_versioned(
     spark: SparkSession,
     df: DataFrame,
     table_dir: str,
     mode: str = "append",
     meta: dict | None = None,
+    merge_schema: bool = False,
 ) -> int:
     """Commit ``df`` as a new snapshot; returns the new version number.
     ``meta`` (JSON-serializable) is stored on the manifest — e.g. a
-    streaming epoch id for idempotent replay (see :func:`has_meta`)."""
+    streaming epoch id for idempotent replay (see :func:`has_meta`).
+
+    Appends are schema-ENFORCED against the committed table schema
+    (type conflicts and — unless ``merge_schema=True`` — new columns
+    raise before any file lands); an overwrite resets the schema to the
+    batch's. See :func:`_evolve_schema`."""
     assert mode in ("append", "overwrite")
     os.makedirs(_manifest_dir(table_dir), exist_ok=True)
     data_dir = os.path.join(table_dir, "data")
+
+    # schema check BEFORE staging any data (fail fast, nothing to clean)
+    prev_for_schema = current_version(table_dir)
+    table_schema = df.schema
+    if mode == "append" and prev_for_schema > 0:
+        prev_schema_json = _load_manifest(table_dir, prev_for_schema).get("schema")
+        if prev_schema_json:
+            from pyspark.sql.types import StructType
+
+            table_schema = _evolve_schema(
+                StructType.fromJson(prev_schema_json), df.schema, merge_schema
+            )
 
     # 1. stage immutable data files under a unique prefix
     staging = os.path.join(table_dir, f"_staging_{uuid.uuid4().hex}")
@@ -186,7 +241,13 @@ def write_versioned(
         files = prev_manifest["files"] + new_files
         stats = {**prev_manifest.get("stats", {}), **new_stats}
     version = prev + 1
-    manifest = {"version": version, "mode": mode, "files": files, "stats": stats}
+    manifest = {
+        "version": version,
+        "mode": mode,
+        "files": files,
+        "stats": stats,
+        "schema": table_schema.jsonValue(),
+    }
     if meta:
         manifest["meta"] = meta
     mpath = os.path.join(_manifest_dir(table_dir), f"v{version:05d}.json")
@@ -199,6 +260,20 @@ def write_versioned(
         f.write(str(version))
     os.replace(tmp, _latest_path(table_dir))
     return version
+
+
+def _manifest_reader(spark: SparkSession, manifest: dict):
+    """Reader pinned to the manifest's declared schema: files written
+    before an evolution are null-filled for appended columns, and every
+    file is read with the committed types (a pre-schema manifest falls
+    back to inference). Declared-schema reads also skip the footer-merge
+    inference pass entirely — at scale that pass is a real job."""
+    schema_json = manifest.get("schema")
+    if schema_json:
+        from pyspark.sql.types import StructType
+
+        return spark.read.schema(StructType.fromJson(schema_json))
+    return spark.read
 
 
 def read_versioned(
@@ -220,6 +295,7 @@ def read_versioned(
     if v == 0:
         raise FileNotFoundError(f"no committed version in {table_dir}")
     manifest = _load_manifest(table_dir, v)
+    reader = _manifest_reader(spark, manifest)
     files = manifest["files"]
     if skip_filter:
         stats = manifest.get("stats", {})
@@ -230,9 +306,9 @@ def read_versioned(
         from pyspark.sql import functions as F
 
         first = os.path.join(table_dir, manifest["files"][0])
-        return spark.read.parquet(first).filter(F.lit(False))
+        return reader.parquet(first).filter(F.lit(False))
     paths = [os.path.join(table_dir, f) for f in files]
-    df = spark.read.parquet(*paths)
+    df = reader.parquet(*paths)
     if skip_filter:
         from pyspark.sql import functions as F
 
@@ -306,25 +382,39 @@ def read_changes(
             if from_version > 0
             else set()
         )
-        new_files = [
-            f
-            for f in _load_manifest(table_dir, to_version)["files"]
-            if f not in base
-        ]
+        to_manifest = _load_manifest(table_dir, to_version)
+        new_files = [f for f in to_manifest["files"] if f not in base]
         if not new_files:
             return read_versioned(spark, table_dir, to_version).filter(
                 F.lit(False)
             ).withColumn("_change_type", F.lit("insert"))
         paths = [os.path.join(table_dir, f) for f in new_files]
-        return spark.read.parquet(*paths).withColumn(
+        # pin the target snapshot's schema: the range may span a schema
+        # evolution, and downstream consumers see the evolved shape
+        return _manifest_reader(spark, to_manifest).parquet(*paths).withColumn(
             "_change_type", F.lit("insert")
         )
+    new_manifest = _load_manifest(table_dir, to_version)
     new = read_versioned(spark, table_dir, to_version)
-    old = (
-        read_versioned(spark, table_dir, from_version)
-        if from_version > 0
-        else new.filter(F.lit(False))
-    )
+    if from_version > 0:
+        # read the OLD snapshot's files under the NEW snapshot's schema
+        # so the row diff is well-typed even across a schema evolution
+        # (columns the old files lack null-fill; the diff is expressed
+        # in the evolved shape)
+        old_manifest = _load_manifest(table_dir, from_version)
+        old_reader = _manifest_reader(
+            spark,
+            {
+                **old_manifest,
+                "schema": new_manifest.get("schema")
+                or old_manifest.get("schema"),
+            },
+        )
+        old = old_reader.parquet(
+            *[os.path.join(table_dir, f) for f in old_manifest["files"]]
+        )
+    else:
+        old = new.filter(F.lit(False))
     inserts = new.exceptAll(old).withColumn("_change_type", F.lit("insert"))
     deletes = old.exceptAll(new).withColumn("_change_type", F.lit("delete"))
     return inserts.unionByName(deletes)

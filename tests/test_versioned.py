@@ -237,3 +237,79 @@ def test_data_skipping_string_and_empty_result(spark, sf_dir, table_dir):
     assert 0 < len(kept) < 4
     got = read_versioned(spark, table_dir, skip_filter=[("n_name", "=", target)])
     assert got.count() == 1
+
+
+def test_append_schema_enforced(spark, sf_dir, table_dir):
+    """Schema-on-write enforcement (the Delta behavior replacing the
+    reference's side-channel DDL): a new column without opt-in, or a
+    type conflict, fails BEFORE any file lands."""
+    region = read_table(spark, sf_dir, "region")
+    write_versioned(spark, region, table_dir, mode="append")
+    with pytest.raises(ValueError, match="merge_schema"):
+        write_versioned(
+            spark,
+            region.withColumn("extra", F.lit(1)),
+            table_dir,
+            mode="append",
+        )
+    with pytest.raises(ValueError, match="type mismatch"):
+        write_versioned(
+            spark,
+            region.withColumn("r_regionkey", F.col("r_regionkey").cast("string")),
+            table_dir,
+            mode="append",
+        )
+    assert current_version(table_dir) == 1  # nothing committed
+
+
+def test_append_schema_evolution_null_fills_old_files(spark, sf_dir, table_dir):
+    region = read_table(spark, sf_dir, "region")
+    write_versioned(spark, region, table_dir, mode="append")
+    evolved = region.withColumn("ingest_tag", F.lit("batch2"))
+    write_versioned(spark, evolved, table_dir, mode="append", merge_schema=True)
+    out = read_versioned(spark, table_dir)
+    assert out.columns == region.columns + ["ingest_tag"]
+    n = region.count()
+    assert out.where(F.col("ingest_tag").isNull()).count() == n
+    assert out.where(F.col("ingest_tag") == "batch2").count() == n
+    # time travel to v1 keeps the ORIGINAL schema
+    assert read_versioned(spark, table_dir, version=1).columns == region.columns
+
+
+def test_append_subset_columns_null_fill(spark, sf_dir, table_dir):
+    """Writing a column subset is allowed (missing columns read as
+    null), matching Delta's subset-write semantics."""
+    region = read_table(spark, sf_dir, "region")
+    write_versioned(spark, region, table_dir, mode="append")
+    write_versioned(spark, region.drop("r_name"), table_dir, mode="append")
+    out = read_versioned(spark, table_dir)
+    assert out.columns == region.columns
+    assert out.where(F.col("r_name").isNull()).count() == region.count()
+
+
+def test_overwrite_resets_schema(spark, sf_dir, table_dir):
+    region = read_table(spark, sf_dir, "region")
+    write_versioned(spark, region, table_dir, mode="append")
+    two_cols = region.select("r_regionkey", "r_name")
+    write_versioned(spark, two_cols, table_dir, mode="overwrite")
+    assert read_versioned(spark, table_dir).columns == ["r_regionkey", "r_name"]
+
+
+def test_read_changes_across_evolution(spark, sf_dir, table_dir):
+    """CDF over an append range spanning an evolution returns the
+    evolved shape (delta files only; old-schema deltas null-fill)."""
+    from datalake_scripts_spark.operators.versioned import read_changes
+
+    region = read_table(spark, sf_dir, "region")
+    write_versioned(spark, region, table_dir, mode="append")
+    write_versioned(
+        spark,
+        region.withColumn("tag", F.lit("b2")),
+        table_dir,
+        mode="append",
+        merge_schema=True,
+    )
+    ch = read_changes(spark, table_dir, 0, 2)
+    assert set(ch.columns) == set(region.columns) | {"tag", "_change_type"}
+    assert ch.count() == 2 * region.count()
+    assert ch.where(F.col("tag") == "b2").count() == region.count()
