@@ -194,3 +194,35 @@ def foreach_batch_dual(*sinks):
             batch_df.unpersist()
 
     return _sink
+
+
+def foreach_batch_continuous_aggregate(
+    source_dir: str,
+    view_dir: str,
+    group_cols: list[str],
+    agg_spec: dict[str, tuple[str, str]],
+):
+    """Streaming continuous aggregate: each epoch (1) lands exactly-once
+    in a versioned source table (:func:`foreach_batch_versioned` — the
+    manifest epoch ledger no-ops replays) and (2) brings a materialized
+    aggregate up to date at delta cost (operators.matview — the refresh
+    reads ONLY the epoch's files via the change-feed fast path and
+    merges partials into the stored state).
+
+    This is the hypertable-rollup shape at 100 TB: the raw stream is
+    never re-scanned; per epoch the work is one partial aggregation of
+    the micro-batch plus one merge with a state table whose size is the
+    group count. Both steps are idempotent (epoch ledger + source-
+    version cursor), so a replayed epoch leaves source AND view
+    unchanged; the view is time-travelable per refresh."""
+    from ..operators import matview as M
+
+    base = foreach_batch_versioned(source_dir)
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        base(batch_df, epoch_id)
+        M.refresh_aggregate(
+            batch_df.sparkSession, source_dir, view_dir, group_cols, agg_spec
+        )
+
+    return _sink

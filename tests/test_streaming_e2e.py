@@ -406,3 +406,76 @@ def test_stream_cdc_merge_into_versioned(spark, tmp_path):
     sink(batch([(1, "a9", 20), (3, "c", 21)]), 1)
     assert current_version(table_dir) == 2
     assert {r.k: r.v for r in read_versioned(spark, table_dir).collect()} == cur
+
+
+def test_continuous_aggregate_stream(spark, tmp_path):
+    """Streaming continuous aggregate: reststream pages land in a
+    versioned source; a materialized per-event-type aggregate refreshes
+    at delta cost each epoch. The final view must equal the batch
+    GROUP BY over all records; a forced epoch replay changes nothing."""
+    from datalake_scripts_spark.operators import matview, versioned
+    from datalake_scripts_spark.sources.rest_datasource import (
+        register_rest_datasource,
+    )
+    from datalake_scripts_spark.streaming import (
+        foreach_batch_continuous_aggregate,
+    )
+
+    url = f"file://{tmp_path}/page{{page}}.json"
+    src_dir = str(tmp_path / "raw_events")
+    view_dir = str(tmp_path / "agg_by_type")
+    ckpt = str(tmp_path / "ckpt_ca")
+    spec = {
+        "n_events": ("count", "*"),
+        "total_value": ("sum", "value"),
+        "max_value": ("max", "value"),
+    }
+    sink = foreach_batch_continuous_aggregate(
+        src_dir, view_dir, ["event_type"], spec
+    )
+
+    register_rest_datasource(spark)
+
+    def run_once():
+        raw = (
+            spark.readStream.format("reststream")
+            .schema("event_id long, ts string, event_type string, value double")
+            .option("url_template", url)
+            .load()
+        )
+        q = (
+            raw.writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    for p in range(3):
+        _publish_page(tmp_path, p)
+    run_once()
+    for p in (3, 4):
+        _publish_page(tmp_path, p)
+    run_once()  # restart from checkpoint picks up pages 3-4
+
+    all_src = versioned.read_versioned(spark, src_dir)
+    assert all_src.count() == 5 * N_PER_PAGE  # exactly-once landing
+
+    view = matview.read_aggregate(spark, view_dir, spec)
+    expected = all_src.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("total_value"),
+        F.max("value").alias("max_value"),
+    )
+    as_set = lambda df: {tuple(r) for r in df.select(sorted(df.columns)).collect()}
+    assert as_set(view) == as_set(expected)
+
+    # forced replay of the last epoch: both source and view unchanged
+    src_v = versioned.current_version(src_dir)
+    view_v = versioned.current_version(view_dir)
+    # find the last committed epoch id from the manifest ledger
+    last_meta = versioned._load_manifest(src_dir, src_v).get("meta", {})
+    sink(all_src, int(last_meta.get("epoch", 0)))
+    assert versioned.current_version(src_dir) == src_v
+    assert versioned.current_version(view_dir) == view_v
