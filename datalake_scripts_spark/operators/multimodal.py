@@ -248,3 +248,57 @@ def audio_chunk_stub(
     return df.select(
         F.col(id_col).alias("doc_id"), F.col(payload_col)
     ).mapInPandas(_chunk, AUDIO_CHUNK_SCHEMA)
+
+
+def decode_metadata_arrow(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """``mapInArrow`` twin of :func:`decode_metadata` — the large-payload
+    hot path.
+
+    mapInPandas converts every binary cell to a Python ``bytes`` object
+    just to build the pandas frame, even for columns the stage only
+    measures; mapInArrow hands the worker the raw Arrow RecordBatch, so
+    byte-length runs as a vectorized kernel over the value buffer
+    (``pyarrow.compute.binary_length`` — zero per-row Python) and only
+    the md5/decode step touches row values at all. Same output schema
+    and values as the pandas path (asserted in tests); partitioning
+    preserved, no shuffle. Prefer this variant when payloads are large
+    (images/video) and the per-batch Python cost is dominated by
+    conversion rather than decode."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def _decode(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column(batch.schema.get_field_index(id_col))
+            payload = batch.column(batch.schema.get_field_index(payload_col))
+            n_bytes = pc.cast(pc.binary_length(payload), pa.int64())
+            md5s, ws, hs, fs = [], [], [], []
+            for v in payload:
+                b = v.as_py()
+                md5s.append(hashlib.md5(b).hexdigest())
+                w, h, nf = _stub_decode(b)
+                ws.append(w)
+                hs.append(h)
+                fs.append(nf)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pc.cast(ids, pa.int64()),
+                    n_bytes,
+                    pa.array(md5s, pa.string()),
+                    pa.array(ws, pa.int32()),
+                    pa.array(hs, pa.int32()),
+                    pa.array(fs, pa.int32()),
+                ],
+                names=[
+                    "doc_id",
+                    "n_bytes",
+                    "content_md5",
+                    "fake_width",
+                    "fake_height",
+                    "fake_n_frames",
+                ],
+            )
+
+    return df.mapInArrow(_decode, DECODED_META_SCHEMA)

@@ -135,3 +135,16 @@ def test_audio_chunk_stub_fanout(spark, sf_dir):
         ["doc_id", "chunk_idx"]
     )
     assert (pdf.fake_rms.values == pdf2.fake_rms.values).all()
+
+
+def test_decode_metadata_arrow_equals_pandas_path(spark, sf_dir):
+    """The mapInArrow decode stage is value-identical to the
+    mapInPandas one — same stub, different (zero-conversion) batch
+    transport."""
+    from datalake_scripts_spark.operators.multimodal import (
+        decode_metadata_arrow,
+    )
+
+    a = sorted(decode_metadata(_payloads(spark, sf_dir)).collect())
+    b = sorted(decode_metadata_arrow(_payloads(spark, sf_dir)).collect())
+    assert a == b
