@@ -724,3 +724,53 @@ def case_when_balance_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec("c_acctbal")).cast("double").alias("sum_bal"),
         )
     )
+
+
+@query(
+    "join_full_outer_nation_presence",
+    sql="""
+    WITH cu AS (SELECT c_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_customers
+                FROM customer WHERE c_acctbal > 9900 GROUP BY c_nationkey),
+         su AS (SELECT s_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_suppliers
+                FROM supplier WHERE s_acctbal > 9000 GROUP BY s_nationkey)
+    SELECT COALESCE(cu.nk, su.nk) AS nationkey,
+           COALESCE(n_customers, 0) AS n_customers,
+           COALESCE(n_suppliers, 0) AS n_suppliers,
+           (cu.nk IS NULL) AS suppliers_only,
+           (su.nk IS NULL) AS customers_only
+    FROM cu FULL OUTER JOIN su ON cu.nk = su.nk
+    """,
+)
+def join_full_outer_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join (the one join type the registry lacked):
+    high-balance customer counts vs supplier counts per nation — the
+    acctbal filters make each side miss nations the other has, so both
+    null-extension directions actually occur. COALESCE rebuilds the key
+    and zero-fills counts; the boolean flags expose which side was
+    absent. Full-outer cannot broadcast either side (both must be
+    null-extended) — Catalyst picks a sort-merge join on the (tiny,
+    pre-aggregated) per-nation counts, which is the right at-scale
+    shape: aggregate BEFORE the full-outer so the expensive join sees
+    |nations| rows, not |customers|."""
+    cu = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9900)
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    su = (
+        t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    joined = cu.alias("cu").join(
+        su.alias("su"), F.col("cu.nk") == F.col("su.nk"), "full_outer"
+    )
+    return joined.select(
+        F.coalesce(F.col("cu.nk"), F.col("su.nk")).alias("nationkey"),
+        F.coalesce(F.col("n_customers"), F.lit(0)).alias("n_customers"),
+        F.coalesce(F.col("n_suppliers"), F.lit(0)).alias("n_suppliers"),
+        F.col("cu.nk").isNull().alias("suppliers_only"),
+        F.col("su.nk").isNull().alias("customers_only"),
+    )
