@@ -765,6 +765,7 @@ def semantic_dedup(
     cents: list[tuple[int, list[float]]] | None = None,
     stride: int = 50,
     dim: int | None = None,
+    assignment: str = "literal",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al., 2023): the
     corpus is clustered on its embeddings, and near-duplicate pruning
@@ -786,7 +787,11 @@ def semantic_dedup(
     ``cents`` defaults to the seeded stride centroids
     (similarity.ivf_centroids — the oracle-twin path); production passes
     similarity.ivf_centroids_kmeans output for constant driver footprint
-    and data-adaptive clusters. Returns kept (id, cell) rows.
+    and data-adaptive clusters. ``assignment="literal"`` inlines
+    centroids as expressions (DuckDB-replicable, fine to ~100
+    centroids); ``"pandas"`` uses the vectorized Arrow/numpy assignment
+    (centroid-count-flat — required once cluster count scales with the
+    corpus, which SemDeDup prescribes). Returns kept (id, cell) rows.
     """
     from . import similarity as S
 
@@ -794,12 +799,24 @@ def semantic_dedup(
         cents = S.ivf_centroids(df, stride=stride, id_col=id_col, vec_col=vec_col)
     if dim is None:
         dim = S._dim_of(df, vec_col)
-    vv = F.col(vec_col).cast("array<double>")
-    e = df.select(F.col(id_col).alias("vec_id"), vv.alias("v"))
-    e = e.select("vec_id", "v", S.dot(F.col("v"), F.col("v"), dim).alias("vn"))
-    cells = e.withColumn(
-        "cell", S.ivf_assign_cell(F.col("v"), F.col("vn"), cents)
-    )
+    if assignment == "pandas":
+        cells = (
+            S.ivf_assign_pandas(
+                df, cents, nprobe=1, id_col=id_col, vec_col=vec_col,
+                out_id="vec_id",
+            )
+            .withColumnRenamed("cv", "v")
+            .withColumnRenamed("cn", "vn")
+        )
+    else:
+        vv = F.col(vec_col).cast("array<double>")
+        e = df.select(F.col(id_col).alias("vec_id"), vv.alias("v"))
+        e = e.select(
+            "vec_id", "v", S.dot(F.col("v"), F.col("v"), dim).alias("vn")
+        )
+        cells = e.withColumn(
+            "cell", S.ivf_assign_cell(F.col("v"), F.col("vn"), cents)
+        )
     a, b = cells.alias("a"), cells.alias("b")
     near = S.cosine_with_norms(
         F.col("a.v"), F.col("b.v"), F.col("a.vn"), F.col("b.vn"), dim

@@ -36,6 +36,7 @@ DEFAULT_QUERIES = [
     "dedup_duplicate_clusters_star",
     "text_tfidf_top_terms",
     "sketch_hll_union_rollup",
+    "semantic_dedup_kmeans",
 ]
 
 
@@ -52,7 +53,30 @@ def _ngram_jaccard_noprefix(spark, sf_dir):
     )
 
 
-EXTRA = {"ngram_jaccard_noprefix": _ngram_jaccard_noprefix}
+def _semantic_dedup_kmeans(spark, sf_dir):
+    """SemDeDup at scale: cluster count GROWS with the corpus
+    (n // 125, the SemDeDup prescription) so per-cluster size — and the
+    within-cluster quadratic term — stays bounded; centroids come from
+    the constant-footprint sampled-k-means path. Healthy scaling is
+    ~linear pairs/time; a k^2 blow-up means clusters stopped scaling."""
+    from datalake_scripts_spark.operators.dedup import semantic_dedup
+    from datalake_scripts_spark.operators.similarity import ivf_centroids_kmeans
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    cents = ivf_centroids_kmeans(
+        emb, n_centroids=max(16, n // 125), max_sample=10_000
+    )
+    return semantic_dedup(
+        emb, "vec_id", "embedding", threshold=0.3, cents=cents, dim=64,
+        assignment="pandas",
+    )
+
+
+EXTRA = {
+    "ngram_jaccard_noprefix": _ngram_jaccard_noprefix,
+    "semantic_dedup_kmeans": _semantic_dedup_kmeans,
+}
 
 
 def main() -> None:
@@ -82,8 +106,12 @@ def main() -> None:
         # dup-cluster structure repeats k times and honest scaling for
         # pair ops is ~linear.
         "documents": "doc_id",
-        # embeddings keep identical vectors — fine for per-query top-k
-        # ops (ann_*); do NOT time embedding pair-dedup on this corpus
+        # embeddings get a per-replica dimension ROTATION (below):
+        # identical copies would put all k clones of a vector in one
+        # cluster at cosine 1.0, so pair ops would grow k^2 by
+        # construction; rotation preserves within-replica geometry
+        # (norms and angles) while cross-replica cosines behave like
+        # unrelated pairs
         "embeddings": "vec_id",
     }
     t0 = time.time()
@@ -115,6 +143,15 @@ def main() -> None:
                             F.lit("r"), F.col("_rep").cast("string"), F.lit("_$1")
                         ),
                     )
+                ),
+            )
+        if name == "embeddings":
+            rep = rep.withColumn(
+                "embedding",
+                F.expr(
+                    "CASE WHEN _rep = 0 THEN embedding ELSE "
+                    "concat(slice(embedding, _rep % 64 + 1, 64 - _rep % 64), "
+                    "slice(embedding, 1, _rep % 64)) END"
                 ),
             )
         rep.drop("_rep").write.mode("overwrite").parquet(f"{dst}/{name}.parquet")
