@@ -389,6 +389,20 @@ def read_jdbc(
     return reader.load()
 
 
+def observed_count(df: DataFrame, name: str = "rows"):
+    """Zero-extra-job row count via ``DataFrame.observe``: the count
+    materializes as a side effect of the NEXT action on the returned
+    DataFrame. This is the engine's answer to the reference's
+    count-after-every-transform habit (SURVEY.md §2.4 A2), where every
+    ``count()`` re-ran the whole lineage as its own job. Returns
+    ``(df, observation)``; read ``observation.get["rows"]`` only AFTER
+    an action has run on the returned df (it blocks until then)."""
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    return df.observe(obs, F.count(F.lit(1)).alias("rows")), obs
+
+
 def reconcile_counts(spark: SparkSession, parquet_path: str, expected: int) -> bool:
     """Generalized ``check_loaded`` (``zoom_proc.py:266-312``): verify a
     sink holds the expected row count. Library-level, opt-in (each count
@@ -411,11 +425,13 @@ def dual_sink(
     but with the lineage persisted ONCE before the fan-out (the
     reference recomputes the whole read+transform per sink, SURVEY.md
     §4 anti-pattern) and an opt-in count reconciliation (check_loaded).
-    Returns the row count written."""
+    The row count rides the parquet write as an ``observe`` metric —
+    no separate count job at all. Returns the row count written."""
     df = df.persist()
     try:
-        n = df.count()
-        write_parquet(df, parquet_path, mode=mode)
+        observed, obs = observed_count(df)
+        write_parquet(observed, parquet_path, mode=mode)
+        n = int(obs.get["rows"])
         if jdbc_url and jdbc_table:
             write_jdbc(df, jdbc_url, jdbc_table, mode=mode, properties=jdbc_properties)
         if reconcile and mode == "overwrite":

@@ -283,3 +283,25 @@ def test_orc_round_trip_partitioned(spark, sf_dir, tmp_path):
     # partition pruning: a status filter must not scan other partitions
     plan = back.filter(F.col("o_orderstatus") == "F")._jdf.queryExecution().executedPlan().toString()
     assert "o_orderstatus" in plan
+
+
+def test_observed_count_no_extra_job(spark, sf_dir, tmp_path):
+    """observe() metrics ride the write action — the count comes back
+    without a separate job, and matches the written data."""
+    from datalake_scripts_spark.io import observed_count, read_table
+
+    region = read_table(spark, sf_dir, "region")
+    observed, obs = observed_count(region)
+    out = str(tmp_path / "obs_out")
+    observed.write.mode("overwrite").parquet(out)
+    assert int(obs.get["rows"]) == spark.read.parquet(out).count()
+
+
+def test_dual_sink_count_matches(spark, sf_dir, tmp_path):
+    from datalake_scripts_spark.io import dual_sink, read_table
+
+    nation = read_table(spark, sf_dir, "nation")
+    n = dual_sink(
+        spark, nation, str(tmp_path / "dual_out"), mode="overwrite"
+    )
+    assert n == nation.count()
