@@ -28,6 +28,7 @@ from . import events  # noqa: F401,E402
 from . import scale  # noqa: F401,E402
 from . import traindata  # noqa: F401,E402
 from . import sketches  # noqa: F401,E402
+from . import graph  # noqa: F401,E402
 
 
 # The driver's correctness sweep checks the FIRST 50 entries of

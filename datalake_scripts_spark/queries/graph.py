@@ -1,0 +1,63 @@
+"""Graph-algorithm queries: PageRank over a derived co-fulfillment
+graph, exact cross-engine via integer fixed-point (operators/graph.py).
+
+The reference has no graph surface; this extends the engine's iterative
+family (connected components, dedup.py) with rank propagation — the
+standard quality-prior computation of web-corpus curation pipelines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.graph import pagerank_fixed
+from .registry import query, t
+
+# DuckDB oracle: the SAME nano-unit BIGINT recurrence, 3 rounds
+# unrolled as CTEs. `//` is DuckDB's integer division == Spark's DIV on
+# positive BIGINTs; integer sums are order-independent, so both engines
+# are bit-identical.
+_PAGERANK_SQL = """
+WITH os AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
+edges AS (SELECT DISTINCT a.sk AS src, b.sk AS dst
+          FROM os a JOIN os b ON a.ok = b.ok AND a.sk <> b.sk),
+nodes AS (SELECT DISTINCT node FROM
+          (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+outdeg AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY src),
+ce AS (SELECT e.src, e.dst, o.od FROM edges e JOIN outdeg o ON e.src = o.src),
+r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM nodes),
+c1 AS (SELECT ce.dst AS node, SUM(r0.r // ce.od) AS s
+       FROM ce JOIN r0 ON ce.src = r0.node GROUP BY ce.dst),
+r1 AS (SELECT n.node, CAST(150000000 + (85 * COALESCE(c1.s, 0)) // 100 AS BIGINT) AS r
+       FROM nodes n LEFT JOIN c1 ON n.node = c1.node),
+c2 AS (SELECT ce.dst AS node, SUM(r1.r // ce.od) AS s
+       FROM ce JOIN r1 ON ce.src = r1.node GROUP BY ce.dst),
+r2 AS (SELECT n.node, CAST(150000000 + (85 * COALESCE(c2.s, 0)) // 100 AS BIGINT) AS r
+       FROM nodes n LEFT JOIN c2 ON n.node = c2.node),
+c3 AS (SELECT ce.dst AS node, SUM(r2.r // ce.od) AS s
+       FROM ce JOIN r2 ON ce.src = r2.node GROUP BY ce.dst),
+r3 AS (SELECT n.node, CAST(150000000 + (85 * COALESCE(c3.s, 0)) // 100 AS BIGINT) AS r
+       FROM nodes n LEFT JOIN c3 ON n.node = c3.node)
+SELECT node, r AS rank_nano, CAST(r AS DOUBLE) / 1000000000.0 AS rank
+FROM r3
+"""
+
+
+@query("graph_pagerank_suppliers", sql=_PAGERANK_SQL)
+def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 unrolled rounds, damping 0.85) over the supplier
+    co-fulfillment graph: src->dst whenever two suppliers ship lines of
+    the same order. One shuffle per round on the destination key; edges
+    + out-degrees materialized once (operators.graph.pagerank_fixed).
+    Exact BIGINT nano-rank arithmetic makes the result independent of
+    partitioning and hash-identical to the DuckDB recurrence."""
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk")
+    ).distinct()
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.sk") != F.col("b.sk")))
+        .select(F.col("a.sk").alias("src"), F.col("b.sk").alias("dst"))
+    )
+    return pagerank_fixed(edges, iterations=3)

@@ -1,0 +1,84 @@
+"""PageRank: integer-fixed-point recurrence vs a pure-Python reference,
+plus invariants on the derived supplier graph."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datalake_scripts_spark.operators.graph import (
+    BASE,
+    RANK_ONE,
+    pagerank_fixed,
+)
+from datalake_scripts_spark.queries.graph import graph_pagerank_suppliers
+
+
+def _reference_pagerank(edges, iterations):
+    """The same nano-unit recurrence, dict-based."""
+    edges = sorted(set(edges))
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    rank = {n: RANK_ONE for n in nodes}
+    for _ in range(iterations):
+        s = {n: 0 for n in nodes}
+        for a, b in edges:
+            s[b] += rank[a] // outdeg[a]
+        rank = {n: BASE + (85 * s[n]) // 100 for n in nodes}
+    return rank
+
+
+def test_pagerank_matches_reference_on_hand_graph(spark):
+    # cyclic graph with a dangler (4) and a sink-ish hub (3)
+    edges = [(1, 2), (2, 3), (3, 1), (1, 3), (4, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["rank_nano"]
+        for r in pagerank_fixed(df, iterations=4).collect()
+    }
+    assert got == _reference_pagerank(edges, 4)
+
+
+def test_pagerank_rank_double_is_nano_over_1e9(spark):
+    df = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    rows = pagerank_fixed(df, iterations=2).collect()
+    for r in rows:
+        assert r["rank"] == r["rank_nano"] / 1e9
+    # symmetric 2-cycle: both nodes identical rank
+    assert len({r["rank_nano"] for r in rows}) == 1
+
+
+def test_supplier_pagerank_matches_reference(spark, sf_dir):
+    out = graph_pagerank_suppliers(spark, sf_dir)
+    rows = out.collect()
+    # every supplier in the co-fulfillment graph gets a rank >= (1-d)
+    assert all(r["rank_nano"] >= BASE for r in rows)
+    assert len(rows) == out.select("node").distinct().count()
+    # recompute the derived edge list and replay the recurrence in
+    # pure Python — full-output equality (at sf0.001 the graph is
+    # near-complete, so equal ranks are expected and correct)
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .collect()
+    )
+    by_order: dict[int, set[int]] = {}
+    for r in li:
+        by_order.setdefault(r["l_orderkey"], set()).add(r["l_suppkey"])
+    edges = {
+        (a, b)
+        for sks in by_order.values()
+        for a in sks
+        for b in sks
+        if a != b
+    }
+    expected = _reference_pagerank(sorted(edges), 3)
+    assert {r["node"]: r["rank_nano"] for r in rows} == expected
+
+
+def test_pagerank_plan_has_no_cartesian(spark):
+    df = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    plan = pagerank_fixed(df, iterations=2)._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
