@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from ..operators.asof import asof_join, range_join_broadcast
+from ..operators.asof import asof_join, asof_join_cogroup, range_join_broadcast
 from .registry import query, t
 
 SQL_DEC_VALUE = "CAST(value AS DECIMAL(12,2))"
@@ -184,6 +184,33 @@ def asof_join_purchase_to_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     signups = ev.filter(F.col("event_type") == "signup").select("user_id", "ts", "value")
     return asof_join(
+        purchases, signups, on="user_id", left_ts="ts", right_ts="ts", right_cols=["value"]
+    )
+
+
+@query(
+    "asof_join_cogroup_merge",
+    sql="""
+    SELECT p.event_id, p.user_id, p.ts,
+           s.value AS value_matched, s.ts AS ts_matched
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      ON p.user_id = s.user_id AND p.ts >= s.ts
+    """,
+)
+def asof_join_cogroup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME as-of join as asof_join_purchase_to_signup, via the
+    cogroup physical strategy (operators.asof.asof_join_cogroup):
+    groupBy(key).cogroup(...).applyInPandas with a per-key pandas
+    merge_asof. One shuffle on user_id either way; the cogroup form is
+    for when the right side's per-key density dominates a union-window.
+    Identical oracle proves the two strategies agree row-for-row."""
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select("user_id", "ts", "value")
+    return asof_join_cogroup(
         purchases, signups, on="user_id", left_ts="ts", right_ts="ts", right_cols=["value"]
     )
 

@@ -48,3 +48,31 @@ def test_range_join(spark):
     out = range_join_broadcast(fact, tiers, "v").collect()
     m = {r.v: r.tier for r in out}
     assert m == {5.0: "low", 25.0: "mid", 999.0: None}
+
+
+def test_asof_cogroup_equals_window_strategy(spark):
+    from datalake_scripts_spark.operators.asof import asof_join_cogroup
+
+    left = spark.createDataFrame(
+        [
+            Row(user_id=1, ts=_ts(10), event_id=100),
+            Row(user_id=1, ts=_ts(30), event_id=101),
+            Row(user_id=2, ts=_ts(5), event_id=102),   # right exists, all later
+            Row(user_id=3, ts=_ts(7), event_id=103),   # no right rows at all
+            Row(user_id=4, ts=_ts(10), event_id=104),  # exact-tie match
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(user_id=1, ts=_ts(0), value=1.0),
+            Row(user_id=1, ts=_ts(20), value=2.0),
+            Row(user_id=2, ts=_ts(50), value=9.0),
+            Row(user_id=4, ts=_ts(10), value=7.0),
+            Row(user_id=5, ts=_ts(1), value=3.0),      # left-less key: no output
+        ]
+    )
+    kw = dict(on="user_id", right_cols=["value"])
+    a = {tuple(r) for r in asof_join(left, right, **kw).collect()}
+    b = {tuple(r) for r in asof_join_cogroup(left, right, **kw).collect()}
+    assert a == b
+    assert len(a) == 5
