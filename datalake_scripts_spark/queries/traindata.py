@@ -583,3 +583,36 @@ def curate_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(contaminated), "doc_id", "left_anti")
         .select("doc_id", "lang", "n_words")
     )
+
+
+@query(
+    "udtf_chunk_documents",
+    sql="""
+    WITH nums AS (SELECT r.i FROM range(1, 10001) AS r(i))
+    SELECT doc_id, CAST(i AS INT) AS chunk_id,
+           substr(text, (i - 1) * 120 + 1, 120) AS chunk,
+           CAST(length(substr(text, (i - 1) * 120 + 1, 120)) AS INT) AS chunk_len
+    FROM documents JOIN nums ON (i - 1) * 120 < length(text)
+    """,
+)
+def udtf_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width document chunking through the engine's Python UDTF
+    surface (functions.udtfs.ChunkText, Arrow-backed), invoked from SQL
+    as a LATERAL table function — the set-returning-function form of the
+    reference's explode-into-child-table pattern
+    (monkey_proc.py:294-312). The oracle replays the slicing with a
+    constant numbers table (DuckDB range() rejects lateral/subquery
+    bounds; 10001 covers docs up to 1.2M chars — testdata max is ~580);
+    texts are ASCII so char slicing agrees across engines. Production
+    chunking stays on the native dedup_paragraph_chunks path; this is
+    the SQL-extension point."""
+    from ..functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    t(spark, sf_dir, "documents").createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_id, c.chunk, c.chunk_len
+        FROM _udtf_docs d, LATERAL chunk_text(d.text, 120) c
+        """
+    )
