@@ -832,3 +832,72 @@ def semantic_dedup(
         .distinct()
     )
     return cells.select("vec_id", "cell").join(dropped, "vec_id", "left_anti")
+
+
+def duplicated_ngram_span_stats(
+    df: DataFrame, id_col: str, text_col: str, n: int = 8
+) -> DataFrame:
+    """Substring-level duplication signal (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"): for every doc, how
+    many of its token n-gram spans also occur elsewhere in the corpus
+    (including repeats within the same doc — the suffix-array criterion
+    at n-token granularity).
+
+    Doc-level dedup (exact/minhash/jaccard) misses boilerplate shared
+    by otherwise-distinct documents; this is the per-span signal used
+    to trim or drop such docs. Returns
+    (id, n_spans, n_dup_spans, dup_span_ratio).
+
+    Shape: spans come off the token array via sequence+transform (no
+    self-join); ONE shuffle groups span occurrences (count partials are
+    map-side), one broadcast-or-shuffle join marks duplicated spans,
+    one shuffle re-aggregates per doc. At 100 TB, group on
+    xxhash64(ngram) instead of the raw string (collision risk 2^-64 per
+    pair) to cut shuffle bytes ~5x; the string form here keeps the
+    DuckDB oracle exact.
+    """
+    toks = tokens(text_col)
+    spans = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.when(
+                F.size(toks) >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - n + 1),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+                ),
+            )
+            .otherwise(F.array().cast("array<string>"))
+            .alias("grams"),
+        )
+        .select("_id", F.explode("grams").alias("ngram"))
+    )
+    dup_grams = (
+        spans.groupBy("ngram")
+        .agg(F.count("*").alias("_occ"))
+        .filter(F.col("_occ") >= 2)
+        .select("ngram")
+    )
+    per_doc = (
+        spans.join(F.broadcast(dup_grams.withColumn("_dup", F.lit(1))), "ngram", "left")
+        .groupBy("_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.count("_dup").alias("n_dup_spans"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("_id"))
+        .join(per_doc, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.when(
+                F.coalesce("n_spans", F.lit(0)) > 0,
+                F.col("n_dup_spans").cast("double") / F.col("n_spans").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_span_ratio"),
+        )
+    )

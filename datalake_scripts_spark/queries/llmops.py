@@ -1098,3 +1098,33 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.semantic_dedup(
         emb, "vec_id", "embedding", threshold=0.3, stride=50, dim=64
     )
+
+
+@query(
+    "dedup_duplicated_span_stats",
+    sql=f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKS} AS tk FROM documents),
+    spans AS (SELECT doc_id, array_to_string(tk[i:i+7], ' ') AS ngram
+              FROM toks, UNNEST(range(1, greatest(len(tk)-7, 0)+1)) AS u(i)),
+    dup AS (SELECT ngram FROM spans GROUP BY ngram HAVING COUNT(*) >= 2),
+    per_doc AS (SELECT s.doc_id, COUNT(*) AS n_spans, COUNT(d.ngram) AS n_dup_spans
+                FROM spans s LEFT JOIN dup d USING (ngram) GROUP BY s.doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(COALESCE(p.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+           CASE WHEN COALESCE(p.n_spans, 0) > 0
+                THEN CAST(p.n_dup_spans AS DOUBLE) / CAST(p.n_spans AS DOUBLE)
+                ELSE 0.0 END AS dup_span_ratio
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def dedup_duplicated_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication signal (Lee et al. exact-substring
+    criterion at 8-token granularity): per doc, the share of its token
+    8-gram spans that occur >= 2 times corpus-wide — the boilerplate
+    signal doc-level dedup can't see
+    (operators.dedup.duplicated_ngram_span_stats). Spans are generated
+    from the token array with sequence+transform (no self-join); one
+    corpus-wide span groupBy + one per-doc re-aggregation."""
+    docs = t(spark, sf_dir, "documents")
+    return D.duplicated_ngram_span_stats(docs, "doc_id", "text", n=8)

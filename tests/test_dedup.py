@@ -292,3 +292,28 @@ def test_semantic_dedup_kmeans_centroids_path(spark, sf_dir):
     # cells come from the provided centroids
     cells = {r.cell for r in kept.select("cell").distinct().collect()}
     assert cells <= {cid for cid, _ in cents}
+
+
+def test_duplicated_ngram_span_stats(spark):
+    from datalake_scripts_spark.operators.dedup import duplicated_ngram_span_stats
+
+    boiler = "all rights reserved contact us for more information"  # 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " alpha beta gamma"),
+            (2, boiler + " delta epsilon zeta"),
+            (3, "a completely unique document with no shared spans at all"),
+            (4, "too short"),  # < 8 tokens -> 0 spans
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_spans, r.n_dup_spans, r.dup_span_ratio)
+        for r in duplicated_ngram_span_stats(docs, "doc_id", "text", n=8).collect()
+    }
+    # docs 1/2: 11 tokens -> 4 spans each; only the pure-boilerplate
+    # 8-gram (positions 1..8) repeats across them
+    assert out[1] == (4, 1, 0.25)
+    assert out[2] == (4, 1, 0.25)
+    assert out[3][1] == 0 and out[3][2] == 0.0
+    assert out[4] == (0, 0, 0.0)
