@@ -52,3 +52,57 @@ def profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
             "(column, n_nulls, n_distinct, min_str, max_str, sum_value)"
         ),
     ).select("column", "n_rows", "n_nulls", "n_distinct", "min_str", "max_str", "sum_value")
+
+
+# --- order-independent content checksum (reconciliation) -------------
+
+# first 12 md5 nibbles -> BIGINT, as ONE SQL fragment every engine
+# evaluates identically (the CMS bucket-hash trick, sketches.py)
+_HEX = "0123456789abcdef"
+
+
+def md5_value_sql(expr: str, nibbles: int = 12) -> str:
+    """SQL computing an integer in [0, 16^nibbles) from md5(expr) —
+    identical text works in Spark SQL and DuckDB (md5/substr/instr)."""
+    # CAST to BIGINT: Spark's instr returns INT, and under ANSI mode
+    # INT * INT-sized power-of-16 literals overflows; DuckDB's instr is
+    # already BIGINT, so the cast is a no-op there
+    terms = [
+        f"CAST(instr('{_HEX}', substr(md5({expr}), {p + 1}, 1)) - 1 AS BIGINT)"
+        f" * {16 ** (nibbles - 1 - p)}"
+        for p in range(nibbles)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def content_checksum(
+    df: DataFrame, repr_sql: str, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Order-independent content checksum for table reconciliation
+    (migration / replica / engine-swap validation — the reference's
+    check_loaded row-count probe, zoom_proc.py:266-312, upgraded to a
+    content-sensitive check).
+
+    ``repr_sql`` must be a canonical per-row string (caller controls
+    type formatting — the cross-engine trap is numeric/timestamp
+    rendering, not the hash). Each row hashes to a 48-bit integer
+    (md5-derived, engine-portable); the SUM is taken in DECIMAL(38,0)
+    (no BIGINT overflow at any realistic row count: 10^12 rows x 2^48
+    < 10^27) and reported mod 1e18 as a BIGINT. Integer sums are
+    associative/commutative, so the checksum is independent of
+    partitioning and row order — two tables match iff (n_rows,
+    checksum) match per group, with 2^-48-per-row collision odds.
+    Map-side partial aggregation; one shuffle (or one reduce for the
+    ungrouped form).
+    """
+    group_cols = group_cols or []
+    agg = [
+        F.count("*").alias("n_rows"),
+        F.expr(
+            f"CAST(SUM(CAST({md5_value_sql(repr_sql)} AS DECIMAL(38,0)))"
+            " % 1000000000000000000 AS BIGINT)"
+        ).alias("checksum"),
+    ]
+    if group_cols:
+        return df.groupBy(*group_cols).agg(*agg)
+    return df.agg(*agg)

@@ -242,3 +242,43 @@ def matview_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_orders").cast("double")
         ).alias("avg_price"),
     )
+
+
+_CK_REPR_SPARK = (
+    "concat_ws('|', CAST(o_orderkey AS STRING), CAST(o_custkey AS STRING),"
+    " o_orderstatus, CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS STRING),"
+    " date_format(o_orderdate, 'yyyy-MM-dd HH:mm:ss'), o_orderpriority)"
+)
+_CK_REPR_DUCK = (
+    "concat_ws('|', CAST(o_orderkey AS STRING), CAST(o_custkey AS STRING),"
+    " o_orderstatus, CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS STRING),"
+    " strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'), o_orderpriority)"
+)
+
+
+def _ck_sql() -> str:
+    from ..operators.profile import md5_value_sql
+
+    return f"""
+    SELECT o_orderstatus, COUNT(*) AS n_rows,
+           CAST(SUM(CAST({md5_value_sql(_CK_REPR_DUCK)} AS DECIMAL(38,0)))
+                % 1000000000000000000 AS BIGINT) AS checksum
+    FROM orders GROUP BY o_orderstatus
+    """
+
+
+@query("reconcile_checksum_orders", sql=_ck_sql())
+def reconcile_checksum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent per-group content checksum of the orders table
+    (operators.profile.content_checksum): 48-bit md5-derived row values
+    summed exactly in DECIMAL(38,0), mod 1e18. The reconciliation probe
+    for migrations/replicas — the reference's check_loaded
+    (zoom_proc.py:266-312) compares only counts + one sample row; this
+    detects ANY content drift, costs one map-side-partial shuffle, and
+    needs no sort. The md5->int arithmetic is one SQL string evaluated
+    by both engines; only the timestamp rendering differs
+    (date_format vs strftime), pinned to UTC wall time."""
+    from ..operators.profile import content_checksum
+
+    orders = t(spark, sf_dir, "orders")
+    return content_checksum(orders, _CK_REPR_SPARK, group_cols=["o_orderstatus"])

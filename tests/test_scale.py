@@ -115,3 +115,28 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
     out = salted_join(hot, dim, "k", salt_buckets=4, how="left")
     assert out.filter("name = 'hot'").count() == 5000
     assert out.filter("k = 2").first().name is None
+
+
+def test_content_checksum_order_independent_and_drift_sensitive(spark):
+    from datalake_scripts_spark.operators.profile import content_checksum
+
+    rows = [(i, f"name-{i}", float(i) * 1.5) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, name string, v double")
+    repr_sql = (
+        "concat_ws('|', CAST(id AS STRING), name,"
+        " CAST(CAST(v AS DECIMAL(12,2)) AS STRING))"
+    )
+    base = content_checksum(df, repr_sql).first()
+    assert base.n_rows == 100
+
+    # partitioning / row order must not change the checksum
+    shuffled = df.repartition(13, "name").sortWithinPartitions("v")
+    assert content_checksum(shuffled, repr_sql).first() == base
+
+    # one drifted cell must change it (count stays equal)
+    drifted = spark.createDataFrame(
+        [(i, f"name-{i}", float(i) * 1.5 if i != 57 else 999.0) for i in range(100)],
+        "id long, name string, v double",
+    )
+    got = content_checksum(drifted, repr_sql).first()
+    assert got.n_rows == 100 and got.checksum != base.checksum
