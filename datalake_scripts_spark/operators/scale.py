@@ -125,3 +125,70 @@ def sessionize(
     return df.withColumn("_is_new", is_new).withColumn(
         "session_id", F.sum("_is_new").over(run)
     ).drop("_is_new")
+
+
+def resample_ffill(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak: str,
+    step: str = "1 hour",
+    unit: str = "hour",
+) -> DataFrame:
+    """Regularize an irregular per-key time series onto a fixed grid
+    with forward fill — the gap-filling/resampling operator (what
+    time-series stores call time_bucket_gapfill + locf).
+
+    Three narrow stages after ONE shuffle on the key (the bucket-dedup
+    window, the grid explode and the fill window all share the key
+    partitioning; Catalyst reuses the exchange):
+    1. bucket to `unit` granularity, keep the LAST observation per
+       (key, bucket) — deterministic via (ts, tiebreak) DESC;
+    2. per key, explode sequence(min_bucket .. max_bucket, step) into
+       the dense grid (no cross join: each key generates only its own
+       span, so skew follows the data, not the span of the whole
+       table);
+    3. left-join observations onto the grid and forward-fill with
+       last(value, ignorenulls) over an unbounded-preceding row frame.
+
+    Returns (key, bucket_ts, value_ffill, is_observed). The first
+    bucket of every key is observed by construction, so value_ffill is
+    never NULL.
+    """
+    bucket = F.date_trunc(unit, F.col(ts_col))
+    obs = df.select(
+        F.col(key), bucket.alias("bucket_ts"), F.col(ts_col), F.col(tiebreak), F.col(value_col)
+    )
+    w_last = W.partitionBy(key, "bucket_ts").orderBy(
+        F.col(ts_col).desc(), F.col(tiebreak).desc()
+    )
+    last_obs = (
+        obs.withColumn("_rn", F.row_number().over(w_last))
+        .filter(F.col("_rn") == 1)
+        .select(key, "bucket_ts", F.col(value_col).alias("_v"))
+    )
+    grid = (
+        obs.groupBy(key)
+        .agg(F.min("bucket_ts").alias("_a"), F.max("bucket_ts").alias("_b"))
+        .select(
+            key,
+            F.explode(
+                F.expr(f"sequence(_a, _b, interval {step})")
+            ).alias("bucket_ts"),
+        )
+    )
+    w_fill = (
+        W.partitionBy(key)
+        .orderBy("bucket_ts")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        grid.join(last_obs, [key, "bucket_ts"], "left")
+        .select(
+            key,
+            "bucket_ts",
+            F.last("_v", ignorenulls=True).over(w_fill).alias("value_ffill"),
+            F.col("_v").isNotNull().cast("int").alias("is_observed"),
+        )
+    )

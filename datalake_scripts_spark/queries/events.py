@@ -479,3 +479,44 @@ def events_ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("l").cast("bigint").alias("n_events"),
         fold.alias("ewma_value"),
     )
+
+
+@query(
+    "events_resample_ffill_hourly",
+    sql="""
+    WITH p AS (SELECT user_id, ts, event_id, value,
+                      date_trunc('hour', ts) AS bucket_ts
+               FROM events WHERE event_type = 'purchase'),
+    hl AS (SELECT user_id, bucket_ts, value FROM
+           (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, bucket_ts
+                                         ORDER BY ts DESC, event_id DESC) AS rn
+            FROM p) x WHERE rn = 1),
+    b AS (SELECT user_id, MIN(bucket_ts) AS a, MAX(bucket_ts) AS z
+          FROM p GROUP BY user_id),
+    nums AS (SELECT i FROM range(0, 2000) AS r(i)),
+    grid AS (SELECT user_id, a + i * INTERVAL 1 HOUR AS bucket_ts
+             FROM b JOIN nums ON i <= datediff('hour', a, z)),
+    j AS (SELECT g.user_id, g.bucket_ts, hl.value
+          FROM grid g LEFT JOIN hl USING (user_id, bucket_ts))
+    SELECT user_id, bucket_ts,
+           last_value(value IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY bucket_ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS value_ffill,
+           CAST(value IS NOT NULL AS INT) AS is_observed
+    FROM j
+    """,
+)
+def events_resample_ffill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly resample of each user's purchase series with
+    forward fill (operators.scale.resample_ffill) — time_bucket_gapfill
+    + locf re-expressed as bucket-dedup window -> per-key sequence
+    explode -> fill window, all sharing one key shuffle. The oracle
+    replays it with a constant numbers table (2000 > the 719-hour
+    testdata span; DuckDB range() rejects correlated bounds)."""
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    from ..operators.scale import resample_ffill
+
+    return resample_ffill(
+        ev, "user_id", "ts", "value", tiebreak="event_id", step="1 hour", unit="hour"
+    )

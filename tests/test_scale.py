@@ -140,3 +140,36 @@ def test_content_checksum_order_independent_and_drift_sensitive(spark):
     )
     got = content_checksum(drifted, repr_sql).first()
     assert got.n_rows == 100 and got.checksum != base.checksum
+
+
+def test_resample_ffill_fills_gaps_deterministically(spark):
+    import datetime as dt
+
+    from datalake_scripts_spark.operators.scale import resample_ffill
+
+    def ts(h, m=0):
+        return dt.datetime(2024, 3, 1, h, m)
+
+    df = spark.createDataFrame(
+        [
+            # user 1: obs at 01:xx (twice -> last wins), gap 02, obs 03
+            (1, ts(1, 10), 100, 10.0),
+            (1, ts(1, 50), 101, 11.0),
+            (1, ts(3, 5), 102, 30.0),
+            # same-timestamp tie within the bucket: higher event_id wins
+            (2, ts(5, 0), 201, 1.0),
+            (2, ts(5, 0), 202, 2.0),
+        ],
+        "user_id long, ts timestamp, event_id long, value double",
+    )
+    out = {
+        (r.user_id, r.bucket_ts.hour): (r.value_ffill, r.is_observed)
+        for r in resample_ffill(
+            df, "user_id", "ts", "value", tiebreak="event_id"
+        ).collect()
+    }
+    assert out[(1, 1)] == (11.0, 1)   # last obs in the 01:00 bucket
+    assert out[(1, 2)] == (11.0, 0)   # gap hour forward-filled
+    assert out[(1, 3)] == (30.0, 1)
+    assert out[(2, 5)] == (2.0, 1)    # event_id tiebreak
+    assert len(out) == 4              # grids span each key's own range
