@@ -200,6 +200,40 @@ def write_orc(
     writer.orc(path)
 
 
+def read_text(
+    spark: SparkSession,
+    path: str,
+    wholetext: bool = False,
+    line_sep: str | None = None,
+    with_file: bool = False,
+) -> DataFrame:
+    """Raw text-line scan (``value`` string column; one row per line, or
+    per file with ``wholetext``) — the pre-parse landing form of log
+    pipelines (the reference's fluent-bit logs, ``jhub_proc.py:126-128``,
+    arrive as JSON, but raw appliance/syslog feeds don't). Compose with
+    functions.logparse.parse_bracketed_log for the typed projection.
+    ``with_file`` adds the source path from the scan's ``_metadata``
+    (no extra job) for per-file lineage."""
+    reader = spark.read
+    if wholetext:
+        reader = reader.option("wholetext", True)
+    if line_sep is not None:
+        reader = reader.option("lineSep", line_sep)
+    df = reader.text(path)
+    if with_file:
+        df = df.select(
+            F.col("value"), F.col("_metadata.file_path").alias("source_file")
+        )
+    return df
+
+
+def write_text(df: DataFrame, path: str, mode: str = "append") -> None:
+    """Text sink: single string column per row (Spark requirement);
+    callers concat/serialize first. For log re-emission and
+    fixture generation, not an analytics path."""
+    df.write.mode(mode).text(path)
+
+
 def read_binary_files(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
     """Binary-object scan for multimodal ingest (reference stores Zoom
     recordings as raw S3 objects, ``zoom_load.py:148-206``; here they

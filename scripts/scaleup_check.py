@@ -37,6 +37,15 @@ DEFAULT_QUERIES = [
     "text_tfidf_top_terms",
     "sketch_hll_union_rollup",
     "semantic_dedup_kmeans",
+    # round-3 additions: pagerank's NODE set stays fixed (suppliers are
+    # not replicated) — what scales is the k-fold edge-derivation scan
+    # + distinct; span-stats and checksum scale the corpus/table
+    # linearly; resample keeps the per-user grid span constant while
+    # the observation dedup grows
+    "graph_pagerank_suppliers",
+    "dedup_duplicated_span_stats",
+    "events_resample_ffill_hourly",
+    "reconcile_checksum_orders",
 ]
 
 

@@ -305,3 +305,31 @@ def test_dual_sink_count_matches(spark, sf_dir, tmp_path):
         spark, nation, str(tmp_path / "dual_out"), mode="overwrite"
     )
     assert n == nation.count()
+
+
+def test_text_round_trip_with_lineage(spark, tmp_path):
+    from datalake_scripts_spark.io import read_text, write_text
+
+    src = str(tmp_path / "logs")
+    lines = spark.createDataFrame(
+        [("[2024-01-01] INFO start",), ("[2024-01-01] WARN slow",)], "value string"
+    )
+    write_text(lines, src, mode="overwrite")
+
+    back = read_text(spark, src)
+    assert back.columns == ["value"]
+    assert {r.value for r in back.collect()} == {
+        "[2024-01-01] INFO start",
+        "[2024-01-01] WARN slow",
+    }
+
+    with_file = read_text(spark, src, with_file=True)
+    rows = with_file.collect()
+    assert with_file.columns == ["value", "source_file"]
+    assert all(r.source_file.endswith(".txt") for r in rows)
+
+    whole = read_text(spark, src, wholetext=True)
+    whole_rows = whole.collect()
+    assert 1 <= len(whole_rows) <= 2  # one row per FILE, not per line
+    joined = "\n".join(r.value.rstrip("\n") for r in whole_rows)
+    assert "INFO start" in joined and "WARN slow" in joined
