@@ -1128,3 +1128,114 @@ def dedup_duplicated_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-wide span groupBy + one per-doc re-aggregation."""
     docs = t(spark, sf_dir, "documents")
     return D.duplicated_ngram_span_stats(docs, "doc_id", "text", n=8)
+
+
+BLOCKLIST_TERMS = ["spark", "hash", "secret", "token", "key"]
+
+
+@query(
+    "text_blocklist_redact",
+    sql=f"""
+    WITH tok AS (SELECT doc_id, source, {SQL_TOKS} AS tk FROM documents)
+    SELECT doc_id,
+           sha256(source) AS source_pseudonym,
+           CAST(len(tk) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(tk,
+                x -> list_contains(['spark','hash','secret','token','key'], x)))
+                AS BIGINT) AS n_redacted,
+           len(list_filter(tk,
+                x -> list_contains(['spark','hash','secret','token','key'], x)))
+                > 0 AS was_redacted,
+           array_to_string(list_transform(tk,
+                x -> CASE WHEN list_contains(
+                               ['spark','hash','secret','token','key'], x)
+                          THEN '[REDACTED]' ELSE x END), ' ') AS text_redacted
+    FROM tok
+    """,
+)
+def text_blocklist_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compliance scrub for training corpora: token-level blocklist
+    redaction (sensitive terms -> '[REDACTED]') plus stable source
+    pseudonymization (sha256) — the PII/secret-scrubbing pass every
+    pretraining pipeline runs before export. Entirely native HOFs
+    (transform/filter over the token array) — map-only, zero shuffle,
+    scales linearly with corpus bytes; the blocklist enters the plan as
+    an array literal (broadcast-join form is the >1e5-term variant).
+    No regex lookarounds anywhere so the semantics are portable across
+    engines (Java regex vs RE2)."""
+    docs = t(spark, sf_dir, "documents")
+    bl = F.array(*[F.lit(w) for w in BLOCKLIST_TERMS])
+    tk = X.tokens("text")
+    hits = F.filter(tk, lambda x: F.array_contains(bl, x))
+    return docs.select(
+        "doc_id",
+        F.sha2(F.col("source"), 256).alias("source_pseudonym"),
+        F.size(tk).cast("bigint").alias("n_tokens"),
+        F.size(hits).cast("bigint").alias("n_redacted"),
+        (F.size(hits) > 0).alias("was_redacted"),
+        F.array_join(
+            F.transform(
+                tk,
+                lambda x: F.when(F.array_contains(bl, x), "[REDACTED]").otherwise(x),
+            ),
+            " ",
+        ).alias("text_redacted"),
+    )
+
+
+@query(
+    "text_token_entropy",
+    sql=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({SQL_TOKS}) AS token FROM documents),
+    cnt AS (
+      SELECT doc_id, token, COUNT(*) AS c FROM tok GROUP BY doc_id, token),
+    agg AS (
+      SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             CAST(SUM(c * CAST(round(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT))
+                  AS BIGINT) AS sum_clnc_micro
+      FROM cnt GROUP BY doc_id)
+    SELECT doc_id, n_tokens, n_distinct, sum_clnc_micro,
+           CAST(round(ln(CAST(n_tokens AS DOUBLE)) * 1000000) AS DOUBLE)
+             - CAST(sum_clnc_micro AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+             AS entropy_micro
+    FROM agg
+    """,
+)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution Shannon entropy per document (micro-nats) —
+    the gibberish/boilerplate detector: near-zero entropy = one token
+    repeated (spam), high entropy = natural text. H = ln N - (sum of
+    c*ln c)/N over per-doc token counts.
+
+    Determinism: per-count ln(c) is fixed-pointed to micro-nats
+    (round-after-libm per the repo contract) so the weighted sum is
+    exact integer arithmetic; the final expression is two float ops on
+    identical exact operands — bit-equal cross-engine. Scale shape: one
+    (doc_id, token) partial-agg shuffle + one doc_id re-agg, both
+    map-side combinable; no joins, no model table."""
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(X.tokens("text")).alias("token"))
+    cnt = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("c"))
+    clnc = (
+        F.col("c")
+        * F.round(F.log(F.col("c").cast("double")) * 1e6).cast("bigint")
+    )
+    agg = cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(clnc).cast("bigint").alias("sum_clnc_micro"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        "sum_clnc_micro",
+        (
+            F.round(F.log(F.col("n_tokens").cast("double")) * 1e6).cast("double")
+            - F.col("sum_clnc_micro").cast("double")
+            / F.col("n_tokens").cast("double")
+        ).alias("entropy_micro"),
+    )

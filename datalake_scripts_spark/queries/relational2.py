@@ -496,3 +496,139 @@ def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("c_acctbal", 0.5).alias("p50"),
         F.percentile("c_acctbal", 0.95).alias("p95"),
     )
+
+
+@query(
+    "agg_histogram_prices",
+    sql="""
+    WITH b AS (
+      SELECT LEAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   // 5000000, 11) AS bucket,
+             CAST(o_totalprice AS DECIMAL(12,2)) AS p
+      FROM orders)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(bucket * 50000 AS BIGINT) AS lo_edge,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MIN(p) AS DOUBLE) AS min_price,
+           CAST(MAX(p) AS DOUBLE) AS max_price,
+           CAST(SUM(p) AS DOUBLE) AS sum_price
+    FROM b GROUP BY bucket
+    """,
+)
+def agg_histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram profiling (width_bucket shape with literal
+    edges, clamped top bucket): 12 x 50k buckets over o_totalprice.
+    Bucket assignment is exact integer arithmetic on cents (BIGINT DIV,
+    no double division), so membership is engine-independent;
+    per-bucket min/max/sum are decimal-exact then cast once. Map-only
+    bucket projection + one partial-aggregated groupBy — the profiling
+    primitive behind histogram-equalized salting and data-skipping
+    diagnostics. Literal edges keep it a single pass (no min/max
+    pre-job); operators/profile.py covers data-driven bounds."""
+    orders = t(spark, sf_dir, "orders")
+    b = orders.select(
+        F.expr(
+            "LEAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)"
+            " DIV 5000000, CAST(11 AS BIGINT))"
+        ).alias("bucket"),
+        F.col("o_totalprice").cast("decimal(12,2)").alias("p"),
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("p").cast("double").alias("min_price"),
+            F.max("p").cast("double").alias("max_price"),
+            F.sum("p").cast("double").alias("sum_price"),
+        )
+        .select(
+            "bucket",
+            (F.col("bucket") * 50000).cast("bigint").alias("lo_edge"),
+            "n_orders",
+            "min_price",
+            "max_price",
+            "sum_price",
+        )
+    )
+
+
+@query(
+    "agg_regression_trend",
+    sql="""
+    WITH xy AS (
+      SELECT o_orderpriority,
+             CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS BIGINT) AS x,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS y
+      FROM orders),
+    s AS (
+      SELECT o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             regr_slope(CAST(y AS DOUBLE) / 100.0, CAST(x AS DOUBLE)) AS native
+      FROM xy GROUP BY o_orderpriority)
+    SELECT o_orderpriority, n,
+           CAST(CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy
+                AS DOUBLE)
+           / CAST(CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx
+                  AS DOUBLE) / 100.0 AS slope_per_day,
+           ABS(native - CAST(CAST(n AS DECIMAL(38,0)) * sxy
+                             - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
+                        / CAST(CAST(n AS DECIMAL(38,0)) * sxx
+                               - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE) / 100.0)
+             <= 1e-6 * ABS(native) AS native_agrees
+    FROM s
+    """,
+)
+def agg_regression_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group least-squares trend (regression aggregate family):
+    slope of o_totalprice vs order date per o_orderpriority.
+
+    Determinism contract: the slope is computed from exact integer
+    sums — x in days (BIGINT), y in cents (BIGINT via DECIMAL cast),
+    n*Sxy - Sx*Sy and n*Sxx - Sx*Sx combined in DECIMAL(38,0) (the
+    BIGINT-overflow-safe width) — then ONE double division, so the
+    result is partition-order-independent and engine-exact. The native
+    regr_slope (double accumulation, order-dependent) is emitted only
+    as a tolerance FLAG, the same contract as approx_distinct_stats.
+    One partial-aggregated groupBy; all regr_* moments are map-side
+    combinable at scale."""
+    orders = t(spark, sf_dir, "orders")
+    xy = orders.select(
+        "o_orderpriority",
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01"))
+        .cast("bigint")
+        .alias("x"),
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("y"),
+    )
+    s = xy.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.expr("regr_slope(CAST(y AS DOUBLE) / 100.0, CAST(x AS DOUBLE))").alias(
+            "native"
+        ),
+    )
+    num = F.expr(
+        "CAST(CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy"
+        " AS DOUBLE)"
+    )
+    den = F.expr(
+        "CAST(CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx"
+        " AS DOUBLE)"
+    )
+    slope = num / den / F.lit(100.0)
+    return s.select(
+        "o_orderpriority",
+        "n",
+        slope.alias("slope_per_day"),
+        (F.abs(F.col("native") - slope) <= F.lit(1e-6) * F.abs("native")).alias(
+            "native_agrees"
+        ),
+    )

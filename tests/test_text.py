@@ -75,3 +75,65 @@ def test_winnow_fingerprints_shift_invariance(spark):
     out = {r.doc_id: set(r.fps) for r in with_winnow_fingerprints(df).collect()}
     # winnowing fingerprints of the shared substring survive the shift
     assert len(out[1] & out[2]) >= 3
+
+
+def test_blocklist_redact_counts_and_text(spark):
+    from datalake_scripts_spark.queries.llmops import text_blocklist_redact
+
+    out = {
+        r.doc_id: r
+        for r in text_blocklist_redact(spark, "/root/testdata/sf0.001")
+        .filter("doc_id < 5")
+        .collect()
+    }
+    import duckdb
+
+    src = duckdb.sql(
+        "SELECT doc_id, text FROM '/root/testdata/sf0.001/documents.parquet' "
+        "WHERE doc_id < 5"
+    ).fetchall()
+    from datalake_scripts_spark.queries.llmops import BLOCKLIST_TERMS
+
+    for doc_id, text in src:
+        toks = [w for w in text.lower().split() if w]
+        expect_hits = sum(1 for w in toks if w in BLOCKLIST_TERMS)
+        r = out[doc_id]
+        assert r.n_tokens == len(toks)
+        assert r.n_redacted == expect_hits
+        assert r.was_redacted == (expect_hits > 0)
+        assert "[REDACTED]" in r.text_redacted if expect_hits else True
+        # redacted text has the same token count and no blocklist term left
+        red = r.text_redacted.split(" ")
+        assert len(red) == len(toks)
+        assert not any(w in BLOCKLIST_TERMS for w in red)
+
+
+def test_token_entropy_matches_math(spark):
+    import math
+
+    from pyspark.sql import Row
+
+    from datalake_scripts_spark.operators import text as X  # noqa: F401
+    from datalake_scripts_spark.queries import llmops  # noqa: F401
+
+    # handcrafted: uniform distribution -> ln(k); single token -> 0
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b c d"),       # H = ln 4
+            Row(doc_id=2, text="x x x x"),       # H = 0
+            Row(doc_id=3, text="a a b"),         # H = ln3 - (2 ln2)/3
+        ]
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/documents.parquet")
+        out = {
+            r.doc_id: r
+            for r in llmops.text_token_entropy(spark, d).collect()
+        }
+    assert out[1].n_tokens == 4 and out[1].n_distinct == 4
+    assert abs(out[1].entropy_micro / 1e6 - math.log(4)) < 2e-6
+    assert out[2].entropy_micro == 0.0  # single repeated token
+    h3 = math.log(3) - (2 * math.log(2)) / 3
+    assert abs(out[3].entropy_micro / 1e6 - h3) < 2e-6
