@@ -901,3 +901,112 @@ def duplicated_ngram_span_stats(
             .alias("dup_span_ratio"),
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    block_col: str | None = None,
+    max_df_frac: float = 0.5,
+    min_df_keep: int = 100,
+    prefix_filter: bool = True,
+) -> DataFrame:
+    """DIRECTIONAL containment near-dup pairs: C(A->B) = |A∩B| / |A|
+    over distinct n-gram shingle sets — the doc-inside-doc signal
+    symmetric Jaccard cannot see (a paragraph fully quoted inside a
+    10x-longer page has containment 1.0 but Jaccard ~0.1; classic for
+    boilerplate wrappers, quote-reply chains, and partial scrapes).
+
+    Returns (id_contained, id_container, containment, n_contained,
+    n_container) for ordered pairs with containment >= threshold,
+    id_contained != id_container (both directions of an A/B pair can
+    qualify independently; exact dups qualify both ways).
+
+    Scale shape — the ASYMMETRIC prefix filter (set-containment-join
+    form of Bayardo/PPJoin): |A∩B| >= ceil(t*|A|) forces a shared
+    shingle inside A's first (|A| - ceil(t*|A|) + 1) shingles under any
+    global total order (rarest-first here, same as
+    :func:`ngram_jaccard_pairs`), so only the CONTAINED side explodes
+    prefixes; the container side must stay fully indexed (containment
+    puts no lower bound relative to the container's own size — there is
+    no length filter by construction). Candidate volume ~(1-t) * the
+    exhaustive join, join keys rarest-first near-uniform. LOSSLESS vs
+    the exhaustive path (``prefix_filter=False``), property-tested.
+    Hot-shingle df cap as in :func:`cap_shingle_df`; containment is
+    exact over the capped shingle universe (self-consistent).
+    """
+    from pyspark.sql import Window as W
+
+    n_docs = df.count()
+    join_keys = ["shingle"] + ([block_col] if block_col else [])
+    blk = [block_col] if block_col else []
+    sh0 = _shingle_table(df, id_col, text_col, n, block_col).localCheckpoint()
+    sh = cap_shingle_df(
+        sh0, join_keys, n_docs, max_df_frac, min_df_keep
+    ).localCheckpoint()
+
+    # full per-doc sorted sets (verify side + container index sizes)
+    sets = (
+        sh.groupBy(id_col)
+        .agg(
+            F.sort_array(F.collect_list("shingle")).alias("_arr"),
+            F.count(F.lit(1)).alias("_n_sh"),
+        )
+        .localCheckpoint()
+    )
+
+    if prefix_filter:
+        dfs = sh.groupBy(*join_keys).agg(F.count(F.lit(1)).alias("_df"))
+        w_rank = W.partitionBy(id_col, *blk).orderBy("_df", "shingle")
+        w_all = W.partitionBy(id_col, *blk)
+        ranked = sh.join(dfs, join_keys).select(
+            id_col,
+            *blk,
+            "shingle",
+            F.row_number().over(w_rank).alias("_rn"),
+            F.count(F.lit(1)).over(w_all).alias("_n_sh"),
+        )
+        left = ranked.filter(
+            F.col("_rn")
+            <= F.col("_n_sh")
+            - F.ceil(F.lit(float(threshold)) * F.col("_n_sh"))
+            + 1
+        )
+        la = left.select(F.col(id_col).alias("id_contained"), *join_keys)
+    else:
+        la = sh.select(F.col(id_col).alias("id_contained"), *join_keys)
+    rb = sh.select(F.col(id_col).alias("id_container"), *join_keys)
+    cand = (
+        la.join(rb, join_keys)
+        .filter(F.col("id_contained") != F.col("id_container"))
+        .select("id_contained", "id_container")
+        .distinct()
+    )
+    sa = sets.select(
+        F.col(id_col).alias("id_contained"),
+        F.col("_arr").alias("_aa"),
+        F.col("_n_sh").alias("n_contained"),
+    )
+    sb = sets.select(
+        F.col(id_col).alias("id_container"),
+        F.col("_arr").alias("_ab"),
+        F.col("_n_sh").alias("n_container"),
+    )
+    n_inter = F.size(F.array_intersect(F.col("_aa"), F.col("_ab")))
+    return (
+        cand.join(sa, "id_contained")
+        .join(sb, "id_container")
+        .select(
+            "id_contained",
+            "id_container",
+            (n_inter.cast("double") / F.col("n_contained").cast("double")).alias(
+                "containment"
+            ),
+            "n_contained",
+            "n_container",
+        )
+        .filter(F.col("containment") >= threshold)
+    )

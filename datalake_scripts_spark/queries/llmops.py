@@ -1239,3 +1239,34 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_tokens").cast("double")
         ).alias("entropy_micro"),
     )
+
+
+_SQL_CONTAIN_CTES = _SQL_JACCARD_CTES[
+    : _SQL_JACCARD_CTES.index(",\n    jpairs AS")
+].replace("WHERE a.doc_id < b.doc_id", "WHERE a.doc_id <> b.doc_id")
+
+
+@query(
+    "dedup_containment_pairs",
+    sql=f"""
+    WITH {_SQL_CONTAIN_CTES}
+    SELECT i.id_a AS id_contained, i.id_b AS id_container,
+           CAST(n_inter AS DOUBLE) / CAST(sa.n_sh AS DOUBLE) AS containment,
+           CAST(sa.n_sh AS BIGINT) AS n_contained,
+           CAST(sb.n_sh AS BIGINT) AS n_container
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh AS DOUBLE) >= 0.8
+    """,
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional set-containment near-dup (doc-inside-doc) at
+    C(A->B) = |A∩B|/|A| >= 0.8 over word-2-gram shingles, blocked by
+    lang — the asymmetric complement to dedup_ngram_jaccard
+    (operators.dedup.containment_pairs: contained-side prefix filter x
+    full container index, lossless)."""
+    docs = t(spark, sf_dir, "documents")
+    return D.containment_pairs(
+        docs, "doc_id", "text", n=2, threshold=0.8, block_col="lang"
+    )

@@ -317,3 +317,64 @@ def test_duplicated_ngram_span_stats(spark):
     assert out[2] == (4, 1, 0.25)
     assert out[3][1] == 0 and out[3][2] == 0.0
     assert out[4] == (0, 0, 0.0)
+
+
+def test_containment_doc_inside_doc(spark):
+    """A short doc fully quoted inside a long one: containment 1.0 in
+    the contained->container direction only; Jaccard far below 1."""
+    small = "alpha beta gamma delta epsilon zeta"
+    big = small + " " + " ".join(f"w{i} w{i}x" for i in range(30))
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=small), Row(doc_id=2, text=big)]
+    )
+    out = {
+        (r.id_contained, r.id_container): r
+        for r in D.containment_pairs(
+            df, "doc_id", "text", n=2, threshold=0.8, min_df_keep=100
+        ).collect()
+    }
+    assert (1, 2) in out and out[(1, 2)].containment == 1.0
+    assert (2, 1) not in out  # big is NOT contained in small
+    # the same pair is invisible to symmetric jaccard at 0.5
+    jac = D.ngram_jaccard_pairs(
+        df, "doc_id", "text", n=2, threshold=0.5, min_df_keep=100
+    ).collect()
+    assert jac == []
+
+
+def test_containment_prefix_filter_lossless(spark, sf_dir):
+    """Contained-side prefix x full container index must be invisible
+    in the result vs the exhaustive inverted join."""
+    from datalake_scripts_spark.io import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    kw = dict(n=2, threshold=0.8, block_col="lang")
+    fast = {
+        (r.id_contained, r.id_container, r.containment)
+        for r in D.containment_pairs(
+            docs, "doc_id", "text", prefix_filter=True, **kw
+        ).collect()
+    }
+    slow = {
+        (r.id_contained, r.id_container, r.containment)
+        for r in D.containment_pairs(
+            docs, "doc_id", "text", prefix_filter=False, **kw
+        ).collect()
+    }
+    assert fast == slow and len(fast) > 0
+
+
+def test_containment_exact_dup_both_directions(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="one two three four five six"),
+            Row(doc_id=2, text="one two three four five six"),
+        ]
+    )
+    out = {
+        (r.id_contained, r.id_container)
+        for r in D.containment_pairs(
+            df, "doc_id", "text", n=2, threshold=0.8, min_df_keep=100
+        ).collect()
+    }
+    assert out == {(1, 2), (2, 1)}
