@@ -97,6 +97,16 @@ def main(argv: list[str] | None = None) -> int:
     vac = tbl_sub.add_parser("vacuum", help="drop unreferenced files")
     vac.add_argument("--keep-last", type=int, default=1)
     tbl_sub.add_parser("history", help="list committed versions")
+    dele = tbl_sub.add_parser("delete", help="row-level DELETE (copy-on-write)")
+    dele.add_argument("--where", required=True, help="SQL predicate")
+    upd = tbl_sub.add_parser("update", help="row-level UPDATE (copy-on-write)")
+    upd.add_argument("--where", required=True, help="SQL predicate")
+    upd.add_argument(
+        "--set",
+        required=True,
+        action="append",
+        help="col=SQL-expr (repeatable)",
+    )
 
     args = p.parse_args(argv)
 
@@ -116,6 +126,13 @@ def main(argv: list[str] | None = None) -> int:
         elif args.action == "vacuum":
             removed = V.vacuum(args.dir, keep_last=args.keep_last)
             print(f"vacuumed {removed} files")
+        elif args.action == "delete":
+            v, n = V.delete_versioned(spark, args.dir, args.where)
+            print(f"deleted {n} rows -> v{v}")
+        elif args.action == "update":
+            sets = dict(s.split("=", 1) for s in args.set)
+            v, n = V.update_versioned(spark, args.dir, args.where, sets)
+            print(f"updated {n} rows -> v{v}")
         else:
             latest = V.current_version(args.dir)
             for ver in range(1, latest + 1):

@@ -214,18 +214,7 @@ def write_versioned(
             )
 
     # 1. stage immutable data files under a unique prefix
-    staging = os.path.join(table_dir, f"_staging_{uuid.uuid4().hex}")
-    df.write.mode("overwrite").parquet(staging)
-    os.makedirs(data_dir, exist_ok=True)
-    new_files = []
-    for name in sorted(os.listdir(staging)):
-        if name.endswith(".parquet"):
-            dst = f"part-{uuid.uuid4().hex}-{name}"
-            os.rename(os.path.join(staging, name), os.path.join(data_dir, dst))
-            new_files.append(os.path.join("data", dst))
-    import shutil
-
-    shutil.rmtree(staging)
+    new_files = _stage_files(df, table_dir)
 
     # 2. commit the manifest, carrying per-file footer stats (row count
     # + column min/max/nulls) so snapshots support metadata-only counts
@@ -240,21 +229,56 @@ def write_versioned(
         prev_manifest = _load_manifest(table_dir, prev)
         files = prev_manifest["files"] + new_files
         stats = {**prev_manifest.get("stats", {}), **new_stats}
-    version = prev + 1
+    return _commit_manifest(
+        table_dir, files, stats, mode, table_schema.jsonValue(), meta
+    )
+
+
+def _stage_files(df: DataFrame, table_dir: str) -> list[str]:
+    """Write ``df`` to a unique staging dir, move the parquet parts into
+    data/ under fresh immutable names; returns manifest-relative paths.
+    Nothing is visible to readers until a manifest references them."""
+    data_dir = os.path.join(table_dir, "data")
+    staging = os.path.join(table_dir, f"_staging_{uuid.uuid4().hex}")
+    df.write.mode("overwrite").parquet(staging)
+    os.makedirs(data_dir, exist_ok=True)
+    new_files = []
+    for name in sorted(os.listdir(staging)):
+        if name.endswith(".parquet"):
+            dst = f"part-{uuid.uuid4().hex}-{name}"
+            os.rename(os.path.join(staging, name), os.path.join(data_dir, dst))
+            new_files.append(os.path.join("data", dst))
+    import shutil
+
+    shutil.rmtree(staging)
+    return new_files
+
+
+def _commit_manifest(
+    table_dir: str,
+    files: list[str],
+    stats: dict,
+    mode: str,
+    schema_json: dict | None,
+    meta: dict | None,
+) -> int:
+    """Write manifest v(N+1) and flip ``_latest`` atomically (readers
+    see old or new, never half). The single commit path for every
+    writer (append/overwrite/delete/update/compaction)."""
+    version = current_version(table_dir) + 1
     manifest = {
         "version": version,
         "mode": mode,
         "files": files,
         "stats": stats,
-        "schema": table_schema.jsonValue(),
     }
+    if schema_json:
+        manifest["schema"] = schema_json
     if meta:
         manifest["meta"] = meta
     mpath = os.path.join(_manifest_dir(table_dir), f"v{version:05d}.json")
     with open(mpath, "w") as f:
         json.dump(manifest, f)
-
-    # 3. flip the pointer atomically (readers see old or new, never half)
     tmp = _latest_path(table_dir) + f".tmp{uuid.uuid4().hex}"
     with open(tmp, "w") as f:
         f.write(str(version))
@@ -521,3 +545,184 @@ def vacuum(table_dir: str, keep_last: int = 1) -> int:
         if v not in keep_versions:
             os.remove(os.path.join(_manifest_dir(table_dir), name))
     return removed
+
+
+def _predicate_touched_files(
+    spark: SparkSession,
+    table_dir: str,
+    manifest: dict,
+    predicate: str,
+    skip_filter: list[tuple] | None,
+) -> list[str]:
+    """The manifest files that actually CONTAIN a row matching
+    ``predicate`` — Delta's two-phase DML find step. Phase 1 prunes by
+    manifest min/max stats (``skip_filter`` must be implied by the
+    predicate; None scans all files). Phase 2 scans only surviving
+    candidates and asks which FILES contribute matches (distinct
+    input_file_name — result is file-count-bounded, not row-bounded,
+    so the driver collect is the same size class as the manifest
+    itself)."""
+    from pyspark.sql import functions as F
+
+    stats = manifest.get("stats", {})
+    candidates = [
+        f
+        for f in manifest["files"]
+        if _file_may_match(stats.get(f), skip_filter)
+    ]
+    if not candidates:
+        return []
+    paths = [os.path.join(table_dir, f) for f in candidates]
+    by_base = {os.path.basename(f): f for f in candidates}
+    hit_rows = (
+        _manifest_reader(spark, manifest)
+        .parquet(*paths)
+        .filter(F.expr(predicate))
+        .select(F.input_file_name().alias("_f"))
+        .distinct()
+        .collect()
+    )
+    touched = sorted(
+        by_base[os.path.basename(r._f)] for r in hit_rows
+    )
+    return touched
+
+
+def delete_versioned(
+    spark: SparkSession,
+    table_dir: str,
+    predicate: str,
+    skip_filter: list[tuple] | None = None,
+    meta: dict | None = None,
+) -> tuple[int, int]:
+    """Row-level DELETE (Delta-style copy-on-write): commit a new
+    snapshot where rows matching ``predicate`` (a SQL boolean
+    expression) are gone. Returns ``(new_version, n_deleted)``.
+
+    Only files that actually contain a match are rewritten (two-phase
+    find via :func:`_predicate_touched_files`: manifest-stats pruning
+    with ``skip_filter``, then a candidate-only scan for touched
+    files); every untouched file is carried into the new manifest
+    byte-identical, stats reused. ``n_deleted`` comes from manifest
+    row counts (old touched rows - rewritten rows) — metadata-only, no
+    extra count job. A predicate matching nothing commits NOTHING and
+    returns the current version.
+
+    Prior snapshots stay time-travelable until vacuum; the commit's
+    mode is 'delete', so :func:`read_changes` across it takes the
+    exact row-diff path (deleted rows appear as _change_type='delete').
+    Single-writer semantics as all commits."""
+    from pyspark.sql import functions as F
+
+    v = current_version(table_dir)
+    if v == 0:
+        raise FileNotFoundError(f"no committed version in {table_dir}")
+    manifest = _load_manifest(table_dir, v)
+    touched = _predicate_touched_files(
+        spark, table_dir, manifest, predicate, skip_filter
+    )
+    if not touched:
+        return v, 0
+    reader = _manifest_reader(spark, manifest)
+    kept = reader.parquet(
+        *[os.path.join(table_dir, f) for f in touched]
+    ).filter(~F.expr(predicate))
+    new_files = _stage_files(kept, table_dir)
+    new_stats = {f: _file_stats(os.path.join(table_dir, f)) for f in new_files}
+    old_stats = manifest.get("stats", {})
+    untouched = [f for f in manifest["files"] if f not in set(touched)]
+    files = untouched + new_files
+    stats = {
+        **{f: old_stats[f] for f in untouched if f in old_stats},
+        **new_stats,
+    }
+    n_deleted = sum(
+        old_stats[f]["rows"] for f in touched if f in old_stats
+    ) - sum(s["rows"] for s in new_stats.values())
+    version = _commit_manifest(
+        table_dir,
+        files,
+        stats,
+        "delete",
+        manifest.get("schema"),
+        {**(meta or {}), "predicate": predicate, "n_deleted": n_deleted},
+    )
+    return version, n_deleted
+
+
+def update_versioned(
+    spark: SparkSession,
+    table_dir: str,
+    predicate: str,
+    set_exprs: dict[str, str],
+    skip_filter: list[tuple] | None = None,
+    meta: dict | None = None,
+) -> tuple[int, int]:
+    """Row-level UPDATE (copy-on-write): rows matching ``predicate``
+    get each column in ``set_exprs`` replaced by its SQL expression
+    (evaluated against the old row); all other rows and files are
+    untouched. Returns ``(new_version, n_updated)``.
+
+    Same two-phase touched-file discovery and carry-over as
+    :func:`delete_versioned`. Updated values are cast back to the
+    column's DECLARED type (schema enforcement — an update can never
+    drift the table schema; unknown columns raise). n_updated is
+    counted during the rewrite via observe() (no separate job). Commit
+    mode 'update' -> CDF shows each updated row as delete+insert."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    v = current_version(table_dir)
+    if v == 0:
+        raise FileNotFoundError(f"no committed version in {table_dir}")
+    manifest = _load_manifest(table_dir, v)
+    schema_json = manifest.get("schema")
+    if schema_json:
+        declared = {f.name: f.dataType for f in StructType.fromJson(schema_json).fields}
+        unknown = set(set_exprs) - set(declared)
+        if unknown:
+            raise ValueError(f"update sets unknown column(s): {sorted(unknown)}")
+    else:
+        declared = {}
+    touched = _predicate_touched_files(
+        spark, table_dir, manifest, predicate, skip_filter
+    )
+    if not touched:
+        return v, 0
+    reader = _manifest_reader(spark, manifest)
+    old_rows = reader.parquet(*[os.path.join(table_dir, f) for f in touched])
+    pred = F.expr(predicate)
+    cols = []
+    for name in old_rows.columns:
+        if name in set_exprs:
+            newv = F.expr(set_exprs[name])
+            if name in declared:
+                newv = newv.cast(declared[name])
+            cols.append(F.when(pred, newv).otherwise(F.col(name)).alias(name))
+        else:
+            cols.append(F.col(name))
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    rewritten = old_rows.observe(
+        obs, F.sum(pred.cast("long")).alias("n_matched")
+    ).select(*cols)
+    new_files = _stage_files(rewritten, table_dir)  # the action that fires obs
+    n_updated = int(obs.get["n_matched"] or 0)
+    new_stats = {f: _file_stats(os.path.join(table_dir, f)) for f in new_files}
+    old_stats = manifest.get("stats", {})
+    untouched = [f for f in manifest["files"] if f not in set(touched)]
+    files = untouched + new_files
+    stats = {
+        **{f: old_stats[f] for f in untouched if f in old_stats},
+        **new_stats,
+    }
+    version = _commit_manifest(
+        table_dir,
+        files,
+        stats,
+        "update",
+        schema_json,
+        {**(meta or {}), "predicate": predicate, "set": set_exprs},
+    )
+    return version, n_updated

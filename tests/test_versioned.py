@@ -313,3 +313,143 @@ def test_read_changes_across_evolution(spark, sf_dir, table_dir):
     assert set(ch.columns) == set(region.columns) | {"tag", "_change_type"}
     assert ch.count() == 2 * region.count()
     assert ch.where(F.col("tag") == "b2").count() == region.count()
+
+
+def _nation_parts(spark, sf_dir, table_dir):
+    """Nation committed as 3 separate append commits (3+ files), so DML
+    can prove it rewrites only touched files."""
+    nation = read_table(spark, sf_dir, "nation")
+    for lo, hi in ((0, 9), (9, 17), (17, 25)):
+        part = nation.filter(
+            (F.col("n_nationkey") >= lo) & (F.col("n_nationkey") < hi)
+        ).coalesce(1)
+        write_versioned(spark, part, table_dir, mode="append")
+    return nation
+
+
+def test_delete_rewrites_only_touched_files(spark, sf_dir, table_dir):
+    from datalake_scripts_spark.operators.versioned import (
+        _load_manifest,
+        delete_versioned,
+    )
+
+    nation = _nation_parts(spark, sf_dir, table_dir)
+    before = _load_manifest(table_dir, 3)["files"]
+    v, n_deleted = delete_versioned(
+        spark,
+        table_dir,
+        "n_nationkey = 5",
+        skip_filter=[("n_nationkey", "=", 5)],
+    )
+    assert (v, n_deleted) == (4, 1)
+    after = _load_manifest(table_dir, 4)["files"]
+    # the two untouched commit files carry over byte-identical
+    carried = set(before) & set(after)
+    assert len(carried) == 2
+    out = read_versioned(spark, table_dir)
+    assert out.count() == nation.count() - 1
+    assert out.filter("n_nationkey = 5").count() == 0
+    # time travel still sees the deleted row
+    assert (
+        read_versioned(spark, table_dir, version=3)
+        .filter("n_nationkey = 5")
+        .count()
+        == 1
+    )
+
+
+def test_delete_skip_filter_prunes_scan(spark, sf_dir, table_dir):
+    from datalake_scripts_spark.operators.versioned import (
+        _load_manifest,
+        _predicate_touched_files,
+    )
+
+    _nation_parts(spark, sf_dir, table_dir)
+    manifest = _load_manifest(table_dir, 3)
+    # stats prune candidate files before any scan: only the first
+    # commit's file can hold key 5
+    touched = _predicate_touched_files(
+        spark, table_dir, manifest, "n_nationkey = 5", [("n_nationkey", "=", 5)]
+    )
+    assert len(touched) == 1
+    candidates = files_for_read(table_dir, skip_filter=[("n_nationkey", "=", 5)])
+    assert len(candidates) == 1
+
+
+def test_delete_no_match_is_noop(spark, sf_dir, table_dir):
+    from datalake_scripts_spark.operators.versioned import delete_versioned
+
+    _nation_parts(spark, sf_dir, table_dir)
+    v, n = delete_versioned(spark, table_dir, "n_nationkey = 999")
+    assert (v, n) == (3, 0)
+    assert current_version(table_dir) == 3
+
+
+def test_delete_metadata_count_and_cdf(spark, sf_dir, table_dir):
+    from datalake_scripts_spark.operators.versioned import (
+        delete_versioned,
+        read_changes,
+    )
+
+    nation = _nation_parts(spark, sf_dir, table_dir)
+    v, n = delete_versioned(spark, table_dir, "n_regionkey = 2")
+    expect = nation.filter("n_regionkey = 2").count()
+    assert n == expect
+    assert snapshot_row_count(table_dir) == nation.count() - expect
+    changes = read_changes(spark, table_dir, from_version=3, to_version=v)
+    rows = changes.collect()
+    assert all(r._change_type == "delete" for r in rows)
+    assert len(rows) == expect
+    assert {r.n_regionkey for r in rows} == {2}
+
+
+def test_update_changes_matched_rows_only(spark, sf_dir, table_dir):
+    from datalake_scripts_spark.operators.versioned import (
+        _load_manifest,
+        update_versioned,
+    )
+
+    nation = _nation_parts(spark, sf_dir, table_dir)
+    before = _load_manifest(table_dir, 3)["files"]
+    v, n = update_versioned(
+        spark,
+        table_dir,
+        "n_nationkey = 3",
+        {"n_name": "concat(n_name, '_X')"},
+        skip_filter=[("n_nationkey", "=", 3)],
+    )
+    assert (v, n) == (4, 1)
+    out = read_versioned(spark, table_dir)
+    assert out.count() == nation.count()
+    assert out.filter("n_nationkey = 3 AND NOT n_name LIKE '%_X'").count() == 0
+    assert out.filter("n_nationkey <> 3 AND n_name LIKE '%_X'").count() == 0
+    # the two untouched commit files carried over byte-identical
+    after = _load_manifest(table_dir, 4)["files"]
+    assert len(set(before) & set(after)) == 2
+    # time travel sees original names
+    assert (
+        read_versioned(spark, table_dir, version=3)
+        .filter("n_name LIKE '%_X'")
+        .count()
+        == 0
+    )
+
+
+def test_update_unknown_column_raises(spark, sf_dir, table_dir):
+    from datalake_scripts_spark.operators.versioned import update_versioned
+
+    _nation_parts(spark, sf_dir, table_dir)
+    with pytest.raises(ValueError, match="unknown column"):
+        update_versioned(spark, table_dir, "n_nationkey = 1", {"nope": "'x'"})
+
+
+def test_update_casts_to_declared_type(spark, sf_dir, table_dir):
+    from datalake_scripts_spark.operators.versioned import update_versioned
+
+    _nation_parts(spark, sf_dir, table_dir)
+    schema_before = read_versioned(spark, table_dir).schema
+    # set expr yields a string; declared type of n_regionkey must win
+    update_versioned(spark, table_dir, "n_nationkey = 1", {"n_regionkey": "'7'"})
+    out = read_versioned(spark, table_dir)
+    assert out.schema == schema_before
+    assert out.filter("n_nationkey = 1").first().n_regionkey == 7
