@@ -51,26 +51,26 @@ DRIVER_PRIORITY = [
     # normalization kit — the reference's reason to exist
     "nested_flatten_struct",
     "nested_explode_child_table",
-    "nested_explode_outer_preserves_parents",
+    "text_token_entropy",  # r3 rotation (nested keeps flatten/child/shred)
     "nested_shred_three_levels",
     "map_explode_key_value",
     "ts_parse_iso_roundtrip",
-    "ts_parse_epoch_seconds",
+    "agg_regression_trend",  # r3 rotation (F3 head stays: iso_roundtrip)
     "array_to_csv_string",
     "array_transform_filter",
     "json_extract_props",
-    "json_serialize_roundtrip",
+    "agg_histogram_prices",  # r3 rotation (json keeps extract+variant)
     "json_variant_typed_extract",
     "regex_parse_bracketed_log",
     "union_missing_columns",
     # dedup family
     "dedup_exact_subset_keys",
-    "dedup_exact_full_text",
+    "dedup_containment_pairs",  # r3 rotation (exact keeps subset_keys+fp)
     "dedup_fingerprint_token_set",
     "dedup_keep_best_quality",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
-    "dedup_winnowing_pairs",
+    "text_blocklist_redact",  # r3 rotation (winnowing keeps fingerprint)
     "dedup_duplicate_clusters",
     "dedup_paragraph_chunks",
     # similarity / ANN
