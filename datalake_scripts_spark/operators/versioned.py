@@ -120,13 +120,96 @@ def _file_stats(path: str) -> dict:
     }
 
 
+def _bloom_params(n_rows: int, fpp: float) -> tuple[int, int]:
+    """Standard Bloom sizing: m = -n ln p / ln^2 2 bits (capped at 1 MiB
+    per file/column so manifests stay manifest-sized), k = m/n ln 2."""
+    import math
+
+    n = max(1, n_rows)
+    m = int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2)))
+    m = min(max(m, 64), 8 * 1024 * 1024)
+    k = max(1, round(m / n * math.log(2)))
+    return m, min(k, 16)
+
+
+def _bloom_positions(value, m: int, k: int) -> list[int]:
+    """k bit positions for a value: md5 of the canonical string repr,
+    sliced into independent 8-byte words (double hashing over the
+    digest). Canonical repr = str(value) — stable for the int/string
+    columns point-lookup indexes target (floats are refused at build)."""
+    import hashlib
+
+    d = hashlib.md5(str(value).encode("utf-8")).digest()
+    h1 = int.from_bytes(d[:8], "big")
+    h2 = int.from_bytes(d[8:16], "big") | 1
+    return [(h1 + i * h2) % m for i in range(k)]
+
+
+def _file_bloom(path: str, col: str, fpp: float) -> dict | None:
+    """Per-file Bloom filter over one column's values (pyarrow read of
+    just that column — same driver-side metadata pass as _file_stats;
+    at cluster scale both move executor-side with the stage that wrote
+    the file). Returns {"m","k","b64"} or None when the column is
+    missing or float-typed (no canonical cross-engine repr)."""
+    import base64
+
+    import pyarrow.parquet as pq
+    import pyarrow.types as pat
+
+    pf = pq.ParquetFile(path)
+    if col not in pf.schema_arrow.names:
+        return None
+    field = pf.schema_arrow.field(col)
+    if pat.is_floating(field.type):
+        return None
+    data = pf.read(columns=[col]).column(0)
+    values = [v for v in data.to_pylist() if v is not None]
+    m, k = _bloom_params(len(values), fpp)
+    bits = bytearray((m + 7) // 8)
+    for v in values:
+        for pos in _bloom_positions(v, m, k):
+            bits[pos >> 3] |= 1 << (pos & 7)
+    return {"m": m, "k": k, "b64": base64.b64encode(bytes(bits)).decode()}
+
+
+def _bloom_contains(bloom: dict, value) -> bool:
+    import base64
+
+    bits = base64.b64decode(bloom["b64"])
+    for pos in _bloom_positions(value, bloom["m"], bloom["k"]):
+        if not (bits[pos >> 3] & (1 << (pos & 7))):
+            return False
+    return True
+
+
+def _augment_blooms(
+    table_dir: str, files: list[str], stats: dict, bloom_cols, fpp: float
+) -> None:
+    """Attach per-file Bloom indexes for ``bloom_cols`` to the stats of
+    the given (newly staged) files, in place."""
+    for f in files:
+        blooms = {}
+        for col in bloom_cols or []:
+            b = _file_bloom(os.path.join(table_dir, f), col, fpp)
+            if b is not None:
+                blooms[col] = b
+        if blooms:
+            stats[f]["blooms"] = blooms
+
+
 def _file_may_match(stats: dict | None, skip_filter) -> bool:
     """Conservative pruning: a file is kept unless its [min, max]
-    PROVABLY excludes every row for ALL conjuncts. Missing stats (file,
-    column, or all-null column) keep the file."""
+    PROVABLY excludes every row for ALL conjuncts — or, for equality
+    conjuncts on a Bloom-indexed column, the filter proves the value
+    absent (point-lookup skipping where min/max can't prune). Missing
+    stats (file, column, or all-null column) keep the file."""
     if not stats or not skip_filter:
         return True
     for col, op, val in skip_filter:
+        if op == "=":
+            bloom = stats.get("blooms", {}).get(col)
+            if bloom is not None and not _bloom_contains(bloom, val):
+                return False
         cs = stats.get("columns", {}).get(col)
         if cs is None:
             continue
@@ -188,6 +271,8 @@ def write_versioned(
     mode: str = "append",
     meta: dict | None = None,
     merge_schema: bool = False,
+    bloom_cols: list[str] | None = None,
+    bloom_fpp: float = 0.01,
 ) -> int:
     """Commit ``df`` as a new snapshot; returns the new version number.
     ``meta`` (JSON-serializable) is stored on the manifest — e.g. a
@@ -196,22 +281,34 @@ def write_versioned(
     Appends are schema-ENFORCED against the committed table schema
     (type conflicts and — unless ``merge_schema=True`` — new columns
     raise before any file lands); an overwrite resets the schema to the
-    batch's. See :func:`_evolve_schema`."""
+    batch's. See :func:`_evolve_schema`.
+
+    ``bloom_cols`` attaches a per-file Bloom index for those columns to
+    the manifest (point-lookup file skipping where min/max can't prune
+    — unclustered high-cardinality keys). The setting is TABLE state:
+    appends inherit the previous manifest's bloom_cols when the
+    argument is None, so streaming epochs and DML rewrites keep the
+    index without every caller knowing about it; an overwrite resets
+    it to whatever is passed."""
     assert mode in ("append", "overwrite")
     os.makedirs(_manifest_dir(table_dir), exist_ok=True)
-    data_dir = os.path.join(table_dir, "data")
 
     # schema check BEFORE staging any data (fail fast, nothing to clean)
     prev_for_schema = current_version(table_dir)
     table_schema = df.schema
+    prev_manifest0 = (
+        _load_manifest(table_dir, prev_for_schema) if prev_for_schema > 0 else {}
+    )
     if mode == "append" and prev_for_schema > 0:
-        prev_schema_json = _load_manifest(table_dir, prev_for_schema).get("schema")
+        prev_schema_json = prev_manifest0.get("schema")
         if prev_schema_json:
             from pyspark.sql.types import StructType
 
             table_schema = _evolve_schema(
                 StructType.fromJson(prev_schema_json), df.schema, merge_schema
             )
+    if bloom_cols is None and mode == "append":
+        bloom_cols = prev_manifest0.get("bloom_cols")
 
     # 1. stage immutable data files under a unique prefix
     new_files = _stage_files(df, table_dir)
@@ -222,6 +319,7 @@ def write_versioned(
     new_stats = {
         f: _file_stats(os.path.join(table_dir, f)) for f in new_files
     }
+    _augment_blooms(table_dir, new_files, new_stats, bloom_cols, bloom_fpp)
     prev = current_version(table_dir)
     files = new_files
     stats = new_stats
@@ -230,7 +328,13 @@ def write_versioned(
         files = prev_manifest["files"] + new_files
         stats = {**prev_manifest.get("stats", {}), **new_stats}
     return _commit_manifest(
-        table_dir, files, stats, mode, table_schema.jsonValue(), meta
+        table_dir,
+        files,
+        stats,
+        mode,
+        table_schema.jsonValue(),
+        meta,
+        bloom_cols=bloom_cols,
     )
 
 
@@ -261,6 +365,7 @@ def _commit_manifest(
     mode: str,
     schema_json: dict | None,
     meta: dict | None,
+    bloom_cols: list[str] | None = None,
 ) -> int:
     """Write manifest v(N+1) and flip ``_latest`` atomically (readers
     see old or new, never half). The single commit path for every
@@ -276,6 +381,8 @@ def _commit_manifest(
         manifest["schema"] = schema_json
     if meta:
         manifest["meta"] = meta
+    if bloom_cols:
+        manifest["bloom_cols"] = bloom_cols
     mpath = os.path.join(_manifest_dir(table_dir), f"v{version:05d}.json")
     with open(mpath, "w") as f:
         json.dump(manifest, f)
@@ -511,13 +618,15 @@ def compact_versioned(
         )
     else:
         df = cur.coalesce(target_files)
-    prev_meta = _load_manifest(table_dir, current_version(table_dir)).get("meta", {})
+    prev_manifest = _load_manifest(table_dir, current_version(table_dir))
+    prev_meta = prev_manifest.get("meta", {})
     return write_versioned(
         spark,
         df,
         table_dir,
         mode="overwrite",
         meta={**prev_meta, "compaction_of": current_version(table_dir)},
+        bloom_cols=prev_manifest.get("bloom_cols"),
     )
 
 
@@ -629,6 +738,9 @@ def delete_versioned(
     ).filter(~F.expr(predicate))
     new_files = _stage_files(kept, table_dir)
     new_stats = {f: _file_stats(os.path.join(table_dir, f)) for f in new_files}
+    _augment_blooms(
+        table_dir, new_files, new_stats, manifest.get("bloom_cols"), 0.01
+    )
     old_stats = manifest.get("stats", {})
     untouched = [f for f in manifest["files"] if f not in set(touched)]
     files = untouched + new_files
@@ -646,6 +758,7 @@ def delete_versioned(
         "delete",
         manifest.get("schema"),
         {**(meta or {}), "predicate": predicate, "n_deleted": n_deleted},
+        bloom_cols=manifest.get("bloom_cols"),
     )
     return version, n_deleted
 
@@ -710,6 +823,9 @@ def update_versioned(
     new_files = _stage_files(rewritten, table_dir)  # the action that fires obs
     n_updated = int(obs.get["n_matched"] or 0)
     new_stats = {f: _file_stats(os.path.join(table_dir, f)) for f in new_files}
+    _augment_blooms(
+        table_dir, new_files, new_stats, manifest.get("bloom_cols"), 0.01
+    )
     old_stats = manifest.get("stats", {})
     untouched = [f for f in manifest["files"] if f not in set(touched)]
     files = untouched + new_files
@@ -724,5 +840,6 @@ def update_versioned(
         "update",
         schema_json,
         {**(meta or {}), "predicate": predicate, "set": set_exprs},
+        bloom_cols=manifest.get("bloom_cols"),
     )
     return version, n_updated

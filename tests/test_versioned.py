@@ -453,3 +453,121 @@ def test_update_casts_to_declared_type(spark, sf_dir, table_dir):
     out = read_versioned(spark, table_dir)
     assert out.schema == schema_before
     assert out.filter("n_nationkey = 1").first().n_regionkey == 7
+
+
+def test_bloom_index_point_lookup_skipping(spark, sf_dir, table_dir):
+    """Shuffled (unclustered) layout: min/max prune nothing for a point
+    lookup, the Bloom index prunes to the file(s) that hold the key."""
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    write_versioned(
+        spark,
+        orders.repartition(6),
+        table_dir,
+        mode="append",
+        bloom_cols=["o_orderkey"],
+    )
+    # a mid-range key sits inside every file's [min, max] span, so only
+    # the Bloom can prune; the global-min key would prune by min/max
+    med = orders.selectExpr(
+        "cast(percentile(o_orderkey, 0.5) as bigint) as m"
+    ).first().m
+    key = (
+        orders.filter(F.col("o_orderkey") >= med)
+        .agg(F.min("o_orderkey").alias("k"))
+        .first()
+        .k
+    )
+    flt = [("o_orderkey", "=", int(key))]
+    # min/max alone keeps all 6 (every file spans ~the whole key range)
+    from datalake_scripts_spark.operators.versioned import _load_manifest
+
+    m = _load_manifest(table_dir, 1)
+    no_bloom_stats = {
+        f: {**s, "blooms": {}} for f, s in m["stats"].items()
+    }
+    from datalake_scripts_spark.operators.versioned import _file_may_match
+
+    assert sum(_file_may_match(no_bloom_stats[f], flt) for f in m["files"]) == 6
+    kept = files_for_read(table_dir, skip_filter=flt)
+    assert 0 < len(kept) < 6
+    got = read_versioned(spark, table_dir, skip_filter=flt)
+    assert got.count() == 1 and got.first().o_orderkey == key
+
+
+def test_bloom_no_false_negatives_any_key(spark, sf_dir, table_dir):
+    """Every present key must survive skipping (Bloom has no false
+    negatives); absent keys usually prune everything."""
+    nation = read_table(spark, sf_dir, "nation")
+    write_versioned(
+        spark,
+        nation.repartition(3),
+        table_dir,
+        mode="append",
+        bloom_cols=["n_nationkey", "n_name"],
+    )
+    for k in range(25):
+        got = read_versioned(
+            spark, table_dir, skip_filter=[("n_nationkey", "=", k)]
+        )
+        assert got.count() == 1
+    # absent keys: bloom prunes all files at 1% fpp (39 keys, p ~ 0.67 all-pruned
+    # per key; assert at least one of several absent keys fully prunes)
+    pruned = [
+        len(files_for_read(table_dir, skip_filter=[("n_nationkey", "=", k)]))
+        for k in range(1000, 1039)
+    ]
+    assert min(pruned) == 0
+    # string column: present names survive, absent names prune
+    name = nation.first().n_name
+    assert (
+        read_versioned(spark, table_dir, skip_filter=[("n_name", "=", name)]).count()
+        == 1
+    )
+
+
+def test_bloom_survives_append_dml_and_compaction(spark, sf_dir, table_dir):
+    """bloom_cols is table state: plain appends, DELETE rewrites, and
+    OPTIMIZE all re-index their new files without being told."""
+    from datalake_scripts_spark.operators.versioned import (
+        _load_manifest,
+        compact_versioned,
+        delete_versioned,
+    )
+
+    nation = read_table(spark, sf_dir, "nation")
+    write_versioned(
+        spark, nation, table_dir, mode="append", bloom_cols=["n_nationkey"]
+    )
+    write_versioned(spark, nation, table_dir, mode="append")  # inherits
+    m2 = _load_manifest(table_dir, 2)
+    assert m2.get("bloom_cols") == ["n_nationkey"]
+    assert all("blooms" in s for s in m2["stats"].values())
+    v, _ = delete_versioned(spark, table_dir, "n_nationkey = 3")
+    m3 = _load_manifest(table_dir, v)
+    assert all("blooms" in s for s in m3["stats"].values())
+    v4 = compact_versioned(spark, table_dir, target_files=2)
+    m4 = _load_manifest(table_dir, v4)
+    assert m4.get("bloom_cols") == ["n_nationkey"]
+    assert all("blooms" in s for s in m4["stats"].values())
+    # post-compaction point lookup still exact
+    got = read_versioned(
+        spark, table_dir, skip_filter=[("n_nationkey", "=", 7)]
+    )
+    assert got.count() == 2  # two appends, one key each
+
+
+def test_bloom_float_column_refused(spark, sf_dir, table_dir):
+    """Float columns have no canonical repr — the index silently skips
+    them and min/max skipping still applies."""
+    from datalake_scripts_spark.operators.versioned import _load_manifest
+
+    cust = read_table(spark, sf_dir, "customer")
+    write_versioned(
+        spark, cust, table_dir, mode="append", bloom_cols=["c_acctbal", "c_custkey"]
+    )
+    m = _load_manifest(table_dir, 1)
+    for s in m["stats"].values():
+        assert "c_acctbal" not in s.get("blooms", {})
+        assert "c_custkey" in s.get("blooms", {})
