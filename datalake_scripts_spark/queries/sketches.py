@@ -165,7 +165,7 @@ _CMS_SEEDS = (0, 1)
 _CMS_TOPK = 10
 
 
-def _cms_bucket_expr(seed: int) -> str:
+def _cms_bucket_expr(seed: int, col: str = "token") -> str:
     """Bucket hash as ONE SQL expression string evaluated verbatim by
     BOTH engines (md5 -> first 8 hex nibbles -> base-16 fold -> % w):
     instr/substr/md5/||/% behave identically in Spark SQL and DuckDB,
@@ -174,7 +174,7 @@ def _cms_bucket_expr(seed: int) -> str:
     int32."""
     terms = " + ".join(
         f"(CAST(instr('0123456789abcdef', "
-        f"substr(md5('{seed}:' || token), {i + 1}, 1)) - 1 AS BIGINT))"
+        f"substr(md5('{seed}:' || {col}), {i + 1}, 1)) - 1 AS BIGINT))"
         f" * {16 ** i}"
         for i in range(8)
     )
@@ -252,4 +252,114 @@ def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("est").cast("bigint").alias("cms_estimate"),
             (F.col("est") >= F.col("n")).cast("int").alias("overestimate_ok"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# CMS inner product: sketch-based join-size estimation (the planner stat)
+# ---------------------------------------------------------------------------
+
+_JS_KEY_A = "CAST(o_custkey AS STRING)"
+_JS_KEY_B = "CAST(c_custkey AS STRING)"
+
+
+def _cms_join_size_sql() -> str:
+    a_parts = " UNION ALL ".join(
+        f"SELECT {s} AS seed, {_cms_bucket_expr(s, _JS_KEY_A)} AS bucket,"
+        f" COUNT(*) AS c FROM orders GROUP BY 2"
+        for s in _CMS_SEEDS
+    )
+    b_parts = " UNION ALL ".join(
+        f"SELECT {s} AS seed, {_cms_bucket_expr(s, _JS_KEY_B)} AS bucket,"
+        f" COUNT(*) AS c FROM cust GROUP BY 2"
+        for s in _CMS_SEEDS
+    )
+    return f"""
+    WITH cust AS (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+    cms_a AS ({a_parts}),
+    cms_b AS ({b_parts}),
+    est AS (
+      SELECT MIN(dot) AS cms_estimate FROM (
+        SELECT a.seed, SUM(a.c * b.c) AS dot
+        FROM cms_a a JOIN cms_b b ON a.seed = b.seed AND a.bucket = b.bucket
+        GROUP BY a.seed)),
+    exact AS (
+      SELECT COUNT(*) AS exact_join_size
+      FROM orders o JOIN cust c ON o.o_custkey = c.c_custkey)
+    SELECT CAST(exact_join_size AS BIGINT) AS exact_join_size,
+           CAST(cms_estimate AS BIGINT) AS cms_estimate,
+           CAST(cms_estimate >= exact_join_size AS BOOLEAN) AS overestimate_ok,
+           CAST(cms_estimate AS DOUBLE) / CAST(exact_join_size AS DOUBLE)
+             AS blowup_factor
+    FROM est CROSS JOIN exact
+    """
+
+
+@query("sketch_cms_join_size", sql=_cms_join_size_sql())
+def sketch_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation WITHOUT running the join: the CMS inner
+    product. Sketch each side's join key into a d x w Count-Min table
+    (one partial-aggregated groupBy per side — fixed 2x1024 counters of
+    state however large the inputs), then estimate
+    |A join B| <= min over rows d of sum_w a_d[w] * b_d[w] — the
+    classic AMS/CMS inner-product bound, one-sided like all CMS
+    estimates. This is the planner statistic for choosing
+    broadcast-vs-shuffle or pre-salting BEFORE paying for the join; at
+    scale the sketches are mergeable across partitions/files and can be
+    persisted in table manifests.
+
+    The probe side here is the BUILDING market segment of customers vs
+    all orders; the exact join count rides along (this is a
+    verification query) with the one-sided flag and the blow-up ratio
+    (estimate/exact, one double division of exact ints). Bucket hash =
+    the shared _cms_bucket_expr SQL string -> bit-equal sketches, so
+    the estimate is hash-exact cross-engine. The final 1-row x 1-row
+    cross join is the lazy scalar-attach idiom (lint-allowlisted)."""
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    cms_a = None
+    for s in _CMS_SEEDS:
+        part = (
+            orders.groupBy(
+                F.expr(_cms_bucket_expr(s, _JS_KEY_A)).alias("bucket")
+            )
+            .agg(F.count(F.lit(1)).alias("c"))
+            .select(F.lit(s).alias("seed"), "bucket", "c")
+        )
+        cms_a = part if cms_a is None else cms_a.unionByName(part)
+    cms_b = None
+    for s in _CMS_SEEDS:
+        part = (
+            cust.groupBy(
+                F.expr(_cms_bucket_expr(s, _JS_KEY_B)).alias("bucket")
+            )
+            .agg(F.count(F.lit(1)).alias("c"))
+            .select(F.lit(s).alias("seed"), "bucket", "c")
+        )
+        cms_b = part if cms_b is None else cms_b.unionByName(part)
+    # disambiguate the two count columns before the join
+    cms_a = cms_a.withColumnRenamed("c", "cms_a_c")
+    cms_b = cms_b.withColumnRenamed("c", "cms_b_c")
+    est = (
+        cms_a.join(F.broadcast(cms_b), ["seed", "bucket"])
+        .groupBy("seed")
+        .agg(F.sum(F.col("cms_a_c") * F.col("cms_b_c")).alias("dot"))
+        .agg(F.min("dot").alias("cms_estimate"))
+    )
+    exact = orders.join(cust, orders.o_custkey == cust.c_custkey).agg(
+        F.count(F.lit(1)).alias("exact_join_size")
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        F.col("exact_join_size").cast("bigint"),
+        F.col("cms_estimate").cast("bigint"),
+        (F.col("cms_estimate") >= F.col("exact_join_size")).alias(
+            "overestimate_ok"
+        ),
+        (
+            F.col("cms_estimate").cast("double")
+            / F.col("exact_join_size").cast("double")
+        ).alias("blowup_factor"),
     )

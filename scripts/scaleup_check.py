@@ -33,6 +33,8 @@ DEFAULT_QUERIES = [
     # round-2 heavy set (documents are replica-distinct, see below)
     "dedup_ngram_jaccard",
     "ngram_jaccard_noprefix",  # A/B: Bayardo prefix filter off
+    "dedup_containment_pairs",
+    "containment_noprefix",  # A/B: asymmetric prefix filter off
     "dedup_duplicate_clusters_star",
     "text_tfidf_top_terms",
     "sketch_hll_union_rollup",
@@ -82,8 +84,23 @@ def _semantic_dedup_kmeans(spark, sf_dir):
     )
 
 
+def _containment_noprefix(spark, sf_dir):
+    """Exhaustive twin of dedup_containment_pairs (prefix_filter=False)
+    — quantifies the contained-side prefix filter's candidate-volume
+    win; note the container side is always fully indexed, so the A/B
+    gap is ~(1-t), not (1-t)^2 like the symmetric jaccard case."""
+    from datalake_scripts_spark.operators.dedup import containment_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return containment_pairs(
+        docs, "doc_id", "text", n=2, threshold=0.8, block_col="lang",
+        prefix_filter=False,
+    )
+
+
 EXTRA = {
     "ngram_jaccard_noprefix": _ngram_jaccard_noprefix,
+    "containment_noprefix": _containment_noprefix,
     "semantic_dedup_kmeans": _semantic_dedup_kmeans,
 }
 

@@ -182,6 +182,12 @@ LINT_ALLOWLIST = {
     # canonical mergeable-sketch rollup shape — the exchange payload is
     # O(partitions × sketch_size), independent of row count.
     "sketch_hll_union_rollup": {"single-partition-exchange"},
+    # the CMS dot product reduces each side to a fixed 2x1024-counter
+    # sketch before anything global happens: the single-partition
+    # exchanges carry only sketch rows / the 2-row per-seed dots, and the
+    # estimate x exact combination is a 1-row x 1-row broadcast cross
+    # (lazy scalar-attach, same as tfidf)
+    "sketch_cms_join_size": {"cartesian-product", "single-partition-exchange"},
 }
 
 

@@ -68,3 +68,16 @@ def test_kll_quantiles_within_sketch_error(spark):
         for q, got in [(0.5, row.p50), (0.9, row.p90), (0.99, row.p99)]:
             rank = (vals <= got).mean()
             assert abs(rank - q) <= 0.03, (row.o_orderstatus, q, rank)
+
+
+def test_cms_join_size_one_sided_and_tight_on_skew(spark, sf_dir):
+    """CMS inner product never underestimates the true join size, and
+    on a small key universe (buckets mostly collision-free) it is
+    near-exact."""
+    from datalake_scripts_spark.queries.sketches import sketch_cms_join_size
+
+    r = sketch_cms_join_size(spark, sf_dir).first()
+    assert r.overestimate_ok
+    assert r.cms_estimate >= r.exact_join_size > 0
+    # sf0.001: 1500 customer keys over 2x1024 buckets -> low collision
+    assert r.blowup_factor < 3.0
