@@ -52,6 +52,9 @@ BENCH_QUERIES = [
     # duplicate_clusters_star + one broadcast anti-join, so timing it
     # would double-count the heaviest path for no new signal)
     "quality_unigram_logprob",
+    "dedup_containment_pairs",
+    "dedup_duplicated_span_stats",
+    "text_token_entropy",
 ]
 
 

@@ -97,3 +97,92 @@ def pagerank_fixed(
         "rank_nano",
         (F.col("rank_nano").cast("double") / F.lit(float(RANK_ONE))).alias("rank"),
     )
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over an
+    undirected graph given as a directed edge list (either or both
+    directions; self-loops ignored).
+
+    Algorithm: degree-ordered orientation ("compact-forward"). Each
+    undirected edge is oriented from its lower-(degree, id) endpoint to
+    the higher, turning the graph into a DAG where every triangle
+    appears EXACTLY once as u->v, u->w, v->w — so one join builds the
+    two-paths and one semi-ish join closes them, with join fan-out
+    bounded by the oriented out-degree, which degree-ordering caps at
+    O(sqrt(m)) — the reason this survives power-law graphs where
+    low-high id orientation melts on the hub (the at-scale shape used
+    by e.g. Cohen's MapReduce triangle counting). Two shuffles total
+    beyond the degree computation.
+
+    Returns (node, degree BIGINT, n_triangles BIGINT, clustering
+    DOUBLE) for every node of the graph; clustering = 2T / (d(d-1))
+    (0.0 when d < 2) — one double division of exact integers, so the
+    output is engine- and partitioning-independent."""
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()  # feeds degree, orientation, and closure
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    ).localCheckpoint()
+    da = deg.select(F.col("node").alias("a"), F.col("degree").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("degree").alias("db"))
+    oriented = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+            )
+            .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v")))
+            .alias("e")
+        )
+        .select("e.u", "e.v")
+    )
+    e1 = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    e2 = oriented.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    two_paths = e1.join(e2, "y").select("x", "y", "z")
+    closing = und.select(
+        F.col("a").alias("ca"), F.col("b").alias("cb")
+    )
+    tri = two_paths.join(
+        closing,
+        (F.least("x", "z") == F.col("ca")) & (F.greatest("x", "z") == F.col("cb")),
+    ).select("x", "y", "z")
+    per_node = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    out = deg.join(per_node, "node", "left").select(
+        "node",
+        F.col("degree").cast("bigint").alias("degree"),
+        F.coalesce(F.col("n_triangles"), F.lit(0)).cast("bigint").alias("n_triangles"),
+    )
+    return out.select(
+        "node",
+        "degree",
+        "n_triangles",
+        F.when(F.col("degree") < 2, F.lit(0.0))
+        .otherwise(
+            (2.0 * F.col("n_triangles").cast("double"))
+            / (
+                F.col("degree").cast("double")
+                * (F.col("degree") - 1).cast("double")
+            )
+        )
+        .alias("clustering"),
+    )

@@ -61,3 +61,59 @@ def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.sk").alias("src"), F.col("b.sk").alias("dst"))
     )
     return pagerank_fixed(edges, iterations=3)
+
+
+_TRIANGLE_SQL = """
+WITH os AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
+und AS (SELECT DISTINCT LEAST(a.sk, b.sk) AS a, GREATEST(a.sk, b.sk) AS b
+        FROM os a JOIN os b ON a.ok = b.ok AND a.sk <> b.sk),
+deg AS (SELECT node, COUNT(*) AS degree FROM
+        (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+        GROUP BY node),
+o AS (SELECT CASE WHEN x.degree < y.degree
+                    OR (x.degree = y.degree AND und.a < und.b)
+                  THEN und.a ELSE und.b END AS u,
+             CASE WHEN x.degree < y.degree
+                    OR (x.degree = y.degree AND und.a < und.b)
+                  THEN und.b ELSE und.a END AS v
+      FROM und JOIN deg x ON x.node = und.a JOIN deg y ON y.node = und.b),
+tp AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+       FROM o e1 JOIN o e2 ON e1.v = e2.u),
+tri AS (SELECT x, y, z FROM tp
+        JOIN und ON LEAST(x, z) = und.a AND GREATEST(x, z) = und.b),
+pn AS (SELECT node, COUNT(*) AS n_triangles FROM
+       (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri) GROUP BY node)
+SELECT d.node,
+       CAST(d.degree AS BIGINT) AS degree,
+       CAST(COALESCE(pn.n_triangles, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN d.degree < 2 THEN 0.0
+            ELSE (2.0 * CAST(COALESCE(pn.n_triangles, 0) AS DOUBLE))
+                 / (CAST(d.degree AS DOUBLE) * CAST(d.degree - 1 AS DOUBLE))
+       END AS clustering
+FROM deg d LEFT JOIN pn ON pn.node = d.node
+"""
+
+
+@query("graph_triangle_suppliers", sql=_TRIANGLE_SQL)
+def graph_triangle_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier triangle count + local clustering coefficient over
+    the co-fulfillment graph (operators.graph.triangle_counts):
+    degree-ordered "compact-forward" orientation turns the graph into a
+    DAG where each triangle appears exactly once and join fan-out is
+    bounded by the oriented out-degree (O(sqrt(m)) under degree
+    ordering) — the orientation trick that keeps triangle enumeration
+    alive on power-law graphs at scale. Two shuffle joins beyond the
+    degree computation; clustering = 2T/(d(d-1)), one double division
+    of exact integers."""
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk")
+    ).distinct()
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.sk") != F.col("b.sk")))
+        .select(F.col("a.sk").alias("src"), F.col("b.sk").alias("dst"))
+    )
+    from ..operators.graph import triangle_counts
+
+    return triangle_counts(edges)

@@ -82,3 +82,52 @@ def test_pagerank_plan_has_no_cartesian(spark):
     df = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
     plan = pagerank_fixed(df, iterations=2)._jdf.queryExecution().executedPlan().toString()
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_triangle_counts_k4_and_path(spark):
+    """K4: every node is in C(3,2)=3 triangles, clustering 1.0; a path
+    graph has none."""
+    from itertools import combinations
+
+    from pyspark.sql import Row
+
+    from datalake_scripts_spark.operators.graph import triangle_counts
+
+    k4 = spark.createDataFrame(
+        [Row(src=a, dst=b) for a, b in combinations(range(4), 2)]
+    )
+    out = {r.node: r for r in triangle_counts(k4).collect()}
+    assert all(out[n].n_triangles == 3 for n in range(4))
+    assert all(out[n].clustering == 1.0 for n in range(4))
+    path = spark.createDataFrame([Row(src=i, dst=i + 1) for i in range(5)])
+    out = {r.node: r for r in triangle_counts(path).collect()}
+    assert all(r.n_triangles == 0 and r.clustering == 0.0 for r in out.values())
+
+
+def test_triangle_counts_match_bruteforce_random(spark):
+    """Random graph vs itertools brute force — also exercises duplicate
+    and reversed input edges (operator must canonicalize)."""
+    import random
+    from itertools import combinations
+
+    from pyspark.sql import Row
+
+    from datalake_scripts_spark.operators.graph import triangle_counts
+
+    rng = random.Random(7)
+    nodes = list(range(12))
+    und = {tuple(sorted(e)) for e in combinations(nodes, 2) if rng.random() < 0.4}
+    rows = []
+    for a, b in und:
+        rows.append(Row(src=a, dst=b))
+        if rng.random() < 0.5:
+            rows.append(Row(src=b, dst=a))  # reversed duplicate
+    df = spark.createDataFrame(rows)
+    got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
+    expect = {n: 0 for n in {x for e in und for x in e}}
+    for a, b, c in combinations(sorted(expect), 3):
+        if ((a, b) in und) and ((b, c) in und) and ((a, c) in und):
+            expect[a] += 1
+            expect[b] += 1
+            expect[c] += 1
+    assert got == expect
