@@ -282,3 +282,66 @@ def reconcile_checksum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = t(spark, sf_dir, "orders")
     return content_checksum(orders, _CK_REPR_SPARK, group_cols=["o_orderstatus"])
+
+
+_VALIDATE_SQL = """
+WITH agg AS (
+  SELECT
+    CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS nn,
+    CAST(SUM(CASE WHEN o_totalprice IS NOT NULL
+                   AND (o_totalprice < 0 OR o_totalprice > 10000000)
+             THEN 1 ELSE 0 END) AS BIGINT) AS rng,
+    CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL
+                   AND o_orderstatus NOT IN ('F', 'O', 'P')
+             THEN 1 ELSE 0 END) AS BIGINT) AS en,
+    CAST(SUM(CASE WHEN o_orderpriority IS NOT NULL
+                   AND NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$')
+             THEN 1 ELSE 0 END) AS BIGINT) AS rx,
+    CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS uq
+  FROM orders),
+fk AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders o
+  WHERE o.o_custkey IS NOT NULL AND NOT EXISTS (
+    SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+SELECT 'not_null(o_orderkey)' AS rule, nn AS n_violations, nn = 0 AS ok FROM agg
+UNION ALL
+SELECT 'range(o_totalprice)', rng, rng = 0 FROM agg
+UNION ALL
+SELECT 'enum(o_orderstatus)', en, en = 0 FROM agg
+UNION ALL
+SELECT 'regex(o_orderpriority)', rx, rx = 0 FROM agg
+UNION ALL
+SELECT 'unique(o_orderkey)', uq, uq = 0 FROM agg
+UNION ALL
+SELECT 'fk(o_custkey->c_custkey)', n, n = 0 FROM fk
+"""
+
+
+@query("validate_orders_constraints", sql=_VALIDATE_SQL)
+def validate_orders_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality constraint report over orders
+    (operators.quality.validate): not-null, range, enum, regex,
+    uniqueness, and referential integrity in one pass — every
+    row-expressible rule is a SUM(CASE) inside a SINGLE
+    partial-aggregated scan (adding a rule adds an expression, not a
+    job), uniqueness rides the same aggregate, and the FK costs one
+    left-anti join against the broadcastable key set. Replaces the
+    reference's count-per-check validation (check_loaded,
+    zoom_proc.py:266-312) with the audit step of write-audit-publish
+    (operators.quality.write_audit_publish)."""
+    from ..operators import quality as Q
+
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    return Q.validate(
+        orders,
+        [
+            Q.not_null("o_orderkey"),
+            Q.in_range("o_totalprice", 0, 10_000_000),
+            Q.is_in("o_orderstatus", ["F", "O", "P"]),
+            Q.matches("o_orderpriority", r"^[1-5]-[A-Z ]+$"),
+            Q.unique("o_orderkey"),
+            Q.foreign_key("o_custkey", cust, "c_custkey"),
+        ],
+    )

@@ -188,6 +188,10 @@ LINT_ALLOWLIST = {
     # estimate x exact combination is a 1-row x 1-row broadcast cross
     # (lazy scalar-attach, same as tfidf)
     "sketch_cms_join_size": {"cartesian-product", "single-partition-exchange"},
+    # whole-table constraint report: partial agg runs map-side, one tiny
+    # row of rule counters per task crosses the global exchange (same
+    # class as q6/profile_table_stats)
+    "validate_orders_constraints": {"single-partition-exchange"},
 }
 
 
