@@ -192,3 +192,64 @@ def resample_ffill(
             F.col("_v").isNotNull().cast("int").alias("is_observed"),
         )
     )
+
+
+def assign_surrogate_keys(
+    df: DataFrame,
+    order_by: list[str],
+    key_col: str = "surrogate_id",
+    start: int = 1,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Dense sequential ids 1..N in a given total order WITHOUT a
+    global single-partition sort — the engine's replacement for the
+    reference's Postgres ``bigserial`` insertion ids
+    (monkey_proc.py:271): at 100 TB a database sequence (or a
+    row_number over an unpartitioned window, which Spark executes as
+    ONE task holding the whole table) is the bottleneck.
+
+    The scalable idiom: (1) repartitionByRange on the order columns —
+    rows land in partition p iff they sort before everything in p+1;
+    (2) sortWithinPartitions + per-partition row_number (parallel);
+    (3) count rows per partition (tiny agg), prefix-sum the counts
+    driver-side (partition-count-sized, not row-sized), broadcast the
+    offsets back; id = offset[p] + local_rank. Two jobs total; no
+    stage ever sees more than its partition.
+
+    ``order_by`` must be a TOTAL order (add a unique key as the last
+    column) or ids within a tie are partition-placement-dependent.
+    monotonically_increasing_id() is the cheaper one-job alternative
+    when ids only need to be unique+increasing, not dense — this
+    operator is for the dense, order-defined contract."""
+    from pyspark.sql import Window as W
+
+    cols = [F.col(c) for c in order_by]
+    n_parts = partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n_parts, *cols).sortWithinPartitions(*cols)
+    # FREEZE the partitioning: repartitionByRange samples its bounds, so
+    # re-executing the plan for the second job could place rows
+    # differently than the counted run — the checkpoint pins one layout
+    # for both the size pass and the id pass
+    with_pid = ranged.withColumn(
+        "_pid", F.spark_partition_id()
+    ).localCheckpoint()
+    # partition-count-sized collect: the offsets table is O(partitions)
+    sizes = (
+        with_pid.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n")).collect()
+    )
+    offsets = {}
+    acc = start
+    for row in sorted(sizes, key=lambda r: r._pid):
+        offsets[row._pid] = acc
+        acc += row._n
+    off_df = df.sparkSession.createDataFrame(
+        [(p, o) for p, o in offsets.items()], "_pid int, _off bigint"
+    )
+    w = W.partitionBy("_pid").orderBy(*cols)
+    return (
+        with_pid.join(F.broadcast(off_df), "_pid")
+        .withColumn(
+            key_col, (F.col("_off") + F.row_number().over(w) - 1).cast("bigint")
+        )
+        .drop("_pid", "_off")
+    )

@@ -345,3 +345,26 @@ def validate_orders_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
             Q.foreign_key("o_custkey", cust, "c_custkey"),
         ],
     )
+
+
+@query(
+    "keys_surrogate_orders",
+    sql="""
+    SELECT o_orderkey,
+           CAST(ROW_NUMBER() OVER (ORDER BY o_orderdate, o_orderkey)
+                AS BIGINT) AS surrogate_id
+    FROM orders
+    """,
+)
+def keys_surrogate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense sequence ids over a total order — the reference's Postgres
+    bigserial (monkey_proc.py:271) re-expressed scalably
+    (operators.scale.assign_surrogate_keys): range-repartition on the
+    order columns, per-partition parallel rank, partition-count-sized
+    offset prefix-sum — NO unpartitioned window (which Spark executes
+    as one task holding the whole table; the naive form is the classic
+    100 TB deadend this operator exists to avoid)."""
+    orders = t(spark, sf_dir, "orders")
+    return SC.assign_surrogate_keys(
+        orders, ["o_orderdate", "o_orderkey"], partitions=8
+    ).select("o_orderkey", "surrogate_id")

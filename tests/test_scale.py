@@ -173,3 +173,32 @@ def test_resample_ffill_fills_gaps_deterministically(spark):
     assert out[(1, 3)] == (30.0, 1)
     assert out[(2, 5)] == (2.0, 1)    # event_id tiebreak
     assert len(out) == 4              # grids span each key's own range
+
+
+def test_surrogate_keys_dense_and_order_defined(spark, sf_dir):
+    from datalake_scripts_spark.io import read_table
+    from datalake_scripts_spark.operators.scale import assign_surrogate_keys
+
+    cust = read_table(spark, sf_dir, "customer")
+    out = assign_surrogate_keys(
+        cust, ["c_acctbal", "c_custkey"], partitions=5
+    ).select("c_custkey", "c_acctbal", "surrogate_id")
+    rows = out.collect()
+    n = cust.count()
+    ids = sorted(r.surrogate_id for r in rows)
+    assert ids == list(range(1, n + 1))  # dense 1..N, no gaps or dupes
+    by_order = sorted(rows, key=lambda r: (r.c_acctbal, r.c_custkey))
+    assert [r.surrogate_id for r in by_order] == list(range(1, n + 1))
+
+
+def test_surrogate_keys_no_single_partition_sort(spark, sf_dir):
+    """The plan must not funnel the table through one task: no global
+    (unpartitioned) Sort/Window. The range exchange + per-partition
+    window is the whole point."""
+    from datalake_scripts_spark.io import read_table
+    from datalake_scripts_spark.operators.scale import assign_surrogate_keys
+
+    cust = read_table(spark, sf_dir, "customer")
+    out = assign_surrogate_keys(cust, ["c_custkey"], partitions=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
