@@ -66,7 +66,7 @@ DRIVER_PRIORITY = [
     # dedup family
     "dedup_exact_subset_keys",
     "dedup_containment_pairs",  # r3 rotation (exact keeps subset_keys+fp)
-    "dedup_fingerprint_token_set",
+    "keys_surrogate_orders",  # r3 rotation: scale family head (dedup keeps 6 other heads)
     "dedup_keep_best_quality",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
@@ -90,10 +90,10 @@ DRIVER_PRIORITY = [
     "embedding_vector_stats",
     # multimodal
     "multimodal_binary_metadata",
-    "multimodal_frame_sample",
+    "validate_orders_constraints",  # r3 rotation: quality family head (multimodal keeps binary_metadata)
     # events (streaming batch-twins)
     "events_tumbling_hourly",
-    "events_session_windows",
+    "graph_triangle_suppliers",  # r3 rotation: graph family head (events keeps tumbling)
     # as-of / range joins
     "asof_join_purchase_to_signup",
     "range_join_value_tiers",
