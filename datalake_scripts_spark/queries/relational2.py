@@ -632,3 +632,62 @@ def agg_regression_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "native_agrees"
         ),
     )
+
+
+@query(
+    "agg_histogram_equidepth",
+    sql="""
+    WITH b AS (
+      SELECT quantile_cont(o_totalprice, 0.125) AS q1,
+             quantile_cont(o_totalprice, 0.25)  AS q2,
+             quantile_cont(o_totalprice, 0.375) AS q3,
+             quantile_cont(o_totalprice, 0.5)   AS q4,
+             quantile_cont(o_totalprice, 0.625) AS q5,
+             quantile_cont(o_totalprice, 0.75)  AS q6,
+             quantile_cont(o_totalprice, 0.875) AS q7
+      FROM orders),
+    assigned AS (
+      SELECT CAST((o_totalprice > q1) AS INT) + CAST((o_totalprice > q2) AS INT)
+             + CAST((o_totalprice > q3) AS INT) + CAST((o_totalprice > q4) AS INT)
+             + CAST((o_totalprice > q5) AS INT) + CAST((o_totalprice > q6) AS INT)
+             + CAST((o_totalprice > q7) AS INT) AS bucket,
+             CAST(o_totalprice AS DECIMAL(12,2)) AS p
+      FROM orders CROSS JOIN b)
+    SELECT CAST(bucket AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MIN(p) AS DOUBLE) AS min_price,
+           CAST(MAX(p) AS DOUBLE) AS max_price,
+           CAST(SUM(p) AS DOUBLE) AS sum_price
+    FROM assigned GROUP BY bucket
+    """,
+)
+def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (the selectivity-estimation form: ~equal
+    row counts per bucket, data-driven edges): one exact-percentile
+    aggregation produces the 7 octile boundaries (partial-aggregated;
+    at extreme scale swap in percentile_approx under the
+    approx-verification contract), the 1-row boundary set broadcasts
+    via the lazy scalar-attach idiom, and bucket assignment is a
+    map-only sum of comparisons — no sort, no ntile's global window
+    (an unpartitioned ntile is a one-task sort; this shape is why the
+    engine never uses it). Boundary doubles are bit-equal cross-engine
+    (same (n-1)p interpolation, see agg_exact_percentiles), so bucket
+    membership is too."""
+    orders = t(spark, sf_dir, "orders")
+    qs = [i / 8.0 for i in range(1, 8)]
+    b = orders.agg(
+        *[F.percentile("o_totalprice", q).alias(f"q{i}") for i, q in enumerate(qs, 1)]
+    )
+    bucket = sum(
+        (F.col("o_totalprice") > F.col(f"q{i}")).cast("int") for i in range(1, 8)
+    )
+    assigned = orders.crossJoin(F.broadcast(b)).select(
+        bucket.alias("bucket"),
+        F.col("o_totalprice").cast("decimal(12,2)").alias("p"),
+    )
+    return assigned.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("p").cast("double").alias("min_price"),
+        F.max("p").cast("double").alias("max_price"),
+        F.sum("p").cast("double").alias("sum_price"),
+    )

@@ -192,6 +192,10 @@ LINT_ALLOWLIST = {
     # row of rule counters per task crosses the global exchange (same
     # class as q6/profile_table_stats)
     "validate_orders_constraints": {"single-partition-exchange"},
+    # octile boundaries: 1-row exact-percentile aggregate broadcast via
+    # the lazy scalar-attach crossJoin; the exchange carries only the
+    # per-task percentile partials
+    "agg_histogram_equidepth": {"cartesian-product", "single-partition-exchange"},
 }
 
 
