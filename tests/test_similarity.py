@@ -141,3 +141,36 @@ def test_kmeans_centroids_deterministic_and_usable(spark, sf_dir):
         ).collect()
     }
     assert lit == pd_rows and len(lit) > 0
+
+
+def test_recall_at_10_measured_on_fixture(spark, sf_dir):
+    """Quantified recall@10 on the real embeddings fixture (2000 x
+    64-dim, clustered by label): approximate paths must recover most of
+    the exact top-10. Floors are deliberately below the measured values
+    (SRP measured 0.415 with 2 planes probing 1 of 4 buckets — 1.7x
+    better than the 0.25 random-bucket baseline; IVF measured ~0.9+ at
+    nprobe=4 of 16 cells) so the test detects structural regressions (a
+    broken bucket join, a wrong probe) without flaking on boundary
+    ties."""
+    from datalake_scripts_spark.io import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter("vec_id < 20")
+    exact = {}
+    for r in S.brute_force_topk(q, emb, k=10).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    def recall(rows):
+        got = {}
+        for r in rows:
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        hits = sum(len(exact[qid] & got.get(qid, set())) for qid in exact)
+        return hits / sum(len(v) for v in exact.values())
+
+    srp = recall(S.lsh_bucket_topk(q, emb, k=10, n_planes=2, dim=64).collect())
+    ivf = recall(
+        S.ivf_topk(q, emb, k=10, nprobe=4, stride=125).collect()
+    )  # 2000/125 = 16 cells
+    assert 0.35 <= srp, srp
+    assert srp > 0.25  # beats the random-bucket baseline
+    assert ivf >= 0.85, ivf
