@@ -1270,3 +1270,104 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.containment_pairs(
         docs, "doc_id", "text", n=2, threshold=0.8, block_col="lang"
     )
+
+
+BM25_QUERY_TERMS = ["spark", "hash", "join", "stream", "window"]
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+@query(
+    "text_bm25_scores",
+    sql=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({SQL_TOKS}) AS token FROM documents),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok
+           GROUP BY doc_id),
+    stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(dl) AS BIGINT) AS total_len FROM dl),
+    tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+           WHERE token IN ('spark', 'hash', 'join', 'stream', 'window')
+           GROUP BY doc_id, token),
+    dfreq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf
+              GROUP BY token),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(FLOOR(
+               ln((CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+                  / (CAST(d.df AS DOUBLE) + 0.5) + 1.0)
+               * (CAST(tf.tf AS DOUBLE) * ({_BM25_K1} + 1.0))
+               / (CAST(tf.tf AS DOUBLE) + {_BM25_K1} * (1.0 - {_BM25_B}
+                  + {_BM25_B} * CAST(dl.dl AS DOUBLE)
+                    / (CAST(s.total_len AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))
+               * 1000000) AS BIGINT) AS term_score_micro
+      FROM tf
+      JOIN dfreq d ON d.token = tf.token
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats s)
+    SELECT doc_id,
+           CAST(SUM(term_score_micro) AS BIGINT) AS bm25_micro,
+           CAST(COUNT(*) AS BIGINT) AS n_matched_terms
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25_micro DESC, doc_id LIMIT 20
+    """,
+)
+def text_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring (k1=1.2, b=0.75) of the corpus against a
+    fixed query-term set — the retrieval-mining primitive TF-IDF
+    doesn't cover (BM25's tf saturation and length normalization are
+    what production hard-negative mining / data-selection pipelines
+    actually rank with). Top-20 docs by score.
+
+    Determinism: both engines compute the per-(doc, term) score from
+    IDENTICAL exact integers (tf, df, dl, N, total_len) through the
+    same float expression, yielding bit-equal doubles; FLOOR — not
+    round, which can split at decimal half-way points — fixed-points
+    them to micro-units so the per-doc SUM is exact integer arithmetic.
+    Scale shape: one corpus token scan; the query-term filter collapses
+    tf to (terms x docs); df and the 1-row corpus stats broadcast (lazy
+    scalar-attach); final top-20 is TakeOrdered."""
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(X.tokens("text")).alias("token"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
+    )
+    tf = (
+        tok.filter(F.col("token").isin(BM25_QUERY_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    k1, b = _BM25_K1, _BM25_B
+    idf = F.log(
+        (F.col("n_docs").cast("double") - F.col("df").cast("double") + 0.5)
+        / (F.col("df").cast("double") + 0.5)
+        + 1.0
+    )
+    avgdl = F.col("total_len").cast("double") / F.col("n_docs").cast("double")
+    term_score = (
+        idf
+        * (F.col("tf").cast("double") * (k1 + 1.0))
+        / (
+            F.col("tf").cast("double")
+            + k1 * (1.0 - b + b * F.col("dl").cast("double") / avgdl)
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.floor(term_score * 1e6).cast("bigint").alias("term_score_micro"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("term_score_micro").cast("bigint").alias("bm25_micro"),
+            F.count(F.lit(1)).alias("n_matched_terms"),
+        )
+        .orderBy(F.desc("bm25_micro"), "doc_id")
+        .limit(20)
+    )

@@ -196,6 +196,9 @@ LINT_ALLOWLIST = {
     # the lazy scalar-attach crossJoin; the exchange carries only the
     # per-task percentile partials
     "agg_histogram_equidepth": {"cartesian-product", "single-partition-exchange"},
+    # 1-row corpus stats (n_docs, total_len) broadcast via the lazy
+    # scalar-attach crossJoin, same idiom as tfidf/unigram_logprob
+    "text_bm25_scores": {"cartesian-product"},
 }
 
 
