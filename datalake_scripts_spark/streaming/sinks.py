@@ -226,3 +226,51 @@ def foreach_batch_continuous_aggregate(
         )
 
     return _sink
+
+
+def foreach_batch_audited_versioned(
+    table_dir: str, rules: list, quarantine_dir: str
+):
+    """Streaming write-audit-publish with a dead-letter lane: each
+    epoch is validated (operators.quality.validate) BEFORE anything is
+    committed. Clean epochs append one exactly-once snapshot (epoch id
+    in the manifest ledger, replays no-op — same contract as
+    foreach_batch_versioned). Dirty epochs NEVER touch the table:
+    the batch lands under ``quarantine_dir/epoch=<id>/`` next to a
+    ``_report.json`` of per-rule violation counts, so the stream keeps
+    running (no poison-pill crash loop) and operators replay the
+    quarantined epoch after fixing the producer — the streaming
+    dead-letter-queue pattern the reference's blanket
+    try/except->log->None (vk_proc.py:122-138) approximates by
+    dropping data on the floor.
+
+    Quarantine replays are idempotent too: an epoch directory that
+    already exists is left alone."""
+    import json as _json
+    import os as _os
+
+    from ..operators import quality as Q
+    from ..operators import versioned as V
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if V.has_meta(table_dir, "epoch", int(epoch_id)):
+            return
+        epoch_dir = _os.path.join(quarantine_dir, f"epoch={int(epoch_id)}")
+        if _os.path.exists(epoch_dir):
+            return  # dirty epoch already quarantined; replay no-ops
+        report = [r.asDict() for r in Q.validate(batch_df, rules).collect()]
+        bad = [row for row in report if row["n_violations"] > 0]
+        if bad:
+            batch_df.write.mode("overwrite").parquet(epoch_dir)
+            with open(_os.path.join(epoch_dir, "_report.json"), "w") as f:
+                _json.dump(report, f)
+            return
+        V.write_versioned(
+            batch_df.sparkSession,
+            batch_df,
+            table_dir,
+            mode="append",
+            meta={"epoch": int(epoch_id), "audited": [r.name for r in rules]},
+        )
+
+    return _sink

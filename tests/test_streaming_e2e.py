@@ -479,3 +479,89 @@ def test_continuous_aggregate_stream(spark, tmp_path):
     sink(all_src, int(last_meta.get("epoch", 0)))
     assert versioned.current_version(src_dir) == src_v
     assert versioned.current_version(view_dir) == view_v
+
+
+def test_stream_audited_with_quarantine(spark, sf_dir, tmp_path):
+    """Streaming WAP + dead-letter: a poisoned epoch never reaches the
+    table — it lands in quarantine with its violation report — while
+    clean epochs commit exactly-once and the stream keeps running."""
+    import glob
+    import json
+
+    import pyspark.sql.types as T
+    from pyspark.sql import functions as F
+
+    from datalake_scripts_spark.io import read_table
+    from datalake_scripts_spark.operators import quality as Q
+    from datalake_scripts_spark.operators.versioned import (
+        current_version,
+        read_versioned,
+    )
+    from datalake_scripts_spark.streaming import stream_from_directory
+    from datalake_scripts_spark.streaming.sinks import (
+        foreach_batch_audited_versioned,
+    )
+
+    src = str(tmp_path / "src")
+    table_dir = str(tmp_path / "vtable")
+    qdir = str(tmp_path / "quarantine")
+    ckpt = str(tmp_path / "ckpt")
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    # 3 single-file epochs; file 2 is poisoned with NULL event_types
+    clean = ev.filter("event_id % 3 = 0").coalesce(1)
+    poison = (
+        ev.filter("event_id % 3 = 1")
+        .withColumn(
+            "event_type",
+            F.when(F.col("event_id") % 7 == 0, None).otherwise(
+                F.col("event_type")
+            ),
+        )
+        .coalesce(1)
+    )
+    clean2 = ev.filter("event_id % 3 = 2").coalesce(1)
+    clean.write.mode("overwrite").parquet(f"{src}")
+    poison.write.mode("append").parquet(f"{src}")
+    clean2.write.mode("append").parquet(f"{src}")
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    rules = [Q.not_null("event_type")]
+    sink = foreach_batch_audited_versioned(table_dir, rules, qdir)
+
+    def run_once():
+        q = (
+            stream_from_directory(
+                spark, src, schema=schema, max_files_per_trigger=1
+            )
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run_once()
+    # two clean epochs committed, one quarantined
+    assert current_version(table_dir) == 2
+    committed = read_versioned(spark, table_dir)
+    assert committed.filter("event_type IS NULL").count() == 0
+    qdirs = glob.glob(f"{qdir}/epoch=*")
+    assert len(qdirs) == 1
+    report = json.load(open(f"{qdirs[0]}/_report.json"))
+    bad = [r for r in report if r["n_violations"] > 0]
+    assert bad[0]["rule"] == "not_null(event_type)"
+    n_poison = poison.count()
+    assert spark.read.parquet(qdirs[0]).count() == n_poison
+    # restart: nothing recommitted, nothing re-quarantined
+    run_once()
+    assert current_version(table_dir) == 2
+    assert len(glob.glob(f"{qdir}/epoch=*")) == 1
