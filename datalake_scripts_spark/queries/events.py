@@ -520,3 +520,77 @@ def events_resample_ffill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resample_ffill(
         ev, "user_id", "ts", "value", tiebreak="event_id", step="1 hour", unit="hour"
     )
+
+
+@query(
+    "events_zscore_anomalies",
+    sql="""
+    WITH v AS (
+      SELECT user_id,
+             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+      FROM events),
+    s AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(c) AS BIGINT) AS s1,
+             CAST(SUM(c * c) AS BIGINT) AS s2
+      FROM v GROUP BY user_id),
+    f AS (
+      SELECT v.user_id, s.n,
+             CASE WHEN s.n >= 2 AND
+               ABS(CAST(v.c AS DOUBLE)
+                   - CAST(s.s1 AS DOUBLE) / CAST(s.n AS DOUBLE))
+               > 3.0 * sqrt(GREATEST(
+                   CAST(s.s2 AS DOUBLE) / CAST(s.n AS DOUBLE)
+                   - (CAST(s.s1 AS DOUBLE) / CAST(s.n AS DOUBLE))
+                     * (CAST(s.s1 AS DOUBLE) / CAST(s.n AS DOUBLE)), 0.0))
+             THEN 1 ELSE 0 END AS anom
+      FROM v JOIN s ON s.user_id = v.user_id)
+    SELECT user_id,
+           CAST(MAX(n) AS BIGINT) AS n_events,
+           CAST(SUM(anom) AS BIGINT) AS n_anomalies
+    FROM f GROUP BY user_id
+    HAVING SUM(anom) > 0
+    """,
+)
+def events_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user z-score anomaly detection (|x - mean| > 3 sigma): users
+    with at least one outlier event value, with their outlier counts —
+    the monitoring primitive for metric streams.
+
+    Determinism: per-user moments (n, sum, sum-of-squares) are EXACT
+    BIGINT sums over cent-integer values; mean/variance/threshold are a
+    fixed float composition of those identical ints, so the 3-sigma
+    comparison is engine-equal (population variance; clamped at 0 for
+    float-negative). Shape: ONE shuffle — the per-user moments ride a
+    window over the same partitioning the flag evaluation needs, then
+    the per-user re-agg is map-side combinable."""
+    ev = t(spark, sf_dir, "events")
+    c = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    v = ev.select("user_id", c.alias("c"))
+    w = W.partitionBy("user_id")
+    with_stats = v.select(
+        "user_id",
+        "c",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("c").over(w).alias("s1"),
+        F.sum(F.col("c") * F.col("c")).over(w).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n").cast("double")
+    var = F.greatest(
+        F.col("s2").cast("double") / F.col("n").cast("double") - mean * mean,
+        F.lit(0.0),
+    )
+    anom = (
+        (F.col("n") >= 2)
+        & (F.abs(F.col("c").cast("double") - mean) > 3.0 * F.sqrt(var))
+    ).cast("int")
+    return (
+        with_stats.select("user_id", F.col("n"), anom.alias("anom"))
+        .groupBy("user_id")
+        .agg(
+            F.max("n").cast("bigint").alias("n_events"),
+            F.sum("anom").cast("bigint").alias("n_anomalies"),
+        )
+        .filter(F.col("n_anomalies") > 0)
+    )
