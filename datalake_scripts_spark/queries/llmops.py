@@ -1371,3 +1371,78 @@ def text_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25_micro"), "doc_id")
         .limit(20)
     )
+
+@query(
+    "corpus_source_overlap",
+    sql=f"""
+    WITH toks AS (
+      SELECT source, {SQL_TOKS} AS tk FROM documents),
+    sh AS (
+      SELECT DISTINCT source,
+             unnest(list_distinct(list_transform(range(1, len(tk) - 1),
+                    i -> array_to_string(tk[i:i+2], ' ')))) AS shingle
+      FROM toks WHERE len(tk) >= 3),
+    sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh
+              GROUP BY source),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+      GROUP BY 1, 2)
+    SELECT p.source_a, p.source_b, p.n_shared,
+           sa.n_sh AS n_a, sb.n_sh AS n_b,
+           CAST(p.n_shared AS DOUBLE)
+             / CAST(LEAST(sa.n_sh, sb.n_sh) AS DOUBLE) AS overlap_coef,
+           CAST(p.n_shared AS DOUBLE)
+             / CAST(sa.n_sh + sb.n_sh - p.n_shared AS DOUBLE) AS jaccard
+    FROM pairs p
+    JOIN sizes sa ON sa.source = p.source_a
+    JOIN sizes sb ON sb.source = p.source_b
+    """,
+)
+def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: 3-gram shingle overlap between
+    every pair of data sources (overlap coefficient |A∩B|/min + Jaccard)
+    — the train/test-leakage audit run BEFORE mixing sources into a
+    corpus (decontaminate_against_benchmark is the per-document removal
+    step; this is the source-level radar that tells you which pairs
+    need it). Shape: one distinct (source, shingle) reduce, then a
+    shingle-keyed self-join whose fan-out per shingle is bounded by the
+    SOURCE count (not doc count) — the matrix is |sources|^2 rows. At a
+    df-skewed 100 TB corpus, cap hot shingles first
+    (operators.dedup.cap_shingle_df) exactly as the pair deduper does."""
+    docs = t(spark, sf_dir, "documents")
+    sh = docs.select(
+        "source",
+        F.explode(F.array_distinct(D.word_shingles("text", 3))).alias("shingle"),
+    ).distinct()
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("source").alias("source_a"), "shingle")
+    b = sh.select(F.col("source").alias("source_b"), "shingle")
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n_sh").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_shared").cast("double")
+                / F.least("n_a", "n_b").cast("double")
+            ).alias("overlap_coef"),
+            (
+                F.col("n_shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
