@@ -1010,3 +1010,122 @@ def containment_pairs(
         )
         .filter(F.col("containment") >= threshold)
     )
+
+
+def ngram_jaccard_pairs_cross(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    block_col: str | None = None,
+    max_df_frac: float = 0.5,
+    min_df_keep: int = 100,
+) -> DataFrame:
+    """INCREMENTAL near-dup: Jaccard >= t pairs between a NEW batch and
+    an EXISTING corpus only (never corpus x corpus) — the production
+    ingest shape: a daily batch dedups against the accumulated corpus
+    index at cost proportional to the batch's shingles, not the
+    corpus's pair count. Re-running full-corpus dedup per ingest is the
+    quadratic-over-time trap this operator exists to avoid; at scale
+    the corpus side is a persisted/bucketed (id, shingle) table that
+    amortizes across ingests.
+
+    Same inverted-index + Bayardo prefix machinery as
+    :func:`ngram_jaccard_pairs` (symmetric J >= t, so BOTH sides
+    explode only prefixes; df for the rarest-first order comes from
+    the UNION of both sides so the global shingle order is consistent).
+    Hot-shingle df cap over the union too (same self-consistency
+    contract). Returns (batch_id, corpus_id, jaccard).
+    """
+    from pyspark.sql import Window as W
+
+    n_docs = batch.count() + corpus.count()
+    blk = [block_col] if block_col else []
+    join_keys = ["shingle"] + blk
+    shb0 = _shingle_table(batch, id_col, text_col, n, block_col)
+    shc0 = _shingle_table(corpus, id_col, text_col, n, block_col)
+    both = shb0.withColumn("_side", F.lit("b")).unionByName(
+        shc0.withColumn("_side", F.lit("c"))
+    ).localCheckpoint()
+    both = cap_shingle_df(
+        both, join_keys, n_docs, max_df_frac, min_df_keep
+    ).localCheckpoint()
+
+    dfs = both.groupBy(*join_keys).agg(F.count(F.lit(1)).alias("_df"))
+    w_rank = W.partitionBy("_side", id_col, *blk).orderBy("_df", "shingle")
+    w_all = W.partitionBy("_side", id_col, *blk)
+    ranked = both.join(dfs, join_keys).select(
+        "_side",
+        id_col,
+        *blk,
+        "shingle",
+        F.row_number().over(w_rank).alias("_rn"),
+        F.count(F.lit(1)).over(w_all).alias("_n_sh"),
+    )
+    prefix = ranked.filter(
+        F.col("_rn")
+        <= F.col("_n_sh") - F.ceil(F.lit(float(threshold)) * F.col("_n_sh")) + 1
+    ).localCheckpoint()
+    pa = prefix.filter(F.col("_side") == "b").select(
+        F.col(id_col).alias("batch_id"),
+        F.col("_n_sh").alias("_na"),
+        F.col("_rn").alias("_ra"),
+        *join_keys,
+    )
+    pb = prefix.filter(F.col("_side") == "c").select(
+        F.col(id_col).alias("corpus_id"),
+        F.col("_n_sh").alias("_nb"),
+        F.col("_rn").alias("_rb"),
+        *join_keys,
+    )
+    t_frac = float(threshold) / (1.0 + float(threshold))
+    cand = (
+        pa.join(pb, join_keys)
+        .filter(
+            F.least("_na", "_nb").cast("double")
+            >= F.lit(float(threshold)) * F.greatest("_na", "_nb").cast("double")
+        )
+        .filter(
+            (
+                1
+                + F.least(F.col("_na") - F.col("_ra"), F.col("_nb") - F.col("_rb"))
+            ).cast("double")
+            >= F.lit(t_frac) * (F.col("_na") + F.col("_nb")).cast("double")
+        )
+        .select("batch_id", "corpus_id")
+        .distinct()
+    )
+    sets = (
+        both.groupBy("_side", id_col)
+        .agg(
+            F.sort_array(F.collect_list("shingle")).alias("_arr"),
+            F.count(F.lit(1)).alias("_n_sh"),
+        )
+        .localCheckpoint()
+    )
+    sa = sets.filter(F.col("_side") == "b").select(
+        F.col(id_col).alias("batch_id"),
+        F.col("_arr").alias("_aa"),
+        F.col("_n_sh").alias("n_a"),
+    )
+    sb = sets.filter(F.col("_side") == "c").select(
+        F.col(id_col).alias("corpus_id"),
+        F.col("_arr").alias("_ab"),
+        F.col("_n_sh").alias("n_b"),
+    )
+    n_inter = F.size(F.array_intersect(F.col("_aa"), F.col("_ab")))
+    return (
+        cand.join(sa, "batch_id")
+        .join(sb, "corpus_id")
+        .select(
+            "batch_id",
+            "corpus_id",
+            (
+                n_inter.cast("double")
+                / (F.col("n_a") + F.col("n_b") - n_inter).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1446,3 +1446,33 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+_SQL_INCR_CTES = _SQL_JACCARD_CTES.replace(
+    "WHERE a.doc_id < b.doc_id", "WHERE a.doc_id < 400 AND b.doc_id >= 400"
+)
+
+
+@query(
+    "dedup_incremental_batch",
+    sql=f"""
+    WITH {_SQL_INCR_CTES}
+    SELECT id_b AS batch_id, id_a AS corpus_id, jaccard FROM jpairs
+    """,
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: near-dup pairs between a NEW batch
+    (doc_id >= 400) and the EXISTING corpus (doc_id < 400) ONLY —
+    never corpus x corpus (operators.dedup.ngram_jaccard_pairs_cross).
+    The production shape: each ingest pays for the batch's shingles
+    against the persisted corpus index instead of re-deduping the
+    accumulated corpus quadratically-over-time. Same Bayardo prefix +
+    length + positional filtering; the rarest-first order and the
+    hot-shingle cap are computed over the UNION so scores are
+    self-consistent with full-corpus dedup."""
+    docs = t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < 400)
+    batch = docs.filter(F.col("doc_id") >= 400)
+    return D.ngram_jaccard_pairs_cross(
+        batch, corpus, "doc_id", "text", n=2, threshold=0.5, block_col="lang"
+    )

@@ -378,3 +378,27 @@ def test_containment_exact_dup_both_directions(spark):
         ).collect()
     }
     assert out == {(1, 2), (2, 1)}
+
+
+def test_incremental_cross_equals_full_restricted(spark, sf_dir):
+    """Batch-vs-corpus incremental dedup must return exactly the
+    full-corpus pair set restricted to (corpus, batch) cross pairs —
+    same scores (the df order and cap are union-consistent)."""
+    from datalake_scripts_spark.io import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    corpus = docs.filter("doc_id < 400")
+    batch = docs.filter("doc_id >= 400")
+    kw = dict(n=2, threshold=0.5, block_col="lang")
+    cross = {
+        (r.corpus_id, r.batch_id, r.jaccard)
+        for r in D.ngram_jaccard_pairs_cross(
+            batch, corpus, "doc_id", "text", **kw
+        ).collect()
+    }
+    full = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in D.ngram_jaccard_pairs(docs, "doc_id", "text", **kw).collect()
+        if r.id_a < 400 <= r.id_b
+    }
+    assert cross == full and len(cross) > 0
