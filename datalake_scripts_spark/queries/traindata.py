@@ -616,3 +616,92 @@ def udtf_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM _udtf_docs d, LATERAL chunk_text(d.text, 120) c
         """
     )
+
+
+@query(
+    "quality_bigram_logprob",
+    sql=f"""
+    WITH tok AS (
+      SELECT doc_id, {SQL_TOKS} AS tk FROM documents),
+    uni AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS cu FROM
+      (SELECT unnest({SQL_TOKS}) AS token FROM documents) GROUP BY token),
+    vocab AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM uni),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(tk)),
+                    i -> array_to_string(tk[i:i+1], ' '))) AS bigram
+      FROM tok WHERE len(tk) >= 2),
+    bgc AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cb FROM bg
+            GROUP BY bigram),
+    scored AS (
+      SELECT b.doc_id,
+             CAST(round(ln((CAST(bgc.cb AS DOUBLE) + 1.0)
+                           / (CAST(uni.cu AS DOUBLE) + CAST(vocab.v AS DOUBLE)))
+                        * 1000000) AS BIGINT) AS lp_micro
+      FROM bg b
+      JOIN bgc ON bgc.bigram = b.bigram
+      JOIN uni ON uni.token = string_split(b.bigram, ' ')[1]
+      CROSS JOIN vocab)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(-SUM(lp_micro) AS BIGINT) AS sum_neglogprob_micro,
+           CAST(-SUM(lp_micro) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS avg_neglogprob_micro
+    FROM scored GROUP BY doc_id
+    """,
+)
+def quality_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity proxy: score every document by the total /
+    average negative conditional log-probability
+    -ln P(w_i | w_{i-1}) = -ln((c(bigram)+1) / (c(context) + V))
+    under an add-one-smoothed corpus bigram model — the sharper
+    fluency gate over the unigram scorer (quality_unigram_logprob):
+    repeated boilerplate scores high, shuffled-word salad scores low
+    even when its unigram profile is natural.
+
+    Same determinism contract: round(ln * 1e6) -> BIGINT micro-nats
+    (round-after-libm), exact integer sums, one final double division.
+    Scale shape: bigram + unigram model tables are vocabulary-sized
+    (broadcastable); the doc bigram stream shuffles once per model
+    join; V attaches as the 1-row lazy scalar (lint-allowlisted)."""
+    docs = t(spark, sf_dir, "documents")
+    toks = X.tokens("text")
+    pairs = F.slice(
+        F.zip_with(
+            toks,
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        ),
+        1,
+        F.greatest(F.size(toks) - 1, F.lit(0)),
+    )
+    bg = docs.select("doc_id", F.explode(pairs).alias("bigram")).filter(
+        F.col("bigram").isNotNull()
+    )
+    tok = docs.select(F.explode(toks).alias("token"))
+    uni = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cu"))
+    vocab = uni.agg(F.count(F.lit(1)).alias("v"))
+    bgc = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("cb"))
+    ctx = F.split(F.col("bigram"), " ").getItem(0)
+    lp = F.round(
+        F.log(
+            (F.col("cb").cast("double") + 1.0)
+            / (F.col("cu").cast("double") + F.col("v").cast("double"))
+        )
+        * 1e6
+    ).cast("bigint")
+    scored = (
+        bg.join(F.broadcast(bgc), "bigram")
+        .withColumn("_ctx", ctx)
+        .join(F.broadcast(uni.withColumnRenamed("token", "_ctx")), "_ctx")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", lp.alias("lp_micro"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (-F.sum("lp_micro")).cast("bigint").alias("sum_neglogprob_micro"),
+        (
+            (-F.sum("lp_micro")).cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("avg_neglogprob_micro"),
+    )

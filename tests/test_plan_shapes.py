@@ -199,6 +199,10 @@ LINT_ALLOWLIST = {
     # 1-row corpus stats (n_docs, total_len) broadcast via the lazy
     # scalar-attach crossJoin, same idiom as tfidf/unigram_logprob
     "text_bm25_scores": {"cartesian-product"},
+    # same lazy scalar-attach as unigram_logprob: the 1-row vocab size
+    # crosses as a broadcast; the exchange carries the vocab-count
+    # partials only
+    "quality_bigram_logprob": {"cartesian-product", "single-partition-exchange"},
 }
 
 
