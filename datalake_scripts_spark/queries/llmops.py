@@ -1476,3 +1476,54 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs_cross(
         batch, corpus, "doc_id", "text", n=2, threshold=0.5, block_col="lang"
     )
+
+
+@query(
+    "match_fuzzy_part_names",
+    sql="""
+    WITH p AS (
+      SELECT p_partkey, p_name,
+             string_split(p_name, ' ')[2] AS block
+      FROM part)
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_distance
+    FROM p a JOIN p b
+      ON a.block = b.block AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 4
+    """,
+)
+def match_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy entity matching (edit distance): part-name pairs
+    within Levenshtein <= 4, blocked on the head noun — the standard
+    entity-resolution shape (blocking key bounds the join fan-out to
+    block size; the O(len^2) DP runs only on in-block candidate pairs,
+    never all-pairs). The string-similarity complement to the token-set
+    and shingle dedup families; both engines implement the classic
+    Wagner-Fischer DP, so distances are identical integers."""
+    part = t(spark, sf_dir, "part")
+    p = part.select(
+        "p_partkey", "p_name", F.split("p_name", " ").getItem(1).alias("block")
+    )
+    a = p.select(
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+        "block",
+    )
+    b = p.select(
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+        "block",
+    )
+    return (
+        a.join(b, "block")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .filter(F.levenshtein("name_a", "name_b") <= 4)
+        .select(
+            "key_a",
+            "key_b",
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").cast("int").alias("edit_distance"),
+        )
+    )

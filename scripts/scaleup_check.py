@@ -35,6 +35,12 @@ DEFAULT_QUERIES = [
     "ngram_jaccard_noprefix",  # A/B: Bayardo prefix filter off
     "dedup_containment_pairs",
     "containment_noprefix",  # A/B: asymmetric prefix filter off
+    "dedup_incremental_batch",
+    "graph_triangle_suppliers",
+    "text_bm25_scores",
+    "keys_surrogate_orders",
+    "corpus_source_overlap",
+    "events_zscore_anomalies",
     "dedup_duplicate_clusters_star",
     "text_tfidf_top_terms",
     "sketch_hll_union_rollup",
