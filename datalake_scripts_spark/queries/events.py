@@ -594,3 +594,102 @@ def events_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_anomalies") > 0)
     )
+
+
+@query(
+    "events_ab_test_conversion",
+    sql="""
+    WITH u AS (
+      SELECT user_id,
+             CAST(user_id % 2 AS INT) AS variant,
+             CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                     > SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  THEN 1 ELSE 0 END AS converted
+      FROM events GROUP BY user_id),
+    s AS (
+      SELECT variant,
+             CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(converted) AS BIGINT) AS n_converted
+      FROM u GROUP BY variant),
+    w AS (
+      SELECT MAX(CASE WHEN variant = 0 THEN n_users END) AS n0,
+             MAX(CASE WHEN variant = 0 THEN n_converted END) AS c0,
+             MAX(CASE WHEN variant = 1 THEN n_users END) AS n1,
+             MAX(CASE WHEN variant = 1 THEN n_converted END) AS c1
+      FROM s)
+    SELECT n0 AS n_users_a, c0 AS n_converted_a,
+           CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS rate_a,
+           n1 AS n_users_b, c1 AS n_converted_b,
+           CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS rate_b,
+           (CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+            - CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+           / sqrt((CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+                  * (1.0 - CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+                  * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE)))
+             AS z_stat,
+           ABS((CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+                - CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+               / sqrt((CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+                      * (1.0 - CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+                      * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE))))
+             > 1.96 AS significant_95
+    FROM w
+    """,
+)
+def events_ab_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment analysis: two-proportion z-test on conversion
+    (more purchases than views) between a deterministic A/B split
+    (user_id % 2) —
+    the online-experimentation readout every product analytics stack
+    ships. All counts are exact integers from two partial-aggregated
+    groupBys; rates and the pooled-variance z statistic are a fixed
+    float composition of those identical ints (engine-equal, same
+    contract as events_zscore_anomalies); significance is the |z|>1.96
+    two-sided 95% gate. 1-row output via conditional-MAX pivot (no
+    cross join)."""
+    ev = t(spark, sf_dir, "events")
+    u = (
+        ev.groupBy("user_id")
+        .agg(
+            (
+                F.sum((F.col("event_type") == "purchase").cast("int"))
+                > F.sum((F.col("event_type") == "view").cast("int"))
+            )
+            .cast("int")
+            .alias("converted")
+        )
+        .select((F.col("user_id") % 2).cast("int").alias("variant"), "converted")
+    )
+    s = u.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").alias("n_converted"),
+    )
+    w = s.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n_users"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("n_converted"))).alias("c0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_users"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_converted"))).alias("c1"),
+    )
+    ra = F.col("c0").cast("double") / F.col("n0").cast("double")
+    rb = F.col("c1").cast("double") / F.col("n1").cast("double")
+    pooled = (F.col("c0") + F.col("c1")).cast("double") / (
+        F.col("n0") + F.col("n1")
+    ).cast("double")
+    z = (ra - rb) / F.sqrt(
+        pooled
+        * (F.lit(1.0) - pooled)
+        * (
+            F.lit(1.0) / F.col("n0").cast("double")
+            + F.lit(1.0) / F.col("n1").cast("double")
+        )
+    )
+    return w.select(
+        F.col("n0").cast("bigint").alias("n_users_a"),
+        F.col("c0").cast("bigint").alias("n_converted_a"),
+        ra.alias("rate_a"),
+        F.col("n1").cast("bigint").alias("n_users_b"),
+        F.col("c1").cast("bigint").alias("n_converted_b"),
+        rb.alias("rate_b"),
+        z.alias("z_stat"),
+        (F.abs(z) > 1.96).alias("significant_95"),
+    )

@@ -203,6 +203,9 @@ LINT_ALLOWLIST = {
     # crosses as a broadcast; the exchange carries the vocab-count
     # partials only
     "quality_bigram_logprob": {"cartesian-product", "single-partition-exchange"},
+    # 1-row experiment readout: the final pivot aggregates the 2-row
+    # per-variant table; partials are map-side
+    "events_ab_test_conversion": {"single-partition-exchange"},
 }
 
 
