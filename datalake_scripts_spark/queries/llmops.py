@@ -1527,3 +1527,78 @@ def match_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.levenshtein("name_a", "name_b").cast("int").alias("edit_distance"),
         )
     )
+
+
+@query(
+    "eval_langid_kappa",
+    sql=f"""
+    WITH pred AS ({_langid_sql()}),
+    cm AS (
+      SELECT lang_actual, lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+      FROM pred GROUP BY lang_actual, lang_pred),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+             CAST(SUM(CASE WHEN lang_actual = lang_pred THEN n ELSE 0 END)
+                  AS BIGINT) AS n_agree
+      FROM cm),
+    marg AS (
+      SELECT CAST(SUM(r.rt * c.ct) AS BIGINT) AS chance_num
+      FROM (SELECT lang_actual AS k, SUM(n) AS rt FROM cm GROUP BY 1) r
+      JOIN (SELECT lang_pred AS k, SUM(n) AS ct FROM cm GROUP BY 1) c
+        ON r.k = c.k)
+    SELECT n_total, n_agree,
+           CAST(n_agree AS DOUBLE) / CAST(n_total AS DOUBLE) AS accuracy,
+           CAST(chance_num AS DOUBLE)
+             / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE))
+             AS expected_agreement,
+           (CAST(n_agree AS DOUBLE) / CAST(n_total AS DOUBLE)
+            - CAST(chance_num AS DOUBLE)
+              / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)))
+           / (1.0 - CAST(chance_num AS DOUBLE)
+              / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)))
+             AS cohens_kappa
+    FROM tot CROSS JOIN marg
+    """,
+)
+def eval_langid_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-evaluation metrics: accuracy + Cohen's kappa of the
+    marker-token language-ID heuristic against the gold ``lang``
+    column — the chance-corrected agreement readout used for both
+    model eval and inter-annotator agreement in labeling pipelines.
+    kappa = (p_o - p_e) / (1 - p_e) with p_e from the confusion
+    marginals. All inputs are exact integer counts (confusion cells,
+    marginal products) from partial-aggregated groupBys; the kappa is
+    a fixed float composition of those ints — engine-equal. The two
+    1-row factors combine via the lazy scalar-attach cross
+    (lint-allowlisted)."""
+    docs = t(spark, sf_dir, "documents")
+    pred = docs.select(
+        F.col("lang").alias("lang_actual"), X.lang_id("text").alias("lang_pred")
+    )
+    cm = pred.groupBy("lang_actual", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = cm.agg(
+        F.sum("n").alias("n_total"),
+        F.sum(
+            F.when(F.col("lang_actual") == F.col("lang_pred"), F.col("n")).otherwise(
+                F.lit(0)
+            )
+        ).alias("n_agree"),
+    )
+    rows = cm.groupBy(F.col("lang_actual").alias("k")).agg(F.sum("n").alias("rt"))
+    cols = cm.groupBy(F.col("lang_pred").alias("k")).agg(F.sum("n").alias("ct"))
+    marg = (
+        rows.join(cols, "k")
+        .agg(F.sum(F.col("rt") * F.col("ct")).alias("chance_num"))
+    )
+    nt = F.col("n_total").cast("double")
+    po = F.col("n_agree").cast("double") / nt
+    pe = F.col("chance_num").cast("double") / (nt * nt)
+    return tot.crossJoin(F.broadcast(marg)).select(
+        F.col("n_total").cast("bigint"),
+        F.col("n_agree").cast("bigint"),
+        po.alias("accuracy"),
+        pe.alias("expected_agreement"),
+        ((po - pe) / (F.lit(1.0) - pe)).alias("cohens_kappa"),
+    )

@@ -206,6 +206,9 @@ LINT_ALLOWLIST = {
     # 1-row experiment readout: the final pivot aggregates the 2-row
     # per-variant table; partials are map-side
     "events_ab_test_conversion": {"single-partition-exchange"},
+    # two 1-row metric factors (totals, chance numerator) combine via
+    # the lazy scalar-attach cross; exchanges carry tiny aggregates
+    "eval_langid_kappa": {"cartesian-product", "single-partition-exchange"},
 }
 
 
