@@ -107,6 +107,12 @@ def main(argv: list[str] | None = None) -> int:
         action="append",
         help="col=SQL-expr (repeatable)",
     )
+    rst = tbl_sub.add_parser("restore", help="roll back to a version (new commit)")
+    rst.add_argument("--version", type=int, required=True)
+    cln = tbl_sub.add_parser("clone", help="clone a snapshot to a new table")
+    cln.add_argument("--to", required=True, help="destination table directory")
+    cln.add_argument("--version", type=int, default=None)
+    cln.add_argument("--deep", action="store_true", help="copy data files")
 
     args = p.parse_args(argv)
 
@@ -133,6 +139,15 @@ def main(argv: list[str] | None = None) -> int:
             sets = dict(s.split("=", 1) for s in args.set)
             v, n = V.update_versioned(spark, args.dir, args.where, sets)
             print(f"updated {n} rows -> v{v}")
+        elif args.action == "restore":
+            v = V.restore_versioned(args.dir, args.version)
+            print(f"restored v{args.version} -> v{v}")
+        elif args.action == "clone":
+            v = V.clone_versioned(
+                spark, args.dir, args.to, version=args.version,
+                shallow=not args.deep,
+            )
+            print(f"cloned -> {args.to} v{v} ({'deep' if args.deep else 'shallow'})")
         else:
             latest = V.current_version(args.dir)
             for ver in range(1, latest + 1):

@@ -843,3 +843,83 @@ def update_versioned(
         bloom_cols=manifest.get("bloom_cols"),
     )
     return version, n_updated
+
+
+def restore_versioned(table_dir: str, version: int) -> int:
+    """RESTORE (Delta parity): roll the table back to snapshot
+    ``version`` by committing that manifest's file list as a NEW
+    version — history is never rewritten (the bad versions stay
+    time-travelable until vacuum), readers flip atomically, and the
+    restore itself is metadata-only (no data movement). The restored
+    commit reuses the source manifest's stats/schema/bloom config."""
+    latest = current_version(table_dir)
+    if not 1 <= version <= latest:
+        raise ValueError(f"cannot restore to v{version} (latest v{latest})")
+    src = _load_manifest(table_dir, version)
+    return _commit_manifest(
+        table_dir,
+        src["files"],
+        src.get("stats", {}),
+        "restore",
+        src.get("schema"),
+        {"restored_from": version},
+        bloom_cols=src.get("bloom_cols"),
+    )
+
+
+def clone_versioned(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    version: int | None = None,
+    shallow: bool = True,
+) -> int:
+    """CLONE (Delta parity): create a new table from a snapshot of
+    ``src_dir``.
+
+    ``shallow=True`` is metadata-only: the clone's manifest references
+    the SOURCE's data files by absolute path — zero bytes copied, the
+    instant dev/test branch of a big table. The clone evolves
+    independently (its appends/DML land in its own data/ dir; source
+    files it still references are never rewritten — copy-on-write
+    applies table-wide). CAVEAT (same as Delta's): vacuuming the
+    SOURCE can delete files a shallow clone still references; deep
+    clone (``shallow=False``) copies the data files and is
+    self-contained.
+    """
+    import shutil
+
+    v = version or current_version(src_dir)
+    if v == 0:
+        raise FileNotFoundError(f"no committed version in {src_dir}")
+    src = _load_manifest(src_dir, v)
+    os.makedirs(_manifest_dir(dst_dir), exist_ok=True)
+    stats = src.get("stats", {})
+    if shallow:
+        files = [os.path.abspath(os.path.join(src_dir, f)) for f in src["files"]]
+        new_stats = {
+            os.path.abspath(os.path.join(src_dir, f)): stats[f]
+            for f in src["files"]
+            if f in stats
+        }
+    else:
+        data_dir = os.path.join(dst_dir, "data")
+        os.makedirs(data_dir, exist_ok=True)
+        files, new_stats = [], {}
+        for f in src["files"]:
+            dst = f"part-{uuid.uuid4().hex}-{os.path.basename(f)}"
+            shutil.copy2(os.path.join(src_dir, f), os.path.join(data_dir, dst))
+            rel = os.path.join("data", dst)
+            files.append(rel)
+            if f in stats:
+                new_stats[rel] = stats[f]
+    return _commit_manifest(
+        dst_dir,
+        files,
+        new_stats,
+        "clone",
+        src.get("schema"),
+        {"cloned_from": os.path.abspath(src_dir), "source_version": v,
+         "shallow": shallow},
+        bloom_cols=src.get("bloom_cols"),
+    )

@@ -571,3 +571,65 @@ def test_bloom_float_column_refused(spark, sf_dir, table_dir):
     for s in m["stats"].values():
         assert "c_acctbal" not in s.get("blooms", {})
         assert "c_custkey" in s.get("blooms", {})
+
+
+def test_restore_rolls_back_as_new_commit(spark, sf_dir, table_dir):
+    from datalake_scripts_spark.operators.versioned import (
+        delete_versioned,
+        restore_versioned,
+    )
+
+    nation = _nation_parts(spark, sf_dir, table_dir)  # v1..v3
+    delete_versioned(spark, table_dir, "n_regionkey = 2")  # v4
+    assert read_versioned(spark, table_dir).count() < nation.count()
+    v = restore_versioned(table_dir, 3)
+    assert v == 5
+    assert read_versioned(spark, table_dir).count() == nation.count()
+    # the bad version is still time-travelable (history not rewritten)
+    assert read_versioned(spark, table_dir, version=4).count() < nation.count()
+    assert snapshot_row_count(table_dir) == nation.count()  # stats carried
+
+
+def test_shallow_clone_zero_copy_and_independent(spark, sf_dir, tmp_path):
+    import glob
+
+    from datalake_scripts_spark.operators.versioned import (
+        clone_versioned,
+        read_versioned,
+        write_versioned,
+    )
+
+    src_dir = str(tmp_path / "src_table")
+    dst_dir = str(tmp_path / "clone")
+    nation = read_table(spark, sf_dir, "nation")
+    write_versioned(spark, nation, src_dir, mode="append")
+    v = clone_versioned(spark, src_dir, dst_dir, shallow=True)
+    assert v == 1
+    # zero-copy: the clone has NO data files of its own
+    assert glob.glob(f"{dst_dir}/data/*") == []
+    assert read_versioned(spark, dst_dir).count() == nation.count()
+    # independent evolution: append to the clone, source unchanged
+    write_versioned(spark, nation.limit(5), dst_dir, mode="append")
+    assert read_versioned(spark, dst_dir).count() == nation.count() + 5
+    assert read_versioned(spark, src_dir).count() == nation.count()
+    # clone's own appended files live in its data/, source files untouched
+    assert len(glob.glob(f"{dst_dir}/data/*")) > 0
+
+
+def test_deep_clone_survives_source_vacuum(spark, sf_dir, tmp_path):
+    from datalake_scripts_spark.operators.versioned import (
+        clone_versioned,
+        read_versioned,
+        write_versioned,
+    )
+
+    src_dir = str(tmp_path / "src_table")
+    dst_dir = str(tmp_path / "deep")
+    nation = read_table(spark, sf_dir, "nation")
+    write_versioned(spark, nation, src_dir, mode="append")
+    clone_versioned(spark, src_dir, dst_dir, shallow=False)
+    # wipe the source's files entirely
+    write_versioned(spark, nation.limit(1), src_dir, mode="overwrite")
+    vacuum(src_dir, keep_last=1)
+    assert read_versioned(spark, dst_dir).count() == nation.count()
+    assert snapshot_row_count(dst_dir) == nation.count()
