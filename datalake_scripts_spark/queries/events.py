@@ -693,3 +693,55 @@ def events_ab_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("z_stat"),
         (F.abs(z) > 1.96).alias("significant_95"),
     )
+
+
+@query(
+    "window_cumulative_distinct_users",
+    sql="""
+    WITH firsts AS (
+      SELECT event_type, user_id, MIN(ts) AS first_ts
+      FROM events GROUP BY event_type, user_id),
+    daily AS (
+      SELECT event_type,
+             CAST(CAST(first_ts AS DATE) AS TIMESTAMP) AS day,
+             CAST(COUNT(*) AS BIGINT) AS new_users
+      FROM firsts GROUP BY 1, 2)
+    SELECT event_type, day, new_users,
+           CAST(SUM(new_users) OVER (PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cumulative_distinct_users
+    FROM daily
+    """,
+)
+def window_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative DISTINCT count over time (daily new + running total
+    of unique users per event type) — the growth-accounting query SQL
+    windows can't express directly (COUNT(DISTINCT) OVER a running
+    frame is unsupported in both engines). The scalable rewrite:
+    reduce each user to their FIRST occurrence (one partial-aggregated
+    groupBy — after it the data is distinct-user-sized, not
+    event-sized), roll up to daily new-user counts, then a plain
+    running SUM window over the tiny daily series. The anti-pattern
+    this replaces is collect_set over a window (state grows with the
+    distinct count per frame)."""
+    ev = t(spark, sf_dir, "events")
+    firsts = ev.groupBy("event_type", "user_id").agg(
+        F.min("ts").alias("first_ts")
+    )
+    daily = firsts.groupBy(
+        "event_type",
+        F.col("first_ts").cast("date").cast("timestamp_ntz").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("new_users"))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).cast("bigint").alias(
+            "cumulative_distinct_users"
+        ),
+    )
