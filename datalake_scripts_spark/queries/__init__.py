@@ -67,7 +67,7 @@ DRIVER_PRIORITY = [
     "dedup_exact_subset_keys",
     "dedup_containment_pairs",  # r3 rotation (exact keeps subset_keys+fp)
     "keys_surrogate_orders",  # r3 rotation: scale family head (dedup keeps 6 other heads)
-    "dedup_keep_best_quality",
+    "dedup_incremental_batch",  # r3 rotation: incremental-ingest head (quality kept via gopher)
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
     "text_blocklist_redact",  # r3 rotation (winnowing keeps fingerprint)
@@ -76,13 +76,13 @@ DRIVER_PRIORITY = [
     # similarity / ANN
     "ann_brute_force_topk",
     "ann_lsh_bucketed_topk",
-    "ann_ivf_topk",
+    "sketch_cms_join_size",  # r3 rotation: planner-stats head (ANN keeps brute+lsh)
     # text analysis
     "text_clean_normalize",
     "text_token_stats",
     "text_quality_scores",
     "text_lang_id",
-    "text_top_bigrams_per_lang",
+    "match_fuzzy_part_names",  # r3 rotation: entity-resolution head (text keeps 5 reps)
     "text_winnowing_fingerprint",
     # LLM-ops
     "decontaminate_against_benchmark",
