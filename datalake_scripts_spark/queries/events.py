@@ -745,3 +745,59 @@ def window_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFr
             "cumulative_distinct_users"
         ),
     )
+
+
+@query(
+    "events_weekly_active_users",
+    sql="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    contrib AS (
+      SELECT DISTINCT user_id,
+             CAST(day + CAST(i.i || ' days' AS INTERVAL) AS TIMESTAMP)
+               AS report_day
+      FROM ud CROSS JOIN (SELECT unnest(range(0, 7)) AS i) i),
+    days AS (SELECT DISTINCT CAST(day AS TIMESTAMP) AS report_day FROM ud)
+    SELECT d.report_day,
+           CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS wau
+    FROM days d JOIN contrib c ON c.report_day = d.report_day
+    GROUP BY d.report_day
+    """,
+)
+def events_weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day active users (WAU) per calendar day — the growth
+    metric a sliding COUNT(DISTINCT) window cannot express. Scalable
+    rewrite: dedup to user-days (event-count -> user-day-count rows),
+    then each user-day CONTRIBUTES to exactly 7 report days (a
+    constant-factor explode, linear in user-days), dedup contributions,
+    count per day. Report days are restricted to days with actual
+    activity so both engines emit the same day set. The anti-pattern
+    replaced: per-day range self-join (quadratic in the window) or
+    collect_set over a range frame (state = distinct users per frame).
+    The 7x explode rides the same shuffle as the distinct."""
+    ev = t(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    contrib = (
+        ud.select(
+            "user_id",
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
+            "day",
+        )
+        .select(
+            "user_id",
+            F.date_add(F.col("day"), F.col("i"))
+            .cast("timestamp_ntz")
+            .alias("report_day"),
+        )
+        .distinct()
+    )
+    days = ud.select(
+        F.col("day").cast("timestamp_ntz").alias("report_day")
+    ).distinct()
+    return (
+        days.join(contrib, "report_day")
+        .groupBy("report_day")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("wau"))
+    )

@@ -1602,3 +1602,120 @@ def eval_langid_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         pe.alias("expected_agreement"),
         ((po - pe) / (F.lit(1.0) - pe)).alias("cohens_kappa"),
     )
+
+
+@query(
+    "eval_langid_per_class",
+    sql=f"""
+    WITH pred AS ({_langid_sql()}),
+    cm AS (
+      SELECT lang_actual, lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+      FROM pred GROUP BY 1, 2),
+    classes AS (
+      SELECT DISTINCT lang_actual AS cls FROM cm
+      UNION SELECT DISTINCT lang_pred FROM cm),
+    m AS (
+      SELECT c.cls,
+             CAST(COALESCE(SUM(CASE WHEN cm.lang_actual = c.cls
+                        AND cm.lang_pred = c.cls THEN n END), 0) AS BIGINT) AS tp,
+             CAST(COALESCE(SUM(CASE WHEN cm.lang_pred = c.cls
+                        AND cm.lang_actual <> c.cls THEN n END), 0) AS BIGINT) AS fp,
+             CAST(COALESCE(SUM(CASE WHEN cm.lang_actual = c.cls
+                        AND cm.lang_pred <> c.cls THEN n END), 0) AS BIGINT) AS fn
+      FROM classes c LEFT JOIN cm
+        ON cm.lang_actual = c.cls OR cm.lang_pred = c.cls
+      GROUP BY c.cls)
+    SELECT cls, tp, fp, fn,
+           CASE WHEN tp + fp = 0 THEN 0.0
+                ELSE CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END
+             AS precision_,
+           CASE WHEN tp + fn = 0 THEN 0.0
+                ELSE CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END
+             AS recall_,
+           CASE WHEN 2 * tp + fp + fn = 0 THEN 0.0
+                ELSE 2.0 * CAST(tp AS DOUBLE)
+                     / CAST(2 * tp + fp + fn AS DOUBLE) END AS f1
+    FROM m
+    """,
+)
+def eval_langid_per_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision/recall/F1 of the language-ID heuristic —
+    the per-label complement to eval_langid_kappa's aggregate
+    agreement. TP/FP/FN are exact integer confusion sums per class
+    (classes = union of gold and predicted labels, so a label the
+    model invents or never predicts still gets a row); the three
+    ratios are single double divisions with explicit 0-denominator
+    guards. One confusion groupBy; the class-keyed re-aggregation
+    joins against the tiny (labels^2) confusion table."""
+    docs = t(spark, sf_dir, "documents")
+    pred = docs.select(
+        F.col("lang").alias("lang_actual"), X.lang_id("text").alias("lang_pred")
+    )
+    cm = pred.groupBy("lang_actual", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n")
+    ).localCheckpoint()
+    classes = (
+        cm.select(F.col("lang_actual").alias("cls"))
+        .union(cm.select("lang_pred"))
+        .distinct()
+    )
+    joined = classes.join(
+        cm,
+        (F.col("lang_actual") == F.col("cls")) | (F.col("lang_pred") == F.col("cls")),
+        "left",
+    )
+    m = joined.groupBy("cls").agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("lang_actual") == F.col("cls"))
+                    & (F.col("lang_pred") == F.col("cls")),
+                    F.col("n"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("tp"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("lang_pred") == F.col("cls"))
+                    & (F.col("lang_actual") != F.col("cls")),
+                    F.col("n"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("fp"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("lang_actual") == F.col("cls"))
+                    & (F.col("lang_pred") != F.col("cls")),
+                    F.col("n"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("fn"),
+    )
+    prec = F.when(
+        (F.col("tp") + F.col("fp")) == 0, F.lit(0.0)
+    ).otherwise(F.col("tp").cast("double") / (F.col("tp") + F.col("fp")).cast("double"))
+    rec = F.when(
+        (F.col("tp") + F.col("fn")) == 0, F.lit(0.0)
+    ).otherwise(F.col("tp").cast("double") / (F.col("tp") + F.col("fn")).cast("double"))
+    f1 = F.when(
+        (2 * F.col("tp") + F.col("fp") + F.col("fn")) == 0, F.lit(0.0)
+    ).otherwise(
+        2.0
+        * F.col("tp").cast("double")
+        / (2 * F.col("tp") + F.col("fp") + F.col("fn")).cast("double")
+    )
+    return m.select(
+        "cls", "tp", "fp", "fn",
+        prec.alias("precision_"), rec.alias("recall_"), f1.alias("f1"),
+    )

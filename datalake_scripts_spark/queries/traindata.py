@@ -705,3 +705,46 @@ def quality_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             (-F.sum("lp_micro")).cast("double") / F.count(F.lit(1)).cast("double")
         ).alias("avg_neglogprob_micro"),
     )
+
+
+@query(
+    "sample_exact_per_group",
+    sql="""
+    SELECT c_mktsegment, c_custkey, CAST(rn AS BIGINT) AS sample_rank
+    FROM (
+      SELECT c_mktsegment, c_custkey,
+             ROW_NUMBER() OVER (
+               PARTITION BY c_mktsegment
+               ORDER BY (c_custkey * 2654435761) % 1000000007, c_custkey
+             ) AS rn
+      FROM customer)
+    WHERE rn <= 20
+    """,
+)
+def sample_exact_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-N-per-stratum sampling (eval-set construction):
+    deterministic pseudo-random order via Knuth multiplicative hash of
+    the key mod a large prime, then the first 20 rows per stratum —
+    reproducible across runs/engines/partitionings AND stable under
+    corpus growth for retained keys (sampleBy gives only approximate
+    fractions; ORDER BY rand() is unreproducible). Per-group window
+    rank, one shuffle on the stratum key; rows beyond N never leave
+    the window operator."""
+    from pyspark.sql import Window as W
+
+    cust = t(spark, sf_dir, "customer")
+    order_key = (F.col("c_custkey") * F.lit(2654435761)) % F.lit(1000000007)
+    w = W.partitionBy("c_mktsegment").orderBy(order_key, "c_custkey")
+    return (
+        cust.select(
+            "c_mktsegment",
+            "c_custkey",
+            F.row_number().over(w).alias("sample_rank"),
+        )
+        .filter(F.col("sample_rank") <= 20)
+        .select(
+            "c_mktsegment",
+            "c_custkey",
+            F.col("sample_rank").cast("bigint").alias("sample_rank"),
+        )
+    )
