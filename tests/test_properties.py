@@ -146,3 +146,38 @@ def test_prefix_positional_filters_lossless(spark, docs, threshold):
         ).collect()
     }
     assert fast == slow
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(texts, min_size=2, max_size=10), st.sampled_from([0.5, 0.8, 1.0]))
+def test_containment_prefix_filter_lossless_any_corpus(spark, docs, threshold):
+    """For ANY corpus and threshold, the contained-side prefix filter
+    returns exactly the exhaustive result (same directional pairs, same
+    containment scores) — the asymmetric prefix bound is a necessary
+    condition, never a heuristic. Also checks both directions of exact
+    duplicates survive."""
+    from pyspark.sql import Row
+
+    from datalake_scripts_spark.operators.dedup import containment_pairs
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(docs)]
+    )
+    kw = dict(n=2, threshold=threshold, min_df_keep=3)
+    fast = {
+        (r.id_contained, r.id_container, r.containment)
+        for r in containment_pairs(
+            df, "doc_id", "text", prefix_filter=True, **kw
+        ).collect()
+    }
+    slow = {
+        (r.id_contained, r.id_container, r.containment)
+        for r in containment_pairs(
+            df, "doc_id", "text", prefix_filter=False, **kw
+        ).collect()
+    }
+    assert fast == slow
