@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "dedup_containment_pairs",
     "dedup_duplicated_span_stats",
     "text_token_entropy",
+    "graph_triangle_suppliers",
 ]
 
 

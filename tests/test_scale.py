@@ -202,3 +202,26 @@ def test_surrogate_keys_no_single_partition_sort(spark, sf_dir):
     out = assign_surrogate_keys(cust, ["c_custkey"], partitions=5)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+def test_surrogate_keys_invariant_to_partition_count(spark, sf_dir):
+    """The id assignment is a function of the ORDER only: any
+    partition count (including 1) must produce identical ids."""
+    from datalake_scripts_spark.io import read_table
+    from datalake_scripts_spark.operators.scale import assign_surrogate_keys
+
+    nation = read_table(spark, sf_dir, "nation")
+    base = {
+        r.n_nationkey: r.surrogate_id
+        for r in assign_surrogate_keys(
+            nation, ["n_name"], partitions=1
+        ).collect()
+    }
+    for parts in (3, 7):
+        got = {
+            r.n_nationkey: r.surrogate_id
+            for r in assign_surrogate_keys(
+                nation, ["n_name"], partitions=parts
+            ).collect()
+        }
+        assert got == base
