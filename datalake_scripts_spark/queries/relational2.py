@@ -691,3 +691,80 @@ def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("p").cast("double").alias("max_price"),
         F.sum("p").cast("double").alias("sum_price"),
     )
+
+
+@query(
+    "mining_part_pair_lift",
+    sql="""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    n_ord AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n FROM op),
+    pc AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS c FROM op GROUP BY pk),
+    pairs AS (
+      SELECT a.pk AS part_a, b.pk AS part_b, CAST(COUNT(*) AS BIGINT) AS c_ab
+      FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT p.part_a, p.part_b, p.c_ab,
+             ca.c AS c_a, cb.c AS c_b,
+             CAST(p.c_ab AS DOUBLE) / CAST(n.n AS DOUBLE) AS support,
+             (CAST(p.c_ab AS DOUBLE) * CAST(n.n AS DOUBLE))
+               / (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)) AS lift
+      FROM pairs p
+      JOIN pc ca ON ca.pk = p.part_a
+      JOIN pc cb ON cb.pk = p.part_b
+      CROSS JOIN n_ord n
+      WHERE p.c_ab >= 3)
+    SELECT part_a, part_b, c_ab, c_a, c_b, support, lift
+    FROM scored
+    ORDER BY lift DESC, part_a, part_b LIMIT 20
+    """,
+)
+def mining_part_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence mining: top part pairs by LIFT
+    (P(ab)/(P(a)P(b))) with a minimum-support floor — the
+    association-rules primitive behind recommendations and
+    assortment analysis. Scale shape: the self-join runs on the order
+    key, so fan-out per order is C(items_per_order, 2) — bounded by
+    basket size (<= 7 lines here), LINEAR in orders, never part x part;
+    item counts broadcast; the 1-row order total attaches via the lazy
+    scalar (lint-allowlisted); global top-20 is TakeOrdered. Lift and
+    support are single float compositions of exact integer counts with
+    deterministic (lift, part_a, part_b) ordering."""
+    li = t(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    n_ord = op.agg(F.count_distinct("ok").alias("n"))
+    pc = op.groupBy("pk").agg(F.count(F.lit(1)).alias("c"))
+    a = op.select(F.col("ok"), F.col("pk").alias("part_a"))
+    b = op.select(F.col("ok"), F.col("pk").alias("part_b"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= 3)
+    )
+    ca = pc.select(F.col("pk").alias("part_a"), F.col("c").alias("c_a"))
+    cb = pc.select(F.col("pk").alias("part_b"), F.col("c").alias("c_b"))
+    scored = (
+        pairs.join(F.broadcast(ca), "part_a")
+        .join(F.broadcast(cb), "part_b")
+        .crossJoin(F.broadcast(n_ord))
+        .select(
+            "part_a",
+            "part_b",
+            "c_ab",
+            "c_a",
+            "c_b",
+            (F.col("c_ab").cast("double") / F.col("n").cast("double")).alias(
+                "support"
+            ),
+            (
+                F.col("c_ab").cast("double") * F.col("n").cast("double")
+                / (F.col("c_a").cast("double") * F.col("c_b").cast("double"))
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(F.desc("lift"), "part_a", "part_b").limit(20)

@@ -209,6 +209,8 @@ LINT_ALLOWLIST = {
     # two 1-row metric factors (totals, chance numerator) combine via
     # the lazy scalar-attach cross; exchanges carry tiny aggregates
     "eval_langid_kappa": {"cartesian-product", "single-partition-exchange"},
+    # order-count total: 1-row lazy scalar-attach cross (same as tfidf)
+    "mining_part_pair_lift": {"cartesian-product"},
 }
 
 
