@@ -801,3 +801,58 @@ def events_weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("report_day")
         .agg(F.count_distinct("user_id").cast("bigint").alias("wau"))
     )
+
+
+@query(
+    "events_transition_matrix",
+    sql="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS next_type
+      FROM events),
+    pairs AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+    outdeg AS (
+      SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_out
+      FROM pairs GROUP BY from_type)
+    SELECT p.from_type, p.to_type, p.n, o.n_out,
+           CAST(p.n AS DOUBLE) / CAST(o.n_out AS DOUBLE) AS p_transition
+    FROM pairs p JOIN outdeg o ON o.from_type = p.from_type
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams: P(next event type | current type) — the behavioral-model
+    primitive behind journey analysis and next-action prediction.
+    Successor pairing is ONE lead() window per user (ts, event_id as
+    the deterministic total order — ties broken identically in both
+    engines); transition counts are exact integers; each probability
+    is a single double division. One user-keyed shuffle + a
+    label-squared-sized aggregation."""
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    pairs = (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    outdeg = pairs.groupBy("from_type").agg(F.sum("n").alias("n_out"))
+    return pairs.join(F.broadcast(outdeg), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.col("n_out").cast("bigint").alias("n_out"),
+        (F.col("n").cast("double") / F.col("n_out").cast("double")).alias(
+            "p_transition"
+        ),
+    )
