@@ -113,6 +113,10 @@ def main(argv: list[str] | None = None) -> int:
     cln.add_argument("--to", required=True, help="destination table directory")
     cln.add_argument("--version", type=int, default=None)
     cln.add_argument("--deep", action="store_true", help="copy data files")
+    prof = tbl_sub.add_parser(
+        "profile", help="column stats report for the current snapshot"
+    )
+    prof.add_argument("--columns", default=None, help="comma-separated subset")
 
     args = p.parse_args(argv)
 
@@ -148,6 +152,13 @@ def main(argv: list[str] | None = None) -> int:
                 shallow=not args.deep,
             )
             print(f"cloned -> {args.to} v{v} ({'deep' if args.deep else 'shallow'})")
+        elif args.action == "profile":
+            from .operators.profile import profile
+
+            cols = args.columns.split(",") if args.columns else None
+            df = V.read_versioned(spark, args.dir)
+            for row in profile(df, columns=cols).collect():
+                print(row.asDict())
         else:
             latest = V.current_version(args.dir)
             for ver in range(1, latest + 1):
