@@ -183,6 +183,7 @@ def write_audit_publish(
     rules: list[Rule],
     mode: str = "append",
     meta: dict | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> int:
     """Write-Audit-Publish: stage ``df``'s files into the table dir,
     audit the STAGED files (re-read from disk — what readers would
@@ -229,11 +230,14 @@ def write_audit_publish(
     new_stats = {f: _file_stats(os.path.join(table_dir, f)) for f in new_files}
     prev = current_version(table_dir)
     files, stats = new_files, new_stats
-    bloom_cols = None
     if prev > 0:
         prev_manifest = _load_manifest(table_dir, prev)
-        bloom_cols = prev_manifest.get("bloom_cols")
+        # mirror write_versioned's contract: inherit the table's bloom
+        # config only for appends with no explicit argument; an
+        # overwrite RESETS bloom_cols to whatever was passed (None)
         if mode == "append":
+            if bloom_cols is None:
+                bloom_cols = prev_manifest.get("bloom_cols")
             files = prev_manifest["files"] + new_files
             stats = {**prev_manifest.get("stats", {}), **new_stats}
     if bloom_cols:

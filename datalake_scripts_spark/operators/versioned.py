@@ -135,11 +135,15 @@ def _bloom_params(n_rows: int, fpp: float) -> tuple[int, int]:
 def _bloom_positions(value, m: int, k: int) -> list[int]:
     """k bit positions for a value: md5 of the canonical string repr,
     sliced into independent 8-byte words (double hashing over the
-    digest). Canonical repr = str(value) — stable for the int/string
-    columns point-lookup indexes target (floats are refused at build)."""
+    digest). Canonical repr = str(_json_safe(value)) — the SAME
+    canonicalization the manifest min/max stats use, so a probe with
+    the documented ISO-string form ('2024-01-01T12:30:00') hashes
+    identically to the pyarrow datetime seen at build time (bare
+    str(datetime) uses a space, not 'T', and would falsely prune).
+    Floats are refused at build."""
     import hashlib
 
-    d = hashlib.md5(str(value).encode("utf-8")).digest()
+    d = hashlib.md5(str(_json_safe(value)).encode("utf-8")).digest()
     h1 = int.from_bytes(d[:8], "big")
     h2 = int.from_bytes(d[8:16], "big") | 1
     return [(h1 + i * h2) % m for i in range(k)]
@@ -640,11 +644,14 @@ def vacuum(table_dir: str, keep_last: int = 1) -> int:
         keep_files.update(_load_manifest(table_dir, v)["files"])
     data_dir = os.path.join(table_dir, "data")
     removed = 0
-    for name in os.listdir(data_dir):
-        rel = os.path.join("data", name)
-        if rel not in keep_files:
-            os.remove(os.path.join(data_dir, name))
-            removed += 1
+    # metadata-only tables (fresh shallow clone) have no data/ dir —
+    # still prune old manifests below rather than raising
+    if os.path.isdir(data_dir):
+        for name in os.listdir(data_dir):
+            rel = os.path.join("data", name)
+            if rel not in keep_files:
+                os.remove(os.path.join(data_dir, name))
+                removed += 1
     for name in os.listdir(_manifest_dir(table_dir)):
         # only vNNNNN.json manifests — a stray file (editor temp, an
         # interrupted _latest .tmp) must not abort vacuum mid-delete
@@ -733,9 +740,12 @@ def delete_versioned(
     if not touched:
         return v, 0
     reader = _manifest_reader(spark, manifest)
+    # NULL-safe complement: SQL DELETE removes only rows where the
+    # predicate is TRUE; rows where it evaluates to NULL must be KEPT.
+    # A bare ~expr would drop them (NOT NULL = NULL = filtered out).
     kept = reader.parquet(
         *[os.path.join(table_dir, f) for f in touched]
-    ).filter(~F.expr(predicate))
+    ).filter(~F.coalesce(F.expr(predicate), F.lit(False)))
     new_files = _stage_files(kept, table_dir)
     new_stats = {f: _file_stats(os.path.join(table_dir, f)) for f in new_files}
     _augment_blooms(

@@ -94,3 +94,34 @@ def test_wap_enforces_schema_before_staging(spark, sf_dir, table_dir):
     with pytest.raises(ValueError, match="type mismatch"):
         Q.write_audit_publish(spark, drifted, table_dir, [], mode="append")
     assert current_version(table_dir) == 1
+
+
+def test_wap_overwrite_resets_bloom_cols(spark, sf_dir, tmp_path):
+    """write_audit_publish mirrors write_versioned's bloom contract
+    (ADVICE r3, low): overwrite resets bloom_cols to the argument
+    (None by default); append with no argument inherits."""
+    from datalake_scripts_spark.operators.versioned import (
+        _load_manifest,
+        current_version,
+        write_versioned,
+    )
+
+    table_dir = str(tmp_path / "wap_bloom")
+    nation = read_table(spark, sf_dir, "nation")
+    write_versioned(
+        spark, nation, table_dir, mode="append", bloom_cols=["n_nationkey"]
+    )
+    # append inherits the table's bloom config
+    Q.write_audit_publish(spark, nation, table_dir, [], mode="append")
+    m = _load_manifest(table_dir, current_version(table_dir))
+    assert m.get("bloom_cols") == ["n_nationkey"]
+    # overwrite with no bloom_cols arg RESETS the index config
+    Q.write_audit_publish(spark, nation, table_dir, [], mode="overwrite")
+    m = _load_manifest(table_dir, current_version(table_dir))
+    assert m.get("bloom_cols") is None
+    # overwrite can also set a fresh config explicitly
+    Q.write_audit_publish(
+        spark, nation, table_dir, [], mode="overwrite", bloom_cols=["n_name"]
+    )
+    m = _load_manifest(table_dir, current_version(table_dir))
+    assert m.get("bloom_cols") == ["n_name"]

@@ -633,3 +633,58 @@ def test_deep_clone_survives_source_vacuum(spark, sf_dir, tmp_path):
     vacuum(src_dir, keep_last=1)
     assert read_versioned(spark, dst_dir).count() == nation.count()
     assert snapshot_row_count(dst_dir) == nation.count()
+
+
+def test_delete_keeps_null_predicate_rows(spark, table_dir):
+    """SQL DELETE semantics: rows where the predicate evaluates to NULL
+    are NOT deleted (ADVICE r3, high). Regression: '~expr' alone drops
+    NULL rows from rewritten files and inflates n_deleted."""
+    from datalake_scripts_spark.operators.versioned import delete_versioned
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, None)], ["id", "v"]
+    ).coalesce(1)
+    write_versioned(spark, df, table_dir, mode="append")
+    _, n_deleted = delete_versioned(spark, table_dir, "v = 'x'")
+    assert n_deleted == 1
+    remaining = {
+        (r.id, r.v) for r in read_versioned(spark, table_dir).collect()
+    }
+    assert remaining == {(2, "y"), (3, None)}
+
+
+def test_bloom_timestamp_iso_probe_no_false_prune(spark, table_dir):
+    """Bloom values canonicalize via _json_safe at build AND probe
+    (ADVICE r3, medium): a timestamp bloom column probed with the
+    documented ISO-string form must not falsely prune the file that
+    contains the row."""
+    import datetime
+
+    from datalake_scripts_spark.operators.versioned import files_for_read
+
+    ts = datetime.datetime(2024, 1, 1, 12, 30, 0)
+    df = spark.createDataFrame(
+        [(1, ts), (2, datetime.datetime(2024, 6, 2, 3, 4, 5))], ["id", "ts"]
+    ).coalesce(1)
+    write_versioned(spark, df, table_dir, mode="append", bloom_cols=["ts"])
+    flt = [("ts", "=", "2024-01-01T12:30:00")]
+    assert len(files_for_read(table_dir, skip_filter=flt)) == 1
+    got = read_versioned(spark, table_dir, skip_filter=None).filter(
+        "ts = timestamp'2024-01-01 12:30:00'"
+    )
+    assert got.count() == 1
+
+
+def test_vacuum_metadata_only_table(spark, sf_dir, tmp_path):
+    """vacuum() on a table with no data/ dir (fresh shallow clone) must
+    not raise and still prunes old manifests (ADVICE r3, low)."""
+    from datalake_scripts_spark.operators.versioned import clone_versioned
+
+    src_dir = str(tmp_path / "src_table")
+    dst_dir = str(tmp_path / "clone_meta_only")
+    nation = read_table(spark, sf_dir, "nation")
+    write_versioned(spark, nation, src_dir, mode="append")
+    clone_versioned(spark, src_dir, dst_dir, shallow=True)
+    removed = vacuum(dst_dir, keep_last=1)
+    assert removed == 0
+    assert read_versioned(spark, dst_dir).count() == nation.count()
