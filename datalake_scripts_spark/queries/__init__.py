@@ -33,74 +33,79 @@ from . import graph  # noqa: F401,E402
 
 # The driver's correctness sweep checks the FIRST 50 entries of
 # ``queries()`` in iteration order. This curated prefix rotates the
-# whole graded surface through the checked window: a few long-green
-# relational canaries, then the normalization kit (the reference's core
-# surface: flatten/explode/map/timestamp/json/regex —
-# monkey_proc.py:87-96, vk_proc.py:229-252, jhub_proc.py:133-148),
-# then one-or-more heads of every scale-extension family (dedup, ANN,
-# text, LLM-ops, multimodal, events, as-of/range, traindata, sketches).
-# Every name here has a DuckDB oracle (hash-exact, not rows-only).
+# whole graded surface through the checked window. Round-4 plan
+# (VERDICT r3 ask #1): 3 long-green canaries + 47 names the driver
+# has NEVER checked, so cumulative driver-green coverage reaches
+# 141/174. The committed ledger ``docs/driver_checked.json`` (name ->
+# first green round, updated by scripts/presnapshot.py) is the source
+# of truth for what "never checked" means; the ~29 oracle-backed
+# remainder is queued for the round-5 prefix.
 DRIVER_PRIORITY = [
-    # canaries — green since round 1
+    # canaries — green since round 1 (one relational, one normalization,
+    # one dedup: a regression in any family head trips at least one)
     "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "join_inner_orders_customers",
-    "window_topk_per_nation",
-    "approx_distinct_stats",  # newly oracle-backed (r2 had no_oracle)
-    # normalization kit — the reference's reason to exist
     "nested_flatten_struct",
-    "nested_explode_child_table",
-    "text_token_entropy",  # r3 rotation (nested keeps flatten/child/shred)
-    "nested_shred_three_levels",
-    "map_explode_key_value",
-    "ts_parse_iso_roundtrip",
-    "agg_regression_trend",  # r3 rotation (F3 head stays: iso_roundtrip)
-    "array_to_csv_string",
-    "array_transform_filter",
-    "json_extract_props",
-    "agg_histogram_prices",  # r3 rotation (json keeps extract+variant)
-    "json_variant_typed_extract",
-    "regex_parse_bracketed_log",
-    "union_missing_columns",
-    # dedup family
-    "dedup_exact_subset_keys",
-    "dedup_containment_pairs",  # r3 rotation (exact keeps subset_keys+fp)
-    "keys_surrogate_orders",  # r3 rotation: scale family head (dedup keeps 6 other heads)
-    "dedup_incremental_batch",  # r3 rotation: incremental-ingest head (quality kept via gopher)
     "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "text_blocklist_redact",  # r3 rotation (winnowing keeps fingerprint)
-    "dedup_duplicate_clusters",
-    "dedup_paragraph_chunks",
+    # TPC-H long tail — multi-join/agg shapes never driver-sampled
+    "q2_min_cost_supplier",
+    "q4_priority_with_late_lines",
+    "q9_product_type_profit",
+    "q11_important_part_values",
+    "q12_priority_line_classes",
+    "q20_excess_stock_suppliers",
+    # relational edge semantics
+    "null_handling_semantics",
+    "window_range_frame",
+    "mining_part_pair_lift",  # broadcast-hint scale flag cleared this round
+    # normalization kit remainder
+    "nested_explode_outer_preserves_parents",
+    "ts_parse_epoch_seconds",
+    # dedup family — never-checked heads incl. the md5 oracle twins
+    "dedup_minhash_lsh_md5",
+    "dedup_simhash_md5",
+    "dedup_semantic_clusters",
+    "dedup_duplicated_span_stats",
+    "dedup_duplicate_clusters_star",
     # similarity / ANN
-    "ann_brute_force_topk",
-    "ann_lsh_bucketed_topk",
-    "sketch_cms_join_size",  # r3 rotation: planner-stats head (ANN keeps brute+lsh)
-    # text analysis
-    "text_clean_normalize",
-    "text_token_stats",
-    "text_quality_scores",
-    "text_lang_id",
-    "match_fuzzy_part_names",  # r3 rotation: entity-resolution head (text keeps 5 reps)
-    "text_winnowing_fingerprint",
-    # LLM-ops
-    "decontaminate_against_benchmark",
-    "sample_stratified_hash",
-    "embedding_vector_stats",
-    # multimodal
-    "multimodal_binary_metadata",
-    "validate_orders_constraints",  # r3 rotation: quality family head (multimodal keeps binary_metadata)
-    # events (streaming batch-twins)
-    "events_tumbling_hourly",
-    "graph_triangle_suppliers",  # r3 rotation: graph family head (events keeps tumbling)
-    # as-of / range joins
-    "asof_join_purchase_to_signup",
-    "range_join_value_tiers",
-    # training-data curation + sketches
-    "quality_gopher_rules",
-    "text_tfidf_top_terms",
-    "sketch_hll_token_cardinality",
+    "ann_ivf_topk",
+    # multimodal (Arrow fan-out stages)
+    "multimodal_decode_stub",
+    "multimodal_frame_sample",
+    # as-of cogroup variant
+    "asof_join_cogroup_merge",
+    # events family — all 14 never-checked batch twins
+    "events_hourly_growth",
+    "events_sliding_windows",
+    "events_session_windows",
+    "events_dedup_latest_state",
+    "events_gap_filled_hours",
+    "events_weekly_cohort_retention",
+    "events_view_purchase_attribution",
+    "events_hierarchical_rollup",
+    "events_ewma_per_user",
+    "events_resample_ffill_hourly",
+    "events_zscore_anomalies",
+    "events_ab_test_conversion",
+    "events_weekly_active_users",
+    "events_transition_matrix",
+    # eval / scale kit
+    "eval_langid_kappa",
+    "salted_join_segment_revenue",
+    "profile_table_stats",
+    # versioned-lake head
+    "matview_incremental_refresh",
+    # training-data curation
+    "curate_corpus_pipeline",
+    "udtf_chunk_documents",
+    "pack_sequences_greedy",
+    "split_train_val_test",
+    # sketches — all 4 never-checked
+    "sketch_hll_union_rollup",
+    "sketch_theta_customer_reach",
+    "sketch_kll_price_quantiles",
+    "sketch_cms_heavy_hitters",
+    # graph
+    "graph_pagerank_suppliers",
 ]
 
 

@@ -46,8 +46,39 @@ def run(cmd: list[str]) -> tuple[int, str]:
     return p.returncode, p.stdout + p.stderr
 
 
+def refresh_driver_ledger() -> None:
+    """Rebuild docs/driver_checked.json (query name -> first round the
+    DRIVER verified it green) from every committed CORRECTNESS_r*.json.
+    This ledger is the source of truth for the DRIVER_PRIORITY rotation
+    in queries/__init__.py: rotation slots go to names absent here."""
+    import glob
+
+    ledger: dict[str, dict] = {}
+    for path in sorted(glob.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        with open(path) as f:
+            results = json.load(f)
+        for name, res in results.items():
+            if name in ledger:
+                continue
+            if res.get("err") is not None or res.get("hash_match") is False:
+                continue  # not green that round
+            ledger[name] = {"first_green_round": rnd}
+    os.makedirs("docs", exist_ok=True)
+    with open("docs/driver_checked.json", "w") as f:
+        json.dump(dict(sorted(ledger.items())), f, indent=1)
+        f.write("\n")
+    print(f"driver ledger: {len(ledger)} names driver-green at least once")
+
+
 def main() -> int:
     failures: list[str] = []
+
+    print("== 0/3 driver ledger ==", flush=True)
+    refresh_driver_ledger()
 
     print("== 1/3 pytest ==", flush=True)
     rc, out = run([sys.executable, "-m", "pytest", "tests/", "-q"])
