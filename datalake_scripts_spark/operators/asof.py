@@ -171,4 +171,7 @@ def range_join_broadcast(
     interval tables, bucketize the range key instead.
     """
     cond = (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
+    # bcast: caller-contract — this is the *_broadcast variant by name;
+    # the caller asserts intervals fit in memory (use range_join for
+    # interval sets that scale with the data)
     return fact.join(F.broadcast(intervals), cond, "left")

@@ -99,6 +99,7 @@ def cap_shingle_df(
         .filter(F.col("_df") > max(max_df_frac * n_docs, float(min_df_keep)))
         .drop("_df")
     )
+    # bcast: O(cap) — the hot-shingle list is top-K-bounded by contract
     return sh.join(F.broadcast(hot), join_keys, "left_anti")
 
 
@@ -879,7 +880,8 @@ def duplicated_ngram_span_stats(
         .select("ngram")
     )
     per_doc = (
-        spans.join(F.broadcast(dup_grams.withColumn("_dup", F.lit(1))), "ngram", "left")
+        # no hint: duplicated-gram set scales with corpus dup mass — AQE
+        spans.join(dup_grams.withColumn("_dup", F.lit(1)), "ngram", "left")
         .groupBy("_id")
         .agg(
             F.count("*").alias("n_spans"),

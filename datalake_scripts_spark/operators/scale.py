@@ -247,6 +247,7 @@ def assign_surrogate_keys(
     )
     w = W.partitionBy("_pid").orderBy(*cols)
     return (
+        # bcast: O(partitions) — one offset row per partition
         with_pid.join(F.broadcast(off_df), "_pid")
         .withColumn(
             key_col, (F.col("_off") + F.row_number().over(w) - 1).cast("bigint")

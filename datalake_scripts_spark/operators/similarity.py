@@ -149,6 +149,7 @@ def brute_force_topk(
         F.col(id_col).alias("neighbor_id"), qv.alias("cv"), dot(qv, qv, dim).alias("cn")
     )
     scored = (
+        # bcast: O(queries) — the query batch, small by ANN contract
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
@@ -193,6 +194,7 @@ def lsh_bucket_topk(
         .withColumn("bucket", srp_bucket("cv", planes))
     )
     scored = (
+        # bcast: O(queries) — the query batch, small by ANN contract
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
@@ -455,6 +457,7 @@ def ivf_topk(
             )
         )
     scored = (
+        # bcast: O(queries x nprobe) — the query batch, small by contract
         c.join(F.broadcast(q), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(

@@ -847,6 +847,7 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     outdeg = pairs.groupBy("from_type").agg(F.sum("n").alias("n_out"))
+    # bcast: O(labels) — one row per event type
     return pairs.join(F.broadcast(outdeg), "from_type").select(
         "from_type",
         "to_type",

@@ -898,6 +898,7 @@ def decontaminate_against_benchmark(spark: SparkSession, sf_dir: str) -> DataFra
     )
     return (
         sh.filter(F.col("doc_id") >= 10)
+        # bcast: O(benchmark) — eval-suite shingles, fixed-size input
         .join(F.broadcast(bench), "shingle")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_contaminated_ngrams"))
@@ -1354,8 +1355,10 @@ def text_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     scored = (
+        # bcast: O(vocab) — token types grow sub-linearly (Heaps' law)
         tf.join(F.broadcast(dfreq), "token")
         .join(dl, "doc_id")
+        # bcast: O(1) — single-row corpus-stats scalar attach
         .crossJoin(F.broadcast(stats))
         .select(
             "doc_id",
@@ -1428,6 +1431,7 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = sizes.select(F.col("source").alias("source_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("source").alias("source_b"), F.col("n_sh").alias("n_b"))
     return (
+        # bcast: O(labels) — one row per corpus source
         pairs.join(F.broadcast(sa), "source_a")
         .join(F.broadcast(sb), "source_b")
         .select(
@@ -1595,6 +1599,7 @@ def eval_langid_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     nt = F.col("n_total").cast("double")
     po = F.col("n_agree").cast("double") / nt
     pe = F.col("chance_num").cast("double") / (nt * nt)
+    # bcast: O(1) — single-row chance-agreement scalar attach
     return tot.crossJoin(F.broadcast(marg)).select(
         F.col("n_total").cast("bigint"),
         F.col("n_agree").cast("bigint"),

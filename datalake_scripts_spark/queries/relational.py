@@ -170,10 +170,12 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.join(orders, cust.c_custkey == orders.o_custkey)
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            F.broadcast(supp),
+            # no hint: supplier is O(SF) — AQE broadcasts while it fits
+            supp,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
+        # bcast: O(1) fixed dims — nation=25 rows, region=5 rows
         .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
@@ -279,10 +281,14 @@ def join_anti_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def join_broadcast_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit broadcast of the part dim: fact side never shuffles for
     the join (only for the tiny final agg). The 100 TB pattern for
-    fact<->dim enrichment."""
+    fact<->dim enrichment. This query IS the engine's explicit-hint
+    operator: the hint carries the caller's size contract (dim fits in
+    executor memory). For dims that scale with the fact data, omit the
+    hint and let AQE size-check — see mining_part_pair_lift."""
     li = t(spark, sf_dir, "lineitem")
     part = t(spark, sf_dir, "part")
     return (
+        # bcast: caller-contract — the explicit-hint operator itself
         li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand")
         .agg(
@@ -343,6 +349,7 @@ def agg_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = t(spark, sf_dir, "customer")
     nat = t(spark, sf_dir, "nation")
     reg = t(spark, sf_dir, "region")
+    # bcast: O(1) fixed dims — nation=25 rows, region=5 rows
     joined = cust.join(
         F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey")
     ).join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))

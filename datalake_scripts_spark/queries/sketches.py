@@ -243,6 +243,8 @@ def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         probe = part if probe is None else probe.unionByName(part)
     return (
+        # bcast: O(1) — CMS sketch is fixed-size by construction
+        # (seeds x buckets, independent of data volume)
         probe.join(F.broadcast(cms), ["seed", "bucket"])
         .groupBy("token", "n")
         .agg(F.min("c").alias("est"))
@@ -344,6 +346,7 @@ def sketch_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     cms_a = cms_a.withColumnRenamed("c", "cms_a_c")
     cms_b = cms_b.withColumnRenamed("c", "cms_b_c")
     est = (
+        # bcast: O(1) — CMS sketch is fixed-size by construction
         cms_a.join(F.broadcast(cms_b), ["seed", "bucket"])
         .groupBy("seed")
         .agg(F.sum(F.col("cms_a_c") * F.col("cms_b_c")).alias("dot"))
@@ -352,6 +355,7 @@ def sketch_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = orders.join(cust, orders.o_custkey == cust.c_custkey).agg(
         F.count(F.lit(1)).alias("exact_join_size")
     )
+    # bcast: O(1) — single-row exact-count scalar attach
     return est.crossJoin(F.broadcast(exact)).select(
         F.col("exact_join_size").cast("bigint"),
         F.col("cms_estimate").cast("bigint"),

@@ -53,6 +53,7 @@ def q7_bilateral_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         supp.join(li, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        # bcast: O(1) fixed dim — nation=25 rows (both aliases)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(bilateral)
@@ -118,7 +119,8 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Brand#3", 35, 20, 50
     )
     return (
-        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        # no hint: part is O(SF) — AQE broadcasts while it fits
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
         .filter(cond)
         .agg(
             F.sum(revenue()).cast("double").alias("revenue"),

@@ -75,12 +75,14 @@ def q8_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero = F.lit(0).cast("decimal(12,2)")
     vol = revenue().alias("volume")
     all_nations = (
-        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        # no hint on part/supp: O(SF) — AQE broadcasts while they fit
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        # bcast: O(1) fixed dims — nation=25 rows, region=5 rows
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
         .join(F.broadcast(region), F.col("n1_region") == F.col("r_regionkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
         .select(F.year("o_orderdate").cast("int").alias("o_year"), vol, "nation")
     )
@@ -126,8 +128,10 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_rev = revenue0.agg(F.max("total_revenue").alias("mx"))
     supp = t(spark, sf_dir, "supplier")
     return (
+        # bcast: O(1) — single-row max-revenue scalar attach
         revenue0.join(F.broadcast(max_rev), F.col("total_revenue") == F.col("mx"))
-        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("supplier_no"))
+        # no hint: supplier is O(SF) — AQE decides
+        .join(supp, F.col("s_suppkey") == F.col("supplier_no"))
         .select(
             "s_suppkey",
             "s_name",
@@ -165,9 +169,10 @@ def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey"
     )
     return (
-        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        # no hint on part / the supplier-subset anti side: O(SF) — AQE
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
         .join(
-            F.broadcast(bad_supp),
+            bad_supp,
             F.col("l_suppkey") == F.col("s_suppkey"),
             "left_anti",
         )
@@ -206,7 +211,8 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("qty_limit")
     )
     return (
-        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        # no hint: part (filtered, still O(SF)) — AQE decides
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
         .join(per_part, F.col("p_partkey") == F.col("a_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_limit"))
         .agg(
@@ -277,7 +283,9 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         waiting.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        # no hint: supplier is O(SF) — AQE decides
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
+        # bcast: O(1) fixed dim — nation=25 rows
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
@@ -378,9 +386,11 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = t(spark, sf_dir, "nation")
     amount = revenue() - dec("p_retailprice") * dec("l_quantity")
     return (
-        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        # no hint on part/supp: O(SF) — AQE broadcasts while they fit
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        # bcast: O(1) fixed dim — nation=25 rows
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(
             F.col("n_name").alias("nation"),
@@ -449,16 +459,20 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     stocked part of a given size, the supplier(s) offering the minimum
     supply cost. The correlated min-cost subquery is expressed as a
     window min over the region-restricted partsupp (one shuffle on
-    p_partkey); all dims broadcast; cost kept in integer cents until
-    the output boundary (exact min, single double division)."""
+    p_partkey); fixed dims (nation/region) broadcast, SF-scaling dims
+    (part/supplier) join unhinted so AQE size-checks; cost kept in
+    integer cents until the output boundary (exact min, single double
+    division)."""
     ps = _derived_partsupp(spark, sf_dir)
     sup = t(spark, sf_dir, "supplier")
     nat = t(spark, sf_dir, "nation")
     reg = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     part = t(spark, sf_dir, "part").filter(F.col("p_size") == 15)
     joined = (
-        ps.join(F.broadcast(part), "p_partkey")
-        .join(F.broadcast(sup), ps.ps_suppkey == sup.s_suppkey)
+        # no hint on part/sup: O(SF) — AQE broadcasts while they fit
+        ps.join(part, "p_partkey")
+        .join(sup, ps.ps_suppkey == sup.s_suppkey)
+        # bcast: O(1) fixed dims — nation=25 rows, region=5 rows
         .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
         .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
     )
@@ -511,14 +525,16 @@ def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = t(spark, sf_dir, "supplier")
     nat = t(spark, sf_dir, "nation")
     return (
+        # no hint on ps/part/sup: O(SF) — AQE broadcasts while they fit
         shipped.join(
-            F.broadcast(ps),
+            ps,
             (F.col("l_partkey") == F.col("p_partkey"))
             & (F.col("l_suppkey") == F.col("ps_suppkey")),
         )
-        .join(F.broadcast(part), "p_partkey")
+        .join(part, "p_partkey")
         .filter(F.col("ps_availqty").cast("double") > 0.5 * F.col("q").cast("double"))
-        .join(F.broadcast(sup), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .join(sup, F.col("ps_suppkey") == F.col("s_suppkey"))
+        # bcast: O(1) fixed dim — nation=25 rows
         .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_suppkey", "s_name", "n_name")
         .distinct()

@@ -336,6 +336,7 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
     n = docs.agg(F.count("*").cast("double").alias("n_docs"))
     scored = (
+        # bcast: O(vocab) df (Heaps' law) + O(1) single-row corpus count
         tf.join(F.broadcast(df), "token")
         .crossJoin(F.broadcast(n))
         .select(
@@ -442,6 +443,7 @@ def quality_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.log((F.col("c") + F.lit(1.0)) / (F.col("n") + F.col("v"))) * 1e6
     ).cast("bigint")
     scored = (
+        # bcast: O(vocab) unigram LM (Heaps' law) + O(1) totals row
         tok.join(F.broadcast(uni), "token")
         .crossJoin(F.broadcast(tot))
         .select("doc_id", lp_micro.alias("lp_micro"))
@@ -579,8 +581,10 @@ def curate_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.filter(F.col("doc_id") >= 10)
         .join(gates, "doc_id")
-        .join(F.broadcast(dropped), "doc_id", "left_anti")
-        .join(F.broadcast(contaminated), "doc_id", "left_anti")
+        # no hint: dropped/contaminated doc lists are O(corpus) — AQE
+        # decides (broadcast-anti while they fit, shuffle-anti beyond)
+        .join(dropped, "doc_id", "left_anti")
+        .join(contaminated, "doc_id", "left_anti")
         .select("doc_id", "lang", "n_words")
     )
 
@@ -692,9 +696,13 @@ def quality_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         * 1e6
     ).cast("bigint")
     scored = (
+        # bcast: O(bigram-vocab) — observed bigram TYPES grow
+        # sub-linearly (Heaps-style; blocklist op documents the
+        # shuffle-join variant for >1e5-term models) + O(vocab) unigram
         bg.join(F.broadcast(bgc), "bigram")
         .withColumn("_ctx", ctx)
         .join(F.broadcast(uni.withColumnRenamed("token", "_ctx")), "_ctx")
+        # bcast: O(1) — single-row vocab-size scalar attach
         .crossJoin(F.broadcast(vocab))
         .select("doc_id", lp.alias("lp_micro"))
     )

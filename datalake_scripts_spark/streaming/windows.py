@@ -247,6 +247,8 @@ def enrich_with_static(stream_df: DataFrame, static_df: DataFrame, on: str) -> D
     a Delta/parquet dim picks up slowly-changing updates without
     restarting the query; the join itself is stateless (no watermark
     needed)."""
+    # bcast: caller-contract — stream-static enrichment dim; the caller
+    # asserts the static side fits (re-broadcast per micro-batch)
     return stream_df.join(F.broadcast(static_df), on, "left")
 
 

@@ -293,3 +293,28 @@ def test_winnowing_no_inferred_generate_filter(spark, sf_dir):
     assert all("md5" not in l and "transform" not in l for l in pushed), pushed
     scan_filters = [l for l in plan.splitlines() if "Condition :" in l]
     assert all("slice" not in l for l in scan_filters), scan_filters
+
+
+def test_every_broadcast_hint_annotated_with_size_bound():
+    """Every explicit F.broadcast(...) hint overrides AQE's size check,
+    so every site must carry a written size bound proving the build
+    side does NOT scale with the fact data (VERDICT r3 ask #2). The
+    annotation is a '# bcast:' comment on the same line or within the
+    6 lines above the hint; inputs that DO scale with the data must
+    not be hinted at all (grep for '# no hint' rationale instead)."""
+    import pathlib
+
+    pkg = pathlib.Path(__file__).resolve().parents[1] / "datalake_scripts_spark"
+    unannotated = []
+    for path in sorted(pkg.rglob("*.py")):
+        lines = path.read_text().splitlines()
+        for i, line in enumerate(lines):
+            if "F.broadcast(" not in line:
+                continue
+            window = lines[max(0, i - 6) : i + 1]
+            if not any("# bcast:" in w for w in window):
+                unannotated.append(f"{path.relative_to(pkg.parent)}:{i + 1}")
+    assert not unannotated, (
+        "F.broadcast hint(s) without a '# bcast: <size bound>' "
+        f"annotation: {unannotated}"
+    )
