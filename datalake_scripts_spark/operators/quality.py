@@ -228,28 +228,44 @@ def write_audit_publish(
             os.remove(os.path.join(table_dir, f))
         raise AuditFailed([row for row in report if row["n_violations"] > 0])
     new_stats = {f: _file_stats(os.path.join(table_dir, f)) for f in new_files}
-    prev = current_version(table_dir)
-    files, stats = new_files, new_stats
-    if prev > 0:
-        prev_manifest = _load_manifest(table_dir, prev)
-        # mirror write_versioned's contract: inherit the table's bloom
-        # config only for appends with no explicit argument; an
-        # overwrite RESETS bloom_cols to whatever was passed (None)
-        if mode == "append":
-            if bloom_cols is None:
-                bloom_cols = prev_manifest.get("bloom_cols")
-            files = prev_manifest["files"] + new_files
-            stats = {**prev_manifest.get("stats", {}), **new_stats}
-    if bloom_cols:
-        from .versioned import _augment_blooms
+    # optimistic-concurrency retry, same shape as write_versioned's:
+    # the audit covered only OUR staged files, so a concurrent commit
+    # between audit and publish auto-merges safely — re-read the new
+    # latest manifest and commit on top (CommitConflict = lost CAS race)
+    from .versioned import CommitConflict, _augment_blooms
 
-        _augment_blooms(table_dir, new_files, stats, bloom_cols, 0.01)
-    return _commit_manifest(
-        table_dir,
-        files,
-        stats,
-        mode,
-        table_schema.jsonValue(),
-        {**(meta or {}), "audited": [r.name for r in rules]},
-        bloom_cols=bloom_cols,
-    )
+    augmented: set[str] = set()
+    last_conflict = None
+    for _ in range(16):
+        prev = current_version(table_dir)
+        files, stats = new_files, new_stats
+        effective_blooms = bloom_cols
+        if prev > 0:
+            prev_manifest = _load_manifest(table_dir, prev)
+            # mirror write_versioned's contract: inherit the table's
+            # bloom config only for appends with no explicit argument;
+            # an overwrite RESETS bloom_cols to whatever was passed
+            if mode == "append":
+                if effective_blooms is None:
+                    effective_blooms = prev_manifest.get("bloom_cols")
+                files = prev_manifest["files"] + new_files
+                stats = {**prev_manifest.get("stats", {}), **new_stats}
+        missing = set(effective_blooms or []) - augmented
+        if missing:
+            _augment_blooms(table_dir, new_files, new_stats, sorted(missing), 0.01)
+            augmented |= missing
+        try:
+            return _commit_manifest(
+                table_dir,
+                files,
+                stats,
+                mode,
+                table_schema.jsonValue(),
+                {**(meta or {}), "audited": [r.name for r in rules]},
+                bloom_cols=effective_blooms,
+                expected_version=prev,
+            )
+        except CommitConflict as c:
+            last_conflict = c
+            continue
+    raise last_conflict

@@ -21,9 +21,25 @@ Semantics:
 - ``read_versioned(..., version=K)`` time-travels to any committed
   snapshot; ``vacuum`` drops files unreferenced by kept manifests.
 
-Single-writer semantics (no distributed lock): the engine's job
-orchestration must serialize writers per table, which matches the
-reference's cron model. Concurrent READERS are always safe.
+Concurrency (Delta-protocol-style optimistic concurrency, no lock):
+- a commit PUBLISHES manifest v(N+1) via an atomic create-if-absent
+  (``os.link`` of a fully-written temp file — the local-FS analog of
+  an object store's conditional PUT / Delta's putIfAbsent on the
+  _delta_log JSON). Two writers racing for the same version: exactly
+  one wins, the loser gets :class:`CommitConflict`;
+- ``write_versioned`` RETRIES on conflict (appends re-read the new
+  latest manifest and re-validate schema — append/append auto-merges,
+  Delta's WriteSerializable behavior; a blind overwrite makes no
+  read-dependency claim and also retries);
+- DML (DELETE/UPDATE/OPTIMIZE) and WAP commits pin the snapshot they
+  READ (``expected_version``): a concurrent commit invalidates their
+  read set, so they clean their staged files and raise
+  :class:`CommitConflict` for the caller to re-run — Delta's
+  ConcurrentModificationException;
+- ``_latest`` is an advance-only CACHE of the committed-version
+  pointer; the truth is the manifest directory itself (atomically
+  published files), so a losing writer can never regress the pointer.
+Concurrent READERS are always safe (manifests are immutable).
 """
 
 from __future__ import annotations
@@ -44,13 +60,45 @@ def _latest_path(table_dir: str) -> str:
     return os.path.join(table_dir, "_latest")
 
 
+class CommitConflict(Exception):
+    """Another writer committed the version this commit raced for
+    (Delta's ConcurrentModificationException). Appends auto-retry;
+    DML/compaction/WAP re-raise so the caller re-runs against the new
+    snapshot."""
+
+    def __init__(self, table_dir: str, version: int):
+        self.table_dir = table_dir
+        self.version = version
+        super().__init__(
+            f"manifest v{version:05d} already committed in {table_dir} "
+            "by a concurrent writer"
+        )
+
+
 def current_version(table_dir: str) -> int:
-    """Highest committed version, 0 if the table doesn't exist yet."""
+    """Highest committed version, 0 if the table doesn't exist yet.
+
+    ``_latest`` is an advance-only cache that can briefly LAG under
+    concurrent writers (the loser of a pointer race must never regress
+    it), so the manifest directory — whose files are published
+    atomically and fully-formed — is consulted too and the max wins.
+    One extra LIST per call is the same metadata pattern Delta uses
+    (_last_checkpoint hint + log listing)."""
+    v = 0
     try:
         with open(_latest_path(table_dir)) as f:
-            return int(f.read().strip())
+            v = int(f.read().strip())
+    except (FileNotFoundError, ValueError):
+        pass
+    try:
+        names = os.listdir(_manifest_dir(table_dir))
     except FileNotFoundError:
-        return 0
+        return v
+    newest = max(
+        (int(n[1:6]) for n in names if re.fullmatch(r"v\d{5}\.json", n)),
+        default=0,
+    )
+    return max(v, newest)
 
 
 def _load_manifest(table_dir: str, version: int) -> dict:
@@ -198,7 +246,9 @@ def _augment_blooms(
             if b is not None:
                 blooms[col] = b
         if blooms:
-            stats[f]["blooms"] = blooms
+            # merge, don't replace: commit-retry loops augment the cols
+            # inherited from the winning writer in a SECOND pass
+            stats[f].setdefault("blooms", {}).update(blooms)
 
 
 def _file_may_match(stats: dict | None, skip_filter) -> bool:
@@ -277,8 +327,16 @@ def write_versioned(
     merge_schema: bool = False,
     bloom_cols: list[str] | None = None,
     bloom_fpp: float = 0.01,
+    expected_version: int | None = None,
 ) -> int:
     """Commit ``df`` as a new snapshot; returns the new version number.
+
+    ``expected_version`` pins the snapshot this write DEPENDS on
+    (compaction: the snapshot it rewrote). With it set there is no
+    retry: a concurrent commit raises :class:`CommitConflict` after
+    cleaning the staged files, because blindly retrying would publish
+    a rewrite that silently drops the concurrent commit's rows.
+    Without it (plain append/overwrite), conflicts auto-retry.
     ``meta`` (JSON-serializable) is stored on the manifest — e.g. a
     streaming epoch id for idempotent replay (see :func:`has_meta`).
 
@@ -319,27 +377,71 @@ def write_versioned(
 
     # 2. commit the manifest, carrying per-file footer stats (row count
     # + column min/max/nulls) so snapshots support metadata-only counts
-    # and file skipping; append re-uses prior files' recorded stats
+    # and file skipping; append re-uses prior files' recorded stats.
+    # Optimistic-concurrency retry loop: on CommitConflict the staged
+    # files are still valid — re-read the NEW latest manifest,
+    # re-validate the schema against it, and commit on top
+    # (append/append auto-merges; a blind overwrite makes no
+    # read-dependency claim, so it simply takes the next version).
     new_stats = {
         f: _file_stats(os.path.join(table_dir, f)) for f in new_files
     }
-    _augment_blooms(table_dir, new_files, new_stats, bloom_cols, bloom_fpp)
-    prev = current_version(table_dir)
-    files = new_files
-    stats = new_stats
-    if mode == "append" and prev > 0:
-        prev_manifest = _load_manifest(table_dir, prev)
-        files = prev_manifest["files"] + new_files
-        stats = {**prev_manifest.get("stats", {}), **new_stats}
-    return _commit_manifest(
-        table_dir,
-        files,
-        stats,
-        mode,
-        table_schema.jsonValue(),
-        meta,
-        bloom_cols=bloom_cols,
-    )
+    augmented_cols: set[str] = set()
+    last_conflict: CommitConflict | None = None
+    attempts = 1 if expected_version is not None else 16
+    for _ in range(attempts):
+        prev = (
+            expected_version
+            if expected_version is not None
+            else current_version(table_dir)
+        )
+        prev_manifest = _load_manifest(table_dir, prev) if prev > 0 else {}
+        effective_schema = df.schema
+        effective_blooms = bloom_cols
+        if mode == "append" and prev > 0:
+            prev_schema_json = prev_manifest.get("schema")
+            if prev_schema_json:
+                from pyspark.sql.types import StructType
+
+                effective_schema = _evolve_schema(
+                    StructType.fromJson(prev_schema_json), df.schema, merge_schema
+                )
+            if effective_blooms is None:
+                effective_blooms = prev_manifest.get("bloom_cols")
+        missing = set(effective_blooms or []) - augmented_cols
+        if missing:
+            _augment_blooms(
+                table_dir, new_files, new_stats, sorted(missing), bloom_fpp
+            )
+            augmented_cols |= missing
+        files = new_files
+        stats = new_stats
+        if mode == "append" and prev > 0:
+            files = prev_manifest["files"] + new_files
+            stats = {**prev_manifest.get("stats", {}), **new_stats}
+        try:
+            return _commit_manifest(
+                table_dir,
+                files,
+                stats,
+                mode,
+                effective_schema.jsonValue(),
+                meta,
+                bloom_cols=effective_blooms,
+                expected_version=prev,
+            )
+        except CommitConflict as c:
+            last_conflict = c
+            continue
+    if expected_version is not None:
+        # read-pinned write lost the race: staged files will never be
+        # referenced — clean them so nothing orphans until vacuum
+        for f in new_files:
+            try:
+                os.remove(os.path.join(table_dir, f))
+            except FileNotFoundError:
+                pass
+    raise last_conflict  # blind write: 16 straight losses = real contention
 
 
 def _stage_files(df: DataFrame, table_dir: str) -> list[str]:
@@ -370,11 +472,25 @@ def _commit_manifest(
     schema_json: dict | None,
     meta: dict | None,
     bloom_cols: list[str] | None = None,
+    expected_version: int | None = None,
 ) -> int:
-    """Write manifest v(N+1) and flip ``_latest`` atomically (readers
-    see old or new, never half). The single commit path for every
-    writer (append/overwrite/delete/update/compaction)."""
-    version = current_version(table_dir) + 1
+    """Commit manifest v(N+1): the single commit path for every writer
+    (append/overwrite/delete/update/compaction/WAP).
+
+    Optimistic-concurrency CAS: the manifest is fully written to a temp
+    file, then PUBLISHED with ``os.link`` — an atomic create-if-absent,
+    the local-FS analog of Delta's putIfAbsent on the log JSON. If a
+    concurrent writer already owns v(N+1), :class:`CommitConflict` is
+    raised and NOTHING of this commit is visible (the temp file is
+    removed; staged data files are the caller's to clean or retry
+    with). Readers therefore only ever see fully-formed manifests,
+    whether they resolve via ``_latest`` or the directory listing.
+
+    ``expected_version`` pins the snapshot the writer READ (DML/WAP):
+    the commit targets exactly expected_version+1. When None (blind
+    append/overwrite) the target is current+1 at commit time."""
+    base = current_version(table_dir) if expected_version is None else expected_version
+    version = base + 1
     manifest = {
         "version": version,
         "mode": mode,
@@ -388,13 +504,38 @@ def _commit_manifest(
     if bloom_cols:
         manifest["bloom_cols"] = bloom_cols
     mpath = os.path.join(_manifest_dir(table_dir), f"v{version:05d}.json")
-    with open(mpath, "w") as f:
-        json.dump(manifest, f)
-    tmp = _latest_path(table_dir) + f".tmp{uuid.uuid4().hex}"
+    tmp = mpath + f".tmp{uuid.uuid4().hex}"
     with open(tmp, "w") as f:
-        f.write(str(version))
-    os.replace(tmp, _latest_path(table_dir))
+        json.dump(manifest, f)
+    try:
+        os.link(tmp, mpath)  # atomic CAS: fails iff the version is taken
+    except FileExistsError:
+        raise CommitConflict(table_dir, version)
+    finally:
+        os.unlink(tmp)
+    _advance_latest(table_dir, version)
     return version
+
+
+def _advance_latest(table_dir: str, version: int) -> None:
+    """Advance the ``_latest`` pointer cache to ``version``, never
+    backwards: with two racing committers (A owns v5, B owns v6) the
+    replace order is arbitrary, so a plain overwrite could leave the
+    pointer at 5 — reads stay correct regardless (current_version takes
+    the max with the manifest listing), a second pass here just
+    restores the cache to the truth."""
+    for _ in range(3):
+        try:
+            with open(_latest_path(table_dir)) as f:
+                if int(f.read().strip()) >= version:
+                    return
+        except (FileNotFoundError, ValueError):
+            pass
+        tmp = _latest_path(table_dir) + f".tmp{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(str(version))
+        os.replace(tmp, _latest_path(table_dir))
+        version = current_version(table_dir)  # heal any regression we caused
 
 
 def _manifest_reader(spark: SparkSession, manifest: dict):
@@ -609,7 +750,8 @@ def compact_versioned(
     per-file min/max, so ``read_versioned(skip_filter=...)`` prunes
     aggressively right after compaction — clustering is what makes the
     stats selective."""
-    cur = read_versioned(spark, table_dir)
+    v_read = current_version(table_dir)
+    cur = read_versioned(spark, table_dir, version=v_read)
     if zorder_by:
         from ..io import zorder_layout
 
@@ -622,15 +764,21 @@ def compact_versioned(
         )
     else:
         df = cur.coalesce(target_files)
-    prev_manifest = _load_manifest(table_dir, current_version(table_dir))
+    prev_manifest = _load_manifest(table_dir, v_read)
     prev_meta = prev_manifest.get("meta", {})
+    # read-pinned commit: a concurrent append between our snapshot read
+    # and the overwrite commit would be silently DROPPED by a blind
+    # retry (the verdict-r3 streaming-sink-vs-OPTIMIZE race) — pin the
+    # source version so the race raises CommitConflict and the caller
+    # re-runs compaction over the new snapshot instead
     return write_versioned(
         spark,
         df,
         table_dir,
         mode="overwrite",
-        meta={**prev_meta, "compaction_of": current_version(table_dir)},
+        meta={**prev_meta, "compaction_of": v_read},
         bloom_cols=prev_manifest.get("bloom_cols"),
+        expected_version=v_read,
     )
 
 
@@ -727,7 +875,8 @@ def delete_versioned(
     Prior snapshots stay time-travelable until vacuum; the commit's
     mode is 'delete', so :func:`read_changes` across it takes the
     exact row-diff path (deleted rows appear as _change_type='delete').
-    Single-writer semantics as all commits."""
+    Read-pinned commit: a concurrent commit raises
+    :class:`CommitConflict` (re-run against the new snapshot)."""
     from pyspark.sql import functions as F
 
     v = current_version(table_dir)
@@ -761,16 +910,56 @@ def delete_versioned(
     n_deleted = sum(
         old_stats[f]["rows"] for f in touched if f in old_stats
     ) - sum(s["rows"] for s in new_stats.values())
-    version = _commit_manifest(
+    version = _commit_dml(
         table_dir,
+        new_files,
         files,
         stats,
         "delete",
         manifest.get("schema"),
         {**(meta or {}), "predicate": predicate, "n_deleted": n_deleted},
         bloom_cols=manifest.get("bloom_cols"),
+        expected_version=v,
     )
     return version, n_deleted
+
+
+def _commit_dml(
+    table_dir: str,
+    staged_files: list[str],
+    files: list[str],
+    stats: dict,
+    mode: str,
+    schema_json,
+    meta: dict | None,
+    bloom_cols,
+    expected_version: int,
+) -> int:
+    """Read-pinned DML commit: targets exactly the snapshot the DML
+    read (its touched-file set and metadata row counts are only valid
+    against that manifest). A concurrent commit raises
+    :class:`CommitConflict` — Delta's conflict-detection behavior for
+    DELETE/UPDATE vs anything — after removing the rewrite's staged
+    files so nothing orphans. The caller re-runs against the new
+    snapshot."""
+    try:
+        return _commit_manifest(
+            table_dir,
+            files,
+            stats,
+            mode,
+            schema_json,
+            meta,
+            bloom_cols=bloom_cols,
+            expected_version=expected_version,
+        )
+    except CommitConflict:
+        for f in staged_files:
+            try:
+                os.remove(os.path.join(table_dir, f))
+            except FileNotFoundError:
+                pass
+        raise
 
 
 def update_versioned(
@@ -843,14 +1032,16 @@ def update_versioned(
         **{f: old_stats[f] for f in untouched if f in old_stats},
         **new_stats,
     }
-    version = _commit_manifest(
+    version = _commit_dml(
         table_dir,
+        new_files,
         files,
         stats,
         "update",
         schema_json,
         {**(meta or {}), "predicate": predicate, "set": set_exprs},
         bloom_cols=manifest.get("bloom_cols"),
+        expected_version=v,
     )
     return version, n_updated
 
