@@ -365,6 +365,86 @@ def write_jdbc(
         )
 
 
+def write_jdbc_merge(
+    df: DataFrame,
+    url: str,
+    table: str,
+    keys: list[str],
+    properties: dict[str, str] | None = None,
+    staging_table: str | None = None,
+    batchsize: int = 10_000,
+    num_partitions: int | None = None,
+) -> None:
+    """MERGE/upsert into a JDBC table — the serving-side mirror of
+    :func:`operators.upsert.merge_upsert` (same semantics: source rows
+    replace whole matching target rows by key, unmatched rows insert;
+    duplicate source keys are rejected because multi-match MERGE is
+    undefined in SQL).
+
+    The reference's serving path only knows per-table overwrite
+    (``zoom_proc.py:477`` drop-and-reload); this keeps the database
+    online and touches only changed keys. Scale shape: the batch
+    stages over the normal parallel JDBC writer (batchsize /
+    numPartitions bound connections), then ONE server-side
+    ``MERGE INTO target USING staging`` statement does the set-based
+    upsert where the database is the right engine for it — no
+    row-at-a-time driver loop, network cost is O(batch) not O(table).
+
+    A missing target degenerates to a plain create-and-append (nothing
+    to match). The staging table is dropped afterwards."""
+    if not keys:
+        raise ValueError("write_jdbc_merge requires at least one key column")
+    from pyspark.sql import functions as F
+
+    dup = df.groupBy(*keys).count().filter(F.col("count") > 1)
+    if dup.limit(1).count() > 0:
+        raise ValueError(f"source has duplicate keys on {keys}")
+
+    spark = df.sparkSession
+    driver = (properties or {}).get("driver")
+    try:
+        # existence probe: cheap server-side no-row query
+        execute_jdbc_statements(
+            spark, url, [f"DELETE FROM {table} WHERE 1=0"], driver=driver
+        )
+    except Exception:
+        # first merge into a fresh table: plain parallel write creates it
+        write_jdbc(
+            df, url, table, mode="append", properties=properties,
+            batchsize=batchsize, num_partitions=num_partitions,
+        )
+        return
+
+    staging = staging_table or f"{table}_stg"
+    write_jdbc(
+        df, url, staging, mode="overwrite", properties=properties,
+        batchsize=batchsize, num_partitions=num_partitions,
+    )
+    # Spark's JDBC writer CREATEs columns as quoted (case-preserved)
+    # identifiers, so the MERGE must quote them too — an unquoted
+    # reference would fold case server-side and miss the column
+    q = '"{}"'.format
+    cols = df.columns
+    non_keys = [c for c in cols if c not in set(keys)]
+    on = " AND ".join(f"t.{q(k)} = s.{q(k)}" for k in keys)
+    update = (
+        "WHEN MATCHED THEN UPDATE SET "
+        + ", ".join(f"t.{q(c)} = s.{q(c)}" for c in non_keys)
+        + " "
+        if non_keys
+        else ""
+    )
+    stmt = (
+        f"MERGE INTO {table} t USING {staging} s ON {on} "
+        + update
+        + f"WHEN NOT MATCHED THEN INSERT ({', '.join(q(c) for c in cols)}) "
+        + f"VALUES ({', '.join('s.' + q(c) for c in cols)})"
+    )
+    execute_jdbc_statements(
+        spark, url, [stmt, f"DROP TABLE {staging}"], driver=driver
+    )
+
+
 def read_jdbc(
     spark: SparkSession,
     url: str,

@@ -54,6 +54,18 @@ DEFAULT_QUERIES = [
     "dedup_duplicated_span_stats",
     "events_resample_ffill_hourly",
     "reconcile_checksum_orders",
+    # round-4 additions (VERDICT r3 ask #4): basket mining scales the
+    # ORDER key space (part space fixed -> same pair set, k-fold
+    # counts, linear work); WAU/transition scale events per user
+    # (constant user set, k-fold denser sequences -> linear);
+    # match_fuzzy_scaled replicates part with replica-disjoint
+    # blocking keys (verbatim copies would grow in-block pairs k^2 BY
+    # CONSTRUCTION — the blocked-join claim under test is linear-in-
+    # blocks fan-out, same rationale as the documents perturbation)
+    "mining_part_pair_lift",
+    "events_weekly_active_users",
+    "events_transition_matrix",
+    "match_fuzzy_scaled",
 ]
 
 
@@ -104,10 +116,58 @@ def _containment_noprefix(spark, sf_dir):
     )
 
 
+def _match_fuzzy_scaled(spark, sf_dir):
+    """match_fuzzy_part_names over a k-fold part table whose replicas
+    have DISJOINT blocking keys (head noun prefixed with the replica
+    id): block count grows k-fold, block SIZE stays fixed, so the
+    blocked join's candidate volume — and runtime — must grow ~k, not
+    k^2. That linear-in-blocks fan-out is exactly the entity-resolution
+    scaling claim under test."""
+    from pyspark.sql import functions as F
+
+    k = int(os.environ.get("SCALEUP_K", "10"))
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    n = part.agg(F.max("p_partkey")).first()[0] + 1
+    rep = (
+        part.crossJoin(spark.range(k).withColumnRenamed("id", "_rep"))
+        .withColumn("p_partkey", F.col("p_partkey") + F.col("_rep") * n)
+        .withColumn(
+            "p_name",
+            F.when(F.col("_rep") == 0, F.col("p_name")).otherwise(
+                F.concat(
+                    F.lit("r"), F.col("_rep").cast("string"), F.lit("_"),
+                    F.col("p_name"),
+                )
+            ),
+        )
+        .drop("_rep")
+    )
+    p = rep.select(
+        "p_partkey", "p_name", F.split("p_name", " ").getItem(1).alias("block")
+    )
+    a = p.select(
+        F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a"), "block"
+    )
+    b = p.select(
+        F.col("p_partkey").alias("key_b"), F.col("p_name").alias("name_b"), "block"
+    )
+    return (
+        a.join(b, "block")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .filter(F.levenshtein("name_a", "name_b") <= 4)
+        .select(
+            "key_a",
+            "key_b",
+            F.levenshtein("name_a", "name_b").cast("int").alias("edit_distance"),
+        )
+    )
+
+
 EXTRA = {
     "ngram_jaccard_noprefix": _ngram_jaccard_noprefix,
     "containment_noprefix": _containment_noprefix,
     "semantic_dedup_kmeans": _semantic_dedup_kmeans,
+    "match_fuzzy_scaled": _match_fuzzy_scaled,
 }
 
 
@@ -118,6 +178,7 @@ def main() -> None:
     from datalake_scripts_spark.session import get_spark
 
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    os.environ["SCALEUP_K"] = str(k)  # EXTRA queries that self-replicate
     names = sys.argv[2:] or DEFAULT_QUERIES
     src, dst = "/root/testdata/sf0.1", f"/tmp/sfx{k}_synth"
 

@@ -172,3 +172,52 @@ def test_jdbc_predicates_read(spark, sf_dir, derby_url):
     )
     assert back.rdd.getNumPartitions() == 2
     assert back.count() == nation.count()
+
+
+def test_jdbc_merge_upsert_parity(spark, sf_dir, derby_url):
+    """write_jdbc_merge (staging + server-side MERGE) lands the same
+    state as operators.upsert.merge_upsert computes DataFrame-side
+    (VERDICT r3 ask #7): updates replace whole rows by key, new keys
+    insert, untouched rows survive, staging table is dropped."""
+    from datalake_scripts_spark.io import write_jdbc_merge
+    from datalake_scripts_spark.operators.upsert import merge_upsert
+
+    nation = read_table(spark, sf_dir, "nation")
+    # first merge into a missing table = plain create-and-append
+    write_jdbc_merge(
+        nation, derby_url, "nation_m", keys=["n_nationkey"], properties=DERBY
+    )
+    assert _read_back(spark, derby_url, "nation_m").count() == nation.count()
+
+    # batch: update 5 existing keys (rename), insert 3 new keys
+    updates = nation.filter(F.col("n_nationkey") < 5).withColumn(
+        "n_name", F.concat(F.lit("NEW_"), F.col("n_name"))
+    )
+    inserts = nation.filter(F.col("n_nationkey") < 3).withColumn(
+        "n_nationkey", F.col("n_nationkey") + 1000
+    )
+    batch = updates.unionByName(inserts)
+    write_jdbc_merge(
+        batch, derby_url, "nation_m", keys=["n_nationkey"], properties=DERBY
+    )
+
+    got = _read_back(spark, derby_url, "nation_m")
+    expected = merge_upsert(nation, batch, keys=["n_nationkey"])
+    assert got.count() == expected.count() == nation.count() + 3
+    g = {(r[0], r[1]) for r in got.select("n_nationkey", "n_name").collect()}
+    e = {(r[0], r[1]) for r in expected.select("n_nationkey", "n_name").collect()}
+    assert g == e
+    # staging table dropped
+    with pytest.raises(Exception):
+        _read_back(spark, derby_url, "nation_m_stg").count()
+
+
+def test_jdbc_merge_rejects_duplicate_source_keys(spark, sf_dir, derby_url):
+    from datalake_scripts_spark.io import write_jdbc_merge
+
+    region = read_table(spark, sf_dir, "region")
+    dup = region.unionByName(region)
+    with pytest.raises(ValueError, match="duplicate keys"):
+        write_jdbc_merge(
+            dup, derby_url, "region_m", keys=["r_regionkey"], properties=DERBY
+        )
