@@ -6,10 +6,14 @@ upgrade of the reference's download-to-S3-object handling of Zoom
 recordings (zoom_load.py:148-206), which never put binaries in a table.
 
 Decode / feature-extract run as Arrow-batched ``mapInPandas`` stages so
-bytes stay columnar across the Python boundary. The image/audio codecs
-are NOT in this environment, so the decode body is a deterministic STUB
-(clearly marked); schema, partitioning, UDF signature, and batch shape —
-the Spark-side contract — are real and tested (tests/test_multimodal.py).
+bytes stay columnar across the Python boundary. PNG payloads get REAL
+decode/resize (functions.png: pure zlib+numpy codec — inflate, all five
+scanline filters, bilinear resample); other formats fall back to the
+deterministic STUB (clearly marked — JPEG/ffmpeg codecs are not in this
+container), which keeps the DuckDB oracle twins exact for the synthetic
+non-PNG payloads. Schema, partitioning, UDF signature, and batch shape —
+the Spark-side contract — are identical on both paths and tested
+(tests/test_multimodal.py, tests/test_png_codec.py).
 """
 
 from __future__ import annotations
@@ -28,12 +32,27 @@ DECODED_META_SCHEMA = (
 
 
 def _stub_decode(payload: bytes) -> tuple[int, int, int]:
-    """STUB decode: real implementations would call PIL/ffmpeg here.
-    Deterministic fake dimensions derived from the content hash so tests
-    are stable. Raises nothing — a real decoder's failure path would map
-    to NULL metadata + a quarantine flag."""
+    """STUB decode for non-PNG formats (real implementations would call
+    PIL/ffmpeg here). Deterministic fake dimensions derived from the
+    content hash so tests are stable. Raises nothing — a real decoder's
+    failure path would map to NULL metadata + a quarantine flag."""
     h = hashlib.md5(payload).digest()
     return 16 + h[0] % 64, 16 + h[1] % 64, 1 + h[2] % 8
+
+
+def _decode_dims(payload: bytes) -> tuple[int, int, int]:
+    """REAL decode for PNG payloads (IHDR probe — O(1), no inflate),
+    stub fallback for everything else. Returns (width, height,
+    n_frames); a still image is 1 frame."""
+    from ..functions.png import UnsupportedPng, is_png, png_dimensions
+
+    if is_png(payload):
+        try:
+            w, h, _ch = png_dimensions(payload)
+            return w, h, 1
+        except UnsupportedPng:
+            pass  # exotic PNG layout -> deterministic stub path
+    return _stub_decode(payload)
 
 
 def decode_metadata(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
@@ -47,7 +66,7 @@ def decode_metadata(df: DataFrame, id_col: str = "doc_id", payload_col: str = "p
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf[payload_col]
-            dims = [_stub_decode(bytes(p)) for p in payloads]
+            dims = [_decode_dims(bytes(p)) for p in payloads]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
@@ -78,22 +97,39 @@ def resize_stub(
     payload_col: str = "payload",
 ) -> DataFrame:
     """mapInPandas resize stage: binary payload -> binary payload with
-    target dimensions. STUB body (real implementations call
-    PIL.Image.resize / ffmpeg scale here): the "resized" payload is a
-    deterministic truncation/padding of the original bytes to
-    target_width*target_height, so batch shape, binary-in/binary-out
-    Arrow transfer, and the metadata contract are all exercised for
-    real. Narrow op — partitioning preserved, bytes never leave the
+    target dimensions. PNG payloads take the REAL path: decode
+    (functions.png — inflate + unfilter), bilinear resample, re-encode
+    PNG. Other formats keep the deterministic STUB body (truncate/pad
+    to target_width*target_height bytes — real implementations call
+    PIL/ffmpeg here), so batch shape, binary-in/binary-out Arrow
+    transfer, and the metadata contract are exercised either way.
+    Narrow op — partitioning preserved, bytes never leave the
     executor."""
+    from ..functions.png import (
+        UnsupportedPng,
+        decode_png,
+        encode_png,
+        is_png,
+        resize_bilinear,
+    )
+
+    def _resize_one(p: bytes) -> bytes:
+        if is_png(p):
+            try:
+                arr = decode_png(p)
+                return encode_png(
+                    resize_bilinear(arr, target_width, target_height)
+                )
+            except UnsupportedPng:
+                pass
+        n_out = target_width * target_height
+        return p[:n_out].ljust(n_out, b"\x00")
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        n_out = target_width * target_height
         for pdf in batches:
             payloads = pdf[payload_col]
-            dims = [_stub_decode(bytes(p)) for p in payloads]
-            resized = [
-                bytes(p)[:n_out].ljust(n_out, b"\x00") for p in payloads
-            ]
+            dims = [_decode_dims(bytes(p)) for p in payloads]
+            resized = [_resize_one(bytes(p)) for p in payloads]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
