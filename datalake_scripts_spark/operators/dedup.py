@@ -139,8 +139,6 @@ def ngram_jaccard_pairs(
     bit-identical to the exhaustive join (property-tested both ways);
     ``prefix_filter=False`` keeps the exhaustive path for audits.
     """
-    from pyspark.sql import Window as W
-
     n_docs = df.count()  # parquet-metadata count — cheap even at scale
     join_keys = ["shingle"] + ([block_col] if block_col else [])
     blk = [block_col] if block_col else []
@@ -184,22 +182,40 @@ def ngram_jaccard_pairs(
         )
 
     # global rarest-first order: df asc, shingle asc as tie-break (any
-    # fixed total order is valid; rarity maximizes pruning)
+    # fixed total order is valid; rarity maximizes pruning). ONE per-doc
+    # aggregation packs each doc's shingles as a rarity-sorted struct
+    # array — sort_array over struct(_df, shingle) IS the (df, shingle)
+    # order the old window produced — so the prefix is a slice/
+    # posexplode (positions ride along for the PPJoin filter) and the
+    # verify arrays are a transform of the same packed column: one
+    # id-keyed shuffle instead of three (window rank + sets agg),
+    # no per-partition window sort. Output hash-identical (r3 #8).
     dfs = sh.groupBy(*join_keys).agg(F.count(F.lit(1)).alias("_df"))
-    shd = sh.join(dfs, join_keys)
-    w_rank = W.partitionBy(id_col, *blk).orderBy("_df", "shingle")
-    w_all = W.partitionBy(id_col, *blk)
-    ranked = shd.select(
+    packed = (
+        sh.join(dfs, join_keys)
+        .groupBy(id_col)
+        .agg(
+            F.sort_array(F.collect_list(F.struct("_df", "shingle"))).alias("_rk"),
+            F.count(F.lit(1)).alias("_n_sh"),
+            *([F.first(block_col).alias(block_col)] if blk else []),
+        )
+        .localCheckpoint()  # feeds both prefix sides + both verify sides
+    )
+    plen = (
+        F.col("_n_sh") - F.ceil(F.lit(float(threshold)) * F.col("_n_sh")) + F.lit(1)
+    ).cast("int")
+    prefix = packed.select(
         id_col,
         *blk,
-        "shingle",
-        F.row_number().over(w_rank).alias("_rn"),
-        F.count(F.lit(1)).over(w_all).alias("_n_sh"),
+        "_n_sh",
+        F.posexplode(F.slice("_rk", F.lit(1), plen)).alias("_pos", "_x"),
+    ).select(
+        id_col,
+        *blk,
+        "_n_sh",
+        (F.col("_pos") + 1).alias("_rn"),
+        F.col("_x.shingle").alias("shingle"),
     )
-    prefix = ranked.filter(
-        F.col("_rn")
-        <= F.col("_n_sh") - F.ceil(F.lit(float(threshold)) * F.col("_n_sh")) + 1
-    ).localCheckpoint()  # feeds both join sides; see barrier note above
     # length + positional filters ride along for free (sizes and
     # positions are already on the prefix rows):
     # - length: J >= t forces min(|A|,|B|) >= t * max(|A|,|B|);
@@ -237,14 +253,15 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    # exact verify on candidates only: per-doc sorted shingle sets
-    # (array per doc is bounded by doc length, not corpus size).
-    # Checkpointed because BOTH join sides consume it in one action —
-    # otherwise the full-table aggregation runs twice.
-    sets = sh.groupBy(id_col).agg(
-        F.sort_array(F.collect_list("shingle")).alias("_arr"),
-        F.count(F.lit(1)).alias("_n_sh"),
-    ).localCheckpoint()
+    # exact verify on candidates only: per-doc shingle sets derived
+    # from the SAME packed aggregation (array_intersect is order-
+    # insensitive, so the rarity-sorted array serves as-is — no second
+    # full-table aggregation)
+    sets = packed.select(
+        id_col,
+        F.transform("_rk", lambda x: x["shingle"]).alias("_arr"),
+        "_n_sh",
+    )
     sa = sets.select(
         F.col(id_col).alias("id_a"), F.col("_arr").alias("_aa"),
         F.col("_n_sh").alias("n_a"),
@@ -940,8 +957,6 @@ def containment_pairs(
     Hot-shingle df cap as in :func:`cap_shingle_df`; containment is
     exact over the capped shingle universe (self-consistent).
     """
-    from pyspark.sql import Window as W
-
     n_docs = df.count()
     join_keys = ["shingle"] + ([block_col] if block_col else [])
     blk = [block_col] if block_col else []
@@ -950,36 +965,56 @@ def containment_pairs(
         sh0, join_keys, n_docs, max_df_frac, min_df_keep
     ).localCheckpoint()
 
-    # full per-doc sorted sets (verify side + container index sizes)
-    sets = (
-        sh.groupBy(id_col)
-        .agg(
-            F.sort_array(F.collect_list("shingle")).alias("_arr"),
-            F.count(F.lit(1)).alias("_n_sh"),
-        )
-        .localCheckpoint()
-    )
-
     if prefix_filter:
+        # ONE per-doc aggregation replaces the old sets-agg + df-join +
+        # two-window ranking (r3 stretch #8): pack each doc's shingles
+        # as a rarity-sorted struct array — sort_array over
+        # struct(_df, shingle) IS the (df asc, shingle asc) global
+        # order the window produced — then the prefix is a slice/
+        # posexplode (no window sort pass) and the verify arrays are a
+        # transform of the same packed column. Saves one full id-keyed
+        # shuffle and the per-partition window sort; output identical
+        # (hash-equal, test_dedup A/B).
         dfs = sh.groupBy(*join_keys).agg(F.count(F.lit(1)).alias("_df"))
-        w_rank = W.partitionBy(id_col, *blk).orderBy("_df", "shingle")
-        w_all = W.partitionBy(id_col, *blk)
-        ranked = sh.join(dfs, join_keys).select(
-            id_col,
-            *blk,
-            "shingle",
-            F.row_number().over(w_rank).alias("_rn"),
-            F.count(F.lit(1)).over(w_all).alias("_n_sh"),
+        packed = (
+            sh.join(dfs, join_keys)
+            .groupBy(id_col)
+            .agg(
+                F.sort_array(F.collect_list(F.struct("_df", "shingle"))).alias("_rk"),
+                F.count(F.lit(1)).alias("_n_sh"),
+                *([F.first(block_col).alias(block_col)] if blk else []),
+            )
+            .localCheckpoint()  # feeds prefix side + both verify sides
         )
-        left = ranked.filter(
-            F.col("_rn")
-            <= F.col("_n_sh")
+        plen = (
+            F.col("_n_sh")
             - F.ceil(F.lit(float(threshold)) * F.col("_n_sh"))
-            + 1
+            + F.lit(1)
+        ).cast("int")
+        la = (
+            packed.select(
+                F.col(id_col).alias("id_contained"),
+                *blk,
+                F.explode(F.slice("_rk", F.lit(1), plen)).alias("_x"),
+            )
+            .select("id_contained", F.col("_x.shingle").alias("shingle"), *blk)
         )
-        la = left.select(F.col(id_col).alias("id_contained"), *join_keys)
+        sets = packed.select(
+            id_col,
+            F.transform("_rk", lambda x: x["shingle"]).alias("_arr"),
+            "_n_sh",
+        )
     else:
         la = sh.select(F.col(id_col).alias("id_contained"), *join_keys)
+        # full per-doc sets (verify side + container index sizes)
+        sets = (
+            sh.groupBy(id_col)
+            .agg(
+                F.sort_array(F.collect_list("shingle")).alias("_arr"),
+                F.count(F.lit(1)).alias("_n_sh"),
+            )
+            .localCheckpoint()
+        )
     rb = sh.select(F.col(id_col).alias("id_container"), *join_keys)
     cand = (
         la.join(rb, join_keys)

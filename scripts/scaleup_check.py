@@ -141,6 +141,11 @@ def _match_fuzzy_scaled(spark, sf_dir):
             ),
         )
         .drop("_rep")
+        # the single-file part scan leaves the k-fold table in ONE
+        # partition; spread it so the blocked join parallelizes (at
+        # real scale the input is already wide)
+        .repartition(32)
+        .localCheckpoint()
     )
     p = rep.select(
         "p_partkey", "p_name", F.split("p_name", " ").getItem(1).alias("block")
