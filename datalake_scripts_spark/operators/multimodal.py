@@ -338,3 +338,45 @@ def decode_metadata_arrow(
             )
 
     return df.mapInArrow(_decode, DECODED_META_SCHEMA)
+
+
+PNG_ROUNDTRIP_SCHEMA = (
+    "doc_id bigint, width int, height int, channels int, pixels_ok boolean"
+)
+
+
+def png_roundtrip_check(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Distributed proof of the REAL PNG codec (functions.png): per
+    row, synthesize a WxHx3 image whose dimensions and pixel bytes are
+    seeded from the payload's md5 digest, encode it to an actual PNG
+    (zlib, CRC chunks), decode it back through the real inflate +
+    unfilter path, and report the MEASURED dimensions plus exact pixel
+    equality. The driver's DuckDB oracle recomputes the expected
+    dimensions from the same md5 arithmetic — so a codec regression
+    anywhere (chunking, filters, channel layout) breaks the hash match.
+    Runs inside mapInPandas: encode/decode never leave the executor."""
+    import numpy as np
+
+    from ..functions.png import decode_png, encode_png
+
+    def _check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": pdf[id_col], "width": [], "height": [],
+                   "channels": [], "pixels_ok": []}
+            for p in pdf[payload_col]:
+                digest = hashlib.md5(bytes(p)).digest()
+                w, h = 8 + digest[0] % 24, 8 + digest[1] % 24
+                n = w * h * 3
+                pixels = np.frombuffer(
+                    (digest * (n // 16 + 1))[:n], dtype=np.uint8
+                ).reshape(h, w, 3)
+                decoded = decode_png(encode_png(pixels))
+                out["width"].append(decoded.shape[1])
+                out["height"].append(decoded.shape[0])
+                out["channels"].append(decoded.shape[2])
+                out["pixels_ok"].append(bool(np.array_equal(decoded, pixels)))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_check, PNG_ROUNDTRIP_SCHEMA)

@@ -68,9 +68,10 @@ DRIVER_PRIORITY = [
     "dedup_duplicate_clusters_star",
     # similarity / ANN
     "ann_ivf_topk",
-    # multimodal (Arrow fan-out stages)
+    # multimodal (Arrow fan-out stages + the real PNG codec roundtrip)
     "multimodal_decode_stub",
     "multimodal_frame_sample",
+    "multimodal_png_roundtrip",
     # as-of cogroup variant
     "asof_join_cogroup_merge",
     # events family — all 14 never-checked batch twins
@@ -98,7 +99,6 @@ DRIVER_PRIORITY = [
     "curate_corpus_pipeline",
     "udtf_chunk_documents",
     "pack_sequences_greedy",
-    "split_train_val_test",
     # sketches — all 4 never-checked
     "sketch_hll_union_rollup",
     "sketch_theta_customer_reach",

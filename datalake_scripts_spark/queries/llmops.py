@@ -1062,6 +1062,32 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "multimodal_png_roundtrip",
+    sql=f"""
+    SELECT doc_id,
+           CAST(8 + {_hexbyte_sql(0)} % 24 AS INT) AS width,
+           CAST(8 + {_hexbyte_sql(1)} % 24 AS INT) AS height,
+           3 AS channels,
+           TRUE AS pixels_ok
+    FROM documents
+    """,
+)
+def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL image codec (functions.png), driver-verified: each doc
+    seeds a WxHx3 pixel array from its md5 digest; the Arrow stage
+    encodes it to an actual PNG (zlib + CRC chunks) and decodes it back
+    through the real inflate/unfilter path, reporting MEASURED
+    dimensions and exact pixel equality. The oracle recomputes the
+    expected dimensions from the same md5 arithmetic and asserts
+    pixels_ok — a regression in any codec layer breaks the hash."""
+    from ..operators.multimodal import png_roundtrip_check
+
+    docs = t(spark, sf_dir, "documents")
+    payloads = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return png_roundtrip_check(payloads)
+
+
 def _semdedup_sql(threshold: float = 0.3, stride: int = 50) -> str:
     acos = S.sql_cosine("e.v", "c.cvec")
     pcos = S.sql_cosine("a.v", "b.v")

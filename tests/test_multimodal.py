@@ -148,3 +148,24 @@ def test_decode_metadata_arrow_equals_pandas_path(spark, sf_dir):
     a = sorted(decode_metadata(_payloads(spark, sf_dir)).collect())
     b = sorted(decode_metadata_arrow(_payloads(spark, sf_dir)).collect())
     assert a == b
+
+
+def test_png_roundtrip_check_real_codec(spark, sf_dir):
+    """png_roundtrip_check: every doc's synthesized PNG survives the
+    real encode->decode path with exact pixels and md5-derived dims."""
+    import hashlib
+
+    from datalake_scripts_spark.io import read_table
+    from datalake_scripts_spark.operators.multimodal import png_roundtrip_check
+    from pyspark.sql import functions as F
+
+    docs = read_table(spark, sf_dir, "documents").limit(50)
+    payloads = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    rows = png_roundtrip_check(payloads).collect()
+    assert len(rows) == 50
+    assert all(r.pixels_ok for r in rows)
+    assert all(r.channels == 3 for r in rows)
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    for r in rows[:10]:
+        d = hashlib.md5(texts[r.doc_id].encode()).digest()
+        assert (r.width, r.height) == (8 + d[0] % 24, 8 + d[1] % 24)
