@@ -132,11 +132,16 @@ def _match_fuzzy_scaled(spark, sf_dir):
         part.crossJoin(spark.range(k).withColumnRenamed("id", "_rep"))
         .withColumn("p_partkey", F.col("p_partkey") + F.col("_rep") * n)
         .withColumn(
+            # tag the SECOND token — the blocking key is split(name)[1],
+            # so the tag must land there for replica-disjoint blocks
+            # (tagging word 0 leaves blocks shared and in-block pairs
+            # grow k^2 by construction — measured 59x at k=10)
             "p_name",
             F.when(F.col("_rep") == 0, F.col("p_name")).otherwise(
-                F.concat(
-                    F.lit("r"), F.col("_rep").cast("string"), F.lit("_"),
-                    F.col("p_name"),
+                F.expr(
+                    "concat(split(p_name, ' ')[0], ' r', "
+                    "CAST(_rep AS STRING), '_', "
+                    "substring(p_name, length(split(p_name, ' ')[0]) + 2))"
                 )
             ),
         )
