@@ -56,6 +56,11 @@ BENCH_QUERIES = [
     "dedup_duplicated_span_stats",
     "text_token_entropy",
     "graph_triangle_suppliers",
+    # round 4 additions: association mining (AQE-decided count joins,
+    # the cleared r3 broadcast flag) and the real PNG codec roundtrip
+    # (Python-side Arrow stage throughput)
+    "mining_part_pair_lift",
+    "multimodal_png_roundtrip",
 ]
 
 
