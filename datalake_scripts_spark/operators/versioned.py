@@ -1057,15 +1057,23 @@ def restore_versioned(table_dir: str, version: int) -> int:
     if not 1 <= version <= latest:
         raise ValueError(f"cannot restore to v{version} (latest v{latest})")
     src = _load_manifest(table_dir, version)
-    return _commit_manifest(
-        table_dir,
-        src["files"],
-        src.get("stats", {}),
-        "restore",
-        src.get("schema"),
-        {"restored_from": version},
-        bloom_cols=src.get("bloom_cols"),
-    )
+    # metadata-only commit pinned to an immutable source manifest: a
+    # lost CAS race invalidates nothing, so retry like a plain append
+    last: CommitConflict | None = None
+    for _ in range(16):
+        try:
+            return _commit_manifest(
+                table_dir,
+                src["files"],
+                src.get("stats", {}),
+                "restore",
+                src.get("schema"),
+                {"restored_from": version},
+                bloom_cols=src.get("bloom_cols"),
+            )
+        except CommitConflict as c:
+            last = c
+    raise last
 
 
 def clone_versioned(
@@ -1114,13 +1122,22 @@ def clone_versioned(
             files.append(rel)
             if f in stats:
                 new_stats[rel] = stats[f]
-    return _commit_manifest(
-        dst_dir,
-        files,
-        new_stats,
-        "clone",
-        src.get("schema"),
-        {"cloned_from": os.path.abspath(src_dir), "source_version": v,
-         "shallow": shallow},
-        bloom_cols=src.get("bloom_cols"),
-    )
+    # metadata-only commit from an immutable source snapshot: retry a
+    # lost CAS race like a plain append (deep-clone files are already
+    # copied under fresh names, still valid on retry)
+    last: CommitConflict | None = None
+    for _ in range(16):
+        try:
+            return _commit_manifest(
+                dst_dir,
+                files,
+                new_stats,
+                "clone",
+                src.get("schema"),
+                {"cloned_from": os.path.abspath(src_dir), "source_version": v,
+                 "shallow": shallow},
+                bloom_cols=src.get("bloom_cols"),
+            )
+        except CommitConflict as c:
+            last = c
+    raise last
