@@ -8,12 +8,14 @@ recordings (zoom_load.py:148-206), which never put binaries in a table.
 Decode / feature-extract run as Arrow-batched ``mapInPandas`` stages so
 bytes stay columnar across the Python boundary. PNG payloads get REAL
 decode/resize (functions.png: pure zlib+numpy codec — inflate, all five
-scanline filters, bilinear resample); other formats fall back to the
-deterministic STUB (clearly marked — JPEG/ffmpeg codecs are not in this
-container), which keeps the DuckDB oracle twins exact for the synthetic
-non-PNG payloads. Schema, partitioning, UDF signature, and batch shape —
-the Spark-side contract — are identical on both paths and tested
-(tests/test_multimodal.py, tests/test_png_codec.py).
+scanline filters, bilinear resample) and WAV payloads get REAL audio
+decode + true per-chunk RMS (functions.wav: RIFF/PCM16); other formats
+fall back to the deterministic STUB (clearly marked — JPEG/ffmpeg
+codecs are not in this container), which keeps the DuckDB oracle twins
+exact for the synthetic non-PNG/non-WAV payloads. Schema, partitioning,
+UDF signature, and batch shape — the Spark-side contract — are
+identical on both paths and tested (tests/test_multimodal.py,
+tests/test_png_codec.py).
 """
 
 from __future__ import annotations
@@ -246,14 +248,17 @@ def audio_chunk_stub(
     (image). One input row fans out to duration/chunk_ms output rows,
     ready for downstream per-chunk embedding / VAD / ASR stages.
 
-    STUB decode (no audio codecs in this environment): duration is
-    derived from the byte length as 16-bit mono PCM at ``sample_rate``
-    (2 bytes/sample), and ``fake_rms`` is an md5-derived deterministic
-    stand-in for the chunk's RMS energy. A real implementation swaps
-    ONLY the body (soundfile/librosa per chunk); schema, fan-out shape,
-    Arrow batching, and partition preservation are the real contract.
+    WAV payloads (RIFF/PCM16) take the REAL path (functions.wav): the
+    container's declared sample rate overrides the argument, sample
+    counts come from the data chunk, and ``fake_rms`` carries the TRUE
+    per-chunk RMS energy (int64-exact sum of squares — the VAD /
+    silence-gate signal). Other payloads keep the STUB decode (duration
+    from byte length as 16-bit mono PCM at ``sample_rate``, md5-derived
+    rms stand-in — a real implementation swaps only this body); schema,
+    fan-out shape, Arrow batching, and partition preservation are the
+    same contract on both paths.
     """
-    samples_per_chunk = sample_rate * chunk_ms // 1000
+    from ..functions.wav import UnsupportedWav, decode_wav, is_wav, rms_int16
 
     def _chunk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -263,22 +268,31 @@ def audio_chunk_stub(
             }
             for did, payload in zip(pdf[id_col], pdf[payload_col]):
                 payload = bytes(payload)
-                n_samples = len(payload) // 2
-                dur_ms = n_samples * 1000 // sample_rate
-                n_chunks = max(1, -(-n_samples // samples_per_chunk))
+                pcm, rate = None, sample_rate
+                if is_wav(payload):
+                    try:
+                        pcm, rate = decode_wav(payload)
+                    except UnsupportedWav:
+                        pcm = None  # exotic encoding -> stub path
+                spc = rate * chunk_ms // 1000
+                n_samples = len(payload) // 2 if pcm is None else pcm.shape[0]
+                dur_ms = n_samples * 1000 // rate
+                n_chunks = max(1, -(-n_samples // spc))
                 head = hashlib.md5(payload).digest()
                 for i in range(n_chunks):
-                    s0 = i * samples_per_chunk
-                    s1 = min(n_samples, s0 + samples_per_chunk)
-                    h = hashlib.md5(head + i.to_bytes(4, "little")).digest()
+                    s0 = i * spc
+                    s1 = min(n_samples, s0 + spc)
+                    if pcm is None:
+                        h = hashlib.md5(head + i.to_bytes(4, "little")).digest()
+                        rms = int.from_bytes(h[:4], "little") / 2**32
+                    else:
+                        rms = rms_int16(pcm[s0:s1])
                     out["doc_id"].append(did)
                     out["chunk_idx"].append(i)
                     out["start_ms"].append(i * chunk_ms)
                     out["end_ms"].append(min(dur_ms, (i + 1) * chunk_ms))
                     out["n_samples"].append(max(0, s1 - s0))
-                    out["fake_rms"].append(
-                        int.from_bytes(h[:4], "little") / 2**32
-                    )
+                    out["fake_rms"].append(rms)
             yield pd.DataFrame(out)
 
     return df.select(
@@ -380,3 +394,43 @@ def png_roundtrip_check(
             yield pd.DataFrame(out)
 
     return df.mapInPandas(_check, PNG_ROUNDTRIP_SCHEMA)
+
+
+WAV_ROUNDTRIP_SCHEMA = (
+    "doc_id bigint, n_samples int, sample_rate int, n_chunks int, "
+    "pcm_ok boolean"
+)
+
+
+def wav_roundtrip_check(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Distributed proof of the REAL WAV codec (functions.wav), audio
+    twin of :func:`png_roundtrip_check`: per row, synthesize an int16
+    PCM signal whose length and samples are seeded from the payload's
+    md5 digest, encode it as an actual RIFF/PCM16 WAV, decode it back,
+    and report MEASURED sample count / declared rate / 250 ms chunk
+    count plus exact sample equality. The DuckDB oracle recomputes the
+    expected counts from the same md5 arithmetic."""
+    import numpy as np
+
+    from ..functions.wav import decode_wav, encode_wav
+
+    def _check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": pdf[id_col], "n_samples": [], "sample_rate": [],
+                   "n_chunks": [], "pcm_ok": []}
+            for p in pdf[payload_col]:
+                digest = hashlib.md5(bytes(p)).digest()
+                n = 1000 + digest[0] * 256 + digest[1]
+                pcm = np.frombuffer(
+                    (digest * (2 * n // 16 + 1))[: 2 * n], dtype="<i2"
+                ).reshape(n, 1)
+                decoded, rate = decode_wav(encode_wav(pcm, 16000))
+                out["n_samples"].append(decoded.shape[0])
+                out["sample_rate"].append(rate)
+                out["n_chunks"].append(-(-decoded.shape[0] // (rate // 4)))
+                out["pcm_ok"].append(bool(np.array_equal(decoded, pcm)))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_check, WAV_ROUNDTRIP_SCHEMA)

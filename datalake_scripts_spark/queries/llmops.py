@@ -1088,6 +1088,34 @@ def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return png_roundtrip_check(payloads)
 
 
+@query(
+    "multimodal_wav_roundtrip",
+    sql=f"""
+    SELECT doc_id,
+           CAST(1000 + {_hexbyte_sql(0)} * 256 + {_hexbyte_sql(1)} AS INT)
+             AS n_samples,
+           16000 AS sample_rate,
+           CAST(CEIL((1000 + {_hexbyte_sql(0)} * 256 + {_hexbyte_sql(1)})
+                     / 4000.0) AS INT) AS n_chunks,
+           TRUE AS pcm_ok
+    FROM documents
+    """,
+)
+def multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL audio codec (functions.wav), driver-verified — audio
+    twin of multimodal_png_roundtrip: each doc seeds an int16 PCM
+    signal from its md5 digest; the Arrow stage encodes it as an actual
+    RIFF/PCM16 WAV and decodes it back, reporting measured sample
+    counts, the declared rate, 250 ms chunk fan-out, and exact sample
+    equality; the oracle recomputes the counts from the same md5
+    arithmetic."""
+    from ..operators.multimodal import wav_roundtrip_check
+
+    docs = t(spark, sf_dir, "documents")
+    payloads = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return wav_roundtrip_check(payloads)
+
+
 def _semdedup_sql(threshold: float = 0.3, stride: int = 50) -> str:
     acos = S.sql_cosine("e.v", "c.cvec")
     pcos = S.sql_cosine("a.v", "b.v")

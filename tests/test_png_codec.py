@@ -161,3 +161,86 @@ def test_resize_real_png_through_arrow(spark):
     assert (got[1].orig_width, got[1].orig_height) == (30, 20)
     # non-PNG payload keeps the stub contract: fixed-size byte block
     assert len(bytes(got[2].payload)) == 8 * 6
+
+
+# ---------------------------------------------------------------------------
+# WAV codec (functions.wav) — audio sibling of the PNG tests above
+# ---------------------------------------------------------------------------
+
+
+def test_wav_roundtrip_exact_mono_and_stereo():
+    from datalake_scripts_spark.functions.wav import (
+        decode_wav, encode_wav, wav_info,
+    )
+
+    rng = np.random.default_rng(5)
+    for shape, rate in [((100,), 16000), ((333, 2), 44100), ((1, 1), 8000)]:
+        a = rng.integers(-(2**15), 2**15, size=shape, dtype=np.int16)
+        b = encode_wav(a, rate)
+        decoded, got_rate = decode_wav(b)
+        expected = a[:, None] if a.ndim == 1 else a
+        assert got_rate == rate
+        assert np.array_equal(decoded, expected)
+        n, r, ch = wav_info(b)
+        assert (n, r, ch) == (expected.shape[0], rate, expected.shape[1])
+
+
+def test_wav_unsupported_and_corrupt_rejected():
+    import struct
+
+    from datalake_scripts_spark.functions.wav import (
+        UnsupportedWav, decode_wav, encode_wav,
+    )
+
+    with pytest.raises(ValueError):
+        decode_wav(b"not riff data at all!!")
+    # float-PCM (format 3) is valid WAV but unsupported here
+    fmt = struct.pack("<HHIIHH", 3, 1, 16000, 64000, 4, 32)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", 4) + b"\x00" * 4)
+    bad = b"RIFF" + struct.pack("<I", len(body)) + body
+    with pytest.raises(UnsupportedWav):
+        decode_wav(bad)
+    assert decode_wav(encode_wav(np.zeros(4, np.int16)))[0].shape == (4, 1)
+
+
+def test_audio_chunk_real_wav_rms(spark):
+    """audio_chunk_stub takes the REAL path for WAV payloads: declared
+    sample rate wins, chunk fan-out matches the data chunk, and
+    fake_rms carries the true per-chunk RMS energy."""
+    from datalake_scripts_spark.functions.wav import encode_wav, rms_int16
+    from datalake_scripts_spark.operators.multimodal import audio_chunk_stub
+
+    rate, n = 8000, 8000 + 1234  # 2 chunks at 1000 ms
+    rng = np.random.default_rng(17)
+    pcm = rng.integers(-(2**15), 2**15, size=(n, 1), dtype=np.int16)
+    wav = encode_wav(pcm, rate)
+    df = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(b"raw-non-wav-payload-xx"))],
+        "doc_id long, payload binary",
+    )
+    rows = audio_chunk_stub(df, sample_rate=16000, chunk_ms=1000).collect()
+    wav_chunks = sorted(
+        [r for r in rows if r.doc_id == 1], key=lambda r: r.chunk_idx
+    )
+    assert len(wav_chunks) == 2  # 8000-sample chunks at the DECLARED 8 kHz
+    assert wav_chunks[0].n_samples == 8000
+    assert wav_chunks[1].n_samples == 1234
+    assert abs(wav_chunks[0].fake_rms - rms_int16(pcm[:8000])) < 1e-9
+    assert abs(wav_chunks[1].fake_rms - rms_int16(pcm[8000:])) < 1e-9
+    # non-WAV payload keeps the md5-derived stub rms in [0, 1)
+    stub = [r for r in rows if r.doc_id == 2]
+    assert len(stub) == 1 and 0.0 <= stub[0].fake_rms < 1.0
+
+
+def test_wav_roundtrip_check_through_arrow(spark, sf_dir):
+    from datalake_scripts_spark.io import read_table
+    from datalake_scripts_spark.operators.multimodal import wav_roundtrip_check
+    from pyspark.sql import functions as F
+
+    docs = read_table(spark, sf_dir, "documents").limit(40)
+    payloads = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    rows = wav_roundtrip_check(payloads).collect()
+    assert len(rows) == 40
+    assert all(r.pcm_ok and r.sample_rate == 16000 for r in rows)
+    assert all(r.n_chunks == -(-r.n_samples // 4000) for r in rows)
