@@ -1116,6 +1116,72 @@ def multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wav_roundtrip_check(payloads)
 
 
+_PII_EMAIL = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+_PII_IPV4 = "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"
+_PII_SSN = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+_PII_PHONE = "\\+1-555-[0-9]{4}"
+
+
+@query(
+    "text_pii_scrub",
+    sql=f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact u' || CAST(doc_id AS VARCHAR)
+                  || '@ex.org ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                  || '.1 ssn 123-45-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+                  || ' call +1-555-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+               AS t
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '{_PII_IPV4}')) AS BIGINT) AS n_ipv4,
+           CAST(len(regexp_extract_all(t, '{_PII_SSN}')) AS BIGINT) AS n_ssn,
+           CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS BIGINT) AS n_phone,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+               '{_PII_EMAIL}', '[EMAIL]', 'g'),
+               '{_PII_IPV4}', '[IP]', 'g'),
+               '{_PII_SSN}', '[SSN]', 'g'),
+               '{_PII_PHONE}', '[PHONE]', 'g') AS scrubbed
+    FROM aug
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the compliance pass every pretraining exporter
+    runs: regex detection + redaction of emails, IPv4 addresses,
+    SSN-shaped ids, and phone numbers, with per-class counts for the
+    removal report. The synthetic corpus contains no PII, so both
+    engines deterministically INJECT doc_id-derived PII tokens first
+    and then scrub them — the regex semantics (not the fixture) are
+    what is verified, with patterns chosen portable across Java regex
+    and RE2 (no lookarounds). Map-only: zero shuffle, linear in corpus
+    bytes at any scale."""
+    docs = t(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact u"), F.col("doc_id").cast("string"),
+        F.lit("@ex.org ip 10.0."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(".1 ssn 123-45-"),
+        (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+        F.lit(" call +1-555-"),
+        (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+    )
+    scrubbed = F.col("t")
+    for pat, rep in [
+        (_PII_EMAIL, "[EMAIL]"), (_PII_IPV4, "[IP]"),
+        (_PII_SSN, "[SSN]"), (_PII_PHONE, "[PHONE]"),
+    ]:
+        scrubbed = F.regexp_replace(scrubbed, pat, rep)
+    return docs.select("doc_id", aug.alias("t")).select(
+        "doc_id",
+        F.size(F.regexp_extract_all("t", F.lit(_PII_EMAIL), 0)).cast("bigint").alias("n_emails"),
+        F.size(F.regexp_extract_all("t", F.lit(_PII_IPV4), 0)).cast("bigint").alias("n_ipv4"),
+        F.size(F.regexp_extract_all("t", F.lit(_PII_SSN), 0)).cast("bigint").alias("n_ssn"),
+        F.size(F.regexp_extract_all("t", F.lit(_PII_PHONE), 0)).cast("bigint").alias("n_phone"),
+        scrubbed.alias("scrubbed"),
+    )
+
+
 def _semdedup_sql(threshold: float = 0.3, stride: int = 50) -> str:
     acos = S.sql_cosine("e.v", "c.cvec")
     pcos = S.sql_cosine("a.v", "b.v")
