@@ -370,6 +370,71 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _decon_emb_sql(threshold: float = 0.25) -> str:
+    cos = S.sql_cosine("e.v", "b.bv")
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (SELECT vec_id AS bench_id, v AS bv FROM e WHERE vec_id < 10),
+    scored AS (
+      SELECT e.vec_id, bench_id, {cos} AS cosine
+      FROM e, b WHERE e.vec_id >= 10),
+    best AS (
+      SELECT vec_id, bench_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY cosine DESC, bench_id) AS rn
+      FROM scored)
+    SELECT vec_id, bench_id AS best_bench_id, cosine AS max_cosine,
+           cosine >= {threshold} AS contaminated
+    FROM best WHERE rn = 1
+    """
+
+
+@query("decontaminate_embedding_benchmark", sql=_decon_emb_sql())
+def decontaminate_embedding_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC decontamination — the embedding complement of the
+    n-gram pass (decontaminate_against_benchmark): every corpus vector
+    is scored against the full eval-suite embedding set (vec_id < 10
+    stands in for the benchmark) and flagged when its max cosine
+    crosses the threshold, the near-duplicate-of-eval-data filter
+    modern pretraining pipelines run alongside exact-overlap checks.
+    Scale shape: the benchmark set BROADCASTS (eval suites are fixed
+    size), so scoring is map-only over the corpus — zero shuffle
+    before the per-vector top-1 reduction, which is a groupBy-free
+    window over the broadcast fan-out, linear in corpus size. Cosines
+    use the same left-to-right fold as the ANN family, so the oracle
+    hash-matches bit-for-bit."""
+    from pyspark.sql import Window as W
+
+    emb = t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    e = emb.select("vec_id", v.alias("v"), S.dot(v, v, 64).alias("vn"))
+    bench = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("bench_id"),
+        F.col("v").alias("bv"),
+        F.col("vn").alias("bn"),
+    )
+    corpus = e.filter(F.col("vec_id") >= 10)
+    # bcast: O(benchmark) — the eval-suite embedding set, fixed size
+    scored = corpus.crossJoin(F.broadcast(bench)).select(
+        "vec_id",
+        "bench_id",
+        S.cosine_with_norms(
+            F.col("v"), F.col("bv"), F.col("vn"), F.col("bn"), 64
+        ).alias("cosine"),
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("bench_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            F.col("bench_id").alias("best_bench_id"),
+            F.col("cosine").alias("max_cosine"),
+            (F.col("cosine") >= 0.25).alias("contaminated"),
+        )
+    )
+
+
 def _ann_brute_sql() -> str:
     cos = S.sql_cosine("q.qv", "e.v")
     return f"""
