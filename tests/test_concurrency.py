@@ -208,3 +208,82 @@ def test_wap_append_retries_through_conflict(spark, sf_dir, table_dir):
     finally:
         V._commit_manifest = real_commit
     assert read_versioned(spark, table_dir).count() == 2 * nation.count() + 2
+
+
+def test_mixed_writers_fuzz_no_lost_updates(spark, sf_dir, table_dir):
+    """Concurrency fuzz: threads race appends against read-pinned
+    DELETEs (retrying on CommitConflict as a real job would). Invariant
+    after the dust settles: every append's rows are either present or
+    were removed by the one DELETE that targeted that tag — nothing
+    vanishes silently, every version in the chain loads, and version
+    numbers are a gapless 1..N chain."""
+    import json as _json
+
+    nation = read_table(spark, sf_dir, "nation").limit(5)
+    write_versioned(spark, nation.limit(0), table_dir, mode="append")
+
+    n_appenders, errors = 4, []
+
+    def appender(i: int):
+        try:
+            batch = nation.withColumn(
+                "n_name", F.concat(F.lit(f"t{i}:"), F.col("n_name"))
+            )
+            for _ in range(3):
+                write_versioned(spark, batch, table_dir, mode="append")
+        except Exception as e:
+            errors.append(e)
+
+    def deleter():
+        # delete tag t0 rows; retry through conflicts like a real job
+        try:
+            for attempt in range(40):
+                try:
+                    delete_versioned(spark, table_dir, "n_name LIKE 't0:%'")
+                    return
+                except CommitConflict:
+                    continue
+            errors.append(RuntimeError("deleter starved"))
+        except Exception as e:
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=appender, args=(i,)) for i in range(n_appenders)
+    ]
+    threads.append(threading.Thread(target=deleter))
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert errors == []
+
+    got = read_versioned(spark, table_dir)
+    tags = {
+        r.tag: r.n
+        for r in got.select(F.substring("n_name", 1, 3).alias("tag"))
+        .groupBy("tag").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # non-deleted appenders: all 3 batches present in full
+    for i in range(1, n_appenders):
+        assert tags.get(f"t{i}:") == 3 * nation.count(), tags
+    # t0: whatever the delete snapshot saw is gone; appends after it
+    # survive in full batches (multiples of the batch size)
+    assert tags.get("t0:", 0) % nation.count() == 0
+    # gapless version chain, every manifest loads and reads
+    latest = current_version(table_dir)
+    for v in range(1, latest + 1):
+        m = _load_manifest(table_dir, v)
+        assert m["version"] == v
+    # at most one delete commit (a delete whose snapshot predated any
+    # t0 append legitimately no-ops without committing), and the final
+    # t0 count reconciles exactly with its recorded n_deleted
+    deletes = [
+        _load_manifest(table_dir, v)
+        for v in range(1, latest + 1)
+        if _load_manifest(table_dir, v)["mode"] == "delete"
+    ]
+    assert len(deletes) <= 1
+    assert latest == 1 + 3 * n_appenders + len(deletes)
+    n_deleted = deletes[0]["meta"]["n_deleted"] if deletes else 0
+    total_t0_appended = 3 * nation.count()
+    assert tags.get("t0:", 0) == total_t0_appended - n_deleted
