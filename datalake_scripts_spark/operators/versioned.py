@@ -80,25 +80,33 @@ def current_version(table_dir: str) -> int:
 
     ``_latest`` is an advance-only cache that can briefly LAG under
     concurrent writers (the loser of a pointer race must never regress
-    it), so the manifest directory — whose files are published
-    atomically and fully-formed — is consulted too and the max wins.
-    One extra LIST per call is the same metadata pattern Delta uses
-    (_last_checkpoint hint + log listing)."""
+    it), so the truth is the manifest chain itself. Commits are a
+    GAPLESS chain by construction (the CAS targets exactly N+1), so a
+    forward WALK from the cached pointer — one stat per un-cached
+    commit, usually zero — resolves the head without listing the whole
+    directory (the Delta _last_checkpoint + log-tail pattern; a full
+    LIST per read would be O(history) on a long-lived table). Only a
+    missing/garbled cache falls back to one full listing (a vacuumed
+    history makes walking from 0 invalid)."""
     v = 0
     try:
         with open(_latest_path(table_dir)) as f:
             v = int(f.read().strip())
     except (FileNotFoundError, ValueError):
         pass
-    try:
-        names = os.listdir(_manifest_dir(table_dir))
-    except FileNotFoundError:
-        return v
-    newest = max(
-        (int(n[1:6]) for n in names if re.fullmatch(r"v\d{5}\.json", n)),
-        default=0,
-    )
-    return max(v, newest)
+    if v == 0:
+        try:
+            names = os.listdir(_manifest_dir(table_dir))
+        except FileNotFoundError:
+            return 0
+        v = max(
+            (int(n[1:6]) for n in names if re.fullmatch(r"v\d{5}\.json", n)),
+            default=0,
+        )
+    mdir = _manifest_dir(table_dir)
+    while os.path.exists(os.path.join(mdir, f"v{v + 1:05d}.json")):
+        v += 1
+    return v
 
 
 def _load_manifest(table_dir: str, version: int) -> dict:

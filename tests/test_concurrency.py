@@ -287,3 +287,26 @@ def test_mixed_writers_fuzz_no_lost_updates(spark, sf_dir, table_dir):
     n_deleted = deletes[0]["meta"]["n_deleted"] if deletes else 0
     total_t0_appended = 3 * nation.count()
     assert tags.get("t0:", 0) == total_t0_appended - n_deleted
+
+
+def test_current_version_forward_walk_after_vacuum(spark, sf_dir, table_dir):
+    """current_version resolves via cache + forward walk (no full
+    listing): stale cache behind several commits walks forward; a
+    vacuumed history (v1..k gone) with a healthy cache still resolves;
+    a MISSING cache falls back to one listing and still finds the head
+    past the vacuum gap."""
+    region = read_table(spark, sf_dir, "region")
+    for _ in range(4):
+        write_versioned(spark, region, table_dir, mode="append")
+    from datalake_scripts_spark.operators.versioned import vacuum
+
+    vacuum(table_dir, keep_last=2)  # v1, v2 manifests pruned
+    assert current_version(table_dir) == 4
+    # stale cache: walk forward across the retained chain
+    with open(os.path.join(table_dir, "_latest"), "w") as f:
+        f.write("3")
+    assert current_version(table_dir) == 4
+    # missing cache entirely: one listing fallback skips the vacuum gap
+    os.remove(os.path.join(table_dir, "_latest"))
+    assert current_version(table_dir) == 4
+    assert read_versioned(spark, table_dir).count() == 4 * region.count()
