@@ -370,6 +370,89 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_url_canonical",
+    sql="""
+    WITH u AS (
+      SELECT doc_id,
+             'HTTPS://WWW.Host' || CAST(doc_id % 7 AS VARCHAR)
+               || '.COM:443/Path/' || CAST(doc_id % 5 AS VARCHAR)
+               || '?utm_source=x&id=' || CAST(doc_id % 25 AS VARCHAR)
+               || '&b=2&a=1#sec' AS url
+      FROM documents),
+    nf AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nofrag FROM u),
+    parts AS (
+      SELECT doc_id,
+             lower(regexp_extract(nofrag, '^[a-zA-Z]+://[^/?]+')) AS sh,
+             regexp_extract(nofrag, '^[a-zA-Z]+://[^/?]+([^?]*)', 1) AS pth,
+             CASE WHEN strpos(nofrag, '?') > 0
+                  THEN substr(nofrag, strpos(nofrag, '?') + 1) ELSE '' END AS q
+      FROM nf),
+    canon AS (
+      SELECT doc_id,
+             regexp_replace(sh, ':443$', '') || pth
+               || CASE WHEN qq = '' THEN '' ELSE '?' || qq END AS canonical_url
+      FROM (SELECT doc_id, sh, pth,
+                   array_to_string(list_sort(list_filter(
+                       string_split(q, '&'),
+                       x -> NOT starts_with(x, 'utm_'))), '&') AS qq
+            FROM parts) t)
+    SELECT canonical_url,
+           CAST(MIN(doc_id) AS BIGINT) AS rep_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_dups
+    FROM canon GROUP BY 1
+    """,
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup — the first pass of every web-corpus pipeline:
+    canonicalize (lowercase scheme+host, strip the default :443 port
+    and the #fragment, drop utm_* tracking params, SORT the surviving
+    query params so param order never splits a group), then exact-dedup
+    on the canonical form with a deterministic min-id representative.
+    The corpus has no URL column, so both engines synthesize the same
+    doc_id-derived messy URLs first (host/path/id residues collide by
+    construction) — the canonicalization algebra is what's verified,
+    with shared regexes portable across Java regex and RE2. One hash
+    aggregation on the canonical key: the same single-shuffle shape as
+    exact_dedup, linear at any corpus size."""
+    docs = t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTPS://WWW.Host"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".COM:443/Path/"), (F.col("doc_id") % 5).cast("string"),
+        F.lit("?utm_source=x&id="), (F.col("doc_id") % 25).cast("string"),
+        F.lit("&b=2&a=1#sec"),
+    )
+    nofrag = F.regexp_replace(url, r"#.*$", "")
+    sh = F.lower(F.regexp_extract(nofrag, r"^[a-zA-Z]+://[^/?]+", 0))
+    pth = F.regexp_extract(nofrag, r"^[a-zA-Z]+://[^/?]+([^?]*)", 1)
+    q = F.when(
+        F.instr(nofrag, "?") > 0,
+        F.substring_index(nofrag, "?", -1),
+    ).otherwise(F.lit(""))
+    qq = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(q, "&"),
+                lambda x: ~x.startswith("utm_"),
+            )
+        ),
+        "&",
+    )
+    canonical = F.concat(
+        F.regexp_replace(sh, r":443$", ""),
+        pth,
+        F.when(qq == "", F.lit("")).otherwise(F.concat(F.lit("?"), qq)),
+    )
+    return (
+        docs.select("doc_id", canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").cast("bigint").alias("rep_doc_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_dups"),
+        )
+    )
+
+
 def _decon_emb_sql(threshold: float = 0.25) -> str:
     cos = S.sql_cosine("e.v", "b.bv")
     return f"""
