@@ -328,7 +328,7 @@ def decode_metadata_arrow(
             for v in payload:
                 b = v.as_py()
                 md5s.append(hashlib.md5(b).hexdigest())
-                w, h, nf = _stub_decode(b)
+                w, h, nf = _decode_dims(b)  # real IHDR probe for PNGs
                 ws.append(w)
                 hs.append(h)
                 fs.append(nf)

@@ -244,3 +244,24 @@ def test_wav_roundtrip_check_through_arrow(spark, sf_dir):
     assert len(rows) == 40
     assert all(r.pcm_ok and r.sample_rate == 16000 for r in rows)
     assert all(r.n_chunks == -(-r.n_samples // 4000) for r in rows)
+
+
+def test_decode_metadata_arrow_real_png(spark):
+    """The mapInArrow hot-path twin detects real PNG dims identically
+    to the mapInPandas path (it previously bypassed the codec probe)."""
+    from datalake_scripts_spark.operators.multimodal import (
+        decode_metadata,
+        decode_metadata_arrow,
+    )
+
+    rng = np.random.default_rng(23)
+    png = encode_png(rng.integers(0, 256, size=(12, 34, 3), dtype=np.uint8))
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(b"rawbytes"))],
+        "doc_id long, payload binary",
+    )
+    a = {r.doc_id: r for r in decode_metadata_arrow(df).collect()}
+    p = {r.doc_id: r for r in decode_metadata(df).collect()}
+    assert (a[1].fake_width, a[1].fake_height) == (34, 12)
+    for k in (1, 2):
+        assert a[k] == p[k]
