@@ -453,6 +453,37 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "cap_docs_per_domain",
+    sql="""
+    SELECT doc_id, source, CAST(rnk AS INT) AS rnk FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rnk
+      FROM documents) x
+    WHERE rnk <= 30
+    """,
+)
+def cap_docs_per_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-diversity cap (the CCNet/RefinedWeb move): keep at most
+    K documents per source/domain, best-first (content length as the
+    quality proxy here; swap in the Gopher score in production), so a
+    single crawl-heavy domain cannot dominate the training mixture.
+    One window over the domain key — the partial ranks compute inside
+    each domain's partition, no global sort; skew-prone giant domains
+    are exactly the rows the cap discards, so the heavy key's output
+    is bounded at K."""
+    from pyspark.sql import Window as W
+
+    docs = t(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        docs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 30)
+        .select("doc_id", "source", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
 def _decon_emb_sql(threshold: float = 0.25) -> str:
     cos = S.sql_cosine("e.v", "b.bv")
     return f"""
