@@ -176,6 +176,12 @@ LINT_ALLOWLIST = {
     # global scalar summary of per-key counts: partial agg map-side,
     # one tiny row per task crosses the final exchange
     "skew_report_orders_custkey": {"single-partition-exchange"},
+    # semantic decontamination scores EVERY corpus vector against the
+    # whole benchmark set by design (max-cosine needs all pairs); the
+    # benchmark side is O(eval-suite) and enters as an explicit
+    # broadcast, so the "cartesian" is a BroadcastNestedLoopJoin with a
+    # fixed-size build side — corpus x benchmark, never corpus x corpus
+    "decontaminate_embedding_benchmark": {"cartesian-product"},
     # final merge of per-partition HLL sketches: map-side partials reduce
     # each partition to ONE fixed-size sketch (~few KiB); only those cross
     # the single-partition exchange for the associative union. This is the
