@@ -36,10 +36,12 @@ from . import graph  # noqa: F401,E402
 # whole graded surface through the checked window. Round-4 plan
 # (VERDICT r3 ask #1): 3 long-green canaries + 47 names the driver
 # has NEVER checked, so cumulative driver-green coverage reaches
-# 141/174. The committed ledger ``docs/driver_checked.json`` (name ->
-# first green round, updated by scripts/presnapshot.py) is the source
-# of truth for what "never checked" means; the ~29 oracle-backed
-# remainder is queued for the round-5 prefix.
+# 141/180 (the registry grew by six round-4 additions, all
+# replay-green and queued with the ~33 other oracle-backed remainders
+# for the round-5 prefix). The committed ledger
+# ``docs/driver_checked.json`` (name -> first green round, updated by
+# scripts/presnapshot.py) is the source of truth for what "never
+# checked" means.
 DRIVER_PRIORITY = [
     # canaries — green since round 1 (one relational, one normalization,
     # one dedup: a regression in any family head trips at least one)
