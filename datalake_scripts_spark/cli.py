@@ -107,6 +107,11 @@ def main(argv: list[str] | None = None) -> int:
         action="append",
         help="col=SQL-expr (repeatable)",
     )
+    mrg = tbl_sub.add_parser(
+        "merge", help="MERGE a parquet batch into the table (upsert by key)"
+    )
+    mrg.add_argument("--source", required=True, help="parquet path of the batch")
+    mrg.add_argument("--keys", required=True, help="comma-separated key columns")
     rst = tbl_sub.add_parser("restore", help="roll back to a version (new commit)")
     rst.add_argument("--version", type=int, required=True)
     cln = tbl_sub.add_parser("clone", help="clone a snapshot to a new table")
@@ -143,6 +148,25 @@ def main(argv: list[str] | None = None) -> int:
             sets = dict(s.split("=", 1) for s in args.set)
             v, n = V.update_versioned(spark, args.dir, args.where, sets)
             print(f"updated {n} rows -> v{v}")
+        elif args.action == "merge":
+            # same semantics as streaming CDC apply
+            # (foreach_batch_merge_versioned): matched keys replace,
+            # new keys insert, one snapshot commits the merge result
+            from .operators.upsert import merge_upsert
+
+            keys = args.keys.split(",")
+            batch = spark.read.parquet(args.source)
+            if V.current_version(args.dir) == 0:
+                merged = batch
+            else:
+                merged = merge_upsert(
+                    V.read_versioned(spark, args.dir), batch, keys
+                )
+            v = V.write_versioned(
+                spark, merged, args.dir, mode="overwrite",
+                meta={"merged_from": args.source, "keys": keys},
+            )
+            print(f"merged {batch.count()} batch rows -> v{v}")
         elif args.action == "restore":
             v = V.restore_versioned(args.dir, args.version)
             print(f"restored v{args.version} -> v{v}")

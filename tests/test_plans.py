@@ -438,3 +438,33 @@ def test_cli_versioned_sink(spark, fixdir, tmp_path):
     assert current_version(table) == 2
     assert read_versioned(spark, table).count() == 4
     assert read_versioned(spark, table, version=1).count() == 2
+
+
+def test_cli_table_merge(spark, sf_dir, tmp_path):
+    """table merge: upsert a parquet batch into a versioned table by
+    key — matched rows replace, new keys insert, one commit."""
+    from pyspark.sql import functions as F
+
+    from datalake_scripts_spark.cli import main as cli_main
+    from datalake_scripts_spark.io import read_table
+    from datalake_scripts_spark.operators.versioned import read_versioned
+
+    tdir = str(tmp_path / "merge_table")
+    nation = read_table(spark, sf_dir, "nation")
+    batch1 = str(tmp_path / "b1")
+    nation.write.parquet(batch1)
+    assert cli_main(["table", "--dir", tdir, "merge",
+                     "--source", batch1, "--keys", "n_nationkey"]) == 0
+    batch2 = str(tmp_path / "b2")
+    upd = nation.filter(F.col("n_nationkey") < 3).withColumn(
+        "n_name", F.lit("MERGED")
+    )
+    ins = nation.filter(F.col("n_nationkey") < 2).withColumn(
+        "n_nationkey", F.col("n_nationkey") + 500
+    )
+    upd.unionByName(ins).write.parquet(batch2)
+    assert cli_main(["table", "--dir", tdir, "merge",
+                     "--source", batch2, "--keys", "n_nationkey"]) == 0
+    got = read_versioned(spark, tdir)
+    assert got.count() == nation.count() + 2
+    assert got.filter("n_name = 'MERGED'").count() == 3
