@@ -174,3 +174,32 @@ def fingerprint(col: str | Column) -> Column:
     the classic shingle-free near-dup prefilter."""
     toks = F.array_sort(F.array_distinct(tokens(col)))
     return F.md5(F.concat_ws(" ", toks))
+
+
+def url_canonicalize(col: str | Column) -> Column:
+    """Canonical URL form for web-corpus dedup (the CCNet first pass):
+    lowercase the scheme+host, strip the default port (:443/:80) and
+    the #fragment, drop utm_* tracking params, and SORT the surviving
+    query params so parameter order never splits a duplicate group.
+    Pure native expressions (regex + array HOFs) — map-only at any
+    scale. Idempotent: canonicalize(canonicalize(u)) == canonicalize(u)
+    (property-tested). Regexes avoid lookarounds so the same patterns
+    run under Java regex and RE2 (the DuckDB oracle twin)."""
+    url = F.col(col) if isinstance(col, str) else col
+    nofrag = F.regexp_replace(url, r"#.*$", "")
+    sh = F.lower(F.regexp_extract(nofrag, r"^[a-zA-Z]+://[^/?]+", 0))
+    pth = F.regexp_extract(nofrag, r"^[a-zA-Z]+://[^/?]+([^?]*)", 1)
+    q = F.when(
+        F.instr(nofrag, "?") > 0, F.substring_index(nofrag, "?", -1)
+    ).otherwise(F.lit(""))
+    qq = F.array_join(
+        F.array_sort(
+            F.filter(F.split(q, "&"), lambda x: ~x.startswith("utm_"))
+        ),
+        "&",
+    )
+    return F.concat(
+        F.regexp_replace(sh, r"(:443|:80)$", ""),
+        pth,
+        F.when(qq == "", F.lit("")).otherwise(F.concat(F.lit("?"), qq)),
+    )

@@ -422,27 +422,9 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("?utm_source=x&id="), (F.col("doc_id") % 25).cast("string"),
         F.lit("&b=2&a=1#sec"),
     )
-    nofrag = F.regexp_replace(url, r"#.*$", "")
-    sh = F.lower(F.regexp_extract(nofrag, r"^[a-zA-Z]+://[^/?]+", 0))
-    pth = F.regexp_extract(nofrag, r"^[a-zA-Z]+://[^/?]+([^?]*)", 1)
-    q = F.when(
-        F.instr(nofrag, "?") > 0,
-        F.substring_index(nofrag, "?", -1),
-    ).otherwise(F.lit(""))
-    qq = F.array_join(
-        F.array_sort(
-            F.filter(
-                F.split(q, "&"),
-                lambda x: ~x.startswith("utm_"),
-            )
-        ),
-        "&",
-    )
-    canonical = F.concat(
-        F.regexp_replace(sh, r":443$", ""),
-        pth,
-        F.when(qq == "", F.lit("")).otherwise(F.concat(F.lit("?"), qq)),
-    )
+    from ..operators.text import url_canonicalize
+
+    canonical = url_canonicalize(url)
     return (
         docs.select("doc_id", canonical.alias("canonical_url"))
         .groupBy("canonical_url")

@@ -137,3 +137,34 @@ def test_token_entropy_matches_math(spark):
     assert out[2].entropy_micro == 0.0  # single repeated token
     h3 = math.log(3) - (2 * math.log(2)) / 3
     assert abs(out[3].entropy_micro / 1e6 - h3) < 2e-6
+
+
+def test_url_canonicalize_properties(spark):
+    """url_canonicalize: case/port/fragment/param-order/tracking-param
+    variants of one URL all collapse to a single canonical form, path
+    case survives, and the transform is IDEMPOTENT."""
+    from datalake_scripts_spark.operators.text import url_canonicalize
+    from pyspark.sql import functions as F
+
+    variants = [
+        "https://www.site.com/Path/A?b=2&a=1",
+        "HTTPS://WWW.SITE.COM/Path/A?b=2&a=1",
+        "https://www.site.com:443/Path/A?a=1&b=2",
+        "https://www.site.com/Path/A?utm_source=x&b=2&a=1",
+        "https://www.site.com/Path/A?b=2&utm_campaign=y&a=1#frag",
+    ]
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(variants)], "i int, url string")
+    canon = df.select(url_canonicalize("url").alias("c"))
+    got = {r.c for r in canon.collect()}
+    assert got == {"https://www.site.com/Path/A?a=1&b=2"}
+    # idempotence
+    twice = df.select(url_canonicalize(url_canonicalize("url")).alias("c2"))
+    assert {r.c2 for r in twice.collect()} == got
+    # http default port + no-query forms
+    more = spark.createDataFrame(
+        [(0, "HTTP://Host.ORG:80/x"), (1, "http://host.org/x"),
+         (2, "https://h.io/p?utm_a=1")],
+        "i int, url string",
+    ).select(url_canonicalize("url").alias("c")).collect()
+    assert more[0].c == more[1].c == "http://host.org/x"
+    assert more[2].c == "https://h.io/p"
