@@ -181,3 +181,65 @@ def test_containment_prefix_filter_lossless_any_corpus(spark, docs, threshold):
         ).collect()
     }
     assert fast == slow
+
+
+@SLOW
+@given(
+    arrs=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=9),   # h
+            st.integers(min_value=1, max_value=9),   # w
+            st.sampled_from([1, 3, 4]),              # channels
+            st.integers(min_value=0, max_value=2**32 - 1),  # seed
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_png_roundtrip_property(arrs):
+    """encode_png/decode_png are exact inverses for every 8-bit
+    shape/channel combination (no Spark needed — pure codec law)."""
+    import numpy as np
+
+    from datalake_scripts_spark.functions.png import decode_png, encode_png
+
+    for h, w, ch, seed in arrs:
+        rng = np.random.default_rng(seed)
+        a = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+        assert np.array_equal(decode_png(encode_png(a)), a)
+
+
+@SLOW
+@given(
+    specs=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=2000),  # n samples
+            st.sampled_from([1, 2]),                   # channels
+            st.sampled_from([8000, 16000, 44100]),     # rate
+            st.integers(min_value=0, max_value=2**32 - 1),
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_wav_roundtrip_property(specs):
+    """encode_wav/decode_wav are exact inverses over the FULL int16
+    range (including -32768) for mono/stereo at any rate; rms is
+    finite and order-of-magnitude sane."""
+    import numpy as np
+
+    from datalake_scripts_spark.functions.wav import (
+        decode_wav, encode_wav, rms_int16,
+    )
+
+    for n, ch, rate, seed in specs:
+        rng = np.random.default_rng(seed)
+        a = rng.integers(-(2**15), 2**15, size=(n, ch), dtype=np.int16)
+        # force the extreme value in: the int16 min is the classic
+        # overflow trap for naive abs/square implementations
+        a.flat[0] = -(2**15)
+        decoded, got_rate = decode_wav(encode_wav(a, rate))
+        assert got_rate == rate
+        assert np.array_equal(decoded, a)
+        r = rms_int16(a)
+        assert 0.0 <= r <= 2**15
