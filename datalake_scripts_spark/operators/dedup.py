@@ -1212,3 +1212,81 @@ def ngram_jaccard_pairs_cross(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def remove_duplicated_spans(
+    df: DataFrame, id_col: str, text_col: str, n: int = 8
+) -> DataFrame:
+    """ExactSubstr-style dedup REMOVAL (Lee et al. "Deduplicating
+    Training Data Makes Language Models Better", applied at n-token
+    granularity): every token covered by an n-token span that occurs
+    >= 2 times corpus-wide is dropped, and the document is
+    reconstructed from the surviving tokens in order — the
+    transformation counterpart of :func:`duplicated_ngram_span_stats`
+    (which only reports the signal).
+
+    Returns (id, n_tokens, n_removed, text_clean).
+
+    Scale shape: spans come from sequence+transform over the token
+    array (no self-join); ONE corpus-wide span groupBy finds the
+    duplicated set; covered positions explode only from spans that ARE
+    duplicated (output-proportional, not corpus-proportional); the
+    anti-join and ordered reconstruction shuffle on the doc id. No
+    broadcast hints — the duplicated-span set scales with corpus dup
+    mass, AQE decides (same reasoning as the span-stats op).
+    """
+    toks = tokens(text_col)
+    base = df.select(
+        F.col(id_col).alias("_id"), toks.alias("_tk")
+    ).localCheckpoint()  # feeds spans + positions + final join
+    grams = F.when(
+        F.size("_tk") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_tk") - n + 1),
+            lambda i: F.concat_ws(" ", F.slice("_tk", i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    spans = base.select(
+        "_id", F.posexplode(grams).alias("_i0", "ngram")
+    ).select("_id", (F.col("_i0") + 1).alias("_start"), "ngram")
+    dup = (
+        spans.groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("_occ"))
+        .filter(F.col("_occ") >= 2)
+        .select("ngram")
+    )
+    covered = (
+        spans.join(dup, "ngram")
+        .select(
+            "_id",
+            F.explode(
+                F.sequence(F.col("_start"), F.col("_start") + n - 1)
+            ).alias("_pos"),
+        )
+        .distinct()
+    )
+    positions = base.select(
+        "_id", F.posexplode("_tk").alias("_p", "_tok")
+    ).select("_id", (F.col("_p") + 1).alias("_pos"), "_tok")
+    kept = positions.join(covered, ["_id", "_pos"], "left_anti")
+    rebuilt = kept.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_tok"))),
+                lambda s: s["_tok"],
+            ),
+            " ",
+        ).alias("_clean"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    return (
+        base.join(rebuilt, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.size("_tk").cast("bigint").alias("n_tokens"),
+            (F.size("_tk") - F.coalesce(F.col("_n_kept"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.coalesce(F.col("_clean"), F.lit("")).alias("text_clean"),
+        )
+    )

@@ -1412,6 +1412,43 @@ def dedup_duplicated_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.duplicated_ngram_span_stats(docs, "doc_id", "text", n=8)
 
 
+@query(
+    "dedup_remove_duplicated_spans",
+    sql=f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKS} AS tk FROM documents),
+    spans AS (SELECT doc_id, i, array_to_string(tk[i:i+7], ' ') AS ngram
+              FROM toks, UNNEST(range(1, greatest(len(tk)-7, 0)+1)) AS u(i)),
+    dup AS (SELECT ngram FROM spans GROUP BY ngram HAVING COUNT(*) >= 2),
+    covered AS (SELECT DISTINCT doc_id, p
+                FROM spans JOIN dup USING (ngram),
+                     UNNEST(range(i, i+8)) AS c(p)),
+    pos AS (SELECT doc_id, p, tk[p] AS tok
+            FROM toks, UNNEST(range(1, len(tk)+1)) AS x(p)),
+    kept AS (SELECT doc_id, p, tok FROM pos ANTI JOIN covered USING (doc_id, p)),
+    rebuilt AS (SELECT doc_id,
+                       array_to_string(list(tok ORDER BY p), ' ') AS text_clean,
+                       COUNT(*) AS n_kept
+                FROM kept GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(len(t.tk) AS BIGINT) AS n_tokens,
+           CAST(len(t.tk) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(r.text_clean, '') AS text_clean
+    FROM toks t LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def dedup_remove_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup REMOVAL (Lee et al., 8-token granularity):
+    tokens covered by any span occurring >= 2 times corpus-wide are
+    dropped and the text is rebuilt from the survivors in order — the
+    transformation counterpart of dedup_duplicated_span_stats
+    (operators.dedup.remove_duplicated_spans). One corpus-wide span
+    groupBy; covered positions explode only from DUPLICATED spans
+    (output-proportional); anti-join + ordered rebuild shuffle on the
+    doc id."""
+    docs = t(spark, sf_dir, "documents")
+    return D.remove_duplicated_spans(docs, "doc_id", "text", n=8)
+
+
 BLOCKLIST_TERMS = ["spark", "hash", "secret", "token", "key"]
 
 

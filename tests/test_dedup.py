@@ -402,3 +402,34 @@ def test_incremental_cross_equals_full_restricted(spark, sf_dir):
         if r.id_a < 400 <= r.id_b
     }
     assert cross == full and len(cross) > 0
+
+
+def test_remove_duplicated_spans_semantics(spark):
+    """Hand-crafted corpus: the shared 3-token span vanishes from BOTH
+    docs (coverage merges overlapping duplicated windows); unique text
+    survives verbatim; a fully-duplicated doc empties."""
+    from datalake_scripts_spark.operators.dedup import remove_duplicated_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta unique one"),
+            (2, "prefix words alpha beta gamma delta other tail"),
+            (3, "alpha beta gamma delta"),  # nothing but the dup span
+            (4, "totally different content here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in remove_duplicated_spans(docs, "doc_id", "text", n=4).collect()
+    }
+    # the 4-token window 'alpha beta gamma delta' occurs 3x corpus-wide
+    assert out[1].text_clean == "unique one"
+    assert out[1].n_removed == 4
+    assert out[2].text_clean == "prefix words other tail"
+    assert out[3].text_clean == "" and out[3].n_removed == 4
+    assert out[4].text_clean == "totally different content here"
+    assert out[4].n_removed == 0
+    assert all(out[k].n_tokens - out[k].n_removed ==
+               (len(out[k].text_clean.split()) if out[k].text_clean else 0)
+               for k in out)
