@@ -66,6 +66,17 @@ DEFAULT_QUERIES = [
     "events_weekly_active_users",
     "events_transition_matrix",
     "match_fuzzy_scaled",
+    # round-4 query additions (all measured flat-to-linear at k=10,
+    # README table): map-only scrub/cap, canonical-URL hash-agg,
+    # corpus x fixed-benchmark scoring, Python codec Arrow stages,
+    # and the ExactSubstr removal (span groupBy + anti-join)
+    "text_pii_scrub",
+    "dedup_url_canonical",
+    "cap_docs_per_domain",
+    "decontaminate_embedding_benchmark",
+    "multimodal_png_roundtrip",
+    "multimodal_wav_roundtrip",
+    "dedup_remove_duplicated_spans",
 ]
 
 
