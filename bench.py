@@ -57,10 +57,13 @@ BENCH_QUERIES = [
     "text_token_entropy",
     "graph_triangle_suppliers",
     # round 4 additions: association mining (AQE-decided count joins,
-    # the cleared r3 broadcast flag) and the real PNG codec roundtrip
-    # (Python-side Arrow stage throughput)
+    # the cleared r3 broadcast flag), the real PNG codec roundtrip
+    # (Python-side Arrow stage throughput), ExactSubstr span removal,
+    # and canonical-URL dedup
     "mining_part_pair_lift",
     "multimodal_png_roundtrip",
+    "dedup_remove_duplicated_spans",
+    "dedup_url_canonical",
 ]
 
 
