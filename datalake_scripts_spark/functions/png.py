@@ -101,9 +101,14 @@ def decode_png(data: bytes) -> np.ndarray:
             f"depth={depth} color_type={color_type} interlace={interlace}"
         )
     ch = _CHANNELS[color_type]
-    raw = zlib.decompress(b"".join(idat))
     stride = w * ch
-    if len(raw) != h * (stride + 1):
+    if w == 0 or h == 0 or h * (stride + 1) > 2**31:
+        raise ValueError(f"implausible PNG dimensions {w}x{h}x{ch}")
+    # bound inflate output by the declared geometry so a corrupt/hostile
+    # IDAT (decompression bomb) can't allocate past the scanline budget
+    expected = h * (stride + 1)
+    raw = zlib.decompressobj().decompress(b"".join(idat), expected + 1)
+    if len(raw) != expected:
         raise ValueError("PNG scanline payload has the wrong size")
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint16)

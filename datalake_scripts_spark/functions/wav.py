@@ -61,6 +61,8 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     audio_format, ch, sample_rate, _rate, _align, bits = fmt
     if audio_format != 1 or bits != 16:
         raise UnsupportedWav(f"format={audio_format} bits={bits}")
+    if ch == 0 or sample_rate == 0:
+        raise ValueError(f"corrupt WAV fmt: channels={ch} rate={sample_rate}")
     n = len(pcm) // (2 * ch)
     arr = np.frombuffer(pcm, dtype="<i2", count=n * ch).reshape(n, ch)
     return arr, sample_rate
@@ -86,6 +88,8 @@ def wav_info(data: bytes) -> tuple[int, int, int]:
     audio_format, ch, sample_rate, _rate, _align, bits = fmt
     if audio_format != 1 or bits != 16:
         raise UnsupportedWav(f"format={audio_format} bits={bits}")
+    if ch == 0 or sample_rate == 0:
+        raise ValueError(f"corrupt WAV fmt: channels={ch} rate={sample_rate}")
     return data_len // (2 * ch), sample_rate, ch
 
 

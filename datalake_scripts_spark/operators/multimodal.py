@@ -21,16 +21,30 @@ tests/test_png_codec.py).
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Every exception a magic-valid-but-corrupt payload can raise inside the
+# real codecs: CRC mismatch / wrong scanline size / zero-channel fmt
+# (ValueError), truncated header (struct.error), corrupt IDAT
+# (zlib.error). One bad row in a web-scale corpus must NEVER fail the
+# task — all decode sites catch this tuple and fall through to the
+# deterministic stub, flagged "quarantined" where the caller asks for
+# status. (UnsupportedPng/UnsupportedWav subclass ValueError but are
+# caught FIRST at each site: an unimplemented-but-valid layout is a
+# deliberate "stub" fallback, not a quarantine.)
+DECODE_ERRORS = (ValueError, struct.error, zlib.error, ZeroDivisionError)
+
 DECODED_META_SCHEMA = (
     "doc_id bigint, n_bytes bigint, content_md5 string, "
     "fake_width int, fake_height int, fake_n_frames int"
 )
+DECODED_META_STATUS_SCHEMA = DECODED_META_SCHEMA + ", decode_status string"
 
 
 def _stub_decode(payload: bytes) -> tuple[int, int, int]:
@@ -42,47 +56,71 @@ def _stub_decode(payload: bytes) -> tuple[int, int, int]:
     return 16 + h[0] % 64, 16 + h[1] % 64, 1 + h[2] % 8
 
 
-def _decode_dims(payload: bytes) -> tuple[int, int, int]:
+def _decode_dims_status(payload: bytes) -> tuple[int, int, int, str]:
     """REAL decode for PNG payloads (IHDR probe — O(1), no inflate),
-    stub fallback for everything else. Returns (width, height,
-    n_frames); a still image is 1 frame."""
+    stub fallback for everything else. Returns (width, height, n_frames,
+    status) where status is ``png`` (real decode), ``stub`` (non-PNG or
+    unimplemented-but-valid layout), or ``quarantined:<Error>`` (valid
+    magic, corrupt payload — the poison-pill lane: dims come from the
+    deterministic stub and the row survives instead of killing the
+    task)."""
     from ..functions.png import UnsupportedPng, is_png, png_dimensions
 
     if is_png(payload):
         try:
             w, h, _ch = png_dimensions(payload)
-            return w, h, 1
+            return w, h, 1, "png"
         except UnsupportedPng:
-            pass  # exotic PNG layout -> deterministic stub path
-    return _stub_decode(payload)
+            status = "stub"  # exotic-but-valid PNG layout
+        except DECODE_ERRORS as e:
+            status = f"quarantined:{type(e).__name__}"
+        w, h, nf = _stub_decode(payload)
+        return w, h, nf, status
+    return (*_stub_decode(payload), "stub")
 
 
-def decode_metadata(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+def _decode_dims(payload: bytes) -> tuple[int, int, int]:
+    """(width, height, n_frames) of :func:`_decode_dims_status`."""
+    return _decode_dims_status(payload)[:3]
+
+
+def decode_metadata(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    with_status: bool = False,
+) -> DataFrame:
     """mapInPandas decode stage: binary payload -> typed metadata.
 
     Arrow moves the bytes in columnar batches; each batch is processed
     vectorized-per-row in Python (the unavoidable Python part), and only
     small typed metadata returns to the JVM. Partitioning is preserved —
-    no shuffle."""
+    no shuffle. Corrupt payloads never raise: they take the stub lane
+    (see :data:`DECODE_ERRORS`); pass ``with_status=True`` to append a
+    ``decode_status`` column (``png`` / ``stub`` /
+    ``quarantined:<Error>``) so a pipeline can route quarantined rows to
+    a dead-letter sink and report counts."""
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf[payload_col]
-            dims = [_decode_dims(bytes(p)) for p in payloads]
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf[id_col],
-                    "n_bytes": payloads.map(len),
-                    "content_md5": payloads.map(
-                        lambda p: hashlib.md5(bytes(p)).hexdigest()
-                    ),
-                    "fake_width": [d[0] for d in dims],
-                    "fake_height": [d[1] for d in dims],
-                    "fake_n_frames": [d[2] for d in dims],
-                }
-            )
+            dims = [_decode_dims_status(bytes(p)) for p in payloads]
+            cols = {
+                "doc_id": pdf[id_col],
+                "n_bytes": payloads.map(len),
+                "content_md5": payloads.map(
+                    lambda p: hashlib.md5(bytes(p)).hexdigest()
+                ),
+                "fake_width": [d[0] for d in dims],
+                "fake_height": [d[1] for d in dims],
+                "fake_n_frames": [d[2] for d in dims],
+            }
+            if with_status:
+                cols["decode_status"] = [d[3] for d in dims]
+            yield pd.DataFrame(cols)
 
-    return df.mapInPandas(_decode, DECODED_META_SCHEMA)
+    schema = DECODED_META_STATUS_SCHEMA if with_status else DECODED_META_SCHEMA
+    return df.mapInPandas(_decode, schema)
 
 
 RESIZED_SCHEMA = (
@@ -123,7 +161,9 @@ def resize_stub(
                     resize_bilinear(arr, target_width, target_height)
                 )
             except UnsupportedPng:
-                pass
+                pass  # exotic-but-valid layout -> stub
+            except DECODE_ERRORS:
+                pass  # corrupt payload -> stub, never kill the task
         n_out = target_width * target_height
         return p[:n_out].ljust(n_out, b"\x00")
 
@@ -274,7 +314,11 @@ def audio_chunk_stub(
                         pcm, rate = decode_wav(payload)
                     except UnsupportedWav:
                         pcm = None  # exotic encoding -> stub path
-                spc = rate * chunk_ms // 1000
+                    except DECODE_ERRORS:
+                        pcm = None  # corrupt payload -> stub path
+                if pcm is None:
+                    rate = sample_rate  # never trust a failed decode's rate
+                spc = max(1, rate * chunk_ms // 1000)
                 n_samples = len(payload) // 2 if pcm is None else pcm.shape[0]
                 dur_ms = n_samples * 1000 // rate
                 n_chunks = max(1, -(-n_samples // spc))
