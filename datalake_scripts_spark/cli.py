@@ -156,16 +156,29 @@ def main(argv: list[str] | None = None) -> int:
 
             keys = args.keys.split(",")
             batch = spark.read.parquet(args.source)
-            if V.current_version(args.dir) == 0:
+            # pin the snapshot this merge READ: a concurrent commit
+            # landing between read and publish must surface as
+            # CommitConflict (re-run), not be silently dropped by a
+            # blind auto-retrying overwrite (lost update)
+            base_v = V.current_version(args.dir)
+            if base_v == 0:
                 merged = batch
             else:
                 merged = merge_upsert(
-                    V.read_versioned(spark, args.dir), batch, keys
+                    V.read_versioned(spark, args.dir, version=base_v),
+                    batch, keys,
                 )
-            v = V.write_versioned(
-                spark, merged, args.dir, mode="overwrite",
-                meta={"merged_from": args.source, "keys": keys},
-            )
+            try:
+                v = V.write_versioned(
+                    spark, merged, args.dir, mode="overwrite",
+                    expected_version=base_v,
+                    meta={"merged_from": args.source, "keys": keys},
+                )
+            except V.CommitConflict as e:
+                raise SystemExit(
+                    f"merge conflict: {e} — another writer committed "
+                    f"after v{base_v} was read; re-run the merge"
+                ) from e
             print(f"merged {batch.count()} batch rows -> v{v}")
         elif args.action == "restore":
             v = V.restore_versioned(args.dir, args.version)

@@ -320,6 +320,42 @@ def execute_jdbc_statements(
         conn.close()
 
 
+def jdbc_table_exists(
+    spark: SparkSession, url: str, table: str, driver: str | None = None
+) -> bool:
+    """True iff ``table`` exists server-side, probed via JDBC
+    ``DatabaseMetaData.getTables`` — a metadata lookup that cannot be
+    confused with a lock timeout or permission failure the way a probe
+    *query* can. Connection errors propagate (callers must NOT treat
+    an unreachable database as "table missing"). Handles an optional
+    ``schema.table`` qualifier and tries exact / upper / lower names to
+    cover dialects that case-fold unquoted identifiers."""
+    jvm = spark.sparkContext._jvm
+    if driver:
+        jvm.java.lang.Class.forName(driver)
+    schema_pat, name = None, table
+    if "." in table:
+        schema_pat, name = table.split(".", 1)
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        meta = conn.getMetaData()
+        for nm in dict.fromkeys([name, name.upper(), name.lower()]):
+            sp = schema_pat
+            if sp is not None:
+                sp = sp.upper() if nm == name.upper() else (
+                    sp.lower() if nm == name.lower() else sp
+                )
+            rs = meta.getTables(None, sp, nm, None)
+            try:
+                if rs.next():
+                    return True
+            finally:
+                rs.close()
+        return False
+    finally:
+        conn.close()
+
+
 def write_jdbc(
     df: DataFrame,
     url: str,
@@ -402,12 +438,11 @@ def write_jdbc_merge(
 
     spark = df.sparkSession
     driver = (properties or {}).get("driver")
-    try:
-        # existence probe: cheap server-side no-row query
-        execute_jdbc_statements(
-            spark, url, [f"DELETE FROM {table} WHERE 1=0"], driver=driver
-        )
-    except Exception:
+    # metadata-level existence probe: a transient connection error or
+    # permission failure RAISES here instead of being misread as
+    # "table missing" (which would silently append duplicate-key rows
+    # into an existing target — an upsert-contract violation)
+    if not jdbc_table_exists(spark, url, table, driver=driver):
         # first merge into a fresh table: plain parallel write creates it
         write_jdbc(
             df, url, table, mode="append", properties=properties,
@@ -440,9 +475,17 @@ def write_jdbc_merge(
         + f"WHEN NOT MATCHED THEN INSERT ({', '.join(q(c) for c in cols)}) "
         + f"VALUES ({', '.join('s.' + q(c) for c in cols)})"
     )
-    execute_jdbc_statements(
-        spark, url, [stmt, f"DROP TABLE {staging}"], driver=driver
-    )
+    try:
+        execute_jdbc_statements(spark, url, [stmt], driver=driver)
+    finally:
+        # drop staging even when the MERGE fails so it never leaks;
+        # a failed drop is non-fatal (next run's overwrite replaces it)
+        try:
+            execute_jdbc_statements(
+                spark, url, [f"DROP TABLE {staging}"], driver=driver
+            )
+        except Exception:
+            pass
 
 
 def read_jdbc(

@@ -239,15 +239,15 @@ def write_audit_publish(
     for _ in range(16):
         prev = current_version(table_dir)
         files, stats = new_files, new_stats
-        effective_blooms = bloom_cols
+        # mirror write_versioned's bloom contract: None inherits the
+        # table's config (append AND overwrite — a publish must not
+        # silently drop point-lookup pruning), [] clears it explicitly
+        effective_blooms = bloom_cols if bloom_cols else None
         if prev > 0:
             prev_manifest = _load_manifest(table_dir, prev)
-            # mirror write_versioned's contract: inherit the table's
-            # bloom config only for appends with no explicit argument;
-            # an overwrite RESETS bloom_cols to whatever was passed
+            if bloom_cols is None:
+                effective_blooms = prev_manifest.get("bloom_cols")
             if mode == "append":
-                if effective_blooms is None:
-                    effective_blooms = prev_manifest.get("bloom_cols")
                 files = prev_manifest["files"] + new_files
                 stats = {**prev_manifest.get("stats", {}), **new_stats}
         missing = set(effective_blooms or []) - augmented

@@ -178,28 +178,40 @@ def fingerprint(col: str | Column) -> Column:
 
 def url_canonicalize(col: str | Column) -> Column:
     """Canonical URL form for web-corpus dedup (the CCNet first pass):
-    lowercase the scheme+host, strip the default port (:443/:80) and
-    the #fragment, drop utm_* tracking params, and SORT the surviving
-    query params so parameter order never splits a duplicate group.
-    Pure native expressions (regex + array HOFs) — map-only at any
-    scale. Idempotent: canonicalize(canonicalize(u)) == canonicalize(u)
+    lowercase the scheme+host, strip the scheme's OWN default port
+    (https:443 / http:80 — never the other's, so http://h:443 stays a
+    distinct non-default endpoint) and the #fragment, drop utm_*
+    tracking params, and SORT the surviving query params so parameter
+    order never splits a duplicate group. The query string starts at
+    the FIRST ``?`` (matching where the path stops), so an embedded
+    ``?`` in a param value canonicalizes consistently. A relative or
+    malformed URL (no ``scheme://host`` prefix) passes through with
+    only the fragment stripped — collapsing every unparseable URL into
+    one group would manufacture false duplicates. Pure native
+    expressions (regex + array HOFs) — map-only at any scale.
+    Idempotent: canonicalize(canonicalize(u)) == canonicalize(u)
     (property-tested). Regexes avoid lookarounds so the same patterns
     run under Java regex and RE2 (the DuckDB oracle twin)."""
     url = F.col(col) if isinstance(col, str) else col
     nofrag = F.regexp_replace(url, r"#.*$", "")
     sh = F.lower(F.regexp_extract(nofrag, r"^[a-zA-Z]+://[^/?]+", 0))
     pth = F.regexp_extract(nofrag, r"^[a-zA-Z]+://[^/?]+([^?]*)", 1)
-    q = F.when(
-        F.instr(nofrag, "?") > 0, F.substring_index(nofrag, "?", -1)
-    ).otherwise(F.lit(""))
+    # everything after the FIRST '?' ([^?]* cannot cross one)
+    q = F.regexp_extract(nofrag, r"^[^?]*\?(.*)$", 1)
     qq = F.array_join(
         F.array_sort(
             F.filter(F.split(q, "&"), lambda x: ~x.startswith("utm_"))
         ),
         "&",
     )
-    return F.concat(
-        F.regexp_replace(sh, r"(:443|:80)$", ""),
+    sh_noport = (
+        F.when(sh.startswith("https://"), F.regexp_replace(sh, r":443$", ""))
+        .when(sh.startswith("http://"), F.regexp_replace(sh, r":80$", ""))
+        .otherwise(sh)
+    )
+    canon = F.concat(
+        sh_noport,
         pth,
         F.when(qq == "", F.lit("")).otherwise(F.concat(F.lit("?"), qq)),
     )
+    return F.when(sh == "", nofrag).otherwise(canon)

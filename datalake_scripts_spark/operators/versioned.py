@@ -356,10 +356,10 @@ def write_versioned(
     ``bloom_cols`` attaches a per-file Bloom index for those columns to
     the manifest (point-lookup file skipping where min/max can't prune
     — unclustered high-cardinality keys). The setting is TABLE state:
-    appends inherit the previous manifest's bloom_cols when the
-    argument is None, so streaming epochs and DML rewrites keep the
-    index without every caller knowing about it; an overwrite resets
-    it to whatever is passed."""
+    None inherits the previous manifest's bloom_cols (append AND
+    overwrite — a routine overwrite publish must not silently drop the
+    table's point-lookup pruning), an explicit empty list ``[]`` clears
+    the index, and a non-empty list replaces it."""
     assert mode in ("append", "overwrite")
     os.makedirs(_manifest_dir(table_dir), exist_ok=True)
 
@@ -377,8 +377,10 @@ def write_versioned(
             table_schema = _evolve_schema(
                 StructType.fromJson(prev_schema_json), df.schema, merge_schema
             )
-    if bloom_cols is None and mode == "append":
+    if bloom_cols is None:
         bloom_cols = prev_manifest0.get("bloom_cols")
+    elif not bloom_cols:
+        bloom_cols = None  # explicit [] clears the table's bloom index
 
     # 1. stage immutable data files under a unique prefix
     new_files = _stage_files(df, table_dir)

@@ -310,3 +310,33 @@ def test_current_version_forward_walk_after_vacuum(spark, sf_dir, table_dir):
     os.remove(os.path.join(table_dir, "_latest"))
     assert current_version(table_dir) == 4
     assert read_versioned(spark, table_dir).count() == 4 * region.count()
+
+
+def test_cli_merge_surfaces_conflict_not_lost_update(spark, sf_dir, table_dir):
+    """The CLI ``table merge`` read->merge->overwrite sequence pins the
+    snapshot it read (ADVICE r4, medium): a concurrent commit landing
+    between read and publish raises CommitConflict instead of being
+    silently dropped by a blind auto-retrying overwrite."""
+    from datalake_scripts_spark.operators.upsert import merge_upsert
+
+    region = read_table(spark, sf_dir, "region")
+    write_versioned(spark, region, table_dir, mode="append")
+
+    # the CLI's sequence: pin, read pinned, merge
+    base_v = current_version(table_dir)
+    batch = region.withColumn("r_comment", F.lit("merged"))
+    merged = merge_upsert(
+        read_versioned(spark, table_dir, version=base_v), batch, ["r_regionkey"]
+    )
+    # concurrent writer lands AFTER the read
+    concurrent = region.withColumn("r_regionkey", F.col("r_regionkey") + 100)
+    write_versioned(spark, concurrent, table_dir, mode="append")
+
+    with pytest.raises(CommitConflict):
+        write_versioned(
+            spark, merged, table_dir, mode="overwrite",
+            expected_version=base_v,
+        )
+    # the concurrent append's rows are still visible (nothing lost)
+    keys = {r.r_regionkey for r in read_versioned(spark, table_dir).collect()}
+    assert {k + 100 for k in range(5)} <= {k for k in keys}

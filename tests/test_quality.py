@@ -96,10 +96,12 @@ def test_wap_enforces_schema_before_staging(spark, sf_dir, table_dir):
     assert current_version(table_dir) == 1
 
 
-def test_wap_overwrite_resets_bloom_cols(spark, sf_dir, tmp_path):
+def test_wap_bloom_cols_inherit_and_clear(spark, sf_dir, tmp_path):
     """write_audit_publish mirrors write_versioned's bloom contract
-    (ADVICE r3, low): overwrite resets bloom_cols to the argument
-    (None by default); append with no argument inherits."""
+    (ADVICE r4, low): bloom_cols=None inherits the table's config for
+    append AND overwrite (a routine publish must not silently drop
+    point-lookup pruning), an explicit [] clears it, a non-empty list
+    replaces it."""
     from datalake_scripts_spark.operators.versioned import (
         _load_manifest,
         current_version,
@@ -115,13 +117,30 @@ def test_wap_overwrite_resets_bloom_cols(spark, sf_dir, tmp_path):
     Q.write_audit_publish(spark, nation, table_dir, [], mode="append")
     m = _load_manifest(table_dir, current_version(table_dir))
     assert m.get("bloom_cols") == ["n_nationkey"]
-    # overwrite with no bloom_cols arg RESETS the index config
+    # overwrite with no bloom_cols arg INHERITS too (no silent loss)
     Q.write_audit_publish(spark, nation, table_dir, [], mode="overwrite")
     m = _load_manifest(table_dir, current_version(table_dir))
-    assert m.get("bloom_cols") is None
-    # overwrite can also set a fresh config explicitly
+    assert m.get("bloom_cols") == ["n_nationkey"]
+    assert all("blooms" in s for s in m["stats"].values())
+    # overwrite can set a fresh config explicitly
     Q.write_audit_publish(
         spark, nation, table_dir, [], mode="overwrite", bloom_cols=["n_name"]
     )
     m = _load_manifest(table_dir, current_version(table_dir))
     assert m.get("bloom_cols") == ["n_name"]
+    # explicit empty list is the deliberate way to drop the index
+    Q.write_audit_publish(
+        spark, nation, table_dir, [], mode="overwrite", bloom_cols=[]
+    )
+    m = _load_manifest(table_dir, current_version(table_dir))
+    assert m.get("bloom_cols") is None
+    # same contract on write_versioned itself
+    write_versioned(
+        spark, nation, table_dir, mode="overwrite", bloom_cols=["n_name"]
+    )
+    write_versioned(spark, nation, table_dir, mode="overwrite")
+    m = _load_manifest(table_dir, current_version(table_dir))
+    assert m.get("bloom_cols") == ["n_name"]
+    write_versioned(spark, nation, table_dir, mode="overwrite", bloom_cols=[])
+    m = _load_manifest(table_dir, current_version(table_dir))
+    assert m.get("bloom_cols") is None

@@ -168,3 +168,40 @@ def test_url_canonicalize_properties(spark):
     ).select(url_canonicalize("url").alias("c")).collect()
     assert more[0].c == more[1].c == "http://host.org/x"
     assert more[2].c == "https://h.io/p"
+
+
+def test_url_canonicalize_edge_cases(spark):
+    """ADVICE r4 (low): malformed URLs pass through instead of
+    collapsing into one false-duplicate group; the query splits at the
+    FIRST '?' (embedded '?' stays in the value); only the scheme's own
+    default port is stripped (http://h:443 is a real non-default
+    endpoint)."""
+    from datalake_scripts_spark.operators.text import url_canonicalize
+
+    rows = [
+        (0, "not a url at all"),
+        (1, "relative/path?b=2&a=1#frag"),
+        (2, "also-not-a-url"),
+        (3, "https://h.io/p?x=a?b&id=3"),
+        (4, "http://h.io:443/p"),
+        (5, "https://h.io:80/p"),
+        (6, "ftp://h.io:443/p"),
+    ]
+    df = spark.createDataFrame(rows, "i int, url string")
+    got = {r.i: r.c for r in df.select(
+        "i", url_canonicalize("url").alias("c")).collect()}
+    # malformed: fragment stripped, otherwise untouched — all distinct
+    assert got[0] == "not a url at all"
+    assert got[1] == "relative/path?b=2&a=1"
+    assert got[2] == "also-not-a-url"
+    assert len({got[0], got[1], got[2]}) == 3
+    # first-'?' split: embedded '?' stays inside the param value
+    assert got[3] == "https://h.io/p?id=3&x=a?b"
+    # cross-scheme default ports are NOT stripped
+    assert got[4] == "http://h.io:443/p"
+    assert got[5] == "https://h.io:80/p"
+    assert got[6] == "ftp://h.io:443/p"
+    # idempotence holds on every edge case
+    twice = {r.i: r.c2 for r in df.select(
+        "i", url_canonicalize(url_canonicalize("url")).alias("c2")).collect()}
+    assert twice == got
