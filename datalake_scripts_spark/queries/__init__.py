@@ -33,81 +33,80 @@ from . import graph  # noqa: F401,E402
 
 # The driver's correctness sweep checks the FIRST 50 entries of
 # ``queries()`` in iteration order. This curated prefix rotates the
-# whole graded surface through the checked window. Round-4 plan
-# (VERDICT r3 ask #1): 3 long-green canaries + 47 names the driver
-# has NEVER checked, so cumulative driver-green coverage reaches
-# 141/180 (the registry grew by six round-4 additions, all
-# replay-green and queued with the ~33 other oracle-backed remainders
-# for the round-5 prefix). The committed ledger
-# ``docs/driver_checked.json`` (name -> first green round, updated by
-# scripts/presnapshot.py) is the source of truth for what "never
-# checked" means.
+# whole graded surface through the checked window. Round-5 plan
+# (VERDICT r4 ask #2, docs/r5_rotation_plan.md): 3 long-green
+# canaries + ALL 40 never-driver-checked names (36 oracle-backed +
+# the 4 documented rows-only engine-specific paths, whose md5/oracle
+# twins are already driver-green) + 7 previously-green family-head
+# sentinels to fill the window — after this round every registry
+# entry has a driver row. The committed ledger
+# ``docs/driver_checked.json`` (name -> first green round, rebuilt by
+# scripts/presnapshot.py from every CORRECTNESS_r*.json) is the
+# source of truth for what "never checked" means.
 DRIVER_PRIORITY = [
-    # canaries — green since round 1 (one relational, one normalization,
-    # one dedup: a regression in any family head trips at least one)
+    # canaries — green since round 1 (one relational, one
+    # normalization, one dedup: a regression in any family head trips
+    # at least one)
     "q1_pricing_summary",
     "nested_flatten_struct",
     "dedup_ngram_jaccard",
-    # TPC-H long tail — multi-join/agg shapes never driver-sampled
-    "q2_min_cost_supplier",
-    "q4_priority_with_late_lines",
-    "q9_product_type_profit",
-    "q11_important_part_values",
-    "q12_priority_line_classes",
-    "q20_excess_stock_suppliers",
-    # relational edge semantics
-    "null_handling_semantics",
-    "window_range_frame",
-    "mining_part_pair_lift",  # broadcast-hint scale flag cleared this round
-    # normalization kit remainder
-    "nested_explode_outer_preserves_parents",
-    "ts_parse_epoch_seconds",
-    # dedup family — never-checked heads incl. the md5 oracle twins
-    "dedup_minhash_lsh_md5",
-    "dedup_simhash_md5",
-    "dedup_semantic_clusters",
-    "dedup_duplicated_span_stats",
-    "dedup_duplicate_clusters_star",
-    # similarity / ANN
-    "ann_ivf_topk",
-    # multimodal (Arrow fan-out stages + the real PNG codec roundtrip)
-    "multimodal_decode_stub",
-    "multimodal_frame_sample",
-    "multimodal_png_roundtrip",
-    # as-of cogroup variant
-    "asof_join_cogroup_merge",
-    # events family — all 14 never-checked batch twins
-    "events_hourly_growth",
-    "events_sliding_windows",
-    "events_session_windows",
-    "events_dedup_latest_state",
-    "events_gap_filled_hours",
-    "events_weekly_cohort_retention",
-    "events_view_purchase_attribution",
-    "events_hierarchical_rollup",
-    "events_ewma_per_user",
-    "events_resample_ffill_hourly",
-    "events_zscore_anomalies",
-    "events_ab_test_conversion",
-    "events_weekly_active_users",
-    "events_transition_matrix",
-    # eval / scale kit
-    "eval_langid_kappa",
-    "salted_join_segment_revenue",
-    "profile_table_stats",
-    # versioned-lake head
-    "matview_incremental_refresh",
-    # training-data curation
-    "curate_corpus_pipeline",
-    "udtf_chunk_documents",
-    "pack_sequences_greedy",
-    # sketches — all 4 never-checked
-    "sketch_hll_union_rollup",
-    "sketch_theta_customer_reach",
-    "sketch_kll_price_quantiles",
-    "sketch_cms_heavy_hitters",
-    # graph
-    "graph_pagerank_suppliers",
+    # --- the 36 oracle-backed never-checked names ---
+    # aggregation / relational long tail
+    "agg_histogram_equidepth",
+    "agg_ordered_statistics",
+    "join_full_outer_nation_presence",
+    "salted_agg_revenue_by_flag",
+    "skew_report_orders_custkey",
+    "reconcile_checksum_orders",
+    "window_cumulative_distinct_users",
+    "sessionize_per_event",
+    "sample_exact_per_group",
+    # functions kit
+    "array_compose_flatten_zip",
+    "map_functions_and_regex_all",
+    "string_advanced_functions",
+    "json_serialize_roundtrip",
+    "posexplode_with_ordinality",
+    # dedup family remainder
+    "dedup_exact_full_text",
+    "dedup_fingerprint_token_set",
+    "dedup_keep_best_quality",
+    "dedup_corpus_keep",
+    "dedup_winnowing_pairs",
+    "dedup_remove_duplicated_spans",
+    "dedup_url_canonical",
+    # LLM-corpus curation / quality
+    "cap_docs_per_domain",
+    "corpus_source_overlap",
+    "decontaminate_embedding_benchmark",
+    "eval_langid_per_class",
+    "mixture_weighted_sample",
+    "split_train_val_test",
+    "quality_unigram_logprob",
+    "quality_bigram_logprob",
+    "vocab_token_frequencies",
+    "text_bm25_scores",
+    "text_pii_scrub",
+    "text_repetition_stats",
+    "text_top_bigrams_per_lang",
+    # multimodal / versioned-lake remainder
+    "multimodal_wav_roundtrip",
+    "history_latest_snapshot",
+    # --- the 4 rows-only engine-specific paths (weaker rows check;
+    # their md5/oracle twins are already driver-green) ---
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_ivf_topk_vectorized",
+    "ann_ivf_kmeans_topk",
+    # --- 7 previously-green family-head sentinels (regression
+    # tripwires for the families the 40 above don't touch) ---
+    "q5_local_supplier_volume",
+    "join_broadcast_brand_revenue",
+    "dedup_containment_pairs",
+    "dedup_embedding_cosine",
+    "events_tumbling_hourly",
+    "ann_brute_force_topk",
+    "text_quality_scores",
 ]
 
 
