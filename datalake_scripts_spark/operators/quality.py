@@ -206,7 +206,9 @@ def write_audit_publish(
     )
 
     assert mode in ("append", "overwrite")
-    os.makedirs(os.path.join(table_dir, "_manifests"), exist_ok=True)
+    from .commitstore import get_commit_store
+
+    get_commit_store().ensure_log(table_dir)
     # same schema enforcement as write_versioned, BEFORE staging
     table_schema = df.schema
     prev0 = current_version(table_dir)

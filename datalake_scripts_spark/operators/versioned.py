@@ -22,11 +22,13 @@ Semantics:
   snapshot; ``vacuum`` drops files unreferenced by kept manifests.
 
 Concurrency (Delta-protocol-style optimistic concurrency, no lock):
-- a commit PUBLISHES manifest v(N+1) via an atomic create-if-absent
-  (``os.link`` of a fully-written temp file — the local-FS analog of
-  an object store's conditional PUT / Delta's putIfAbsent on the
-  _delta_log JSON). Two writers racing for the same version: exactly
-  one wins, the loser gets :class:`CommitConflict`;
+- a commit PUBLISHES manifest v(N+1) via the commit store's atomic
+  create-if-absent (operators.commitstore — the LogStore seam:
+  ``os.link`` of a fully-written temp file on POSIX; an object-store
+  deployment plugs in a conditional-PUT / DynamoDB-style store, the
+  exact split Delta makes, so S3 never degrades to last-writer-wins).
+  Two writers racing for the same version: exactly one wins, the
+  loser gets :class:`CommitConflict`;
 - ``write_versioned`` RETRIES on conflict (appends re-read the new
   latest manifest and re-validate schema — append/append auto-merges,
   Delta's WriteSerializable behavior; a blind overwrite makes no
@@ -46,18 +48,19 @@ from __future__ import annotations
 
 import json
 import os
-import re
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+
+from .commitstore import get_commit_store, is_manifest_name
 
 
 def _manifest_dir(table_dir: str) -> str:
     return os.path.join(table_dir, "_manifests")
 
 
-def _latest_path(table_dir: str) -> str:
-    return os.path.join(table_dir, "_latest")
+def _manifest_name(version: int) -> str:
+    return f"v{version:05d}.json"
 
 
 class CommitConflict(Exception):
@@ -88,30 +91,24 @@ def current_version(table_dir: str) -> int:
     LIST per read would be O(history) on a long-lived table). Only a
     missing/garbled cache falls back to one full listing (a vacuumed
     history makes walking from 0 invalid)."""
-    v = 0
-    try:
-        with open(_latest_path(table_dir)) as f:
-            v = int(f.read().strip())
-    except (FileNotFoundError, ValueError):
-        pass
+    store = get_commit_store()
+    v = store.read_pointer(table_dir) or 0
     if v == 0:
-        try:
-            names = os.listdir(_manifest_dir(table_dir))
-        except FileNotFoundError:
+        names = store.list_log(table_dir)
+        if not names:
             return 0
         v = max(
-            (int(n[1:6]) for n in names if re.fullmatch(r"v\d{5}\.json", n)),
-            default=0,
+            (int(n[1:6]) for n in names if is_manifest_name(n)), default=0
         )
-    mdir = _manifest_dir(table_dir)
-    while os.path.exists(os.path.join(mdir, f"v{v + 1:05d}.json")):
+    while store.exists(table_dir, _manifest_name(v + 1)):
         v += 1
     return v
 
 
 def _load_manifest(table_dir: str, version: int) -> dict:
-    with open(os.path.join(_manifest_dir(table_dir), f"v{version:05d}.json")) as f:
-        return json.load(f)
+    return json.loads(
+        get_commit_store().read(table_dir, _manifest_name(version))
+    )
 
 
 def _json_safe(v):
@@ -361,7 +358,7 @@ def write_versioned(
     table's point-lookup pruning), an explicit empty list ``[]`` clears
     the index, and a non-empty list replaces it."""
     assert mode in ("append", "overwrite")
-    os.makedirs(_manifest_dir(table_dir), exist_ok=True)
+    get_commit_store().ensure_log(table_dir)
 
     # schema check BEFORE staging any data (fail fast, nothing to clean)
     prev_for_schema = current_version(table_dir)
@@ -487,14 +484,15 @@ def _commit_manifest(
     """Commit manifest v(N+1): the single commit path for every writer
     (append/overwrite/delete/update/compaction/WAP).
 
-    Optimistic-concurrency CAS: the manifest is fully written to a temp
-    file, then PUBLISHED with ``os.link`` — an atomic create-if-absent,
-    the local-FS analog of Delta's putIfAbsent on the log JSON. If a
+    Optimistic-concurrency CAS: the manifest is PUBLISHED via the
+    commit store's ``put_if_absent`` (operators.commitstore — os.link
+    of a fully-written temp file on POSIX, a conditional PUT on an
+    object store), Delta's putIfAbsent on the log JSON. If a
     concurrent writer already owns v(N+1), :class:`CommitConflict` is
-    raised and NOTHING of this commit is visible (the temp file is
-    removed; staged data files are the caller's to clean or retry
-    with). Readers therefore only ever see fully-formed manifests,
-    whether they resolve via ``_latest`` or the directory listing.
+    raised and NOTHING of this commit is visible (staged data files
+    are the caller's to clean or retry with). Readers therefore only
+    ever see fully-formed manifests, whether they resolve via the
+    pointer cache or the log listing.
 
     ``expected_version`` pins the snapshot the writer READ (DML/WAP):
     the commit targets exactly expected_version+1. When None (blind
@@ -513,16 +511,11 @@ def _commit_manifest(
         manifest["meta"] = meta
     if bloom_cols:
         manifest["bloom_cols"] = bloom_cols
-    mpath = os.path.join(_manifest_dir(table_dir), f"v{version:05d}.json")
-    tmp = mpath + f".tmp{uuid.uuid4().hex}"
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-    try:
-        os.link(tmp, mpath)  # atomic CAS: fails iff the version is taken
-    except FileExistsError:
+    data = json.dumps(manifest).encode()
+    if not get_commit_store().put_if_absent(
+        table_dir, _manifest_name(version), data
+    ):
         raise CommitConflict(table_dir, version)
-    finally:
-        os.unlink(tmp)
     _advance_latest(table_dir, version)
     return version
 
@@ -534,17 +527,12 @@ def _advance_latest(table_dir: str, version: int) -> None:
     pointer at 5 — reads stay correct regardless (current_version takes
     the max with the manifest listing), a second pass here just
     restores the cache to the truth."""
+    store = get_commit_store()
     for _ in range(3):
-        try:
-            with open(_latest_path(table_dir)) as f:
-                if int(f.read().strip()) >= version:
-                    return
-        except (FileNotFoundError, ValueError):
-            pass
-        tmp = _latest_path(table_dir) + f".tmp{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            f.write(str(version))
-        os.replace(tmp, _latest_path(table_dir))
+        cached = store.read_pointer(table_dir)
+        if cached is not None and cached >= version:
+            return
+        store.replace_pointer(table_dir, version)
         version = current_version(table_dir)  # heal any regression we caused
 
 
@@ -810,14 +798,15 @@ def vacuum(table_dir: str, keep_last: int = 1) -> int:
             if rel not in keep_files:
                 os.remove(os.path.join(data_dir, name))
                 removed += 1
-    for name in os.listdir(_manifest_dir(table_dir)):
-        # only vNNNNN.json manifests — a stray file (editor temp, an
-        # interrupted _latest .tmp) must not abort vacuum mid-delete
-        if not re.fullmatch(r"v\d{5}\.json", name):
+    store = get_commit_store()
+    for name in store.list_log(table_dir):
+        # only vNNNNN.json manifests — a stray object (editor temp, an
+        # interrupted pointer .tmp) must not abort vacuum mid-delete
+        if not is_manifest_name(name):
             continue
         v = int(name[1:6])
         if v not in keep_versions:
-            os.remove(os.path.join(_manifest_dir(table_dir), name))
+            store.delete(table_dir, name)
     return removed
 
 
@@ -1112,7 +1101,7 @@ def clone_versioned(
     if v == 0:
         raise FileNotFoundError(f"no committed version in {src_dir}")
     src = _load_manifest(src_dir, v)
-    os.makedirs(_manifest_dir(dst_dir), exist_ok=True)
+    get_commit_store().ensure_log(dst_dir)
     stats = src.get("stats", {})
     if shallow:
         files = [os.path.abspath(os.path.join(src_dir, f)) for f in src["files"]]
