@@ -199,9 +199,9 @@ def write_audit_publish(
     from .versioned import (
         _commit_manifest,
         _evolve_schema,
-        _file_stats,
         _load_manifest,
         _stage_files,
+        _stats_for_new_files,
         current_version,
     )
 
@@ -229,7 +229,7 @@ def write_audit_publish(
         for f in new_files:
             os.remove(os.path.join(table_dir, f))
         raise AuditFailed([row for row in report if row["n_violations"] > 0])
-    new_stats = {f: _file_stats(os.path.join(table_dir, f)) for f in new_files}
+    new_stats = _stats_for_new_files(table_dir, new_files)
     # optimistic-concurrency retry, same shape as write_versioned's:
     # the audit covered only OUR staged files, so a concurrent commit
     # between audit and publish auto-merges safely — re-read the new

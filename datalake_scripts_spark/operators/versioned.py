@@ -173,6 +173,57 @@ def _file_stats(path: str) -> dict:
     }
 
 
+def _partition_values(relpath: str) -> dict:
+    """Hive-style ``col=value`` partition values parsed from a manifest
+    file path (``data/dt=2024-01-01/part-*.parquet``). Values are
+    URL-unescaped (Spark's writer escapes specials) and typed the way
+    Spark's partition discovery types them: int, else float, else
+    string; ``__HIVE_DEFAULT_PARTITION__`` maps to None (null)."""
+    from urllib.parse import unquote
+
+    out: dict = {}
+    for seg in relpath.replace("\\", "/").split("/")[:-1]:
+        if "=" not in seg:
+            continue
+        k, _, v = seg.partition("=")
+        v = unquote(v)
+        if v == "__HIVE_DEFAULT_PARTITION__":
+            out[k] = None
+            continue
+        for cast in (int, float):
+            try:
+                out[k] = cast(v)
+                break
+            except ValueError:
+                pass
+        else:
+            out[k] = v
+    return out
+
+
+def _stats_for_new_files(table_dir: str, new_files: list[str]) -> dict:
+    """Footer stats for freshly staged files, plus partition-column
+    stats derived from hive path segments (min = max = the partition
+    value, 0 nulls) — partitionBy drops those columns from the parquet
+    footers, so without the injection a partition predicate could
+    never prune and ``skip_filter`` would silently lose its best
+    pruning dimension. A null partition (``__HIVE_DEFAULT_PARTITION__``)
+    contributes no stats entry, which keeps the file conservatively
+    unprunable."""
+    out = {}
+    for f in new_files:
+        stats = _file_stats(os.path.join(table_dir, f))
+        vals = _partition_values(f)
+        if vals:
+            cols = dict(stats.get("columns", {}))
+            for k, v in vals.items():
+                if v is not None:
+                    cols[k] = {"min": v, "max": v, "nulls": 0}
+            stats = {**stats, "columns": cols}
+        out[f] = stats
+    return out
+
+
 def _bloom_params(n_rows: int, fpp: float) -> tuple[int, int]:
     """Standard Bloom sizing: m = -n ln p / ln^2 2 bits (capped at 1 MiB
     per file/column so manifests stay manifest-sized), k = m/n ln 2."""
@@ -333,6 +384,7 @@ def write_versioned(
     bloom_cols: list[str] | None = None,
     bloom_fpp: float = 0.01,
     expected_version: int | None = None,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Commit ``df`` as a new snapshot; returns the new version number.
 
@@ -356,7 +408,18 @@ def write_versioned(
     None inherits the previous manifest's bloom_cols (append AND
     overwrite — a routine overwrite publish must not silently drop the
     table's point-lookup pruning), an explicit empty list ``[]`` clears
-    the index, and a non-empty list replaces it."""
+    the index, and a non-empty list replaces it.
+
+    ``partition_by`` lays this commit's files out hive-style
+    (``data/col=value/part-*``) and injects the partition values into
+    the manifest stats (min = max = value), so a ``skip_filter`` on a
+    partition column opens a strict file subset — the reference's
+    date-partitioned landing (jhub_proc.py:259-275) as manifest-level
+    partition pruning. Layout is PER-COMMIT physical detail, not table
+    state: appends may mix layouts (reads reconstruct partition
+    columns via basePath per file) and DML/compaction rewrites fold
+    partition columns back into the data files — pruning keeps working
+    through their ordinary footer stats."""
     assert mode in ("append", "overwrite")
     get_commit_store().ensure_log(table_dir)
 
@@ -380,7 +443,7 @@ def write_versioned(
         bloom_cols = None  # explicit [] clears the table's bloom index
 
     # 1. stage immutable data files under a unique prefix
-    new_files = _stage_files(df, table_dir)
+    new_files = _stage_files(df, table_dir, partition_by=partition_by)
 
     # 2. commit the manifest, carrying per-file footer stats (row count
     # + column min/max/nulls) so snapshots support metadata-only counts
@@ -390,9 +453,7 @@ def write_versioned(
     # re-validate the schema against it, and commit on top
     # (append/append auto-merges; a blind overwrite makes no
     # read-dependency claim, so it simply takes the next version).
-    new_stats = {
-        f: _file_stats(os.path.join(table_dir, f)) for f in new_files
-    }
+    new_stats = _stats_for_new_files(table_dir, new_files)
     augmented_cols: set[str] = set()
     last_conflict: CommitConflict | None = None
     attempts = 1 if expected_version is not None else 16
@@ -451,24 +512,40 @@ def write_versioned(
     raise last_conflict  # blind write: 16 straight losses = real contention
 
 
-def _stage_files(df: DataFrame, table_dir: str) -> list[str]:
+def _stage_files(
+    df: DataFrame, table_dir: str, partition_by: list[str] | None = None
+) -> list[str]:
     """Write ``df`` to a unique staging dir, move the parquet parts into
     data/ under fresh immutable names; returns manifest-relative paths.
-    Nothing is visible to readers until a manifest references them."""
+    Nothing is visible to readers until a manifest references them.
+    With ``partition_by``, parts land under hive-style ``col=value``
+    subdirectories of data/ (the reference's date-partitioned landing,
+    jhub_proc.py:259-275, at the lake layer) and the dir structure is
+    preserved in the manifest paths."""
     data_dir = os.path.join(table_dir, "data")
     staging = os.path.join(table_dir, f"_staging_{uuid.uuid4().hex}")
-    df.write.mode("overwrite").parquet(staging)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staging)
     os.makedirs(data_dir, exist_ok=True)
     new_files = []
-    for name in sorted(os.listdir(staging)):
-        if name.endswith(".parquet"):
+    for root, _dirs, names in os.walk(staging):
+        rel_dir = os.path.relpath(root, staging)
+        for name in names:
+            if not name.endswith(".parquet"):
+                continue
+            dst_dir = (
+                data_dir if rel_dir == "." else os.path.join(data_dir, rel_dir)
+            )
+            os.makedirs(dst_dir, exist_ok=True)
             dst = f"part-{uuid.uuid4().hex}-{name}"
-            os.rename(os.path.join(staging, name), os.path.join(data_dir, dst))
-            new_files.append(os.path.join("data", dst))
+            os.rename(os.path.join(root, name), os.path.join(dst_dir, dst))
+            new_files.append(os.path.relpath(os.path.join(dst_dir, dst), table_dir))
     import shutil
 
     shutil.rmtree(staging)
-    return new_files
+    return sorted(new_files)
 
 
 def _commit_manifest(
@@ -550,6 +627,49 @@ def _manifest_reader(spark: SparkSession, manifest: dict):
     return spark.read
 
 
+def _read_manifest_files(
+    spark: SparkSession, manifest: dict, table_dir: str, files: list[str]
+) -> DataFrame:
+    """Read a subset of a manifest's files under the pinned schema.
+    Hive-partitioned paths (``col=value`` dirs) need ``basePath`` so
+    Spark's partition discovery restores the partition columns that
+    ``partitionBy`` dropped from the parquet footers — without it a
+    pinned-schema read would silently null-fill them. Flat and hive
+    files mix safely: flat files carry the column in-data, hive files
+    derive it from their directory."""
+    paths = [
+        f if os.path.isabs(f) else os.path.join(table_dir, f) for f in files
+    ]
+    # group by (data root, partition-column signature): Spark's
+    # partition discovery cannot mix hive and flat leaves in ONE scan
+    # (it silently drops one group), so each layout group gets its own
+    # scan and the groups union under the pinned schema
+    groups: dict[tuple, list[str]] = {}
+    for p in paths:
+        d, cols = os.path.dirname(p), []
+        while "=" in os.path.basename(d):
+            cols.append(os.path.basename(d).partition("=")[0])
+            d = os.path.dirname(d)
+        key = (d, tuple(sorted(cols))) if cols else ("", ())
+        groups.setdefault(key, []).append(p)
+    parts = []
+    for (root, _cols), group_paths in sorted(groups.items()):
+        reader = _manifest_reader(spark, manifest)
+        if root:
+            reader = reader.option("basePath", root)
+        df = reader.parquet(*group_paths)
+        schema_json = manifest.get("schema")
+        if schema_json:
+            # partition discovery appends partition columns last;
+            # restore the committed column order so groups align
+            df = df.select(*[f["name"] for f in schema_json["fields"]])
+        parts.append(df)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def read_versioned(
     spark: SparkSession,
     table_dir: str,
@@ -569,7 +689,6 @@ def read_versioned(
     if v == 0:
         raise FileNotFoundError(f"no committed version in {table_dir}")
     manifest = _load_manifest(table_dir, v)
-    reader = _manifest_reader(spark, manifest)
     files = manifest["files"]
     if skip_filter:
         stats = manifest.get("stats", {})
@@ -579,10 +698,10 @@ def read_versioned(
         # one manifest file with an always-false filter
         from pyspark.sql import functions as F
 
-        first = os.path.join(table_dir, manifest["files"][0])
-        return reader.parquet(first).filter(F.lit(False))
-    paths = [os.path.join(table_dir, f) for f in files]
-    df = reader.parquet(*paths)
+        return _read_manifest_files(
+            spark, manifest, table_dir, manifest["files"][:1]
+        ).filter(F.lit(False))
+    df = _read_manifest_files(spark, manifest, table_dir, files)
     if skip_filter:
         from pyspark.sql import functions as F
 
@@ -662,12 +781,11 @@ def read_changes(
             return read_versioned(spark, table_dir, to_version).filter(
                 F.lit(False)
             ).withColumn("_change_type", F.lit("insert"))
-        paths = [os.path.join(table_dir, f) for f in new_files]
         # pin the target snapshot's schema: the range may span a schema
         # evolution, and downstream consumers see the evolved shape
-        return _manifest_reader(spark, to_manifest).parquet(*paths).withColumn(
-            "_change_type", F.lit("insert")
-        )
+        return _read_manifest_files(
+            spark, to_manifest, table_dir, new_files
+        ).withColumn("_change_type", F.lit("insert"))
     new_manifest = _load_manifest(table_dir, to_version)
     new = read_versioned(spark, table_dir, to_version)
     if from_version > 0:
@@ -676,16 +794,15 @@ def read_changes(
         # (columns the old files lack null-fill; the diff is expressed
         # in the evolved shape)
         old_manifest = _load_manifest(table_dir, from_version)
-        old_reader = _manifest_reader(
+        old = _read_manifest_files(
             spark,
             {
                 **old_manifest,
                 "schema": new_manifest.get("schema")
                 or old_manifest.get("schema"),
             },
-        )
-        old = old_reader.parquet(
-            *[os.path.join(table_dir, f) for f in old_manifest["files"]]
+            table_dir,
+            old_manifest["files"],
         )
     else:
         old = new.filter(F.lit(False))
@@ -793,11 +910,16 @@ def vacuum(table_dir: str, keep_last: int = 1) -> int:
     # metadata-only tables (fresh shallow clone) have no data/ dir —
     # still prune old manifests below rather than raising
     if os.path.isdir(data_dir):
-        for name in os.listdir(data_dir):
-            rel = os.path.join("data", name)
-            if rel not in keep_files:
-                os.remove(os.path.join(data_dir, name))
-                removed += 1
+        # bottom-up walk: hive-partitioned tables nest col=value dirs
+        # under data/, and emptied partition dirs are pruned after
+        for root, _dirs, names in os.walk(data_dir, topdown=False):
+            for name in names:
+                full = os.path.join(root, name)
+                if os.path.relpath(full, table_dir) not in keep_files:
+                    os.remove(full)
+                    removed += 1
+            if root != data_dir and not os.listdir(root):
+                os.rmdir(root)
     store = get_commit_store()
     for name in store.list_log(table_dir):
         # only vNNNNN.json manifests — a stray object (editor temp, an
@@ -835,11 +957,9 @@ def _predicate_touched_files(
     ]
     if not candidates:
         return []
-    paths = [os.path.join(table_dir, f) for f in candidates]
     by_base = {os.path.basename(f): f for f in candidates}
     hit_rows = (
-        _manifest_reader(spark, manifest)
-        .parquet(*paths)
+        _read_manifest_files(spark, manifest, table_dir, candidates)
         .filter(F.expr(predicate))
         .select(F.input_file_name().alias("_f"))
         .distinct()
@@ -887,15 +1007,14 @@ def delete_versioned(
     )
     if not touched:
         return v, 0
-    reader = _manifest_reader(spark, manifest)
     # NULL-safe complement: SQL DELETE removes only rows where the
     # predicate is TRUE; rows where it evaluates to NULL must be KEPT.
     # A bare ~expr would drop them (NOT NULL = NULL = filtered out).
-    kept = reader.parquet(
-        *[os.path.join(table_dir, f) for f in touched]
-    ).filter(~F.coalesce(F.expr(predicate), F.lit(False)))
+    kept = _read_manifest_files(spark, manifest, table_dir, touched).filter(
+        ~F.coalesce(F.expr(predicate), F.lit(False))
+    )
     new_files = _stage_files(kept, table_dir)
-    new_stats = {f: _file_stats(os.path.join(table_dir, f)) for f in new_files}
+    new_stats = _stats_for_new_files(table_dir, new_files)
     _augment_blooms(
         table_dir, new_files, new_stats, manifest.get("bloom_cols"), 0.01
     )
@@ -1000,8 +1119,7 @@ def update_versioned(
     )
     if not touched:
         return v, 0
-    reader = _manifest_reader(spark, manifest)
-    old_rows = reader.parquet(*[os.path.join(table_dir, f) for f in touched])
+    old_rows = _read_manifest_files(spark, manifest, table_dir, touched)
     pred = F.expr(predicate)
     cols = []
     for name in old_rows.columns:
@@ -1020,7 +1138,7 @@ def update_versioned(
     ).select(*cols)
     new_files = _stage_files(rewritten, table_dir)  # the action that fires obs
     n_updated = int(obs.get["n_matched"] or 0)
-    new_stats = {f: _file_stats(os.path.join(table_dir, f)) for f in new_files}
+    new_stats = _stats_for_new_files(table_dir, new_files)
     _augment_blooms(
         table_dir, new_files, new_stats, manifest.get("bloom_cols"), 0.01
     )
@@ -1115,9 +1233,18 @@ def clone_versioned(
         os.makedirs(data_dir, exist_ok=True)
         files, new_stats = [], {}
         for f in src["files"]:
+            # preserve trailing hive col=value segments: a partitioned
+            # file's partition VALUES live only in its path, so a flat
+            # copy would null them out on read
+            segs, d = [], os.path.dirname(f)
+            while "=" in os.path.basename(d):
+                segs.insert(0, os.path.basename(d))
+                d = os.path.dirname(d)
+            dst_dir_full = os.path.join(data_dir, *segs)
+            os.makedirs(dst_dir_full, exist_ok=True)
             dst = f"part-{uuid.uuid4().hex}-{os.path.basename(f)}"
-            shutil.copy2(os.path.join(src_dir, f), os.path.join(data_dir, dst))
-            rel = os.path.join("data", dst)
+            shutil.copy2(os.path.join(src_dir, f), os.path.join(dst_dir_full, dst))
+            rel = os.path.join("data", *segs, dst)
             files.append(rel)
             if f in stats:
                 new_stats[rel] = stats[f]

@@ -10,7 +10,11 @@ Checks, in order:
    correctness gate, run the way the driver runs it);
 3. bench.py total and the shared-12 prefix are within tolerance of the
    committed round-1 prefix (17.7 s) — a big excursion means the
-   machine is loaded or a query regressed; either way, do not snapshot.
+   machine is loaded or a query regressed; either way, do not snapshot;
+4. scripts/benchfull.py: per-query medians over the FULL registry,
+   diffed against the newest committed BENCH_FULL_r*.json — unexplained
+   >1.5x (& >0.5 s) movers block the snapshot. Set
+   SPARK_GRAFT_SKIP_BENCHFULL=1 to skip during iteration.
 """
 
 from __future__ import annotations
@@ -77,24 +81,24 @@ def refresh_driver_ledger() -> None:
 def main() -> int:
     failures: list[str] = []
 
-    print("== 0/3 driver ledger ==", flush=True)
+    print("== 0/4 driver ledger ==", flush=True)
     refresh_driver_ledger()
 
-    print("== 1/3 pytest ==", flush=True)
+    print("== 1/4 pytest ==", flush=True)
     rc, out = run([sys.executable, "-m", "pytest", "tests/", "-q"])
     tail = "\n".join(out.splitlines()[-3:])
     print(tail)
     if rc != 0:
         failures.append("pytest is RED")
 
-    print("== 2/3 oracle selfcheck (sf0.01) ==", flush=True)
+    print("== 2/4 oracle selfcheck (sf0.01) ==", flush=True)
     rc, out = run([sys.executable, "scripts/selfcheck.py", "/root/testdata/sf0.01"])
     m = re.search(r"== (\d+) pass, (\d+) fail, (\d+) rows-only ==", out)
     print(m.group(0) if m else out.splitlines()[-1])
     if rc != 0 or not m or int(m.group(2)) != 0:
         failures.append("selfcheck has FAILs")
 
-    print("== 3/3 bench prefix ==", flush=True)
+    print("== 3/4 bench prefix ==", flush=True)
     rc, out = run([sys.executable, "bench.py"])
     line = next((l for l in out.splitlines() if l.startswith("{")), None)
     if rc != 0 or line is None:
@@ -111,6 +115,21 @@ def main() -> int:
                 f"shared-12 bench prefix {prefix:.2f}s exceeds {PREFIX_BUDGET_S}s "
                 "— loaded machine or a real regression; rerun quiet or bisect"
             )
+
+    print("== 4/4 full-registry bench diff ==", flush=True)
+    if os.environ.get("SPARK_GRAFT_SKIP_BENCHFULL"):
+        print("skipped (SPARK_GRAFT_SKIP_BENCHFULL set)")
+    else:
+        # re-measures EVERY registry query (~10 min) and diffs against
+        # the newest committed BENCH_FULL artifact; >1.5x & >0.5s
+        # movers fail loudly (VERDICT r4 ask #5 — the winnowing lesson:
+        # regressions outside the 27 headliners were invisible)
+        rc, out = run([sys.executable, "scripts/benchfull.py"])
+        for line in out.splitlines():
+            if line.startswith(("wrote ", "diff ", "  REGRESSED", "no prior")):
+                print(line)
+        if rc != 0:
+            failures.append("full-registry bench has unexplained >1.5x movers")
 
     if failures:
         print("\nPRESNAPSHOT: DO NOT SNAPSHOT")

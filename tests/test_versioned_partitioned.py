@@ -1,0 +1,162 @@
+"""Hive-partitioned versioned tables (VERDICT r4 ask #7): partition
+values live in the manifest as per-file stats (min = max = value), so
+skip_filter prunes at partition granularity; reads restore partition
+columns via basePath; DML/vacuum/clone handle the nested layout."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from datalake_scripts_spark.io import read_table
+from datalake_scripts_spark.operators.versioned import (
+    _load_manifest,
+    _partition_values,
+    clone_versioned,
+    current_version,
+    delete_versioned,
+    files_for_read,
+    read_versioned,
+    vacuum,
+    write_versioned,
+)
+
+
+@pytest.fixture()
+def table_dir(tmp_path):
+    return str(tmp_path / "ptable")
+
+
+def test_partition_values_parsing():
+    assert _partition_values("data/dt=2024-01-01/part-x.parquet") == {
+        "dt": "2024-01-01"
+    }
+    assert _partition_values("data/k=5/sub=1.5/part-x.parquet") == {
+        "k": 5, "sub": 1.5
+    }
+    assert _partition_values(
+        "data/s=__HIVE_DEFAULT_PARTITION__/part-x.parquet"
+    ) == {"s": None}
+    assert _partition_values("data/part-x.parquet") == {}
+    # hive escaping round-trips (Spark writes ':' as %3A etc.)
+    assert _partition_values("data/t=a%3Ab/part-x.parquet") == {"t": "a:b"}
+
+
+def test_partitioned_write_prunes_and_reads_back(spark, sf_dir, table_dir):
+    nation = read_table(spark, sf_dir, "nation")
+    write_versioned(spark, nation, table_dir, partition_by=["n_regionkey"])
+    m = _load_manifest(table_dir, 1)
+    assert all("n_regionkey=" in f for f in m["files"])
+    # every file's stats carry the injected partition value
+    for f in m["files"]:
+        cs = m["stats"][f]["columns"]["n_regionkey"]
+        assert cs["min"] == cs["max"] == _partition_values(f)["n_regionkey"]
+
+    # partition predicate opens a STRICT file subset (the done-bar)
+    flt = [("n_regionkey", "=", 2)]
+    opened = files_for_read(table_dir, skip_filter=flt)
+    assert 0 < len(opened) < len(m["files"])
+    assert all("n_regionkey=2" in f for f in opened)
+
+    # full read restores partition columns exactly (basePath discovery)
+    got = read_versioned(spark, table_dir)
+    assert sorted(got.columns) == sorted(nation.columns)
+    assert got.exceptAll(nation).count() == 0
+    assert nation.exceptAll(got).count() == 0
+
+    # pruned read is exact too
+    part = read_versioned(spark, table_dir, skip_filter=flt)
+    want = nation.filter(F.col("n_regionkey") == 2)
+    assert part.exceptAll(want).count() == 0
+    assert want.exceptAll(part).count() == 0
+
+
+def test_range_prune_on_int_partition(spark, sf_dir, table_dir):
+    orders = read_table(spark, sf_dir, "orders").limit(2000).withColumn(
+        "bucket", (F.col("o_orderkey") % 8).cast("int")
+    )
+    write_versioned(spark, orders, table_dir, partition_by=["bucket"])
+    m = _load_manifest(table_dir, 1)
+    opened = files_for_read(table_dir, skip_filter=[("bucket", "<", 2)])
+    assert 0 < len(opened) < len(m["files"])
+    got = read_versioned(spark, table_dir, skip_filter=[("bucket", "<", 2)])
+    assert got.count() == orders.filter("bucket < 2").count()
+
+
+def test_mixed_layout_append(spark, sf_dir, table_dir):
+    """Appends may mix partitioned and flat layouts: flat files carry
+    the column in-data, hive files derive it from their directory."""
+    nation = read_table(spark, sf_dir, "nation")
+    write_versioned(spark, nation, table_dir, partition_by=["n_regionkey"])
+    write_versioned(spark, nation, table_dir, mode="append")  # flat
+    got = read_versioned(spark, table_dir)
+    assert got.count() == 2 * nation.count()
+    assert got.filter(F.col("n_regionkey").isNull()).count() == 0
+    # both layouts prune: = predicate opens only the matching files
+    opened = files_for_read(table_dir, skip_filter=[("n_regionkey", "=", 0)])
+    m = _load_manifest(table_dir, 2)
+    assert len(opened) < len(m["files"])
+
+
+def test_dml_on_partitioned_table(spark, sf_dir, table_dir):
+    nation = read_table(spark, sf_dir, "nation")
+    write_versioned(spark, nation, table_dir, partition_by=["n_regionkey"])
+    v, n = delete_versioned(spark, table_dir, "n_nationkey < 5")
+    assert (v, n) == (2, 5)
+    got = read_versioned(spark, table_dir)
+    assert got.count() == nation.count() - 5
+    # rewritten rows keep their partition-column values (the rewrite
+    # folded them into the data files)
+    want = nation.filter("n_nationkey >= 5")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_vacuum_prunes_partition_dirs(spark, sf_dir, table_dir):
+    nation = read_table(spark, sf_dir, "nation")
+    write_versioned(spark, nation, table_dir, partition_by=["n_regionkey"])
+    write_versioned(spark, nation, table_dir, mode="overwrite")  # flat
+    removed = vacuum(table_dir, keep_last=1)
+    assert removed > 0
+    # all hive files and their emptied col=value dirs are gone
+    data_dir = os.path.join(table_dir, "data")
+    leftovers = [d for d in os.listdir(data_dir) if "=" in d]
+    assert leftovers == []
+    assert read_versioned(spark, table_dir).count() == nation.count()
+
+
+def test_deep_clone_preserves_partition_values(spark, sf_dir, table_dir, tmp_path):
+    nation = read_table(spark, sf_dir, "nation")
+    write_versioned(spark, nation, table_dir, partition_by=["n_regionkey"])
+    dst = str(tmp_path / "pclone")
+    clone_versioned(spark, table_dir, dst, shallow=False)
+    got = read_versioned(spark, dst)
+    assert got.exceptAll(nation).count() == 0
+    assert nation.exceptAll(got).count() == 0
+    # clone's own files keep hive segments and prune independently
+    opened = files_for_read(dst, skip_filter=[("n_regionkey", "=", 1)])
+    assert 0 < len(opened) < len(_load_manifest(dst, 1)["files"])
+
+
+def test_shallow_clone_of_partitioned_table(spark, sf_dir, table_dir, tmp_path):
+    nation = read_table(spark, sf_dir, "nation")
+    write_versioned(spark, nation, table_dir, partition_by=["n_regionkey"])
+    dst = str(tmp_path / "sclone")
+    clone_versioned(spark, table_dir, dst, shallow=True)
+    got = read_versioned(spark, dst)
+    assert got.count() == nation.count()
+    assert got.filter(F.col("n_regionkey").isNull()).count() == 0
+
+
+def test_null_partition_value_roundtrip(spark, table_dir):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b"), (4, None)], "id bigint, grp string"
+    )
+    write_versioned(spark, df, table_dir, partition_by=["grp"])
+    m = _load_manifest(table_dir, 1)
+    assert any("__HIVE_DEFAULT_PARTITION__" in f for f in m["files"])
+    got = read_versioned(spark, table_dir)
+    assert got.filter(F.col("grp").isNull()).count() == 2
+    # null-partition files have no grp stats entry -> never pruned away
+    opened = files_for_read(table_dir, skip_filter=[("grp", "=", "a")])
+    assert any("__HIVE_DEFAULT_PARTITION__" in f for f in opened)
