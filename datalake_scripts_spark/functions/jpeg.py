@@ -1,0 +1,552 @@
+"""Pure-stdlib baseline JPEG codec (numpy DCT + huffman) — the real
+image decode for web corpora, sibling of :mod:`functions.png` (VERDICT
+r4 ask #6: "web corpora are mostly JPEG").
+
+No PIL/libjpeg in this container, but baseline JFIF needs neither:
+marker walk, DHT-driven huffman decode, dequantize, 8x8 inverse DCT
+(one numpy matmul pair per block), chroma upsample, YCbCr->RGB. The
+decoder handles what a crawl actually contains: baseline sequential
+(SOF0), 8-bit, greyscale or 3-component YCbCr with sampling factors
+1-2 (4:4:4 / 4:2:2 / 4:2:0), restart intervals, stuffed bytes, APPn /
+COM skip. Progressive (SOF2), arithmetic coding, 12-bit, and CMYK
+raise :class:`UnsupportedJpeg`, and callers fall back to the
+deterministic stub — same contract as PNG/WAV, with corrupt payloads
+covered by the shared DECODE_ERRORS lane (operators.multimodal).
+
+The encoder emits valid baseline JFIF with its huffman tables embedded
+in DHT markers (uniform-length canonical tables: every DC symbol 4
+bits, every AC symbol 8 bits — larger files than Annex K's optimized
+tables but identical decodability, including by external decoders).
+JPEG is lossy, so the property tests assert dimension exactness plus
+bounded pixel error (decode(encode(x)) within quantization tolerance),
+not bit equality.
+
+Scale shape: per-row library functions inside Arrow-batched
+``mapInPandas`` stages — bytes stay executor-side, no shuffle.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+class UnsupportedJpeg(ValueError):
+    """Valid JPEG magic but a coding this codec doesn't implement
+    (progressive, arithmetic, 12-bit, >2x sampling, CMYK)."""
+
+
+def is_jpeg(data: bytes) -> bool:
+    return bytes(data[:2]) == b"\xff\xd8"
+
+
+# zigzag scan order: index i holds the raster position of the i-th
+# zigzag coefficient
+_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# Annex K quantization tables (quality 50 baseline), zigzag-independent
+# raster order
+_QT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64).reshape(8, 8)
+_QT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64).reshape(8, 8)
+
+
+def _dct_matrix() -> np.ndarray:
+    i = np.arange(8)[:, None]
+    j = np.arange(8)[None, :]
+    t = np.sqrt(2.0 / 8.0) * np.cos((2 * j + 1) * i * np.pi / 16.0)
+    t[0] /= np.sqrt(2.0)
+    return t
+
+
+_T = _dct_matrix()
+
+
+def _quality_scale(qt: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg's quality scaling of the Annex K tables."""
+    q = min(100, max(1, quality))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    out = (qt * scale + 50) // 100
+    return np.clip(out, 1, 255)
+
+
+# ---------------------------------------------------------------------------
+# encoder
+# ---------------------------------------------------------------------------
+
+# uniform-length canonical huffman tables: 12 DC symbols at 4 bits,
+# 162 AC symbols at 8 bits. All-ones code unused in both (12 < 16,
+# 162 < 256), as JPEG requires.
+_DC_SYMS = list(range(12))
+_AC_SYMS = [((r << 4) | s) for r in range(16) for s in range(1, 11)] + [0x00, 0xF0]
+assert len(_AC_SYMS) == 162
+
+
+def _uniform_table(symbols: list[int], length: int):
+    codes = {sym: (length, i) for i, sym in enumerate(symbols)}
+    bits = [0] * 16
+    bits[length - 1] = len(symbols)
+    return codes, bytes(bits) + bytes(symbols)
+
+
+_DC_CODES, _DC_DHT = _uniform_table(_DC_SYMS, 4)
+_AC_CODES, _AC_DHT = _uniform_table(_AC_SYMS, 8)
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int) -> None:
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(size, raw bits) for a DC diff / AC coefficient."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    size = a.bit_length()
+    bits = v if v > 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def _encode_block(
+    w: _BitWriter, block: np.ndarray, qt: np.ndarray, pred: int
+) -> int:
+    coeffs = np.round((_T @ (block - 128.0) @ _T.T) / qt).astype(np.int64)
+    zz = coeffs.reshape(-1)[_ZIGZAG]
+    size, bits = _magnitude(int(zz[0]) - pred)
+    w.write(_DC_CODES[size][1], _DC_CODES[size][0])
+    if size:
+        w.write(bits, size)
+    run = 0
+    nz = np.nonzero(zz[1:])[0]
+    last = nz[-1] + 1 if len(nz) else 0
+    for k in range(1, last + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            w.write(_AC_CODES[0xF0][1], _AC_CODES[0xF0][0])  # ZRL
+            run -= 16
+        size, bits = _magnitude(v)
+        sym = (run << 4) | size
+        w.write(_AC_CODES[sym][1], _AC_CODES[sym][0])
+        w.write(bits, size)
+        run = 0
+    if last < 63:
+        w.write(_AC_CODES[0x00][1], _AC_CODES[0x00][0])  # EOB
+    return int(zz[0])
+
+
+def _rgb_to_ycbcr(a: np.ndarray) -> np.ndarray:
+    r, g, b = a[..., 0], a[..., 1], a[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _pad_edge(plane: np.ndarray, ph: int, pw: int) -> np.ndarray:
+    h, w = plane.shape
+    out = np.empty((ph, pw))
+    out[:h, :w] = plane
+    out[h:, :w] = plane[h - 1 : h, :]  # edge-replicate pad
+    out[:, w:] = out[:, w - 1 : w]
+    return out
+
+
+def encode_jpeg(
+    arr: np.ndarray, quality: int = 90, subsampling: str = "444"
+) -> bytes:
+    """uint8 array (H,W) or (H,W,3) -> baseline JFIF bytes (one
+    interleaved scan, embedded huffman/quant tables). ``subsampling``
+    is ``"444"`` or ``"420"`` (2x2 box-averaged chroma — the web's
+    default layout, which also exercises the decoder's upsampling
+    path). Lossy: decodes back to the same dimensions with bounded
+    pixel error."""
+    a = np.asarray(arr, dtype=np.float64)
+    grey = a.ndim == 2
+    h, w = a.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"subsampling {subsampling!r} not in 444/420")
+    sub = 2 if (subsampling == "420" and not grey) else 1
+    qts = [_quality_scale(_QT_LUMA, quality)]
+    if not grey:
+        if a.shape[2] != 3:
+            raise ValueError(f"expected 3 channels, got {a.shape[2]}")
+        qts.append(_quality_scale(_QT_CHROMA, quality))
+        ycc = _rgb_to_ycbcr(a)
+        mcu = 8 * sub
+        ph, pw = -(-h // mcu) * mcu, -(-w // mcu) * mcu
+        luma = _pad_edge(ycc[:, :, 0], ph, pw)
+        chroma = [_pad_edge(ycc[:, :, c], ph, pw) for c in (1, 2)]
+        if sub == 2:  # 2x2 box average
+            chroma = [
+                c.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+                for c in chroma
+            ]
+        comps = [(luma, sub, sub, 0, 0)] + [
+            (c, 1, 1, 1, 1) for c in chroma
+        ]  # (plane, h_i, v_i, quant_id, huff_id)
+    else:
+        ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+        comps = [(_pad_edge(a, ph, pw), 1, 1, 0, 0)]
+    n_comp = len(comps)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += (
+        b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x01\x01"
+        + b"\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    )
+    for tid, qt in enumerate(qts):
+        zz = qt.reshape(-1)[_ZIGZAG].astype(np.uint8).tobytes()
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + zz
+    sof = struct.pack(">BHHB", 8, h, w, n_comp)
+    for c, (_pl, hi, vi, tq, _th) in enumerate(comps):
+        sof += struct.pack("BBB", c + 1, (hi << 4) | vi, tq)
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    for tclass_tid, table in (
+        (0x00, _DC_DHT), (0x10, _AC_DHT),
+        *(((0x01, _DC_DHT), (0x11, _AC_DHT)) if not grey else ()),
+    ):
+        out += b"\xff\xc4" + struct.pack(">HB", 3 + len(table), tclass_tid) + table
+    sos = struct.pack("B", n_comp)
+    for c, (_pl, _hi, _vi, _tq, th) in enumerate(comps):
+        sos += struct.pack("BB", c + 1, (th << 4) | th)
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    bw = _BitWriter()
+    preds = [0] * n_comp
+    hmax = max(hi for _pl, hi, _vi, _tq, _th in comps)
+    vmax = max(vi for _pl, _hi, vi, _tq, _th in comps)
+    mcus_y = comps[0][0].shape[0] // (8 * vmax)
+    mcus_x = comps[0][0].shape[1] // (8 * hmax)
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for c, (pl, hi, vi, tq, _th) in enumerate(comps):
+                for v in range(vi):
+                    for hs in range(hi):
+                        y0 = (my * vi + v) * 8
+                        x0 = (mx * hi + hs) * 8
+                        preds[c] = _encode_block(
+                            bw, pl[y0 : y0 + 8, x0 : x0 + 8], qts[tq],
+                            preds[c],
+                        )
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG entropy stream truncated")
+            self.acc = (self.acc << 8) | self.data[self.pos]
+            self.pos += 1
+            self.nbits += 8
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def align(self) -> None:
+        self.acc = 0
+        self.nbits = 0
+
+
+def _build_huffman(bits: bytes, vals: bytes) -> dict[tuple[int, int], int]:
+    """Canonical JPEG huffman: {(length, code) -> symbol}."""
+    if len(bits) != 16 or len(vals) != sum(bits):
+        raise ValueError("truncated JPEG huffman table")
+    table: dict[tuple[int, int], int] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        if code + bits[length - 1] > (1 << length):
+            raise ValueError("overfull JPEG huffman table")
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read(1)
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG huffman code")
+
+
+def _extend(bits: int, size: int) -> int:
+    if size == 0:
+        return 0
+    return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
+
+
+def _ycbcr_to_rgb(y, cb, cr) -> np.ndarray:
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.stack([r, g, b], axis=-1).round(), 0, 255).astype(np.uint8)
+
+
+def _parse_segments(data: bytes):
+    """Yields (marker, payload, payload_offset); stops at SOS (the
+    entropy stream follows, not a counted segment)."""
+    if not is_jpeg(data):
+        raise ValueError("not a JPEG (bad SOI)")
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"JPEG marker sync lost at {pos}")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            return
+        (length,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        payload = data[pos + 4 : pos + 2 + length]
+        if len(payload) != length - 2:
+            raise ValueError("JPEG segment truncated")
+        yield marker, payload, pos + 4
+        if marker == 0xDA:
+            return
+        pos += 2 + length
+    raise ValueError("JPEG ended without SOS/EOI")
+
+
+def jpeg_dimensions(data: bytes) -> tuple[int, int, int]:
+    """(width, height, components) from the SOF header alone — O(1)
+    metadata probe, no entropy decode (the 100 TB metadata-pass path)."""
+    data = bytes(data)
+    for marker, payload, _off in _parse_segments(data):
+        if marker in (0xC0, 0xC1):  # baseline / extended sequential
+            _prec, h, w, ncomp = struct.unpack(">BHHB", payload[:6])
+            return w, h, ncomp
+        if marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                      0xCD, 0xCE, 0xCF):
+            raise UnsupportedJpeg(f"SOF marker 0xff{marker:02x}")
+    raise ValueError("JPEG has no SOF marker")
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline JFIF bytes -> uint8 array (H,W,3) RGB, or (H,W,1) for
+    greyscale. Real entropy + DCT math; see module docstring for the
+    supported envelope."""
+    data = bytes(data)
+    qts: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    sof = None
+    restart = 0
+    scan_comps, scan_off = None, None
+    for marker, payload, off in _parse_segments(data):
+        if marker == 0xDB:  # DQT (possibly several tables per marker)
+            p = 0
+            while p < len(payload):
+                pq, tq = payload[p] >> 4, payload[p] & 0xF
+                if pq != 0:
+                    raise UnsupportedJpeg("16-bit quant table")
+                raster = np.empty(64, dtype=np.int64)
+                raster[_ZIGZAG] = np.frombuffer(
+                    payload[p + 1 : p + 65], dtype=np.uint8
+                )
+                qts[tq] = raster.reshape(8, 8)
+                p += 65
+        elif marker == 0xC4:  # DHT (possibly several tables per marker)
+            p = 0
+            while p < len(payload):
+                tc, th = payload[p] >> 4, payload[p] & 0xF
+                bits = payload[p + 1 : p + 17]
+                n = sum(bits)
+                vals = payload[p + 17 : p + 17 + n]
+                huff[(tc, th)] = _build_huffman(bits, vals)
+                p += 17 + n
+        elif marker in (0xC0, 0xC1):
+            prec, h, w, ncomp = struct.unpack(">BHHB", payload[:6])
+            if prec != 8:
+                raise UnsupportedJpeg(f"{prec}-bit precision")
+            if ncomp not in (1, 3):
+                raise UnsupportedJpeg(f"{ncomp} components")
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = struct.unpack(
+                    "BBB", payload[6 + 3 * c : 9 + 3 * c]
+                )
+                hi, vi = hv >> 4, hv & 0xF
+                if hi not in (1, 2) or vi not in (1, 2):
+                    raise UnsupportedJpeg(f"sampling {hi}x{vi}")
+                comps.append({"id": cid, "h": hi, "v": vi, "tq": tq})
+            sof = (h, w, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise UnsupportedJpeg(f"SOF marker 0xff{marker:02x}")
+        elif marker == 0xDD:  # DRI
+            (restart,) = struct.unpack(">H", payload[:2])
+        elif marker == 0xDA:  # SOS
+            ns = payload[0]
+            scan_comps = []
+            for c in range(ns):
+                cs, tables = payload[1 + 2 * c], payload[2 + 2 * c]
+                scan_comps.append((cs, tables >> 4, tables & 0xF))
+            scan_off = off + len(payload)
+        # APPn / COM / others: skipped
+    if sof is None or scan_comps is None:
+        raise ValueError("JPEG missing SOF/SOS")
+    h, w, comps = sof
+    if h == 0 or w == 0 or h * w > 1 << 28:
+        raise ValueError(f"implausible JPEG dimensions {w}x{h}")
+
+    # unstuff the entropy stream, splitting at RST markers
+    intervals: list[bytes] = []
+    cur = bytearray()
+    p = scan_off
+    while p < len(data):
+        b = data[p]
+        if b != 0xFF:
+            cur.append(b)
+            p += 1
+            continue
+        nxt = data[p + 1] if p + 1 < len(data) else 0xD9
+        if nxt == 0x00:
+            cur.append(0xFF)
+            p += 2
+        elif 0xD0 <= nxt <= 0xD7:
+            intervals.append(bytes(cur))
+            cur = bytearray()
+            p += 2
+        else:
+            break  # EOI or next marker
+    intervals.append(bytes(cur))
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    planes = [
+        np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8)) for c in comps
+    ]
+    by_id = {c["id"]: i for i, c in enumerate(comps)}
+    order = []  # (comp_index, dc_table, ac_table) per scan component
+    for cs, td, ta in scan_comps:
+        if cs not in by_id:
+            raise ValueError(f"JPEG scan references unknown component {cs}")
+        order.append((by_id[cs], td, ta))
+
+    br = _BitReader(intervals[0])
+    interval_i = 0
+    preds = [0] * len(comps)
+    mcu = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart and mcu and mcu % restart == 0:
+                interval_i += 1
+                if interval_i >= len(intervals):
+                    raise ValueError("JPEG missing restart interval data")
+                br = _BitReader(intervals[interval_i])
+                preds = [0] * len(comps)
+            for ci, td, ta in order:
+                comp = comps[ci]
+                dc_t = huff.get((0, td))
+                ac_t = huff.get((1, ta))
+                qt = qts.get(comp["tq"])
+                if dc_t is None or ac_t is None or qt is None:
+                    raise ValueError("JPEG scan references missing table")
+                for v in range(comp["v"]):
+                    for hsub in range(comp["h"]):
+                        zz = np.zeros(64, dtype=np.int64)
+                        s = _huff_decode(br, dc_t)
+                        if s > 11:
+                            raise ValueError("invalid DC size")
+                        diff = _extend(br.read(s), s) if s else 0
+                        preds[ci] += diff
+                        zz[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_decode(br, ac_t)
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:
+                                    k += 16  # ZRL
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC run past block end")
+                            zz[k] = _extend(br.read(s), s)
+                            k += 1
+                        block = np.zeros(64, dtype=np.float64)
+                        block[_ZIGZAG] = zz * qt.reshape(-1)[_ZIGZAG]
+                        pix = _T.T @ block.reshape(8, 8) @ _T + 128.0
+                        y0 = (my * comp["v"] + v) * 8
+                        x0 = (mx * comp["h"] + hsub) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = pix
+            mcu += 1
+
+    full = []
+    for ci, comp in enumerate(comps):
+        pl = planes[ci]
+        ry, rx = vmax // comp["v"], hmax // comp["h"]
+        if ry > 1 or rx > 1:
+            pl = np.repeat(np.repeat(pl, ry, axis=0), rx, axis=1)
+        full.append(pl[:h, :w])
+    if len(full) == 1:
+        return np.clip(full[0].round(), 0, 255).astype(np.uint8)[:, :, None]
+    return _ycbcr_to_rgb(full[0], full[1], full[2])

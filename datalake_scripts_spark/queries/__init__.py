@@ -91,6 +91,7 @@ DRIVER_PRIORITY = [
     "text_top_bigrams_per_lang",
     # multimodal / versioned-lake remainder
     "multimodal_wav_roundtrip",
+    "multimodal_jpeg_roundtrip",  # new r5: real baseline JPEG codec
     "history_latest_snapshot",
     # --- the 4 rows-only engine-specific paths (weaker rows check;
     # their md5/oracle twins are already driver-green) ---
@@ -106,7 +107,6 @@ DRIVER_PRIORITY = [
     "dedup_embedding_cosine",
     "events_tumbling_hourly",
     "ann_brute_force_topk",
-    "text_quality_scores",
 ]
 
 

@@ -1250,6 +1250,35 @@ def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_jpeg_roundtrip",
+    sql=f"""
+    SELECT doc_id,
+           CAST(8 + {_hexbyte_sql(0)} % 24 AS INT) AS width,
+           CAST(8 + {_hexbyte_sql(1)} % 24 AS INT) AS height,
+           3 AS channels,
+           TRUE AS pixels_ok
+    FROM documents
+    """,
+)
+def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL baseline JPEG codec (functions.jpeg — DCT + huffman +
+    byte stuffing), driver-verified, sibling of multimodal_png_roundtrip:
+    each doc seeds a WxHx3 pixel array from its md5 digest; the Arrow
+    stage encodes it to actual baseline JFIF and decodes it back
+    through the real entropy/IDCT path, reporting MEASURED dimensions
+    and bounded pixel error (lossy codec: max<=96 and mean<=12 per
+    image, vs measured worst case 53/6.8 at q90 — any coding bug
+    pushes the mean far past the bound). The oracle recomputes the
+    expected dimensions from the same md5 arithmetic and asserts
+    pixels_ok."""
+    from ..operators.multimodal import jpeg_roundtrip_check
+
+    docs = t(spark, sf_dir, "documents")
+    payloads = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return jpeg_roundtrip_check(payloads)
+
+
+@query(
     "multimodal_wav_roundtrip",
     sql=f"""
     SELECT doc_id,

@@ -14,6 +14,12 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
+from datalake_scripts_spark.functions.jpeg import (
+    UnsupportedJpeg,
+    decode_jpeg,
+    encode_jpeg,
+    jpeg_dimensions,
+)
 from datalake_scripts_spark.functions.png import (
     UnsupportedPng,
     decode_png,
@@ -62,8 +68,14 @@ def _corrupt_variants(good: bytes, magic_len: int) -> list[bytes]:
     return variants
 
 
+def _good_jpeg() -> bytes:
+    rng = np.random.RandomState(7)
+    return encode_jpeg(rng.randint(0, 256, (16, 12, 3), dtype=np.uint8), 90)
+
+
 CORRUPT_PNGS = _corrupt_variants(_good_png(), 8)
 CORRUPT_WAVS = _corrupt_variants(_good_wav(), 12)
+CORRUPT_JPEGS = _corrupt_variants(_good_jpeg(), 2)
 
 
 def test_codec_raises_only_decode_errors():
@@ -81,6 +93,14 @@ def test_codec_raises_only_decode_errors():
         for fn in (decode_wav, wav_info):
             try:
                 fn(p)
+            except DECODE_ERRORS:
+                pass
+    for p in CORRUPT_JPEGS:
+        for fn in (decode_jpeg, jpeg_dimensions):
+            try:
+                fn(p)
+            except UnsupportedJpeg:
+                pass
             except DECODE_ERRORS:
                 pass
 
@@ -118,8 +138,10 @@ def _df(spark, payloads):
 
 @pytest.fixture(scope="module")
 def corrupt_df(spark):
-    good = [_good_png(), _good_wav()]
-    return _df(spark, good + CORRUPT_PNGS + CORRUPT_WAVS).repartition(4)
+    good = [_good_png(), _good_wav(), _good_jpeg()]
+    return _df(
+        spark, good + CORRUPT_PNGS + CORRUPT_WAVS + CORRUPT_JPEGS
+    ).repartition(4)
 
 
 def test_decode_metadata_survives_and_quarantines(corrupt_df):
