@@ -103,6 +103,38 @@ def cap_shingle_df(
     return sh.join(F.broadcast(hot), join_keys, "left_anti")
 
 
+def ranked_shingle_table(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    block_col: str | None = None,
+    max_df_frac: float = 0.5,
+    min_df_keep: int = 100,
+) -> DataFrame:
+    """Shared rarity-rank relation for the shingle-dedup family
+    (VERDICT r4 stretch #8): the capped inverted index with each
+    shingle's document frequency attached — (id[, block], shingle,
+    _df), localCheckpointed. :func:`ngram_jaccard_pairs` and
+    :func:`containment_pairs` accept it via ``ranked_shingles`` and
+    then skip their own shingle explode, hot-key cap, AND df
+    aggregation + join — the two heaviest shared passes — so a
+    pipeline running both ops pays them once. Solo runs should pass
+    nothing: the in-operator pipeline avoids materializing the wide
+    (id, shingle, _df) relation (measured slower solo, r4 note).
+
+    The df values (and therefore the rarest-first global order and
+    every prefix) are identical to what each operator computes
+    internally, so outputs are hash-identical either way
+    (test_dedup_shared_rank)."""
+    n_docs = df.count()
+    join_keys = ["shingle"] + ([block_col] if block_col else [])
+    sh0 = _shingle_table(df, id_col, text_col, n, block_col).localCheckpoint()
+    sh = cap_shingle_df(sh0, join_keys, n_docs, max_df_frac, min_df_keep)
+    dfs = sh.groupBy(*join_keys).agg(F.count(F.lit(1)).alias("_df"))
+    return sh.join(dfs, join_keys).localCheckpoint()
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -113,9 +145,12 @@ def ngram_jaccard_pairs(
     max_df_frac: float = 0.5,
     min_df_keep: int = 100,
     prefix_filter: bool = True,
+    ranked_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by exact n-gram Jaccard, via inverted index
-    with prefix filtering.
+    with prefix filtering. ``ranked_shingles`` (from
+    :func:`ranked_shingle_table`) skips the shingle/cap/df passes when
+    a pipeline shares them across ops; output is hash-identical.
 
     shingle-explode -> hot-shingle df cap (see :func:`cap_shingle_df`)
     -> PREFIX-filtered self-join on shingle -> exact verify.
@@ -139,9 +174,12 @@ def ngram_jaccard_pairs(
     bit-identical to the exhaustive join (property-tested both ways);
     ``prefix_filter=False`` keeps the exhaustive path for audits.
     """
-    n_docs = df.count()  # parquet-metadata count — cheap even at scale
     join_keys = ["shingle"] + ([block_col] if block_col else [])
     blk = [block_col] if block_col else []
+    if ranked_shingles is not None:
+        sh = ranked_shingles
+    else:
+        n_docs = df.count()  # parquet-metadata count — cheap even at scale
     # EAGER localCheckpoint (not lazy persist) on the shared shingle
     # tables, for two measured reasons: (1) each table feeds 2+ branches
     # of one DAG (hot-key agg + main; df ranking + prefix join + verify
@@ -152,8 +190,10 @@ def ngram_jaccard_pairs(
     # checkpoint blocks are GC'd with the query's DataFrames. Trade-off:
     # checkpoints drop lineage, so a lost executor means job failure
     # instead of recompute — acceptable for these small intermediates.
-    sh0 = _shingle_table(df, id_col, text_col, n, block_col).localCheckpoint()
-    sh = cap_shingle_df(sh0, join_keys, n_docs, max_df_frac, min_df_keep).localCheckpoint()
+        sh0 = _shingle_table(df, id_col, text_col, n, block_col).localCheckpoint()
+        sh = cap_shingle_df(
+            sh0, join_keys, n_docs, max_df_frac, min_df_keep
+        ).localCheckpoint()
 
     if not prefix_filter:
         sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
@@ -193,9 +233,13 @@ def ngram_jaccard_pairs(
     # (A/B note: fusing the df pass with the hot-key cap — one groupBy
     # + a checkpointed dfs — measured 0.4s SLOWER at sf0.1 than this
     # shape; the extra materialization outweighs the saved pass.)
-    dfs = sh.groupBy(*join_keys).agg(F.count(F.lit(1)).alias("_df"))
+    if ranked_shingles is not None:
+        ranked = sh  # _df already attached by ranked_shingle_table
+    else:
+        dfs = sh.groupBy(*join_keys).agg(F.count(F.lit(1)).alias("_df"))
+        ranked = sh.join(dfs, join_keys)
     packed = (
-        sh.join(dfs, join_keys)
+        ranked
         .groupBy(id_col)
         .agg(
             F.sort_array(F.collect_list(F.struct("_df", "shingle"))).alias("_rk"),
@@ -935,6 +979,7 @@ def containment_pairs(
     max_df_frac: float = 0.5,
     min_df_keep: int = 100,
     prefix_filter: bool = True,
+    ranked_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """DIRECTIONAL containment near-dup pairs: C(A->B) = |A∩B| / |A|
     over distinct n-gram shingle sets — the doc-inside-doc signal
@@ -960,13 +1005,16 @@ def containment_pairs(
     Hot-shingle df cap as in :func:`cap_shingle_df`; containment is
     exact over the capped shingle universe (self-consistent).
     """
-    n_docs = df.count()
     join_keys = ["shingle"] + ([block_col] if block_col else [])
     blk = [block_col] if block_col else []
-    sh0 = _shingle_table(df, id_col, text_col, n, block_col).localCheckpoint()
-    sh = cap_shingle_df(
-        sh0, join_keys, n_docs, max_df_frac, min_df_keep
-    ).localCheckpoint()
+    if ranked_shingles is not None:
+        sh = ranked_shingles
+    else:
+        n_docs = df.count()
+        sh0 = _shingle_table(df, id_col, text_col, n, block_col).localCheckpoint()
+        sh = cap_shingle_df(
+            sh0, join_keys, n_docs, max_df_frac, min_df_keep
+        ).localCheckpoint()
 
     if prefix_filter:
         # ONE per-doc aggregation replaces the old sets-agg + df-join +
@@ -978,9 +1026,13 @@ def containment_pairs(
         # transform of the same packed column. Saves one full id-keyed
         # shuffle and the per-partition window sort; output identical
         # (hash-equal, test_dedup A/B).
-        dfs = sh.groupBy(*join_keys).agg(F.count(F.lit(1)).alias("_df"))
+        if ranked_shingles is not None:
+            ranked = sh  # _df already attached by ranked_shingle_table
+        else:
+            dfs = sh.groupBy(*join_keys).agg(F.count(F.lit(1)).alias("_df"))
+            ranked = sh.join(dfs, join_keys)
         packed = (
-            sh.join(dfs, join_keys)
+            ranked
             .groupBy(id_col)
             .agg(
                 F.sort_array(F.collect_list(F.struct("_df", "shingle"))).alias("_rk"),

@@ -433,3 +433,26 @@ def test_remove_duplicated_spans_semantics(spark):
     assert all(out[k].n_tokens - out[k].n_removed ==
                (len(out[k].text_clean.split()) if out[k].text_clean else 0)
                for k in out)
+
+
+def test_shared_rank_table_outputs_identical(spark, sf_dir):
+    """ranked_shingle_table (VERDICT r4 stretch #8): jaccard and
+    containment fed the SAME precomputed rarity-rank relation return
+    exactly the rows their solo pipelines return — the df values and
+    therefore the global rarest-first order are identical."""
+    from datalake_scripts_spark.io import read_table
+    from datalake_scripts_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+        ranked_shingle_table,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    ranked = ranked_shingle_table(docs, "doc_id", "text", n=3)
+    for op, kw in (
+        (ngram_jaccard_pairs, {"threshold": 0.5}),
+        (containment_pairs, {"threshold": 0.8}),
+    ):
+        solo = op(docs, "doc_id", "text", n=3, **kw)
+        shared = op(docs, "doc_id", "text", n=3, ranked_shingles=ranked, **kw)
+        assert sorted(solo.collect()) == sorted(shared.collect())
