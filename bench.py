@@ -64,6 +64,9 @@ BENCH_QUERIES = [
     "multimodal_png_roundtrip",
     "dedup_remove_duplicated_spans",
     "dedup_url_canonical",
+    # round 5 addition: the real baseline JPEG codec roundtrip
+    # (Python-side huffman+DCT throughput in an Arrow stage)
+    "multimodal_jpeg_roundtrip",
 ]
 
 

@@ -184,6 +184,7 @@ def write_audit_publish(
     mode: str = "append",
     meta: dict | None = None,
     bloom_cols: list[str] | None = None,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Write-Audit-Publish: stage ``df``'s files into the table dir,
     audit the STAGED files (re-read from disk — what readers would
@@ -220,7 +221,7 @@ def write_audit_publish(
             table_schema = _evolve_schema(
                 StructType.fromJson(prev_schema_json), df.schema, False
             )
-    new_files = _stage_files(df, table_dir)
+    new_files = _stage_files(df, table_dir, partition_by=partition_by)
     staged = spark.read.parquet(
         *[os.path.join(table_dir, f) for f in new_files]
     )

@@ -201,6 +201,24 @@ def _partition_values(relpath: str) -> dict:
     return out
 
 
+def _manifest_partition_cols(manifest: dict) -> list[str]:
+    """Partition column names of a manifest's hive-laid-out files (the
+    first hive path's col=value segment order; [] for flat tables).
+    Lets rewrites (DML, OPTIMIZE) PRESERVE the layout: a flat rewrite
+    of a date-partitioned table is still correct (the columns fold
+    into the data files) but mixes partitions per file, widening
+    min/max stats and dulling every later partition prune."""
+    for f in manifest.get("files", []):
+        segs = []
+        d = os.path.dirname(f)
+        while "=" in os.path.basename(d):
+            segs.insert(0, os.path.basename(d).partition("=")[0])
+            d = os.path.dirname(d)
+        if segs:
+            return segs
+    return []
+
+
 def _stats_for_new_files(table_dir: str, new_files: list[str]) -> dict:
     """Footer stats for freshly staged files, plus partition-column
     stats derived from hive path segments (min = max = the partition
@@ -849,6 +867,7 @@ def compact_versioned(
     target_files: int = 1,
     sort_by: str | None = None,
     zorder_by: list[str] | None = None,
+    partition_by: list[str] | None = None,
 ) -> int:
     """OPTIMIZE for the Delta-lite layer: rewrite the CURRENT snapshot
     into ``target_files`` right-sized files as a new overwrite commit.
@@ -864,8 +883,16 @@ def compact_versioned(
     io.zorder_layout). Either way the rewrite's manifest records tight
     per-file min/max, so ``read_versioned(skip_filter=...)`` prunes
     aggressively right after compaction — clustering is what makes the
-    stats selective."""
+    stats selective.
+
+    A hive-partitioned table keeps its layout: ``partition_by`` defaults
+    to the current manifest's partition columns (pass ``[]`` to
+    deliberately flatten), and ``target_files`` then applies per
+    partition directory."""
     v_read = current_version(table_dir)
+    prev_manifest = _load_manifest(table_dir, v_read)
+    if partition_by is None:
+        partition_by = _manifest_partition_cols(prev_manifest)
     cur = read_versioned(spark, table_dir, version=v_read)
     if zorder_by:
         from ..io import zorder_layout
@@ -879,7 +906,6 @@ def compact_versioned(
         )
     else:
         df = cur.coalesce(target_files)
-    prev_manifest = _load_manifest(table_dir, v_read)
     prev_meta = prev_manifest.get("meta", {})
     # read-pinned commit: a concurrent append between our snapshot read
     # and the overwrite commit would be silently DROPPED by a blind
@@ -894,6 +920,7 @@ def compact_versioned(
         meta={**prev_meta, "compaction_of": v_read},
         bloom_cols=prev_manifest.get("bloom_cols"),
         expected_version=v_read,
+        partition_by=partition_by or None,
     )
 
 
@@ -1013,7 +1040,10 @@ def delete_versioned(
     kept = _read_manifest_files(spark, manifest, table_dir, touched).filter(
         ~F.coalesce(F.expr(predicate), F.lit(False))
     )
-    new_files = _stage_files(kept, table_dir)
+    # rewrites keep the table's hive layout so partition pruning stays
+    # sharp (a flat rewrite mixes partitions per file, widening stats)
+    pcols = _manifest_partition_cols(manifest)
+    new_files = _stage_files(kept, table_dir, partition_by=pcols or None)
     new_stats = _stats_for_new_files(table_dir, new_files)
     _augment_blooms(
         table_dir, new_files, new_stats, manifest.get("bloom_cols"), 0.01
@@ -1136,7 +1166,10 @@ def update_versioned(
     rewritten = old_rows.observe(
         obs, F.sum(pred.cast("long")).alias("n_matched")
     ).select(*cols)
-    new_files = _stage_files(rewritten, table_dir)  # the action that fires obs
+    pcols = _manifest_partition_cols(manifest)  # keep the hive layout
+    new_files = _stage_files(
+        rewritten, table_dir, partition_by=pcols or None
+    )  # the action that fires obs
     n_updated = int(obs.get["n_matched"] or 0)
     new_stats = _stats_for_new_files(table_dir, new_files)
     _augment_blooms(

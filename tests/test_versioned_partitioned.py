@@ -160,3 +160,39 @@ def test_null_partition_value_roundtrip(spark, table_dir):
     # null-partition files have no grp stats entry -> never pruned away
     opened = files_for_read(table_dir, skip_filter=[("grp", "=", "a")])
     assert any("__HIVE_DEFAULT_PARTITION__" in f for f in opened)
+
+
+def test_dml_and_compaction_preserve_layout(spark, sf_dir, table_dir):
+    """Rewrites keep the hive layout (flat rewrites would mix
+    partitions per file and dull every later partition prune)."""
+    from datalake_scripts_spark.operators.versioned import compact_versioned
+
+    nation = read_table(spark, sf_dir, "nation")
+    write_versioned(spark, nation, table_dir, partition_by=["n_regionkey"])
+    delete_versioned(spark, table_dir, "n_nationkey = 0")
+    m = _load_manifest(table_dir, 2)
+    assert all("n_regionkey=" in f for f in m["files"])
+    opened = files_for_read(table_dir, skip_filter=[("n_regionkey", "=", 2)])
+    assert 0 < len(opened) < len(m["files"])
+
+    compact_versioned(spark, table_dir, target_files=1)
+    m = _load_manifest(table_dir, 3)
+    assert all("n_regionkey=" in f for f in m["files"])
+    opened = files_for_read(table_dir, skip_filter=[("n_regionkey", "=", 2)])
+    assert 0 < len(opened) < len(m["files"])
+    got = read_versioned(spark, table_dir)
+    want = nation.filter("n_nationkey <> 0")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_wap_partitioned_publish(spark, sf_dir, table_dir):
+    from datalake_scripts_spark.operators import quality as Q
+
+    nation = read_table(spark, sf_dir, "nation")
+    Q.write_audit_publish(
+        spark, nation, table_dir, [], partition_by=["n_regionkey"]
+    )
+    m = _load_manifest(table_dir, 1)
+    assert all("n_regionkey=" in f for f in m["files"])
+    assert read_versioned(spark, table_dir).count() == nation.count()
