@@ -309,48 +309,17 @@ def encode_jpeg(
 
 
 class _BitReader:
+    """Entropy-stream reader state; the hot-loop bit math lives in
+    :func:`_decode_coeff`, which works on these fields as locals."""
+
     def __init__(self, data: bytes) -> None:
         self.data = data
         self.pos = 0
         self.acc = 0
         self.nbits = 0
 
-    def read(self, n: int) -> int:
-        while self.nbits < n:
-            if self.pos >= len(self.data):
-                raise ValueError("JPEG entropy stream truncated")
-            self.acc = (self.acc << 8) | self.data[self.pos]
-            self.pos += 1
-            self.nbits += 8
-        self.nbits -= n
-        v = (self.acc >> self.nbits) & ((1 << n) - 1)
-        self.acc &= (1 << self.nbits) - 1
-        return v
 
-    def peek16(self) -> int:
-        """Next 16 bits zero-padded at stream end (LUT huffman key)."""
-        data, pos, nbits, acc = self.data, self.pos, self.nbits, self.acc
-        while nbits < 16 and pos < len(data):
-            acc = (acc << 8) | data[pos]
-            pos += 1
-            nbits += 8
-        self.data, self.pos, self.nbits, self.acc = data, pos, nbits, acc
-        if nbits >= 16:
-            return (acc >> (nbits - 16)) & 0xFFFF
-        return (acc << (16 - nbits)) & 0xFFFF
-
-    def skip(self, n: int) -> None:
-        if self.nbits < n:
-            raise ValueError("JPEG entropy stream truncated")
-        self.nbits -= n
-        self.acc &= (1 << self.nbits) - 1
-
-    def align(self) -> None:
-        self.acc = 0
-        self.nbits = 0
-
-
-_LUT_CACHE: dict[bytes, tuple] = {}
+_LUT_CACHE: dict[bytes, list] = {}
 
 
 def _build_huffman(bits: bytes, vals: bytes):

@@ -500,6 +500,15 @@ def jpeg_roundtrip_check(
 
     from ..functions.jpeg import decode_jpeg, encode_jpeg
 
+    # spread to cluster parallelism when the source is under-
+    # parallelized (single-row-group parquet scan): the huffman+DCT
+    # work is CPU-bound Python and would serialize on 1-2 tasks (k=10
+    # scale check: 110s on 2 tasks vs the expected core-count scaling).
+    # At real scale the scan already has >= parallelism partitions.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if not df.isStreaming and df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+
     def _check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"doc_id": pdf[id_col], "width": [], "height": [],
