@@ -105,7 +105,7 @@ def foreach_batch_epoch_jdbc(url: str, table: str, properties: dict | None = Non
     return _sink
 
 
-def foreach_batch_versioned(table_dir: str):
+def foreach_batch_versioned(table_dir: str, partition_by: list[str] | None = None):
     """Exactly-once streaming commits into a versioned (Delta-lite)
     table: each epoch appends ONE snapshot whose manifest records the
     epoch id; a replayed epoch finds its id already committed and
@@ -113,7 +113,13 @@ def foreach_batch_versioned(table_dir: str):
     append-mode history tables accumulate duplicates on re-runs and
     defer dedup to consumers (SURVEY.md §2.7); here the transaction
     log IS the idempotency ledger, and every epoch is time-travelable
-    (read_versioned(version=k) = state after epoch k's commit)."""
+    (read_versioned(version=k) = state after epoch k's commit).
+
+    ``partition_by`` lands each epoch's files hive-style (the
+    reference's date-partitioned streaming landing, jhub_proc.py:259-
+    275, with transactions on top): partition values go into the
+    manifest stats, so skip_filter prunes partition-grain across ALL
+    accumulated epochs."""
     from ..operators import versioned as V
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
@@ -125,6 +131,7 @@ def foreach_batch_versioned(table_dir: str):
             table_dir,
             mode="append",
             meta={"epoch": int(epoch_id)},
+            partition_by=partition_by,
         )
 
     return _sink

@@ -136,3 +136,28 @@ def test_audited_sink_crash_between_staging_and_commit(
     assert V.vacuum(table_dir, keep_last=V.current_version(table_dir)) == len(dead)
     # a clean epoch never touched the quarantine lane
     assert not os.path.exists(qdir)
+
+
+def test_versioned_sink_partitioned_epochs(spark, sf_dir, table_dir):
+    """Partitioned streaming landing: each epoch appends hive-style
+    files, replays no-op, and partition pruning spans all epochs."""
+    from datalake_scripts_spark.operators.versioned import (
+        _load_manifest,
+        files_for_read,
+    )
+
+    nation = read_table(spark, sf_dir, "nation")
+    sink = foreach_batch_versioned(table_dir, partition_by=["n_regionkey"])
+    sink(nation, 0)
+    sink(nation, 1)
+    sink(nation, 1)  # replay: must no-op
+    assert V.current_version(table_dir) == 2
+    assert V.read_versioned(spark, table_dir).count() == 2 * nation.count()
+    m = _load_manifest(table_dir, 2)
+    assert all("n_regionkey=" in f for f in m["files"])
+    opened = files_for_read(table_dir, skip_filter=[("n_regionkey", "=", 3)])
+    assert 0 < len(opened) < len(m["files"])
+    got = V.read_versioned(
+        spark, table_dir, skip_filter=[("n_regionkey", "=", 3)]
+    )
+    assert got.count() == 2 * nation.filter("n_regionkey = 3").count()
