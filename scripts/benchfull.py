@@ -47,12 +47,15 @@ def main() -> int:
     args = ap.parse_args()
     out_path = args.out
     if out_path is None:
+        # current round = newest driver correctness artifact + 1, so
+        # repeated runs within a round OVERWRITE the same file instead
+        # of minting a phantom next-round artifact
         rounds = [
             int(m.group(1))
-            for p in glob.glob("BENCH_FULL_r*.json")
-            if (m := re.search(r"BENCH_FULL_r(\d+)\.json", p))
+            for p in glob.glob("CORRECTNESS_r*.json")
+            if (m := re.search(r"CORRECTNESS_r(\d+)\.json", p))
         ]
-        out_path = f"BENCH_FULL_r{(max(rounds) + 1 if rounds else 5):02d}.json"
+        out_path = f"BENCH_FULL_r{(max(rounds) + 1 if rounds else 1):02d}.json"
 
     from datalake_scripts_spark.queries import REGISTRY
     from datalake_scripts_spark.session import get_spark
