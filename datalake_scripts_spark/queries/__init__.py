@@ -92,6 +92,7 @@ DRIVER_PRIORITY = [
     # multimodal / versioned-lake remainder
     "multimodal_wav_roundtrip",
     "multimodal_jpeg_roundtrip",  # new r5: real baseline JPEG codec
+    "multimodal_quarantine_pipeline",  # new r5: poison-pill lane e2e
     "history_latest_snapshot",
     # --- the 4 rows-only engine-specific paths (weaker rows check;
     # their md5/oracle twins are already driver-green) ---
@@ -106,7 +107,6 @@ DRIVER_PRIORITY = [
     "dedup_containment_pairs",
     "dedup_embedding_cosine",
     "events_tumbling_hourly",
-    "ann_brute_force_topk",
 ]
 
 

@@ -135,3 +135,36 @@ def test_restart_interval_decoding():
     enc[i:i] = dri
     dec = decode_jpeg(bytes(enc))
     assert dec.shape == (8, 16, 3)
+
+
+def test_jpeg_roundtrip_property():
+    """Property sweep (seeded, hypothesis-style without Spark): for
+    arbitrary shapes, channel layouts, qualities, and subsamplings, the
+    roundtrip preserves dimensions exactly, bounds pixel error, and the
+    header probe agrees with the decoded shape."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.integers(1, 40),
+        st.integers(1, 40),
+        st.booleans(),
+        st.sampled_from([30, 60, 90, 100]),
+        st.sampled_from(["444", "420"]),
+        st.integers(0, 2**31 - 1),
+    )
+    def prop(h, w, grey, quality, sub, seed):
+        rng = np.random.RandomState(seed)
+        shape = (h, w) if grey else (h, w, 3)
+        img = rng.randint(0, 256, shape, dtype=np.uint8)
+        enc = encode_jpeg(img, quality=quality, subsampling=sub)
+        ch = 1 if grey else 3
+        assert jpeg_dimensions(enc) == (w, h, ch)
+        dec = decode_jpeg(enc)
+        assert dec.shape == (h, w, ch)
+        ref = img[:, :, None] if grey else img
+        if quality >= 90 and (sub == "444" or grey):
+            # quantization-bounded error on the un-subsampled path
+            assert np.abs(dec.astype(int) - ref.astype(int)).max() <= 96
+
+    prop()
