@@ -13,10 +13,9 @@ raise :class:`UnsupportedJpeg`, and callers fall back to the
 deterministic stub — same contract as PNG/WAV, with corrupt payloads
 covered by the shared DECODE_ERRORS lane (operators.multimodal).
 
-The encoder emits valid baseline JFIF with its huffman tables embedded
-in DHT markers (uniform-length canonical tables: every DC symbol 4
-bits, every AC symbol 8 bits — larger files than Annex K's optimized
-tables but identical decodability, including by external decoders).
+The encoder emits valid baseline JFIF with the Annex K (ITU-T T.81
+K.3) typical huffman tables embedded in DHT markers — the exact
+dialect libjpeg/cameras produce, decodable by any external decoder.
 JPEG is lossy, so the property tests assert dimension exactness plus
 bounded pixel error (decode(encode(x)) within quantization tolerance),
 not bit equality.
@@ -97,29 +96,87 @@ def _quality_scale(qt: np.ndarray, quality: int) -> np.ndarray:
 # encoder
 # ---------------------------------------------------------------------------
 
-# uniform-length canonical huffman tables: 12 DC symbols at 4 bits,
-# 162 AC symbols at 8 bits. All-ones code unused in both (12 < 16,
-# 162 < 256), as JPEG requires.
-_DC_SYMS = list(range(12))
-_AC_SYMS = [((r << 4) | s) for r in range(16) for s in range(1, 11)] + [0x00, 0xF0]
-assert len(_AC_SYMS) == 162
+# Annex K typical huffman tables (ITU-T T.81 K.3) — the tables every
+# camera/libjpeg baseline file ships, so our output is byte-for-byte
+# the canonical dialect. BITS = count of codes per length 1..16;
+# HUFFVAL = symbols in canonical order. The decoder never relies on
+# these (it builds from each file's DHT); the encoder embeds them.
+_DC_LUMA_BITS = bytes([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0])
+_DC_LUMA_VALS = bytes(range(12))
+_DC_CHROMA_BITS = bytes([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0])
+_DC_CHROMA_VALS = bytes(range(12))
+_AC_LUMA_BITS = bytes([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D])
+_AC_LUMA_VALS = bytes([
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+])
+_AC_CHROMA_BITS = bytes([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77])
+_AC_CHROMA_VALS = bytes([
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+])
 
 
-def _uniform_table(symbols: list[int], length: int):
-    codes = {sym: (length, i) for i, sym in enumerate(symbols)}
-    bits = [0] * 16
-    bits[length - 1] = len(symbols)
-    return codes, bytes(bits) + bytes(symbols)
+def _canonical_codes(bits: bytes, vals: bytes):
+    """Symbol -> (length, code) from a canonical BITS/HUFFVAL pair,
+    plus the DHT payload that declares it."""
+    codes: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (length, code)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes, bytes(bits) + bytes(vals)
 
 
-_DC_CODES, _DC_DHT = _uniform_table(_DC_SYMS, 4)
-_AC_CODES, _AC_DHT = _uniform_table(_AC_SYMS, 8)
+_DC_LUMA_CODES, _DC_LUMA_DHT = _canonical_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)
+_DC_CHROMA_CODES, _DC_CHROMA_DHT = _canonical_codes(
+    _DC_CHROMA_BITS, _DC_CHROMA_VALS
+)
+_AC_LUMA_CODES, _AC_LUMA_DHT = _canonical_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)
+_AC_CHROMA_CODES, _AC_CHROMA_DHT = _canonical_codes(
+    _AC_CHROMA_BITS, _AC_CHROMA_VALS
+)
 
 
 # list-indexed code tables for the entropy hot loop: entry = (length,
 # code); index = symbol. ~2x faster than dict lookups per symbol.
-_DC_CODES_L = [_DC_CODES[s] for s in range(12)]
-_AC_CODES_L = [_AC_CODES.get(s) for s in range(256)]
+_LUMA_TABLES = (
+    [_DC_LUMA_CODES[s] for s in range(12)],
+    [_AC_LUMA_CODES.get(s) for s in range(256)],
+)
+_CHROMA_TABLES = (
+    [_DC_CHROMA_CODES[s] for s in range(12)],
+    [_AC_CHROMA_CODES.get(s) for s in range(256)],
+)
 
 
 def _block_zigzag_rows(plane: np.ndarray, qt: np.ndarray) -> tuple[list, int]:
@@ -141,11 +198,12 @@ def _block_zigzag_rows(plane: np.ndarray, qt: np.ndarray) -> tuple[list, int]:
 
 
 def _entropy_block(
-    buf: bytearray, acc: int, nbits: int, zz: list, pred: int
+    buf: bytearray, acc: int, nbits: int, zz: list, pred: int, tables
 ) -> tuple[int, int, int]:
     """Huffman-encode one zigzagged block into ``buf`` (byte-stuffed).
     Bit accumulator rides in plain ints (acc, nbits) — attribute access
     and per-write method calls were the encoder's hot spot."""
+    dc_codes, ac_codes = tables
     diff = zz[0] - pred
     if diff == 0:
         size = 0
@@ -153,7 +211,7 @@ def _entropy_block(
     else:
         size = (diff if diff > 0 else -diff).bit_length()
         v_bits = diff if diff > 0 else diff + (1 << size) - 1
-    code_len, code = _DC_CODES_L[size]
+    code_len, code = dc_codes[size]
     acc = (acc << (code_len + size)) | (code << size) | v_bits
     nbits += code_len + size
     run = 0
@@ -162,7 +220,7 @@ def _entropy_block(
         if zz[k]:
             last = k
             break
-    zrl_len, zrl_code = _AC_CODES_L[0xF0]
+    zrl_len, zrl_code = ac_codes[0xF0]
     for k in range(1, last + 1):
         v = zz[k]
         if v == 0:
@@ -174,12 +232,12 @@ def _entropy_block(
             run -= 16
         size = (v if v > 0 else -v).bit_length()
         v_bits = v if v > 0 else v + (1 << size) - 1
-        code_len, code = _AC_CODES_L[(run << 4) | size]
+        code_len, code = ac_codes[(run << 4) | size]
         acc = (acc << (code_len + size)) | (code << size) | v_bits
         nbits += code_len + size
         run = 0
     if last < 63:
-        eob_len, eob_code = _AC_CODES_L[0x00]
+        eob_len, eob_code = ac_codes[0x00]
         acc = (acc << eob_len) | eob_code
         nbits += eob_len
     while nbits >= 8:
@@ -262,8 +320,8 @@ def encode_jpeg(
         sof += struct.pack("BBB", c + 1, (hi << 4) | vi, tq)
     out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
     for tclass_tid, table in (
-        (0x00, _DC_DHT), (0x10, _AC_DHT),
-        *(((0x01, _DC_DHT), (0x11, _AC_DHT)) if not grey else ()),
+        (0x00, _DC_LUMA_DHT), (0x10, _AC_LUMA_DHT),
+        *(((0x01, _DC_CHROMA_DHT), (0x11, _AC_CHROMA_DHT)) if not grey else ()),
     ):
         out += b"\xff\xc4" + struct.pack(">HB", 3 + len(table), tclass_tid) + table
     sos = struct.pack("B", n_comp)
@@ -285,11 +343,12 @@ def encode_jpeg(
         for mx in range(mcus_x):
             for c, (_pl, hi, vi, _tq, _th) in enumerate(comps):
                 rows, nbx = zz_rows[c]
+                tables = _LUMA_TABLES if c == 0 else _CHROMA_TABLES
                 for v in range(vi):
                     for hs in range(hi):
                         zz = rows[(my * vi + v) * nbx + (mx * hi + hs)]
                         acc, nbits, preds[c] = _entropy_block(
-                            buf, acc, nbits, zz, preds[c]
+                            buf, acc, nbits, zz, preds[c], tables
                         )
     if nbits:  # pad the final partial byte with 1-bits
         pad = 8 - nbits
