@@ -122,6 +122,20 @@ def main(argv: list[str] | None = None) -> int:
         "profile", help="column stats report for the current snapshot"
     )
     prof.add_argument("--columns", default=None, help="comma-separated subset")
+    wrt = tbl_sub.add_parser(
+        "write", help="commit a parquet batch as a new snapshot"
+    )
+    wrt.add_argument("--source", required=True, help="parquet path of the batch")
+    wrt.add_argument("--mode", default="append", choices=["append", "overwrite"])
+    wrt.add_argument(
+        "--partition-by", default=None,
+        help="comma-separated hive partition columns (manifest-stat "
+             "pruning; the reference's date-partitioned landing)",
+    )
+    wrt.add_argument(
+        "--bloom", default=None,
+        help="comma-separated bloom-index columns (None inherits)",
+    )
 
     args = p.parse_args(argv)
 
@@ -180,6 +194,15 @@ def main(argv: list[str] | None = None) -> int:
                     f"after v{base_v} was read; re-run the merge"
                 ) from e
             print(f"merged {batch.count()} batch rows -> v{v}")
+        elif args.action == "write":
+            batch = spark.read.parquet(args.source)
+            v = V.write_versioned(
+                spark, batch, args.dir, mode=args.mode,
+                partition_by=args.partition_by.split(",") if args.partition_by else None,
+                bloom_cols=args.bloom.split(",") if args.bloom else None,
+                meta={"written_from": args.source},
+            )
+            print(f"committed {batch.count()} rows -> v{v}")
         elif args.action == "restore":
             v = V.restore_versioned(args.dir, args.version)
             print(f"restored v{args.version} -> v{v}")
