@@ -54,6 +54,46 @@ def history_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "versioned_change_feed",
+    sql="""
+    SELECT n_nationkey, n_name, n_regionkey, _change_type FROM (
+      SELECT n_nationkey, n_name, n_regionkey, 'delete' AS _change_type
+      FROM nation WHERE n_nationkey % 5 = 0
+      UNION ALL
+      SELECT n_nationkey + 1000, n_name, n_regionkey, 'insert'
+      FROM nation WHERE n_nationkey % 7 = 0) x
+    """,
+)
+def versioned_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed between snapshots (versioned.read_changes),
+    driver-verified: commit nation (v1), then one commit that BOTH
+    deletes keys %5=0 and appends shifted keys %7=0 (v2, a rewrite);
+    the CDF of (1,2] must be exactly those deletes + inserts — the
+    row-level exceptAll diff, not file churn. The oracle recomputes
+    the expected change rows from the same key arithmetic. Cost shape:
+    appends take the file-level fast path (no row comparison); only
+    rewrites pay the exceptAll, proportional to the two snapshots."""
+    import tempfile
+
+    from ..operators import versioned as V
+
+    base = tempfile.mkdtemp(prefix="cdf_q_")
+    nation = t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    V.write_versioned(spark, nation, base, mode="append")
+    after = nation.filter(F.col("n_nationkey") % 5 != 0).unionByName(
+        nation.filter(F.col("n_nationkey") % 7 == 0).withColumn(
+            "n_nationkey", F.col("n_nationkey") + 1000
+        )
+    )
+    V.write_versioned(spark, after, base, mode="overwrite")
+    return V.read_changes(spark, base, 1, 2).select(
+        "n_nationkey", "n_name", "n_regionkey", "_change_type"
+    )
+
+
+@query(
     "sessionize_per_event",
     sql="""
     WITH marked AS (
