@@ -57,8 +57,9 @@ def _stub_decode(payload: bytes) -> tuple[int, int, int]:
 
 
 def _decode_dims_status(payload: bytes) -> tuple[int, int, int, str]:
-    """REAL decode for PNG and JPEG payloads (IHDR / SOF header probe —
-    O(1), no inflate or entropy decode), stub fallback for everything
+    """REAL decode for PNG, JPEG, and MJPEG-AVI payloads (IHDR / SOF /
+    avih header probe — O(1), no inflate or entropy decode; an AVI's
+    n_frames is its ACTUAL frame count), stub fallback for everything
     else. Returns (width, height, n_frames, status) where status is
     ``png``/``jpeg`` (real decode), ``stub`` (unknown format or
     unimplemented-but-valid layout, e.g. progressive JPEG), or
@@ -84,6 +85,18 @@ def _decode_dims_status(payload: bytes) -> tuple[int, int, int, str]:
             return w, h, 1, "jpeg"
         except UnsupportedJpeg:
             status = "stub"  # progressive/arithmetic/12-bit layout
+        except DECODE_ERRORS as e:
+            status = f"quarantined:{type(e).__name__}"
+        w, h, nf = _stub_decode(payload)
+        return w, h, nf, status
+    from ..functions.avi import UnsupportedAvi, avi_info, is_avi
+
+    if is_avi(payload):
+        try:
+            nf, w, h, _fps = avi_info(payload)
+            return w, h, nf, "avi"
+        except UnsupportedAvi:
+            status = "stub"  # non-MJPEG / multi-stream container
         except DECODE_ERRORS as e:
             status = f"quarantined:{type(e).__name__}"
         w, h, nf = _stub_decode(payload)
@@ -274,16 +287,56 @@ def extract_frame_features_stub(
 
     Arrow-batched mapInPandas; partitioning follows the exploded rows,
     so one long video's frames spread across tasks instead of pinning
-    one executor. STUB body (a real pipeline decodes the frame at
-    ``frame_idx`` and runs a vision encoder per Arrow batch):
-    deterministic pseudo-embedding from md5(payload bytes + frame index),
-    L2-normalized so downstream cosine math behaves."""
+    one executor. MJPEG-AVI payloads take the REAL path: the frame at
+    ``frame_idx`` is container-seeked and JPEG-decoded
+    (functions.avi), and the embedding is a deterministic pooled-pixel
+    descriptor of the ACTUAL frame (per-channel mean/std + a 2x2
+    spatial luma grid, L2-normalized — the fixed feature a vision
+    encoder would replace). Other formats keep the md5 stub body;
+    corrupt payloads fall through DECODE_ERRORS to the stub, never
+    killing the task."""
+    import numpy as np
+
+    from ..functions.avi import UnsupportedAvi, decode_frame, is_avi
+
+    def _real_frame_feature(p: bytes, fi: int) -> list | None:
+        if not is_avi(p):
+            return None
+        try:
+            arr = decode_frame(p, int(fi)).astype(np.float64)
+        except UnsupportedAvi:
+            return None
+        except DECODE_ERRORS:
+            return None
+        if arr.shape[2] == 1:
+            arr = np.repeat(arr, 3, axis=2)
+        hh, ww = arr.shape[:2]
+        luma = arr.mean(axis=2)
+        quads = [
+            luma[: hh // 2 or 1, : ww // 2 or 1].mean(),
+            luma[: hh // 2 or 1, ww // 2 :].mean() if ww > 1 else 0.0,
+            luma[hh // 2 :, : ww // 2 or 1].mean() if hh > 1 else 0.0,
+            luma[hh // 2 :, ww // 2 :].mean() if hh > 1 and ww > 1 else 0.0,
+        ]
+        raw = (
+            list(arr.mean(axis=(0, 1)) - 127.5)
+            + list(arr.std(axis=(0, 1)))
+            + [q - 127.5 for q in quads]
+        )
+        raw = (raw * (dim // len(raw) + 1))[:dim]
+        norm = sum(x * x for x in raw) ** 0.5 or 1.0
+        return [float(x / norm) for x in raw]
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             embs = []
             for p, fi in zip(pdf[payload_col], pdf[frame_col]):
-                h = hashlib.md5(bytes(p) + int(fi).to_bytes(4, "big")).digest()
+                p = bytes(p)
+                real = _real_frame_feature(p, fi)
+                if real is not None:
+                    embs.append(real)
+                    continue
+                h = hashlib.md5(p + int(fi).to_bytes(4, "big")).digest()
                 raw = [float(h[i % 16]) - 127.5 for i in range(dim)]
                 norm = sum(x * x for x in raw) ** 0.5 or 1.0
                 embs.append([x / norm for x in raw])
@@ -536,6 +589,79 @@ def jpeg_roundtrip_check(
             yield pd.DataFrame(out)
 
     return df.mapInPandas(_check, JPEG_ROUNDTRIP_SCHEMA)
+
+
+VIDEO_ROUNDTRIP_SCHEMA = (
+    "doc_id bigint, width int, height int, n_frames int, "
+    "n_sampled int, frames_ok boolean"
+)
+
+
+def video_roundtrip_check(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    every_n: int = 2,
+    max_abs_err: int = 96,
+    max_mean_err: float = 12.0,
+) -> DataFrame:
+    """Distributed proof of the REAL MJPEG-AVI video path
+    (functions.avi + functions.jpeg), video sibling of
+    :func:`jpeg_roundtrip_check`: per row, synthesize a short video
+    (frame count and dimensions seeded from the payload's md5; each
+    frame's pixels seeded from digest+frame-index), encode it to an
+    actual RIFF/AVI container of baseline-JPEG frames, probe the
+    header for MEASURED dimensions/frame count, then container-seek
+    and JPEG-decode every ``every_n``-th frame, asserting bounded
+    lossy error per frame. The DuckDB oracle recomputes dims, frame
+    count, and the sampled-count arithmetic and asserts ``frames_ok``.
+    Runs inside mapInPandas — bytes never leave the executor."""
+    import numpy as np
+
+    from ..functions.avi import avi_info, decode_frame, encode_avi_mjpeg
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if not df.isStreaming and df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)  # CPU-bound Python stage (see jpeg twin)
+
+    def _check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": pdf[id_col], "width": [], "height": [],
+                   "n_frames": [], "n_sampled": [], "frames_ok": []}
+            for p in pdf[payload_col]:
+                digest = hashlib.md5(bytes(p)).digest()
+                w, h = 8 + digest[0] % 24, 8 + digest[1] % 24
+                nf = 1 + digest[2] % 8
+                n = w * h * 3
+                frames = []
+                for i in range(nf):
+                    fd = hashlib.md5(digest + bytes([i])).digest()
+                    frames.append(
+                        np.frombuffer(
+                            (fd * (n // 16 + 1))[:n], dtype=np.uint8
+                        ).reshape(h, w, 3)
+                    )
+                avi = encode_avi_mjpeg(frames, fps=4, quality=90)
+                got_nf, got_w, got_h, _fps = avi_info(avi)
+                ok = got_nf == nf and got_w == w and got_h == h
+                sampled = list(range(0, got_nf, every_n))
+                for i in sampled:
+                    dec = decode_frame(avi, i)
+                    err = np.abs(
+                        dec.astype(np.int64) - frames[i].astype(np.int64)
+                    )
+                    ok = ok and bool(
+                        err.max() <= max_abs_err
+                        and err.mean() <= max_mean_err
+                    )
+                out["width"].append(got_w)
+                out["height"].append(got_h)
+                out["n_frames"].append(got_nf)
+                out["n_sampled"].append(len(sampled))
+                out["frames_ok"].append(ok)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_check, VIDEO_ROUNDTRIP_SCHEMA)
 
 
 WAV_ROUNDTRIP_SCHEMA = (

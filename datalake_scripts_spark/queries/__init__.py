@@ -37,10 +37,11 @@ from . import graph  # noqa: F401,E402
 # (VERDICT r4 ask #2, docs/r5_rotation_plan.md): 3 long-green
 # canaries + ALL 40 never-driver-checked names (36 oracle-backed +
 # the 4 documented rows-only engine-specific paths, whose md5/oracle
-# twins are already driver-green) + the 3 round-5 additions (JPEG
-# roundtrip, quarantine pipeline, change feed) + 4 previously-green
-# family-head sentinels to fill the window — after this round every
-# registry entry has a driver row. The committed ledger
+# twins are already driver-green) + the 4 round-5 additions (JPEG
+# roundtrip, quarantine pipeline, change feed, video roundtrip) + 3
+# previously-green family-head sentinels to fill the window — after
+# this round every registry entry has a driver row. The committed
+# ledger
 # ``docs/driver_checked.json`` (name -> first green round, rebuilt by
 # scripts/presnapshot.py from every CORRECTNESS_r*.json) is the
 # source of truth for what "never checked" means.
@@ -95,6 +96,7 @@ DRIVER_PRIORITY = [
     "multimodal_jpeg_roundtrip",  # new r5: real baseline JPEG codec
     "multimodal_quarantine_pipeline",  # new r5: poison-pill lane e2e
     "versioned_change_feed",  # new r5: CDF row-diff, driver-checked
+    "multimodal_video_roundtrip",  # new r5: real MJPEG-AVI frame path
     "history_latest_snapshot",
     # --- the 4 rows-only engine-specific paths (weaker rows check;
     # their md5/oracle twins are already driver-green) ---
@@ -102,12 +104,11 @@ DRIVER_PRIORITY = [
     "dedup_simhash",
     "ann_ivf_topk_vectorized",
     "ann_ivf_kmeans_topk",
-    # --- 4 previously-green family-head sentinels (regression
+    # --- 3 previously-green family-head sentinels (regression
     # tripwires for the families the 40 above don't touch) ---
     "q5_local_supplier_volume",
     "join_broadcast_brand_revenue",
     "dedup_containment_pairs",
-    "dedup_embedding_cosine",
 ]
 
 

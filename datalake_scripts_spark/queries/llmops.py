@@ -1349,6 +1349,36 @@ def multimodal_quarantine_pipeline(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
+    "multimodal_video_roundtrip",
+    sql=f"""
+    SELECT doc_id,
+           CAST(8 + {_hexbyte_sql(0)} % 24 AS INT) AS width,
+           CAST(8 + {_hexbyte_sql(1)} % 24 AS INT) AS height,
+           CAST(1 + {_hexbyte_sql(2)} % 8 AS INT) AS n_frames,
+           CAST(CEIL((1 + {_hexbyte_sql(2)} % 8) / 2.0) AS INT) AS n_sampled,
+           TRUE AS frames_ok
+    FROM documents
+    """,
+)
+def multimodal_video_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame extraction (functions.avi: RIFF/MJPEG container
+    walk + the baseline JPEG codec per frame), driver-verified: each
+    doc seeds a short video (md5-derived dims and frame count — the
+    SAME arithmetic the pre-codec stub used, so the contract is
+    unchanged), encodes it to an actual MJPEG AVI, probes the header
+    for measured dims/frame count, container-seeks every 2nd frame,
+    JPEG-decodes it, and asserts bounded lossy error per frame. The
+    oracle recomputes all counts from the md5 arithmetic and asserts
+    frames_ok — a regression anywhere in the container walk, frame
+    seek, or JPEG layer breaks the hash."""
+    from ..operators.multimodal import video_roundtrip_check
+
+    docs = t(spark, sf_dir, "documents")
+    payloads = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return video_roundtrip_check(payloads)
+
+
+@query(
     "multimodal_wav_roundtrip",
     sql=f"""
     SELECT doc_id,
