@@ -6,16 +6,20 @@ upgrade of the reference's download-to-S3-object handling of Zoom
 recordings (zoom_load.py:148-206), which never put binaries in a table.
 
 Decode / feature-extract run as Arrow-batched ``mapInPandas`` stages so
-bytes stay columnar across the Python boundary. PNG payloads get REAL
-decode/resize (functions.png: pure zlib+numpy codec — inflate, all five
-scanline filters, bilinear resample) and WAV payloads get REAL audio
-decode + true per-chunk RMS (functions.wav: RIFF/PCM16); other formats
-fall back to the deterministic STUB (clearly marked — JPEG/ffmpeg
-codecs are not in this container), which keeps the DuckDB oracle twins
-exact for the synthetic non-PNG/non-WAV payloads. Schema, partitioning,
-UDF signature, and batch shape — the Spark-side contract — are
-identical on both paths and tested (tests/test_multimodal.py,
-tests/test_png_codec.py).
+bytes stay columnar across the Python boundary. Four formats get REAL
+codecs (all pure numpy/stdlib — no PIL/ffmpeg in this container, none
+needed): PNG (functions.png: inflate + all five scanline filters +
+bilinear resample), baseline JPEG (functions.jpeg: huffman + DCT,
+4:4:4/4:2:0), WAV/PCM16 (functions.wav: RIFF walk + true per-chunk
+RMS), and MJPEG-AVI video (functions.avi: container seek + per-frame
+JPEG decode). Unknown formats and unimplemented-but-valid layouts
+(progressive JPEG, palette PNG, float WAV, non-MJPEG AVI) fall back to
+the deterministic STUB, keeping the DuckDB oracle twins exact; corrupt
+magic-valid payloads take the quarantine lane (DECODE_ERRORS below)
+instead of killing the task. Schema, partitioning, UDF signature, and
+batch shape — the Spark-side contract — are identical on every path
+and tested (tests/test_multimodal*.py, tests/test_{png,jpeg,avi}_codec
+.py).
 """
 
 from __future__ import annotations
@@ -48,10 +52,9 @@ DECODED_META_STATUS_SCHEMA = DECODED_META_SCHEMA + ", decode_status string"
 
 
 def _stub_decode(payload: bytes) -> tuple[int, int, int]:
-    """STUB decode for non-PNG formats (real implementations would call
-    PIL/ffmpeg here). Deterministic fake dimensions derived from the
-    content hash so tests are stable. Raises nothing — a real decoder's
-    failure path would map to NULL metadata + a quarantine flag."""
+    """STUB decode for formats without a real codec here. Deterministic
+    fake dimensions derived from the content hash so tests are stable.
+    Raises nothing."""
     h = hashlib.md5(payload).digest()
     return 16 + h[0] % 64, 16 + h[1] % 64, 1 + h[2] % 8
 
@@ -162,14 +165,14 @@ def resize_stub(
     payload_col: str = "payload",
 ) -> DataFrame:
     """mapInPandas resize stage: binary payload -> binary payload with
-    target dimensions. PNG payloads take the REAL path: decode
-    (functions.png — inflate + unfilter), bilinear resample, re-encode
-    PNG. Other formats keep the deterministic STUB body (truncate/pad
-    to target_width*target_height bytes — real implementations call
-    PIL/ffmpeg here), so batch shape, binary-in/binary-out Arrow
-    transfer, and the metadata contract are exercised either way.
-    Narrow op — partitioning preserved, bytes never leave the
-    executor."""
+    target dimensions. PNG and JPEG payloads take the REAL path:
+    decode, bilinear resample, re-encode IN the source format. Other
+    formats keep the deterministic STUB body (truncate/pad to
+    target_width*target_height bytes), so batch shape,
+    binary-in/binary-out Arrow transfer, and the metadata contract are
+    exercised either way; corrupt payloads fall through to the stub
+    (DECODE_ERRORS), never killing the task. Narrow op — partitioning
+    preserved, bytes never leave the executor."""
     from ..functions.jpeg import (
         UnsupportedJpeg,
         decode_jpeg,
