@@ -124,14 +124,25 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
         parts: list[InputPartition] = []
         prev_files: set | None = None
         for v in range(start["version"] + 1, end["version"] + 1):
-            manifest = _load_manifest(self.table_dir, v)
+            try:
+                manifest = _load_manifest(self.table_dir, v)
+                if prev_files is None:
+                    prev_files = (
+                        set(_load_manifest(self.table_dir, v - 1)["files"])
+                        if v > 1
+                        else set()
+                    )
+            except FileNotFoundError as e:
+                # vacuum() pruned manifests this consumer still needs —
+                # the Delta retention contract: a lagging stream past
+                # the retention window cannot resume incrementally
+                raise RuntimeError(
+                    f"commit v{v} (or its predecessor) was vacuumed before "
+                    f"this stream consumed it — lagging consumer fell past "
+                    f"the retention window; restart from a fresh "
+                    f"start_version or raise vacuum(keep_last=...)"
+                ) from e
             files = manifest["files"]
-            if prev_files is None:
-                prev_files = (
-                    set(_load_manifest(self.table_dir, v - 1)["files"])
-                    if v > 1
-                    else set()
-                )
             cur = set(files)
             added = [f for f in files if f not in prev_files]
             removed = sorted(prev_files - cur)

@@ -134,3 +134,26 @@ def test_exactly_once_across_restart(spark, sf_dir, table_dir, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 2 * nation.count()
     assert got.groupBy("_commit_version").count().count() == 2
+
+
+def test_vacuumed_history_fails_with_retention_message(spark, sf_dir, table_dir):
+    """A consumer lagging past vacuum's retention window cannot resume
+    incrementally (the Delta retention contract) — the stream fails
+    with an actionable message, not a bare FileNotFoundError."""
+    from datalake_scripts_spark.operators.versioned import vacuum
+
+    nation = read_table(spark, sf_dir, "nation")
+    for _ in range(3):
+        write_versioned(spark, nation, table_dir, mode="append")
+    vacuum(table_dir, keep_last=1)  # v1/v2 manifests pruned
+    register_versioned_datasource(spark)
+    q = (
+        spark.readStream.format("versioned_changes")
+        .load(table_dir)
+        .writeStream.format("memory")
+        .queryName("cdf_vac")
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="vacuumed|retention"):
+        q.awaitTermination(120)
