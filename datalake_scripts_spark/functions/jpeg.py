@@ -565,6 +565,16 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     if sof is None or scan_comps is None:
         raise ValueError("JPEG missing SOF/SOS")
     h, w, comps = sof
+    if len(scan_comps) < len(comps):
+        # non-interleaved multi-scan baseline (one SOS per component,
+        # legal per T.81 §B.2.3): _parse_segments stops at the FIRST
+        # SOS, so decoding would silently fill only component 1 and
+        # return a wrong image (zero chroma). Route to the stub lane
+        # like progressive does instead of returning garbage.
+        raise UnsupportedJpeg(
+            f"multi-scan baseline: first SOS covers {len(scan_comps)} of "
+            f"{len(comps)} components"
+        )
     if h == 0 or w == 0 or h * w > 1 << 28:
         raise ValueError(f"implausible JPEG dimensions {w}x{h}")
 

@@ -60,15 +60,17 @@ def _stub_decode(payload: bytes) -> tuple[int, int, int]:
 
 
 def _decode_dims_status(payload: bytes) -> tuple[int, int, int, str]:
-    """REAL decode for PNG, JPEG, and MJPEG-AVI payloads (IHDR / SOF /
-    avih header probe — O(1), no inflate or entropy decode; an AVI's
-    n_frames is its ACTUAL frame count), stub fallback for everything
-    else. Returns (width, height, n_frames, status) where status is
-    ``png``/``jpeg`` (real decode), ``stub`` (unknown format or
-    unimplemented-but-valid layout, e.g. progressive JPEG), or
-    ``quarantined:<Error>`` (valid magic, corrupt payload — the
-    poison-pill lane: dims come from the deterministic stub and the
-    row survives instead of killing the task)."""
+    """REAL decode for PNG, JPEG, MJPEG-AVI, and WAV payloads (IHDR /
+    SOF / avih / fmt-chunk header probe — O(1), no inflate or entropy
+    decode; an AVI's n_frames is its ACTUAL frame count; a WAV maps to
+    width=sample_rate, height=channels, n_frames=sample frames), stub
+    fallback for everything else. Returns (width, height, n_frames,
+    status) where status is ``png``/``jpeg``/``avi``/``wav`` (real
+    decode), ``stub`` (unknown format or unimplemented-but-valid
+    layout, e.g. progressive JPEG), or ``quarantined:<Error>`` (valid
+    magic, corrupt payload — the poison-pill lane: dims come from the
+    deterministic stub and the row survives instead of killing the
+    task)."""
     from ..functions.jpeg import UnsupportedJpeg, is_jpeg, jpeg_dimensions
     from ..functions.png import UnsupportedPng, is_png, png_dimensions
 
@@ -100,6 +102,20 @@ def _decode_dims_status(payload: bytes) -> tuple[int, int, int, str]:
             return w, h, nf, "avi"
         except UnsupportedAvi:
             status = "stub"  # non-MJPEG / multi-stream container
+        except DECODE_ERRORS as e:
+            status = f"quarantined:{type(e).__name__}"
+        w, h, nf = _stub_decode(payload)
+        return w, h, nf, status
+    from ..functions.wav import UnsupportedWav, is_wav, wav_info
+
+    if is_wav(payload):
+        # audio mapping: width=sample_rate, height=channels,
+        # n_frames=sample frames (capped to int32 — a >12h PCM take)
+        try:
+            n, rate, ch = wav_info(payload)
+            return rate, ch, min(n, 2**31 - 1), "wav"
+        except UnsupportedWav:
+            status = "stub"  # float/24-bit/compressed WAV layout
         except DECODE_ERRORS as e:
             status = f"quarantined:{type(e).__name__}"
         w, h, nf = _stub_decode(payload)

@@ -173,12 +173,46 @@ def _file_stats(path: str) -> dict:
     }
 
 
-def _partition_values(relpath: str) -> dict:
+def _cast_partition_value(v: str, type_name: str):
+    """Cast a raw hive path segment to its DECLARED column type (the
+    manifest schema's type JSON string, e.g. 'integer', 'string',
+    'decimal(10,2)'). Declared-type resolution — not value-shape
+    inference — is what keeps a STRING partition value like '07' a
+    string: blind int() inference would store min=max=7 in the
+    manifest stats and a later skip_filter on '07' would compare int
+    to str (TypeError) or silently drop the leading zero. Unparseable
+    values fall back to the raw string (conservative: stats stay
+    comparable to path text rather than poisoning the manifest)."""
+    try:
+        if type_name in ("byte", "short", "integer", "long"):
+            return int(v)
+        if type_name in ("float", "double") or type_name.startswith("decimal"):
+            return float(v)
+        if type_name == "boolean":
+            return v.lower() == "true"
+        if type_name == "date":
+            import datetime
+
+            return datetime.date.fromisoformat(v)
+        if type_name in ("timestamp", "timestamp_ntz"):
+            import datetime
+
+            return datetime.datetime.fromisoformat(v)
+    except ValueError:
+        return v
+    return v  # string and everything else: the path text verbatim
+
+
+def _partition_values(relpath: str, col_types: dict | None = None) -> dict:
     """Hive-style ``col=value`` partition values parsed from a manifest
     file path (``data/dt=2024-01-01/part-*.parquet``). Values are
-    URL-unescaped (Spark's writer escapes specials) and typed the way
-    Spark's partition discovery types them: int, else float, else
-    string; ``__HIVE_DEFAULT_PARTITION__`` maps to None (null)."""
+    URL-unescaped (Spark's writer escapes specials) and typed from the
+    table's DECLARED schema when ``col_types`` (column name → manifest
+    schema type string) is given — the fix for string partition values
+    with numeric shapes ('07' stays '07'). Columns absent from
+    ``col_types`` fall back to Spark partition-discovery-style
+    inference (int, else float, else string).
+    ``__HIVE_DEFAULT_PARTITION__`` maps to None (null)."""
     from urllib.parse import unquote
 
     out: dict = {}
@@ -190,6 +224,10 @@ def _partition_values(relpath: str) -> dict:
         if v == "__HIVE_DEFAULT_PARTITION__":
             out[k] = None
             continue
+        declared = (col_types or {}).get(k)
+        if declared is not None:
+            out[k] = _cast_partition_value(v, declared)
+            continue
         for cast in (int, float):
             try:
                 out[k] = cast(v)
@@ -198,6 +236,18 @@ def _partition_values(relpath: str) -> dict:
                 pass
         else:
             out[k] = v
+    return out
+
+
+def _schema_col_types(schema_json: dict | None) -> dict:
+    """Column name → type string from a manifest schema JSON (Spark
+    StructType jsonValue). Complex types (struct/array/map dicts) are
+    skipped — they can't be partition columns."""
+    out = {}
+    for f in (schema_json or {}).get("fields", []):
+        t = f.get("type")
+        if isinstance(t, str):
+            out[f["name"]] = t
     return out
 
 
@@ -219,24 +269,32 @@ def _manifest_partition_cols(manifest: dict) -> list[str]:
     return []
 
 
-def _stats_for_new_files(table_dir: str, new_files: list[str]) -> dict:
+def _stats_for_new_files(
+    table_dir: str, new_files: list[str], schema_json: dict | None = None
+) -> dict:
     """Footer stats for freshly staged files, plus partition-column
     stats derived from hive path segments (min = max = the partition
     value, 0 nulls) — partitionBy drops those columns from the parquet
     footers, so without the injection a partition predicate could
     never prune and ``skip_filter`` would silently lose its best
-    pruning dimension. A null partition (``__HIVE_DEFAULT_PARTITION__``)
+    pruning dimension. Partition values are typed from the DECLARED
+    ``schema_json`` (see :func:`_cast_partition_value`), not inferred
+    from value shape. A null partition (``__HIVE_DEFAULT_PARTITION__``)
     contributes no stats entry, which keeps the file conservatively
     unprunable."""
+    col_types = _schema_col_types(schema_json)
     out = {}
     for f in new_files:
         stats = _file_stats(os.path.join(table_dir, f))
-        vals = _partition_values(f)
+        vals = _partition_values(f, col_types)
         if vals:
             cols = dict(stats.get("columns", {}))
             for k, v in vals.items():
                 if v is not None:
-                    cols[k] = {"min": v, "max": v, "nulls": 0}
+                    # same canonicalization as footer stats: dates and
+                    # timestamps become ISO strings (sort-compatible)
+                    sv = _json_safe(v)
+                    cols[k] = {"min": sv, "max": sv, "nulls": 0}
             stats = {**stats, "columns": cols}
         out[f] = stats
     return out
@@ -471,7 +529,9 @@ def write_versioned(
     # re-validate the schema against it, and commit on top
     # (append/append auto-merges; a blind overwrite makes no
     # read-dependency claim, so it simply takes the next version).
-    new_stats = _stats_for_new_files(table_dir, new_files)
+    new_stats = _stats_for_new_files(
+        table_dir, new_files, table_schema.jsonValue()
+    )
     augmented_cols: set[str] = set()
     last_conflict: CommitConflict | None = None
     attempts = 1 if expected_version is not None else 16
@@ -1044,7 +1104,9 @@ def delete_versioned(
     # sharp (a flat rewrite mixes partitions per file, widening stats)
     pcols = _manifest_partition_cols(manifest)
     new_files = _stage_files(kept, table_dir, partition_by=pcols or None)
-    new_stats = _stats_for_new_files(table_dir, new_files)
+    new_stats = _stats_for_new_files(
+        table_dir, new_files, manifest.get("schema")
+    )
     _augment_blooms(
         table_dir, new_files, new_stats, manifest.get("bloom_cols"), 0.01
     )
@@ -1171,7 +1233,9 @@ def update_versioned(
         rewritten, table_dir, partition_by=pcols or None
     )  # the action that fires obs
     n_updated = int(obs.get["n_matched"] or 0)
-    new_stats = _stats_for_new_files(table_dir, new_files)
+    new_stats = _stats_for_new_files(
+        table_dir, new_files, manifest.get("schema")
+    )
     _augment_blooms(
         table_dir, new_files, new_stats, manifest.get("bloom_cols"), 0.01
     )

@@ -91,12 +91,21 @@ class VersionedChangesDataSource(DataSource):
 
 class _FileChange(InputPartition):
     def __init__(
-        self, path: str, change: str, version: int, field_names: list[str]
+        self,
+        path: str,
+        change: str,
+        version: int,
+        field_names: list[str],
+        field_types: dict[str, str],
     ) -> None:
         self.path = path
         self.change = change
         self.version = version
         self.field_names = field_names
+        # declared type per column (StructType jsonValue strings) so
+        # hive path segments restore with the PINNED type — a string
+        # partition value '07' must stay '07', not become int 7
+        self.field_types = field_types
 
 
 class VersionedChangesStreamReader(DataSourceStreamReader):
@@ -109,6 +118,12 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
         self.field_names = [
             f.name for f in schema.fields if f.name not in _META_COLS
         ]
+        self.field_types = {
+            f.name: f.dataType.jsonValue()
+            for f in schema.fields
+            if f.name not in _META_COLS
+            and isinstance(f.dataType.jsonValue(), str)
+        }
 
     def initialOffset(self) -> dict:
         return {"version": self.start_version}
@@ -153,11 +168,17 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                 )
             for f in added:
                 parts.append(
-                    _FileChange(self._abs(f), "insert", v, self.field_names)
+                    _FileChange(
+                        self._abs(f), "insert", v,
+                        self.field_names, self.field_types,
+                    )
                 )
             for f in removed:
                 parts.append(
-                    _FileChange(self._abs(f), "delete", v, self.field_names)
+                    _FileChange(
+                        self._abs(f), "delete", v,
+                        self.field_names, self.field_types,
+                    )
                 )
             prev_files = cur
         return parts
@@ -171,7 +192,7 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
 
         from ..operators.versioned import _partition_values
 
-        pvals = _partition_values(partition.path)
+        pvals = _partition_values(partition.path, partition.field_types)
         table = pq.read_table(partition.path)
         cols = {}
         for name in partition.field_names:

@@ -32,9 +32,14 @@ ABS_DELTA_S = 0.5
 
 
 def newest_prior(out_path: str) -> str | None:
+    """Newest prior artifact of the SAME scale family: sf0.1 sweeps
+    (``_sf01`` suffix) only diff against sf0.1 sweeps — a cross-scale
+    diff would flag every query as a 10x mover."""
+    want_sf01 = out_path.endswith("_sf01.json")
     arts = sorted(
         p for p in glob.glob("BENCH_FULL_r*.json")
         if os.path.abspath(p) != os.path.abspath(out_path)
+        and p.endswith("_sf01.json") == want_sf01
     )
     return arts[-1] if arts else None
 
@@ -44,18 +49,35 @@ def main() -> int:
     ap.add_argument("--out", default=None)
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument(
+        "--warmup", type=int, default=1,
+        help="untimed reps before the timed ones — rep 1 runs ~2.8x "
+             "steady state (codegen + JIT + page cache), the exact "
+             "noise class behind the r4/r5 false movers",
+    )
     args = ap.parse_args()
     out_path = args.out
     if out_path is None:
-        # current round = newest driver correctness artifact + 1, so
-        # repeated runs within a round OVERWRITE the same file instead
-        # of minting a phantom next-round artifact
-        rounds = [
-            int(m.group(1))
-            for p in glob.glob("CORRECTNESS_r*.json")
-            if (m := re.search(r"CORRECTNESS_r(\d+)\.json", p))
-        ]
-        out_path = f"BENCH_FULL_r{(max(rounds) + 1 if rounds else 1):02d}.json"
+        # current round = max(newest driver correctness artifact + 1,
+        # newest BENCH_FULL artifact): repeated runs within a round
+        # OVERWRITE the same file instead of minting a phantom
+        # next-round artifact — including after the round's OWN
+        # correctness artifact lands (ADVICE r5: CORRECTNESS_r05 +
+        # BENCH_FULL_r05 both present must re-target r05, not r06)
+        def _rounds(pattern: str) -> list[int]:
+            return [
+                int(m.group(1))
+                for p in glob.glob(pattern)
+                if (m := re.search(r"_r(\d+)(?:_|\.json)", p))
+            ]
+
+        corr = _rounds("CORRECTNESS_r*.json")
+        full = _rounds("BENCH_FULL_r*.json")
+        rnd = max(
+            (max(corr) + 1 if corr else 1), (max(full) if full else 1)
+        )
+        suffix = "_sf01" if "sf0.1" in args.sf else ""
+        out_path = f"BENCH_FULL_r{rnd:02d}{suffix}.json"
 
     from datalake_scripts_spark.queries import REGISTRY
     from datalake_scripts_spark.session import get_spark
@@ -69,6 +91,9 @@ def main() -> int:
 
     timings: dict[str, float] = {}
     for name, q in REGISTRY.items():
+        for _ in range(args.warmup):
+            q.fn(spark, args.sf).count()
+            spark.catalog.clearCache()
         samples = []
         for _ in range(args.reps):
             t0 = time.time()
@@ -85,6 +110,7 @@ def main() -> int:
     artifact = {
         "sf": args.sf,
         "reps": args.reps,
+        "warmup": args.warmup,
         "total_sec": round(sum(timings.values()), 2),
         "queries": timings,
     }

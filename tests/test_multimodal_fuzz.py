@@ -189,3 +189,49 @@ def test_md5_still_native_on_corrupt(corrupt_df):
     stub = decode_metadata(corrupt_df).select("doc_id", "content_md5")
     native = corrupt_df.select("doc_id", F.md5("payload").alias("content_md5"))
     assert stub.exceptAll(native).count() == 0
+
+
+def test_corrupt_wav_takes_quarantine_lane(spark):
+    """ADVICE r5: corrupt magic-valid RIFF/WAVE payloads must report
+    'quarantined:<Error>' (not 'stub') and valid WAVs decode for real
+    (status 'wav', width=sample_rate, height=channels)."""
+    df = _df(spark, [_good_wav()] + CORRUPT_WAVS)
+    out = decode_metadata(df, with_status=True).collect()
+    by_id = {r.doc_id: r for r in out}
+    good = by_id[0]
+    assert good.decode_status == "wav"
+    assert good.fake_width == 8000 and good.fake_height == 2
+    assert good.fake_n_frames == 800
+    statuses = [r.decode_status for i, r in by_id.items() if i > 0]
+    # truncation before fmt parses and bit-flipped lengths both land
+    # in quarantine; an intact fmt chunk with flipped sample bytes can
+    # still header-probe ('wav') — what must NOT appear is silent 'stub'
+    assert any(s.startswith("quarantined:") for s in statuses)
+    assert "stub" not in statuses
+
+
+def test_multiscan_jpeg_falls_to_stub_not_garbage():
+    """ADVICE r5: a baseline JPEG whose first SOS covers fewer
+    components than the SOF declares (non-interleaved scans, legal per
+    T.81) must raise UnsupportedJpeg — previously it silently decoded
+    only component 1 and returned a wrong image."""
+    good = _good_jpeg()
+    i = good.find(b"\xff\xda")
+    assert i > 0
+    # rewrite the 3-component SOS header to a single-component scan:
+    # length 8, ns=1, first (cs, tables) pair, then Ss/Se/AhAl
+    old_len = struct.unpack(">H", good[i + 2 : i + 4])[0]
+    sos = good[i + 2 : i + 2 + old_len]
+    new_sos = struct.pack(">HB", 8, 1) + sos[3:5] + sos[-3:]
+    patched = good[:i + 2] + new_sos + good[i + 2 + old_len :]
+    with pytest.raises(UnsupportedJpeg, match="multi-scan"):
+        decode_jpeg(patched)
+    # and through the operator it's a stub, not a quarantine (the
+    # layout is VALID, just unimplemented — mirrors progressive)
+    from datalake_scripts_spark.operators.multimodal import (
+        _decode_dims_status,
+    )
+
+    # dims probe still succeeds (SOF carries dims regardless)
+    w, h, nf, status = _decode_dims_status(patched)
+    assert status == "jpeg" and (w, h) == (12, 16)

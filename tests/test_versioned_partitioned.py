@@ -196,3 +196,80 @@ def test_wap_partitioned_publish(spark, sf_dir, table_dir):
     m = _load_manifest(table_dir, 1)
     assert all("n_regionkey=" in f for f in m["files"])
     assert read_versioned(spark, table_dir).count() == nation.count()
+
+
+def test_string_partition_values_keep_declared_type(spark, table_dir):
+    """ADVICE r5 (medium): a STRING partition column with
+    numeric-looking values ('07') must stay a string in manifest stats
+    (blind int inference stored min=max=7 and skip_filter=('grp','=',
+    '07') raised TypeError int<=str), in read_versioned output, and in
+    the versioned_changes pyarrow reader (which silently lost the
+    leading zero)."""
+    df = spark.createDataFrame(
+        [("07", 1), ("07", 2), ("11", 3), ("9", 4)], "grp string, v int"
+    )
+    write_versioned(spark, df, table_dir, partition_by=["grp"])
+    m = _load_manifest(table_dir, 1)
+    for f in m["files"]:
+        cs = m["stats"][f]["columns"]["grp"]
+        assert isinstance(cs["min"], str) and cs["min"] == cs["max"]
+
+    # the exact ADVICE repro: skip_filter on the string value
+    opened = files_for_read(table_dir, skip_filter=[("grp", "=", "07")])
+    assert opened and all("grp=07" in f for f in opened)
+    rows = (
+        read_versioned(spark, table_dir, skip_filter=[("grp", "=", "07")])
+        .orderBy("v")
+        .collect()
+    )
+    assert [r.grp for r in rows] == ["07", "07"]
+
+    # pyarrow CDF reader restores '07' as the declared string type
+    from datalake_scripts_spark.sources.versioned_datasource import (
+        register_versioned_datasource,
+    )
+
+    register_versioned_datasource(spark)
+    out_dir = table_dir + "_cdf_out"
+    q = (
+        spark.readStream.format("versioned_changes")
+        .load(table_dir)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", table_dir + "_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir).orderBy("v").collect()
+    assert [r.grp for r in got] == ["07", "07", "11", "9"]
+
+
+def test_typed_partition_values_int_float_bool_date(spark, table_dir):
+    """Declared non-string types cast from path text: int stays int,
+    date becomes a real date, and the fallback inference still applies
+    when no schema is known."""
+    import datetime
+
+    df = spark.createDataFrame(
+        [(1, datetime.date(2024, 1, 7), True, "a"),
+         (2, datetime.date(2024, 2, 9), False, "b")],
+        "k int, dt date, flag boolean, payload string",
+    )
+    write_versioned(
+        spark, df, table_dir, partition_by=["k", "dt", "flag"]
+    )
+    m = _load_manifest(table_dir, 1)
+    from datalake_scripts_spark.operators.versioned import _schema_col_types
+
+    ctypes = _schema_col_types(m["schema"])
+    f0 = sorted(m["files"])[0]
+    vals = _partition_values(f0, ctypes)
+    assert isinstance(vals["k"], int)
+    assert isinstance(vals["dt"], datetime.date)
+    assert isinstance(vals["flag"], bool)
+    # skip_filter with a real date value prunes to one partition
+    opened = files_for_read(
+        table_dir, skip_filter=[("dt", "=", "2024-01-07")]
+    )
+    assert 0 < len(opened) < len(m["files"])
