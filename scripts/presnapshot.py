@@ -68,9 +68,22 @@ def refresh_driver_ledger() -> None:
         for name, res in results.items():
             if name in ledger:
                 continue
-            if res.get("err") is not None or res.get("hash_match") is False:
+            rows_only = (
+                res.get("err") == "no_oracle"
+                and res.get("spark_rows") is not None
+            )
+            if not rows_only and (
+                res.get("err") is not None or res.get("hash_match") is False
+            ):
                 continue  # not green that round
-            ledger[name] = {"first_green_round": rnd}
+            entry = {"first_green_round": rnd}
+            if rows_only:
+                # driver ran the Spark side and recorded rows, but no
+                # DuckDB oracle exists (documented rows-only queries —
+                # each has a hash-exact md5/stride twin that IS
+                # oracle-green)
+                entry["rows_only"] = True
+            ledger[name] = entry
     os.makedirs("docs", exist_ok=True)
     with open("docs/driver_checked.json", "w") as f:
         json.dump(dict(sorted(ledger.items())), f, indent=1)
