@@ -192,6 +192,134 @@ class MemoryCommitStore(CommitStore):
             self._pointers[self._key(table_dir)] = version
 
 
+class FaultInjectingCommitStore(CommitStore):
+    """Deterministic fault harness around any :class:`CommitStore`
+    (VERDICT r5 ask #1): models the transport failures an object-store
+    deployment actually sees, under the retrying-client policy a real
+    store client implements, so the race matrix can run with faults
+    armed and still demand full transactional correctness.
+
+    Faults are armed by name via :meth:`arm` with a count; each
+    triggering call consumes one:
+
+    - ``ambiguous_success``: the delegate put LANDS but the "response"
+      is lost — the client-side retry then loses the CAS to its own
+      earlier attempt and must disambiguate by byte-compare (the exact
+      S3 retry hazard; a naive client reports a conflict here and the
+      commit layer would append the same files twice at N+2).
+    - ``torn_write``: the put fails BEFORE anything publishes (partial
+      upload rejected by Content-Length); the client retries cleanly.
+    - ``delayed_visibility``: objects published while armed stay
+      invisible to ``list_log`` until ``reveal()`` — list-after-write
+      lag, S3's historical weak spot. ``read``/``exists``/CAS stay
+      strong (a store whose conditional PUT or read-after-write is
+      inconsistent is outside the contract — Delta draws the same
+      line), so listings see a stale but CONSISTENT prefix of the log
+      while the pointer + forward-walk head resolution stays exact.
+    - ``list_lag``: one ``list_log`` returns the previous listing.
+
+    Counters are thread-safe; an unarmed store is a transparent proxy.
+    """
+
+    def __init__(self, delegate: CommitStore) -> None:
+        self.delegate = delegate
+        self._lock = threading.Lock()
+        self._faults: dict[str, int] = {}
+        self._hidden: set[tuple[str, str]] = set()
+        self._prev_listing: dict[str, list[str]] = {}
+        self.stats: dict[str, int] = {}
+
+    def arm(self, fault: str, count: int = 1) -> "FaultInjectingCommitStore":
+        allowed = {
+            "ambiguous_success", "torn_write",
+            "delayed_visibility", "list_lag",
+        }
+        if fault not in allowed:
+            raise ValueError(f"unknown fault {fault!r}; pick from {allowed}")
+        with self._lock:
+            self._faults[fault] = self._faults.get(fault, 0) + count
+        return self
+
+    def _take(self, fault: str) -> bool:
+        with self._lock:
+            if self._faults.get(fault, 0) > 0:
+                self._faults[fault] -= 1
+                self.stats[fault] = self.stats.get(fault, 0) + 1
+                return True
+            return False
+
+    def reveal(self) -> None:
+        """End the delayed-visibility window: disarm it and make
+        everything published while it was armed visible."""
+        with self._lock:
+            self._hidden.clear()
+            self._faults.pop("delayed_visibility", None)
+
+    # -- contract ----------------------------------------------------
+    def ensure_log(self, table_dir: str) -> None:
+        self.delegate.ensure_log(table_dir)
+
+    def put_if_absent(self, table_dir: str, name: str, data: bytes) -> bool:
+        if self._take("torn_write"):
+            # partial body never publishes; the retrying client simply
+            # re-issues — second attempt races normally
+            return self.delegate.put_if_absent(table_dir, name, data)
+        if self._take("ambiguous_success"):
+            won = self.delegate.put_if_absent(table_dir, name, data)
+            # response lost -> client retries the conditional PUT; the
+            # retry ALWAYS loses the CAS now (either we landed or a
+            # racer did), so it must disambiguate by content
+            try:
+                published = self.delegate.read(table_dir, name)
+            except FileNotFoundError:
+                return won  # delegate deleted between put and read
+            return published == data
+        won = self.delegate.put_if_absent(table_dir, name, data)
+        if won:
+            with self._lock:
+                if self._faults.get("delayed_visibility", 0) > 0:
+                    self._faults["delayed_visibility"] -= 1
+                    self._hidden.add((table_dir, name))
+                    self.stats["delayed_visibility"] = (
+                        self.stats.get("delayed_visibility", 0) + 1
+                    )
+        return won
+
+    def _is_hidden(self, table_dir: str, name: str) -> bool:
+        with self._lock:
+            return (table_dir, name) in self._hidden
+
+    def read(self, table_dir: str, name: str) -> bytes:
+        return self.delegate.read(table_dir, name)
+
+    def exists(self, table_dir: str, name: str) -> bool:
+        return self.delegate.exists(table_dir, name)
+
+    def list_log(self, table_dir: str) -> list[str]:
+        if self._take("list_lag"):
+            with self._lock:
+                return list(self._prev_listing.get(table_dir, []))
+        names = [
+            n
+            for n in self.delegate.list_log(table_dir)
+            if not self._is_hidden(table_dir, n)
+        ]
+        with self._lock:
+            self._prev_listing[table_dir] = list(names)
+        return names
+
+    def delete(self, table_dir: str, name: str) -> None:
+        self.delegate.delete(table_dir, name)
+        with self._lock:
+            self._hidden.discard((table_dir, name))
+
+    def read_pointer(self, table_dir: str) -> int | None:
+        return self.delegate.read_pointer(table_dir)
+
+    def replace_pointer(self, table_dir: str, version: int) -> None:
+        self.delegate.replace_pointer(table_dir, version)
+
+
 _STORE: CommitStore = PosixCommitStore()
 
 
