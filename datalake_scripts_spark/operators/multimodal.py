@@ -71,7 +71,7 @@ def _decode_dims_status(payload: bytes) -> tuple[int, int, int, str]:
     magic, corrupt payload — the poison-pill lane: dims come from the
     deterministic stub and the row survives instead of killing the
     task)."""
-    from ..functions.jpeg import UnsupportedJpeg, is_jpeg, jpeg_dimensions
+    from ..functions.jpeg import UnsupportedJpeg, is_jpeg, jpeg_frame_info
     from ..functions.png import UnsupportedPng, is_png, png_dimensions
 
     if is_png(payload):
@@ -86,10 +86,16 @@ def _decode_dims_status(payload: bytes) -> tuple[int, int, int, str]:
         return w, h, nf, status
     if is_jpeg(payload):
         try:
-            w, h, _ch = jpeg_dimensions(payload)
-            return w, h, 1, "jpeg"
+            w, h, _ch, coding = jpeg_frame_info(payload)
+            # dims are REAL for every T.81 coding (the frame header is
+            # layout-identical); the status distinguishes decodable
+            # sequential files ('jpeg') from probe-only ones
+            # ('jpeg_progressive' etc. — full decode falls to the stub)
+            if coding in ("baseline", "extended"):
+                return w, h, 1, "jpeg"
+            return w, h, 1, f"jpeg_{coding}"
         except UnsupportedJpeg:
-            status = "stub"  # progressive/arithmetic/12-bit layout
+            status = "stub"  # unreachable-defensive: frame_info is total
         except DECODE_ERRORS as e:
             status = f"quarantined:{type(e).__name__}"
         w, h, nf = _stub_decode(payload)

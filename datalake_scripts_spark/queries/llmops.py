@@ -1349,6 +1349,123 @@ def multimodal_quarantine_pipeline(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
+    "multimodal_decode_census",
+    sql=f"""
+    WITH kinds AS (
+      SELECT doc_id,
+             CASE doc_id % 6
+               WHEN 0 THEN 'jpeg' WHEN 1 THEN 'jpeg_progressive'
+               WHEN 2 THEN 'png' WHEN 3 THEN 'wav'
+               WHEN 4 THEN 'quarantined' ELSE 'stub' END AS status_kind,
+             CASE WHEN doc_id % 6 IN (0, 1, 2)
+                    THEN 8 + {_hexbyte_sql(0)} % 24
+                  WHEN doc_id % 6 = 3 THEN 8000 END AS real_width
+      FROM documents
+    )
+    SELECT status_kind,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(real_width) AS BIGINT) AS sum_real_width
+    FROM kinds GROUP BY status_kind
+    """,
+)
+def multimodal_decode_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode-status census (VERDICT r5 ask #3) — the operational
+    readout a crawl-processing pipeline watches: per-status counts
+    plus the summed REAL width of probe-able rows, over a mixed corpus
+    of baseline JPEG / progressive JPEG / PNG / WAV / corrupt /
+    opaque payloads (doc_id % 6 classes).
+
+    The load-bearing class is ``jpeg_progressive``: full decode of a
+    SOF2 file stays stubbed, but the T.81 frame header carries real
+    dimensions for EVERY coding process, so the census reports the
+    progressive share of a crawl *with true dims* instead of lumping
+    it into ``stub``. The oracle recomputes class sizes from the
+    doc_id arithmetic and the widths from the same md5 derivation the
+    synthesizer uses (WAV width = its 8000 Hz sample rate), so a
+    probe regression in any class breaks the hash. Map-only: one
+    Arrow synthesize stage, one Arrow decode stage, one partial-agg
+    groupBy — at 100 TB the shuffle carries only (status, count, sum)
+    partials per task."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _synthesize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import struct as st
+
+        import numpy as np
+
+        from ..functions.jpeg import encode_jpeg
+        from ..functions.png import encode_png
+        from ..functions.wav import encode_wav
+
+        def progressive_jpeg(w: int, h: int) -> bytes:
+            # SOI + SOF2 frame header (+EOI): dims land in the header
+            # regardless of coding, which is exactly what the probe
+            # reads; entropy data is absent (decode would fall to the
+            # stub anyway — the census only exercises the probe)
+            comps = b"".join(
+                st.pack("BBB", cid, 0x11, 0) for cid in (1, 2, 3)
+            )
+            sof2 = st.pack(">BHHB", 8, h, w, 3) + comps
+            return (
+                b"\xff\xd8\xff\xc2"
+                + st.pack(">H", len(sof2) + 2)
+                + sof2
+                + b"\xff\xd9"
+            )
+
+        wav = encode_wav(
+            (np.arange(64) % 32 - 16).astype(np.int16).reshape(-1, 1), 8000
+        )
+        for pdf in batches:
+            payloads = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                digest = hashlib.md5(text.encode()).digest()
+                w, h = 8 + digest[0] % 24, 8 + digest[1] % 24
+                cls = did % 6
+                if cls == 0:
+                    n = w * h * 3
+                    px = np.frombuffer(
+                        (digest * (n // 16 + 1))[:n], dtype=np.uint8
+                    ).reshape(h, w, 3)
+                    p = encode_jpeg(px, quality=90)
+                elif cls == 1:
+                    p = progressive_jpeg(w, h)
+                elif cls == 2:
+                    n = w * h * 3
+                    px = np.frombuffer(
+                        (digest * (n // 16 + 1))[:n], dtype=np.uint8
+                    ).reshape(h, w, 3)
+                    p = encode_png(px)
+                elif cls == 3:
+                    p = wav
+                elif cls == 4:
+                    p = b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0dIHDR" + digest[:5]
+                else:
+                    p = text.encode()
+                payloads.append(p)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    payloads = docs.mapInPandas(_synthesize, "doc_id bigint, payload binary")
+    from ..operators.multimodal import decode_metadata
+
+    meta = decode_metadata(payloads, with_status=True)
+    kind = F.split(F.col("decode_status"), ":").getItem(0)
+    real = F.when(
+        kind.isin("jpeg", "jpeg_progressive", "png", "wav", "avi"),
+        F.col("fake_width"),
+    )
+    return meta.groupBy(kind.alias("status_kind")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(real).cast("bigint").alias("sum_real_width"),
+    )
+
+
+@query(
     "multimodal_video_roundtrip",
     sql=f"""
     SELECT doc_id,

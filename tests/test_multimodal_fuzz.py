@@ -235,3 +235,60 @@ def test_multiscan_jpeg_falls_to_stub_not_garbage():
     # dims probe still succeeds (SOF carries dims regardless)
     w, h, nf, status = _decode_dims_status(patched)
     assert status == "jpeg" and (w, h) == (12, 16)
+
+
+def _progressive_jpeg(w=20, h=12) -> bytes:
+    comps = b"".join(struct.pack("BBB", cid, 0x11, 0) for cid in (1, 2, 3))
+    sof2 = struct.pack(">BHHB", 8, h, w, 3) + comps
+    return (b"\xff\xd8\xff\xc2" + struct.pack(">H", len(sof2) + 2)
+            + sof2 + b"\xff\xd9")
+
+
+def test_progressive_dims_probe_and_truncations():
+    """VERDICT r5 ask #3: SOF2 files report REAL dims (status
+    jpeg_progressive); truncated/bit-flipped SOF2 headers quarantine,
+    never crash, never report as plain 'stub' with fake dims marked
+    real."""
+    from datalake_scripts_spark.functions.jpeg import jpeg_frame_info
+    from datalake_scripts_spark.operators.multimodal import (
+        _decode_dims_status,
+    )
+
+    good = _progressive_jpeg()
+    assert jpeg_frame_info(good) == (20, 12, 3, "progressive")
+    w, h, nf, status = _decode_dims_status(good)
+    assert (w, h, nf, status) == (20, 12, 1, "jpeg_progressive")
+    # full decode still stubbed: decode_jpeg refuses the coding
+    with pytest.raises(UnsupportedJpeg):
+        decode_jpeg(good)
+    # truncations: while the SOF2 frame header is incomplete the row
+    # survives via stub/quarantine; once the header is whole (byte 21
+    # in this layout) the probe legitimately reports real dims again
+    header_end = 6 + (len(good) - 8)  # SOI+marker+len, payload, EOI
+    for cut in range(2, len(good) - 1):
+        _, _, _, st_ = _decode_dims_status(good[:cut])
+        if cut < header_end:
+            assert st_ == "stub" or st_.startswith("quarantined:"), (cut, st_)
+        else:
+            assert st_ == "jpeg_progressive", (cut, st_)
+    # bit flips across the frame header
+    for pos in range(2, len(good)):
+        b = bytearray(good)
+        b[pos] ^= 0xFF
+        _decode_dims_status(bytes(b))  # must not raise
+
+
+def test_frame_info_covers_all_sof_codings():
+    from datalake_scripts_spark.functions.jpeg import (
+        SOF_CODINGS,
+        jpeg_frame_info,
+    )
+
+    for marker, coding in SOF_CODINGS.items():
+        comps = b"".join(
+            struct.pack("BBB", cid, 0x11, 0) for cid in (1, 2, 3)
+        )
+        sof = struct.pack(">BHHB", 8, 7, 9, 3) + comps
+        data = (b"\xff\xd8" + bytes([0xFF, marker])
+                + struct.pack(">H", len(sof) + 2) + sof + b"\xff\xd9")
+        assert jpeg_frame_info(data) == (9, 7, 3, coding)
