@@ -785,6 +785,104 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(q, emb, k=3, nprobe=2, stride=50)
 
 
+def _ann_recall_sql() -> str:
+    acos = S.sql_cosine("e.v", "c.cvec")
+    qcos = S.sql_cosine("p.qv", "ce.v")
+    bcos = S.sql_cosine("q.qv", "e.v")
+    apx = "".join(
+        f"""
+    apx{np_} AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+                 PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+               ) AS rnk
+        FROM scored WHERE crn <= {np_}) x
+      WHERE rnk <= 5),"""
+        for np_ in (1, 2, 4)
+    )
+    rows = "\n    UNION ALL ".join(
+        f"""SELECT CAST({np_} AS INT) AS nprobe,
+           CAST((SELECT COUNT(*) FROM apx{np_} a JOIN exact x
+                 ON a.query_id = x.query_id
+                AND a.neighbor_id = x.neighbor_id) AS BIGINT) AS n_hits,
+           CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS n_exact,
+           (SELECT COUNT(*) FROM apx{np_} a JOIN exact x
+            ON a.query_id = x.query_id
+           AND a.neighbor_id = x.neighbor_id) * 1.0
+             / (SELECT COUNT(*) FROM exact) AS recall_at_5"""
+        for np_ in (1, 2, 4)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cid, v AS cvec FROM e WHERE vec_id % 50 = 0),
+    assign AS (
+      SELECT e.vec_id, c.cid, ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id ORDER BY {acos} DESC, c.cid) AS crn
+      FROM e CROSS JOIN cent c),
+    cells AS (
+      SELECT a.vec_id, a.cid AS cell, e.v
+      FROM assign a JOIN e ON a.vec_id = e.vec_id WHERE a.crn = 1),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, e.vec_id AS neighbor_id, ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id ORDER BY {bcos} DESC, e.vec_id
+               ) AS rnk
+        FROM (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10) q,
+             e WHERE e.vec_id <> q.query_id) b
+      WHERE rnk <= 5),
+    probes AS (
+      SELECT a.vec_id AS query_id, a.cid AS cell, e.v AS qv, a.crn
+      FROM assign a JOIN e ON a.vec_id = e.vec_id
+      WHERE a.vec_id < 10),
+    scored AS (
+      SELECT p.query_id, p.crn, ce.vec_id AS neighbor_id, {qcos} AS cosine
+      FROM probes p JOIN cells ce
+        ON p.cell = ce.cell AND ce.vec_id <> p.query_id),{apx}
+    dummy AS (SELECT 1)
+    {rows}
+    """
+
+
+@query("ann_ivf_recall", sql=_ann_recall_sql())
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the IVF path vs the brute-force exact result on the
+    SAME embeddings, parameterized by nprobe (VERDICT r5 ask #4) — the
+    first number an ANN user asks. One output row per nprobe in
+    {1, 2, 4}: exact integer overlap counts (|IVF top-5 ∩ exact
+    top-5| summed over the 10 query vectors) plus the recall ratio.
+    The DuckDB oracle recomputes the entire IVF pipeline (stride
+    centroids, argmax assignment, probe ranking) AND the brute-force
+    reference, so both the approximate and exact sides are
+    hash-verified, not just the headline ratio. Scale shape: each
+    branch is the already-audited ivf_topk plan; the recall join keys
+    on (query_id, neighbor_id) against a top-k result that is
+    O(|queries| * k) — broadcast-sized by construction."""
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = S.brute_force_topk(q, emb, k=5).select("query_id", "neighbor_id")
+    n_exact = exact.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+    parts = []
+    for np_ in (1, 2, 4):
+        approx = S.ivf_topk(q, emb, k=5, nprobe=np_, stride=50).select(
+            "query_id", "neighbor_id"
+        )
+        hits = approx.join(exact, ["query_id", "neighbor_id"]).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hits")
+        )
+        parts.append(
+            hits.crossJoin(n_exact).select(
+                F.lit(np_).cast("int").alias("nprobe"),
+                "n_hits",
+                "n_exact",
+                (F.col("n_hits") / F.col("n_exact")).alias("recall_at_5"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
 @query("ann_ivf_topk_vectorized")
 def ann_ivf_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-3 with the vectorized Arrow/numpy cell assignment
