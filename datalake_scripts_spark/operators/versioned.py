@@ -269,6 +269,18 @@ def _manifest_partition_cols(manifest: dict) -> list[str]:
     return []
 
 
+def _manifest_partition_spec(manifest: dict) -> list[str]:
+    """The table's CURRENT partition spec: the manifest-recorded
+    ``partition_spec`` (authoritative since partition evolution became
+    an explicit, metadata-tracked operation), falling back to path
+    inference (:func:`_manifest_partition_cols`) for manifests
+    committed before the key existed."""
+    spec = manifest.get("partition_spec")
+    if spec is not None:
+        return list(spec)
+    return _manifest_partition_cols(manifest)
+
+
 def _stats_for_new_files(
     table_dir: str, new_files: list[str], schema_json: dict | None = None
 ) -> dict:
@@ -461,6 +473,7 @@ def write_versioned(
     bloom_fpp: float = 0.01,
     expected_version: int | None = None,
     partition_by: list[str] | None = None,
+    evolve_partitioning: bool = False,
 ) -> int:
     """Commit ``df`` as a new snapshot; returns the new version number.
 
@@ -491,11 +504,21 @@ def write_versioned(
     the manifest stats (min = max = value), so a ``skip_filter`` on a
     partition column opens a strict file subset — the reference's
     date-partitioned landing (jhub_proc.py:259-275) as manifest-level
-    partition pruning. Layout is PER-COMMIT physical detail, not table
-    state: appends may mix layouts (reads reconstruct partition
-    columns via basePath per file) and DML/compaction rewrites fold
-    partition columns back into the data files — pruning keeps working
-    through their ordinary footer stats."""
+    partition pruning.
+
+    The partition spec is TABLE state (manifest-recorded, Iceberg's
+    metadata-tracked spec with Delta's explicit-change gate):
+    ``partition_by=None`` INHERITS the table's current spec (appends
+    never re-specify layout, and a routine overwrite publish must not
+    silently flatten a partitioned table); an explicit list — ``[]``
+    means deliberately flat — that DIFFERS from the current spec
+    raises unless ``evolve_partitioning=True``, which commits the new
+    spec with a bumped ``spec_id``. Evolution is metadata-only: files
+    written under older specs are NOT rewritten — reads span mixed
+    layouts (partition columns restore via basePath per layout group),
+    pruning keeps working through each file's own stats, and
+    ``compact_versioned`` rewrites everything into the current spec
+    (Iceberg's rewrite-to-latest)."""
     assert mode in ("append", "overwrite")
     get_commit_store().ensure_log(table_dir)
 
@@ -518,8 +541,24 @@ def write_versioned(
     elif not bloom_cols:
         bloom_cols = None  # explicit [] clears the table's bloom index
 
+    # partition-spec resolution BEFORE staging (fail fast): None
+    # inherits, a differing explicit spec needs evolve_partitioning
+    prev_spec = (
+        _manifest_partition_spec(prev_manifest0) if prev_for_schema > 0 else []
+    )
+    prev_spec_id = prev_manifest0.get("spec_id", 0)
+    spec = prev_spec if partition_by is None else list(partition_by)
+    if prev_for_schema > 0 and spec != prev_spec and not evolve_partitioning:
+        raise ValueError(
+            f"partition_by={spec} differs from the table's committed "
+            f"partition spec {prev_spec} (spec_id {prev_spec_id}); pass "
+            "evolve_partitioning=True to change the spec, or "
+            "partition_by=None to inherit it"
+        )
+    spec_id = prev_spec_id + 1 if (prev_for_schema > 0 and spec != prev_spec) else prev_spec_id
+
     # 1. stage immutable data files under a unique prefix
-    new_files = _stage_files(df, table_dir, partition_by=partition_by)
+    new_files = _stage_files(df, table_dir, partition_by=spec or None)
 
     # 2. commit the manifest, carrying per-file footer stats (row count
     # + column min/max/nulls) so snapshots support metadata-only counts
@@ -554,6 +593,20 @@ def write_versioned(
                 )
             if effective_blooms is None:
                 effective_blooms = prev_manifest.get("bloom_cols")
+        if prev > 0:
+            cur_spec = _manifest_partition_spec(prev_manifest)
+            cur_spec_id = prev_manifest.get("spec_id", 0)
+            if spec != cur_spec and not evolve_partitioning:
+                # a concurrent commit evolved the spec after we staged
+                # under the old one — our layout no longer matches the
+                # table contract; clean and surface as a conflict
+                for f in new_files:
+                    try:
+                        os.remove(os.path.join(table_dir, f))
+                    except FileNotFoundError:
+                        pass
+                raise CommitConflict(table_dir, prev + 1)
+            spec_id = cur_spec_id + 1 if spec != cur_spec else cur_spec_id
         missing = set(effective_blooms or []) - augmented_cols
         if missing:
             _augment_blooms(
@@ -575,6 +628,8 @@ def write_versioned(
                 meta,
                 bloom_cols=effective_blooms,
                 expected_version=prev,
+                partition_spec=spec,
+                spec_id=spec_id,
             )
         except CommitConflict as c:
             last_conflict = c
@@ -635,9 +690,16 @@ def _commit_manifest(
     meta: dict | None,
     bloom_cols: list[str] | None = None,
     expected_version: int | None = None,
+    partition_spec: list[str] | None = None,
+    spec_id: int | None = None,
 ) -> int:
     """Commit manifest v(N+1): the single commit path for every writer
     (append/overwrite/delete/update/compaction/WAP).
+
+    ``partition_spec``/``spec_id`` record the table's partition layout
+    contract (Iceberg-style metadata-tracked spec versions): when None
+    the manifest omits the keys and readers fall back to path
+    inference (pre-evolution manifests).
 
     Optimistic-concurrency CAS: the manifest is PUBLISHED via the
     commit store's ``put_if_absent`` (operators.commitstore — os.link
@@ -666,6 +728,9 @@ def _commit_manifest(
         manifest["meta"] = meta
     if bloom_cols:
         manifest["bloom_cols"] = bloom_cols
+    if partition_spec is not None:
+        manifest["partition_spec"] = list(partition_spec)
+        manifest["spec_id"] = spec_id if spec_id is not None else 0
     data = json.dumps(manifest).encode()
     if not get_commit_store().put_if_absent(
         table_dir, _manifest_name(version), data
@@ -928,6 +993,7 @@ def compact_versioned(
     sort_by: str | None = None,
     zorder_by: list[str] | None = None,
     partition_by: list[str] | None = None,
+    evolve_partitioning: bool = False,
 ) -> int:
     """OPTIMIZE for the Delta-lite layer: rewrite the CURRENT snapshot
     into ``target_files`` right-sized files as a new overwrite commit.
@@ -952,7 +1018,7 @@ def compact_versioned(
     v_read = current_version(table_dir)
     prev_manifest = _load_manifest(table_dir, v_read)
     if partition_by is None:
-        partition_by = _manifest_partition_cols(prev_manifest)
+        partition_by = _manifest_partition_spec(prev_manifest)
     cur = read_versioned(spark, table_dir, version=v_read)
     if zorder_by:
         from ..io import zorder_layout
@@ -980,7 +1046,8 @@ def compact_versioned(
         meta={**prev_meta, "compaction_of": v_read},
         bloom_cols=prev_manifest.get("bloom_cols"),
         expected_version=v_read,
-        partition_by=partition_by or None,
+        partition_by=partition_by,
+        evolve_partitioning=evolve_partitioning,
     )
 
 
@@ -1102,7 +1169,7 @@ def delete_versioned(
     )
     # rewrites keep the table's hive layout so partition pruning stays
     # sharp (a flat rewrite mixes partitions per file, widening stats)
-    pcols = _manifest_partition_cols(manifest)
+    pcols = _manifest_partition_spec(manifest)
     new_files = _stage_files(kept, table_dir, partition_by=pcols or None)
     new_stats = _stats_for_new_files(
         table_dir, new_files, manifest.get("schema")
@@ -1130,6 +1197,8 @@ def delete_versioned(
         {**(meta or {}), "predicate": predicate, "n_deleted": n_deleted},
         bloom_cols=manifest.get("bloom_cols"),
         expected_version=v,
+        partition_spec=pcols,
+        spec_id=manifest.get("spec_id", 0),
     )
     return version, n_deleted
 
@@ -1144,6 +1213,8 @@ def _commit_dml(
     meta: dict | None,
     bloom_cols,
     expected_version: int,
+    partition_spec: list[str] | None = None,
+    spec_id: int | None = None,
 ) -> int:
     """Read-pinned DML commit: targets exactly the snapshot the DML
     read (its touched-file set and metadata row counts are only valid
@@ -1162,6 +1233,8 @@ def _commit_dml(
             meta,
             bloom_cols=bloom_cols,
             expected_version=expected_version,
+            partition_spec=partition_spec,
+            spec_id=spec_id,
         )
     except CommitConflict:
         for f in staged_files:
@@ -1228,7 +1301,7 @@ def update_versioned(
     rewritten = old_rows.observe(
         obs, F.sum(pred.cast("long")).alias("n_matched")
     ).select(*cols)
-    pcols = _manifest_partition_cols(manifest)  # keep the hive layout
+    pcols = _manifest_partition_spec(manifest)  # keep the hive layout
     new_files = _stage_files(
         rewritten, table_dir, partition_by=pcols or None
     )  # the action that fires obs
@@ -1256,6 +1329,8 @@ def update_versioned(
         {**(meta or {}), "predicate": predicate, "set": set_exprs},
         bloom_cols=manifest.get("bloom_cols"),
         expected_version=v,
+        partition_spec=pcols,
+        spec_id=manifest.get("spec_id", 0),
     )
     return version, n_updated
 
@@ -1284,6 +1359,11 @@ def restore_versioned(table_dir: str, version: int) -> int:
                 src.get("schema"),
                 {"restored_from": version},
                 bloom_cols=src.get("bloom_cols"),
+                partition_spec=_manifest_partition_spec(src),
+                spec_id=max(
+                    src.get("spec_id", 0),
+                    _load_manifest(table_dir, latest).get("spec_id", 0),
+                ),
             )
         except CommitConflict as c:
             last = c
@@ -1360,6 +1440,8 @@ def clone_versioned(
                 {"cloned_from": os.path.abspath(src_dir), "source_version": v,
                  "shallow": shallow},
                 bloom_cols=src.get("bloom_cols"),
+                partition_spec=_manifest_partition_spec(src),
+                spec_id=src.get("spec_id", 0),
             )
         except CommitConflict as c:
             last = c

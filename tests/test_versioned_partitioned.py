@@ -83,18 +83,21 @@ def test_range_prune_on_int_partition(spark, sf_dir, table_dir):
     assert got.count() == orders.filter("bucket < 2").count()
 
 
-def test_mixed_layout_append(spark, sf_dir, table_dir):
-    """Appends may mix partitioned and flat layouts: flat files carry
-    the column in-data, hive files derive it from their directory."""
+def test_append_inherits_partition_spec(spark, sf_dir, table_dir):
+    """partition_by=None on append INHERITS the table's committed
+    spec (Delta behavior: appends never re-specify layout) — the
+    second commit's files are hive-laid-out too and keep pruning."""
     nation = read_table(spark, sf_dir, "nation")
     write_versioned(spark, nation, table_dir, partition_by=["n_regionkey"])
-    write_versioned(spark, nation, table_dir, mode="append")  # flat
+    write_versioned(spark, nation, table_dir, mode="append")  # inherits
+    m = _load_manifest(table_dir, 2)
+    assert m["partition_spec"] == ["n_regionkey"]
+    assert m["spec_id"] == 0
+    assert all("n_regionkey=" in f for f in m["files"])
     got = read_versioned(spark, table_dir)
     assert got.count() == 2 * nation.count()
     assert got.filter(F.col("n_regionkey").isNull()).count() == 0
-    # both layouts prune: = predicate opens only the matching files
     opened = files_for_read(table_dir, skip_filter=[("n_regionkey", "=", 0)])
-    m = _load_manifest(table_dir, 2)
     assert len(opened) < len(m["files"])
 
 
@@ -115,7 +118,12 @@ def test_dml_on_partitioned_table(spark, sf_dir, table_dir):
 def test_vacuum_prunes_partition_dirs(spark, sf_dir, table_dir):
     nation = read_table(spark, sf_dir, "nation")
     write_versioned(spark, nation, table_dir, partition_by=["n_regionkey"])
-    write_versioned(spark, nation, table_dir, mode="overwrite")  # flat
+    # deliberate flatten: an explicit [] spec change through the
+    # evolution gate (a bare overwrite INHERITS the spec)
+    write_versioned(
+        spark, nation, table_dir, mode="overwrite",
+        partition_by=[], evolve_partitioning=True,
+    )
     removed = vacuum(table_dir, keep_last=1)
     assert removed > 0
     # all hive files and their emptied col=value dirs are gone
