@@ -59,69 +59,128 @@ def _stub_decode(payload: bytes) -> tuple[int, int, int]:
     return 16 + h[0] % 64, 16 + h[1] % 64, 1 + h[2] % 8
 
 
-def _decode_dims_status(payload: bytes) -> tuple[int, int, int, str]:
+class Codec:
+    """One format's entry in the decode registry (VERDICT r5 ask #7 —
+    the swap-in seam): ``sniff(payload) -> bool`` (magic check, must
+    not raise) and ``probe(payload) -> (w, h, n_frames, status)`` (may
+    raise ``unsupported`` for valid-but-unimplemented layouts -> stub,
+    or anything in DECODE_ERRORS for corrupt payloads -> quarantine).
+    A deployment with native libs replaces an entry via
+    :func:`register_codec` — e.g. a libjpeg/PIL probe under the name
+    'jpeg' — WITHOUT touching the Arrow stages, schemas, or the
+    quarantine contract, which all live a level up.
+
+    Throughput envelope of the built-in pure-Python codecs: probes are
+    O(1) header reads (fine at any scale); FULL decodes
+    (functions.jpeg/png/avi) run ~100x slower than libjpeg/libpng —
+    ~580 images/s/core for 32x32 JPEGs (measured, functions/jpeg.py) —
+    so a real 100 TB image corpus should swap in native decodes here.
+    Registration is import-time module state: on a cluster it must run
+    on executors too, i.e. perform it at module import in code shipped
+    to the workers (the standard Spark pattern), not lazily on the
+    driver."""
+
+    def __init__(self, name, sniff, probe, unsupported=()):
+        self.name = name
+        self.sniff = sniff
+        self.probe = probe
+        self.unsupported = unsupported
+
+
+def _png_probe(payload: bytes):
+    from ..functions.png import png_dimensions
+
+    w, h, _ch = png_dimensions(payload)
+    return w, h, 1, "png"
+
+
+def _jpeg_probe(payload: bytes):
+    from ..functions.jpeg import jpeg_frame_info
+
+    # dims are REAL for every T.81 coding (the frame header is
+    # layout-identical); the status distinguishes decodable sequential
+    # files ('jpeg') from probe-only ones ('jpeg_progressive' etc. —
+    # full decode falls to the stub)
+    w, h, _ch, coding = jpeg_frame_info(payload)
+    if coding in ("baseline", "extended"):
+        return w, h, 1, "jpeg"
+    return w, h, 1, f"jpeg_{coding}"
+
+
+def _avi_probe(payload: bytes):
+    from ..functions.avi import avi_info
+
+    nf, w, h, _fps = avi_info(payload)
+    return w, h, nf, "avi"
+
+
+def _wav_probe(payload: bytes):
+    from ..functions.wav import wav_info
+
+    # audio mapping: width=sample_rate, height=channels,
+    # n_frames=sample frames (capped to int32 — a >12h PCM take)
+    n, rate, ch = wav_info(payload)
+    return rate, ch, min(n, 2**31 - 1), "wav"
+
+
+def _default_codecs() -> dict:
+    from ..functions.avi import UnsupportedAvi, is_avi
+    from ..functions.jpeg import UnsupportedJpeg, is_jpeg
+    from ..functions.png import UnsupportedPng, is_png
+    from ..functions.wav import UnsupportedWav, is_wav
+
+    return {
+        "png": Codec("png", is_png, _png_probe, (UnsupportedPng,)),
+        "jpeg": Codec("jpeg", is_jpeg, _jpeg_probe, (UnsupportedJpeg,)),
+        "avi": Codec("avi", is_avi, _avi_probe, (UnsupportedAvi,)),
+        "wav": Codec("wav", is_wav, _wav_probe, (UnsupportedWav,)),
+    }
+
+
+# name -> Codec, consulted in insertion order by every decode stage.
+# Mutate ONLY via register_codec (keeps the dict-replacement atomic
+# enough for concurrent executor threads reading it).
+CODEC_REGISTRY: dict[str, Codec] = _default_codecs()
+
+
+def register_codec(codec: Codec) -> Codec | None:
+    """Install (or replace, by name) a codec in the registry; returns
+    the previous entry so tests/deployments can restore it. See
+    :class:`Codec` for the executor-side registration caveat."""
+    prev = CODEC_REGISTRY.get(codec.name)
+    CODEC_REGISTRY[codec.name] = codec
+    return prev
+
+
+def _decode_dims_status(
+    payload: bytes, codecs: list[Codec] | None = None
+) -> tuple[int, int, int, str]:
     """REAL decode for PNG, JPEG, MJPEG-AVI, and WAV payloads (IHDR /
     SOF / avih / fmt-chunk header probe — O(1), no inflate or entropy
     decode; an AVI's n_frames is its ACTUAL frame count; a WAV maps to
     width=sample_rate, height=channels, n_frames=sample frames), stub
-    fallback for everything else. Returns (width, height, n_frames,
-    status) where status is ``png``/``jpeg``/``avi``/``wav`` (real
-    decode), ``stub`` (unknown format or unimplemented-but-valid
-    layout, e.g. progressive JPEG), or ``quarantined:<Error>`` (valid
-    magic, corrupt payload — the poison-pill lane: dims come from the
+    fallback for everything else — dispatched through ``codecs``
+    (defaulting to :data:`CODEC_REGISTRY`) so deployments swap probes
+    per format. The Arrow stages SNAPSHOT the registry at plan-build
+    time and ship the entries by value in the task closure — a Python
+    worker re-imports this module with default entries, so consulting
+    the module global executor-side would silently drop driver-side
+    registrations. Returns (width, height, n_frames, status) where
+    status is ``png``/``jpeg``/``avi``/``wav`` (real decode), ``stub``
+    (unknown format or unimplemented-but-valid layout, e.g.
+    progressive JPEG), or ``quarantined:<Error>`` (valid magic,
+    corrupt payload — the poison-pill lane: dims come from the
     deterministic stub and the row survives instead of killing the
     task)."""
-    from ..functions.jpeg import UnsupportedJpeg, is_jpeg, jpeg_frame_info
-    from ..functions.png import UnsupportedPng, is_png, png_dimensions
-
-    if is_png(payload):
+    if codecs is None:
+        codecs = list(CODEC_REGISTRY.values())
+    for codec in codecs:
+        if not codec.sniff(payload):
+            continue
         try:
-            w, h, _ch = png_dimensions(payload)
-            return w, h, 1, "png"
-        except UnsupportedPng:
-            status = "stub"  # exotic-but-valid PNG layout
-        except DECODE_ERRORS as e:
-            status = f"quarantined:{type(e).__name__}"
-        w, h, nf = _stub_decode(payload)
-        return w, h, nf, status
-    if is_jpeg(payload):
-        try:
-            w, h, _ch, coding = jpeg_frame_info(payload)
-            # dims are REAL for every T.81 coding (the frame header is
-            # layout-identical); the status distinguishes decodable
-            # sequential files ('jpeg') from probe-only ones
-            # ('jpeg_progressive' etc. — full decode falls to the stub)
-            if coding in ("baseline", "extended"):
-                return w, h, 1, "jpeg"
-            return w, h, 1, f"jpeg_{coding}"
-        except UnsupportedJpeg:
-            status = "stub"  # unreachable-defensive: frame_info is total
-        except DECODE_ERRORS as e:
-            status = f"quarantined:{type(e).__name__}"
-        w, h, nf = _stub_decode(payload)
-        return w, h, nf, status
-    from ..functions.avi import UnsupportedAvi, avi_info, is_avi
-
-    if is_avi(payload):
-        try:
-            nf, w, h, _fps = avi_info(payload)
-            return w, h, nf, "avi"
-        except UnsupportedAvi:
-            status = "stub"  # non-MJPEG / multi-stream container
-        except DECODE_ERRORS as e:
-            status = f"quarantined:{type(e).__name__}"
-        w, h, nf = _stub_decode(payload)
-        return w, h, nf, status
-    from ..functions.wav import UnsupportedWav, is_wav, wav_info
-
-    if is_wav(payload):
-        # audio mapping: width=sample_rate, height=channels,
-        # n_frames=sample frames (capped to int32 — a >12h PCM take)
-        try:
-            n, rate, ch = wav_info(payload)
-            return rate, ch, min(n, 2**31 - 1), "wav"
-        except UnsupportedWav:
-            status = "stub"  # float/24-bit/compressed WAV layout
+            return codec.probe(payload)
+        except codec.unsupported:
+            status = "stub"  # valid-but-unimplemented layout
         except DECODE_ERRORS as e:
             status = f"quarantined:{type(e).__name__}"
         w, h, nf = _stub_decode(payload)
@@ -129,9 +188,11 @@ def _decode_dims_status(payload: bytes) -> tuple[int, int, int, str]:
     return (*_stub_decode(payload), "stub")
 
 
-def _decode_dims(payload: bytes) -> tuple[int, int, int]:
+def _decode_dims(
+    payload: bytes, codecs: list[Codec] | None = None
+) -> tuple[int, int, int]:
     """(width, height, n_frames) of :func:`_decode_dims_status`."""
-    return _decode_dims_status(payload)[:3]
+    return _decode_dims_status(payload, codecs)[:3]
 
 
 def decode_metadata(
@@ -151,10 +212,12 @@ def decode_metadata(
     ``quarantined:<Error>``) so a pipeline can route quarantined rows to
     a dead-letter sink and report counts."""
 
+    codecs = list(CODEC_REGISTRY.values())  # by-value into the closure
+
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf[payload_col]
-            dims = [_decode_dims_status(bytes(p)) for p in payloads]
+            dims = [_decode_dims_status(bytes(p), codecs) for p in payloads]
             cols = {
                 "doc_id": pdf[id_col],
                 "n_bytes": payloads.map(len),
@@ -234,10 +297,12 @@ def resize_stub(
         n_out = target_width * target_height
         return p[:n_out].ljust(n_out, b"\x00")
 
+    codecs = list(CODEC_REGISTRY.values())  # by-value into the closure
+
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf[payload_col]
-            dims = [_decode_dims(bytes(p)) for p in payloads]
+            dims = [_decode_dims(bytes(p), codecs) for p in payloads]
             resized = [_resize_one(bytes(p)) for p in payloads]
             yield pd.DataFrame(
                 {
@@ -470,6 +535,8 @@ def decode_metadata_arrow(
     import pyarrow as pa
     import pyarrow.compute as pc
 
+    codecs = list(CODEC_REGISTRY.values())  # by-value into the closure
+
     def _decode(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             ids = batch.column(batch.schema.get_field_index(id_col))
@@ -479,7 +546,7 @@ def decode_metadata_arrow(
             for v in payload:
                 b = v.as_py()
                 md5s.append(hashlib.md5(b).hexdigest())
-                w, h, nf = _decode_dims(b)  # real IHDR probe for PNGs
+                w, h, nf = _decode_dims(b, codecs)  # real header probe
                 ws.append(w)
                 hs.append(h)
                 fs.append(nf)
