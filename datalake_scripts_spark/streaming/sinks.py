@@ -281,3 +281,102 @@ def foreach_batch_audited_versioned(
         )
 
     return _sink
+
+
+def foreach_batch_matview_from_changes(
+    source_dir: str,
+    view_dir: str,
+    group_cols: list[str],
+    agg_spec: dict[str, tuple[str, str]],
+):
+    """The medallion hop (VERDICT r5 ask #8): a foreachBatch sink for a
+    ``versioned_changes`` STREAM of another table's commits that folds
+    the change rows directly into a downstream materialized aggregate —
+    upstream writers just commit; this independent job turns each
+    commit burst into one delta-cost view refresh.
+
+    Exactly-once across restart: the view's own commit carries
+    ``meta.source_version`` (the max ``_commit_version`` folded), and
+    the sink skips any batch whose versions are already reflected — a
+    replayed micro-batch after a crash between view-commit and
+    checkpoint-commit is a no-op, and a batch straddling the cursor
+    folds only the rows PAST it. Delete-bearing changes (a rewrite
+    commit under ``rewrites='file_diff'``) fall back to
+    ``matview.refresh_aggregate``'s full-rebuild path, same as the
+    batch refresher — min/max are not delete-mergeable.
+
+    At-scale shape per epoch: one partial aggregation of the change
+    rows + one merge against state sized by the group count; the raw
+    source table is never re-scanned on the append path."""
+    from ..operators import matview as M
+    from ..operators import versioned as V
+
+    M._validate_spec(agg_spec)
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        cursor = M.view_source_version(view_dir)
+        top = batch_df.agg(F.max("_commit_version")).first()[0]
+        if top is None or top <= cursor:
+            return  # empty batch or full replay of folded versions
+        fresh = batch_df.filter(F.col("_commit_version") > cursor)
+        has_deletes = bool(
+            fresh.where(F.col("_change_type") == "delete").limit(1).take(1)
+        )
+        if has_deletes or V.current_version(view_dir) == 0:
+            # first build, or a rewrite commit: delegate to the batch
+            # refresher (reads the source table; cursor stays exact)
+            M.refresh_aggregate(
+                spark, source_dir, view_dir, group_cols, agg_spec
+            )
+            return
+        delta = fresh.drop("_change_type", "_commit_version")
+        partial = delta.groupBy(*group_cols).agg(*M._partial_cols(agg_spec))
+        prev = V.read_versioned(spark, view_dir)
+        state = (
+            prev.unionByName(partial)
+            .groupBy(*group_cols)
+            .agg(*M._merge_cols(agg_spec))
+        )
+        V.write_versioned(
+            spark,
+            state,
+            view_dir,
+            mode="overwrite",
+            meta={"source_version": int(top)},
+        )
+
+    return _sink
+
+
+def stream_refresh_aggregate(
+    spark,
+    source_dir: str,
+    view_dir: str,
+    group_cols: list[str],
+    agg_spec: dict[str, tuple[str, str]],
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """End-to-end continuous aggregate OVER ANOTHER TABLE'S commit log:
+    ``versioned_changes`` source -> :func:`foreach_batch_matview_from_
+    changes`. Returns the started StreamingQuery; with
+    ``available_now`` the stream drains all pending commits and stops
+    (the cron-shaped deployment); pass False for an always-on refresh
+    job."""
+    from ..sources.versioned_datasource import register_versioned_datasource
+
+    register_versioned_datasource(spark)
+    writer = (
+        spark.readStream.format("versioned_changes")
+        .load(source_dir)
+        .writeStream.foreachBatch(
+            foreach_batch_matview_from_changes(
+                source_dir, view_dir, group_cols, agg_spec
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

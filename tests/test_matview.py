@@ -125,3 +125,69 @@ def test_rejects_bad_spec(spark, dirs):
         refresh_aggregate(
             spark, src_dir, view_dir, ["k"], {"_x": ("sum", "v")}
         )
+
+
+def test_stream_refresh_from_cdf_source(spark, sf_dir, tmp_path):
+    """VERDICT r5 ask #8 e2e: upstream commits -> versioned_changes
+    stream -> downstream matview refresh. The streamed view equals the
+    batch GROUP BY after every drain, survives restart with the same
+    checkpoint, and a drain with no new commits leaves the view
+    version unchanged (exactly-once, not at-least-once)."""
+    from datalake_scripts_spark.io import read_table
+    from datalake_scripts_spark.operators import versioned as V
+    from datalake_scripts_spark.operators.matview import read_aggregate
+    from datalake_scripts_spark.streaming.sinks import (
+        stream_refresh_aggregate,
+    )
+
+    src = str(tmp_path / "src")
+    view = str(tmp_path / "view")
+    ckpt = str(tmp_path / "ckpt")
+    spec = {
+        "n_orders": ("count", "o_orderkey"),
+        "total_price": ("sum", "o_totalprice"),
+        "max_price": ("max", "o_totalprice"),
+    }
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    first = orders.filter("o_orderkey % 3 = 0")
+    second = orders.filter("o_orderkey % 3 = 1")
+
+    def drain():
+        q = stream_refresh_aggregate(
+            spark, src, view, ["o_orderstatus"], spec, ckpt
+        )
+        q.awaitTermination(120)
+
+    def assert_matches(batch_src):
+        got = read_aggregate(spark, view, spec)
+        want = batch_src.groupBy("o_orderstatus").agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.sum("o_totalprice").alias("total_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+
+    V.write_versioned(spark, first, src)
+    drain()
+    assert_matches(first)
+
+    # more upstream commits, NEW stream run on the SAME checkpoint
+    # (the restart): only the new commits fold in
+    V.write_versioned(spark, second, src)
+    drain()
+    assert_matches(first.unionByName(second))
+
+    # exactly-once: a drain with nothing pending must not re-commit
+    v_before = V.current_version(view)
+    drain()
+    assert V.current_version(view) == v_before
+
+    # a DELETE upstream flows through the rebuild fallback
+    V.delete_versioned(spark, src, "o_orderkey % 6 = 0")
+    drain()
+    assert_matches(
+        first.unionByName(second).filter("o_orderkey % 6 != 0")
+    )
