@@ -45,6 +45,13 @@ DRIVER_PRIORITY = [
     # --- round-6 additions ---
     "multimodal_decode_census",  # progressive-JPEG probe + status kinds
     "ann_ivf_recall",  # recall@5 vs brute force, by nprobe
+    "select_docs_token_budget",  # budget fill without a global sort
+    "bpe_first_merges",  # distributed BPE round-1 statistics
+    "provenance_partition_lineage",  # _metadata.file_path attribution
+    "versioned_stats_drift",  # snapshot-over-snapshot stats diff
+    "entity_resolution_canonical",  # contract -> CC -> canonical
+    "events_mad_outliers",  # median/MAD robust outliers
+    "mixture_temperature_targets",  # n^0.5 mixture smoothing
     # --- oldest driver rows (round 1-2), staleness rotation ---
     "agg_cube_flag_status",
     "agg_exact_percentiles",
@@ -87,13 +94,6 @@ DRIVER_PRIORITY = [
     "set_union_high_value_parties",
     "sort_limit_top_orders",
     "string_split_part",
-    "subquery_correlated_exists",
-    "subquery_in_segment",
-    "subquery_scalar_above_avg",
-    "unpivot_order_metrics",
-    "window_lag_lead_orders",
-    "window_ntile_percent_rank",
-    "window_running_spend",
 ]
 
 

@@ -857,3 +857,55 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_transition"
         ),
     )
+
+
+@query(
+    "events_mad_outliers",
+    sql="""
+    WITH med AS (
+      SELECT user_id, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY user_id
+    ), dev AS (
+      SELECT e.user_id, e.event_id, e.value, m.med,
+             ABS(e.value - m.med) AS adev
+      FROM events e JOIN med m USING (user_id)
+    ), mad AS (
+      SELECT user_id, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY user_id
+    )
+    SELECT d.user_id, d.event_id, d.value, d.med, m.mad,
+           ABS(d.value - d.med) / m.mad AS dev_ratio
+    FROM dev d JOIN mad m USING (user_id)
+    WHERE m.mad > 0 AND ABS(d.value - d.med) / m.mad > 3.0
+    """,
+)
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-user outlier detection via median absolute deviation
+    — the heavy-tail-safe complement of events_zscore_anomalies (mean/
+    stddev break down when the outliers themselves inflate the scale;
+    the MAD breakdown point is 50%). Flags events > 3 MADs from the
+    user's median.
+
+    Determinism: exact order-statistic medians (interpolated identically
+    by both engines: (a+b)/2 on the two middle doubles) and pointwise
+    double arithmetic — no cross-row double summation anywhere, so no
+    rounding is needed for hash equality.
+
+    100 TB shape: two key-partitioned exact percentiles + one join, all
+    on user_id — a single shuffle key end to end (AQE coalesces the
+    reused exchange); the per-user state is the sorted value sketch of
+    that user only, never global. For extreme per-key cardinality swap
+    percentile for percentile_approx with documented error."""
+    ev = t(spark, sf_dir, "events")
+    med = ev.groupBy("user_id").agg(F.percentile("value", 0.5).alias("med"))
+    dev = ev.select("user_id", "event_id", "value").join(med, "user_id")
+    mad = (
+        dev.select("user_id", F.abs(F.col("value") - F.col("med")).alias("adev"))
+        .groupBy("user_id")
+        .agg(F.percentile("adev", 0.5).alias("mad"))
+    )
+    ratio = F.abs(F.col("value") - F.col("med")) / F.col("mad")
+    return (
+        dev.join(mad, "user_id")
+        .filter((F.col("mad") > 0) & (ratio > 3.0))
+        .select("user_id", "event_id", "value", "med", "mad", ratio.alias("dev_ratio"))
+    )

@@ -408,3 +408,141 @@ def keys_surrogate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SC.assign_surrogate_keys(
         orders, ["o_orderdate", "o_orderkey"], partitions=8
     ).select("o_orderkey", "surrogate_id")
+
+
+@query(
+    "provenance_partition_lineage",
+    sql="""
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY source
+    """,
+)
+def provenance_partition_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row provenance from FILE-PATH lineage, not a data column: write
+    the corpus hive-partitioned by source, read it back, and attribute
+    every row to its source purely via the ``_metadata.file_path``
+    hidden column (the modern replacement for input_file_name() —
+    per-row, join-safe, usable after shuffles). The data column is
+    dropped before attribution, so a pass only if the lineage column
+    itself carries the truth. The oracle recomputes the same totals
+    from the logical column.
+
+    100 TB shape: _metadata is populated by the scan itself (no join
+    against a file manifest, no extra shuffle); the attribution regexp
+    is a map-side expression. This is the debugging primitive for
+    "which ingest batch produced these bad rows" at scale."""
+    import tempfile
+
+    docs = t(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix="prov_q_")
+    docs.write.mode("overwrite").partitionBy("source").parquet(base)
+    back = spark.read.parquet(base).select(
+        F.col("n_chars"),
+        F.regexp_extract(
+            F.col("_metadata.file_path"), r"source=([^/]+)", 1
+        ).alias("source"),
+    )
+    return back.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    )
+
+
+_DRIFT_OFFSET = 100_000_000
+
+
+@query(
+    "versioned_stats_drift",
+    sql=f"""
+    WITH v1 AS (
+      SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 2 = 0
+    ), v2 AS (
+      SELECT o_orderkey, o_custkey FROM v1 WHERE o_orderkey % 10 != 0
+      UNION ALL
+      SELECT o_orderkey + {_DRIFT_OFFSET}, o_custkey
+      FROM v1 WHERE o_orderkey % 14 = 0
+    ), s1 AS (
+      SELECT 'o_orderkey' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(MIN(o_orderkey) AS BIGINT) AS min_val,
+             CAST(MAX(o_orderkey) AS BIGINT) AS max_val FROM v1
+      UNION ALL
+      SELECT 'o_custkey', COUNT(*), MIN(o_custkey), MAX(o_custkey) FROM v1
+    ), s2 AS (
+      SELECT 'o_orderkey' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(MIN(o_orderkey) AS BIGINT) AS min_val,
+             CAST(MAX(o_orderkey) AS BIGINT) AS max_val FROM v2
+      UNION ALL
+      SELECT 'o_custkey', COUNT(*), MIN(o_custkey), MAX(o_custkey) FROM v2
+    )
+    SELECT s1.col_name,
+           s1.n_rows AS rows_v1, s2.n_rows AS rows_v2,
+           s2.n_rows - s1.n_rows AS rows_delta,
+           s1.min_val AS min_v1, s2.min_val AS min_v2,
+           s1.max_val AS max_v1, s2.max_val AS max_v2,
+           CAST(s1.min_val != s2.min_val OR s1.max_val != s2.max_val
+                AS BOOLEAN) AS range_drifted
+    FROM s1 JOIN s2 USING (col_name)
+    """,
+)
+def versioned_stats_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-over-snapshot statistics drift on a versioned table —
+    the data-observability readout ("did this commit shift the key
+    range / row count?") that catches bad ingest batches before
+    downstream consumers do. Commits v1 (even orderkeys), then v2
+    (deletes %10, inserts offset-shifted %14 rows — a range-expanding
+    rewrite), time-travels BOTH versions via read_versioned, and diffs
+    per-column stats. The oracle recomputes both snapshots from the
+    same key arithmetic.
+
+    100 TB shape: each snapshot's stats are one partial-agg pass
+    (min/max/count combine map-side); the two passes never join
+    row-level — the drift join is on the per-COLUMN stat rows (tiny).
+    In production the per-file min/max already in the versioned
+    manifest make this metadata-only; reading the data here exercises
+    the time-travel path end-to-end."""
+    import tempfile
+
+    from ..operators import versioned as V
+
+    base = tempfile.mkdtemp(prefix="drift_q_")
+    orders = t(spark, sf_dir, "orders")
+    v1 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_custkey"
+    )
+    v2 = v1.filter(F.col("o_orderkey") % 10 != 0).unionByName(
+        v1.filter(F.col("o_orderkey") % 14 == 0).withColumn(
+            "o_orderkey", F.col("o_orderkey") + _DRIFT_OFFSET
+        )
+    )
+    V.write_versioned(spark, v1, base, mode="append")
+    V.write_versioned(spark, v2, base, mode="overwrite")
+
+    def stats(df: DataFrame, suffix: str) -> DataFrame:
+        parts = []
+        for col in ("o_orderkey", "o_custkey"):
+            parts.append(
+                df.agg(
+                    F.count("*").cast("bigint").alias(f"rows_{suffix}"),
+                    F.min(col).cast("bigint").alias(f"min_{suffix}"),
+                    F.max(col).cast("bigint").alias(f"max_{suffix}"),
+                ).select(F.lit(col).alias("col_name"), "*")
+            )
+        return parts[0].unionByName(parts[1])
+
+    s1 = stats(V.read_versioned(spark, base, version=1), "v1")
+    s2 = stats(V.read_versioned(spark, base, version=2), "v2")
+    return s1.join(s2, "col_name").select(
+        "col_name",
+        "rows_v1",
+        "rows_v2",
+        (F.col("rows_v2") - F.col("rows_v1")).cast("bigint").alias("rows_delta"),
+        "min_v1",
+        "min_v2",
+        "max_v1",
+        "max_v2",
+        (
+            (F.col("min_v1") != F.col("min_v2"))
+            | (F.col("max_v1") != F.col("max_v2"))
+        ).alias("range_drifted"),
+    )

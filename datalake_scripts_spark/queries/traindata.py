@@ -756,3 +756,240 @@ def sample_exact_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sample_rank").cast("bigint").alias("sample_rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget corpus selection (quality-ranked knapsack fill)
+# ---------------------------------------------------------------------------
+
+_BUDGET_TOKENS = 10_000
+
+
+def _budget_sql() -> str:
+    return f"""
+    WITH d AS (
+      SELECT doc_id, source, {SQL_TOKS} AS tk FROM documents
+    ), s AS (
+      SELECT doc_id, source, CAST(len(tk) AS BIGINT) AS n_tokens,
+             (1000 * len(list_distinct(tk))) // len(tk) AS score_pm
+      FROM d WHERE len(tk) > 0
+    ), b AS (
+      SELECT score_pm, CAST(SUM(n_tokens) AS BIGINT) AS btok
+      FROM s GROUP BY score_pm
+    ), c AS (
+      SELECT score_pm,
+             CAST(SUM(btok) OVER (ORDER BY score_pm DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - btok
+                  AS BIGINT) AS cum_before
+      FROM b
+    ), r AS (
+      SELECT s.doc_id, s.source, s.n_tokens, c.cum_before,
+             CAST(COALESCE(SUM(s.n_tokens) OVER (
+                  PARTITION BY s.score_pm ORDER BY s.doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS fill_before
+      FROM s JOIN c USING (score_pm)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN cum_before + fill_before + n_tokens
+                              <= {_BUDGET_TOKENS} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN cum_before + fill_before + n_tokens
+                              <= {_BUDGET_TOKENS} THEN n_tokens ELSE 0 END)
+                AS BIGINT) AS tokens_kept
+    FROM r GROUP BY source
+    """
+
+
+@query("select_docs_token_budget", sql=_budget_sql())
+def select_docs_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection: keep the best-quality documents
+    (lexical-diversity score = distinct-token per-mille) until a fixed
+    token budget is filled — the "train on the best N tokens" step of a
+    pretraining-data pipeline.
+
+    100 TB shape: the naive form is a GLOBAL sort by score + running
+    sum — a total-order bottleneck. Instead: (1) bucket docs by integer
+    score (<= 1001 buckets); (2) aggregate token sums PER BUCKET (one
+    partial-agg shuffle, output <= 1001 rows); (3) compute the
+    cumulative fill on that tiny relation (single-partition window over
+    <= 1001 rows, then broadcast back); (4) only WITHIN a bucket window
+    by doc_id for the remaining-budget fill — per-doc decision =
+    cum_before(bucket) + fill_before(doc in bucket) + n_tokens <=
+    budget, one formula for fully-kept, cutoff, and dropped buckets.
+    No global sort ever happens; the widest window sees one bucket.
+
+    Determinism: integer token counts, integer DIV scoring, doc_id
+    tie-break — bit-identical across engines (same formula in the
+    DuckDB oracle)."""
+    docs = t(spark, sf_dir, "documents")
+    s = (
+        docs.select("doc_id", "source", X.tokens("text").alias("tk"))
+        .filter(F.size("tk") > 0)
+        .select(
+            "doc_id",
+            "source",
+            F.size("tk").cast("bigint").alias("n_tokens"),
+            F.expr(
+                "(1000 * size(array_distinct(tk))) div size(tk)"
+            ).alias("score_pm"),
+        )
+    )
+    b = s.groupBy("score_pm").agg(F.sum("n_tokens").alias("btok"))
+    # <= 1001 rows: the unpartitioned window is a deliberate
+    # single-partition pass over the bucket aggregate, not the corpus
+    wc = Window.orderBy(F.desc("score_pm")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = b.select(
+        "score_pm",
+        (F.sum("btok").over(wc) - F.col("btok"))
+        .cast("bigint")
+        .alias("cum_before"),
+    )
+    wf = (
+        Window.partitionBy("score_pm")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = s.join(F.broadcast(c), "score_pm").withColumn(  # bcast: <= 1001 rows
+        "fill_before",
+        F.coalesce(F.sum("n_tokens").over(wf), F.lit(0)).cast("bigint"),
+    )
+    kept = (
+        F.col("cum_before") + F.col("fill_before") + F.col("n_tokens")
+        <= F.lit(_BUDGET_TOKENS)
+    )
+    return r.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.sum(F.when(kept, F.col("n_tokens")).otherwise(0))
+        .cast("bigint")
+        .alias("tokens_kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training: distributed pair counting (round 1 = oracle-
+# checkable; the iterative trainer lives in operators/bpe.py)
+# ---------------------------------------------------------------------------
+
+_BPE_TOP = 20
+
+
+def _bpe_sql() -> str:
+    return f"""
+    WITH w AS (
+      SELECT unnest({SQL_TOKS}) AS word FROM documents
+    ), v AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM w WHERE length(word) >= 2 GROUP BY word
+    ), e AS (
+      SELECT word, freq, unnest(range(1, length(word))) AS i FROM v
+    ), p AS (
+      SELECT substr(word, CAST(i AS INT), 1) AS left_sym,
+             substr(word, CAST(i AS INT) + 1, 1) AS right_sym,
+             freq
+      FROM e
+    )
+    SELECT left_sym, right_sym, CAST(SUM(freq) AS BIGINT) AS pair_count
+    FROM p GROUP BY left_sym, right_sym
+    ORDER BY pair_count DESC, left_sym, right_sym LIMIT {_BPE_TOP}
+    """
+
+
+@query("bpe_first_merges", sql=_bpe_sql())
+def bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, round-1 pair statistics: the top
+    merge candidates (adjacent symbol pairs weighted by word frequency)
+    over the corpus — the Sennrich et al. 2016 inner loop, distributed.
+
+    The load-bearing trick for 100 TB: BPE statistics live on the
+    WORD-FREQUENCY table, not the corpus. One corpus-wide groupBy(word)
+    collapses to a vocabulary-sized relation (<< corpus, bounded by
+    distinct words); every subsequent pair count is vocab-sized work.
+    Pair explosion is native (transform over sequence + explode —
+    no Python in the loop); top-k via TakeOrdered, map-side combined.
+    The iterative multi-merge trainer (operators/bpe.py:learn_bpe)
+    repeats exactly this stage on a re-segmented vocab."""
+    docs = t(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(X.tokens("text")).alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    pairs = vocab.select(
+        "freq",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1), "
+                "i -> struct(substring(word, i, 1) AS left_sym, "
+                "substring(word, i + 1, 1) AS right_sym))"
+            )
+        ).alias("p"),
+    ).select("freq", "p.left_sym", "p.right_sym")
+    return (
+        pairs.groupBy("left_sym", "right_sym")
+        .agg(F.sum("freq").cast("bigint").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "left_sym", "right_sym")
+        .limit(_BPE_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled mixture targets (alpha-smoothed stratum weights)
+# ---------------------------------------------------------------------------
+
+_TEMP_TOTAL = 10_000  # token-agnostic doc budget being allocated
+
+
+def _temperature_sql() -> str:
+    return f"""
+    WITH s AS (
+      SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             SQRT(CAST(COUNT(*) AS DOUBLE)) AS w
+      FROM documents GROUP BY source, lang
+    ), tot AS (
+      SELECT SUM(w) AS sum_w FROM s
+    )
+    SELECT s.source, s.lang, s.n_docs,
+           ROUND(s.w / tot.sum_w, 6) AS mix_share,
+           CAST(FLOOR(ROUND(s.w / tot.sum_w, 6) * {_TEMP_TOTAL}) AS BIGINT)
+             AS target_docs
+    FROM s CROSS JOIN tot
+    """
+
+
+@query("mixture_temperature_targets", sql=_temperature_sql())
+def mixture_temperature_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture targets: stratum weights proportional
+    to n^alpha with alpha = 0.5 — the standard multilingual/multi-domain
+    up-sampling formula (raising rare strata, damping dominant ones;
+    alpha=1 is proportional, alpha=0 uniform). sqrt is IEEE
+    correctly-rounded in every libm, so the per-stratum weight is
+    bit-identical across engines; the normalized share is rounded to
+    6dp BEFORE the floor'd allocation so the one cross-row double sum
+    (sum of weights) can't flip a boundary.
+
+    100 TB shape: one partial-agg over (source, lang); the weight table
+    is strata-sized (tiny) — normalization is a broadcast of one scalar.
+    Feed target_docs into mixture_weighted_sample's per-mille rates to
+    materialize the recipe."""
+    docs = t(spark, sf_dir, "documents")
+    s = docs.groupBy("source", "lang").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    ).withColumn("w", F.sqrt(F.col("n_docs").cast("double")))
+    tot = s.agg(F.sum("w").alias("sum_w"))
+    share = F.round(F.col("w") / F.col("sum_w"), 6)
+    return (
+        s.crossJoin(F.broadcast(tot))  # bcast: 1-row scalar
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            share.alias("mix_share"),
+            F.floor(share * _TEMP_TOTAL).cast("bigint").alias("target_docs"),
+        )
+    )

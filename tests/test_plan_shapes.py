@@ -217,6 +217,23 @@ LINT_ALLOWLIST = {
     "eval_langid_kappa": {"cartesian-product", "single-partition-exchange"},
     # order-count total: 1-row lazy scalar-attach cross (same as tfidf)
     "mining_part_pair_lift": {"cartesian-product"},
+    # recall readout: hit-count and exact-count reduce to ONE row each
+    # (map-side partials cross the exchange), combined via the lazy
+    # scalar-attach cross — O(1) rows in both flagged operators
+    "ann_ivf_recall": {"cartesian-product", "single-partition-exchange"},
+    # the cumulative-fill window runs on the <= 1001-row score-bucket
+    # aggregate (deliberate single-partition pass over a bounded
+    # relation, per the docstring), never the corpus
+    "select_docs_token_budget": {"single-partition-exchange"},
+    # per-version stats are 1-row aggregates (partials map-side); the
+    # drift join is on the per-column stat rows
+    "versioned_stats_drift": {"single-partition-exchange"},
+    # sum-of-weights is a 1-row scalar attached via broadcast cross;
+    # the exchange carries strata-count partials only
+    "mixture_temperature_targets": {
+        "cartesian-product",
+        "single-partition-exchange",
+    },
 }
 
 
