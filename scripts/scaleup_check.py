@@ -77,6 +77,19 @@ DEFAULT_QUERIES = [
     "multimodal_png_roundtrip",
     "multimodal_wav_roundtrip",
     "dedup_remove_duplicated_spans",
+    # round-6 additions: budget fill scans+buckets the k-fold corpus
+    # (linear; the cumulative relation stays <= 1001 rows); BPE vocab
+    # grows k-fold with replica-prefixed words (pair counting follows
+    # the vocab); MAD percentiles see k-fold denser per-user series
+    # (user set constant); drift commits/reads k-fold orders twice;
+    # ER-scaled uses replica-disjoint blocks (linear name graph)
+    "select_docs_token_budget",
+    "bpe_first_merges",
+    "events_mad_outliers",
+    "mixture_temperature_targets",
+    "provenance_partition_lineage",
+    "versioned_stats_drift",
+    "entity_resolution_scaled",
 ]
 
 
@@ -184,11 +197,75 @@ def _match_fuzzy_scaled(spark, sf_dir):
     )
 
 
+def _entity_resolution_scaled(spark, sf_dir):
+    """entity_resolution_canonical over the same replica-disjoint
+    k-fold part table as match_fuzzy_scaled: distinct names (and thus
+    name-graph nodes/edges and CC work) grow ~k with block size fixed.
+    Healthy scaling is ~linear — the contraction claim under test is
+    that ER cost follows the NAME relation, not the record count
+    squared."""
+    from pyspark.sql import functions as F
+
+    from datalake_scripts_spark.operators import dedup as D
+
+    k = int(os.environ.get("SCALEUP_K", "10"))
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    n = part.agg(F.max("p_partkey")).first()[0] + 1
+    rep = (
+        part.crossJoin(spark.range(k).withColumnRenamed("id", "_rep"))
+        .withColumn("p_partkey", F.col("p_partkey") + F.col("_rep") * n)
+        .withColumn(
+            "p_name",
+            F.when(F.col("_rep") == 0, F.col("p_name")).otherwise(
+                F.expr(
+                    "concat(split(p_name, ' ')[0], ' r', "
+                    "CAST(_rep AS STRING), '_', "
+                    "substring(p_name, length(split(p_name, ' ')[0]) + 2))"
+                )
+            ),
+        )
+        .drop("_rep")
+        .repartition(32)
+        .localCheckpoint()
+    )
+    names = rep.groupBy("p_name").agg(
+        F.min("p_partkey").alias("gid"), F.count("*").alias("group_n")
+    )
+    nm = names.select(
+        "p_name", "gid", "group_n", F.split("p_name", " ").getItem(1).alias("block")
+    )
+    a = nm.select(
+        F.col("gid").alias("id_a"), F.col("p_name").alias("name_a"), "block"
+    )
+    b = nm.select(
+        F.col("gid").alias("id_b"), F.col("p_name").alias("name_b"), "block"
+    )
+    name_pairs = (
+        a.join(b, "block")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.levenshtein("name_a", "name_b", 4) >= 0)
+        .select("id_a", "id_b")
+    )
+    cc = D.duplicate_clusters(name_pairs)
+    labeled = (
+        nm.join(cc.withColumnRenamed("doc_id", "gid"), "gid", "left")
+        .filter(F.col("cluster_id").isNotNull() | (F.col("group_n") >= 2))
+        .select("p_name", F.coalesce("cluster_id", "gid").alias("cluster_id"))
+    )
+    return (
+        rep.select("p_partkey", "p_name")
+        .join(F.broadcast(labeled), "p_name")  # bcast: distinct names
+        .groupBy("cluster_id")
+        .agg(F.count("*").alias("n_members"))
+    )
+
+
 EXTRA = {
     "ngram_jaccard_noprefix": _ngram_jaccard_noprefix,
     "containment_noprefix": _containment_noprefix,
     "semantic_dedup_kmeans": _semantic_dedup_kmeans,
     "match_fuzzy_scaled": _match_fuzzy_scaled,
+    "entity_resolution_scaled": _entity_resolution_scaled,
 }
 
 
