@@ -486,3 +486,70 @@ def sql_plane_literal(plane: list[float]) -> str:
     """Inline a hyperplane as a DOUBLE[] SQL literal (float32-gridded
     values print exactly via repr)."""
     return "[" + ", ".join(repr(x) for x in plane) + "]::DOUBLE[]"
+
+
+def ivf_topk_multi(
+    queries_df: DataFrame,
+    corpus_df: DataFrame,
+    nprobes: list[int],
+    k: int = 3,
+    stride: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k at SEVERAL nprobe settings in one pass (the recall-
+    sweep shape): centroid derivation, corpus cell assignment, and the
+    candidate equi-join run ONCE at max(nprobes); each candidate row
+    carries its probe rank (crn = how-manyeth-nearest cell produced
+    it), so the smaller-nprobe results are pure filters of the shared
+    candidate set — a probe-rank explode plus one window, instead of
+    re-assigning and re-joining the corpus per setting. Returns
+    (nprobe, query_id, neighbor_id, cosine, rnk), rnk <= k.
+
+    Literal/stride path only (the DuckDB-replicable oracle twin);
+    the kmeans/pandas scale path tunes nprobe online instead of
+    sweeping it."""
+    cents = ivf_centroids(corpus_df, stride=stride, id_col=id_col, vec_col=vec_col)
+    dim = len(cents[0][1]) if cents else None
+    vv = F.col(vec_col).cast("array<double>")
+    max_np = max(nprobes)
+    c = corpus_df.select(
+        F.col(id_col).alias("neighbor_id"),
+        vv.alias("cv"),
+        dot(vv, vv, dim).alias("cn"),
+    ).withColumn("cell", ivf_assign_cell(F.col("cv"), F.col("cn"), cents))
+    q = queries_df.select(
+        F.col(id_col).alias("query_id"),
+        vv.alias("qv"),
+        dot(vv, vv, dim).alias("qn"),
+    ).select(
+        "query_id",
+        "qv",
+        "qn",
+        F.posexplode(
+            ivf_probe_cells(F.col("qv"), F.col("qn"), cents, max_np)
+        ).alias("pos", "cell"),
+    )
+    scored = (
+        # bcast: O(queries x max nprobe) — the query batch, small by contract
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            (F.col("pos") + 1).alias("crn"),
+            "neighbor_id",
+            cosine_with_norms(
+                F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn"), dim
+            ).alias("cosine"),
+        )
+    )
+    np_arr = F.array(*[F.lit(n) for n in sorted(set(nprobes))])
+    expanded = scored.withColumn(
+        "nprobe", F.explode(F.filter(np_arr, lambda n: n >= F.col("crn")))
+    )
+    w = W.partitionBy("nprobe", "query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return expanded.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= k
+    )

@@ -859,28 +859,33 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(|queries| * k) — broadcast-sized by construction."""
     emb = t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
-    exact = S.brute_force_topk(q, emb, k=5).select("query_id", "neighbor_id")
+    # the single-file scan would leave every corpus-side score/assign
+    # fold in one task; spread it (queries stay on the original scan)
+    corpus = emb.repartition(spark.sparkContext.defaultParallelism)
+    exact = S.brute_force_topk(q, corpus, k=5).select("query_id", "neighbor_id")
     n_exact = exact.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
-    parts = []
-    for np_ in (1, 2, 4):
-        approx = S.ivf_topk(q, emb, k=5, nprobe=np_, stride=50).select(
-            "query_id", "neighbor_id"
+    # one shared pass: assignment + candidate join run once at the max
+    # nprobe; smaller settings are probe-rank filters (ivf_topk_multi)
+    multi = S.ivf_topk_multi(q, corpus, nprobes=[1, 2, 4], k=5, stride=50)
+    hits = (
+        multi.select("nprobe", "query_id", "neighbor_id")
+        .join(exact, ["query_id", "neighbor_id"])
+        .groupBy("nprobe")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    )
+    frame = multi.select("nprobe").distinct()
+    return (
+        frame.join(hits, "nprobe", "left")
+        .na.fill(0, ["n_hits"])
+        # bcast: 1-row scalar attach
+        .crossJoin(F.broadcast(n_exact))
+        .select(
+            F.col("nprobe").cast("int").alias("nprobe"),
+            "n_hits",
+            "n_exact",
+            (F.col("n_hits") / F.col("n_exact")).alias("recall_at_5"),
         )
-        hits = approx.join(exact, ["query_id", "neighbor_id"]).agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_hits")
-        )
-        parts.append(
-            hits.crossJoin(n_exact).select(
-                F.lit(np_).cast("int").alias("nprobe"),
-                "n_hits",
-                "n_exact",
-                (F.col("n_hits") / F.col("n_exact")).alias("recall_at_5"),
-            )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
-    return out
+    )
 
 
 @query("ann_ivf_topk_vectorized")
