@@ -137,7 +137,39 @@ def main(argv: list[str] | None = None) -> int:
         help="comma-separated bloom-index columns (None inherits)",
     )
 
+    chk = tbl_sub.add_parser(
+        "check-schema",
+        help="validate a reader contract (StructType jsonValue file) "
+             "against the committed table schema — no Spark session, "
+             "no file opened",
+    )
+    chk.add_argument("--contract", required=True, help="JSON schema file")
+    chk.add_argument("--version", type=int, default=None)
+
     args = p.parse_args(argv)
+
+    if args.domain == "table" and args.action == "check-schema":
+        # pure manifest + StructType walk: fail-fast for schedulers
+        import json as _json
+
+        from pyspark.sql.types import StructType
+
+        from .operators.contracts import read_compat
+        from .operators.versioned import _load_manifest, current_version
+
+        v = args.version or current_version(args.dir)
+        manifest = _load_manifest(args.dir, v)
+        with open(args.contract) as fh:
+            contract = StructType.fromJson(_json.load(fh))
+        violations = read_compat(
+            StructType.fromJson(manifest["schema"]), contract
+        )
+        if violations:
+            for viol in violations:
+                print(f"VIOLATION {viol}")
+            return 1
+        print(f"contract OK against {args.dir}@v{v}")
+        return 0
 
     from .session import get_spark
 

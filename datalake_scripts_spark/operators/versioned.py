@@ -818,6 +818,7 @@ def read_versioned(
     table_dir: str,
     version: int | None = None,
     skip_filter: list[tuple] | None = None,
+    contract=None,
 ) -> DataFrame:
     """Read a snapshot (latest by default; ``version`` time-travels).
 
@@ -827,11 +828,37 @@ def read_versioned(
     skipping from the manifest stats), and the residual predicate is
     applied to the surviving rows so results are exact either way.
     Values compare against footer stats — numbers as numbers, strings
-    lexicographically, timestamps as ISO strings."""
+    lexicographically, timestamps as ISO strings.
+
+    ``contract`` (optional StructType): the reader's pinned schema
+    contract, validated against the snapshot's committed schema BEFORE
+    any file is opened (operators.contracts.read_compat — safe upcasts
+    allowed, nullability tightening and missing required columns
+    raise). The fail-fast half of writer-side schema enforcement: a
+    consumer breaks at submit time with a column-level message, not
+    mid-job with a cast error."""
     v = version or current_version(table_dir)
     if v == 0:
         raise FileNotFoundError(f"no committed version in {table_dir}")
     manifest = _load_manifest(table_dir, v)
+    if contract is not None:
+        from pyspark.sql.types import StructType
+
+        from .contracts import read_compat
+
+        schema_json = manifest.get("schema")
+        if schema_json is None:
+            raise ValueError(
+                f"{table_dir}@v{v} has no committed schema to validate "
+                "a contract against"
+            )
+        committed = StructType.fromJson(schema_json)
+        violations = read_compat(committed, contract)
+        if violations:
+            raise ValueError(
+                f"schema contract violated by {table_dir}@v{v}: "
+                + "; ".join(violations)
+            )
     files = manifest["files"]
     if skip_filter:
         stats = manifest.get("stats", {})

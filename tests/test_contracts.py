@@ -106,3 +106,62 @@ def test_type_change_breaks_both_directions():
     new = s(f("id", StringType()))
     assert schema_compat(old, new, "backward")
     assert schema_compat(old, new, "forward")
+
+
+def test_read_versioned_contract_gate(spark, sf_dir, tmp_path):
+    """Contract validation happens BEFORE any file is opened: a
+    compatible contract reads fine (including the upcast), an
+    incompatible one raises with a column-level message."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from datalake_scripts_spark.io import read_table
+    from datalake_scripts_spark.operators import versioned as V
+
+    base = str(tmp_path / "tbl")
+    nation = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("int").alias("k"), "n_name"
+    )
+    V.write_versioned(spark, nation, base, mode="append")
+
+    ok = s(f("k", LongType()), f("n_name", StringType()))  # int->bigint
+    assert V.read_versioned(spark, base, contract=ok).count() == 25
+
+    subset = s(f("n_name", StringType()))
+    assert V.read_versioned(spark, base, contract=subset).count() == 25
+
+    bad = s(f("k", LongType()), f("missing", StringType(), nullable=False))
+    with pytest.raises(ValueError, match="missing.*absent"):
+        V.read_versioned(spark, base, contract=bad)
+
+
+def test_cli_check_schema(spark, sf_dir, tmp_path):
+    """`table check-schema` validates a JSON contract against the
+    committed schema without opening data files; exit 0 on compatible,
+    1 with VIOLATION lines otherwise."""
+    import json
+
+    from datalake_scripts_spark.cli import main
+    from datalake_scripts_spark.io import read_table
+    from datalake_scripts_spark.operators import versioned as V
+
+    base = str(tmp_path / "tbl")
+    V.write_versioned(
+        spark,
+        read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name"),
+        base,
+        mode="append",
+    )
+    ok_path = str(tmp_path / "ok.json")
+    with open(ok_path, "w") as fh:
+        json.dump(s(f("n_name", StringType())).jsonValue(), fh)
+    assert main(["table", "--dir", base, "check-schema",
+                 "--contract", ok_path]) == 0
+
+    bad_path = str(tmp_path / "bad.json")
+    with open(bad_path, "w") as fh:
+        json.dump(
+            s(f("n_comment", StringType(), nullable=False)).jsonValue(), fh
+        )
+    assert main(["table", "--dir", base, "check-schema",
+                 "--contract", bad_path]) == 1
