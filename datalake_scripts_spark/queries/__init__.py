@@ -47,6 +47,7 @@ DRIVER_PRIORITY = [
     "ann_ivf_recall",  # recall@5 vs brute force, by nprobe
     "select_docs_token_budget",  # budget fill without a global sort
     "bpe_first_merges",  # distributed BPE round-1 statistics
+    "bpe_second_merge",  # round-2 stats after sentinel-replace merge
     "provenance_partition_lineage",  # _metadata.file_path attribution
     "versioned_stats_drift",  # snapshot-over-snapshot stats diff
     "entity_resolution_canonical",  # contract -> CC -> canonical
@@ -93,7 +94,6 @@ DRIVER_PRIORITY = [
     "set_union_distinct",
     "set_union_high_value_parties",
     "sort_limit_top_orders",
-    "string_split_part",
 ]
 
 

@@ -938,6 +938,148 @@ def bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BPE round 2: sentinel-wrapped symbols make literal replace() apply the
+# round-1 winning merge greedy-leftmost in BOTH engines (the encoding
+# guarantees adjacent matches never share characters, so non-overlapping
+# left-to-right replace == the sequential BPE application rule).
+_BPE_S1, _BPE_S2 = "\x01", "\x02"
+
+
+def _bpe2_sql() -> str:
+    s1, s2 = "chr(1)", "chr(2)"
+    return f"""
+    WITH w AS (
+      SELECT unnest({SQL_TOKS}) AS word FROM documents
+    ), v AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM w WHERE length(word) >= 2 GROUP BY word
+    ), e1 AS (
+      SELECT word, freq, unnest(range(1, length(word))) AS i FROM v
+    ), p1 AS (
+      SELECT substr(word, CAST(i AS INT), 1) AS l,
+             substr(word, CAST(i AS INT) + 1, 1) AS r, freq
+      FROM e1
+    ), win AS (
+      SELECT l AS wl, r AS wr
+      FROM (SELECT l, r, SUM(freq) AS c FROM p1 GROUP BY l, r)
+      ORDER BY c DESC, l, r LIMIT 1
+    ), enc AS (
+      SELECT regexp_replace(word, '(.)', {s1} || '\\1' || {s2}, 'g') AS ew,
+             freq
+      FROM v
+    ), m AS (
+      SELECT replace(ew, {s1}||wl||{s2}||{s1}||wr||{s2},
+                     {s1}||wl||wr||{s2}) AS ew,
+             freq, wl || wr AS merged_sym
+      FROM enc CROSS JOIN win
+    ), a AS (
+      SELECT string_split(substr(ew, 2, length(ew) - 2),
+                          {s2}||{s1}) AS syms,
+             freq, merged_sym
+      FROM m
+    ), e2 AS (
+      SELECT syms, freq, merged_sym, unnest(range(1, len(syms))) AS i
+      FROM a WHERE len(syms) >= 2
+    ), p2 AS (
+      SELECT merged_sym, syms[CAST(i AS INT)] AS left_sym,
+             syms[CAST(i AS INT) + 1] AS right_sym, freq
+      FROM e2
+    )
+    SELECT merged_sym, left_sym, right_sym,
+           CAST(SUM(freq) AS BIGINT) AS pair_count
+    FROM p2 GROUP BY merged_sym, left_sym, right_sym
+    ORDER BY pair_count DESC, left_sym, right_sym LIMIT {_BPE_TOP}
+    """
+
+
+@query("bpe_second_merge", sql=_bpe2_sql())
+def bpe_second_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, round 2: apply the round-1 winning merge
+    to the whole vocabulary, then recompute pair statistics — the proof
+    that ITERATIVE merge application (not just round-1 counting) is
+    cross-engine exact.
+
+    Merge application is a literal string replace over sentinel-wrapped
+    symbols (word 'aaaa' encodes as \\x01a\\x02\\x01a\\x02... and the
+    pair pattern \\x01a\\x02\\x01a\\x02 -> \\x01aa\\x02): adjacent
+    matches share no characters, so the engine's non-overlapping
+    left-to-right replace IS the greedy-leftmost BPE application rule
+    ('aaaa' -> [aa, aa], 'aaa' -> [aa, a]) — bit-identical to the
+    F.aggregate left fold in operators/bpe.py:_apply_merge (test-
+    asserted) and to DuckDB's replace. The winner is attached as a
+    1-row broadcast, so the merge pattern never touches the driver.
+
+    100 TB shape: identical to bpe_first_merges — one corpus-sized
+    groupBy(word), then everything (winner, encode, replace, re-count)
+    is vocab-sized. A production trainer would cache the vocab between
+    rounds (learn_bpe localCheckpoints); as a single declarative query
+    the vocab subtree is computed once per consumer."""
+    docs = t(spark, sf_dir, "documents")
+    s1, s2 = _BPE_S1, _BPE_S2
+    vocab = (
+        docs.select(F.explode(X.tokens("text")).alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    pairs1 = vocab.select(
+        "freq",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1), "
+                "i -> struct(substring(word, i, 1) AS l, "
+                "substring(word, i + 1, 1) AS r))"
+            )
+        ).alias("p"),
+    ).select("freq", "p.l", "p.r")
+    winner = (
+        pairs1.groupBy("l", "r")
+        .agg(F.sum("freq").alias("c"))
+        .orderBy(F.desc("c"), "l", "r")
+        .limit(1)
+        .select(F.col("l").alias("wl"), F.col("r").alias("wr"))
+    )
+    enc = vocab.select(
+        F.regexp_replace("word", "(.)", s1 + "$1" + s2).alias("ew"), "freq"
+    )
+    # bcast: 1 row (limit 1 winner)
+    merged = enc.crossJoin(F.broadcast(winner)).select(
+        F.replace(
+            F.col("ew"),
+            F.concat(
+                F.lit(s1), F.col("wl"), F.lit(s2 + s1), F.col("wr"), F.lit(s2)
+            ),
+            F.concat(F.lit(s1), F.col("wl"), F.col("wr"), F.lit(s2)),
+        ).alias("ew"),
+        "freq",
+        F.concat("wl", "wr").alias("merged_sym"),
+    )
+    syms = merged.select(
+        F.split(
+            F.expr("substring(ew, 2, length(ew) - 2)"), s2 + s1
+        ).alias("syms"),
+        "freq",
+        "merged_sym",
+    ).filter(F.size("syms") >= 2)
+    pairs2 = syms.select(
+        "freq",
+        "merged_sym",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(syms) - 1), "
+                "i -> struct(element_at(syms, i) AS left_sym, "
+                "element_at(syms, i + 1) AS right_sym))"
+            )
+        ).alias("p"),
+    ).select("freq", "merged_sym", "p.left_sym", "p.right_sym")
+    return (
+        pairs2.groupBy("merged_sym", "left_sym", "right_sym")
+        .agg(F.sum("freq").cast("bigint").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "left_sym", "right_sym")
+        .limit(_BPE_TOP)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Temperature-scaled mixture targets (alpha-smoothed stratum weights)
 # ---------------------------------------------------------------------------

@@ -120,3 +120,39 @@ def test_merge_fold_nonoverlapping_left_to_right(spark):
     assert list(out.syms) == ["aa", "a"]
     out2 = B.segment_words(df, [("a", "a"), ("aa", "a")]).first()
     assert list(out2.syms) == ["aaa"]
+
+
+def test_second_merge_query_bit_identical_to_fold_trainer(spark, sf_dir):
+    """The sentinel-replace round-2 query (queries/traindata.py
+    bpe_second_merge) reproduces pair_counts after the F.aggregate
+    fold applies the round-1 winner — the string-replace and the
+    array-fold are the same greedy-leftmost rule."""
+    from datalake_scripts_spark.queries.traindata import (
+        _BPE_TOP,
+        bpe_second_merge,
+    )
+
+    got = bpe_second_merge(spark, sf_dir).collect()
+    assert len(got) > 0
+
+    from datalake_scripts_spark.io import read_table
+
+    vocab = B.initial_vocab(read_table(spark, sf_dir, "documents"))
+    win = (
+        B.pair_counts(vocab)
+        .orderBy(F.desc("pair_count"), "left_sym", "right_sym")
+        .first()
+    )
+    merged = vocab.withColumn(
+        "syms", B._apply_merge(F.col("syms"), win.left_sym, win.right_sym)
+    )
+    want = (
+        B.pair_counts(merged)
+        .orderBy(F.desc("pair_count"), "left_sym", "right_sym")
+        .limit(_BPE_TOP)
+        .collect()
+    )
+    assert [(r.left_sym, r.right_sym, r.pair_count) for r in got] == [
+        (r.left_sym, r.right_sym, r.pair_count) for r in want
+    ]
+    assert all(r.merged_sym == win.left_sym + win.right_sym for r in got)

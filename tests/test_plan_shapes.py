@@ -173,6 +173,9 @@ LINT_ALLOWLIST = {
     # 1-row broadcast crossJoin; the single-partition exchange is the
     # totals aggregation itself (one tiny row per task crosses it)
     "quality_unigram_logprob": {"cartesian-product", "single-partition-exchange"},
+    # round-1 winner attach: crossJoin(F.broadcast(limit(1) row)) — the
+    # merge pattern reaches executors without a driver collect
+    "bpe_second_merge": {"cartesian-product"},
     # global scalar summary of per-key counts: partial agg map-side,
     # one tiny row per task crosses the final exchange
     "skew_report_orders_custkey": {"single-partition-exchange"},
