@@ -186,3 +186,46 @@ def triangle_counts(
         )
         .alias("clustering"),
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Breadth-first minimum hop distance from a seed set: returns
+    (node, hop) for every node reachable within ``max_hops`` directed
+    hops (symmetrize edges first for undirected reach).
+
+    Level-synchronous frontier expansion — the textbook distributed
+    BFS: each round is ONE shuffle join (frontier against the edge
+    list on the source key) plus an anti-join against the visited set,
+    so round h touches only the h-th frontier, never the whole graph.
+    Both frontier and visited are localCheckpoint()-ed every round
+    (same contract as dedup.connected_components: constant-size plans,
+    no Catalyst re-analysis of the join history).
+
+    Exactness: hop numbers are the round index — no arithmetic at all —
+    so the result is trivially partition-independent and equal to a
+    recursive-CTE oracle computing MIN(hop) per node.
+    """
+    seeds = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
+    visited = seeds.select("node", F.lit(0).alias("hop")).localCheckpoint()
+    frontier = seeds.localCheckpoint()
+    for h in range(1, max_hops + 1):
+        nxt = (
+            edges.join(frontier, edges[src] == frontier["node"])
+            .select(edges[dst].alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(
+            nxt.select("node", F.lit(h).alias("hop"))
+        ).localCheckpoint()
+        frontier = nxt
+    return visited

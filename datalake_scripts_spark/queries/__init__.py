@@ -48,6 +48,9 @@ DRIVER_PRIORITY = [
     "select_docs_token_budget",  # budget fill without a global sort
     "bpe_first_merges",  # distributed BPE round-1 statistics
     "bpe_second_merge",  # round-2 stats after sentinel-replace merge
+    "quality_nb_classifier",  # in-query Naive Bayes quality filter
+    "dsir_importance_select",  # DSIR hashed-LM importance top-k
+    "graph_bfs_customer_reach",  # iterative BFS vs recursive-CTE oracle
     "provenance_partition_lineage",  # _metadata.file_path attribution
     "versioned_stats_drift",  # snapshot-over-snapshot stats diff
     "entity_resolution_canonical",  # contract -> CC -> canonical
@@ -91,9 +94,6 @@ DRIVER_PRIORITY = [
     "scalar_string_functions",
     "set_except_nations",
     "set_intersect_nations",
-    "set_union_distinct",
-    "set_union_high_value_parties",
-    "sort_limit_top_orders",
 ]
 
 

@@ -117,3 +117,84 @@ def graph_triangle_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import triangle_counts
 
     return triangle_counts(edges)
+
+
+# BFS hop census over the bipartite trade graph. Node encoding:
+# customer c -> 2c, supplier s -> 2s+1 (disjoint integer spaces, so one
+# BIGINT node id serves both engines). Seed = customer with the
+# smallest custkey. Hop parity = node type (even hop -> customer side).
+_BFS_HOPS = 4
+
+_BFS_SQL = f"""
+WITH RECURSIVE pair AS (
+  SELECT DISTINCT o.o_custkey AS ck, l.l_suppkey AS sk
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+e AS (SELECT 2 * ck AS src, 2 * sk + 1 AS dst FROM pair
+      UNION ALL SELECT 2 * sk + 1, 2 * ck FROM pair),
+seed AS (SELECT 2 * MIN(c_custkey) AS node FROM customer),
+walk(node, hop) AS (
+  SELECT node, 0 FROM seed
+  UNION
+  SELECT e.dst, w.hop + 1 FROM walk w JOIN e ON e.src = w.node
+  WHERE w.hop < {_BFS_HOPS}),
+dist AS (SELECT node, MIN(hop) AS hop FROM walk GROUP BY node)
+SELECT hop,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(SUM(CASE WHEN node % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_customers,
+       CAST(MIN(node) AS BIGINT) AS min_node,
+       CAST(SUM(node) AS BIGINT) AS sum_nodes
+FROM dist GROUP BY hop ORDER BY hop
+"""
+
+
+@query("graph_bfs_customer_reach", sql=_BFS_SQL)
+def graph_bfs_customer_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-hop BFS census from the smallest-key customer over the
+    bipartite customer-supplier trade graph (edge = an order the
+    customer placed containing a line the supplier shipped): how much
+    of the marketplace is reachable in 1..4 hops, by hop.
+
+    The Spark side is the iterative level-synchronous BFS
+    (operators/graph.py:bfs_hops — one frontier join + one anti-join
+    per round, localCheckpoint'ed); the oracle is the same reach as a
+    DuckDB recursive CTE with MIN(hop) per node. Hop values are round
+    indices — zero arithmetic — so the census (counts, key sums) is
+    hash-exact across engines.
+
+    100 TB shape: each round shuffles only the CURRENT frontier
+    against the edge list (both keyed on node id); the visited set
+    grows monotonically but is only ever anti-joined, never scanned
+    whole-graph per round. Node encoding (2c / 2s+1) keeps the state a
+    single BIGINT column."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    pair = (
+        o.join(li, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("ck"), F.col("l_suppkey").alias("sk"))
+        .distinct()
+    )
+    cust = (2 * F.col("ck")).alias("c")
+    supp = (2 * F.col("sk") + 1).alias("s")
+    edges = pair.select(cust, supp).selectExpr(
+        "c AS src", "s AS dst"
+    ).unionByName(pair.select(supp, cust).selectExpr("s AS src", "c AS dst"))
+    seed = (
+        t(spark, sf_dir, "customer")
+        .agg((2 * F.min("c_custkey")).alias("node"))
+    )
+    from ..operators.graph import bfs_hops
+
+    dist = bfs_hops(edges, seed, max_hops=_BFS_HOPS)
+    return (
+        dist.groupBy("hop")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum(F.when(F.col("node") % 2 == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_customers"),
+            F.min("node").alias("min_node"),
+            F.sum("node").cast("bigint").alias("sum_nodes"),
+        )
+        .orderBy("hop")
+    )

@@ -496,6 +496,253 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# In-query quality classifier (multinomial Naive Bayes) and DSIR
+# importance weighting — the two published "model-based" curation gates
+# ---------------------------------------------------------------------------
+
+# weak label: the "curated reference" subset (the Wikipedia/books side
+# of the GPT-3 / CCNet quality-filter setup); everything else is "web"
+_NB_POS = "('src0', 'src1', 'src2', 'src3', 'src4')"
+
+
+def _nb_sql() -> str:
+    return f"""
+    WITH lab AS (
+      SELECT doc_id, source IN {_NB_POS} AS pos, {SQL_TOKS} AS tk
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, pos, unnest(tk) AS token FROM lab
+    ), vocab AS (
+      SELECT token,
+             CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+             CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS cn
+      FROM tok GROUP BY token
+    ), tot AS (
+      SELECT SUM(cp) AS np, SUM(cn) AS nn, COUNT(*) AS v FROM vocab
+    ), prior AS (
+      SELECT CAST(round(ln(CAST(SUM(CASE WHEN source IN {_NB_POS}
+                                 THEN 1 ELSE 0 END) AS DOUBLE)
+                        / CAST(SUM(CASE WHEN source IN {_NB_POS}
+                                   THEN 0 ELSE 1 END) AS DOUBLE)) * 1000000)
+                  AS BIGINT) AS prior_micro
+      FROM documents
+    ), scored AS (
+      SELECT t.doc_id, t.pos,
+             CAST(round(ln((vocab.cp + 1.0) / (tot.np + tot.v)) * 1000000)
+                  AS BIGINT)
+             - CAST(round(ln((vocab.cn + 1.0) / (tot.nn + tot.v)) * 1000000)
+                    AS BIGINT) AS diff_micro
+      FROM tok t JOIN vocab ON vocab.token = t.token CROSS JOIN tot
+    )
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(p.prior_micro + SUM(s.diff_micro) AS BIGINT)
+             AS log_odds_micro,
+           CASE WHEN p.prior_micro + SUM(s.diff_micro) > 0
+                THEN 'pos' ELSE 'neg' END AS pred,
+           CASE WHEN ANY_VALUE(s.pos) THEN 'pos' ELSE 'neg' END AS label
+    FROM scored s CROSS JOIN prior p
+    GROUP BY s.doc_id, p.prior_micro
+    """
+
+
+@query("quality_nb_classifier", sql=_nb_sql())
+def quality_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter, trained and applied in ONE query:
+    multinomial Naive Bayes with add-one smoothing over a weak label
+    (a curated-source subset vs the rest) — the closed-form stand-in
+    for the GPT-3 / CCNet logistic quality classifier
+    (Brown et al. 2020 §A; Wenzek et al. 2020). Training IS counting,
+    so the whole fit is one corpus groupBy(token) with conditional
+    sums; scoring is a broadcast join of the vocabulary-sized model.
+
+    Determinism: each class-conditional token log-prob is fixed-pointed
+    to micro-nats BEFORE differencing and summing (round(ln*1e6) ->
+    BIGINT per the repo contract), so per-doc log-odds are exact
+    integer sums — order-independent across engines; the class prior
+    is one fixed-pointed scalar.
+
+    100 TB shape: two corpus-wide stages (token counts, score join);
+    the model (vocab + 1-row totals/prior) is Heaps'-law bounded and
+    broadcast. No driver-side training loop — a weekly re-fit is the
+    same query on a new snapshot."""
+    docs = t(spark, sf_dir, "documents")
+    pos_set = [f"src{i}" for i in range(5)]
+    lab = docs.select(
+        "doc_id",
+        F.col("source").isin(pos_set).alias("pos"),
+        X.tokens("text").alias("tk"),
+    )
+    tok = lab.select("doc_id", "pos", F.explode("tk").alias("token"))
+    vocab = tok.groupBy("token").agg(
+        F.sum(F.when(F.col("pos"), 1).otherwise(0)).cast("bigint").alias("cp"),
+        F.sum(F.when(F.col("pos"), 0).otherwise(1)).cast("bigint").alias("cn"),
+    )
+    tot = vocab.agg(
+        F.sum("cp").alias("np"),
+        F.sum("cn").alias("nn"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    prior = docs.agg(
+        F.round(
+            F.log(
+                F.sum(F.when(F.col("source").isin(pos_set), 1).otherwise(0))
+                .cast("double")
+                / F.sum(F.when(F.col("source").isin(pos_set), 0).otherwise(1))
+                .cast("double")
+            )
+            * 1e6
+        )
+        .cast("bigint")
+        .alias("prior_micro")
+    )
+    micro = lambda num, den: F.round(F.log(num / den) * 1e6).cast("bigint")
+    scored = (
+        # bcast: O(vocab) NB model (Heaps' law) + two O(1) scalar rows
+        tok.join(F.broadcast(vocab), "token")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "pos",
+            (
+                micro(F.col("cp") + F.lit(1.0), F.col("np") + F.col("v"))
+                - micro(F.col("cn") + F.lit(1.0), F.col("nn") + F.col("v"))
+            ).alias("diff_micro"),
+        )
+    )
+    # bcast: O(1) prior row
+    agg = scored.crossJoin(F.broadcast(prior)).groupBy(
+        "doc_id", "prior_micro"
+    ).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("diff_micro").alias("sum_diff"),
+        F.any_value("pos").alias("pos"),
+    )
+    lo = F.col("prior_micro") + F.col("sum_diff")
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        lo.cast("bigint").alias("log_odds_micro"),
+        F.when(lo > 0, "pos").otherwise("neg").alias("pred"),
+        F.when(F.col("pos"), "pos").otherwise("neg").alias("label"),
+    )
+
+
+_DSIR_B = 4096  # hashed feature buckets (md5 first 3 nibbles)
+_DSIR_K = 100  # docs selected into the target mixture
+
+
+def _dsir_sql() -> str:
+    b = _DSIR_B
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, source, unnest({SQL_TOKS}) AS token FROM documents
+    ), feat AS (
+      SELECT doc_id, source,
+             CAST(concat('0x', substr(md5(token), 1, 3)) AS BIGINT) AS f
+      FROM tok
+    ), raw AS (
+      SELECT f, CAST(COUNT(*) AS BIGINT) AS cr FROM feat GROUP BY f
+    ), tgt AS (
+      SELECT f, CAST(COUNT(*) AS BIGINT) AS ct FROM feat
+      WHERE source IN {_NB_POS} GROUP BY f
+    ), tots AS (
+      SELECT (SELECT SUM(cr) FROM raw) AS nr,
+             (SELECT COALESCE(SUM(ct), 0) FROM tgt) AS nt
+    ), lm AS (
+      SELECT raw.f,
+             CAST(round(ln((COALESCE(tgt.ct, 0) + 1.0) / (tots.nt + {b}))
+                  * 1000000) AS BIGINT)
+             - CAST(round(ln((raw.cr + 1.0) / (tots.nr + {b}))
+                    * 1000000) AS BIGINT) AS lw_micro
+      FROM raw LEFT JOIN tgt ON tgt.f = raw.f CROSS JOIN tots
+    )
+    SELECT feat.doc_id,
+           ANY_VALUE(feat.source) AS source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(lm.lw_micro) AS BIGINT) AS weight_micro
+    FROM feat JOIN lm ON lm.f = feat.f
+    GROUP BY feat.doc_id
+    ORDER BY weight_micro DESC, doc_id LIMIT {_DSIR_K}
+    """
+
+
+@query("dsir_importance_select", sql=_dsir_sql())
+def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection with Importance Resampling (DSIR, Xie et al.
+    2023): estimate hashed-unigram language models of a TARGET
+    distribution (the curated-source subset) and the RAW corpus, weight
+    every raw doc by its log importance ratio sum_f log(pt(f)/pr(f)),
+    and select the top-k — the published recipe for biasing pretraining
+    data toward a target domain without a trained classifier.
+
+    The hashed feature space (md5 first 3 nibbles -> 4096 buckets) is
+    the paper's memory bound: both LMs are FIXED-size tables regardless
+    of corpus vocabulary, broadcastable forever. Determinism: the
+    per-bucket log ratio is fixed-pointed to micro-nats before the
+    per-doc integer sum; selection is deterministic top-k by
+    (weight desc, doc_id) — the paper's Gumbel-noise resampling is the
+    same computation with a noise column added, kept noiseless here for
+    cross-engine exactness.
+
+    100 TB shape: two bucket-sized groupBys over one corpus token scan
+    + one broadcast score join; no shuffle keyed on anything larger
+    than 4096 buckets except the final per-doc partial agg; top-k is
+    TakeOrdered (map-side truncation, only k rows reach the driver)."""
+    docs = t(spark, sf_dir, "documents")
+    pos_set = [f"src{i}" for i in range(5)]
+    b = _DSIR_B
+    feat = docs.select(
+        "doc_id",
+        "source",
+        F.explode(X.tokens("text")).alias("token"),
+    ).select(
+        "doc_id",
+        "source",
+        F.conv(F.substring(F.md5("token"), 1, 3), 16, 10)
+        .cast("bigint")
+        .alias("f"),
+    )
+    raw = feat.groupBy("f").agg(F.count(F.lit(1)).cast("bigint").alias("cr"))
+    tgt = (
+        feat.filter(F.col("source").isin(pos_set))
+        .groupBy("f")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ct"))
+    )
+    tots = raw.agg(F.sum("cr").alias("nr")).crossJoin(
+        tgt.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("nt"))
+    )
+    micro = lambda num, den: F.round(F.log(num / den) * 1e6).cast("bigint")
+    lm = (
+        # bcast: both LM tables are hash-bounded (<= 4096 rows) + O(1) totals
+        raw.join(F.broadcast(tgt), "f", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "f",
+            (
+                micro(
+                    F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0),
+                    F.col("nt") + F.lit(b),
+                )
+                - micro(F.col("cr") + F.lit(1.0), F.col("nr") + F.lit(b))
+            ).alias("lw_micro"),
+        )
+    )
+    # bcast: <= 4096-row bucket LM
+    return (
+        feat.join(F.broadcast(lm), "f")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("source").alias("source"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lw_micro").cast("bigint").alias("weight_micro"),
+        )
+        .orderBy(F.desc("weight_micro"), "doc_id")
+        .limit(_DSIR_K)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Flagship composition: the full curation pipeline in one query
 # ---------------------------------------------------------------------------
 

@@ -131,3 +131,24 @@ def test_triangle_counts_match_bruteforce_random(spark):
             expect[b] += 1
             expect[c] += 1
     assert got == expect
+
+
+def test_bfs_hops_hand_checked_and_properties(spark):
+    """4-node path graph a-b-c-d (+ isolated e): hops from a are
+    0,1,2,3 and e is unreachable; max_hops truncates the frontier."""
+    from datalake_scripts_spark.operators.graph import bfs_hops
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2), (3, 4), (4, 3)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {r.node: r.hop for r in bfs_hops(e, seeds, max_hops=10).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+    capped = {r.node: r.hop for r in bfs_hops(e, seeds, max_hops=2).collect()}
+    assert capped == {1: 0, 2: 1, 3: 2}
+    # a node on a cycle keeps its MIN hop (revisits are anti-joined out)
+    cyc = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "src long, dst long"
+    )
+    got_cyc = {r.node: r.hop for r in bfs_hops(cyc, seeds, max_hops=9).collect()}
+    assert got_cyc == {1: 0, 2: 1, 3: 2}

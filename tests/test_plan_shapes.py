@@ -176,6 +176,12 @@ LINT_ALLOWLIST = {
     # round-1 winner attach: crossJoin(F.broadcast(limit(1) row)) — the
     # merge pattern reaches executors without a driver collect
     "bpe_second_merge": {"cartesian-product"},
+    # NB model scalar-attach (totals + prior, two 1-row broadcasts); the
+    # single-partition exchange is each scalar's own global agg (one
+    # tiny partial row per task crosses it)
+    "quality_nb_classifier": {"cartesian-product", "single-partition-exchange"},
+    # DSIR totals row: 1-row broadcast crossJoin (lazy scalar-attach)
+    "dsir_importance_select": {"cartesian-product"},
     # global scalar summary of per-key counts: partial agg map-side,
     # one tiny row per task crosses the final exchange
     "skew_report_orders_custkey": {"single-partition-exchange"},

