@@ -51,6 +51,8 @@ DRIVER_PRIORITY = [
     "quality_nb_classifier",  # in-query Naive Bayes quality filter
     "dsir_importance_select",  # DSIR hashed-LM importance top-k
     "graph_bfs_customer_reach",  # iterative BFS vs recursive-CTE oracle
+    "sketch_mg_heavy_hitters_exact",  # MG candidates + exact verify
+    "retrieval_hybrid_rrf",  # BM25 + cosine reciprocal-rank fusion
     "provenance_partition_lineage",  # _metadata.file_path attribution
     "versioned_stats_drift",  # snapshot-over-snapshot stats diff
     "entity_resolution_canonical",  # contract -> CC -> canonical
@@ -92,8 +94,6 @@ DRIVER_PRIORITY = [
     "scalar_date_functions",
     "scalar_math_functions",
     "scalar_string_functions",
-    "set_except_nations",
-    "set_intersect_nations",
 ]
 
 

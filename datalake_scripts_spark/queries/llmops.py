@@ -2042,6 +2042,182 @@ def text_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
     )
 
+
+_RRF_C = 60  # the published reciprocal-rank-fusion constant
+_RRF_POOL = 50  # per-list candidate pool
+_RRF_K = 20
+
+
+def _rrf_sql() -> str:
+    cos = S.sql_cosine("q.qv", "e.v")
+    terms = ", ".join(f"'{w}'" for w in BM25_QUERY_TERMS)
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({SQL_TOKS}) AS token FROM documents),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok
+           GROUP BY doc_id),
+    stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(dl) AS BIGINT) AS total_len FROM dl),
+    tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+           WHERE token IN ({terms}) GROUP BY doc_id, token),
+    dfreq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf
+              GROUP BY token),
+    term_scored AS (
+      SELECT tf.doc_id,
+             CAST(FLOOR(
+               ln((CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+                  / (CAST(d.df AS DOUBLE) + 0.5) + 1.0)
+               * (CAST(tf.tf AS DOUBLE) * ({_BM25_K1} + 1.0))
+               / (CAST(tf.tf AS DOUBLE) + {_BM25_K1} * (1.0 - {_BM25_B}
+                  + {_BM25_B} * CAST(dl.dl AS DOUBLE)
+                    / (CAST(s.total_len AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))
+               * 1000000) AS BIGINT) AS term_score_micro
+      FROM tf
+      JOIN dfreq d ON d.token = tf.token
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats s),
+    lex_score AS (
+      SELECT doc_id, CAST(SUM(term_score_micro) AS BIGINT) AS s
+      FROM term_scored WHERE doc_id <> 0 GROUP BY doc_id),
+    lex AS (
+      SELECT doc_id, r FROM (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS r
+        FROM lex_score) x WHERE r <= {_RRF_POOL}),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    vec_score AS (
+      SELECT e.vec_id AS doc_id, {cos} AS c
+      FROM e CROSS JOIN q WHERE e.vec_id <> 0),
+    vec AS (
+      SELECT doc_id, r FROM (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY c DESC, doc_id) AS r
+        FROM vec_score) x WHERE r <= {_RRF_POOL})
+    SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+           CAST(l.r AS INT) AS lex_rank,
+           CAST(v.r AS INT) AS vec_rank,
+           COALESCE(CAST(round(1000000.0 / ({_RRF_C} + l.r)) AS BIGINT), 0)
+           + COALESCE(CAST(round(1000000.0 / ({_RRF_C} + v.r)) AS BIGINT), 0)
+             AS rrf_micro
+    FROM lex l FULL OUTER JOIN vec v ON v.doc_id = l.doc_id
+    ORDER BY rrf_micro DESC, doc_id LIMIT {_RRF_K}
+    """
+
+
+@query("retrieval_hybrid_rrf", sql=_rrf_sql())
+def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion (Cormack et al.
+    2009, the production hybrid-search default): fuse a LEXICAL BM25
+    ranking (the fixed query-term set of text_bm25_scores, query doc
+    excluded) with a VECTOR cosine ranking (query = embedding 0)
+    by rrf(d) = sum over lists of 1/(60 + rank_d) — each addend
+    fixed-pointed to micro-units, so the fused score is an exact
+    integer sum over exact integer ranks.
+
+    Rank determinism: both per-list orderings sort on
+    (cross-engine-exact score, doc_id) — BM25 scores are integer
+    micro-units (FLOOR of bit-equal doubles) and cosines are bit-equal
+    doubles (same recipe ann_brute_force_topk proves), so ranks, and
+    therefore the fusion, hash-match DuckDB exactly.
+
+    100 TB shape: each list is cut to its top-POOL via
+    orderBy().limit() — TakeOrdered with map-side truncation, no
+    global sort — and ONLY the 50-row pools go through the rank
+    window and the full-outer fusion join (driver-free, tiny). The
+    corpus-sized work is the BM25 term scan and one broadcast-query
+    cosine pass."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    emb = t(spark, sf_dir, "embeddings")
+
+    # --- lexical list (BM25, shared constants with text_bm25_scores) ---
+    tok = docs.select("doc_id", F.explode(X.tokens("text")).alias("token"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
+    )
+    tf = (
+        tok.filter(F.col("token").isin(BM25_QUERY_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    k1, b = _BM25_K1, _BM25_B
+    idf = F.log(
+        (F.col("n_docs").cast("double") - F.col("df").cast("double") + 0.5)
+        / (F.col("df").cast("double") + 0.5)
+        + 1.0
+    )
+    avgdl = F.col("total_len").cast("double") / F.col("n_docs").cast("double")
+    term_score = (
+        idf
+        * (F.col("tf").cast("double") * (k1 + 1.0))
+        / (
+            F.col("tf").cast("double")
+            + k1 * (1.0 - b + b * F.col("dl").cast("double") / avgdl)
+        )
+    )
+    lex_score = (
+        # bcast: O(query terms) df rows + O(1) corpus-stats row
+        tf.join(F.broadcast(dfreq), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .filter(F.col("doc_id") != 0)
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.floor(term_score * 1e6).cast("bigint")).alias("s")
+        )
+    )
+    lex_pool = lex_score.orderBy(F.desc("s"), "doc_id").limit(_RRF_POOL)
+    lex = lex_pool.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("s"), "doc_id"))
+        .alias("r"),
+    )
+
+    # --- vector list (cosine vs the query embedding) ---
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("qv")
+    )
+    # bcast: 1-row query vector
+    vec_score = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            S.cosine(
+                F.col("embedding").cast("array<double>"), F.col("qv")
+            ).alias("c"),
+        )
+    )
+    vec_pool = vec_score.orderBy(F.desc("c"), "doc_id").limit(_RRF_POOL)
+    vec = vec_pool.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("c"), "doc_id"))
+        .alias("r"),
+    )
+
+    # --- fuse the two 50-row pools ---
+    rr = lambda r: F.coalesce(
+        F.round(F.lit(1e6) / (F.lit(_RRF_C) + r)).cast("bigint"), F.lit(0)
+    )
+    fused = lex.alias("l").join(
+        vec.alias("v"), F.col("l.doc_id") == F.col("v.doc_id"), "full_outer"
+    )
+    return (
+        fused.select(
+            F.coalesce(F.col("l.doc_id"), F.col("v.doc_id")).alias("doc_id"),
+            F.col("l.r").cast("int").alias("lex_rank"),
+            F.col("v.r").cast("int").alias("vec_rank"),
+            (rr(F.col("l.r")) + rr(F.col("v.r"))).alias("rrf_micro"),
+        )
+        .orderBy(F.desc("rrf_micro"), "doc_id")
+        .limit(_RRF_K)
+    )
+
+
 @query(
     "corpus_source_overlap",
     sql=f"""

@@ -367,3 +367,51 @@ def sketch_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("exact_join_size").cast("double")
         ).alias("blowup_factor"),
     )
+
+
+_HH_K = 200  # heavy hitter = frequency strictly above N/200 (0.5%)
+
+_HH_SQL = f"""
+WITH tok AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                x -> x <> '')) AS item
+  FROM documents),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tok)
+SELECT item, CAST(COUNT(*) AS BIGINT) AS freq,
+       CAST(COUNT(*) AS DOUBLE) / CAST((SELECT n FROM tot) AS DOUBLE)
+         AS share
+FROM tok
+GROUP BY item
+HAVING COUNT(*) * {_HH_K} > (SELECT n FROM tot)
+ORDER BY freq DESC, item
+"""
+
+
+@query("sketch_mg_heavy_hitters_exact", sql=_HH_SQL)
+def sketch_mg_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy hitters (token frequency > N/200) without the full
+    key-space shuffle: per-partition Misra-Gries summaries (capacity k,
+    mergeable-summaries prune rule) nominate a guaranteed-superset
+    candidate set of <= k x partitions items, and an exact second pass
+    counts only the candidates (operators/heavyhitters.py — the
+    Misra-Gries guarantee, merge rule, and determinism argument live
+    there).
+
+    This complements sketch_cms_heavy_hitters: CMS gives approximate
+    counts for pre-known probes; this returns the exact answer set with
+    exact counts, while shuffling only candidates. The candidate SET
+    varies with partitioning, the RESULT never does — which is why a
+    brute-force DuckDB groupBy is a valid hash-exact oracle.
+
+    100 TB shape: pass 1 is map-only (Arrow-vectorized value_counts
+    into a capped dict; output k rows per partition); pass 2 shuffles
+    only rows matching the broadcast candidate list. Nothing scales
+    with the distinct-item count except the bounded summaries."""
+    docs = t(spark, sf_dir, "documents")
+    # single-file test tables scan as ONE task: spread the doc rows so
+    # the Misra-Gries pass parallelizes (O(docs) shuffle, not O(tokens))
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    items = docs.select(F.explode(X.tokens("text")).alias("item"))
+    from ..operators.heavyhitters import heavy_hitters_exact
+
+    return heavy_hitters_exact(items, "item", _HH_K)

@@ -260,7 +260,42 @@ def _entity_resolution_scaled(spark, sf_dir):
     )
 
 
+def _heavy_hitters_scaled(spark, sf_dir):
+    """sketch_mg_heavy_hitters_exact over a VERBATIM k-fold corpus
+    (doc_id offset only, text unchanged): unlike the pair-producing
+    ops, heavy hitters are about SHARES, and the replica-prefixed
+    default perturbation divides every token's share by k — at k=10
+    nothing clears the 1/200 threshold and the query degenerates to an
+    empty result. Verbatim replication keeps shares constant while N
+    grows k-fold, which is the actual 100 TB claim under test: the
+    Misra-Gries candidate pass stays summary-sized and the exact pass
+    shuffles only candidates, at any corpus multiple."""
+    from pyspark.sql import functions as F
+
+    from datalake_scripts_spark.operators.heavyhitters import (
+        heavy_hitters_exact,
+    )
+    from datalake_scripts_spark.queries.sketches import _HH_K
+
+    k = int(os.environ.get("SCALEUP_K", "10"))
+    # read the PRISTINE corpus, not sf_dir (whose documents are already
+    # replica-prefixed by the default perturbation, diluting shares)
+    docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    n = docs.agg(F.max("doc_id")).first()[0] + 1
+    rep = (
+        docs.crossJoin(spark.range(k).withColumnRenamed("id", "_rep"))
+        .withColumn("doc_id", F.col("doc_id") + F.col("_rep") * n)
+        .drop("_rep")
+    )
+    rep = rep.repartition(spark.sparkContext.defaultParallelism)
+    from datalake_scripts_spark.operators import text as X
+
+    items = rep.select(F.explode(X.tokens("text")).alias("item"))
+    return heavy_hitters_exact(items, "item", _HH_K)
+
+
 EXTRA = {
+    "heavy_hitters_scaled": _heavy_hitters_scaled,
     "ngram_jaccard_noprefix": _ngram_jaccard_noprefix,
     "containment_noprefix": _containment_noprefix,
     "semantic_dedup_kmeans": _semantic_dedup_kmeans,

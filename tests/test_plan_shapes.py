@@ -182,6 +182,19 @@ LINT_ALLOWLIST = {
     "quality_nb_classifier": {"cartesian-product", "single-partition-exchange"},
     # DSIR totals row: 1-row broadcast crossJoin (lazy scalar-attach)
     "dsir_importance_select": {"cartesian-product"},
+    # N-threshold scalar-attach (1-row broadcast crossJoin); the
+    # single-partition exchange is the totals agg itself (one tiny
+    # partial row per task)
+    "sketch_mg_heavy_hitters_exact": {
+        "cartesian-product",
+        "single-partition-exchange",
+    },
+    # query-vector attach (1-row broadcast crossJoin) + BM25 corpus
+    # stats row; rank windows run over the 50-row TakeOrdered pools
+    "retrieval_hybrid_rrf": {
+        "cartesian-product",
+        "single-partition-exchange",
+    },
     # global scalar summary of per-key counts: partial agg map-side,
     # one tiny row per task crosses the final exchange
     "skew_report_orders_custkey": {"single-partition-exchange"},

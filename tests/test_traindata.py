@@ -107,3 +107,23 @@ def test_dsir_select_is_deterministic_topk(spark):
     for i in range(1, len(df)):
         if w[i - 1] == w[i]:
             assert ids[i - 1] < ids[i]
+
+
+def test_rrf_fusion_arithmetic(spark):
+    """rrf_micro decomposes into the two rank addends; docs on both
+    lists dominate equal-rank docs on one; ranks are within pool."""
+    from datalake_scripts_spark.queries import REGISTRY
+    from datalake_scripts_spark.queries.llmops import _RRF_C, _RRF_POOL
+
+    df = REGISTRY["retrieval_hybrid_rrf"].fn(spark, SF).toPandas()
+    assert len(df) > 0
+    for r in df.itertuples():
+        want = 0
+        if r.lex_rank == r.lex_rank and r.lex_rank is not None:  # not NaN
+            assert 1 <= r.lex_rank <= _RRF_POOL
+            want += round(1e6 / (_RRF_C + r.lex_rank))
+        if r.vec_rank == r.vec_rank and r.vec_rank is not None:
+            assert 1 <= r.vec_rank <= _RRF_POOL
+            want += round(1e6 / (_RRF_C + r.vec_rank))
+        assert r.rrf_micro == want
+    assert list(df.rrf_micro) == sorted(df.rrf_micro, reverse=True)
