@@ -136,6 +136,11 @@ def main(argv: list[str] | None = None) -> int:
         "--bloom", default=None,
         help="comma-separated bloom-index columns (None inherits)",
     )
+    wrt.add_argument(
+        "--manifest-chunking", default=None,
+        help="two-level manifest layout: 'partition', an int chunk "
+             "size, or 'false' to flatten (None inherits table state)",
+    )
 
     chk = tbl_sub.add_parser(
         "check-schema",
@@ -228,11 +233,19 @@ def main(argv: list[str] | None = None) -> int:
             print(f"merged {batch.count()} batch rows -> v{v}")
         elif args.action == "write":
             batch = spark.read.parquet(args.source)
+            mc = args.manifest_chunking
+            if mc is not None:
+                mc = (
+                    False
+                    if mc.lower() == "false"
+                    else (mc if mc == "partition" else int(mc))
+                )
             v = V.write_versioned(
                 spark, batch, args.dir, mode=args.mode,
                 partition_by=args.partition_by.split(",") if args.partition_by else None,
                 bloom_cols=args.bloom.split(",") if args.bloom else None,
                 meta={"written_from": args.source},
+                manifest_chunking=mc,
             )
             print(f"committed {batch.count()} rows -> v{v}")
         elif args.action == "restore":
@@ -258,13 +271,18 @@ def main(argv: list[str] | None = None) -> int:
                     m = V._load_manifest(args.dir, ver)
                 except FileNotFoundError:
                     continue
-                rows = sum(
-                    s["rows"] for s in m.get("stats", {}).values()
-                ) if m.get("stats") else "?"
+                files, stats = V._expand_manifest(args.dir, m)
+                rows = (
+                    sum(s["rows"] for s in stats.values()) if stats else "?"
+                )
                 meta = m.get("meta", {})
+                layout = (
+                    f" chunks={len(m['chunks'])}" if "chunks" in m else ""
+                )
                 print(
-                    f"v{ver}: mode={m['mode']} files={len(m['files'])} "
-                    f"rows={rows}" + (f" meta={meta}" if meta else "")
+                    f"v{ver}: mode={m['mode']} files={len(files)} "
+                    f"rows={rows}{layout}"
+                    + (f" meta={meta}" if meta else "")
                 )
         return 0
 

@@ -235,7 +235,12 @@ def write_audit_publish(
     # the audit covered only OUR staged files, so a concurrent commit
     # between audit and publish auto-merges safely — re-read the new
     # latest manifest and commit on top (CommitConflict = lost CAS race)
-    from .versioned import CommitConflict, _augment_blooms
+    from .versioned import (
+        CommitConflict,
+        _augment_blooms,
+        _expand_manifest,
+        _write_manifest_chunks,
+    )
 
     augmented: set[str] = set()
     last_conflict = None
@@ -251,12 +256,23 @@ def write_audit_publish(
             if bloom_cols is None:
                 effective_blooms = prev_manifest.get("bloom_cols")
             if mode == "append":
-                files = prev_manifest["files"] + new_files
-                stats = {**prev_manifest.get("stats", {}), **new_stats}
+                pfiles, pstats = _expand_manifest(table_dir, prev_manifest)
+                files = pfiles + new_files
+                stats = {**pstats, **new_stats}
         missing = set(effective_blooms or []) - augmented
         if missing:
             _augment_blooms(table_dir, new_files, new_stats, sorted(missing), 0.01)
             augmented |= missing
+        # chunked tables stay chunked across an audited publish (the
+        # WAP commit re-chunks the full post-publish file set)
+        chunking = (
+            prev_manifest.get("manifest_chunking") if prev > 0 else None
+        )
+        chunks = (
+            _write_manifest_chunks(table_dir, files, stats, chunking)
+            if chunking
+            else None
+        )
         try:
             return _commit_manifest(
                 table_dir,
@@ -267,6 +283,8 @@ def write_audit_publish(
                 {**(meta or {}), "audited": [r.name for r in rules]},
                 bloom_cols=effective_blooms,
                 expected_version=prev,
+                chunks=chunks,
+                manifest_chunking=chunking,
             )
         except CommitConflict as c:
             last_conflict = c

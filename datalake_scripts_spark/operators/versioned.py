@@ -111,6 +111,140 @@ def _load_manifest(table_dir: str, version: int) -> dict:
     )
 
 
+# ---------------------------------------------------------------------------
+# Two-level (chunked) manifests — the Iceberg manifest-list idea.
+#
+# A flat manifest inlines every file entry, so at millions of files the
+# driver parses ALL metadata for every read even when a filter prunes
+# 99.9% of it. A chunked manifest instead stores a list of CHUNK
+# descriptors — {path, n_files, rows, rollup} — where each chunk is an
+# immutable side file (in the commit log, `chunk-<hex>.json`) holding
+# the file entries of one file group (one hive partition directory, or
+# a fixed-size run), and `rollup` is the group-level min/max/null
+# union in the SAME shape as per-file stats. Reads prune whole chunks
+# against the rollup BEFORE loading any of them; appends CARRY prior
+# chunk descriptors verbatim (metadata cost of an append is the new
+# files only, not the table's history). Chunks are written before the
+# root-manifest CAS, so losers' chunks are invisible garbage that
+# vacuum collects — exactly the staged-data-file lifecycle.
+# ---------------------------------------------------------------------------
+
+_CHUNK_PREFIX = "chunk-"
+
+
+def _chunk_rollup(files: list[str], stats: dict) -> dict:
+    """Merge per-file stats into one chunk-level stats dict (same shape
+    ``_file_may_match`` takes). A column missing from ANY member file's
+    stats is unprunable at chunk grain and is omitted; bloom filters
+    are per-file only and never roll up."""
+    rows = 0
+    cols: dict | None = None
+    for f in files:
+        st = stats.get(f)
+        if st is None:
+            return {"rows": rows, "columns": {}}
+        rows += st.get("rows", 0)
+        fc = st.get("columns", {})
+        if cols is None:
+            cols = {
+                k: {"min": v["min"], "max": v["max"], "nulls": v["nulls"]}
+                for k, v in fc.items()
+            }
+        else:
+            for k in list(cols):
+                v = fc.get(k)
+                if v is None:
+                    del cols[k]
+                    continue
+                cols[k]["min"] = min(cols[k]["min"], v["min"])
+                cols[k]["max"] = max(cols[k]["max"], v["max"])
+                cols[k]["nulls"] += v["nulls"]
+    return {"rows": rows, "columns": cols or {}}
+
+
+def _write_manifest_chunks(
+    table_dir: str, files: list[str], stats: dict, grouping
+) -> list[dict]:
+    """Group ``files`` (``grouping``: 'partition' groups by directory;
+    an int groups fixed-size runs in sorted order), write one immutable
+    chunk object per group via the commit store, and return the chunk
+    descriptors for the root manifest."""
+    import uuid
+
+    groups: dict[str, list[str]] = {}
+    if grouping == "partition":
+        for f in files:
+            groups.setdefault(os.path.dirname(f), []).append(f)
+    else:
+        size = int(grouping)
+        if size <= 0:
+            raise ValueError(f"manifest_chunking must be positive, got {grouping}")
+        ordered = sorted(files)
+        for i in range(0, len(ordered), size):
+            groups[f"run{i // size}"] = ordered[i : i + size]
+    store = get_commit_store()
+    descriptors = []
+    for key in sorted(groups):
+        members = groups[key]
+        name = f"{_CHUNK_PREFIX}{uuid.uuid4().hex}.json"
+        payload = {
+            "files": members,
+            "stats": {f: stats[f] for f in members if f in stats},
+        }
+        if not store.put_if_absent(table_dir, name, json.dumps(payload).encode()):
+            raise RuntimeError(f"chunk name collision: {name}")
+        descriptors.append(
+            {
+                "path": name,
+                "n_files": len(members),
+                "rollup": _chunk_rollup(members, stats),
+            }
+        )
+    return descriptors
+
+
+def _expand_manifest(
+    table_dir: str, manifest: dict, skip_filter: list[tuple] | None = None
+) -> tuple[list[str], dict]:
+    """The (files, stats) view of a manifest, flat or chunked.
+
+    For chunked manifests, ``skip_filter`` prunes whole chunks against
+    their rollups BEFORE any chunk object is read — the metadata-scale
+    win; surviving chunks still go through per-file pruning at the call
+    site, so results are identical to the flat layout. Without a
+    filter, all chunks load (same information as a flat manifest)."""
+    chunks = manifest.get("chunks")
+    if chunks is None:
+        return manifest["files"], manifest.get("stats", {})
+    store = get_commit_store()
+    files: list[str] = []
+    stats: dict = {}
+    for ch in chunks:
+        if skip_filter and not _file_may_match(ch.get("rollup"), skip_filter):
+            continue
+        payload = json.loads(store.read(table_dir, ch["path"]))
+        files.extend(payload["files"])
+        stats.update(payload["stats"])
+    return files, stats
+
+
+def manifest_chunks_for_read(
+    table_dir: str,
+    version: int | None = None,
+    skip_filter: list[tuple] | None = None,
+) -> list[str]:
+    """The chunk objects a read would LOAD after rollup pruning — the
+    observable for chunk-grain skipping tests (empty list for flat
+    manifests)."""
+    v = version or current_version(table_dir)
+    manifest = _load_manifest(table_dir, v)
+    return [
+        ch["path"]
+        for ch in manifest.get("chunks", [])
+        if not skip_filter or _file_may_match(ch.get("rollup"), skip_filter)
+    ]
+
+
 def _json_safe(v):
     """Render a parquet-footer statistic JSON-serializable while keeping
     its ordering semantics (ISO datetime strings sort chronologically)."""
@@ -474,8 +608,18 @@ def write_versioned(
     expected_version: int | None = None,
     partition_by: list[str] | None = None,
     evolve_partitioning: bool = False,
+    manifest_chunking=None,
 ) -> int:
     """Commit ``df`` as a new snapshot; returns the new version number.
+
+    ``manifest_chunking`` opts the commit into the two-level manifest
+    layout ('partition': one chunk object per hive partition directory;
+    an int: fixed-size file runs; see the chunked-manifest block above
+    _chunk_rollup). Like bloom_cols it is TABLE state: None inherits
+    the previous manifest's setting, ``False`` explicitly flattens back
+    to an inline manifest. Appends to a chunked table CARRY the prior
+    chunk descriptors verbatim and chunk only the new files — append
+    metadata cost is O(new files), not O(table).
 
     ``expected_version`` pins the snapshot this write DEPENDS on
     (compaction: the snapshot it rewrote). With it set there is no
@@ -613,11 +757,31 @@ def write_versioned(
                 table_dir, new_files, new_stats, sorted(missing), bloom_fpp
             )
             augmented_cols |= missing
+        effective_chunking = manifest_chunking
+        if effective_chunking is None and prev > 0:
+            effective_chunking = prev_manifest.get("manifest_chunking")
+        if effective_chunking is False:
+            effective_chunking = None
         files = new_files
         stats = new_stats
+        carried_chunks: list[dict] | None = None
         if mode == "append" and prev > 0:
-            files = prev_manifest["files"] + new_files
-            stats = {**prev_manifest.get("stats", {}), **new_stats}
+            if effective_chunking and "chunks" in prev_manifest:
+                # the Iceberg append property: prior metadata is carried
+                # by reference, only the new files get chunked below
+                carried_chunks = list(prev_manifest["chunks"])
+            else:
+                pfiles, pstats = _expand_manifest(table_dir, prev_manifest)
+                files = pfiles + new_files
+                stats = {**pstats, **new_stats}
+        chunks = None
+        if effective_chunking:
+            chunks = (carried_chunks or []) + _write_manifest_chunks(
+                table_dir,
+                new_files if carried_chunks is not None else files,
+                new_stats if carried_chunks is not None else stats,
+                effective_chunking,
+            )
         try:
             return _commit_manifest(
                 table_dir,
@@ -630,6 +794,8 @@ def write_versioned(
                 expected_version=prev,
                 partition_spec=spec,
                 spec_id=spec_id,
+                chunks=chunks,
+                manifest_chunking=effective_chunking,
             )
         except CommitConflict as c:
             last_conflict = c
@@ -692,9 +858,17 @@ def _commit_manifest(
     expected_version: int | None = None,
     partition_spec: list[str] | None = None,
     spec_id: int | None = None,
+    chunks: list[dict] | None = None,
+    manifest_chunking=None,
 ) -> int:
     """Commit manifest v(N+1): the single commit path for every writer
     (append/overwrite/delete/update/compaction/WAP).
+
+    ``chunks`` switches the commit to the two-level layout: the root
+    manifest stores chunk descriptors instead of inline files/stats
+    (the chunk objects were already written via the commit store), and
+    ``manifest_chunking`` records the table's chunking setting so
+    appends inherit it.
 
     ``partition_spec``/``spec_id`` record the table's partition layout
     contract (Iceberg-style metadata-tracked spec versions): when None
@@ -716,12 +890,17 @@ def _commit_manifest(
     append/overwrite) the target is current+1 at commit time."""
     base = current_version(table_dir) if expected_version is None else expected_version
     version = base + 1
-    manifest = {
-        "version": version,
-        "mode": mode,
-        "files": files,
-        "stats": stats,
-    }
+    if chunks is not None:
+        manifest = {"version": version, "mode": mode, "chunks": chunks}
+        if manifest_chunking is not None:
+            manifest["manifest_chunking"] = manifest_chunking
+    else:
+        manifest = {
+            "version": version,
+            "mode": mode,
+            "files": files,
+            "stats": stats,
+        }
     if schema_json:
         manifest["schema"] = schema_json
     if meta:
@@ -859,17 +1038,17 @@ def read_versioned(
                 f"schema contract violated by {table_dir}@v{v}: "
                 + "; ".join(violations)
             )
-    files = manifest["files"]
+    files, stats = _expand_manifest(table_dir, manifest, skip_filter)
     if skip_filter:
-        stats = manifest.get("stats", {})
         files = [f for f in files if _file_may_match(stats.get(f), skip_filter)]
     if not files:
         # every file pruned: preserve the schema via a zero-row scan of
         # one manifest file with an always-false filter
         from pyspark.sql import functions as F
 
+        all_files, _ = _expand_manifest(table_dir, manifest)
         return _read_manifest_files(
-            spark, manifest, table_dir, manifest["files"][:1]
+            spark, manifest, table_dir, all_files[:1]
         ).filter(F.lit(False))
     df = _read_manifest_files(spark, manifest, table_dir, files)
     if skip_filter:
@@ -896,12 +1075,8 @@ def files_for_read(
     the observable for data-skipping tests and for job planning."""
     v = version or current_version(table_dir)
     manifest = _load_manifest(table_dir, v)
-    stats = manifest.get("stats", {})
-    return [
-        f
-        for f in manifest["files"]
-        if _file_may_match(stats.get(f), skip_filter)
-    ]
+    files, stats = _expand_manifest(table_dir, manifest, skip_filter)
+    return [f for f in files if _file_may_match(stats.get(f), skip_filter)]
 
 
 def read_changes(
@@ -941,12 +1116,17 @@ def read_changes(
     )
     if all_appends:
         base = (
-            set(_load_manifest(table_dir, from_version)["files"])
+            set(
+                _expand_manifest(
+                    table_dir, _load_manifest(table_dir, from_version)
+                )[0]
+            )
             if from_version > 0
             else set()
         )
         to_manifest = _load_manifest(table_dir, to_version)
-        new_files = [f for f in to_manifest["files"] if f not in base]
+        to_files, _ = _expand_manifest(table_dir, to_manifest)
+        new_files = [f for f in to_files if f not in base]
         if not new_files:
             return read_versioned(spark, table_dir, to_version).filter(
                 F.lit(False)
@@ -964,6 +1144,7 @@ def read_changes(
         # (columns the old files lack null-fill; the diff is expressed
         # in the evolved shape)
         old_manifest = _load_manifest(table_dir, from_version)
+        old_files, _ = _expand_manifest(table_dir, old_manifest)
         old = _read_manifest_files(
             spark,
             {
@@ -972,7 +1153,7 @@ def read_changes(
                 or old_manifest.get("schema"),
             },
             table_dir,
-            old_manifest["files"],
+            old_files,
         )
     else:
         old = new.filter(F.lit(False))
@@ -1005,8 +1186,8 @@ def snapshot_row_count(table_dir: str, version: int | None = None) -> int:
     full jobs (SURVEY.md §2.4 A2)."""
     v = version or current_version(table_dir)
     manifest = _load_manifest(table_dir, v)
-    stats = manifest.get("stats", {})
-    if set(stats) != set(manifest["files"]):
+    files, stats = _expand_manifest(table_dir, manifest)
+    if set(stats) != set(files):
         raise ValueError(
             "manifest predates stats collection — re-commit or count via Spark"
         )
@@ -1084,8 +1265,11 @@ def vacuum(table_dir: str, keep_last: int = 1) -> int:
     latest = current_version(table_dir)
     keep_versions = set(range(max(1, latest - keep_last + 1), latest + 1))
     keep_files: set[str] = set()
+    keep_chunks: set[str] = set()
     for v in keep_versions:
-        keep_files.update(_load_manifest(table_dir, v)["files"])
+        m = _load_manifest(table_dir, v)
+        keep_files.update(_expand_manifest(table_dir, m)[0])
+        keep_chunks.update(ch["path"] for ch in m.get("chunks", []))
     data_dir = os.path.join(table_dir, "data")
     removed = 0
     # metadata-only tables (fresh shallow clone) have no data/ dir —
@@ -1103,6 +1287,13 @@ def vacuum(table_dir: str, keep_last: int = 1) -> int:
                 os.rmdir(root)
     store = get_commit_store()
     for name in store.list_log(table_dir):
+        # chunk objects unreferenced by any kept manifest: dropped
+        # versions' chunks and losers of commit races (written before
+        # their CAS failed) — same GC as staged data files
+        if name.startswith(_CHUNK_PREFIX):
+            if name not in keep_chunks:
+                store.delete(table_dir, name)
+            continue
         # only vNNNNN.json manifests — a stray object (editor temp, an
         # interrupted pointer .tmp) must not abort vacuum mid-delete
         if not is_manifest_name(name):
@@ -1130,11 +1321,9 @@ def _predicate_touched_files(
     itself)."""
     from pyspark.sql import functions as F
 
-    stats = manifest.get("stats", {})
+    files, stats = _expand_manifest(table_dir, manifest, skip_filter)
     candidates = [
-        f
-        for f in manifest["files"]
-        if _file_may_match(stats.get(f), skip_filter)
+        f for f in files if _file_may_match(stats.get(f), skip_filter)
     ]
     if not candidates:
         return []
@@ -1204,8 +1393,8 @@ def delete_versioned(
     _augment_blooms(
         table_dir, new_files, new_stats, manifest.get("bloom_cols"), 0.01
     )
-    old_stats = manifest.get("stats", {})
-    untouched = [f for f in manifest["files"] if f not in set(touched)]
+    old_files, old_stats = _expand_manifest(table_dir, manifest)
+    untouched = [f for f in old_files if f not in set(touched)]
     files = untouched + new_files
     stats = {
         **{f: old_stats[f] for f in untouched if f in old_stats},
@@ -1226,6 +1415,7 @@ def delete_versioned(
         expected_version=v,
         partition_spec=pcols,
         spec_id=manifest.get("spec_id", 0),
+        manifest_chunking=manifest.get("manifest_chunking"),
     )
     return version, n_deleted
 
@@ -1242,6 +1432,7 @@ def _commit_dml(
     expected_version: int,
     partition_spec: list[str] | None = None,
     spec_id: int | None = None,
+    manifest_chunking=None,
 ) -> int:
     """Read-pinned DML commit: targets exactly the snapshot the DML
     read (its touched-file set and metadata row counts are only valid
@@ -1249,7 +1440,17 @@ def _commit_dml(
     :class:`CommitConflict` — Delta's conflict-detection behavior for
     DELETE/UPDATE vs anything — after removing the rewrite's staged
     files so nothing orphans. The caller re-runs against the new
-    snapshot."""
+    snapshot.
+
+    ``manifest_chunking`` (inherited from the snapshot the DML read)
+    keeps the table's two-level layout across rewrites: the full
+    post-DML file set is re-chunked (a rewrite invalidates the touched
+    chunks' rollups, so carrying descriptors by reference would lie)."""
+    chunks = None
+    if manifest_chunking:
+        chunks = _write_manifest_chunks(
+            table_dir, files, stats, manifest_chunking
+        )
     try:
         return _commit_manifest(
             table_dir,
@@ -1262,6 +1463,8 @@ def _commit_dml(
             expected_version=expected_version,
             partition_spec=partition_spec,
             spec_id=spec_id,
+            chunks=chunks,
+            manifest_chunking=manifest_chunking,
         )
     except CommitConflict:
         for f in staged_files:
@@ -1339,8 +1542,8 @@ def update_versioned(
     _augment_blooms(
         table_dir, new_files, new_stats, manifest.get("bloom_cols"), 0.01
     )
-    old_stats = manifest.get("stats", {})
-    untouched = [f for f in manifest["files"] if f not in set(touched)]
+    old_files, old_stats = _expand_manifest(table_dir, manifest)
+    untouched = [f for f in old_files if f not in set(touched)]
     files = untouched + new_files
     stats = {
         **{f: old_stats[f] for f in untouched if f in old_stats},
@@ -1358,6 +1561,7 @@ def update_versioned(
         expected_version=v,
         partition_spec=pcols,
         spec_id=manifest.get("spec_id", 0),
+        manifest_chunking=manifest.get("manifest_chunking"),
     )
     return version, n_updated
 
@@ -1373,6 +1577,7 @@ def restore_versioned(table_dir: str, version: int) -> int:
     if not 1 <= version <= latest:
         raise ValueError(f"cannot restore to v{version} (latest v{latest})")
     src = _load_manifest(table_dir, version)
+    src_files, src_stats = _expand_manifest(table_dir, src)
     # metadata-only commit pinned to an immutable source manifest: a
     # lost CAS race invalidates nothing, so retry like a plain append
     last: CommitConflict | None = None
@@ -1380,8 +1585,8 @@ def restore_versioned(table_dir: str, version: int) -> int:
         try:
             return _commit_manifest(
                 table_dir,
-                src["files"],
-                src.get("stats", {}),
+                src_files,
+                src_stats,
                 "restore",
                 src.get("schema"),
                 {"restored_from": version},
@@ -1391,6 +1596,10 @@ def restore_versioned(table_dir: str, version: int) -> int:
                     src.get("spec_id", 0),
                     _load_manifest(table_dir, latest).get("spec_id", 0),
                 ),
+                # chunk objects are immutable and version-shared: the
+                # restored manifest re-references the source's verbatim
+                chunks=src.get("chunks"),
+                manifest_chunking=src.get("manifest_chunking"),
             )
         except CommitConflict as c:
             last = c
@@ -1423,20 +1632,20 @@ def clone_versioned(
     if v == 0:
         raise FileNotFoundError(f"no committed version in {src_dir}")
     src = _load_manifest(src_dir, v)
+    src_files, stats = _expand_manifest(src_dir, src)
     get_commit_store().ensure_log(dst_dir)
-    stats = src.get("stats", {})
     if shallow:
-        files = [os.path.abspath(os.path.join(src_dir, f)) for f in src["files"]]
+        files = [os.path.abspath(os.path.join(src_dir, f)) for f in src_files]
         new_stats = {
             os.path.abspath(os.path.join(src_dir, f)): stats[f]
-            for f in src["files"]
+            for f in src_files
             if f in stats
         }
     else:
         data_dir = os.path.join(dst_dir, "data")
         os.makedirs(data_dir, exist_ok=True)
         files, new_stats = [], {}
-        for f in src["files"]:
+        for f in src_files:
             # preserve trailing hive col=value segments: a partitioned
             # file's partition VALUES live only in its path, so a flat
             # copy would null them out on read

@@ -53,6 +53,7 @@ DRIVER_PRIORITY = [
     "graph_bfs_customer_reach",  # iterative BFS vs recursive-CTE oracle
     "sketch_mg_heavy_hitters_exact",  # MG candidates + exact verify
     "retrieval_hybrid_rrf",  # BM25 + cosine reciprocal-rank fusion
+    "versioned_chunked_pruning",  # two-level manifest rollup pruning
     "provenance_partition_lineage",  # _metadata.file_path attribution
     "versioned_stats_drift",  # snapshot-over-snapshot stats diff
     "entity_resolution_canonical",  # contract -> CC -> canonical
@@ -93,7 +94,6 @@ DRIVER_PRIORITY = [
     "q8_national_market_share",
     "scalar_date_functions",
     "scalar_math_functions",
-    "scalar_string_functions",
 ]
 
 

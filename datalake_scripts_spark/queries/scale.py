@@ -546,3 +546,102 @@ def versioned_stats_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("max_v1") != F.col("max_v2"))
         ).alias("range_drifted"),
     )
+
+
+_PRIORITIES = [
+    "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+]
+
+_CHUNKED_SQL = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderpriority FROM orders),
+even AS (SELECT * FROM base WHERE o_orderkey % 2 = 0),
+odd AS (SELECT * FROM base WHERE o_orderkey % 2 = 1),
+allrows AS (SELECT * FROM even UNION ALL SELECT * FROM odd),
+pres AS (
+  SELECT p.o_orderpriority,
+         CAST((CASE WHEN EXISTS (SELECT 1 FROM even e
+                     WHERE e.o_orderpriority = p.o_orderpriority)
+               THEN 1 ELSE 0 END)
+            + (CASE WHEN EXISTS (SELECT 1 FROM odd o
+                     WHERE o.o_orderpriority = p.o_orderpriority)
+               THEN 1 ELSE 0 END) AS BIGINT) AS chunks_loaded
+  FROM (SELECT DISTINCT o_orderpriority FROM allrows) p),
+tot AS (
+  SELECT CAST((SELECT COUNT(DISTINCT o_orderpriority) FROM even)
+            + (SELECT COUNT(DISTINCT o_orderpriority) FROM odd)
+         AS BIGINT) AS chunks_total)
+SELECT a.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(ANY_VALUE(pres.chunks_loaded) AS BIGINT) AS chunks_loaded,
+       CAST((SELECT chunks_total FROM tot) AS BIGINT) AS chunks_total
+FROM allrows a JOIN pres ON pres.o_orderpriority = a.o_orderpriority
+GROUP BY a.o_orderpriority
+ORDER BY a.o_orderpriority
+"""
+
+
+@query("versioned_chunked_pruning", sql=_CHUNKED_SQL)
+def versioned_chunked_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level (chunked) manifest metadata pruning, end to end: commit
+    even-key orders hive-partitioned by priority with
+    ``manifest_chunking='partition'`` (one chunk object per partition
+    directory, rollup stats per chunk), append the odd keys (prior
+    chunk descriptors carried BY REFERENCE — the Iceberg append
+    property), then read each priority back via ``skip_filter``. The
+    readout per priority: exact row count, how many chunk objects the
+    read actually LOADED (rollup pruning skips the rest before any
+    metadata I/O), and the table's total chunk count. The oracle
+    recomputes all three from the same key arithmetic — chunks_loaded
+    equals the number of commits containing that priority.
+
+    100 TB rationale: a flat manifest makes every read parse metadata
+    for EVERY file of the table; with chunked manifests a filtered
+    read's metadata cost is proportional to the partitions it touches,
+    and an append's metadata write cost is O(new files) — the two
+    properties that keep million-file tables plannable
+    (operators/versioned.py chunked-manifest block; layout-equivalence
+    + vacuum GC tests in tests/test_versioned_chunked.py)."""
+    import tempfile
+
+    from ..operators import versioned as V
+
+    base = tempfile.mkdtemp(prefix="chunked_q_")
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    V.write_versioned(
+        spark,
+        orders.filter(F.col("o_orderkey") % 2 == 0),
+        base,
+        mode="append",
+        partition_by=["o_orderpriority"],
+        manifest_chunking="partition",
+    )
+    V.write_versioned(
+        spark,
+        orders.filter(F.col("o_orderkey") % 2 == 1),
+        base,
+        mode="append",
+    )
+    total = len(V.manifest_chunks_for_read(base))
+    parts = []
+    for p in _PRIORITIES:
+        flt = [("o_orderpriority", "=", p)]
+        loaded = len(V.manifest_chunks_for_read(base, skip_filter=flt))
+        if loaded == 0:
+            continue  # priority absent at this SF
+        parts.append(
+            V.read_versioned(spark, base, skip_filter=flt)
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .select(
+                F.lit(p).alias("o_orderpriority"),
+                "n_rows",
+                F.lit(loaded).cast("bigint").alias("chunks_loaded"),
+                F.lit(total).cast("bigint").alias("chunks_total"),
+            )
+        )
+    out = parts[0]
+    for df in parts[1:]:
+        out = out.unionByName(df)
+    return out.orderBy("o_orderpriority")

@@ -134,7 +134,10 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
         return {"version": max(self.start_version, current_version(self.table_dir))}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
-        from ..operators.versioned import _load_manifest
+        from ..operators.versioned import (
+            _expand_manifest,
+            _load_manifest,
+        )
 
         parts: list[InputPartition] = []
         prev_files: set | None = None
@@ -143,7 +146,12 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                 manifest = _load_manifest(self.table_dir, v)
                 if prev_files is None:
                     prev_files = (
-                        set(_load_manifest(self.table_dir, v - 1)["files"])
+                        set(
+                            _expand_manifest(
+                                self.table_dir,
+                                _load_manifest(self.table_dir, v - 1),
+                            )[0]
+                        )
                         if v > 1
                         else set()
                     )
@@ -157,7 +165,7 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                     f"the retention window; restart from a fresh "
                     f"start_version or raise vacuum(keep_last=...)"
                 ) from e
-            files = manifest["files"]
+            files, _ = _expand_manifest(self.table_dir, manifest)
             cur = set(files)
             added = [f for f in files if f not in prev_files]
             removed = sorted(prev_files - cur)

@@ -195,6 +195,9 @@ LINT_ALLOWLIST = {
         "cartesian-product",
         "single-partition-exchange",
     },
+    # per-priority global COUNT over an already-pruned partition read:
+    # partial agg map-side, one tiny row per task crosses the exchange
+    "versioned_chunked_pruning": {"single-partition-exchange"},
     # global scalar summary of per-key counts: partial agg map-side,
     # one tiny row per task crosses the final exchange
     "skew_report_orders_custkey": {"single-partition-exchange"},
