@@ -1202,6 +1202,7 @@ def compact_versioned(
     zorder_by: list[str] | None = None,
     partition_by: list[str] | None = None,
     evolve_partitioning: bool = False,
+    where: list[tuple] | None = None,
 ) -> int:
     """OPTIMIZE for the Delta-lite layer: rewrite the CURRENT snapshot
     into ``target_files`` right-sized files as a new overwrite commit.
@@ -1222,11 +1223,32 @@ def compact_versioned(
     A hive-partitioned table keeps its layout: ``partition_by`` defaults
     to the current manifest's partition columns (pass ``[]`` to
     deliberately flatten), and ``target_files`` then applies per
-    partition directory."""
+    partition directory.
+
+    ``where`` (skip_filter-style conjunction) scopes the rewrite —
+    Delta's ``OPTIMIZE ... WHERE``: only files whose manifest stats
+    MAY match are read and rewritten (``target_files`` applies to that
+    subset); every other file is carried into the new commit by
+    reference, byte-identical, stats reused. Rows never change, so the
+    commit is pure re-layout: at 100 TB you compact the one hot
+    partition a streaming sink fragments without touching (or even
+    listing) the cold ones."""
     v_read = current_version(table_dir)
     prev_manifest = _load_manifest(table_dir, v_read)
     if partition_by is None:
         partition_by = _manifest_partition_spec(prev_manifest)
+    if where is not None:
+        return _compact_subset(
+            spark,
+            table_dir,
+            v_read,
+            prev_manifest,
+            where,
+            target_files,
+            sort_by,
+            zorder_by,
+            partition_by,
+        )
     cur = read_versioned(spark, table_dir, version=v_read)
     if zorder_by:
         from ..io import zorder_layout
@@ -1256,6 +1278,72 @@ def compact_versioned(
         expected_version=v_read,
         partition_by=partition_by,
         evolve_partitioning=evolve_partitioning,
+    )
+
+
+def _compact_subset(
+    spark: SparkSession,
+    table_dir: str,
+    v_read: int,
+    manifest: dict,
+    where: list[tuple],
+    target_files: int,
+    sort_by: str | None,
+    zorder_by: list[str] | None,
+    partition_by: list[str],
+) -> int:
+    """OPTIMIZE WHERE: rewrite only the may-match files (wholesale — no
+    row filtering, compaction must preserve rows exactly), carry the
+    rest by reference. Read-pinned commit like DML: a concurrent
+    writer raises CommitConflict instead of being silently dropped."""
+    from pyspark.sql import functions as F
+
+    files, stats = _expand_manifest(table_dir, manifest, where)
+    touched = [f for f in files if _file_may_match(stats.get(f), where)]
+    all_files, all_stats = _expand_manifest(table_dir, manifest)
+    if not touched:
+        return v_read  # nothing in scope — no empty commit
+    cur = _read_manifest_files(spark, manifest, table_dir, touched)
+    if zorder_by:
+        from ..io import zorder_layout
+
+        df = zorder_layout(cur, zorder_by, n_files=target_files)
+    elif sort_by:
+        df = cur.repartitionByRange(
+            target_files, F.col(sort_by)
+        ).sortWithinPartitions(sort_by)
+    else:
+        df = cur.coalesce(target_files)
+    new_files = _stage_files(df, table_dir, partition_by=partition_by or None)
+    new_stats = _stats_for_new_files(
+        table_dir, new_files, manifest.get("schema")
+    )
+    _augment_blooms(
+        table_dir, new_files, new_stats, manifest.get("bloom_cols"), 0.01
+    )
+    untouched = [f for f in all_files if f not in set(touched)]
+    merged_files = untouched + new_files
+    merged_stats = {
+        **{f: all_stats[f] for f in untouched if f in all_stats},
+        **new_stats,
+    }
+    return _commit_dml(
+        table_dir,
+        new_files,
+        merged_files,
+        merged_stats,
+        "optimize",
+        manifest.get("schema"),
+        {
+            **manifest.get("meta", {}),
+            "compaction_of": v_read,
+            "where": [list(c) for c in where],
+        },
+        bloom_cols=manifest.get("bloom_cols"),
+        expected_version=v_read,
+        partition_spec=partition_by,
+        spec_id=manifest.get("spec_id", 0),
+        manifest_chunking=manifest.get("manifest_chunking"),
     )
 
 

@@ -192,3 +192,79 @@ def test_explicit_false_flattens_back(spark, sf_dir, tmp_path):
     assert V.read_versioned(spark, base).count() == _orders(
         spark, sf_dir, 0, 1400
     ).count()
+
+
+def test_optimize_where_rewrites_only_targeted_partition(
+    spark, sf_dir, tmp_path
+):
+    """OPTIMIZE ... WHERE: the targeted partition's small files fold
+    into one; every other partition's files are carried byte-identical
+    (same manifest names); rows never change and CDF across the
+    optimize commit is empty."""
+    base = str(tmp_path / "tbl")
+    df = _orders(spark, sf_dir, 0, 2000)
+    # two appends -> each partition holds >= 2 small files
+    for k in (0, 1):
+        V.write_versioned(
+            spark,
+            df.filter(F.col("o_orderkey") % 2 == k),
+            base,
+            mode="append",
+            partition_by=["o_orderpriority"],
+        )
+    before = V.files_for_read(base)
+    tgt = [("o_orderpriority", "=", "1-URGENT")]
+    n_tgt_before = len(
+        [f for f in before if "o_orderpriority=1-URGENT" in f]
+    )
+    assert n_tgt_before >= 2
+    rows_before = V.snapshot_row_count(base)
+    v = V.compact_versioned(spark, base, target_files=1, where=tgt)
+    after = V.files_for_read(base)
+    n_tgt_after = len([f for f in after if "o_orderpriority=1-URGENT" in f])
+    assert n_tgt_after == 1
+    # untouched partitions: identical file names, by reference
+    others_before = {f for f in before if "1-URGENT" not in f}
+    others_after = {f for f in after if "1-URGENT" not in f}
+    assert others_before == others_after
+    assert V.snapshot_row_count(base) == rows_before
+    got = sorted(map(tuple, V.read_versioned(spark, base).collect()))
+    want = sorted(map(tuple, df.collect()))
+    assert got == want
+    ch = V.read_changes(spark, base, from_version=v - 1, to_version=v)
+    assert ch.count() == 0
+
+
+def test_optimize_where_on_chunked_table(spark, sf_dir, tmp_path):
+    base = str(tmp_path / "tbl")
+    df = _orders(spark, sf_dir, 0, 2000)
+    for k in (0, 1):
+        V.write_versioned(
+            spark,
+            df.filter(F.col("o_orderkey") % 2 == k),
+            base,
+            mode="append",
+            partition_by=["o_orderpriority"],
+            manifest_chunking="partition",
+        )
+    tgt = [("o_orderpriority", "=", "5-LOW")]
+    v = V.compact_versioned(spark, base, target_files=1, where=tgt)
+    m = V._load_manifest(base, v)
+    assert "chunks" in m  # layout preserved across OPTIMIZE WHERE
+    assert len(V.manifest_chunks_for_read(base, skip_filter=tgt)) == 1
+    assert (
+        V.read_versioned(spark, base).count() == df.count()
+    )
+
+
+def test_optimize_where_no_match_is_noop(spark, sf_dir, tmp_path):
+    base = str(tmp_path / "tbl")
+    V.write_versioned(
+        spark, _orders(spark, sf_dir, 0, 1000), base, mode="append",
+        partition_by=["o_orderpriority"],
+    )
+    v0 = V.current_version(base)
+    v = V.compact_versioned(
+        spark, base, where=[("o_orderpriority", "=", "9-NOPE")]
+    )
+    assert v == v0 and V.current_version(base) == v0
