@@ -67,6 +67,12 @@ BENCH_QUERIES = [
     # round 5 addition: the real baseline JPEG codec roundtrip
     # (Python-side huffman+DCT throughput in an Arrow stage)
     "multimodal_jpeg_roundtrip",
+    # round 6 additions: Misra-Gries candidate pass + exact verify
+    # (Arrow mapInArrow summaries), hybrid BM25+cosine RRF fusion, and
+    # the two-level-manifest pruning readout (metadata-path cost)
+    "sketch_mg_heavy_hitters_exact",
+    "retrieval_hybrid_rrf",
+    "versioned_chunked_pruning",
 ]
 
 

@@ -54,6 +54,7 @@ DRIVER_PRIORITY = [
     "sketch_mg_heavy_hitters_exact",  # MG candidates + exact verify
     "retrieval_hybrid_rrf",  # BM25 + cosine reciprocal-rank fusion
     "versioned_chunked_pruning",  # two-level manifest rollup pruning
+    "text_bm25_topk_pruned",  # MaxScore-style lossless pruned top-k
     "provenance_partition_lineage",  # _metadata.file_path attribution
     "versioned_stats_drift",  # snapshot-over-snapshot stats diff
     "entity_resolution_canonical",  # contract -> CC -> canonical
@@ -93,7 +94,6 @@ DRIVER_PRIORITY = [
     "q7_bilateral_volume",
     "q8_national_market_share",
     "scalar_date_functions",
-    "scalar_math_functions",
 ]
 
 

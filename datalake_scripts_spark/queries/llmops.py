@@ -2043,6 +2043,156 @@ def text_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_TOPK = 20
+
+
+def _bm25_pruned_sql() -> str:
+    # the oracle is BRUTE FORCE — the pruning must be lossless, so the
+    # pruned Spark plan has to hash-match plain exact top-k
+    terms = ", ".join(f"'{w}'" for w in BM25_QUERY_TERMS)
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({SQL_TOKS}) AS token FROM documents),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok
+           GROUP BY doc_id),
+    stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(dl) AS BIGINT) AS total_len FROM dl),
+    tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+           WHERE token IN ({terms}) GROUP BY doc_id, token),
+    dfreq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf
+              GROUP BY token),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(FLOOR(
+               ln((CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+                  / (CAST(d.df AS DOUBLE) + 0.5) + 1.0)
+               * (CAST(tf.tf AS DOUBLE) * ({_BM25_K1} + 1.0))
+               / (CAST(tf.tf AS DOUBLE) + {_BM25_K1} * (1.0 - {_BM25_B}
+                  + {_BM25_B} * CAST(dl.dl AS DOUBLE)
+                    / (CAST(s.total_len AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))
+               * 1000000) AS BIGINT) AS term_score_micro
+      FROM tf
+      JOIN dfreq d ON d.token = tf.token
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats s)
+    SELECT doc_id,
+           CAST(SUM(term_score_micro) AS BIGINT) AS bm25_micro
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25_micro DESC, doc_id LIMIT {_BM25_TOPK}
+    """
+
+
+@query("text_bm25_topk_pruned", sql=_bm25_pruned_sql())
+def text_bm25_topk_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k with LOSSLESS upper-bound pruning — the MaxScore /
+    WAND family's core safety argument (Turtle & Flood 1995; Broder et
+    al. 2003), re-expressed relationally:
+
+    1. per-term upper bound ub(t) = max term score over the posting
+       list (a term-sized aggregate);
+    2. threshold theta = the exact k-th best score among SEED docs
+       (every doc containing the highest-ub term — a superset-free
+       cheap candidate pool);
+    3. a doc whose SUM of matched-term upper bounds is below theta
+       cannot reach the top-k (ub-sum >= true score, theta <= true
+       k-th best) -> pruned BEFORE exact scoring;
+    4. exact-score the survivors only.
+
+    Because every bound is conservative, the result is IDENTICAL to
+    brute force — which is exactly what the DuckDB oracle computes, so
+    the hash match proves losslessness, and a test asserts survivors
+    < scored docs (the pruning actually bites).
+
+    100 TB shape: the per-term stats (ub, df) are query-term-sized;
+    the ub-sum pass touches only posting rows of the query terms (like
+    any BM25); the EXACT scoring join then runs over the surviving
+    fraction. theta's seed scoring is one posting list, and the two
+    TakeOrdered top-ks never global-sort."""
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(X.tokens("text")).alias("token"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
+    )
+    tf = (
+        tok.filter(F.col("token").isin(BM25_QUERY_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    k1, b = _BM25_K1, _BM25_B
+    idf = F.log(
+        (F.col("n_docs").cast("double") - F.col("df").cast("double") + 0.5)
+        / (F.col("df").cast("double") + 0.5)
+        + 1.0
+    )
+    avgdl = F.col("total_len").cast("double") / F.col("n_docs").cast("double")
+    term_score = (
+        idf
+        * (F.col("tf").cast("double") * (k1 + 1.0))
+        / (
+            F.col("tf").cast("double")
+            + k1 * (1.0 - b + b * F.col("dl").cast("double") / avgdl)
+        )
+    )
+    # per-(doc, term) exact micro scores — the one posting-shaped pass
+    posting = (
+        # bcast: O(query terms) df rows + O(1) corpus-stats row
+        tf.join(F.broadcast(dfreq), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "token",
+            F.floor(term_score * 1e6).cast("bigint").alias("s_micro"),
+        )
+    )
+    ub = posting.groupBy("token").agg(F.max("s_micro").alias("ub_micro"))
+    # theta: exact k-th best among docs containing the highest-ub term
+    top_term = ub.orderBy(F.desc("ub_micro"), "token").limit(1)
+    # bcast: 1-row top term
+    seed_ids = (
+        posting.join(
+            F.broadcast(top_term.select("token")), "token"
+        ).select("doc_id").distinct()
+    )
+    # bcast: seed ids bounded by the shortest route to a valid theta —
+    # one term's posting list (df-sized, << corpus)
+    seed_scores = (
+        posting.join(F.broadcast(seed_ids), "doc_id")
+        .groupBy("doc_id")
+        .agg(F.sum("s_micro").alias("bm25_micro"))
+        .orderBy(F.desc("bm25_micro"), "doc_id")
+        .limit(_BM25_TOPK)
+    )
+    theta = seed_scores.agg(
+        F.min("bm25_micro").alias("theta"),
+        F.count(F.lit(1)).alias("n_seed"),
+    )
+    # ub-sum prune: keep docs whose optimistic bound can reach theta
+    # (or while the seed pool hasn't even filled k yet)
+    # bcast: O(query terms) ub rows + O(1) theta row
+    survivors = (
+        posting.join(F.broadcast(ub), "token")
+        .groupBy("doc_id")
+        .agg(F.sum("ub_micro").alias("ub_sum"))
+        .crossJoin(F.broadcast(theta))
+        .filter(
+            (F.col("n_seed") < _BM25_TOPK)
+            | (F.col("ub_sum") >= F.col("theta"))
+        )
+        .select("doc_id")
+    )
+    # bcast: survivor ids (theta-pruned candidate set)
+    return (
+        posting.join(F.broadcast(survivors), "doc_id")
+        .groupBy("doc_id")
+        .agg(F.sum("s_micro").cast("bigint").alias("bm25_micro"))
+        .orderBy(F.desc("bm25_micro"), "doc_id")
+        .limit(_BM25_TOPK)
+    )
+
+
 _RRF_C = 60  # the published reciprocal-rank-fusion constant
 _RRF_POOL = 50  # per-list candidate pool
 _RRF_K = 20

@@ -198,6 +198,9 @@ LINT_ALLOWLIST = {
     # per-priority global COUNT over an already-pruned partition read:
     # partial agg map-side, one tiny row per task crosses the exchange
     "versioned_chunked_pruning": {"single-partition-exchange"},
+    # corpus-stats + theta scalar attaches (1-row broadcast crossJoins
+    # of the lazy scalar-attach idiom)
+    "text_bm25_topk_pruned": {"cartesian-product"},
     # global scalar summary of per-key counts: partial agg map-side,
     # one tiny row per task crosses the final exchange
     "skew_report_orders_custkey": {"single-partition-exchange"},

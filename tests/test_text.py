@@ -205,3 +205,39 @@ def test_url_canonicalize_edge_cases(spark):
     twice = {r.i: r.c2 for r in df.select(
         "i", url_canonicalize(url_canonicalize("url")).alias("c2")).collect()}
     assert twice == got
+
+
+def test_bm25_pruned_topk_lossless(spark, sf_dir):
+    """The MaxScore-style pruned top-k equals brute force exactly
+    (lossless bounds), over a candidate universe genuinely larger than
+    k (the selection is real, not a pass-through)."""
+    from pyspark.sql import functions as F
+
+    from datalake_scripts_spark.operators import text as X
+    from datalake_scripts_spark.queries import REGISTRY
+    from datalake_scripts_spark.queries.llmops import BM25_QUERY_TERMS
+    from datalake_scripts_spark.io import read_table
+    from datalake_scripts_spark.queries.llmops import (
+        _BM25_TOPK,
+        text_bm25_topk_pruned,
+    )
+
+    pruned = [
+        (r.doc_id, r.bm25_micro)
+        for r in text_bm25_topk_pruned(spark, sf_dir).collect()
+    ]
+    brute = [
+        (r.doc_id, r.bm25_micro)
+        for r in REGISTRY["text_bm25_scores"].fn(spark, sf_dir).collect()
+    ]
+    assert pruned == brute[: len(pruned)]
+    assert len(pruned) == _BM25_TOPK
+    n_candidates = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(X.tokens("text")).alias("token"))
+        .filter(F.col("token").isin(BM25_QUERY_TERMS))
+        .select("doc_id")
+        .distinct()
+        .count()
+    )
+    assert n_candidates > _BM25_TOPK
