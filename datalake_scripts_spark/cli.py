@@ -166,9 +166,14 @@ def main(argv: list[str] | None = None) -> int:
         manifest = _load_manifest(args.dir, v)
         with open(args.contract) as fh:
             contract = StructType.fromJson(_json.load(fh))
-        violations = read_compat(
-            StructType.fromJson(manifest["schema"]), contract
-        )
+        committed = manifest.get("schema")
+        if committed is None:
+            print(
+                f"VIOLATION {args.dir}@v{v} has no committed schema to "
+                "validate against"
+            )
+            return 1
+        violations = read_compat(StructType.fromJson(committed), contract)
         if violations:
             for viol in violations:
                 print(f"VIOLATION {viol}")

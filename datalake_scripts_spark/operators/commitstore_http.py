@@ -262,8 +262,14 @@ class HttpCommitStore(CommitStore):
 
     def list_log(self, table_dir: str) -> list[str]:
         code, body = self._request("GET", self._url(table_dir))
+        if code == 404:
+            return []  # genuinely-missing log: an uncommitted table
         if code != 200:
-            return []
+            # a transient 5xx must NOT look like an empty log — with a
+            # missing pointer, current_version's listing fallback would
+            # resolve to 0 and readers would spuriously report "no
+            # committed version"
+            raise RuntimeError(f"list {table_dir} -> HTTP {code}")
         names = [n for n in body.decode().splitlines() if n]
         return [n for n in names if n != _POINTER_NAME]
 

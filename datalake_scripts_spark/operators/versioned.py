@@ -146,9 +146,14 @@ def _chunk_rollup(files: list[str], stats: dict) -> dict:
         rows += st.get("rows", 0)
         fc = st.get("columns", {})
         if cols is None:
+            # _file_stats stores None for columns with no usable min/max
+            # (all-null columns, undecodable encodings) — such columns are
+            # unprunable at chunk grain and must be skipped when seeding,
+            # mirroring the merge branch's del below.
             cols = {
                 k: {"min": v["min"], "max": v["max"], "nulls": v["nulls"]}
                 for k, v in fc.items()
+                if v is not None
             }
         else:
             for k in list(cols):
@@ -1248,6 +1253,7 @@ def compact_versioned(
             sort_by,
             zorder_by,
             partition_by,
+            evolve_partitioning,
         )
     cur = read_versioned(spark, table_dir, version=v_read)
     if zorder_by:
@@ -1291,12 +1297,29 @@ def _compact_subset(
     sort_by: str | None,
     zorder_by: list[str] | None,
     partition_by: list[str],
+    evolve_partitioning: bool = False,
 ) -> int:
     """OPTIMIZE WHERE: rewrite only the may-match files (wholesale — no
     row filtering, compaction must preserve rows exactly), carry the
     rest by reference. Read-pinned commit like DML: a concurrent
     writer raises CommitConflict instead of being silently dropped."""
     from pyspark.sql import functions as F
+
+    # same evolve_partitioning gate as the write_versioned path — a
+    # differing explicit spec must not silently rewrite the committed
+    # layout, and an evolution must bump spec_id
+    cur_spec = _manifest_partition_spec(manifest)
+    cur_spec_id = manifest.get("spec_id", 0)
+    if (partition_by or []) != cur_spec and not evolve_partitioning:
+        raise ValueError(
+            f"compact_versioned(where=...): partition_by {partition_by} differs "
+            f"from the table's committed partition spec {cur_spec} "
+            f"(spec_id {cur_spec_id}); pass evolve_partitioning=True to change "
+            "the spec, or omit partition_by to keep it"
+        )
+    spec_id = (
+        cur_spec_id + 1 if (partition_by or []) != cur_spec else cur_spec_id
+    )
 
     files, stats = _expand_manifest(table_dir, manifest, where)
     touched = [f for f in files if _file_may_match(stats.get(f), where)]
@@ -1342,7 +1365,7 @@ def _compact_subset(
         bloom_cols=manifest.get("bloom_cols"),
         expected_version=v_read,
         partition_spec=partition_by,
-        spec_id=manifest.get("spec_id", 0),
+        spec_id=spec_id,
         manifest_chunking=manifest.get("manifest_chunking"),
     )
 

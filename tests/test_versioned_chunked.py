@@ -268,3 +268,46 @@ def test_optimize_where_no_match_is_noop(spark, sf_dir, tmp_path):
         spark, base, where=[("o_orderpriority", "=", "9-NOPE")]
     )
     assert v == v0 and V.current_version(base) == v0
+
+
+def test_chunked_commit_with_all_null_column(spark, tmp_path):
+    """ADVICE r6 (high): _chunk_rollup must skip columns whose per-file
+    stats are None (all-null columns have no min/max) instead of
+    crashing with TypeError — chunking is inherited table state, so
+    this made a chunked table unwritable the moment such a file landed."""
+    base = str(tmp_path / "tbl")
+    df = spark.range(10).select(
+        F.col("id").alias("k"),
+        F.lit(None).cast("string").alias("all_null"),
+    )
+    V.write_versioned(spark, df, base, mode="append", manifest_chunking=2)
+    m = V._load_manifest(base, 1)
+    assert "chunks" in m
+    for ch in m["chunks"]:
+        assert "all_null" not in ch["rollup"]["columns"]  # unprunable
+    # appends (which re-run the rollup over carried + new chunks) survive
+    V.write_versioned(spark, df, base, mode="append")
+    got = V.read_versioned(spark, base)
+    assert got.count() == 20
+    assert got.filter(F.col("all_null").isNull()).count() == 20
+
+
+def test_optimize_where_partition_spec_gate(spark, sf_dir, tmp_path):
+    """ADVICE r6: OPTIMIZE WHERE with a differing partition_by must hit
+    the same evolve_partitioning gate as write_versioned, and evolution
+    must bump spec_id."""
+    import pytest
+
+    base = str(tmp_path / "tbl")
+    V.write_versioned(
+        spark, _orders(spark, sf_dir, 0, 2000), base, mode="append",
+        partition_by=["o_orderpriority"],
+    )
+    tgt = [("o_orderpriority", "=", "1-URGENT")]
+    with pytest.raises(ValueError, match="evolve_partitioning"):
+        V.compact_versioned(spark, base, where=tgt, partition_by=[])
+    spec0 = V._load_manifest(base, V.current_version(base)).get("spec_id", 0)
+    v = V.compact_versioned(
+        spark, base, where=tgt, partition_by=[], evolve_partitioning=True
+    )
+    assert V._load_manifest(base, v).get("spec_id", 0) == spec0 + 1
