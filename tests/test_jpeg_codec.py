@@ -81,13 +81,25 @@ def test_quality_monotonic():
     assert sizes[0] > sizes[1]  # and bigger files
 
 
-def test_progressive_raises_unsupported():
+def test_arithmetic_raises_unsupported():
     enc = bytearray(encode_jpeg(_rand((8, 8, 3), seed=1)))
     i = bytes(enc).index(b"\xff\xc0")
-    enc[i + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
+    enc[i + 1] = 0xC9  # flip SOF0 -> SOF9 (arithmetic sequential)
     with pytest.raises(UnsupportedJpeg):
         jpeg_dimensions(bytes(enc))
     with pytest.raises(UnsupportedJpeg):
+        decode_jpeg(bytes(enc))
+
+
+def test_sof2_marker_on_baseline_stream_is_rejected():
+    # a baseline entropy stream mislabeled SOF2 must error (its SOS
+    # declares Ss=0..Se=63, illegal for a progressive DC scan), not
+    # decode to garbage — progressive itself is supported now
+    enc = bytearray(encode_jpeg(_rand((8, 8, 3), seed=1)))
+    i = bytes(enc).index(b"\xff\xc0")
+    enc[i + 1] = 0xC2
+    assert jpeg_dimensions(bytes(enc)) == (8, 8, 3)  # dims still probe
+    with pytest.raises(ValueError):
         decode_jpeg(bytes(enc))
 
 

@@ -258,8 +258,9 @@ def test_progressive_dims_probe_and_truncations():
     assert jpeg_frame_info(good) == (20, 12, 3, "progressive")
     w, h, nf, status = _decode_dims_status(good)
     assert (w, h, nf, status) == (20, 12, 1, "jpeg_progressive")
-    # full decode still stubbed: decode_jpeg refuses the coding
-    with pytest.raises(UnsupportedJpeg):
+    # full decode is implemented now (r7), but THIS payload is a bare
+    # frame header with no scan — still an error, never garbage
+    with pytest.raises(ValueError):
         decode_jpeg(good)
     # truncations: while the SOF2 frame header is incomplete the row
     # survives via stub/quarantine; once the header is whole (byte 21
