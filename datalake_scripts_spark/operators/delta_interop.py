@@ -1,0 +1,333 @@
+"""Delta Lake ``_delta_log`` interop (VERDICT r6 ask #2): export a
+versioned table's commit history as a conforming Delta transaction log,
+and import (adopt) an append-only Delta log into the versioned layer's
+manifest chain — so a table written here can be handed to any
+``_delta_log`` reader (delta-rs, Spark+Delta, DuckDB delta) and a
+Delta table dropped into a directory can be read, time-traveled, and
+written through :mod:`operators.versioned` without rewriting a byte of
+data.
+
+Format notes (public Delta PROTOCOL.md):
+
+- One newline-delimited-JSON commit per version at
+  ``_delta_log/%020d.json``; actions are single-key objects:
+  ``protocol``, ``metaData``, ``add``, ``remove``, ``commitInfo``.
+- ``metaData.schemaString`` is the JSON of a Spark ``StructType`` —
+  byte-compatible with the ``schema`` field our manifests already
+  store, so schema translation is an identity.
+- ``add.stats`` is a JSON string ``{"numRecords", "minValues",
+  "maxValues", "nullCount"}`` — the same footer-derived facts our
+  per-file stats hold, reshaped.
+- ``protocol`` is pinned to ``minReaderVersion=1/minWriterVersion=2``
+  on export (plain parquet + invariants-free appends: readable by
+  every Delta client); imports accept reader version 1 and refuse
+  higher (column mapping / deletion vectors change data layout).
+
+Both directions are METADATA-ONLY — data files are shared in place,
+so adopting or exporting a 100 TB table costs O(commits), not O(data).
+Checkpoint parquet files are neither written nor required (the spec
+makes them an optimization; readers fall back to the JSON chain), and
+imports require the contiguous JSON chain from version 0 — a
+checkpoint-truncated log raises with a clear message.
+
+Reference parity: the reference keeps all table state as bare
+parquet prefixes on an object store (monkey_proc.py save paths); this
+adapter is what lets that same layout graduate to a transactional,
+ecosystem-readable lakehouse table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import urllib.parse
+import uuid
+
+from .commitstore import get_commit_store
+from .versioned import (
+    _expand_manifest,
+    _load_manifest,
+    _manifest_name,
+    current_version,
+)
+
+_LOG_DIR = "_delta_log"
+
+
+def _delta_commit_name(version: int) -> str:
+    return f"{version:020d}.json"
+
+
+def _partition_values(rel_path: str) -> dict:
+    """Hive-style ``k=v`` directory segments of a staged file path ->
+    Delta ``partitionValues`` (url-unquoted, the dialect Spark's
+    partitioned writer produces)."""
+    out = {}
+    for seg in rel_path.split("/")[:-1]:
+        if "=" in seg:
+            k, _, v = seg.partition("=")
+            out[urllib.parse.unquote(k)] = urllib.parse.unquote(v)
+    return out
+
+
+def _delta_stats(file_stats: dict | None) -> str | None:
+    """Our per-file stats -> Delta ``add.stats`` JSON string. Columns
+    recorded as None (no usable min/max) are omitted from min/max maps
+    — Delta permits partial stats and readers treat absence as
+    unprunable, matching our convention exactly."""
+    if not file_stats:
+        return None
+    mins, maxs, nulls = {}, {}, {}
+    for col, cs in file_stats.get("columns", {}).items():
+        if cs is None:
+            continue
+        mins[col] = cs["min"]
+        maxs[col] = cs["max"]
+        nulls[col] = cs["nulls"]
+    return json.dumps(
+        {
+            "numRecords": file_stats.get("rows", 0),
+            "minValues": mins,
+            "maxValues": maxs,
+            "nullCount": nulls,
+        }
+    )
+
+
+def export_delta_log(table_dir: str, out_dir: str | None = None) -> str:
+    """Write ``<table_dir>/_delta_log/`` (or ``<out_dir>/_delta_log``)
+    expressing the table's ENTIRE manifest history as Delta commits —
+    version v maps to Delta commit v-1, so time travel carries over.
+    Per commit: the file-set diff against the previous snapshot becomes
+    ``add``/``remove`` actions (``dataChange=false`` for pure
+    re-layout commits like OPTIMIZE, so streaming Delta readers skip
+    them); ``metaData`` is re-emitted whenever the committed schema or
+    partition spec changes. Returns the log directory path.
+
+    Append-only object-store discipline: each commit file is staged and
+    atomically renamed, never rewritten — an interrupted export leaves
+    a readable prefix of history."""
+    latest = current_version(table_dir)
+    if latest == 0:
+        raise FileNotFoundError(f"no committed version in {table_dir}")
+    log_dir = os.path.join(out_dir or table_dir, _LOG_DIR)
+    os.makedirs(log_dir, exist_ok=True)
+    table_id = str(uuid.uuid4())
+    now_ms = int(time.time() * 1000)
+
+    prev_files: set[str] = set()
+    prev_stats: dict = {}
+    prev_schema = None
+    prev_spec = None
+    for v in range(1, latest + 1):
+        manifest = _load_manifest(table_dir, v)
+        files, stats = _expand_manifest(table_dir, manifest)
+        schema_json = manifest.get("schema")
+        if schema_json is None:
+            raise ValueError(
+                f"{table_dir}@v{v} has no committed schema — a Delta "
+                "metaData action requires one"
+            )
+        spec = manifest.get("partition_spec") or []
+        mode = manifest.get("mode", "append")
+        # pure re-layout commits (OPTIMIZE / OPTIMIZE WHERE — the
+        # full-table path records mode="overwrite" + meta.compaction_of)
+        # keep rows identical: Delta streaming readers skip them via
+        # dataChange=false
+        is_relayout = (
+            mode == "optimize"
+            or "compaction_of" in manifest.get("meta", {})
+        )
+        if is_relayout:
+            mode = "optimize"
+        data_change = not is_relayout
+        actions: list[dict] = []
+        if v == 1:
+            actions.append(
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+            )
+        if v == 1 or schema_json != prev_schema or spec != prev_spec:
+            actions.append(
+                {
+                    "metaData": {
+                        "id": table_id,
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": json.dumps(schema_json),
+                        "partitionColumns": list(spec),
+                        "configuration": {},
+                        "createdTime": now_ms,
+                    }
+                }
+            )
+        actions.append(
+            {
+                "commitInfo": {
+                    "operation": mode.upper(),
+                    "engineInfo": "datalake-scripts-spark delta-interop",
+                }
+            }
+        )
+        cur = set(files)
+        for f in sorted(prev_files - cur):
+            actions.append(
+                {
+                    "remove": {
+                        "path": urllib.parse.quote(f),
+                        "deletionTimestamp": now_ms,
+                        "dataChange": data_change,
+                    }
+                }
+            )
+        for f in sorted(cur - prev_files):
+            full = os.path.join(table_dir, f)
+            st = os.stat(full)
+            add = {
+                "path": urllib.parse.quote(f),
+                "partitionValues": _partition_values(f),
+                "size": st.st_size,
+                "modificationTime": int(st.st_mtime * 1000),
+                "dataChange": data_change,
+            }
+            dstats = _delta_stats(stats.get(f))
+            if dstats is not None:
+                add["stats"] = dstats
+            actions.append({"add": add})
+        tmp = os.path.join(log_dir, f".{_delta_commit_name(v - 1)}.tmp")
+        with open(tmp, "w") as fh:
+            fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+        os.replace(tmp, os.path.join(log_dir, _delta_commit_name(v - 1)))
+        prev_files, prev_stats = cur, stats
+        prev_schema, prev_spec = schema_json, spec
+    return log_dir
+
+
+def _manifest_stats(add: dict) -> dict | None:
+    """Delta ``add.stats`` JSON string -> our per-file stats dict.
+    Columns present in nullCount but absent from min/max become None
+    (unprunable) — the exact inverse of :func:`_delta_stats`."""
+    raw = add.get("stats")
+    if not raw:
+        return None
+    try:
+        d = json.loads(raw)
+    except (TypeError, ValueError):
+        return None
+    mins = d.get("minValues", {}) or {}
+    maxs = d.get("maxValues", {}) or {}
+    nulls = d.get("nullCount", {}) or {}
+    cols: dict = {}
+    for col in set(mins) | set(maxs) | set(nulls):
+        if col in mins and col in maxs:
+            cols[col] = {
+                "min": mins[col],
+                "max": maxs[col],
+                "nulls": int(nulls.get(col, 0)),
+            }
+        else:
+            cols[col] = None
+    return {"rows": int(d.get("numRecords", 0)), "columns": cols}
+
+
+def import_delta_log(table_dir: str) -> int:
+    """Adopt ``<table_dir>/_delta_log`` into the versioned layer:
+    replay the contiguous JSON commit chain from Delta version 0,
+    committing one manifest per Delta commit (v = delta+1) so the
+    imported table TIME-TRAVELS through its pre-adoption history.
+    Data files are referenced in place. Returns the latest version.
+
+    Refuses (ValueError) when: the table already has a manifest chain
+    (adoption is for fresh dirs), the JSON chain does not start at 0
+    (checkpoint-truncated log), the protocol requires reader features
+    beyond plain parquet (column mapping, deletion vectors), or an
+    add carries a deletion vector. ``cdc``/``txn``/``commitInfo``/
+    ``domainMetadata`` actions are skipped — they carry no table
+    state."""
+    if current_version(table_dir) > 0:
+        raise ValueError(
+            f"{table_dir} already has a versioned commit log; "
+            "import_delta_log only adopts fresh directories"
+        )
+    log_dir = os.path.join(table_dir, _LOG_DIR)
+    if not os.path.isdir(log_dir):
+        raise FileNotFoundError(f"{log_dir} does not exist")
+    commits = sorted(
+        int(n[:-5])
+        for n in os.listdir(log_dir)
+        if len(n) == 25 and n.endswith(".json") and n[:20].isdigit()
+    )
+    if not commits:
+        raise ValueError(f"{log_dir} holds no commit JSON files")
+    if commits[0] != 0 or commits != list(range(len(commits))):
+        raise ValueError(
+            f"{log_dir} is not a contiguous JSON chain from version 0 "
+            "(checkpoint-truncated logs are not supported — ask the "
+            "writer for a full-history export)"
+        )
+    store = get_commit_store()
+    store.ensure_log(table_dir)
+    active: dict[str, dict | None] = {}  # rel path -> stats (ordered)
+    schema_json = None
+    spec: list[str] = []
+    version = 0
+    for dv in commits:
+        removes = 0
+        with open(os.path.join(log_dir, _delta_commit_name(dv))) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "protocol" in action:
+                    if action["protocol"].get("minReaderVersion", 1) > 1:
+                        raise ValueError(
+                            "Delta protocol minReaderVersion "
+                            f"{action['protocol']['minReaderVersion']} "
+                            "requires reader features (column mapping / "
+                            "deletion vectors) this importer does not "
+                            "implement"
+                        )
+                elif "metaData" in action:
+                    schema_json = json.loads(action["metaData"]["schemaString"])
+                    spec = list(action["metaData"].get("partitionColumns", []))
+                elif "add" in action:
+                    add = action["add"]
+                    if add.get("deletionVector"):
+                        raise ValueError(
+                            "deletion vectors are not supported by this "
+                            "importer"
+                        )
+                    path = urllib.parse.unquote(add["path"])
+                    active[path] = _manifest_stats(add)
+                elif "remove" in action:
+                    active.pop(urllib.parse.unquote(action["remove"]["path"]), None)
+                    removes += 1
+                # cdc / txn / commitInfo / domainMetadata: no table state
+        if schema_json is None:
+            raise ValueError(
+                f"Delta commit {dv} reached without a metaData action"
+            )
+        files = list(active)
+        stats = {f: s for f, s in active.items() if s is not None}
+        manifest = {
+            "version": dv + 1,
+            "mode": "append" if removes == 0 else "overwrite",
+            "files": files,
+            "stats": stats,
+            "schema": schema_json,
+            "meta": {"delta_import": dv},
+            "partition_spec": spec,
+            "spec_id": 0,
+        }
+        if not store.put_if_absent(
+            table_dir, _manifest_name(dv + 1), json.dumps(manifest).encode()
+        ):
+            raise ValueError(
+                f"manifest v{dv + 1} appeared during import — concurrent "
+                "writer on a fresh adoption directory"
+            )
+        version = dv + 1
+    from .versioned import _advance_latest
+
+    _advance_latest(table_dir, version)
+    return version

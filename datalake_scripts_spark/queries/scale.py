@@ -645,3 +645,82 @@ def versioned_chunked_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in parts[1:]:
         out = out.unionByName(df)
     return out.orderBy("o_orderpriority")
+
+
+_DELTA_INTEROP_SQL = """
+WITH kept AS (
+  SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+  FROM orders
+  WHERE o_orderkey < 4000 AND o_orderpriority <> '1-URGENT'
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       CAST(4 AS BIGINT) AS n_versions
+FROM kept
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@query("delta_interop_roundtrip", sql=_DELTA_INTEROP_SQL)
+def delta_interop_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta ``_delta_log`` format interop, end to end and
+    driver-verified (operators/delta_interop.py, VERDICT r6 ask #2):
+    build a 4-commit versioned table (append evens, append odds,
+    DELETE one priority, OPTIMIZE), export its FULL history as a
+    conforming Delta transaction log (protocol/metaData/add/remove
+    actions, per-file stats strings, dataChange=false on the
+    re-layout commit), then DESTROY the native manifest chain so the
+    Delta log is the only metadata left, import it back, and
+    aggregate the adopted table. The oracle recomputes the surviving
+    rows' per-priority counts and decimal-exact price sums straight
+    from ``orders`` — any defect in either direction of the
+    translation (lost add, phantom remove, stats mangling, schema
+    drift) changes the hash. n_versions asserts the adopted table
+    kept ALL pre-adoption history time-travelable.
+
+    100 TB rationale: both directions are metadata-only — data files
+    are adopted in place, so handing a huge table to (or taking one
+    from) the Delta ecosystem costs O(commits), not O(data)."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators import versioned as V
+    from ..operators.delta_interop import export_delta_log, import_delta_log
+
+    base = tempfile.mkdtemp(prefix="delta_interop_q_")
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    ).filter(F.col("o_orderkey") < 4000)
+    V.write_versioned(
+        spark, orders.filter(F.col("o_orderkey") % 2 == 0), base, mode="append"
+    )
+    V.write_versioned(
+        spark, orders.filter(F.col("o_orderkey") % 2 == 1), base, mode="append"
+    )
+    V.delete_versioned(spark, base, "o_orderpriority = '1-URGENT'")
+    V.compact_versioned(spark, base, target_files=2)
+
+    export_delta_log(base)
+    shutil.rmtree(os.path.join(base, "_manifests"))
+    ptr = os.path.join(base, "_latest")
+    if os.path.exists(ptr):
+        os.remove(ptr)
+    # measured AFTER adoption: asserts the import rebuilt the FULL
+    # 4-commit history, not just the head snapshot
+    n_versions = import_delta_log(base)
+
+    adopted = V.read_versioned(spark, base)
+    return (
+        adopted.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .withColumn("n_versions", F.lit(n_versions).cast("bigint"))
+        .orderBy("o_orderpriority")
+    )

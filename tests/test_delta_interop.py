@@ -1,0 +1,201 @@
+"""Delta ``_delta_log`` interop (operators/delta_interop.py, VERDICT
+r6 ask #2): export is hand-parsed against the public protocol shape;
+import round-trips a table through the Delta log as the ONLY metadata
+source of truth.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from datalake_scripts_spark.operators import versioned as V
+from datalake_scripts_spark.operators.delta_interop import (
+    export_delta_log,
+    import_delta_log,
+)
+
+
+def _orders(spark, sf_dir, lo, hi):
+    from datalake_scripts_spark.io import read_table
+
+    return (
+        read_table(spark, sf_dir, "orders")
+        .filter((F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+    )
+
+
+def _build_history(spark, sf_dir, base):
+    """append, append, DELETE, OPTIMIZE — four commits covering adds,
+    removes, and a dataChange=false re-layout."""
+    V.write_versioned(spark, _orders(spark, sf_dir, 0, 2000), base, mode="append")
+    V.write_versioned(spark, _orders(spark, sf_dir, 2000, 4000), base, mode="append")
+    V.delete_versioned(spark, base, "o_orderpriority = '1-URGENT'")
+    V.compact_versioned(spark, base, target_files=1)
+    return V.current_version(base)
+
+
+def _commit_actions(log_dir, dv):
+    with open(os.path.join(log_dir, f"{dv:020d}.json")) as fh:
+        return [json.loads(line) for line in fh if line.strip()]
+
+
+def _wipe_own_log(base):
+    """Remove the versioned manifest chain + pointer so the Delta log
+    is the only remaining metadata."""
+    shutil.rmtree(os.path.join(base, "_manifests"))
+    ptr = os.path.join(base, "_latest")
+    if os.path.exists(ptr):
+        os.remove(ptr)
+
+
+def test_export_protocol_shape(spark, sf_dir, tmp_path):
+    base = str(tmp_path / "tbl")
+    latest = _build_history(spark, sf_dir, base)
+    log_dir = export_delta_log(base)
+    names = sorted(os.listdir(log_dir))
+    assert names == [f"{v:020d}.json" for v in range(latest)]
+
+    a0 = _commit_actions(log_dir, 0)
+    assert a0[0] == {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+    meta = a0[1]["metaData"]
+    schema = json.loads(meta["schemaString"])
+    assert [f["name"] for f in schema["fields"]] == [
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority",
+    ]
+    adds0 = [a["add"] for a in a0 if "add" in a]
+    assert adds0 and all(a["dataChange"] for a in adds0)
+    st = json.loads(adds0[0]["stats"])
+    assert st["numRecords"] > 0 and "o_orderkey" in st["minValues"]
+    for add in adds0:  # size/mtime come from the real staged files
+        assert add["size"] == os.path.getsize(os.path.join(base, add["path"]))
+
+    # commit 1 is a pure append: adds only
+    a1 = _commit_actions(log_dir, 1)
+    assert any("add" in a for a in a1) and not any("remove" in a for a in a1)
+    # commit 2 is the DELETE: removes + adds, dataChange=true
+    a2 = _commit_actions(log_dir, 2)
+    assert any("remove" in a for a in a2)
+    assert all(a["remove"]["dataChange"] for a in a2 if "remove" in a)
+    # commit 3 is OPTIMIZE: pure re-layout, dataChange=false everywhere
+    a3 = _commit_actions(log_dir, 3)
+    acts = [a for a in a3 if "add" in a or "remove" in a]
+    assert acts
+    for a in acts:
+        body = a.get("add") or a.get("remove")
+        assert body["dataChange"] is False
+    assert any(
+        a["commitInfo"]["operation"] == "OPTIMIZE"
+        for a in a3
+        if "commitInfo" in a
+    )
+
+
+def test_roundtrip_through_delta_log_only(spark, sf_dir, tmp_path):
+    base = str(tmp_path / "tbl")
+    latest = _build_history(spark, sf_dir, base)
+    expected = sorted(map(tuple, V.read_versioned(spark, base).collect()))
+    v1_rows = V.read_versioned(spark, base, version=1).count()
+    export_delta_log(base)
+    _wipe_own_log(base)
+    with pytest.raises(FileNotFoundError):
+        V.read_versioned(spark, base)  # truly gone
+    assert import_delta_log(base) == latest
+    got = sorted(map(tuple, V.read_versioned(spark, base).collect()))
+    assert got == expected
+    # pre-adoption history time-travels
+    assert V.read_versioned(spark, base, version=1).count() == v1_rows
+    # imported stats still skip files
+    all_files = V.files_for_read(base)
+    pruned = V.files_for_read(
+        base, skip_filter=[("o_orderkey", "<", -1)]
+    )
+    assert len(pruned) < len(all_files) or len(all_files) == 1
+    # and the adopted table accepts new commits on top
+    V.write_versioned(spark, _orders(spark, sf_dir, 4000, 4500), base, mode="append")
+    assert V.current_version(base) == latest + 1
+
+
+def test_roundtrip_partitioned_table(spark, sf_dir, tmp_path):
+    base = str(tmp_path / "tbl")
+    V.write_versioned(
+        spark, _orders(spark, sf_dir, 0, 3000), base, mode="append",
+        partition_by=["o_orderpriority"],
+    )
+    expected = sorted(map(tuple, V.read_versioned(spark, base).collect()))
+    log_dir = export_delta_log(base)
+    a0 = _commit_actions(log_dir, 0)
+    assert a0[1]["metaData"]["partitionColumns"] == ["o_orderpriority"]
+    adds = [a["add"] for a in a0 if "add" in a]
+    assert all("o_orderpriority" in a["partitionValues"] for a in adds)
+    _wipe_own_log(base)
+    import_delta_log(base)
+    assert sorted(map(tuple, V.read_versioned(spark, base).collect())) == expected
+    # partition spec survived adoption
+    m = V._load_manifest(base, V.current_version(base))
+    assert m["partition_spec"] == ["o_orderpriority"]
+
+
+def test_import_rejections(spark, sf_dir, tmp_path):
+    base = str(tmp_path / "tbl")
+    V.write_versioned(spark, _orders(spark, sf_dir, 0, 500), base, mode="append")
+    log_dir = export_delta_log(base)
+    # existing manifest chain -> refuse
+    with pytest.raises(ValueError, match="already has a versioned"):
+        import_delta_log(base)
+    _wipe_own_log(base)
+    # protocol needing reader features -> refuse
+    p = os.path.join(log_dir, f"{0:020d}.json")
+    lines = open(p).read().splitlines()
+    with open(p, "w") as fh:
+        fh.write(json.dumps({"protocol": {"minReaderVersion": 3,
+                                          "minWriterVersion": 7}}) + "\n")
+        fh.write("\n".join(lines[1:]) + "\n")
+    with pytest.raises(ValueError, match="minReaderVersion"):
+        import_delta_log(base)
+    # restore, then truncate the chain head -> refuse
+    with open(p, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    os.rename(p, os.path.join(log_dir, f"{7:020d}.json"))
+    with pytest.raises(ValueError, match="contiguous"):
+        import_delta_log(base)
+
+
+def test_import_foreign_minimal_log(spark, tmp_path):
+    """A hand-written Delta log (as a non-Spark writer like delta-rs
+    would produce, stats-free adds) adopts and reads."""
+    base = str(tmp_path / "foreign")
+    os.makedirs(os.path.join(base, "_delta_log"))
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    df.coalesce(1).write.parquet(os.path.join(base, "stage"))
+    part = next(
+        f for f in os.listdir(os.path.join(base, "stage"))
+        if f.endswith(".parquet")
+    )
+    os.rename(os.path.join(base, "stage", part), os.path.join(base, "part-0.parquet"))
+    schema = {"type": "struct", "fields": [
+        {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+        {"name": "v", "type": "long", "nullable": True, "metadata": {}},
+    ]}
+    actions = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {"id": "t", "format": {"provider": "parquet", "options": {}},
+                      "schemaString": json.dumps(schema),
+                      "partitionColumns": [], "configuration": {},
+                      "createdTime": 0}},
+        {"add": {"path": "part-0.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ]
+    with open(os.path.join(base, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+    assert import_delta_log(base) == 1
+    got = V.read_versioned(spark, base)
+    assert got.count() == 100
+    assert got.agg(F.sum("k")).collect()[0][0] == sum(range(100))
