@@ -87,7 +87,12 @@ def main(argv: list[str] | None = None) -> int:
     # table maintenance (no pipeline run): the OPTIMIZE/VACUUM/history
     # chores of the versioned layer as first-class commands
     tbl = sub.add_parser("table", help="versioned-table maintenance")
-    tbl.add_argument("--dir", required=True, help="versioned table directory")
+    tbl.add_argument(
+        "--dir", required=True,
+        help="versioned table directory, or catalog:<name> (resolved "
+             "via --catalog / $DATALAKE_CATALOG_DIR)",
+    )
+    tbl.add_argument("--catalog", default=None, help="catalog directory")
     tbl.add_argument("--master", default=None)
     tbl_sub = tbl.add_subparsers(dest="action", required=True)
     c = tbl_sub.add_parser("compact", help="fold small files (OPTIMIZE)")
@@ -142,6 +147,31 @@ def main(argv: list[str] | None = None) -> int:
              "size, or 'false' to flatten (None inherits table state)",
     )
 
+    # catalog DDL (no Spark session): name -> table_dir + grants, the
+    # reference's out-of-band DDL channel (monkey_proc.py:98-120) as a
+    # transactional, auditable catalog (operators.catalog)
+    cats = sub.add_parser("tables", help="name catalog DDL")
+    cats.add_argument(
+        "--catalog", required=True, help="catalog directory (the log)"
+    )
+    cats_sub = cats.add_subparsers(dest="action", required=True)
+    cats_sub.add_parser("list", help="registered tables")
+    cc = cats_sub.add_parser("create", help="register name -> dir")
+    cc.add_argument("--name", required=True)
+    cc.add_argument("--table-dir", required=True)
+    cc.add_argument("--grant", action="append", default=[],
+                    help="grantee role (repeatable)")
+    cc.add_argument("--comment", default=None)
+    cc.add_argument("--if-not-exists", action="store_true")
+    cd = cats_sub.add_parser("drop", help="unregister (metadata-only)")
+    cd.add_argument("--name", required=True)
+    cd.add_argument("--if-exists", action="store_true")
+    cg = cats_sub.add_parser("grants", help="show/alter grants")
+    cg.add_argument("--name", required=True)
+    cg.add_argument("--grant", action="append", default=[])
+    cg.add_argument("--revoke", action="append", default=[])
+    cats_sub.add_parser("history", help="catalog audit log")
+
     chk = tbl_sub.add_parser(
         "check-schema",
         help="validate a reader contract (StructType jsonValue file) "
@@ -152,6 +182,40 @@ def main(argv: list[str] | None = None) -> int:
     chk.add_argument("--version", type=int, default=None)
 
     args = p.parse_args(argv)
+
+    if args.domain == "tables":
+        # catalog DDL: pure metadata, no Spark session
+        from .operators.catalog import Catalog
+
+        cat = Catalog(args.catalog)
+        if args.action == "create":
+            v = cat.create_table(
+                args.name, args.table_dir,
+                grants=args.grant or None, comment=args.comment,
+                if_not_exists=args.if_not_exists,
+            )
+            print(f"created {args.name} -> {args.table_dir} (catalog v{v})")
+        elif args.action == "drop":
+            v = cat.drop_table(args.name, if_exists=args.if_exists)
+            print(f"dropped {args.name} (catalog v{v})")
+        elif args.action == "grants":
+            if args.grant or args.revoke:
+                cat.alter_grants(args.name, grant=args.grant, revoke=args.revoke)
+            for stmt in cat.grant_statements(args.name):
+                print(stmt)
+        elif args.action == "history":
+            for op in cat.history():
+                print(op)
+        else:  # list
+            for name, entry in cat.tables().items():
+                grants = ",".join(entry.get("grants", [])) or "-"
+                print(f"{name}\t{entry['dir']}\tgrants={grants}")
+        return 0
+
+    if args.domain == "table" and args.dir.startswith("catalog:"):
+        from .operators.catalog import resolve_table_ref
+
+        args.dir = resolve_table_ref(args.dir, args.catalog)
 
     if args.domain == "table" and args.action == "check-schema":
         # pure manifest + StructType walk: fail-fast for schedulers

@@ -669,6 +669,10 @@ def write_versioned(
     ``compact_versioned`` rewrites everything into the current spec
     (Iceberg's rewrite-to-latest)."""
     assert mode in ("append", "overwrite")
+    if table_dir.startswith("catalog:"):
+        from .catalog import resolve_table_ref
+
+        table_dir = resolve_table_ref(table_dir)
     get_commit_store().ensure_log(table_dir)
 
     # schema check BEFORE staging any data (fail fast, nothing to clean)
@@ -1020,7 +1024,14 @@ def read_versioned(
     allowed, nullability tightening and missing required columns
     raise). The fail-fast half of writer-side schema enforcement: a
     consumer breaks at submit time with a column-level message, not
-    mid-job with a cast error."""
+    mid-job with a cast error.
+
+    ``table_dir`` may be a ``catalog:<name>`` reference (resolved via
+    ``$DATALAKE_CATALOG_DIR`` — operators.catalog)."""
+    if table_dir.startswith("catalog:"):
+        from .catalog import resolve_table_ref
+
+        table_dir = resolve_table_ref(table_dir)
     v = version or current_version(table_dir)
     if v == 0:
         raise FileNotFoundError(f"no committed version in {table_dir}")
