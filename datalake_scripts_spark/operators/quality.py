@@ -221,16 +221,44 @@ def write_audit_publish(
             table_schema = _evolve_schema(
                 StructType.fromJson(prev_schema_json), df.schema, False
             )
-    new_files = _stage_files(df, table_dir, partition_by=partition_by)
+    from .versioned import (
+        _field_physical,
+        _physical_schema_json,
+        _physicalize_cols,
+        _physicalize_df,
+        _resolve_mapping,
+    )
+
+    prev_manifest0 = _load_manifest(table_dir, prev0) if prev0 > 0 else {}
+    table_schema_json = _resolve_mapping(
+        table_schema.jsonValue(), prev_manifest0, mode
+    )
+    new_files = _stage_files(
+        _physicalize_df(df, table_schema_json),
+        table_dir,
+        partition_by=_physicalize_cols(partition_by, table_schema_json),
+    )
     staged = spark.read.parquet(
         *[os.path.join(table_dir, f) for f in new_files]
+    )
+    # audit rules name LOGICAL columns; staged files are physical
+    from pyspark.sql import functions as F
+
+    staged = staged.select(
+        *[
+            F.col(_field_physical(f)).alias(f["name"])
+            for f in table_schema_json["fields"]
+            if _field_physical(f) in staged.columns
+        ]
     )
     report = [r.asDict() for r in validate(staged, rules).collect()]
     if any(row["n_violations"] > 0 for row in report):
         for f in new_files:
             os.remove(os.path.join(table_dir, f))
         raise AuditFailed([row for row in report if row["n_violations"] > 0])
-    new_stats = _stats_for_new_files(table_dir, new_files)
+    new_stats = _stats_for_new_files(
+        table_dir, new_files, _physical_schema_json(table_schema_json)
+    )
     # optimistic-concurrency retry, same shape as write_versioned's:
     # the audit covered only OUR staged files, so a concurrent commit
     # between audit and publish auto-merges safely — re-read the new
@@ -261,7 +289,13 @@ def write_audit_publish(
                 stats = {**pstats, **new_stats}
         missing = set(effective_blooms or []) - augmented
         if missing:
-            _augment_blooms(table_dir, new_files, new_stats, sorted(missing), 0.01)
+            _augment_blooms(
+                table_dir,
+                new_files,
+                new_stats,
+                _physicalize_cols(sorted(missing), table_schema_json),
+                0.01,
+            )
             augmented |= missing
         # chunked tables stay chunked across an audited publish (the
         # WAP commit re-chunks the full post-publish file set)
@@ -279,7 +313,7 @@ def write_audit_publish(
                 files,
                 stats,
                 mode,
-                table_schema.jsonValue(),
+                table_schema_json,
                 {**(meta or {}), "audited": [r.name for r in rules]},
                 bloom_cols=effective_blooms,
                 expected_version=prev,

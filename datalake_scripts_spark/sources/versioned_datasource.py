@@ -123,6 +123,7 @@ class _FileChange(InputPartition):
         version: int,
         field_names: list[str],
         field_types: dict[str, str],
+        field_physical: dict[str, str] | None = None,
     ) -> None:
         self.path = path
         self.change = change
@@ -132,6 +133,9 @@ class _FileChange(InputPartition):
         # hive path segments restore with the PINNED type — a string
         # partition value '07' must stay '07', not become int 7
         self.field_types = field_types
+        # column mapping: logical -> in-file (physical) name; identity
+        # when the table has mapping disabled
+        self.field_physical = field_physical or {}
 
 
 class VersionedChangesStreamReader(DataSourceStreamReader):
@@ -163,6 +167,22 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
             if f.name not in _META_COLS
             and isinstance(f.dataType.jsonValue(), str)
         }
+        # column mapping: resolve logical -> physical from the LATEST
+        # manifest schema (the stream's pinned shape). Physical names
+        # are rename-stable, so the map stays valid for every commit
+        # the stream will read, past and future.
+        from ..operators.versioned import (
+            _l2p,
+            _load_manifest,
+            current_version,
+        )
+
+        v_now = current_version(self.table_dir)
+        self.field_physical = (
+            _l2p(_load_manifest(self.table_dir, v_now).get("schema"))
+            if v_now > 0
+            else {}
+        )
 
     def initialOffset(self) -> dict:
         # note: the engine calls this AFTER the first latestOffset()
@@ -327,6 +347,7 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                     _FileChange(
                         self._abs(f), "insert", v,
                         self.field_names, self.field_types,
+                        self.field_physical,
                     )
                 )
             for f in removed:
@@ -334,6 +355,7 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                     _FileChange(
                         self._abs(f), "delete", v,
                         self.field_names, self.field_types,
+                        self.field_physical,
                     )
                 )
             prev_files = cur
@@ -348,14 +370,23 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
 
         from ..operators.versioned import _partition_values
 
-        pvals = _partition_values(partition.path, partition.field_types)
+        phys = partition.field_physical
+        # hive path segments carry PHYSICAL names; retype by physical
+        pvals = _partition_values(
+            partition.path,
+            {
+                phys.get(n, n): t
+                for n, t in partition.field_types.items()
+            },
+        )
         table = pq.read_table(partition.path)
         cols = {}
         for name in partition.field_names:
-            if name in table.column_names:
-                cols[name] = table.column(name).to_pylist()
-            elif name in pvals:  # hive path-derived partition column
-                cols[name] = [pvals[name]] * table.num_rows
+            p = phys.get(name, name)
+            if p in table.column_names:
+                cols[name] = table.column(p).to_pylist()
+            elif p in pvals:  # hive path-derived partition column
+                cols[name] = [pvals[p]] * table.num_rows
             else:  # pre-evolution file: null-fill appended columns
                 cols[name] = [None] * table.num_rows
         meta = (partition.change, partition.version)
