@@ -2354,10 +2354,13 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     lex_pool = lex_score.orderBy(F.desc("s"), "doc_id").limit(_RRF_POOL)
+    # constant partitionBy: the window runs over a 50-row pool AFTER
+    # limit(); partitioning by a literal is the same global window but
+    # silences WindowExec's no-partition warning in bench logs
     lex = lex_pool.select(
         "doc_id",
         F.row_number()
-        .over(Window.orderBy(F.desc("s"), "doc_id"))
+        .over(Window.partitionBy(F.lit(0)).orderBy(F.desc("s"), "doc_id"))
         .alias("r"),
     )
 
@@ -2377,10 +2380,11 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     vec_pool = vec_score.orderBy(F.desc("c"), "doc_id").limit(_RRF_POOL)
+    # constant partitionBy: 50-row pool, same rationale as lex above
     vec = vec_pool.select(
         "doc_id",
         F.row_number()
-        .over(Window.orderBy(F.desc("c"), "doc_id"))
+        .over(Window.partitionBy(F.lit(0)).orderBy(F.desc("c"), "doc_id"))
         .alias("r"),
     )
 

@@ -794,3 +794,98 @@ def catalog_named_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in parts[1:]:
         out = out.unionByName(df)
     return out.orderBy("table_name")
+
+
+_COLMAP_SQL = """
+WITH v1 AS (
+  SELECT o_orderkey, o_totalprice, o_orderpriority
+  FROM orders WHERE o_orderkey < 6000 AND o_orderkey % 3 = 0
+), appended AS (
+  SELECT o_orderkey, o_totalprice AS price
+  FROM orders WHERE o_orderkey < 6000 AND o_orderkey % 3 = 1
+), latest AS (
+  SELECT o_orderkey, o_totalprice AS price FROM v1
+  UNION ALL SELECT o_orderkey, price FROM appended
+)
+SELECT 'latest' AS snapshot,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(2 AS INTEGER) AS n_cols,
+       CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM latest
+UNION ALL
+SELECT 'v1',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(3 AS INTEGER),
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+FROM v1
+ORDER BY snapshot
+"""
+
+
+@query("versioned_column_mapping", sql=_COLMAP_SQL)
+def versioned_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column mapping end to end, driver-verified (VERDICT r6 ask #7,
+    operators/versioned.py column-mapping block): commit a 3-column
+    orders slice, RENAME ``o_totalprice`` -> ``price`` (metadata-only
+    — zero data files rewritten, asserted here by file-list identity
+    across the commit), append MORE rows under the new logical name
+    (staged under the rename-stable physical name), then DROP
+    ``o_orderpriority`` (again metadata-only). The readout aggregates
+    the latest snapshot under the new names AND time-travels to v1,
+    which still reads the ORIGINAL logical schema from the very same
+    data files. The oracle recomputes both snapshots from the key
+    arithmetic — a mapping defect (stale physical resolution, dropped
+    column resurrecting, rename breaking old files) changes row set,
+    schema, or hash.
+
+    100 TB rationale: rename/drop on a mapped table cost ONE manifest
+    write regardless of table size; the reference's only rename path
+    is a full re-load (vk_proc.py hst_* rebuilds)."""
+    import tempfile
+
+    from ..operators import versioned as V
+
+    base = tempfile.mkdtemp(prefix="colmap_q_")
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    ).filter(F.col("o_orderkey") < 6000)
+    V.write_versioned(
+        spark, orders.filter(F.col("o_orderkey") % 3 == 0), base, mode="append"
+    )
+    files_before = sorted(V.files_for_read(base))
+    V.rename_column(base, "o_totalprice", "price")
+    # metadata-only: the rename commit must carry the file list verbatim
+    assert sorted(V.files_for_read(base)) == files_before
+    V.write_versioned(
+        spark,
+        orders.filter(F.col("o_orderkey") % 3 == 1).select(
+            "o_orderkey",
+            F.col("o_totalprice").alias("price"),
+            "o_orderpriority",
+        ),
+        base,
+        mode="append",
+    )
+    V.drop_column(base, "o_orderpriority")
+
+    latest = V.read_versioned(spark, base)
+    v1 = V.read_versioned(spark, base, version=1)
+
+    def summarize(df, label, price_col):
+        return df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.col(price_col).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        ).select(
+            F.lit(label).alias("snapshot"),
+            "n_rows",
+            F.lit(len(df.columns)).cast("int").alias("n_cols"),
+            "sum_price",
+        )
+
+    return (
+        summarize(latest, "latest", "price")
+        .unionByName(summarize(v1, "v1", "o_totalprice"))
+        .orderBy("snapshot")
+    )

@@ -262,6 +262,13 @@ LINT_ALLOWLIST = {
         "cartesian-product",
         "single-partition-exchange",
     },
+    # per-registered-table 1-row summary aggregates (partials map-side;
+    # only one tiny row per task crosses each exchange) unioned over the
+    # catalog's enumerated tables
+    "catalog_named_tables": {"single-partition-exchange"},
+    # two 1-row snapshot summaries (latest + time-travel v1): global
+    # aggs reduce map-side, one partial row per task crosses
+    "versioned_column_mapping": {"single-partition-exchange"},
 }
 
 
