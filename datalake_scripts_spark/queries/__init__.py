@@ -42,58 +42,58 @@ from . import graph  # noqa: F401,E402
 # oldest — the round-1/2 relational core, unchecked since then —
 # re-verified against current code as regression tripwires.
 DRIVER_PRIORITY = [
-    # --- round-6 additions ---
-    "multimodal_decode_census",  # progressive-JPEG probe + status kinds
-    "ann_ivf_recall",  # recall@5 vs brute force, by nprobe
-    "select_docs_token_budget",  # budget fill without a global sort
-    "bpe_first_merges",  # distributed BPE round-1 statistics
-    "bpe_second_merge",  # round-2 stats after sentinel-replace merge
-    "quality_nb_classifier",  # in-query Naive Bayes quality filter
-    "dsir_importance_select",  # DSIR hashed-LM importance top-k
-    "graph_bfs_customer_reach",  # iterative BFS vs recursive-CTE oracle
-    "sketch_mg_heavy_hitters_exact",  # MG candidates + exact verify
-    "retrieval_hybrid_rrf",  # BM25 + cosine reciprocal-rank fusion
-    "versioned_chunked_pruning",  # two-level manifest rollup pruning
-    "text_bm25_topk_pruned",  # MaxScore-style lossless pruned top-k
-    "provenance_partition_lineage",  # _metadata.file_path attribution
-    "versioned_stats_drift",  # snapshot-over-snapshot stats diff
-    "entity_resolution_canonical",  # contract -> CC -> canonical
-    "events_mad_outliers",  # median/MAD robust outliers
-    "mixture_temperature_targets",  # n^0.5 mixture smoothing
-    # --- oldest driver rows (round 1-2), staleness rotation ---
-    "agg_cube_flag_status",
-    "agg_exact_percentiles",
-    "agg_group_stats",
-    "agg_pivot_status_by_priority",
-    "agg_rollup_region_nation",
-    "approx_distinct_stats",
-    "array_agg_sorted_orders",
-    "case_when_balance_tiers",
-    "distinct_order_months",
-    "events_signup_purchase_funnel",
-    "grouping_sets_explicit",
-    "join_anti_dormant_customers",
-    "join_broadcast_brand_revenue",
-    "join_inner_orders_customers",
-    "join_left_order_counts",
-    "join_semi_active_customers",
-    "q10_returned_revenue",
-    "q13_order_count_distribution",
-    "q14_promo_revenue_share",
-    "q15_top_supplier",
-    "q16_supplier_variety",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_predicates",
-    "q1_pricing_summary",
-    "q21_waiting_suppliers",
-    "q22_dormant_high_balance",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_bilateral_volume",
-    "q8_national_market_share",
-    "scalar_date_functions",
+    # --- round-7 additions (their only chance at a first driver row) ---
+    "multimodal_progressive_roundtrip",  # SOF2 full decode, pixel-hash oracle
+    "delta_interop_roundtrip",  # export _delta_log, destroy manifests, adopt
+    "catalog_named_tables",  # save_as_table + read-by-name e2e
+    "versioned_column_mapping",  # rename/drop metadata-only, time travel
+    # --- stalest driver rows (r2 then r3), staleness rotation ---
+    "scalar_math_functions",
+    "scalar_string_functions",
+    "set_except_nations",
+    "set_intersect_nations",
+    "set_union_distinct",
+    "set_union_high_value_parties",
+    "sort_limit_top_orders",
+    "string_split_part",
+    "subquery_correlated_exists",
+    "subquery_in_segment",
+    "subquery_scalar_above_avg",
+    "unpivot_order_metrics",
+    "window_lag_lead_orders",
+    "window_ntile_percent_rank",
+    "window_running_spend",
+    "window_share_of_total",
+    "agg_histogram_prices",
+    "agg_regression_trend",
+    "ann_brute_force_topk",
+    "ann_lsh_bucketed_topk",
+    "array_to_csv_string",
+    "array_transform_filter",
+    "asof_join_purchase_to_signup",
+    "decontaminate_against_benchmark",
+    "dedup_duplicate_clusters",
+    "dedup_embedding_cosine",
+    "dedup_exact_subset_keys",
+    "dedup_incremental_batch",
+    "dedup_paragraph_chunks",
+    "embedding_vector_stats",
+    "events_tumbling_hourly",
+    "graph_triangle_suppliers",
+    "json_extract_props",
+    "json_variant_typed_extract",
+    "keys_surrogate_orders",
+    "map_explode_key_value",
+    "match_fuzzy_part_names",
+    "multimodal_binary_metadata",
+    "nested_explode_child_table",
+    "nested_shred_three_levels",
+    "quality_gopher_rules",
+    "range_join_value_tiers",
+    "regex_parse_bracketed_log",
+    "sample_stratified_hash",
+    "sketch_cms_join_size",
+    "sketch_hll_token_cardinality",
 ]
 
 
