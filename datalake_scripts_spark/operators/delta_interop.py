@@ -111,6 +111,20 @@ def export_delta_log(table_dir: str, out_dir: str | None = None) -> str:
     latest = current_version(table_dir)
     if latest == 0:
         raise FileNotFoundError(f"no committed version in {table_dir}")
+    from .versioned import _load_manifest as _lm
+
+    for v in range(1, latest + 1):
+        if _lm(table_dir, v).get("dvs"):
+            # this exporter speaks the base Delta protocol (no
+            # deletionVectors reader/writer feature) — exporting a
+            # DV'd history would resurrect deleted rows for Delta
+            # readers. Materialize first.
+            raise ValueError(
+                f"{table_dir}@v{v} carries deletion vectors; this "
+                "exporter speaks the base protocol only — materialize "
+                "them (compact_versioned) or export a clone of the "
+                "compacted snapshot instead of DV'd history"
+            )
     log_dir = os.path.join(out_dir or table_dir, _LOG_DIR)
     os.makedirs(log_dir, exist_ok=True)
     table_id = str(uuid.uuid4())

@@ -319,6 +319,13 @@ def write_audit_publish(
                 expected_version=prev,
                 chunks=chunks,
                 manifest_chunking=chunking,
+                # audited APPENDS never touch prior files, so their
+                # deletion vectors carry; an overwrite resets them
+                dvs=(
+                    prev_manifest.get("dvs")
+                    if prev > 0 and mode == "append"
+                    else None
+                ),
             )
         except CommitConflict as c:
             last_conflict = c

@@ -801,6 +801,7 @@ def _schema_change_commit(table_dir: str, transform) -> int:
                 else None,
                 chunks=manifest.get("chunks"),
                 manifest_chunking=manifest.get("manifest_chunking"),
+                dvs=manifest.get("dvs"),
             )
         except CommitConflict as c:
             last = c
@@ -917,6 +918,285 @@ def drop_column(table_dir: str, name: str) -> int:
         )
 
     return _schema_change_commit(table_dir, xf)
+
+
+# --------------------------------------------------------------------
+# Deletion vectors (Delta/Iceberg merge-on-read DELETE, re-expressed
+# on the manifest): instead of rewriting every touched file, a DELETE
+# may commit a small parquet of (file_base, pos) pairs — the row
+# positions (parquet `_metadata.row_index`) now invisible in each
+# file. Readers anti-join the union of a snapshot's DVs; OPTIMIZE /
+# copy-on-write DML materialize them away for the files they rewrite.
+# Keys are file BASENAMES (every staged file gets a uuid basename, the
+# same uniqueness _predicate_touched_files already relies on), so DVs
+# stay valid across restore, shallow clones, and table relocation
+# without any path translation. At 100 TB this is THE delete shape:
+# dropping 0.1% of rows costs O(deleted rows) written, not O(table)
+# rewritten, and the read-side cost is one (usually broadcast)
+# anti-join that disappears entirely at the next compaction.
+# --------------------------------------------------------------------
+
+_DV_FILE_COL = "__dv_file"
+_DV_POS_COL = "__dv_pos"
+
+
+def _dv_union(spark: SparkSession, table_dir: str, manifest: dict):
+    """One DataFrame (file_base, pos) over all of a snapshot's DV
+    objects; None when the snapshot has none."""
+    dvs = manifest.get("dvs")
+    if not dvs:
+        return None
+    paths = [
+        p if os.path.isabs(p) else os.path.join(table_dir, p)
+        for p in (dv["path"] for dv in dvs)
+    ]
+    return spark.read.parquet(*paths)
+
+
+def _dv_total_rows(manifest: dict) -> int:
+    return sum(
+        n for dv in manifest.get("dvs", []) for n in dv["rows"].values()
+    )
+
+
+def _carry_dvs(manifest: dict, rewritten_files: list[str]) -> list | None:
+    """The DV list a commit that REWRITES ``rewritten_files`` should
+    carry: per-file row entries for rewritten files are dropped (the
+    rewrite read was DV-applied, so those deletes are now materialized
+    in the new files) and DV objects left referencing nothing are
+    dropped entirely. The parquet objects themselves stay on disk until
+    vacuum — time travel to pre-rewrite versions still needs them."""
+    dvs = manifest.get("dvs")
+    if not dvs:
+        return None
+    gone = {os.path.basename(f) for f in rewritten_files}
+    out = []
+    for dv in dvs:
+        rows = {b: n for b, n in dv["rows"].items() if b not in gone}
+        if rows:
+            out.append({**dv, "rows": rows})
+    return out or None
+
+
+def _stage_dv(df: DataFrame, table_dir: str) -> str:
+    """Stage a DV parquet (columns file_base string, pos bigint) as ONE
+    immutable object under data/ — small by construction (a DELETE's
+    own row positions; bulk deletes belong on the copy-on-write path),
+    and placed under data/ so vacuum's walk handles it like any other
+    manifest-referenced object."""
+    staging = os.path.join(table_dir, f"_staging_{uuid.uuid4().hex}")
+    df.repartition(1).write.mode("overwrite").parquet(staging)
+    data_dir = os.path.join(table_dir, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    rel = None
+    for name in os.listdir(staging):
+        if name.endswith(".parquet"):
+            dst = f"dv-{uuid.uuid4().hex}.parquet"
+            os.rename(
+                os.path.join(staging, name), os.path.join(data_dir, dst)
+            )
+            rel = os.path.join("data", dst)
+            break
+    import shutil
+
+    shutil.rmtree(staging)
+    if rel is None:
+        raise RuntimeError("deletion-vector staging produced no parquet")
+    return rel
+
+
+# --------------------------------------------------------------------
+# Hidden partitioning (Iceberg transform specs, re-expressed on the
+# manifest): a partition_by entry may be a TRANSFORM of a source
+# column — {"transform": "days|months|hours|years", "col": c},
+# {"transform": "bucket", "col": c, "n": N}, or {"transform":
+# "truncate", "col": c, "n": W} — materialized at stage time into a
+# hidden `_p_*` column that exists ONLY in the hive directory layout,
+# never in the committed schema (pinned-schema reads drop it for
+# free). Queries keep filtering the SOURCE column: per-file footer
+# stats stay tight because the layout clusters by the transform, and
+# skip_filter conjuncts on the source column are additionally
+# TRANSLATED onto the hidden partition value (days/months/hours/years
+# ranges; bucket equality via the pure-Python xxhash64 twin,
+# functions/xxh.py — planning-time arithmetic, no Spark job). This is
+# what kills the classic Hive anti-pattern of a user-visible derived
+# date column the optimizer can't connect to the timestamp.
+# --------------------------------------------------------------------
+
+_TRANSFORMS = ("days", "months", "hours", "years", "bucket", "truncate")
+_DATE_FMT = {
+    "days": ("yyyy-MM-dd", 10),
+    "months": ("yyyy-MM", 7),
+    "years": ("yyyy", 4),
+    "hours": ("yyyy-MM-dd-HH", 13),
+}
+
+
+def _normalize_spec(partition_by) -> list:
+    """Validate a user partition_by into the stored spec: strings pass
+    through (identity); transform dicts get checked and a FROZEN hidden
+    column name (rename-stable: later source-column renames update
+    ``col`` but never the name, so existing directories keep
+    resolving)."""
+    if not partition_by:
+        return list(partition_by or [])
+    out = []
+    for e in partition_by:
+        if isinstance(e, str):
+            out.append(e)
+            continue
+        if not isinstance(e, dict) or "transform" not in e or "col" not in e:
+            raise ValueError(
+                f"partition_by entry {e!r}: expected a column name or "
+                "{'transform': ..., 'col': ..., ['n': ...]}"
+            )
+        t = e["transform"]
+        if t not in _TRANSFORMS:
+            raise ValueError(f"unknown partition transform {t!r}")
+        if t in ("bucket", "truncate"):
+            n = e.get("n")
+            if not isinstance(n, int) or n < 1:
+                raise ValueError(f"{t} transform needs integer n >= 1")
+        name = e.get("name") or (
+            f"_p_{t}_{e['col']}" + (f"_{e['n']}" if "n" in e else "")
+        )
+        norm = {"transform": t, "col": e["col"], "name": name}
+        if "n" in e:
+            norm["n"] = e["n"]
+        out.append(norm)
+    return out
+
+
+def _spec_partition_cols(spec, schema_json) -> list[str]:
+    """The ACTUAL directory columns: physical names for identity
+    entries, frozen hidden names for transforms."""
+    out = []
+    for e in spec or []:
+        if isinstance(e, str):
+            out.extend(_physicalize_cols([e], schema_json))
+        else:
+            out.append(e["name"])
+    return out
+
+
+def _transform_expr(entry: dict, src, src_type: str | None):
+    """The hidden column's value expression over the (physical) source
+    column. Date transforms format to sort-compatible ISO prefixes;
+    bucket is pmod(xxhash64, n) — matched driver-side by
+    functions/xxh.py; truncate is width arithmetic for integers and a
+    prefix for strings."""
+    from pyspark.sql import functions as F
+
+    t = entry["transform"]
+    if t in _DATE_FMT:
+        return F.date_format(src, _DATE_FMT[t][0])
+    if t == "bucket":
+        return F.pmod(F.xxhash64(src), F.lit(entry["n"]))
+    # truncate
+    w = entry["n"]
+    if src_type in ("string",):
+        return F.substring(src, 1, w)
+    return (F.floor(src / w) * w).cast("bigint")
+
+
+def _spec_apply_transforms(df: DataFrame, spec, schema_json) -> DataFrame:
+    """Materialize the hidden transform columns on a PHYSICAL-named
+    staging frame (identity for specs without transforms)."""
+    entries = [e for e in spec or [] if isinstance(e, dict)]
+    if not entries:
+        return df
+    from pyspark.sql import functions as F
+
+    types = _schema_col_types(_physical_schema_json(schema_json or {}) or {})
+    for e in entries:
+        phys = _physicalize_cols([e["col"]], schema_json)[0]
+        df = df.withColumn(
+            e["name"], _transform_expr(e, F.col(phys), types.get(phys))
+        )
+    return df
+
+
+def _stage_with_spec(
+    df: DataFrame, table_dir: str, spec, schema_json
+) -> list[str]:
+    """Physicalize, materialize hidden transform columns, stage under
+    the spec's directory columns — the single staging path every
+    writer (append/overwrite/DML/OPTIMIZE) uses."""
+    phys = _physicalize_df(df, schema_json)
+    phys = _spec_apply_transforms(phys, spec, schema_json)
+    return _stage_files(
+        phys,
+        table_dir,
+        partition_by=_spec_partition_cols(spec, schema_json) or None,
+    )
+
+
+def _translate_skip_filter(skip_filter, spec) -> list[tuple]:
+    """Extra prune-only conjuncts on hidden partition values implied by
+    source-column conjuncts. Date transforms translate ranges and
+    equality (ISO prefixes compare correctly as strings); bucket
+    translates equality via the xxhash64 twin. truncate is NOT
+    translated — its layout already clusters the source column, so the
+    per-file footer stats prune as tightly. Returned conjuncts are for
+    FILE PRUNING only (the hidden column never appears in results)."""
+    if not skip_filter or not spec:
+        return []
+    entries = [e for e in spec if isinstance(e, dict)]
+    if not entries:
+        return []
+    by_col: dict[str, list[dict]] = {}
+    for e in entries:
+        by_col.setdefault(e["col"], []).append(e)
+    out: list[tuple] = []
+    for col, op, val in skip_filter:
+        for e in by_col.get(col, []):
+            t = e["transform"]
+            if t in _DATE_FMT:
+                s = _iso_prefix(val, t)
+                if s is None:
+                    continue
+                if op == "=":
+                    out.append((e["name"], "=", s))
+                elif op in (">", ">="):
+                    out.append((e["name"], ">=", s))
+                elif op in ("<", "<="):
+                    out.append((e["name"], "<=", s))
+            elif t == "bucket" and op == "=":
+                from ..functions.xxh import xxhash64_long, xxhash64_str
+
+                if isinstance(val, bool):
+                    continue
+                if isinstance(val, int):
+                    h = xxhash64_long(val)
+                elif isinstance(val, str):
+                    h = xxhash64_str(val)
+                else:
+                    continue
+                out.append((e["name"], "=", str(h % e["n"])))
+    return out
+
+
+def _iso_prefix(val, transform: str) -> str | None:
+    """The hive-directory string a timestamp-ish value lands in under a
+    date transform (None when the value shape is unrecognized)."""
+    import datetime
+
+    fmt_len = _DATE_FMT[transform][1]
+    if isinstance(val, (datetime.datetime, datetime.date)):
+        s = val.isoformat(sep=" ") if isinstance(
+            val, datetime.datetime
+        ) else val.isoformat() + " 00:00:00"
+    elif isinstance(val, str):
+        s = val.replace("T", " ")
+    else:
+        return None
+    if len(s) < 10:
+        return None
+    if len(s) == 10:
+        s += " 00:00:00"
+    # hive dir format uses '-' between date and hour
+    s = s.replace(" ", "-", 1)
+    return s[:fmt_len]
 
 
 def write_versioned(
@@ -1158,6 +1438,9 @@ def write_versioned(
                 spec_id=spec_id,
                 chunks=chunks,
                 manifest_chunking=effective_chunking,
+                # appends never touch old files, so their DVs carry;
+                # an overwrite replaces the file set — DVs reset
+                dvs=prev_manifest.get("dvs") if mode == "append" else None,
             )
         except CommitConflict as c:
             last_conflict = c
@@ -1223,6 +1506,7 @@ def _commit_manifest(
     chunks: list[dict] | None = None,
     manifest_chunking=None,
     max_column_id: int | None = None,
+    dvs: list | None = None,
 ) -> int:
     """Commit manifest v(N+1): the single commit path for every writer
     (append/overwrite/delete/update/compaction/WAP).
@@ -1293,6 +1577,8 @@ def _commit_manifest(
     if partition_spec is not None:
         manifest["partition_spec"] = list(partition_spec)
         manifest["spec_id"] = spec_id if spec_id is not None else 0
+    if dvs:
+        manifest["dvs"] = dvs
     if max_cid:
         manifest["max_column_id"] = max_cid
     data = json.dumps(manifest).encode()
@@ -1339,7 +1625,12 @@ def _manifest_reader(spark: SparkSession, manifest: dict):
 
 
 def _read_manifest_files(
-    spark: SparkSession, manifest: dict, table_dir: str, files: list[str]
+    spark: SparkSession,
+    manifest: dict,
+    table_dir: str,
+    files: list[str],
+    apply_dvs: bool = True,
+    with_position: bool = False,
 ) -> DataFrame:
     """Read a subset of a manifest's files under the pinned schema.
     Hive-partitioned paths (``col=value`` dirs) need ``basePath`` so
@@ -1347,7 +1638,15 @@ def _read_manifest_files(
     ``partitionBy`` dropped from the parquet footers — without it a
     pinned-schema read would silently null-fill them. Flat and hive
     files mix safely: flat files carry the column in-data, hive files
-    derive it from their directory."""
+    derive it from their directory.
+
+    Deletion vectors: when the manifest carries ``dvs`` (and
+    ``apply_dvs``), rows listed in them are anti-joined out here — so
+    EVERY consumer (reads, CDF row-diffs, DML rewrites, compaction)
+    sees merge-on-read semantics with no per-call-site code. A table
+    without DVs takes the exact pre-DV plan (no metadata columns, no
+    join). ``with_position=True`` keeps the (file basename, row
+    position) metadata columns — the DELETE writer's raw view."""
     paths = [
         f if os.path.isabs(f) else os.path.join(table_dir, f) for f in files
     ]
@@ -1363,6 +1662,16 @@ def _read_manifest_files(
             d = os.path.dirname(d)
         key = (d, tuple(sorted(cols))) if cols else ("", ())
         groups.setdefault(key, []).append(p)
+    from pyspark.sql import functions as F
+
+    dvs_active = bool(manifest.get("dvs")) and apply_dvs
+    need_meta = dvs_active or with_position
+    meta_cols = [
+        F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias(
+            _DV_FILE_COL
+        ),
+        F.col("_metadata.row_index").alias(_DV_POS_COL),
+    ]
     parts = []
     for (root, _cols), group_paths in sorted(groups.items()):
         reader = _manifest_reader(spark, manifest)
@@ -1371,8 +1680,6 @@ def _read_manifest_files(
         df = reader.parquet(*group_paths)
         schema_json = manifest.get("schema")
         if schema_json:
-            from pyspark.sql import functions as F
-
             # partition discovery appends partition columns last;
             # restore the committed column order so groups align —
             # and alias physical -> logical (column mapping; identity
@@ -1381,12 +1688,26 @@ def _read_manifest_files(
                 *[
                     F.col(_field_physical(f)).alias(f["name"])
                     for f in schema_json["fields"]
-                ]
+                ],
+                *(meta_cols if need_meta else []),
             )
+        elif need_meta:
+            df = df.select("*", *meta_cols)
         parts.append(df)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    if dvs_active:
+        dv = _dv_union(spark, table_dir, manifest).select(
+            F.col("file_base").alias(_DV_FILE_COL),
+            F.col("pos").alias(_DV_POS_COL),
+        )
+        # merge-on-read: DVs are O(deleted rows) — small by the write
+        # path's contract — so AQE broadcasts this anti-join in the
+        # common case; no hint, a genuinely large DV may shuffle
+        out = out.join(dv, [_DV_FILE_COL, _DV_POS_COL], "left_anti")
+    if not with_position and need_meta:
+        out = out.drop(_DV_FILE_COL, _DV_POS_COL)
     return out
 
 
@@ -1599,7 +1920,9 @@ def snapshot_row_count(table_dir: str, version: int | None = None) -> int:
         raise ValueError(
             "manifest predates stats collection — re-commit or count via Spark"
         )
-    return sum(s["rows"] for s in stats.values())
+    # merge-on-read: DV'd rows are invisible; their per-file counts are
+    # manifest metadata, so the count stays a no-Spark-job operation
+    return sum(s["rows"] for s in stats.values()) - _dv_total_rows(manifest)
 
 
 def compact_versioned(
@@ -1780,6 +2103,9 @@ def _compact_subset(
         partition_spec=partition_by,
         spec_id=spec_id,
         manifest_chunking=manifest.get("manifest_chunking"),
+        # the rewrite read was DV-applied, so touched files' deletes
+        # are now materialized; untouched files keep their DV rows
+        dvs=_carry_dvs(manifest, touched),
     )
 
 
@@ -1794,6 +2120,9 @@ def vacuum(table_dir: str, keep_last: int = 1) -> int:
         m = _load_manifest(table_dir, v)
         keep_files.update(_expand_manifest(table_dir, m)[0])
         keep_chunks.update(ch["path"] for ch in m.get("chunks", []))
+        # DV parquets live under data/ and are referenced like data
+        # files — retained snapshots' DVs survive, orphans are swept
+        keep_files.update(dv["path"] for dv in m.get("dvs", []))
     data_dir = os.path.join(table_dir, "data")
     removed = 0
     # metadata-only tables (fresh shallow clone) have no data/ dir —
@@ -1853,16 +2182,20 @@ def _predicate_touched_files(
     if not candidates:
         return []
     by_base = {os.path.basename(f): f for f in candidates}
+    # file attribution via the _metadata basename column, NOT
+    # input_file_name(): on a DV'd table the read carries an anti-join,
+    # and input_file_name() goes blank if AQE shuffles it — _metadata
+    # is a real column that survives any plan shape
     hit_rows = (
-        _read_manifest_files(spark, manifest, table_dir, candidates)
+        _read_manifest_files(
+            spark, manifest, table_dir, candidates, with_position=True
+        )
         .filter(F.expr(predicate))
-        .select(F.input_file_name().alias("_f"))
+        .select(F.col(_DV_FILE_COL).alias("_f"))
         .distinct()
         .collect()
     )
-    touched = sorted(
-        by_base[os.path.basename(r._f)] for r in hit_rows
-    )
+    touched = sorted(by_base[r._f] for r in hit_rows if r._f in by_base)
     return touched
 
 
@@ -1872,10 +2205,20 @@ def delete_versioned(
     predicate: str,
     skip_filter: list[tuple] | None = None,
     meta: dict | None = None,
+    deletion_vectors: bool = False,
 ) -> tuple[int, int]:
     """Row-level DELETE (Delta-style copy-on-write): commit a new
     snapshot where rows matching ``predicate`` (a SQL boolean
     expression) are gone. Returns ``(new_version, n_deleted)``.
+
+    ``deletion_vectors=True`` takes the merge-on-read path instead:
+    no data file is rewritten — the commit adds one small parquet of
+    (file basename, row position) pairs that readers anti-join out
+    (see the deletion-vector block above write_versioned). The right
+    tool for small/selective deletes on big files (GDPR row removal,
+    late-event retraction): O(deleted rows) written instead of
+    O(touched files) rewritten. Bulk deletes should keep the default
+    copy-on-write path, and OPTIMIZE materializes accumulated DVs.
 
     Only files that actually contain a match are rewritten (two-phase
     find via :func:`_predicate_touched_files`: manifest-stats pruning
@@ -1902,6 +2245,10 @@ def delete_versioned(
     )
     if not touched:
         return v, 0
+    if deletion_vectors:
+        return _delete_via_dv(
+            spark, table_dir, v, manifest, predicate, touched, meta
+        )
     # NULL-safe complement: SQL DELETE removes only rows where the
     # predicate is TRUE; rows where it evaluates to NULL must be KEPT.
     # A bare ~expr would drop them (NOT NULL = NULL = filtered out).
@@ -1934,9 +2281,20 @@ def delete_versioned(
         **{f: old_stats[f] for f in untouched if f in old_stats},
         **new_stats,
     }
-    n_deleted = sum(
-        old_stats[f]["rows"] for f in touched if f in old_stats
-    ) - sum(s["rows"] for s in new_stats.values())
+    # visible old rows = stats rows minus rows already DV-deleted in
+    # the touched files (the rewrite materialized those away)
+    touched_bases = {os.path.basename(f) for f in touched}
+    dv_already = sum(
+        n
+        for dv in manifest.get("dvs", [])
+        for b, n in dv["rows"].items()
+        if b in touched_bases
+    )
+    n_deleted = (
+        sum(old_stats[f]["rows"] for f in touched if f in old_stats)
+        - dv_already
+        - sum(s["rows"] for s in new_stats.values())
+    )
     version = _commit_dml(
         table_dir,
         new_files,
@@ -1950,6 +2308,77 @@ def delete_versioned(
         partition_spec=pcols,
         spec_id=manifest.get("spec_id", 0),
         manifest_chunking=manifest.get("manifest_chunking"),
+        dvs=_carry_dvs(manifest, touched),
+    )
+    return version, n_deleted
+
+
+def _delete_via_dv(
+    spark: SparkSession,
+    table_dir: str,
+    v: int,
+    manifest: dict,
+    predicate: str,
+    touched: list[str],
+    meta: dict | None,
+) -> tuple[int, int]:
+    """Merge-on-read DELETE: stage one DV parquet of the newly-deleted
+    (file basename, row position) pairs and commit it alongside the
+    UNCHANGED file list. Positions are computed on the RAW file read
+    minus rows already in earlier DVs, so DV objects for the same file
+    are disjoint by construction and simply stack."""
+    from pyspark.sql import functions as F
+
+    raw = _read_manifest_files(
+        spark, manifest, table_dir, touched, apply_dvs=False,
+        with_position=True,
+    )
+    matches = raw.filter(
+        F.coalesce(F.expr(predicate), F.lit(False))
+    ).select(
+        F.col(_DV_FILE_COL).alias("file_base"),
+        F.col(_DV_POS_COL).cast("bigint").alias("pos"),
+    )
+    prior = _dv_union(spark, table_dir, manifest)
+    newly = (
+        matches.join(prior, ["file_base", "pos"], "left_anti")
+        if prior is not None
+        else matches
+    )
+    # O(touched files) driver rows — same size class as the manifest
+    per_file = {
+        r["file_base"]: r["n"]
+        for r in newly.groupBy("file_base")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    if not per_file:
+        return v, 0  # every matching row was already deleted
+    dv_rel = _stage_dv(newly, table_dir)
+    n_deleted = sum(per_file.values())
+    files, stats = _expand_manifest(table_dir, manifest)
+    dvs = list(manifest.get("dvs", [])) + [
+        {"path": dv_rel, "rows": per_file}
+    ]
+    version = _commit_dml(
+        table_dir,
+        [dv_rel],  # staged object to clean on a lost commit race
+        files,
+        stats,
+        "delete",
+        manifest.get("schema"),
+        {
+            **(meta or {}),
+            "predicate": predicate,
+            "n_deleted": n_deleted,
+            "deletion_vector": dv_rel,
+        },
+        bloom_cols=manifest.get("bloom_cols"),
+        expected_version=v,
+        partition_spec=_manifest_partition_spec(manifest),
+        spec_id=manifest.get("spec_id", 0),
+        manifest_chunking=manifest.get("manifest_chunking"),
+        dvs=dvs,
     )
     return version, n_deleted
 
@@ -1967,6 +2396,7 @@ def _commit_dml(
     partition_spec: list[str] | None = None,
     spec_id: int | None = None,
     manifest_chunking=None,
+    dvs: list | None = None,
 ) -> int:
     """Read-pinned DML commit: targets exactly the snapshot the DML
     read (its touched-file set and metadata row counts are only valid
@@ -1999,6 +2429,7 @@ def _commit_dml(
             spec_id=spec_id,
             chunks=chunks,
             manifest_chunking=manifest_chunking,
+            dvs=dvs,
         )
     except CommitConflict:
         for f in staged_files:
@@ -2102,6 +2533,7 @@ def update_versioned(
         partition_spec=pcols,
         spec_id=manifest.get("spec_id", 0),
         manifest_chunking=manifest.get("manifest_chunking"),
+        dvs=_carry_dvs(manifest, touched),
     )
     return version, n_updated
 
@@ -2140,6 +2572,9 @@ def restore_versioned(table_dir: str, version: int) -> int:
                 # restored manifest re-references the source's verbatim
                 chunks=src.get("chunks"),
                 manifest_chunking=src.get("manifest_chunking"),
+                # DV objects are immutable too — re-reference them, so
+                # the restored snapshot keeps its merge-on-read deletes
+                dvs=src.get("dvs"),
             )
         except CommitConflict as c:
             last = c
@@ -2174,6 +2609,7 @@ def clone_versioned(
     src = _load_manifest(src_dir, v)
     src_files, stats = _expand_manifest(src_dir, src)
     get_commit_store().ensure_log(dst_dir)
+    new_dvs = None
     if shallow:
         files = [os.path.abspath(os.path.join(src_dir, f)) for f in src_files]
         new_stats = {
@@ -2181,10 +2617,24 @@ def clone_versioned(
             for f in src_files
             if f in stats
         }
+        if src.get("dvs"):
+            # DV rows are keyed by file BASENAME (path-independent), so
+            # a shallow clone only needs the dv OBJECTS re-referenced
+            # by absolute path, exactly like the data files
+            new_dvs = [
+                {
+                    **dv,
+                    "path": os.path.abspath(
+                        os.path.join(src_dir, dv["path"])
+                    ),
+                }
+                for dv in src["dvs"]
+            ]
     else:
         data_dir = os.path.join(dst_dir, "data")
         os.makedirs(data_dir, exist_ok=True)
         files, new_stats = [], {}
+        base_map: dict[str, str] = {}
         for f in src_files:
             # preserve trailing hive col=value segments: a partitioned
             # file's partition VALUES live only in its path, so a flat
@@ -2199,8 +2649,39 @@ def clone_versioned(
             shutil.copy2(os.path.join(src_dir, f), os.path.join(dst_dir_full, dst))
             rel = os.path.join("data", *segs, dst)
             files.append(rel)
+            base_map[os.path.basename(f)] = dst
             if f in stats:
                 new_stats[rel] = stats[f]
+        if src.get("dvs"):
+            # deep copy renames data files, so each DV parquet must be
+            # rewritten with its file_base column translated — still
+            # O(deleted rows), tiny next to the data copy itself
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            new_dvs = []
+            for dv in src["dvs"]:
+                t = pq.read_table(os.path.join(src_dir, dv["path"]))
+                bases = [
+                    base_map.get(b, b) for b in t["file_base"].to_pylist()
+                ]
+                out = pa.table(
+                    {"file_base": bases, "pos": t["pos"].to_pylist()},
+                    schema=pa.schema(
+                        [("file_base", pa.string()), ("pos", pa.int64())]
+                    ),
+                )
+                dst = f"dv-{uuid.uuid4().hex}.parquet"
+                pq.write_table(out, os.path.join(data_dir, dst))
+                new_dvs.append(
+                    {
+                        "path": os.path.join("data", dst),
+                        "rows": {
+                            base_map.get(b, b): n
+                            for b, n in dv["rows"].items()
+                        },
+                    }
+                )
     # metadata-only commit from an immutable source snapshot: retry a
     # lost CAS race like a plain append (deep-clone files are already
     # copied under fresh names, still valid on retry)
@@ -2223,6 +2704,7 @@ def clone_versioned(
                 # columns the source dropped — cid reuse in the clone
                 # would resurrect them
                 max_column_id=src.get("max_column_id"),
+                dvs=new_dvs,
             )
         except CommitConflict as c:
             last = c

@@ -47,6 +47,7 @@ DRIVER_PRIORITY = [
     "delta_interop_roundtrip",  # export _delta_log, destroy manifests, adopt
     "catalog_named_tables",  # save_as_table + read-by-name e2e
     "versioned_column_mapping",  # rename/drop metadata-only, time travel
+    "versioned_deletion_vectors",  # merge-on-read DELETE, zero rewrite
     # --- stalest driver rows (r2 then r3), staleness rotation ---
     "scalar_math_functions",
     "scalar_string_functions",
@@ -93,7 +94,6 @@ DRIVER_PRIORITY = [
     "regex_parse_bracketed_log",
     "sample_stratified_hash",
     "sketch_cms_join_size",
-    "sketch_hll_token_cardinality",
 ]
 
 

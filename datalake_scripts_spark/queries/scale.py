@@ -889,3 +889,85 @@ def versioned_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(summarize(v1, "v1", "o_totalprice"))
         .orderBy("snapshot")
     )
+
+
+_DV_SQL = """
+WITH v1 AS (
+  SELECT o_orderkey, o_totalprice, o_orderpriority
+  FROM orders WHERE o_orderkey < 8000 AND o_orderkey % 2 = 0
+), survivors AS (
+  SELECT * FROM v1 WHERE NOT (o_orderpriority = '5-LOW' OR o_orderkey % 10 = 4)
+), appended AS (
+  SELECT o_orderkey, o_totalprice, o_orderpriority
+  FROM orders WHERE o_orderkey < 8000 AND o_orderkey % 2 = 1
+), latest AS (
+  SELECT * FROM survivors UNION ALL SELECT * FROM appended
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       CAST((SELECT COUNT(*) FROM v1) AS BIGINT) AS rows_v1
+FROM latest
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@query("versioned_deletion_vectors", sql=_DV_SQL)
+def versioned_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE via deletion vectors, end to end and
+    driver-verified (operators/versioned.py DV block): commit an even-
+    key orders slice, DV-delete two stacked predicates (one whole
+    priority, then an overlapping key-pattern — the second DV must be
+    disjoint with the first by construction), append the odd keys (the
+    append CARRIES the DVs), and aggregate the latest snapshot. The
+    query asserts in-line that neither delete rewrote a single data
+    file (file-list identity across both commits) — the property that
+    distinguishes this from copy-on-write DELETE. rows_v1 comes from
+    time travel to v1, proving deleted rows stay visible pre-delete.
+    The oracle recomputes survivors from the same key arithmetic.
+
+    100 TB rationale: deleting 0.1% of rows costs O(deleted rows)
+    written instead of O(touched files) rewritten; readers pay one
+    AQE-broadcast anti-join until OPTIMIZE materializes the DVs."""
+    import tempfile
+
+    from ..operators import versioned as V
+
+    base = tempfile.mkdtemp(prefix="dv_q_")
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    ).filter(F.col("o_orderkey") < 8000)
+    V.write_versioned(
+        spark, orders.filter(F.col("o_orderkey") % 2 == 0), base,
+        mode="append",
+    )
+    files_v1 = sorted(V.files_for_read(base))
+    V.delete_versioned(
+        spark, base, "o_orderpriority = '5-LOW'", deletion_vectors=True
+    )
+    V.delete_versioned(
+        spark,
+        base,
+        "o_orderpriority = '5-LOW' OR o_orderkey % 10 = 4",
+        deletion_vectors=True,
+    )
+    # merge-on-read: both deletes carried the file list verbatim
+    assert sorted(V.files_for_read(base)) == files_v1
+    V.write_versioned(
+        spark, orders.filter(F.col("o_orderkey") % 2 == 1), base,
+        mode="append",
+    )
+    rows_v1 = V.snapshot_row_count(base, version=1)  # metadata-only
+    latest = V.read_versioned(spark, base)
+    return (
+        latest.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .withColumn("rows_v1", F.lit(rows_v1).cast("bigint"))
+        .orderBy("o_orderpriority")
+    )

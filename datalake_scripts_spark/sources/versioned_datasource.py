@@ -128,6 +128,14 @@ class _FileChange(InputPartition):
         self.path = path
         self.change = change
         self.version = version
+        # deletion-vector lane: when dv_path is set, this partition
+        # emits ONLY the base file's rows at the positions listed for
+        # dv_file_base in that DV parquet (change='delete'); when
+        # dv_exclude_paths is set on a whole-file delete, rows already
+        # DV-deleted (and therefore already emitted) are excluded
+        self.dv_path: str | None = None
+        self.dv_file_base: str | None = None
+        self.dv_exclude_paths: list[str] = []
         self.field_names = field_names
         # declared type per column (StructType jsonValue strings) so
         # hive path segments restore with the PINNED type — a string
@@ -309,20 +317,29 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
             return []  # empty or regressed range: nothing to plan
         parts: list[InputPartition] = []
         prev_files: set | None = None
+        prev_dvs: dict | None = None  # dv path -> dv descriptor
         for v in range(start["version"] + 1, end["version"] + 1):
             try:
                 manifest = _load_manifest(self.table_dir, v)
                 if prev_files is None:
+                    prev_manifest = (
+                        _load_manifest(self.table_dir, v - 1)
+                        if v > 1
+                        else {}
+                    )
                     prev_files = (
                         set(
                             _expand_manifest(
-                                self.table_dir,
-                                _load_manifest(self.table_dir, v - 1),
+                                self.table_dir, prev_manifest
                             )[0]
                         )
                         if v > 1
                         else set()
                     )
+                    prev_dvs = {
+                        dv["path"]: dv
+                        for dv in prev_manifest.get("dvs", [])
+                    }
             except FileNotFoundError as e:
                 # vacuum() pruned manifests this consumer still needs —
                 # the Delta retention contract: a lagging stream past
@@ -342,23 +359,61 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                     f"commit v{v} ({manifest.get('mode')}) rewrites files; "
                     "versioned_changes was configured rewrites='error'"
                 )
+            # deletion-vector deltas: rows deleted merge-on-read in
+            # commit v. A file's rows in the PREVIOUS snapshot's DVs
+            # were already emitted — exclude them from whole-file
+            # deletes; NEW dv objects emit precise per-row deletes.
+            cur_dvs = {dv["path"]: dv for dv in manifest.get("dvs", [])}
+            prev_exclude = [self._abs(p) for p in (prev_dvs or {})]
+            cur_exclude = [self._abs(p) for p in cur_dvs]
+            dv_bases = {
+                b for dv in cur_dvs.values() for b in dv["rows"]
+            }
             for f in added:
-                parts.append(
-                    _FileChange(
-                        self._abs(f), "insert", v,
-                        self.field_names, self.field_types,
-                        self.field_physical,
-                    )
+                fc = _FileChange(
+                    self._abs(f), "insert", v,
+                    self.field_names, self.field_types,
+                    self.field_physical,
                 )
+                if os.path.basename(f) in dv_bases:
+                    # a RE-added file (restore to a DV'd snapshot):
+                    # rows its current DVs hide are not visible inserts
+                    fc.dv_exclude_paths = cur_exclude
+                parts.append(fc)
+            base_to_rel = {os.path.basename(f): f for f in files}
+            prev_base_to_rel = {
+                os.path.basename(f): f for f in prev_files
+            }
             for f in removed:
-                parts.append(
-                    _FileChange(
-                        self._abs(f), "delete", v,
+                fc = _FileChange(
+                    self._abs(f), "delete", v,
+                    self.field_names, self.field_types,
+                    self.field_physical,
+                )
+                fc.dv_exclude_paths = prev_exclude
+                parts.append(fc)
+            for path, dv in cur_dvs.items():
+                if prev_dvs is not None and path in prev_dvs:
+                    continue  # carried, already emitted
+                for base in dv["rows"]:
+                    rel = base_to_rel.get(base) or prev_base_to_rel.get(
+                        base
+                    )
+                    if rel is None:
+                        continue  # dangling entry: file already gone
+                    fc = _FileChange(
+                        self._abs(rel), "delete", v,
                         self.field_names, self.field_types,
                         self.field_physical,
                     )
-                )
+                    fc.dv_path = self._abs(path)
+                    fc.dv_file_base = base
+                    # rows of this file already deleted by EARLIER DVs
+                    # were emitted back then — exclude them here
+                    fc.dv_exclude_paths = prev_exclude
+                    parts.append(fc)
             prev_files = cur
+            prev_dvs = cur_dvs
         return parts
 
     def _abs(self, f: str) -> str:
@@ -380,6 +435,31 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
             },
         )
         table = pq.read_table(partition.path)
+        base = os.path.basename(partition.path)
+
+        def _dv_positions(dv_path: str) -> set[int]:
+            t = pq.read_table(dv_path)
+            fb, pos = t["file_base"].to_pylist(), t["pos"].to_pylist()
+            return {p for b, p in zip(fb, pos) if b == base}
+
+        if partition.dv_path:
+            # precise merge-on-read delete: ONLY the positions this DV
+            # lists for the base file (minus any already emitted)
+            keep = _dv_positions(partition.dv_path)
+            for ex in partition.dv_exclude_paths:
+                keep -= _dv_positions(ex)
+            table = table.take(sorted(keep))
+        elif partition.dv_exclude_paths:
+            # whole-file insert/delete on a DV'd file: rows its DVs
+            # hide were never visible (insert) or already emitted
+            # (delete) — drop them by position
+            drop: set[int] = set()
+            for ex in partition.dv_exclude_paths:
+                drop |= _dv_positions(ex)
+            if drop:
+                table = table.take(
+                    [i for i in range(table.num_rows) if i not in drop]
+                )
         cols = {}
         for name in partition.field_names:
             p = phys.get(name, name)
