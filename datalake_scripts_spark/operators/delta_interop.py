@@ -144,6 +144,14 @@ def export_delta_log(table_dir: str, out_dir: str | None = None) -> str:
                 "metaData action requires one"
             )
         spec = manifest.get("partition_spec") or []
+        if any(isinstance(e, dict) for e in spec):
+            raise ValueError(
+                f"{table_dir}@v{v} uses transform (hidden) partitioning "
+                f"{spec}; Delta expresses that as generated columns, "
+                "which this exporter does not emit — re-layout with an "
+                "identity spec (compact_versioned + evolve_partitioning) "
+                "before export"
+            )
         mode = manifest.get("mode", "append")
         # pure re-layout commits (OPTIMIZE / OPTIMIZE WHERE — the
         # full-table path records mode="overwrite" + meta.compaction_of)

@@ -201,7 +201,6 @@ def write_audit_publish(
         _commit_manifest,
         _evolve_schema,
         _load_manifest,
-        _stage_files,
         _stats_for_new_files,
         current_version,
     )
@@ -223,20 +222,19 @@ def write_audit_publish(
             )
     from .versioned import (
         _field_physical,
+        _normalize_spec,
         _physical_schema_json,
         _physicalize_cols,
-        _physicalize_df,
         _resolve_mapping,
+        _stage_with_spec,
     )
 
     prev_manifest0 = _load_manifest(table_dir, prev0) if prev0 > 0 else {}
     table_schema_json = _resolve_mapping(
         table_schema.jsonValue(), prev_manifest0, mode
     )
-    new_files = _stage_files(
-        _physicalize_df(df, table_schema_json),
-        table_dir,
-        partition_by=_physicalize_cols(partition_by, table_schema_json),
+    new_files = _stage_with_spec(
+        df, table_dir, _normalize_spec(partition_by), table_schema_json
     )
     staged = spark.read.parquet(
         *[os.path.join(table_dir, f) for f in new_files]

@@ -243,7 +243,11 @@ def manifest_chunks_for_read(
     manifests)."""
     v = version or current_version(table_dir)
     manifest = _load_manifest(table_dir, v)
-    skip_filter = _physicalize_filter(skip_filter, manifest.get("schema"))
+    skip_filter = (
+        _physicalize_filter(skip_filter, manifest.get("schema")) or []
+    ) + _translate_skip_filter(
+        skip_filter, _manifest_partition_spec(manifest)
+    ) or None
     return [
         ch["path"]
         for ch in manifest.get("chunks", [])
@@ -866,7 +870,14 @@ def rename_column(table_dir: str, old: str, new: str) -> int:
             blooms = [new if c == old else c for c in blooms]
         spec = manifest.get("partition_spec")
         if spec is not None:
-            spec = [new if c == old else c for c in spec]
+            # transform entries relabel their SOURCE column; the frozen
+            # hidden name never changes (existing dirs keep resolving)
+            spec = [
+                {**c, "col": new}
+                if isinstance(c, dict) and c["col"] == old
+                else (new if c == old else c)
+                for c in spec
+            ]
         return (
             {**schema_json, "fields": fields},
             {"schema_change": {"op": "rename", "from": old, "to": new}},
@@ -900,7 +911,10 @@ def drop_column(table_dir: str, name: str) -> int:
         if len(names) == 1:
             raise ValueError("cannot drop the only column")
         spec = manifest.get("partition_spec") or []
-        if name in spec:
+        spec_sources = [
+            c["col"] if isinstance(c, dict) else c for c in spec
+        ]
+        if name in spec_sources:
             raise ValueError(
                 f"{name!r} is in the table's partition spec {spec}; "
                 "evolve the partition spec first (appends lay files "
@@ -1172,7 +1186,9 @@ def _translate_skip_filter(skip_filter, spec) -> list[tuple]:
                     h = xxhash64_str(val)
                 else:
                     continue
-                out.append((e["name"], "=", str(h % e["n"])))
+                # int, matching the stats-side partition-value
+                # inference for the hidden column (pmod is >= 0)
+                out.append((e["name"], "=", h % e["n"]))
     return out
 
 
@@ -1307,7 +1323,7 @@ def write_versioned(
         _manifest_partition_spec(prev_manifest0) if prev_for_schema > 0 else []
     )
     prev_spec_id = prev_manifest0.get("spec_id", 0)
-    spec = prev_spec if partition_by is None else list(partition_by)
+    spec = prev_spec if partition_by is None else _normalize_spec(partition_by)
     if prev_for_schema > 0 and spec != prev_spec and not evolve_partitioning:
         raise ValueError(
             f"partition_by={spec} differs from the table's committed "
@@ -1318,12 +1334,9 @@ def write_versioned(
     spec_id = prev_spec_id + 1 if (prev_for_schema > 0 and spec != prev_spec) else prev_spec_id
 
     # 1. stage immutable data files under a unique prefix (physical
-    # names; identity rename for unmapped tables)
-    new_files = _stage_files(
-        _physicalize_df(df, table_schema_json),
-        table_dir,
-        partition_by=_physicalize_cols(spec, table_schema_json) or None,
-    )
+    # names — identity rename for unmapped tables — with hidden
+    # transform partition columns materialized per the spec)
+    new_files = _stage_with_spec(df, table_dir, spec, table_schema_json)
 
     # 2. commit the manifest, carrying per-file footer stats (row count
     # + column min/max/nulls) so snapshots support metadata-only counts
@@ -1764,11 +1777,16 @@ def read_versioned(
                 f"schema contract violated by {table_dir}@v{v}: "
                 + "; ".join(violations)
             )
-    # stats / chunk rollups / blooms are keyed by PHYSICAL names
+    # stats / chunk rollups / blooms are keyed by PHYSICAL names; a
+    # hidden-partitioned table additionally prunes on the TRANSLATED
+    # transform values (prune-only conjuncts — never residual-applied)
     phys_filter = _physicalize_filter(skip_filter, manifest.get("schema"))
-    files, stats = _expand_manifest(table_dir, manifest, phys_filter)
+    prune_filter = (phys_filter or []) + _translate_skip_filter(
+        skip_filter, _manifest_partition_spec(manifest)
+    ) or None
+    files, stats = _expand_manifest(table_dir, manifest, prune_filter)
     if skip_filter:
-        files = [f for f in files if _file_may_match(stats.get(f), phys_filter)]
+        files = [f for f in files if _file_may_match(stats.get(f), prune_filter)]
     if not files:
         # every file pruned: preserve the schema via a zero-row scan of
         # one manifest file with an always-false filter
@@ -1804,8 +1822,11 @@ def files_for_read(
     v = version or current_version(table_dir)
     manifest = _load_manifest(table_dir, v)
     phys_filter = _physicalize_filter(skip_filter, manifest.get("schema"))
-    files, stats = _expand_manifest(table_dir, manifest, phys_filter)
-    return [f for f in files if _file_may_match(stats.get(f), phys_filter)]
+    prune_filter = (phys_filter or []) + _translate_skip_filter(
+        skip_filter, _manifest_partition_spec(manifest)
+    ) or None
+    files, stats = _expand_manifest(table_dir, manifest, prune_filter)
+    return [f for f in files if _file_may_match(stats.get(f), prune_filter)]
 
 
 def read_changes(
@@ -1968,6 +1989,8 @@ def compact_versioned(
     prev_manifest = _load_manifest(table_dir, v_read)
     if partition_by is None:
         partition_by = _manifest_partition_spec(prev_manifest)
+    else:
+        partition_by = _normalize_spec(partition_by)
     if where is not None:
         return _compact_subset(
             spark,
@@ -2065,11 +2088,7 @@ def _compact_subset(
     else:
         df = cur.coalesce(target_files)
     schema_json = manifest.get("schema")
-    new_files = _stage_files(
-        _physicalize_df(df, schema_json),
-        table_dir,
-        partition_by=_physicalize_cols(partition_by, schema_json) or None,
-    )
+    new_files = _stage_with_spec(df, table_dir, partition_by, schema_json)
     new_stats = _stats_for_new_files(
         table_dir, new_files, _physical_schema_json(schema_json or {}) or None
     )
@@ -2174,7 +2193,11 @@ def _predicate_touched_files(
     itself)."""
     from pyspark.sql import functions as F
 
-    skip_filter = _physicalize_filter(skip_filter, manifest.get("schema"))
+    skip_filter = (
+        _physicalize_filter(skip_filter, manifest.get("schema")) or []
+    ) + _translate_skip_filter(
+        skip_filter, _manifest_partition_spec(manifest)
+    ) or None
     files, stats = _expand_manifest(table_dir, manifest, skip_filter)
     candidates = [
         f for f in files if _file_may_match(stats.get(f), skip_filter)
@@ -2259,11 +2282,7 @@ def delete_versioned(
     # sharp (a flat rewrite mixes partitions per file, widening stats)
     pcols = _manifest_partition_spec(manifest)
     schema_json = manifest.get("schema")
-    new_files = _stage_files(
-        _physicalize_df(kept, schema_json),
-        table_dir,
-        partition_by=_physicalize_cols(pcols, schema_json) or None,
-    )
+    new_files = _stage_with_spec(kept, table_dir, pcols, schema_json)
     new_stats = _stats_for_new_files(
         table_dir, new_files, _physical_schema_json(schema_json or {}) or None
     )
@@ -2497,10 +2516,8 @@ def update_versioned(
         obs, F.sum(pred.cast("long")).alias("n_matched")
     ).select(*cols)
     pcols = _manifest_partition_spec(manifest)  # keep the hive layout
-    new_files = _stage_files(
-        _physicalize_df(rewritten, schema_json),
-        table_dir,
-        partition_by=_physicalize_cols(pcols, schema_json) or None,
+    new_files = _stage_with_spec(
+        rewritten, table_dir, pcols, schema_json
     )  # the action that fires obs
     n_updated = int(obs.get["n_matched"] or 0)
     new_stats = _stats_for_new_files(

@@ -48,6 +48,7 @@ DRIVER_PRIORITY = [
     "catalog_named_tables",  # save_as_table + read-by-name e2e
     "versioned_column_mapping",  # rename/drop metadata-only, time travel
     "versioned_deletion_vectors",  # merge-on-read DELETE, zero rewrite
+    "versioned_hidden_partitioning",  # days(ts) transform spec + pruning
     # --- stalest driver rows (r2 then r3), staleness rotation ---
     "scalar_math_functions",
     "scalar_string_functions",
@@ -93,7 +94,6 @@ DRIVER_PRIORITY = [
     "range_join_value_tiers",
     "regex_parse_bracketed_log",
     "sample_stratified_hash",
-    "sketch_cms_join_size",
 ]
 
 

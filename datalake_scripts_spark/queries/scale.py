@@ -971,3 +971,75 @@ def versioned_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rows_v1", F.lit(rows_v1).cast("bigint"))
         .orderBy("o_orderpriority")
     )
+
+
+_HIDDENPART_SQL = """
+WITH day5 AS (
+  SELECT event_type, value FROM events
+  WHERE CAST(ts AS DATE) = DATE '2024-01-05'
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       CAST(TRUE AS BOOLEAN) AS files_pruned
+FROM day5
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("versioned_hidden_partitioning", sql=_HIDDENPART_SQL)
+def versioned_hidden_partitioning(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hidden (transform) partitioning end to end, driver-verified
+    (operators/versioned.py hidden-partitioning block): commit events
+    partitioned by ``days(ts)`` — the derived day lives only in the
+    hive layout, never in the schema — then read ONE day back through
+    a plain timestamp ``skip_filter``. Planning translates the
+    timestamp range onto the hidden day value (file pruning proven
+    in-line: the filtered read opens strictly fewer files) and the
+    day's aggregate must match the oracle recomputing from a CAST
+    date predicate. This kills the Hive anti-pattern of a user-facing
+    derived date column the optimizer can't connect to the timestamp
+    (the reference's jhub pipeline partitions by a string dt column
+    carried in the data for exactly this reason, jhub_proc.py).
+
+    100 TB rationale: time-range scans are THE dominant access path on
+    event lakes; transform specs give partition-grain pruning from the
+    natural predicate with zero schema pollution, and `bucket(n, key)`
+    (tested in tests/test_hidden_partitioning.py with a bit-exact
+    driver-side xxhash64 twin) gives point-lookup pruning on high-
+    cardinality keys."""
+    import tempfile
+
+    from ..operators import versioned as V
+
+    base = tempfile.mkdtemp(prefix="hidden_q_")
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    V.write_versioned(
+        spark, ev, base, mode="append",
+        partition_by=[{"transform": "days", "col": "ts"}],
+    )
+    flt = [
+        ("ts", ">=", "2024-01-05T00:00:00"),
+        ("ts", "<=", "2024-01-05T23:59:59.999999"),
+    ]
+    n_all = len(V.files_for_read(base))
+    n_sel = len(V.files_for_read(base, skip_filter=flt))
+    day = V.read_versioned(spark, base, skip_filter=flt)
+    return (
+        day.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .withColumn(
+            "files_pruned", F.lit(bool(0 < n_sel < n_all))
+        )
+        .orderBy("event_type")
+    )
