@@ -2555,6 +2555,203 @@ def update_versioned(
     return version, n_updated
 
 
+def merge_versioned(
+    spark: SparkSession,
+    table_dir: str,
+    source: DataFrame,
+    on: list[str],
+    when_matched_update: dict[str, str] | None = None,
+    when_matched_delete: str | bool = False,
+    when_not_matched_insert: bool = True,
+    matched_condition: str | None = None,
+    meta: dict | None = None,
+) -> tuple[int, dict]:
+    """MERGE INTO (Delta semantics) with touched-file-only rewrite:
+
+    - ``when_matched_update``: {target_col: SQL expr} — expressions may
+      reference both sides via the ``t``/``s`` aliases
+      (``"s.value + t.value"``); applied to matched rows passing
+      ``matched_condition`` (a SQL bool over t/s, None = all matched).
+    - ``when_matched_delete``: True or a SQL condition over t/s —
+      matched rows passing it are dropped. Delete is evaluated BEFORE
+      update (a row matching both clauses deletes), mirroring clause
+      order in ``MERGE ... WHEN MATCHED THEN DELETE`` first.
+    - ``when_not_matched_insert``: source rows matching no target key
+      insert (source must carry every target column).
+
+    Returns ``(new_version, {"n_updated", "n_deleted", "n_inserted"})``.
+
+    Scale shape: only files CONTAINING a source-key match rewrite
+    (file discovery is a semi-join on the key, collected at file
+    granularity — manifest-sized); untouched files carry by reference,
+    deletion vectors on touched files materialize through the
+    DV-applied read. A duplicate source key is rejected up front
+    (multi-match MERGE is undefined in SQL; Delta throws at runtime).
+    Read-pinned commit (mode 'merge'): concurrent writers raise
+    :class:`CommitConflict`. Reference parity: the reference's only
+    upsert is DROP-then-reload (monkey_proc.py) — a reader-visible
+    gap; here the merge is one atomic pointer flip.
+    """
+    from pyspark.sql import functions as F
+
+    v = current_version(table_dir)
+    if v == 0:
+        raise FileNotFoundError(f"no committed version in {table_dir}")
+    if not (when_matched_update or when_matched_delete
+            or when_not_matched_insert):
+        raise ValueError("MERGE with no clauses is a no-op; pass one")
+    manifest = _load_manifest(table_dir, v)
+    schema_json = manifest.get("schema")
+
+    dup = source.groupBy(*on).count().filter(F.col("count") > 1)
+    if dup.limit(1).count() > 0:
+        raise ValueError(f"source has duplicate keys on {on}")
+    src = source.localCheckpoint()  # pin: read twice (discovery + join)
+
+    # phase 1: which files contain a key match (file-bounded collect)
+    tgt_all = _read_manifest_files(
+        spark, manifest, table_dir, _expand_manifest(table_dir, manifest)[0],
+        with_position=True,
+    )
+    touched_bases = {
+        r["_f"]
+        for r in tgt_all.join(src.select(*on), on, "left_semi")
+        .select(F.col(_DV_FILE_COL).alias("_f"))
+        .distinct()
+        .collect()
+    }
+    all_files, all_stats = _expand_manifest(table_dir, manifest)
+    touched = [f for f in all_files if os.path.basename(f) in touched_bases]
+
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    parts = []
+    if touched:
+        t = _read_manifest_files(
+            spark, manifest, table_dir, touched
+        ).alias("t")
+        s = src.withColumn("__m", F.lit(1)).alias("s")
+        matched = F.col("__m").isNotNull()
+        if matched_condition:
+            matched = matched & F.coalesce(
+                F.expr(matched_condition), F.lit(False)
+            )
+        if when_matched_delete is True:
+            delete_cond = matched
+        elif when_matched_delete:
+            delete_cond = matched & F.coalesce(
+                F.expr(str(when_matched_delete)), F.lit(False)
+            )
+        else:
+            delete_cond = F.lit(False)
+        update_cond = matched & ~delete_cond if when_matched_update else F.lit(False)
+        tcols = t.columns
+        tgt_types = {f.name: f.dataType for f in t.schema.fields}
+        joined = t.join(
+            s,
+            on=[F.col(f"t.{k}") == F.col(f"s.{k}") for k in on],
+            how="left",
+        )
+        out_cols = []
+        for c in tcols:
+            if when_matched_update and c in when_matched_update:
+                # updated values cast back to the DECLARED type — a
+                # merge can never drift the table schema
+                out_cols.append(
+                    F.when(update_cond, F.expr(when_matched_update[c]))
+                    .otherwise(F.col(f"t.{c}"))
+                    .cast(tgt_types[c])
+                    .alias(c)
+                )
+            else:
+                out_cols.append(F.col(f"t.{c}").alias(c))
+        rewritten = (
+            joined.observe(
+                obs,
+                F.sum(delete_cond.cast("long")).alias("n_deleted"),
+                F.sum(update_cond.cast("long")).alias("n_updated"),
+            )
+            .filter(~delete_cond)
+            .select(*out_cols)
+        )
+        parts.append(rewritten)
+        obs_cols = None
+    if when_not_matched_insert:
+        tcols = [f["name"] for f in (schema_json or {}).get("fields", [])] \
+            or tgt_all.drop(_DV_FILE_COL, _DV_POS_COL).columns
+        missing = set(tcols) - set(src.columns)
+        if missing:
+            raise ValueError(
+                f"when_not_matched_insert needs source columns {sorted(missing)}"
+            )
+        inserts = src.join(
+            tgt_all.select(*on), on, "left_anti"
+        ).select(*tcols)
+        parts.append(inserts)
+    if not parts:
+        return v, {"n_updated": 0, "n_deleted": 0, "n_inserted": 0}
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+
+    pcols = _manifest_partition_spec(manifest)
+    new_files = _stage_with_spec(out, table_dir, pcols, schema_json)
+    new_stats = _stats_for_new_files(
+        table_dir, new_files, _physical_schema_json(schema_json or {}) or None
+    )
+    _augment_blooms(
+        table_dir,
+        new_files,
+        new_stats,
+        _physicalize_cols(manifest.get("bloom_cols"), schema_json),
+        0.01,
+    )
+    untouched = [f for f in all_files if os.path.basename(f) not in touched_bases]
+    files = untouched + new_files
+    stats = {
+        **{f: all_stats[f] for f in untouched if f in all_stats},
+        **new_stats,
+    }
+    counts = {"n_updated": 0, "n_deleted": 0}
+    if touched:
+        got = obs.get
+        counts = {
+            "n_updated": int(got["n_updated"] or 0),
+            "n_deleted": int(got["n_deleted"] or 0),
+        }
+    # inserted = staged rows minus surviving rewrites (metadata math)
+    n_staged = sum(s["rows"] for s in new_stats.values())
+    dv_touched = sum(
+        n
+        for dv in manifest.get("dvs", [])
+        for b, n in dv["rows"].items()
+        if b in touched_bases
+    )
+    n_rewritten_src = (
+        sum(all_stats[f]["rows"] for f in touched if f in all_stats)
+        - dv_touched
+        - counts["n_deleted"]
+    )
+    counts["n_inserted"] = n_staged - n_rewritten_src
+    version = _commit_dml(
+        table_dir,
+        new_files,
+        files,
+        stats,
+        "merge",
+        schema_json,
+        {**(meta or {}), "merge_on": list(on), **counts},
+        bloom_cols=manifest.get("bloom_cols"),
+        expected_version=v,
+        partition_spec=pcols,
+        spec_id=manifest.get("spec_id", 0),
+        manifest_chunking=manifest.get("manifest_chunking"),
+        dvs=_carry_dvs(manifest, touched),
+    )
+    return version, counts
+
+
 def restore_versioned(table_dir: str, version: int) -> int:
     """RESTORE (Delta parity): roll the table back to snapshot
     ``version`` by committing that manifest's file list as a NEW

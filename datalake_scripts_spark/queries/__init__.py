@@ -49,6 +49,7 @@ DRIVER_PRIORITY = [
     "versioned_column_mapping",  # rename/drop metadata-only, time travel
     "versioned_deletion_vectors",  # merge-on-read DELETE, zero rewrite
     "versioned_hidden_partitioning",  # days(ts) transform spec + pruning
+    "versioned_merge_into",  # MERGE clauses, touched-file-only rewrite
     # --- stalest driver rows (r2 then r3), staleness rotation ---
     "scalar_math_functions",
     "scalar_string_functions",
@@ -93,7 +94,6 @@ DRIVER_PRIORITY = [
     "quality_gopher_rules",
     "range_join_value_tiers",
     "regex_parse_bracketed_log",
-    "sample_stratified_hash",
 ]
 
 

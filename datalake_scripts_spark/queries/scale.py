@@ -1043,3 +1043,83 @@ def versioned_hidden_partitioning(
         )
         .orderBy("event_type")
     )
+
+
+_MERGE_SQL = """
+WITH tgt AS (
+  SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+  FROM orders WHERE o_orderkey < 6000 AND o_orderkey % 2 = 0
+), src AS (
+  SELECT o_orderkey, o_custkey,
+         o_totalprice + 1000 AS o_totalprice, o_orderpriority
+  FROM orders
+  WHERE o_orderkey < 6000 AND (o_orderkey % 4 = 0 OR o_orderkey % 2 = 1)
+), kept AS (
+  SELECT t.o_orderkey,
+         CASE WHEN s.o_orderkey IS NOT NULL
+              THEN s.o_totalprice ELSE t.o_totalprice END AS price,
+         t.o_orderpriority
+  FROM tgt t LEFT JOIN src s USING (o_orderkey)
+  WHERE NOT (s.o_orderkey IS NOT NULL AND t.o_orderpriority = '5-LOW')
+), ins AS (
+  SELECT s.o_orderkey, s.o_totalprice AS price, s.o_orderpriority
+  FROM src s ANTI JOIN tgt t USING (o_orderkey)
+), merged AS (
+  SELECT * FROM kept UNION ALL SELECT * FROM ins
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM merged
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@query("versioned_merge_into", sql=_MERGE_SQL)
+def versioned_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO with full Delta clause semantics, driver-verified
+    (versioned.merge_versioned): target = even orderkeys, source =
+    the %4 subset (matched) plus all odd keys (not matched), with a
+    +1000 price. Matched rows in priority 5-LOW DELETE, other matched
+    rows UPDATE to the source price, unmatched source rows INSERT —
+    one atomic commit, touched files only (the reference's only
+    upsert is DROP-then-reload, monkey_proc.py:98-120, a
+    reader-visible gap). The oracle restates the clause algebra as a
+    LEFT JOIN + ANTI JOIN.
+
+    100 TB shape: file discovery is a key semi-join collected at FILE
+    granularity; untouched files carry by reference; the clause
+    evaluation is one left join over only the touched files' rows."""
+    import tempfile
+
+    from ..operators import versioned as V
+
+    base = tempfile.mkdtemp(prefix="merge_q_")
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    ).filter(F.col("o_orderkey") < 6000)
+    V.write_versioned(
+        spark, orders.filter(F.col("o_orderkey") % 2 == 0), base,
+        mode="append",
+    )
+    src = orders.filter(
+        (F.col("o_orderkey") % 4 == 0) | (F.col("o_orderkey") % 2 == 1)
+    ).withColumn("o_totalprice", F.col("o_totalprice") + 1000)
+    V.merge_versioned(
+        spark, base, src, on=["o_orderkey"],
+        when_matched_delete="t.o_orderpriority = '5-LOW'",
+        when_matched_update={"o_totalprice": "s.o_totalprice"},
+        when_not_matched_insert=True,
+    )
+    merged = V.read_versioned(spark, base)
+    return (
+        merged.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -1,0 +1,164 @@
+"""MERGE INTO on versioned tables (versioned.merge_versioned): Delta
+clause semantics — conditional matched-update / matched-delete /
+not-matched-insert — with touched-file-only rewrite, DV interplay, and
+read-pinned concurrency via the shared _commit_dml path."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from datalake_scripts_spark.operators import versioned as V
+
+
+@pytest.fixture()
+def tdir(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def _orders(spark, sf_dir, lo=0, hi=3000):
+    return (
+        spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        .filter((F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi))
+    )
+
+
+def test_merge_update_insert(spark, sf_dir, tdir):
+    tgt = _orders(spark, sf_dir, 0, 2000)
+    V.write_versioned(spark, tgt, tdir, mode="append")
+    # source: half overlapping (keys %3==0 under 2000), half new (>=2000)
+    src = _orders(spark, sf_dir, 0, 3000).filter(
+        "o_orderkey % 3 = 0 OR o_orderkey >= 2000"
+    ).withColumn("o_totalprice", F.lit(1.0))
+    v, c = V.merge_versioned(
+        spark, tdir, src, on=["o_orderkey"],
+        when_matched_update={"o_totalprice": "s.o_totalprice"},
+    )
+    n_overlap = tgt.filter("o_orderkey % 3 = 0").count()
+    n_new = src.filter("o_orderkey >= 2000").count()
+    assert c == {"n_updated": n_overlap, "n_deleted": 0, "n_inserted": n_new}
+    got = V.read_versioned(spark, tdir)
+    assert got.count() == tgt.count() + n_new
+    assert got.filter("o_totalprice = 1.0").count() == n_overlap + n_new
+    # non-matched target rows untouched
+    assert (
+        got.filter("o_orderkey % 3 <> 0 AND o_orderkey < 2000")
+        .filter("o_totalprice = 1.0")
+        .count()
+        == 0
+    )
+
+
+def test_merge_conditional_delete_and_expressions(spark, sf_dir, tdir):
+    tgt = _orders(spark, sf_dir, 0, 2000)
+    V.write_versioned(spark, tgt, tdir, mode="append")
+    src = tgt.select("o_orderkey").withColumn("bump", F.lit(100.0))
+    v, c = V.merge_versioned(
+        spark, tdir, src, on=["o_orderkey"],
+        when_matched_delete="t.o_orderpriority = '5-LOW'",
+        when_matched_update={"o_totalprice": "t.o_totalprice + s.bump"},
+        when_not_matched_insert=False,
+    )
+    n_low = tgt.filter("o_orderpriority = '5-LOW'").count()
+    assert c["n_deleted"] == n_low
+    assert c["n_updated"] == tgt.count() - n_low
+    assert c["n_inserted"] == 0
+    got = V.read_versioned(spark, tdir)
+    assert got.filter("o_orderpriority = '5-LOW'").count() == 0
+    base = {r["o_orderkey"]: r["o_totalprice"] for r in tgt.limit(50).collect()}
+    upd = {
+        r["o_orderkey"]: r["o_totalprice"]
+        for r in got.filter(
+            F.col("o_orderkey").isin(list(base))
+        ).collect()
+    }
+    for k, p in upd.items():
+        assert abs(p - (base[k] + 100.0)) < 1e-6
+
+
+def test_merge_rewrites_only_touched_files(spark, sf_dir, tdir):
+    tgt = _orders(spark, sf_dir, 0, 3000)
+    V.write_versioned(
+        spark, tgt, tdir, mode="append", partition_by=["o_orderpriority"]
+    )
+    files_before = set(V.files_for_read(tdir))
+    # source touches exactly one priority partition
+    src = tgt.filter("o_orderpriority = '1-URGENT'").limit(10).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    ).withColumn("o_totalprice", F.lit(2.0))
+    V.merge_versioned(
+        spark, tdir, src, on=["o_orderkey"],
+        when_matched_update={"o_totalprice": "s.o_totalprice"},
+        when_not_matched_insert=False,
+    )
+    files_after = set(V.files_for_read(tdir))
+    # the ONLY rewritten (removed) files are 1-URGENT partition files;
+    # every other partition carried byte-identical
+    removed = files_before - files_after
+    assert removed and all("1-URGENT" in f for f in removed)
+    assert any("1-URGENT" in f for f in files_after - files_before)
+    assert V.read_versioned(spark, tdir).count() == tgt.count()
+
+
+def test_merge_matched_condition_and_dv_interplay(spark, sf_dir, tdir):
+    tgt = _orders(spark, sf_dir, 0, 2000)
+    V.write_versioned(spark, tgt, tdir, mode="append")
+    _, n_dv = V.delete_versioned(
+        spark, tdir, "o_orderkey % 10 = 0", deletion_vectors=True
+    )
+    src = tgt.select("o_orderkey", "o_custkey", "o_totalprice",
+                     "o_orderpriority")
+    v, c = V.merge_versioned(
+        spark, tdir, src, on=["o_orderkey"],
+        when_matched_update={"o_totalprice": "0.0"},
+        matched_condition="t.o_orderkey % 2 = 0",
+        when_not_matched_insert=False,
+    )
+    visible = tgt.count() - n_dv
+    want_upd = tgt.filter(
+        "o_orderkey % 10 <> 0 AND o_orderkey % 2 = 0"
+    ).count()
+    assert c["n_updated"] == want_upd  # DV'd rows can't match
+    got = V.read_versioned(spark, tdir)
+    assert got.count() == visible  # DV deletes stay deleted post-merge
+    assert got.filter("o_orderkey % 10 = 0").count() == 0
+    # full-table merge rewrote every file -> DVs materialized away
+    assert not V._load_manifest(tdir, V.current_version(tdir)).get("dvs")
+
+
+def test_merge_duplicate_source_keys_raise(spark, sf_dir, tdir):
+    tgt = _orders(spark, sf_dir, 0, 1000)
+    V.write_versioned(spark, tgt, tdir, mode="append")
+    dup_src = tgt.limit(5).unionByName(tgt.limit(5))
+    with pytest.raises(ValueError, match="duplicate keys"):
+        V.merge_versioned(
+            spark, tdir, dup_src, on=["o_orderkey"],
+            when_matched_update={"o_totalprice": "s.o_totalprice"},
+        )
+
+
+def test_merge_insert_requires_full_columns(spark, sf_dir, tdir):
+    tgt = _orders(spark, sf_dir, 0, 1000)
+    V.write_versioned(spark, tgt, tdir, mode="append")
+    with pytest.raises(ValueError, match="source columns"):
+        V.merge_versioned(
+            spark, tdir, tgt.select("o_orderkey"), on=["o_orderkey"],
+        )
+
+
+def test_merge_cdf_shows_delete_insert_pairs(spark, sf_dir, tdir):
+    tgt = _orders(spark, sf_dir, 0, 1000)
+    V.write_versioned(spark, tgt, tdir, mode="append")
+    src = tgt.limit(20).withColumn("o_totalprice", F.lit(9.0))
+    V.merge_versioned(
+        spark, tdir, src, on=["o_orderkey"],
+        when_matched_update={"o_totalprice": "s.o_totalprice"},
+        when_not_matched_insert=False,
+    )
+    ch = V.read_changes(spark, tdir, 1, 2)
+    by = {r["_change_type"]: r["count"]
+          for r in ch.groupBy("_change_type").count().collect()}
+    assert by == {"insert": 20, "delete": 20}
