@@ -104,6 +104,19 @@ def main(argv: list[str] | None = None) -> int:
     tbl_sub.add_parser("history", help="list committed versions")
     dele = tbl_sub.add_parser("delete", help="row-level DELETE (copy-on-write)")
     dele.add_argument("--where", required=True, help="SQL predicate")
+    dele.add_argument(
+        "--dv", action="store_true",
+        help="merge-on-read: commit a deletion vector, rewrite nothing",
+    )
+    ren = tbl_sub.add_parser(
+        "rename-column", help="RENAME COLUMN (metadata-only, column mapping)"
+    )
+    ren.add_argument("--from", dest="old", required=True)
+    ren.add_argument("--to", dest="new", required=True)
+    drp = tbl_sub.add_parser(
+        "drop-column", help="DROP COLUMN (metadata-only, column mapping)"
+    )
+    drp.add_argument("--column", required=True)
     upd = tbl_sub.add_parser("update", help="row-level UPDATE (copy-on-write)")
     upd.add_argument("--where", required=True, help="SQL predicate")
     upd.add_argument(
@@ -262,8 +275,17 @@ def main(argv: list[str] | None = None) -> int:
             removed = V.vacuum(args.dir, keep_last=args.keep_last)
             print(f"vacuumed {removed} files")
         elif args.action == "delete":
-            v, n = V.delete_versioned(spark, args.dir, args.where)
-            print(f"deleted {n} rows -> v{v}")
+            v, n = V.delete_versioned(
+                spark, args.dir, args.where, deletion_vectors=args.dv
+            )
+            how = "deletion vector" if args.dv else "copy-on-write"
+            print(f"deleted {n} rows ({how}) -> v{v}")
+        elif args.action == "rename-column":
+            v = V.rename_column(args.dir, args.old, args.new)
+            print(f"renamed {args.old} -> {args.new} (metadata-only) -> v{v}")
+        elif args.action == "drop-column":
+            v = V.drop_column(args.dir, args.column)
+            print(f"dropped {args.column} (metadata-only) -> v{v}")
         elif args.action == "update":
             sets = dict(s.split("=", 1) for s in args.set)
             v, n = V.update_versioned(spark, args.dir, args.where, sets)
@@ -342,15 +364,28 @@ def main(argv: list[str] | None = None) -> int:
                     continue
                 files, stats = V._expand_manifest(args.dir, m)
                 rows = (
-                    sum(s["rows"] for s in stats.values()) if stats else "?"
+                    sum(s["rows"] for s in stats.values())
+                    - V._dv_total_rows(m)
+                    if stats
+                    else "?"
                 )
                 meta = m.get("meta", {})
                 layout = (
                     f" chunks={len(m['chunks'])}" if "chunks" in m else ""
                 )
+                if "dvs" in m:
+                    layout += f" dvs={len(m['dvs'])}"
+                at = m.get("committed_at")
+                when = ""
+                if at:
+                    import datetime as _dt
+
+                    when = " at=" + _dt.datetime.fromtimestamp(
+                        at, _dt.timezone.utc
+                    ).strftime("%Y-%m-%dT%H:%M:%SZ")
                 print(
                     f"v{ver}: mode={m['mode']} files={len(files)} "
-                    f"rows={rows}{layout}"
+                    f"rows={rows}{layout}{when}"
                     + (f" meta={meta}" if meta else "")
                 )
         return 0

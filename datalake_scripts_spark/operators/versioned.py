@@ -1594,6 +1594,14 @@ def _commit_manifest(
         manifest["dvs"] = dvs
     if max_cid:
         manifest["max_column_id"] = max_cid
+    # wall-clock commit time (epoch seconds): the resolution key for
+    # AS OF TIMESTAMP time travel (version_at_timestamp). Monotonic
+    # per table in practice (commits serialize through the CAS), and
+    # the resolver tolerates clock skew by taking the LAST version at
+    # or before the asked instant.
+    import time as _time
+
+    manifest["committed_at"] = _time.time()
     data = json.dumps(manifest).encode()
     if not get_commit_store().put_if_absent(
         table_dir, _manifest_name(version), data
@@ -1730,8 +1738,11 @@ def read_versioned(
     version: int | None = None,
     skip_filter: list[tuple] | None = None,
     contract=None,
+    as_of=None,
 ) -> DataFrame:
-    """Read a snapshot (latest by default; ``version`` time-travels).
+    """Read a snapshot (latest by default; ``version`` time-travels by
+    number, ``as_of`` by wall-clock instant — epoch float, datetime,
+    date, or ISO string — resolved via :func:`version_at_timestamp`).
 
     ``skip_filter`` is a conjunctive list of ``(column, op, value)``
     with op in {=, <, <=, >, >=}: files whose manifest min/max provably
@@ -1755,6 +1766,10 @@ def read_versioned(
         from .catalog import resolve_table_ref
 
         table_dir = resolve_table_ref(table_dir)
+    if as_of is not None:
+        if version is not None:
+            raise ValueError("pass version OR as_of, not both")
+        version = version_at_timestamp(table_dir, as_of)
     v = version or current_version(table_dir)
     if v == 0:
         raise FileNotFoundError(f"no committed version in {table_dir}")
@@ -2553,6 +2568,48 @@ def update_versioned(
         dvs=_carry_dvs(manifest, touched),
     )
     return version, n_updated
+
+
+def version_at_timestamp(table_dir: str, ts) -> int:
+    """AS OF TIMESTAMP resolution (Delta parity): the LAST version
+    committed at or before ``ts`` — a float epoch, a
+    ``datetime``/``date``, or an ISO string (naive strings are taken
+    as UTC, like the engine's session timezone contract). Raises if
+    the earliest RETAINED manifest is already newer than ``ts`` (the
+    asked instant predates retained history — same error class as
+    Delta's timestamp-before-earliest)."""
+    import datetime
+
+    if isinstance(ts, str):
+        dt = datetime.datetime.fromisoformat(ts)
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=datetime.timezone.utc)
+        ts = dt.timestamp()
+    elif isinstance(ts, datetime.datetime):
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=datetime.timezone.utc)
+        ts = ts.timestamp()
+    elif isinstance(ts, datetime.date):
+        ts = datetime.datetime(
+            ts.year, ts.month, ts.day, tzinfo=datetime.timezone.utc
+        ).timestamp()
+    latest = current_version(table_dir)
+    if latest == 0:
+        raise FileNotFoundError(f"no committed version in {table_dir}")
+    earliest_seen = None
+    for v in range(latest, 0, -1):
+        try:
+            m = _load_manifest(table_dir, v)
+        except FileNotFoundError:
+            break  # older manifests vacuumed
+        at = m.get("committed_at", 0)
+        earliest_seen = at
+        if at <= ts:
+            return v
+    raise ValueError(
+        f"no retained version of {table_dir} at or before timestamp {ts} "
+        f"(earliest retained commit is at {earliest_seen})"
+    )
 
 
 def merge_versioned(

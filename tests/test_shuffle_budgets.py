@@ -37,28 +37,33 @@ ABS_FLOOR = 4 * 1024
 def test_frozen_shuffle_budgets_hold(spark, sf_dir):
     with open(BUDGETS_PATH) as fh:
         frozen = json.load(fh)
-    # budgets are only meaningful under the harness they were frozen at
+    # budgets are only meaningful under the harness they were frozen
+    # at: PIN the shuffle partitioning for the measurement (the shared
+    # suite session may arrive with a different runtime value from an
+    # earlier test) and restore it after
     assert frozen["sf_dir"] == sf_dir
-    assert (
-        int(spark.conf.get("spark.sql.shuffle.partitions"))
-        == frozen["shuffle_partitions"]
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(frozen["shuffle_partitions"])
     )
-
-    over: dict[str, str] = {}
-    for name, budget in frozen["budgets"].items():
-        assert name in REGISTRY, f"budgeted query {name} left the registry"
-        _n, totals = measure_query_shuffle(
-            spark, REGISTRY[name].fn, spark, sf_dir
-        )
-        w = totals["shuffle_write"]
-        if w > budget * TOLERANCE and w - budget > ABS_FLOOR:
-            over[name] = (
-                f"shuffled {w / 1e6:.2f} MB vs frozen budget "
-                f"{budget / 1e6:.2f} MB (> {TOLERANCE}x) — plan regression; "
-                "if deliberate, re-freeze via "
-                "scripts/freeze_shuffle_budgets.py"
+    try:
+        over: dict[str, str] = {}
+        for name, budget in frozen["budgets"].items():
+            assert name in REGISTRY, f"budgeted query {name} left the registry"
+            _n, totals = measure_query_shuffle(
+                spark, REGISTRY[name].fn, spark, sf_dir
             )
-    assert over == {}, over
+            w = totals["shuffle_write"]
+            if w > budget * TOLERANCE and w - budget > ABS_FLOOR:
+                over[name] = (
+                    f"shuffled {w / 1e6:.2f} MB vs frozen budget "
+                    f"{budget / 1e6:.2f} MB (> {TOLERANCE}x) — plan "
+                    "regression; if deliberate, re-freeze via "
+                    "scripts/freeze_shuffle_budgets.py"
+                )
+        assert over == {}, over
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
 
 
 def test_meter_catches_a_broken_broadcast(spark, sf_dir):
