@@ -73,6 +73,13 @@ BENCH_QUERIES = [
     "sketch_mg_heavy_hitters_exact",
     "retrieval_hybrid_rrf",
     "versioned_chunked_pruning",
+    # round 7 additions: full progressive-JPEG decode (the heaviest
+    # Python/Arrow codec stage), MERGE INTO (clause join + touched-file
+    # rewrite + commit), and merge-on-read DELETE (DV write + DV-applied
+    # read + time travel) — the new lakehouse DML hot paths
+    "multimodal_progressive_roundtrip",
+    "versioned_merge_into",
+    "versioned_deletion_vectors",
 ]
 
 
