@@ -125,6 +125,10 @@ def main(argv: list[str] | None = None) -> int:
         action="append",
         help="col=SQL-expr (repeatable)",
     )
+    upd.add_argument(
+        "--dv", action="store_true",
+        help="merge-on-read: DV the old rows, append only updated images",
+    )
     mrg = tbl_sub.add_parser(
         "merge", help="MERGE a parquet batch into the table (upsert by key)"
     )
@@ -288,8 +292,12 @@ def main(argv: list[str] | None = None) -> int:
             print(f"dropped {args.column} (metadata-only) -> v{v}")
         elif args.action == "update":
             sets = dict(s.split("=", 1) for s in args.set)
-            v, n = V.update_versioned(spark, args.dir, args.where, sets)
-            print(f"updated {n} rows -> v{v}")
+            v, n = V.update_versioned(
+                spark, args.dir, args.where, sets,
+                deletion_vectors=args.dv,
+            )
+            how = "deletion vector" if args.dv else "copy-on-write"
+            print(f"updated {n} rows ({how}) -> v{v}")
         elif args.action == "merge":
             # same semantics as streaming CDC apply
             # (foreach_batch_merge_versioned): matched keys replace,

@@ -2417,6 +2417,102 @@ def _delete_via_dv(
     return version, n_deleted
 
 
+def _update_via_dv(
+    spark: SparkSession,
+    table_dir: str,
+    v: int,
+    manifest: dict,
+    predicate: str,
+    set_exprs: dict[str, str],
+    declared: dict,
+    touched: list[str],
+    meta: dict | None,
+) -> tuple[int, int]:
+    """Merge-on-read UPDATE: the matched rows' positions become a new
+    DV (old versions stay intact) and only their UPDATED images append
+    as fresh files. One commit, O(changed rows) written. Positions come
+    from the DV-APPLIED positional read, so already-deleted rows can
+    neither match nor re-enter, and the new DV is disjoint with every
+    prior one by construction."""
+    from pyspark.sql import functions as F
+
+    raw = _read_manifest_files(
+        spark, manifest, table_dir, touched, with_position=True
+    )
+    matched = raw.filter(
+        F.coalesce(F.expr(predicate), F.lit(False))
+    ).localCheckpoint()  # read twice: DV rows + updated images
+    per_file = {
+        r["file_base"]: r["n"]
+        for r in matched.groupBy(
+            F.col(_DV_FILE_COL).alias("file_base")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    if not per_file:
+        return v, 0
+    dv_rel = _stage_dv(
+        matched.select(
+            F.col(_DV_FILE_COL).alias("file_base"),
+            F.col(_DV_POS_COL).cast("bigint").alias("pos"),
+        ),
+        table_dir,
+    )
+    schema_json = manifest.get("schema")
+    cols = []
+    for name in [c for c in matched.columns
+                 if c not in (_DV_FILE_COL, _DV_POS_COL)]:
+        if name in set_exprs:
+            newv = F.expr(set_exprs[name])
+            if name in declared:
+                newv = newv.cast(declared[name])
+            cols.append(newv.alias(name))
+        else:
+            cols.append(F.col(name))
+    updated = matched.select(*cols)
+    pcols = _manifest_partition_spec(manifest)
+    new_files = _stage_with_spec(updated, table_dir, pcols, schema_json)
+    new_stats = _stats_for_new_files(
+        table_dir, new_files, _physical_schema_json(schema_json or {}) or None
+    )
+    _augment_blooms(
+        table_dir,
+        new_files,
+        new_stats,
+        _physicalize_cols(manifest.get("bloom_cols"), schema_json),
+        0.01,
+    )
+    old_files, old_stats = _expand_manifest(table_dir, manifest)
+    files = old_files + new_files
+    stats = {**old_stats, **new_stats}
+    n_updated = sum(per_file.values())
+    dvs = list(manifest.get("dvs", [])) + [
+        {"path": dv_rel, "rows": per_file}
+    ]
+    version = _commit_dml(
+        table_dir,
+        new_files + [dv_rel],
+        files,
+        stats,
+        "update",
+        schema_json,
+        {
+            **(meta or {}),
+            "predicate": predicate,
+            "set": set_exprs,
+            "deletion_vector": dv_rel,
+        },
+        bloom_cols=manifest.get("bloom_cols"),
+        expected_version=v,
+        partition_spec=pcols,
+        spec_id=manifest.get("spec_id", 0),
+        manifest_chunking=manifest.get("manifest_chunking"),
+        dvs=dvs,
+    )
+    return version, n_updated
+
+
 def _commit_dml(
     table_dir: str,
     staged_files: list[str],
@@ -2481,8 +2577,10 @@ def update_versioned(
     set_exprs: dict[str, str],
     skip_filter: list[tuple] | None = None,
     meta: dict | None = None,
+    deletion_vectors: bool = False,
 ) -> tuple[int, int]:
-    """Row-level UPDATE (copy-on-write): rows matching ``predicate``
+    """Row-level UPDATE (copy-on-write by default; merge-on-read with
+    ``deletion_vectors=True``): rows matching ``predicate``
     get each column in ``set_exprs`` replaced by its SQL expression
     (evaluated against the old row); all other rows and files are
     untouched. Returns ``(new_version, n_updated)``.
@@ -2492,7 +2590,14 @@ def update_versioned(
     column's DECLARED type (schema enforcement — an update can never
     drift the table schema; unknown columns raise). n_updated is
     counted during the rewrite via observe() (no separate job). Commit
-    mode 'update' -> CDF shows each updated row as delete+insert."""
+    mode 'update' -> CDF shows each updated row as delete+insert.
+
+    ``deletion_vectors=True`` rewrites NOTHING it doesn't have to: old
+    row positions go into one DV parquet (invisible from commit on)
+    and only the UPDATED rows append as new files — O(changed rows)
+    written, the Delta DV-update shape. Right for selective updates on
+    big files; bulk updates should keep copy-on-write (a mostly-
+    deleted file is pure read overhead until OPTIMIZE)."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
 
@@ -2513,6 +2618,11 @@ def update_versioned(
     )
     if not touched:
         return v, 0
+    if deletion_vectors:
+        return _update_via_dv(
+            spark, table_dir, v, manifest, predicate, set_exprs,
+            declared, touched, meta,
+        )
     old_rows = _read_manifest_files(spark, manifest, table_dir, touched)
     pred = F.expr(predicate)
     cols = []

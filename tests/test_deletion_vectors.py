@@ -322,3 +322,66 @@ def test_streaming_source_emits_dv_deletes(spark, sf_dir, tdir, tmp_path):
     # the delete rows carry the commit that deleted them
     assert {r["_commit_version"] for r in dels.select(
         "_commit_version").distinct().collect()} == {2}
+
+
+def test_dv_update_rewrites_only_changed_rows(spark, sf_dir, tdir):
+    df = _orders(spark, sf_dir)
+    V.write_versioned(spark, df, tdir, mode="append")
+    files_v1 = sorted(V.files_for_read(tdir))
+    n_match = df.filter("o_orderpriority = '2-HIGH'").count()
+    v, n = V.update_versioned(
+        spark, tdir, "o_orderpriority = '2-HIGH'",
+        {"o_totalprice": "o_totalprice * 2"},
+        deletion_vectors=True,
+    )
+    assert n == n_match
+    # original files all carried; only the updated images are new
+    after = sorted(V.files_for_read(tdir))
+    assert set(files_v1) <= set(after)
+    got = V.read_versioned(spark, tdir)
+    assert got.count() == df.count()  # row count invariant under UPDATE
+    base = {
+        r["o_orderkey"]: r["o_totalprice"]
+        for r in df.filter("o_orderpriority = '2-HIGH'").limit(20).collect()
+    }
+    upd = {
+        r["o_orderkey"]: r["o_totalprice"]
+        for r in got.filter(F.col("o_orderkey").isin(list(base))).collect()
+    }
+    for k, p in upd.items():
+        assert abs(p - base[k] * 2) < 1e-6
+    # time travel: v1 unchanged
+    assert (
+        V.read_versioned(spark, tdir, version=1)
+        .filter("o_orderpriority = '2-HIGH'")
+        .count()
+        == n_match
+    )
+
+
+def test_dv_update_stacks_on_dv_delete_and_cdf(spark, sf_dir, tdir):
+    df = _orders(spark, sf_dir)
+    V.write_versioned(spark, df, tdir, mode="append")
+    _, n_del = V.delete_versioned(
+        spark, tdir, "o_orderkey % 4 = 0", deletion_vectors=True
+    )
+    v, n_upd = V.update_versioned(
+        spark, tdir, "o_orderkey % 4 = 1", {"o_totalprice": "0.0"},
+        deletion_vectors=True,
+    )
+    want_upd = df.filter("o_orderkey % 4 = 1").count()
+    assert n_upd == want_upd  # deleted rows can't match
+    got = V.read_versioned(spark, tdir)
+    assert got.count() == df.count() - n_del
+    assert got.filter("o_orderkey % 4 = 0").count() == 0
+    assert got.filter("o_totalprice = 0.0").count() == want_upd
+    # CDF across the DV update: delete+insert pairs for updated rows
+    ch = V.read_changes(spark, tdir, 2, 3)
+    by = {r["_change_type"]: r["count"]
+          for r in ch.groupBy("_change_type").count().collect()}
+    assert by == {"insert": want_upd, "delete": want_upd}
+    # compaction folds both DV generations away
+    V.compact_versioned(spark, tdir, target_files=1)
+    m = V._load_manifest(tdir, V.current_version(tdir))
+    assert not m.get("dvs")
+    assert V.read_versioned(spark, tdir).count() == df.count() - n_del
