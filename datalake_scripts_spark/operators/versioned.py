@@ -2775,11 +2775,44 @@ def merge_versioned(
         raise ValueError(f"source has duplicate keys on {on}")
     src = source.localCheckpoint()  # pin: read twice (discovery + join)
 
+    # phase 0: prune the DISCOVERY scan by the source's key envelope —
+    # files whose manifest min/max provably exclude every source key
+    # can neither match (update/delete) nor disqualify an insert, so
+    # the whole merge reads only stats-candidates. On a key-clustered
+    # or bucketed layout this makes merge cost track the TOUCHED
+    # region, not the table (Delta's data-skipping-before-merge); on a
+    # scattered layout it degrades to the full scan it was.
+    bounds = src.agg(
+        *[F.min(k).alias(f"_mn_{k}") for k in on],
+        *[F.max(k).alias(f"_mx_{k}") for k in on],
+    ).first()
+    env = []
+    for k in on:
+        mn, mx = bounds[f"_mn_{k}"], bounds[f"_mx_{k}"]
+        if mn is not None and isinstance(mn, (int, float, str)):
+            env.extend([(k, ">=", mn), (k, "<=", mx)])
+    all_files0, stats0 = _expand_manifest(table_dir, manifest)
+    env_phys = (
+        _physicalize_filter(env, schema_json)
+        + _translate_skip_filter(env, _manifest_partition_spec(manifest))
+        if env
+        else None
+    )
+    scan_files = [
+        f
+        for f in all_files0
+        if _file_may_match(stats0.get(f), env_phys)
+    ]
+    if not scan_files and not when_not_matched_insert:
+        return v, {"n_updated": 0, "n_deleted": 0, "n_inserted": 0}
+
     # phase 1: which files contain a key match (file-bounded collect)
     tgt_all = _read_manifest_files(
-        spark, manifest, table_dir, _expand_manifest(table_dir, manifest)[0],
+        spark, manifest, table_dir, scan_files or all_files0[:1],
         with_position=True,
     )
+    if not scan_files:
+        tgt_all = tgt_all.filter(F.lit(False))
     touched_bases = {
         r["_f"]
         for r in tgt_all.join(src.select(*on), on, "left_semi")

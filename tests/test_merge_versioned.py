@@ -162,3 +162,32 @@ def test_merge_cdf_shows_delete_insert_pairs(spark, sf_dir, tdir):
     by = {r["_change_type"]: r["count"]
           for r in ch.groupBy("_change_type").count().collect()}
     assert by == {"insert": 20, "delete": 20}
+
+
+def test_merge_discovery_prunes_by_source_key_envelope(spark, sf_dir, tdir):
+    """On a key-clustered layout, the merge's discovery scan (and
+    therefore its rewrite set) is bounded by the SOURCE's key envelope
+    via manifest stats — merge cost tracks the touched key region, not
+    the table."""
+    tgt = _orders(spark, sf_dir, 0, 6000)
+    V.write_versioned(spark, tgt, tdir, mode="append")
+    V.compact_versioned(spark, tdir, target_files=6, sort_by="o_orderkey")
+    files_before = set(V.files_for_read(tdir))
+    assert len(files_before) == 6
+    # sf0.001 orders spans keys 0..1499 -> 6 range files of 250 keys;
+    # a <250 source envelope is exactly ONE file's range
+    src = tgt.filter("o_orderkey < 250").withColumn(
+        "o_totalprice", F.lit(3.0)
+    )
+    V.merge_versioned(
+        spark, tdir, src, on=["o_orderkey"],
+        when_matched_update={"o_totalprice": "s.o_totalprice"},
+        when_not_matched_insert=False,
+    )
+    files_after = set(V.files_for_read(tdir))
+    carried = files_before & files_after
+    # at most ~1/6 of the key space touched -> >= 4 of 6 files carried
+    assert len(carried) >= 4
+    got = V.read_versioned(spark, tdir)
+    assert got.filter("o_totalprice = 3.0").count() == src.count()
+    assert got.count() == tgt.count()
