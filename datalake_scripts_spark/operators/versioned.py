@@ -1765,7 +1765,22 @@ def read_versioned(
     if table_dir.startswith("catalog:"):
         from .catalog import resolve_table_ref
 
-        table_dir = resolve_table_ref(table_dir)
+        # time-travel pins inline in the ref: catalog:<name>@v<N> or
+        # catalog:<name>@<ISO timestamp> — the SQL-ish "AS OF" spelling
+        # for name-addressed tables
+        ref = table_dir
+        if "@" in ref:
+            ref, _, pin = ref.rpartition("@")
+            if version is not None or as_of is not None:
+                raise ValueError(
+                    f"ref {table_dir!r} carries an @pin AND an explicit "
+                    "version/as_of — pass one"
+                )
+            if pin.startswith("v") and pin[1:].isdigit():
+                version = int(pin[1:])
+            else:
+                as_of = pin
+        table_dir = resolve_table_ref(ref)
     if as_of is not None:
         if version is not None:
             raise ValueError("pass version OR as_of, not both")

@@ -87,3 +87,27 @@ def test_cli_dv_delete_and_column_ddl(spark, sf_dir, tdir, capsys):
     assert rc in (0, None)
     hist = capsys.readouterr().out
     assert "mode=delete" in hist and "dvs=1" in hist and " at=" in hist
+
+
+def test_catalog_ref_version_and_timestamp_pins(spark, sf_dir, tmp_path, monkeypatch):
+    from datalake_scripts_spark.operators.catalog import Catalog
+
+    cdir = str(tmp_path / "cat")
+    monkeypatch.setenv("DATALAKE_CATALOG_DIR", cdir)
+    cat = Catalog(cdir)
+    n = _nation(spark, sf_dir)
+    cat.save_as_table(spark, n.filter("n_nationkey < 10"), "nat")
+    t_between = time.time()
+    time.sleep(0.05)
+    V.write_versioned(
+        spark, n.filter("n_nationkey >= 10"), cat.table_dir("nat"),
+        mode="append",
+    )
+    assert V.read_versioned(spark, "catalog:nat").count() == 25
+    assert V.read_versioned(spark, "catalog:nat@v1").count() == 10
+    iso = datetime.datetime.fromtimestamp(
+        t_between, datetime.timezone.utc
+    ).isoformat()
+    assert V.read_versioned(spark, f"catalog:nat@{iso}").count() == 10
+    with pytest.raises(ValueError, match="pass one"):
+        V.read_versioned(spark, "catalog:nat@v1", version=2)
