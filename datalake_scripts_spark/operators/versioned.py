@@ -1169,12 +1169,16 @@ def _translate_skip_filter(skip_filter, spec) -> list[tuple]:
                 s = _iso_prefix(val, t)
                 if s is None:
                     continue
+                # match the stats-side partition-value inference: the
+                # years value ("2024") is numeric-shaped and stored as
+                # int; days/months/hours contain '-' and stay strings
+                sv = int(s) if t == "years" else s
                 if op == "=":
-                    out.append((e["name"], "=", s))
+                    out.append((e["name"], "=", sv))
                 elif op in (">", ">="):
-                    out.append((e["name"], ">=", s))
+                    out.append((e["name"], ">=", sv))
                 elif op in ("<", "<="):
-                    out.append((e["name"], "<=", s))
+                    out.append((e["name"], "<=", sv))
             elif t == "bucket" and op == "=":
                 from ..functions.xxh import xxhash64_long, xxhash64_str
 

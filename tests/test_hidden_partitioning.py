@@ -237,3 +237,55 @@ def test_chunked_manifest_with_transform_spec(spark, sf_dir, tdir):
     assert got.count() == ev.filter(
         F.date_format("ts", "yyyy-MM-dd") == day
     ).count()
+
+
+def test_months_and_hours_transforms(spark, sf_dir, tdir, tmp_path):
+    ev = _events(spark, sf_dir)
+    # months: all events are 2024-01 -> single partition, no pruning
+    # possible, but layout + read-back must hold
+    V.write_versioned(
+        spark, ev, tdir, mode="append",
+        partition_by=[{"transform": "months", "col": "ts"}],
+    )
+    files = V.files_for_read(tdir)
+    assert files and all("_p_months_ts=2024-01" in f for f in files)
+    assert V.read_versioned(spark, tdir).count() == ev.count()
+
+    # hours: one day's events split by hour; an hour-range filter must
+    # prune to exactly that hour's directories
+    hdir = str(tmp_path / "hours")
+    one_day = ev.filter(F.date_format("ts", "yyyy-MM-dd") == "2024-01-05")
+    V.write_versioned(
+        spark, one_day, hdir, mode="append",
+        partition_by=[{"transform": "hours", "col": "ts"}],
+    )
+    # pick an hour that actually has data at this SF
+    hour = int(
+        one_day.select(F.hour("ts").alias("h"))
+        .groupBy("h").count().orderBy(F.desc("count")).first()["h"]
+    )
+    flt = [("ts", ">=", f"2024-01-05T{hour:02d}:00:00"),
+           ("ts", "<=", f"2024-01-05T{hour:02d}:59:59")]
+    pruned = V.files_for_read(hdir, skip_filter=flt)
+    assert pruned and all(
+        f"_p_hours_ts=2024-01-05-{hour:02d}" in f for f in pruned
+    )
+    got = V.read_versioned(spark, hdir, skip_filter=flt)
+    want = one_day.filter(F.hour("ts") == hour).count()
+    assert got.count() == want
+
+
+def test_years_transform_and_equality_translation(spark, sf_dir, tdir):
+    ev = _events(spark, sf_dir)
+    V.write_versioned(
+        spark, ev, tdir, mode="append",
+        partition_by=[{"transform": "years", "col": "ts"}],
+    )
+    files = V.files_for_read(tdir)
+    assert files and all("_p_years_ts=2024" in f for f in files)
+    # equality on the source timestamp translates to the year value
+    one_ts = ev.select("ts").first()["ts"]
+    got = V.read_versioned(
+        spark, tdir, skip_filter=[("ts", "=", one_ts.isoformat())]
+    )
+    assert got.count() >= 1
