@@ -18,10 +18,15 @@ Format notes (public Delta PROTOCOL.md):
 - ``add.stats`` is a JSON string ``{"numRecords", "minValues",
   "maxValues", "nullCount"}`` — the same footer-derived facts our
   per-file stats hold, reshaped.
-- ``protocol`` is pinned to ``minReaderVersion=1/minWriterVersion=2``
-  on export (plain parquet + invariants-free appends: readable by
-  every Delta client); imports accept reader version 1 and refuse
-  higher (column mapping / deletion vectors change data layout).
+- ``protocol`` is ``minReaderVersion=1/minWriterVersion=2`` on export
+  (plain parquet + invariants-free appends: readable by every Delta
+  client) until the history enables column mapping, at which point the
+  export emits the 2/5 protocol upgrade + ``columnMapping.mode=name``
+  metaData that delta-spark itself writes (field metadata
+  ``delta.columnMapping.physicalName``/``.id`` translated from our
+  ``physical``/``cid`` keys). Imports accept reader versions 1 and 2
+  (mapping mode ``name`` resolves by physicalName — our native
+  resolution) and refuse 3+ (deletion vectors / table features).
 
 Both directions are METADATA-ONLY — data files are shared in place,
 so adopting or exporting a 100 TB table costs O(commits), not O(data).
@@ -49,10 +54,49 @@ from .versioned import (
     _expand_manifest,
     _load_manifest,
     _manifest_name,
+    _mapping_enabled,
     current_version,
 )
 
 _LOG_DIR = "_delta_log"
+
+
+def _delta_schema_json(schema_json: dict) -> dict:
+    """Our manifest schema -> the schema a Delta ``schemaString``
+    carries: the mapping keys (``physical``/``cid``) become Delta's
+    ``delta.columnMapping.physicalName`` / ``delta.columnMapping.id``
+    field metadata (identity for unmapped tables). Without this, a
+    Delta reader resolves renamed columns by logical name against
+    files that store physical names and silently null-fills them
+    (ADVICE r7 medium)."""
+    if not _mapping_enabled(schema_json):
+        return schema_json
+    fields = []
+    for f in schema_json["fields"]:
+        meta = dict(f.get("metadata") or {})
+        phys = meta.pop("physical", None) or f["name"]
+        cid = meta.pop("cid", None)
+        meta["delta.columnMapping.physicalName"] = phys
+        if cid is not None:
+            meta["delta.columnMapping.id"] = cid
+        fields.append({**f, "metadata": meta})
+    return {**schema_json, "fields": fields}
+
+
+def _from_delta_schema_json(schema_json: dict) -> dict:
+    """Inverse of :func:`_delta_schema_json`: Delta columnMapping field
+    metadata -> our ``physical``/``cid`` keys."""
+    fields = []
+    for f in schema_json.get("fields", []):
+        meta = dict(f.get("metadata") or {})
+        phys = meta.pop("delta.columnMapping.physicalName", None)
+        cid = meta.pop("delta.columnMapping.id", None)
+        if phys is not None:
+            meta["physical"] = phys
+        if cid is not None:
+            meta["cid"] = int(cid)
+        fields.append({**f, "metadata": meta})
+    return {**schema_json, "fields": fields}
 
 
 def _delta_commit_name(version: int) -> str:
@@ -113,6 +157,18 @@ def export_delta_log(table_dir: str, out_dir: str | None = None) -> str:
         raise FileNotFoundError(f"no committed version in {table_dir}")
     from .versioned import _load_manifest as _lm
 
+    # the commit where column mapping first appears emits a protocol
+    # upgrade (2/5) + a metaData with columnMapping.mode=name — the
+    # exact sequence delta-spark writes for ALTER TABLE ... SET
+    # TBLPROPERTIES ('delta.columnMapping.mode'='name')
+    first_mapped = next(
+        (
+            v
+            for v in range(1, latest + 1)
+            if _mapping_enabled(_lm(table_dir, v).get("schema"))
+        ),
+        None,
+    )
     for v in range(1, latest + 1):
         if _lm(table_dir, v).get("dvs"):
             # this exporter speaks the base Delta protocol (no
@@ -166,18 +222,35 @@ def export_delta_log(table_dir: str, out_dir: str | None = None) -> str:
         data_change = not is_relayout
         actions: list[dict] = []
         if v == 1:
+            proto = (
+                {"minReaderVersion": 2, "minWriterVersion": 5}
+                if first_mapped == 1
+                else {"minReaderVersion": 1, "minWriterVersion": 2}
+            )
+            actions.append({"protocol": proto})
+        elif v == first_mapped:
             actions.append(
-                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+                {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}
             )
         if v == 1 or schema_json != prev_schema or spec != prev_spec:
+            config = {}
+            if _mapping_enabled(schema_json):
+                config = {
+                    "delta.columnMapping.mode": "name",
+                    "delta.columnMapping.maxColumnId": str(
+                        manifest.get("max_column_id", 0)
+                    ),
+                }
             actions.append(
                 {
                     "metaData": {
                         "id": table_id,
                         "format": {"provider": "parquet", "options": {}},
-                        "schemaString": json.dumps(schema_json),
+                        "schemaString": json.dumps(
+                            _delta_schema_json(schema_json)
+                        ),
                         "partitionColumns": list(spec),
-                        "configuration": {},
+                        "configuration": config,
                         "createdTime": now_ms,
                     }
                 }
@@ -260,11 +333,14 @@ def import_delta_log(table_dir: str) -> int:
 
     Refuses (ValueError) when: the table already has a manifest chain
     (adoption is for fresh dirs), the JSON chain does not start at 0
-    (checkpoint-truncated log), the protocol requires reader features
-    beyond plain parquet (column mapping, deletion vectors), or an
-    add carries a deletion vector. ``cdc``/``txn``/``commitInfo``/
-    ``domainMetadata`` actions are skipped — they carry no table
-    state."""
+    (checkpoint-truncated log), the protocol requires reader version
+    3+ (deletion vectors / table features), columnMapping mode is
+    ``id`` (parquet-field-id resolution), or an add carries a deletion
+    vector. Column mapping mode ``name`` imports natively — Delta's
+    physicalName/id field metadata becomes our ``physical``/``cid``
+    keys and renames/drops keep working post-adoption.
+    ``cdc``/``txn``/``commitInfo``/``domainMetadata`` actions are
+    skipped — they carry no table state."""
     if current_version(table_dir) > 0:
         raise ValueError(
             f"{table_dir} already has a versioned commit log; "
@@ -291,6 +367,7 @@ def import_delta_log(table_dir: str) -> int:
     active: dict[str, dict | None] = {}  # rel path -> stats (ordered)
     schema_json = None
     spec: list[str] = []
+    max_cid = 0
     version = 0
     for dv in commits:
         removes = 0
@@ -301,17 +378,43 @@ def import_delta_log(table_dir: str) -> int:
                     continue
                 action = json.loads(line)
                 if "protocol" in action:
-                    if action["protocol"].get("minReaderVersion", 1) > 1:
+                    # reader version 2 adds exactly one feature —
+                    # column mapping — which this importer speaks
+                    # (mode=name resolves by physicalName, our native
+                    # resolution). 3+ is table features (deletion
+                    # vectors etc.): refuse.
+                    if action["protocol"].get("minReaderVersion", 1) > 2:
                         raise ValueError(
                             "Delta protocol minReaderVersion "
                             f"{action['protocol']['minReaderVersion']} "
-                            "requires reader features (column mapping / "
-                            "deletion vectors) this importer does not "
-                            "implement"
+                            "requires reader table features (deletion "
+                            "vectors / v2 checkpoints) this importer "
+                            "does not implement"
                         )
                 elif "metaData" in action:
-                    schema_json = json.loads(action["metaData"]["schemaString"])
+                    config = action["metaData"].get("configuration") or {}
+                    cm_mode = config.get("delta.columnMapping.mode", "none")
+                    if cm_mode not in ("none", "name"):
+                        raise ValueError(
+                            f"delta.columnMapping.mode={cm_mode!r} resolves "
+                            "columns by parquet field id; this importer "
+                            "supports modes 'none' and 'name' only"
+                        )
+                    schema_json = _from_delta_schema_json(
+                        json.loads(action["metaData"]["schemaString"])
+                    )
                     spec = list(action["metaData"].get("partitionColumns", []))
+                    max_cid = max(
+                        int(config.get("delta.columnMapping.maxColumnId", 0)),
+                        max(
+                            (
+                                (f.get("metadata") or {}).get("cid", 0)
+                                for f in schema_json["fields"]
+                            ),
+                            default=0,
+                        ),
+                        max_cid,
+                    )
                 elif "add" in action:
                     add = action["add"]
                     if add.get("deletionVector"):
@@ -341,6 +444,8 @@ def import_delta_log(table_dir: str) -> int:
             "partition_spec": spec,
             "spec_id": 0,
         }
+        if max_cid:
+            manifest["max_column_id"] = max_cid
         if not store.put_if_absent(
             table_dir, _manifest_name(dv + 1), json.dumps(manifest).encode()
         ):

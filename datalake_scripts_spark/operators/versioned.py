@@ -246,7 +246,8 @@ def manifest_chunks_for_read(
     skip_filter = (
         _physicalize_filter(skip_filter, manifest.get("schema")) or []
     ) + _translate_skip_filter(
-        skip_filter, _manifest_partition_spec(manifest)
+        skip_filter, _manifest_partition_spec(manifest),
+        manifest.get("schema"),
     ) or None
     return [
         ch["path"]
@@ -1105,6 +1106,13 @@ def _transform_expr(entry: dict, src, src_type: str | None):
     if t in _DATE_FMT:
         return F.date_format(src, _DATE_FMT[t][0])
     if t == "bucket":
+        # Spark's xxhash64 hashes IntegerType/ShortType/ByteType via a
+        # 4-byte path that the planning-time twin (functions/xxh.py,
+        # 8-byte longs only) cannot reproduce — cast integral sources
+        # to bigint so write-side bucketing and read-side predicate
+        # translation always agree (ADVICE r7 high).
+        if src_type in _INTEGRAL_TYPES:
+            src = src.cast("bigint")
         return F.pmod(F.xxhash64(src), F.lit(entry["n"]))
     # truncate
     w = entry["n"]
@@ -1145,19 +1153,27 @@ def _stage_with_spec(
     )
 
 
-def _translate_skip_filter(skip_filter, spec) -> list[tuple]:
+_INTEGRAL_TYPES = ("byte", "short", "integer", "long")
+
+
+def _translate_skip_filter(skip_filter, spec, schema_json=None) -> list[tuple]:
     """Extra prune-only conjuncts on hidden partition values implied by
     source-column conjuncts. Date transforms translate ranges and
     equality (ISO prefixes compare correctly as strings); bucket
-    translates equality via the xxhash64 twin. truncate is NOT
-    translated — its layout already clusters the source column, so the
-    per-file footer stats prune as tightly. Returned conjuncts are for
-    FILE PRUNING only (the hidden column never appears in results)."""
+    translates equality via the xxhash64 twin — gated on the DECLARED
+    source type (integral → 8-byte long path, string → utf8 path; any
+    other type, or a value whose Python type disagrees with the
+    declared one, is skipped rather than risk hashing into the wrong
+    bucket — ADVICE r7 high). truncate is NOT translated — its layout
+    already clusters the source column, so the per-file footer stats
+    prune as tightly. Returned conjuncts are for FILE PRUNING only
+    (the hidden column never appears in results)."""
     if not skip_filter or not spec:
         return []
     entries = [e for e in spec if isinstance(e, dict)]
     if not entries:
         return []
+    col_types = _schema_col_types(schema_json) if schema_json else {}
     by_col: dict[str, list[dict]] = {}
     for e in entries:
         by_col.setdefault(e["col"], []).append(e)
@@ -1182,11 +1198,15 @@ def _translate_skip_filter(skip_filter, spec) -> list[tuple]:
             elif t == "bucket" and op == "=":
                 from ..functions.xxh import xxhash64_long, xxhash64_str
 
-                if isinstance(val, bool):
+                declared = col_types.get(col)
+                if isinstance(val, bool) or declared is None:
                     continue
-                if isinstance(val, int):
+                if isinstance(val, int) and declared in _INTEGRAL_TYPES:
+                    # write side casts integral sources to bigint
+                    # before xxhash64 (_transform_expr), so the 8-byte
+                    # twin is exact for every integral width
                     h = xxhash64_long(val)
-                elif isinstance(val, str):
+                elif isinstance(val, str) and declared == "string":
                     h = xxhash64_str(val)
                 else:
                     continue
@@ -1816,7 +1836,8 @@ def read_versioned(
     # transform values (prune-only conjuncts — never residual-applied)
     phys_filter = _physicalize_filter(skip_filter, manifest.get("schema"))
     prune_filter = (phys_filter or []) + _translate_skip_filter(
-        skip_filter, _manifest_partition_spec(manifest)
+        skip_filter, _manifest_partition_spec(manifest),
+        manifest.get("schema"),
     ) or None
     files, stats = _expand_manifest(table_dir, manifest, prune_filter)
     if skip_filter:
@@ -1857,7 +1878,8 @@ def files_for_read(
     manifest = _load_manifest(table_dir, v)
     phys_filter = _physicalize_filter(skip_filter, manifest.get("schema"))
     prune_filter = (phys_filter or []) + _translate_skip_filter(
-        skip_filter, _manifest_partition_spec(manifest)
+        skip_filter, _manifest_partition_spec(manifest),
+        manifest.get("schema"),
     ) or None
     files, stats = _expand_manifest(table_dir, manifest, prune_filter)
     return [f for f in files if _file_may_match(stats.get(f), prune_filter)]
@@ -2230,7 +2252,8 @@ def _predicate_touched_files(
     skip_filter = (
         _physicalize_filter(skip_filter, manifest.get("schema")) or []
     ) + _translate_skip_filter(
-        skip_filter, _manifest_partition_spec(manifest)
+        skip_filter, _manifest_partition_spec(manifest),
+        manifest.get("schema"),
     ) or None
     files, stats = _expand_manifest(table_dir, manifest, skip_filter)
     candidates = [
@@ -2813,7 +2836,9 @@ def merge_versioned(
     all_files0, stats0 = _expand_manifest(table_dir, manifest)
     env_phys = (
         _physicalize_filter(env, schema_json)
-        + _translate_skip_filter(env, _manifest_partition_spec(manifest))
+        + _translate_skip_filter(
+            env, _manifest_partition_spec(manifest), manifest.get("schema")
+        )
         if env
         else None
     )
@@ -2825,20 +2850,29 @@ def merge_versioned(
     if not scan_files and not when_not_matched_insert:
         return v, {"n_updated": 0, "n_deleted": 0, "n_inserted": 0}
 
-    # phase 1: which files contain a key match (file-bounded collect)
-    tgt_all = _read_manifest_files(
-        spark, manifest, table_dir, scan_files or all_files0[:1],
-        with_position=True,
-    )
-    if not scan_files:
-        tgt_all = tgt_all.filter(F.lit(False))
-    touched_bases = {
-        r["_f"]
-        for r in tgt_all.join(src.select(*on), on, "left_semi")
-        .select(F.col(_DV_FILE_COL).alias("_f"))
-        .distinct()
-        .collect()
-    }
+    if not all_files0:
+        # a fully-emptied snapshot (e.g. partitioned table after a
+        # copy-on-write DELETE stages no files): nothing to match
+        # against — skip phase 1 and treat the merge as a pure insert
+        # (ADVICE r7 low: the schema-preserving one-file trick has no
+        # file to lean on here)
+        tgt_all = None
+        touched_bases: set[str] = set()
+    else:
+        # phase 1: which files contain a key match (file-bounded collect)
+        tgt_all = _read_manifest_files(
+            spark, manifest, table_dir, scan_files or all_files0[:1],
+            with_position=True,
+        )
+        if not scan_files:
+            tgt_all = tgt_all.filter(F.lit(False))
+        touched_bases = {
+            r["_f"]
+            for r in tgt_all.join(src.select(*on), on, "left_semi")
+            .select(F.col(_DV_FILE_COL).alias("_f"))
+            .distinct()
+            .collect()
+        }
     all_files, all_stats = _expand_manifest(table_dir, manifest)
     touched = [f for f in all_files if os.path.basename(f) in touched_bases]
 
@@ -2897,16 +2931,41 @@ def merge_versioned(
         parts.append(rewritten)
         obs_cols = None
     if when_not_matched_insert:
-        tcols = [f["name"] for f in (schema_json or {}).get("fields", [])] \
-            or tgt_all.drop(_DV_FILE_COL, _DV_POS_COL).columns
+        tcols = [f["name"] for f in (schema_json or {}).get("fields", [])]
+        if not tcols:
+            if tgt_all is None:
+                raise ValueError(
+                    "merge into an emptied table needs a committed schema"
+                )
+            tcols = tgt_all.drop(_DV_FILE_COL, _DV_POS_COL).columns
         missing = set(tcols) - set(src.columns)
         if missing:
             raise ValueError(
                 f"when_not_matched_insert needs source columns {sorted(missing)}"
             )
-        inserts = src.join(
-            tgt_all.select(*on), on, "left_anti"
-        ).select(*tcols)
+        inserts = (
+            src
+            if tgt_all is None
+            else src.join(tgt_all.select(*on), on, "left_anti")
+        )
+        if schema_json:
+            # cast inserted rows to the DECLARED types, like the
+            # matched-update branch — a type-drifted source (int vs
+            # declared bigint) must neither widen rewritten rows
+            # through unionByName coercion nor stage parquet whose
+            # physical types diverge from the pinned manifest schema
+            # (ADVICE r7 medium)
+            from pyspark.sql.types import StructType
+
+            declared = {
+                f.name: f.dataType
+                for f in StructType.fromJson(schema_json).fields
+            }
+            inserts = inserts.select(
+                *[F.col(c).cast(declared[c]).alias(c) for c in tcols]
+            )
+        else:
+            inserts = inserts.select(*tcols)
         parts.append(inserts)
     if not parts:
         return v, {"n_updated": 0, "n_deleted": 0, "n_inserted": 0}

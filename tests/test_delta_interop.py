@@ -166,6 +166,83 @@ def test_import_rejections(spark, sf_dir, tmp_path):
         import_delta_log(base)
 
 
+def test_roundtrip_column_mapped_table(spark, sf_dir, tmp_path):
+    """ADVICE r7 medium: a renamed column used to export a schemaString
+    with logical names and NO columnMapping metadata (protocol pinned
+    1/2), so Delta readers null-filled every renamed column. The export
+    now emits the 2/5 protocol upgrade + columnMapping.mode=name at the
+    commit where mapping appears, and the import speaks it back."""
+    base = str(tmp_path / "tbl")
+    V.write_versioned(spark, _orders(spark, sf_dir, 0, 2000), base, mode="append")
+    V.rename_column(base, "o_orderkey", "order_id")  # enables mapping
+    V.write_versioned(
+        spark,
+        _orders(spark, sf_dir, 2000, 3000).withColumnRenamed(
+            "o_orderkey", "order_id"
+        ),
+        base,
+        mode="append",
+    )
+    latest = V.current_version(base)
+    expected = sorted(map(tuple, V.read_versioned(spark, base).collect()))
+    log_dir = export_delta_log(base)
+
+    # commit 0 predates mapping: base protocol, plain schema
+    a0 = _commit_actions(log_dir, 0)
+    assert a0[0] == {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+    s0 = json.loads(a0[1]["metaData"]["schemaString"])
+    assert all(
+        "delta.columnMapping.physicalName" not in f["metadata"]
+        for f in s0["fields"]
+    )
+    # the rename commit upgrades the protocol and emits mapped metaData
+    a1 = _commit_actions(log_dir, 1)
+    assert {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}} in a1
+    meta = next(a["metaData"] for a in a1 if "metaData" in a)
+    assert meta["configuration"]["delta.columnMapping.mode"] == "name"
+    assert int(meta["configuration"]["delta.columnMapping.maxColumnId"]) >= 4
+    s1 = json.loads(meta["schemaString"])
+    by_name = {f["name"]: f["metadata"] for f in s1["fields"]}
+    # renamed column: logical name new, physicalName is the in-file name
+    assert by_name["order_id"]["delta.columnMapping.physicalName"] == "o_orderkey"
+    assert isinstance(by_name["order_id"]["delta.columnMapping.id"], int)
+    # our internal mapping keys never leak into the exported schema
+    assert all(
+        "physical" not in m and "cid" not in m for m in by_name.values()
+    )
+
+    _wipe_own_log(base)
+    assert import_delta_log(base) == latest
+    got = sorted(map(tuple, V.read_versioned(spark, base).collect()))
+    assert got == expected
+    df = V.read_versioned(spark, base)
+    assert df.columns[0] == "order_id"
+    # mapping survives adoption: further metadata-only renames work and
+    # cids keep advancing from the imported maxColumnId
+    V.rename_column(base, "order_id", "okey")
+    assert V.read_versioned(spark, base).columns[0] == "okey"
+    assert (
+        V._load_manifest(base, V.current_version(base))["max_column_id"] >= 4
+    )
+
+
+def test_import_refuses_id_mapping_mode(spark, sf_dir, tmp_path):
+    base = str(tmp_path / "tbl")
+    V.write_versioned(spark, _orders(spark, sf_dir, 0, 500), base, mode="append")
+    log_dir = export_delta_log(base)
+    _wipe_own_log(base)
+    p = os.path.join(log_dir, f"{0:020d}.json")
+    lines = [json.loads(x) for x in open(p).read().splitlines()]
+    for a in lines:
+        if "metaData" in a:
+            a["metaData"]["configuration"] = {"delta.columnMapping.mode": "id"}
+    lines[0] = {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}
+    with open(p, "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in lines) + "\n")
+    with pytest.raises(ValueError, match="columnMapping.mode"):
+        import_delta_log(base)
+
+
 def test_import_foreign_minimal_log(spark, tmp_path):
     """A hand-written Delta log (as a non-Spark writer like delta-rs
     would produce, stats-free adds) adopts and reads."""

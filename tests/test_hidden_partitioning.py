@@ -104,6 +104,75 @@ def test_bucket_transform_equality_pruning(spark, sf_dir, tdir):
     assert got.count() == ev.filter(F.col("user_id") == uid).count()
 
 
+def test_bucket_transform_integer_typed_column(spark, tdir):
+    # ADVICE r7 high: IntegerType sources used to hash via Spark's
+    # 4-byte xxhash64 path while the translation twin hashed 8 bytes —
+    # equality skip_filters silently dropped rows. The fix casts
+    # integral sources to bigint at staging, so the 8-byte twin is
+    # exact for every integral width.
+    import pyspark.sql.types as T
+
+    rows = [(i, f"u{i % 7}", float(i)) for i in range(200)]
+    schema = T.StructType([
+        T.StructField("k", T.IntegerType()),
+        T.StructField("who", T.StringType()),
+        T.StructField("v", T.DoubleType()),
+    ])
+    df = spark.createDataFrame(rows, schema).repartition(4)
+    V.write_versioned(
+        spark, df, tdir, mode="append",
+        partition_by=[{"transform": "bucket", "col": "k", "n": 8}],
+    )
+    all_files = V.files_for_read(tdir)
+    for probe in (0, 1, 42, 137, 199):
+        pruned = V.files_for_read(tdir, skip_filter=[("k", "=", probe)])
+        expect_bucket = xxhash64_long(probe) % 8
+        assert pruned, f"k={probe} pruned to nothing (wrong bucket)"
+        assert all(
+            f"_p_bucket_k_8={expect_bucket}" in f for f in pruned
+        ), f"k={probe} translated into the wrong bucket"
+        assert len(pruned) < len(all_files)
+        got = V.read_versioned(spark, tdir, skip_filter=[("k", "=", probe)])
+        assert got.count() == 1
+
+
+def test_bucket_translation_skips_untranslatable_types(spark, tdir):
+    # a bucket transform over a DATE column hashes Spark-natively at
+    # write; the twin can't reproduce that, so translation must SKIP
+    # (no conjunct) rather than prune into a wrong bucket — the read
+    # falls back to footer stats and stays correct.
+    import datetime
+
+    import pyspark.sql.types as T
+
+    rows = [
+        (datetime.date(2024, 1, 1 + (i % 28)), i) for i in range(100)
+    ]
+    schema = T.StructType([
+        T.StructField("d", T.DateType()),
+        T.StructField("n", T.IntegerType()),
+    ])
+    df = spark.createDataFrame(rows, schema).repartition(3)
+    V.write_versioned(
+        spark, df, tdir, mode="append",
+        partition_by=[{"transform": "bucket", "col": "d", "n": 4}],
+    )
+    m = V._load_manifest(tdir, V.current_version(tdir))
+    # ISO-string equality on a date column: value type disagrees with
+    # an integral/string declared pairing -> no translated conjunct
+    assert V._translate_skip_filter(
+        [("d", "=", "2024-01-05")],
+        V._manifest_partition_spec(m),
+        m.get("schema"),
+    ) == []
+    got = V.read_versioned(
+        spark, tdir, skip_filter=[("d", "=", "2024-01-05")]
+    )
+    assert got.count() == sum(
+        1 for d, _ in rows if d == datetime.date(2024, 1, 5)
+    )
+
+
 def test_truncate_transform_int_and_identity_mix(spark, sf_dir, tdir):
     ev = _events(spark, sf_dir)
     V.write_versioned(

@@ -191,3 +191,62 @@ def test_merge_discovery_prunes_by_source_key_envelope(spark, sf_dir, tdir):
     got = V.read_versioned(spark, tdir)
     assert got.filter("o_totalprice = 3.0").count() == src.count()
     assert got.count() == tgt.count()
+
+
+def test_merge_insert_into_emptied_table(spark, sf_dir, tdir):
+    """ADVICE r7 low: a partitioned table emptied by a copy-on-write
+    DELETE has zero data files; an insert-only MERGE used to crash in
+    _read_manifest_files on the empty file list instead of inserting."""
+    tgt = _orders(spark, sf_dir, 0, 1000)
+    V.write_versioned(
+        spark, tgt, tdir, mode="append", partition_by=["o_orderpriority"]
+    )
+    _, n_del = V.delete_versioned(spark, tdir, "o_orderkey >= 0")
+    assert n_del == tgt.count()
+    assert V.files_for_read(tdir) == []
+    src = _orders(spark, sf_dir, 0, 300)
+    v, c = V.merge_versioned(
+        spark, tdir, src, on=["o_orderkey"],
+        when_matched_update={"o_totalprice": "s.o_totalprice"},
+    )
+    assert c == {"n_updated": 0, "n_deleted": 0, "n_inserted": src.count()}
+    got = V.read_versioned(spark, tdir)
+    assert got.count() == src.count()
+    # partition layout survived the empty->insert transition
+    assert all("o_orderpriority=" in f for f in V.files_for_read(tdir))
+
+
+def test_merge_insert_casts_to_declared_types(spark, sf_dir, tdir):
+    """ADVICE r7 medium: the not-matched-insert branch must cast source
+    rows to the table's DECLARED types, like the matched-update branch —
+    an int-typed source against a bigint column must neither widen
+    rewritten rows nor stage physically-divergent parquet."""
+    import pyspark.sql.types as T
+    from pyspark.sql.types import StructType
+
+    tgt = _orders(spark, sf_dir, 0, 1000)
+    V.write_versioned(spark, tgt, tdir, mode="append")
+    # a type-drifted source: int keys, float prices (declared: bigint,
+    # double)
+    rows = [(5000 + i, 7, 1.5, "3-MEDIUM") for i in range(10)]
+    drift_schema = T.StructType([
+        T.StructField("o_orderkey", T.IntegerType()),
+        T.StructField("o_custkey", T.IntegerType()),
+        T.StructField("o_totalprice", T.FloatType()),
+        T.StructField("o_orderpriority", T.StringType()),
+    ])
+    src = spark.createDataFrame(rows, drift_schema)
+    v, c = V.merge_versioned(
+        spark, tdir, src, on=["o_orderkey"],
+        when_matched_update={"o_totalprice": "s.o_totalprice"},
+    )
+    assert c["n_inserted"] == 10
+    got = V.read_versioned(spark, tdir)
+    assert got.count() == tgt.count() + 10
+    # result schema IS the declared schema — no coercion drift
+    m = V._load_manifest(tdir, V.current_version(tdir))
+    assert got.schema == StructType.fromJson(m["schema"])
+    assert dict(got.dtypes)["o_orderkey"] == "bigint"
+    # pinned-schema read of the post-merge snapshot works (physical
+    # parquet types match the manifest schema)
+    assert got.filter("o_orderkey >= 5000").count() == 10
