@@ -30,10 +30,13 @@ Format notes (public Delta PROTOCOL.md):
 
 Both directions are METADATA-ONLY — data files are shared in place,
 so adopting or exporting a 100 TB table costs O(commits), not O(data).
-Checkpoint parquet files are neither written nor required (the spec
-makes them an optimization; readers fall back to the JSON chain), and
-imports require the contiguous JSON chain from version 0 — a
-checkpoint-truncated log raises with a clear message.
+:func:`sync_delta_log` keeps an exported log current incrementally
+(only new commits written, table id reused), and classic single-part
+parquet checkpoints are both WRITTEN (:func:`write_delta_checkpoint`,
+pyarrow — no Spark session) and CONSUMED: an import of a
+checkpoint-truncated log bootstraps from the newest checkpoint and
+replays the JSON tail, exactly like a Delta reader. Multi-part and v2
+(sidecar) checkpoints are refused with a clear message.
 
 Reference parity: the reference keeps all table state as bare
 parquet prefixes on an object store (monkey_proc.py save paths); this
@@ -152,6 +155,88 @@ def export_delta_log(table_dir: str, out_dir: str | None = None) -> str:
     Append-only object-store discipline: each commit file is staged and
     atomically renamed, never rewritten — an interrupted export leaves
     a readable prefix of history."""
+    log_dir = os.path.join(out_dir or table_dir, _LOG_DIR)
+    os.makedirs(log_dir, exist_ok=True)
+    _write_delta_commits(table_dir, log_dir, 1, str(uuid.uuid4()))
+    return log_dir
+
+
+def sync_delta_log(
+    table_dir: str,
+    out_dir: str | None = None,
+    checkpoint_interval: int | None = None,
+) -> int:
+    """Incremental export: bring an existing ``_delta_log`` mirror up
+    to the table's current manifest version, writing ONLY the commits
+    not yet exported (the table id is reused from commit 0's metaData
+    so readers see one continuous table). A fresh directory behaves
+    like :func:`export_delta_log`. Returns the number of new Delta
+    commits written.
+
+    With ``checkpoint_interval=N``, a parquet checkpoint is written
+    whenever the mirror crosses N commits since the last one — the
+    cadence delta-spark uses (N=10) so long-lived mirrors stay cheap
+    for readers to bootstrap."""
+    log_dir = os.path.join(out_dir or table_dir, _LOG_DIR)
+    latest = current_version(table_dir)
+    if latest == 0:
+        raise FileNotFoundError(f"no committed version in {table_dir}")
+    existing = _list_commit_versions(log_dir)
+    if not existing:
+        export_delta_log(table_dir, out_dir)
+        n_new = latest
+    else:
+        last_dv = existing[-1]
+        if last_dv + 1 > latest:
+            raise ValueError(
+                f"{log_dir} holds Delta commit {last_dv} but the table "
+                f"only has {latest} manifest versions — the mirror is "
+                "ahead of the table (wrong table_dir?)"
+            )
+        table_id = _log_table_id(log_dir, existing)
+        _write_delta_commits(table_dir, log_dir, last_dv + 2, table_id)
+        n_new = latest - (last_dv + 1)
+    if checkpoint_interval:
+        last_cp = _last_checkpoint_version(log_dir)
+        newest_dv = latest - 1
+        if newest_dv - (last_cp if last_cp is not None else -1) \
+                >= checkpoint_interval:
+            write_delta_checkpoint(table_dir, out_dir)
+    return n_new
+
+
+def _list_commit_versions(log_dir: str) -> list[int]:
+    if not os.path.isdir(log_dir):
+        return []
+    return sorted(
+        int(n[:-5])
+        for n in os.listdir(log_dir)
+        if len(n) == 25 and n.endswith(".json") and n[:20].isdigit()
+    )
+
+
+def _log_table_id(log_dir: str, commits: list[int]) -> str:
+    """The table id of an existing exported log (first metaData action
+    in the earliest commit)."""
+    with open(os.path.join(log_dir, _delta_commit_name(commits[0]))) as fh:
+        for line in fh:
+            if line.strip():
+                action = json.loads(line)
+                if "metaData" in action:
+                    return action["metaData"]["id"]
+    raise ValueError(
+        f"{log_dir} commit {commits[0]} carries no metaData action — "
+        "cannot determine the table id to continue the mirror"
+    )
+
+
+def _write_delta_commits(
+    table_dir: str, log_dir: str, start_v: int, table_id: str
+) -> None:
+    """Write Delta commits for manifest versions ``start_v``..latest.
+    The diff state (previous file set / schema / spec) is replayed from
+    manifest v1 regardless of ``start_v`` — replay is metadata-only, so
+    an incremental sync of a 100 TB table costs O(commits)."""
     latest = current_version(table_dir)
     if latest == 0:
         raise FileNotFoundError(f"no committed version in {table_dir}")
@@ -181,9 +266,6 @@ def export_delta_log(table_dir: str, out_dir: str | None = None) -> str:
                 "them (compact_versioned) or export a clone of the "
                 "compacted snapshot instead of DV'd history"
             )
-    log_dir = os.path.join(out_dir or table_dir, _LOG_DIR)
-    os.makedirs(log_dir, exist_ok=True)
-    table_id = str(uuid.uuid4())
     now_ms = int(time.time() * 1000)
 
     prev_files: set[str] = set()
@@ -288,13 +370,214 @@ def export_delta_log(table_dir: str, out_dir: str | None = None) -> str:
             if dstats is not None:
                 add["stats"] = dstats
             actions.append({"add": add})
-        tmp = os.path.join(log_dir, f".{_delta_commit_name(v - 1)}.tmp")
-        with open(tmp, "w") as fh:
-            fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
-        os.replace(tmp, os.path.join(log_dir, _delta_commit_name(v - 1)))
+        if v >= start_v:
+            tmp = os.path.join(log_dir, f".{_delta_commit_name(v - 1)}.tmp")
+            with open(tmp, "w") as fh:
+                fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+            os.replace(tmp, os.path.join(log_dir, _delta_commit_name(v - 1)))
         prev_files, prev_stats = cur, stats
         prev_schema, prev_spec = schema_json, spec
-    return log_dir
+
+
+def _checkpoint_name(version: int) -> str:
+    return f"{version:020d}.checkpoint.parquet"
+
+
+def _last_checkpoint_version(log_dir: str) -> int | None:
+    p = os.path.join(log_dir, "_last_checkpoint")
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return int(json.load(fh)["version"])
+
+
+def _replay_json_chain(log_dir: str, commits: list[int]) -> tuple:
+    """Replay a contiguous JSON chain to its final state: (protocol
+    action dict, metaData action dict, {path: add action dict})."""
+    protocol = {"minReaderVersion": 1, "minWriterVersion": 2}
+    meta = None
+    active: dict[str, dict] = {}
+    for dv in commits:
+        with open(os.path.join(log_dir, _delta_commit_name(dv))) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "protocol" in action:
+                    protocol = action["protocol"]
+                elif "metaData" in action:
+                    meta = action["metaData"]
+                elif "add" in action:
+                    active[action["add"]["path"]] = action["add"]
+                elif "remove" in action:
+                    active.pop(action["remove"]["path"], None)
+    return protocol, meta, active
+
+
+def write_delta_checkpoint(
+    table_dir: str, out_dir: str | None = None, version: int | None = None
+) -> str:
+    """Write a Delta parquet checkpoint (+ ``_last_checkpoint``) at
+    ``version`` (default: the newest exported commit): one row per
+    reconstructed action — the latest ``protocol`` and ``metaData``
+    plus every active ``add`` — in the single-part classic checkpoint
+    shape every Delta reader bootstraps from. Written with pyarrow (no
+    Spark session needed: the checkpoint is metadata, O(files) not
+    O(data)). Returns the checkpoint file path."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    log_dir = os.path.join(out_dir or table_dir, _LOG_DIR)
+    commits = _list_commit_versions(log_dir)
+    if not commits:
+        raise FileNotFoundError(f"{log_dir} holds no commit JSON files")
+    v = commits[-1] if version is None else version
+    if commits[0] != 0 or v not in commits:
+        raise ValueError(
+            f"checkpoint at {v} needs the contiguous JSON chain 0..{v} "
+            f"in {log_dir}"
+        )
+    protocol, meta, active = _replay_json_chain(
+        log_dir, [c for c in commits if c <= v]
+    )
+    if meta is None:
+        raise ValueError(f"{log_dir} chain 0..{v} has no metaData action")
+
+    def _map(d):
+        return list((d or {}).items())
+
+    str_map = pa.map_(pa.string(), pa.string())
+    add_t = pa.struct([
+        ("path", pa.string()),
+        ("partitionValues", str_map),
+        ("size", pa.int64()),
+        ("modificationTime", pa.int64()),
+        ("dataChange", pa.bool_()),
+        ("stats", pa.string()),
+        ("tags", str_map),
+    ])
+    meta_t = pa.struct([
+        ("id", pa.string()),
+        ("name", pa.string()),
+        ("description", pa.string()),
+        ("format", pa.struct([
+            ("provider", pa.string()),
+            ("options", str_map),
+        ])),
+        ("schemaString", pa.string()),
+        ("partitionColumns", pa.list_(pa.string())),
+        ("configuration", str_map),
+        ("createdTime", pa.int64()),
+    ])
+    proto_t = pa.struct([
+        ("minReaderVersion", pa.int32()),
+        ("minWriterVersion", pa.int32()),
+    ])
+    remove_t = pa.struct([
+        ("path", pa.string()),
+        ("deletionTimestamp", pa.int64()),
+        ("dataChange", pa.bool_()),
+    ])
+    txn_t = pa.struct([
+        ("appId", pa.string()),
+        ("version", pa.int64()),
+        ("lastUpdated", pa.int64()),
+    ])
+    schema = pa.schema([
+        ("txn", txn_t),
+        ("add", add_t),
+        ("remove", remove_t),
+        ("metaData", meta_t),
+        ("protocol", proto_t),
+    ])
+    rows: list[dict] = [
+        {"protocol": {
+            "minReaderVersion": protocol.get("minReaderVersion", 1),
+            "minWriterVersion": protocol.get("minWriterVersion", 2),
+        }},
+        {"metaData": {
+            "id": meta["id"],
+            "name": meta.get("name"),
+            "description": meta.get("description"),
+            "format": {
+                "provider": meta.get("format", {}).get("provider", "parquet"),
+                "options": _map(meta.get("format", {}).get("options")),
+            },
+            "schemaString": meta["schemaString"],
+            "partitionColumns": list(meta.get("partitionColumns", [])),
+            "configuration": _map(meta.get("configuration")),
+            "createdTime": meta.get("createdTime"),
+        }},
+    ]
+    for path in sorted(active):
+        add = active[path]
+        rows.append({"add": {
+            "path": add["path"],
+            "partitionValues": _map(add.get("partitionValues")),
+            "size": int(add.get("size", 0)),
+            "modificationTime": int(add.get("modificationTime", 0)),
+            "dataChange": bool(add.get("dataChange", True)),
+            "stats": add.get("stats"),
+            "tags": _map(add.get("tags")) if add.get("tags") else None,
+        }})
+    table = pa.Table.from_pylist(rows, schema=schema)
+    cp_path = os.path.join(log_dir, _checkpoint_name(v))
+    tmp = cp_path + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, cp_path)
+    lc_tmp = os.path.join(log_dir, "._last_checkpoint.tmp")
+    with open(lc_tmp, "w") as fh:
+        json.dump({"version": v, "size": len(rows)}, fh)
+    os.replace(lc_tmp, os.path.join(log_dir, "_last_checkpoint"))
+    return cp_path
+
+
+def _read_checkpoint_state(log_dir: str, v: int) -> tuple:
+    """Load (protocol, metaData, {path: add}) from a single-part parquet
+    checkpoint at version ``v``."""
+    import pyarrow.parquet as pq
+
+    cp_path = os.path.join(log_dir, _checkpoint_name(v))
+    if not os.path.exists(cp_path):
+        # multi-part classic checkpoints ("parts" in _last_checkpoint)
+        # and v2 sidecar checkpoints are not supported
+        raise ValueError(
+            f"_last_checkpoint points at version {v} but "
+            f"{_checkpoint_name(v)} is missing (multi-part or v2 "
+            "checkpoints are not supported by this importer)"
+        )
+    protocol = {"minReaderVersion": 1, "minWriterVersion": 2}
+    meta = None
+    active: dict[str, dict] = {}
+
+    def _unmap(v):
+        if v is None:
+            return {}
+        return dict(v) if not isinstance(v, dict) else v
+
+    for row in pq.read_table(cp_path).to_pylist():
+        if row.get("protocol"):
+            protocol = {
+                k: v for k, v in row["protocol"].items() if v is not None
+            }
+        if row.get("metaData"):
+            m = dict(row["metaData"])
+            m["configuration"] = _unmap(m.get("configuration"))
+            fmt = m.get("format") or {}
+            m["format"] = {
+                "provider": (fmt.get("provider") or "parquet"),
+                "options": _unmap(fmt.get("options")),
+            }
+            m["partitionColumns"] = list(m.get("partitionColumns") or [])
+            meta = m
+        if row.get("add"):
+            add = dict(row["add"])
+            add["partitionValues"] = _unmap(add.get("partitionValues"))
+            active[add["path"]] = add
+    if meta is None:
+        raise ValueError(f"{cp_path} carries no metaData row")
+    return protocol, meta, active
 
 
 def _manifest_stats(add: dict) -> dict | None:
@@ -324,11 +607,43 @@ def _manifest_stats(add: dict) -> dict | None:
     return {"rows": int(d.get("numRecords", 0)), "columns": cols}
 
 
+def _import_metadata(meta: dict, cur_max_cid: int) -> tuple:
+    """Validate + translate a Delta metaData action into (our schema
+    JSON, partition spec, max column id)."""
+    config = meta.get("configuration") or {}
+    cm_mode = config.get("delta.columnMapping.mode", "none")
+    if cm_mode not in ("none", "name"):
+        raise ValueError(
+            f"delta.columnMapping.mode={cm_mode!r} resolves columns by "
+            "parquet field id; this importer supports modes 'none' and "
+            "'name' only"
+        )
+    schema_json = _from_delta_schema_json(json.loads(meta["schemaString"]))
+    spec = list(meta.get("partitionColumns", []))
+    max_cid = max(
+        int(config.get("delta.columnMapping.maxColumnId", 0)),
+        max(
+            (
+                (f.get("metadata") or {}).get("cid", 0)
+                for f in schema_json["fields"]
+            ),
+            default=0,
+        ),
+        cur_max_cid,
+    )
+    return schema_json, spec, max_cid
+
+
 def import_delta_log(table_dir: str) -> int:
     """Adopt ``<table_dir>/_delta_log`` into the versioned layer:
     replay the contiguous JSON commit chain from Delta version 0,
     committing one manifest per Delta commit (v = delta+1) so the
     imported table TIME-TRAVELS through its pre-adoption history.
+    A checkpoint-truncated log (JSON chain not starting at 0) instead
+    bootstraps from the newest parquet checkpoint — manifest v1 is the
+    checkpoint snapshot (``meta.delta_checkpoint`` records the Delta
+    version), and each JSON commit after it becomes one manifest, so
+    time travel reaches back exactly as far as a Delta reader could.
     Data files are referenced in place. Returns the latest version.
 
     Refuses (ValueError) when: the table already has a manifest chain
@@ -349,14 +664,42 @@ def import_delta_log(table_dir: str) -> int:
     log_dir = os.path.join(table_dir, _LOG_DIR)
     if not os.path.isdir(log_dir):
         raise FileNotFoundError(f"{log_dir} does not exist")
-    commits = sorted(
-        int(n[:-5])
-        for n in os.listdir(log_dir)
-        if len(n) == 25 and n.endswith(".json") and n[:20].isdigit()
-    )
-    if not commits:
-        raise ValueError(f"{log_dir} holds no commit JSON files")
-    if commits[0] != 0 or commits != list(range(len(commits))):
+    commits = _list_commit_versions(log_dir)
+    active: dict[str, dict | None] = {}  # rel path -> stats (ordered)
+    schema_json = None
+    spec: list[str] = []
+    max_cid = 0
+    version = 0
+    base = -1  # manifest v = delta commit - base
+    cp_seed = None
+    if not commits or commits[0] != 0:
+        # checkpoint-truncated log: bootstrap from the parquet
+        # checkpoint like any Delta reader, then replay the JSON tail
+        cp_v = _last_checkpoint_version(log_dir)
+        if cp_v is None:
+            cps = sorted(
+                int(n[:20])
+                for n in os.listdir(log_dir)
+                if n.endswith(".checkpoint.parquet") and n[:20].isdigit()
+            )
+            cp_v = cps[-1] if cps else None
+        if cp_v is None:
+            raise ValueError(
+                f"{log_dir} is not a contiguous JSON chain from version "
+                "0 and holds no parquet checkpoint to bootstrap from — "
+                "ask the writer for a full-history export or a "
+                "checkpoint"
+            )
+        tail = [c for c in commits if c > cp_v]
+        if tail != list(range(cp_v + 1, cp_v + 1 + len(tail))):
+            raise ValueError(
+                f"JSON commits after checkpoint {cp_v} are not "
+                f"contiguous in {log_dir}: {tail}"
+            )
+        cp_seed = _read_checkpoint_state(log_dir, cp_v)
+        commits = tail
+        base = cp_v - 1
+    elif commits != list(range(len(commits))):
         raise ValueError(
             f"{log_dir} is not a contiguous JSON chain from version 0 "
             "(checkpoint-truncated logs are not supported — ask the "
@@ -364,11 +707,41 @@ def import_delta_log(table_dir: str) -> int:
         )
     store = get_commit_store()
     store.ensure_log(table_dir)
-    active: dict[str, dict | None] = {}  # rel path -> stats (ordered)
-    schema_json = None
-    spec: list[str] = []
-    max_cid = 0
-    version = 0
+    if cp_seed is not None:
+        protocol, meta, cp_active = cp_seed
+        if protocol.get("minReaderVersion", 1) > 2:
+            raise ValueError(
+                "Delta protocol minReaderVersion "
+                f"{protocol['minReaderVersion']} requires reader table "
+                "features this importer does not implement"
+            )
+        schema_json, spec, max_cid = _import_metadata(meta, 0)
+        for path, add in cp_active.items():
+            if add.get("deletionVector"):
+                raise ValueError(
+                    "deletion vectors are not supported by this importer"
+                )
+            active[urllib.parse.unquote(path)] = _manifest_stats(add)
+        manifest = {
+            "version": 1,
+            "mode": "append",
+            "files": list(active),
+            "stats": {f: s for f, s in active.items() if s is not None},
+            "schema": schema_json,
+            "meta": {"delta_import": base + 1, "delta_checkpoint": base + 1},
+            "partition_spec": spec,
+            "spec_id": 0,
+        }
+        if max_cid:
+            manifest["max_column_id"] = max_cid
+        if not store.put_if_absent(
+            table_dir, _manifest_name(1), json.dumps(manifest).encode()
+        ):
+            raise ValueError(
+                "manifest v1 appeared during import — concurrent writer "
+                "on a fresh adoption directory"
+            )
+        version = 1
     for dv in commits:
         removes = 0
         with open(os.path.join(log_dir, _delta_commit_name(dv))) as fh:
@@ -392,28 +765,8 @@ def import_delta_log(table_dir: str) -> int:
                             "does not implement"
                         )
                 elif "metaData" in action:
-                    config = action["metaData"].get("configuration") or {}
-                    cm_mode = config.get("delta.columnMapping.mode", "none")
-                    if cm_mode not in ("none", "name"):
-                        raise ValueError(
-                            f"delta.columnMapping.mode={cm_mode!r} resolves "
-                            "columns by parquet field id; this importer "
-                            "supports modes 'none' and 'name' only"
-                        )
-                    schema_json = _from_delta_schema_json(
-                        json.loads(action["metaData"]["schemaString"])
-                    )
-                    spec = list(action["metaData"].get("partitionColumns", []))
-                    max_cid = max(
-                        int(config.get("delta.columnMapping.maxColumnId", 0)),
-                        max(
-                            (
-                                (f.get("metadata") or {}).get("cid", 0)
-                                for f in schema_json["fields"]
-                            ),
-                            default=0,
-                        ),
-                        max_cid,
+                    schema_json, spec, max_cid = _import_metadata(
+                        action["metaData"], max_cid
                     )
                 elif "add" in action:
                     add = action["add"]
@@ -434,8 +787,9 @@ def import_delta_log(table_dir: str) -> int:
             )
         files = list(active)
         stats = {f: s for f, s in active.items() if s is not None}
+        v_out = dv - base
         manifest = {
-            "version": dv + 1,
+            "version": v_out,
             "mode": "append" if removes == 0 else "overwrite",
             "files": files,
             "stats": stats,
@@ -447,13 +801,13 @@ def import_delta_log(table_dir: str) -> int:
         if max_cid:
             manifest["max_column_id"] = max_cid
         if not store.put_if_absent(
-            table_dir, _manifest_name(dv + 1), json.dumps(manifest).encode()
+            table_dir, _manifest_name(v_out), json.dumps(manifest).encode()
         ):
             raise ValueError(
-                f"manifest v{dv + 1} appeared during import — concurrent "
+                f"manifest v{v_out} appeared during import — concurrent "
                 "writer on a fresh adoption directory"
             )
-        version = dv + 1
+        version = v_out
     from .versioned import _advance_latest
 
     _advance_latest(table_dir, version)

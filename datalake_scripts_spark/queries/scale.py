@@ -726,6 +726,101 @@ def delta_interop_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DELTA_CHECKPOINT_SQL = """
+WITH kept AS (
+  SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+  FROM orders
+  WHERE (o_orderkey < 4000 AND o_orderpriority <> '1-URGENT')
+     OR (o_orderkey >= 4000 AND o_orderkey < 5000)
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       CAST(3 AS BIGINT) AS n_versions
+FROM kept
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@query("delta_checkpoint_adoption", sql=_DELTA_CHECKPOINT_SQL)
+def delta_checkpoint_adoption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta parquet-checkpoint interop, end to end and driver-verified
+    (operators/delta_interop.py round 8): build a 5-commit versioned
+    table (append evens, append odds, DELETE one priority, append a
+    fresh key range, OPTIMIZE), export the history as a Delta log,
+    write a classic single-part parquet checkpoint at Delta commit 2,
+    DELETE the pre-checkpoint JSON commits (the shape every long-lived
+    real Delta table has after log cleanup), destroy the native
+    manifest chain, and adopt: the import bootstraps from the
+    checkpoint and replays the JSON tail, exactly like a Delta reader.
+    The oracle recomputes the surviving rows straight from ``orders``;
+    n_versions pins the adopted history depth (checkpoint snapshot +
+    2 tail commits). Any defect in checkpoint writing (lost add, stats
+    mangling, schema drift through the parquet round-trip) or
+    bootstrap replay changes the hash.
+
+    100 TB rationale: checkpoints make mirror adoption O(active files
+    + tail commits) instead of O(all commits ever) — the reason Delta
+    itself checkpoints every 10 commits."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators import versioned as V
+    from ..operators.delta_interop import (
+        export_delta_log,
+        import_delta_log,
+        write_delta_checkpoint,
+    )
+
+    base = tempfile.mkdtemp(prefix="delta_checkpoint_q_")
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    lo = orders.filter(F.col("o_orderkey") < 4000)
+    V.write_versioned(
+        spark, lo.filter(F.col("o_orderkey") % 2 == 0), base, mode="append"
+    )
+    V.write_versioned(
+        spark, lo.filter(F.col("o_orderkey") % 2 == 1), base, mode="append"
+    )
+    V.delete_versioned(spark, base, "o_orderpriority = '1-URGENT'")
+    V.write_versioned(
+        spark,
+        orders.filter(
+            (F.col("o_orderkey") >= 4000) & (F.col("o_orderkey") < 5000)
+        ),
+        base,
+        mode="append",
+    )
+    V.compact_versioned(spark, base, target_files=2)
+
+    log_dir = export_delta_log(base)
+    write_delta_checkpoint(base, version=2)
+    for dv in range(3):  # log cleanup: pre-checkpoint JSONs vacuumed
+        os.remove(os.path.join(log_dir, f"{dv:020d}.json"))
+    shutil.rmtree(os.path.join(base, "_manifests"))
+    ptr = os.path.join(base, "_latest")
+    if os.path.exists(ptr):
+        os.remove(ptr)
+    # checkpoint snapshot -> v1, two JSON tail commits -> v2, v3
+    n_versions = import_delta_log(base)
+
+    adopted = V.read_versioned(spark, base)
+    return (
+        adopted.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .withColumn("n_versions", F.lit(n_versions).cast("bigint"))
+        .orderBy("o_orderpriority")
+    )
+
+
 _CATALOG_SQL = """
 WITH reg AS (
   SELECT 'orders_even' AS table_name,

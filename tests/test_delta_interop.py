@@ -276,3 +276,132 @@ def test_import_foreign_minimal_log(spark, tmp_path):
     got = V.read_versioned(spark, base)
     assert got.count() == 100
     assert got.agg(F.sum("k")).collect()[0][0] == sum(range(100))
+
+
+def test_sync_delta_log_incremental(spark, sf_dir, tmp_path):
+    """sync_delta_log writes only the not-yet-exported commits and
+    reuses the table id, so a mirror kept current across table commits
+    reads as one continuous Delta table."""
+    base = str(tmp_path / "tbl")
+    V.write_versioned(spark, _orders(spark, sf_dir, 0, 1000), base, mode="append")
+    log_dir = export_delta_log(base)
+    id0 = _commit_actions(log_dir, 0)[1]["metaData"]["id"]
+    mtime0 = os.path.getmtime(os.path.join(log_dir, f"{0:020d}.json"))
+    from datalake_scripts_spark.operators.delta_interop import sync_delta_log
+
+    # no new commits -> no-op
+    assert sync_delta_log(base) == 0
+    V.write_versioned(spark, _orders(spark, sf_dir, 1000, 2000), base, mode="append")
+    V.delete_versioned(spark, base, "o_orderkey < 100")
+    assert sync_delta_log(base) == 2
+    names = sorted(os.listdir(log_dir))
+    assert [n for n in names if n.endswith(".json")] == [
+        f"{v:020d}.json" for v in range(3)
+    ]
+    # commit 0 was not rewritten; new commits carry the same table id
+    assert os.path.getmtime(os.path.join(log_dir, f"{0:020d}.json")) == mtime0
+    expected = sorted(map(tuple, V.read_versioned(spark, base).collect()))
+    _wipe_own_log(base)
+    assert import_delta_log(base) == 3
+    assert sorted(map(tuple, V.read_versioned(spark, base).collect())) == expected
+    m0 = V._load_manifest(base, 1)
+    assert m0["meta"]["delta_import"] == 0
+
+
+def test_checkpoint_write_and_truncated_import(spark, sf_dir, tmp_path):
+    """A checkpoint-truncated log (pre-checkpoint JSONs deleted, the
+    shape every long-lived real Delta table has) bootstraps the import
+    from the parquet checkpoint and replays the JSON tail."""
+    from datalake_scripts_spark.operators.delta_interop import (
+        write_delta_checkpoint,
+    )
+
+    base = str(tmp_path / "tbl")
+    latest = _build_history(spark, sf_dir, base)  # 4 commits: 0..3
+    expected = sorted(map(tuple, V.read_versioned(spark, base).collect()))
+    log_dir = export_delta_log(base)
+    cp = write_delta_checkpoint(base, version=2)
+    assert os.path.basename(cp) == f"{2:020d}.checkpoint.parquet"
+    lc = json.load(open(os.path.join(log_dir, "_last_checkpoint")))
+    assert lc["version"] == 2 and lc["size"] >= 3
+    # truncate: delete JSON commits 0..2 (vacuumed by a log-cleanup job)
+    for dv in range(3):
+        os.remove(os.path.join(log_dir, f"{dv:020d}.json"))
+    _wipe_own_log(base)
+    got_v = import_delta_log(base)
+    # checkpoint snapshot -> v1, JSON commit 3 -> v2
+    assert got_v == 2
+    assert sorted(map(tuple, V.read_versioned(spark, base).collect())) == expected
+    m1 = V._load_manifest(base, 1)
+    assert m1["meta"]["delta_checkpoint"] == 2
+    # the checkpoint snapshot itself time-travels (state after commit 2)
+    assert V.read_versioned(spark, base, version=1).count() > 0
+    # imported stats survive the parquet round-trip and still prune
+    pruned = V.files_for_read(base, skip_filter=[("o_orderkey", "<", -1)])
+    assert pruned == [] or len(V.files_for_read(base)) == 1
+    # adopted table accepts further commits + further syncs
+    V.write_versioned(spark, _orders(spark, sf_dir, 4000, 4200), base, mode="append")
+    assert V.current_version(base) == got_v + 1
+
+
+def test_checkpoint_only_log_adopts(spark, sf_dir, tmp_path):
+    """A log holding ONLY a checkpoint (every JSON cleaned up) still
+    adopts: the checkpoint is the complete state."""
+    from datalake_scripts_spark.operators.delta_interop import (
+        write_delta_checkpoint,
+    )
+
+    base = str(tmp_path / "tbl")
+    V.write_versioned(spark, _orders(spark, sf_dir, 0, 1500), base, mode="append")
+    expected = sorted(map(tuple, V.read_versioned(spark, base).collect()))
+    log_dir = export_delta_log(base)
+    write_delta_checkpoint(base)
+    os.remove(os.path.join(log_dir, f"{0:020d}.json"))
+    _wipe_own_log(base)
+    assert import_delta_log(base) == 1
+    assert sorted(map(tuple, V.read_versioned(spark, base).collect())) == expected
+
+
+def test_sync_auto_checkpoint_interval(spark, sf_dir, tmp_path):
+    from datalake_scripts_spark.operators.delta_interop import sync_delta_log
+
+    base = str(tmp_path / "tbl")
+    V.write_versioned(spark, _orders(spark, sf_dir, 0, 500), base, mode="append")
+    for i in range(3):
+        V.write_versioned(
+            spark, _orders(spark, sf_dir, 500 + 100 * i, 600 + 100 * i),
+            base, mode="append",
+        )
+    sync_delta_log(base, checkpoint_interval=4)
+    log_dir = os.path.join(base, "_delta_log")
+    assert os.path.exists(os.path.join(log_dir, f"{3:020d}.checkpoint.parquet"))
+    # another small commit: below the interval -> no new checkpoint
+    V.write_versioned(spark, _orders(spark, sf_dir, 900, 950), base, mode="append")
+    sync_delta_log(base, checkpoint_interval=4)
+    cps = [n for n in os.listdir(log_dir) if n.endswith(".checkpoint.parquet")]
+    assert cps == [f"{3:020d}.checkpoint.parquet"]
+
+
+def test_checkpoint_column_mapped_table(spark, sf_dir, tmp_path):
+    """Checkpoint metaData preserves columnMapping configuration, so a
+    truncated mapped table adopts with renames intact."""
+    from datalake_scripts_spark.operators.delta_interop import (
+        write_delta_checkpoint,
+    )
+
+    base = str(tmp_path / "tbl")
+    V.write_versioned(spark, _orders(spark, sf_dir, 0, 800), base, mode="append")
+    V.rename_column(base, "o_orderkey", "order_id")
+    expected = sorted(map(tuple, V.read_versioned(spark, base).collect()))
+    log_dir = export_delta_log(base)
+    write_delta_checkpoint(base)
+    for dv in range(2):
+        os.remove(os.path.join(log_dir, f"{dv:020d}.json"))
+    _wipe_own_log(base)
+    assert import_delta_log(base) == 1
+    df = V.read_versioned(spark, base)
+    assert df.columns[0] == "order_id"
+    assert sorted(map(tuple, df.collect())) == expected
+    # mapping state (max cid) carried through the checkpoint
+    m = V._load_manifest(base, 1)
+    assert m.get("max_column_id", 0) >= 4
