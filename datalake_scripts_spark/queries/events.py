@@ -250,6 +250,91 @@ def range_join_value_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_interval_overlap_shipments",
+    sql="""
+    WITH li AS (
+      SELECT l_orderkey, l_linenumber, l_suppkey,
+             CAST(l_shipdate AS DATE) AS sd,
+             datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+               AS s_day,
+             datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+               + (l_orderkey * 7 + l_linenumber * 3) % 28 + 1 AS e_day
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+    ),
+    a AS (SELECT * FROM li WHERE l_suppkey % 20 = 0),
+    b AS (SELECT * FROM li WHERE l_suppkey % 20 = 1)
+    SELECT strftime(a.sd, '%Y-%m') AS ship_month,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(LEAST(a.e_day, b.e_day)
+                    - GREATEST(a.s_day, b.s_day) + 1) AS BIGINT)
+             AS sum_overlap_days
+    FROM a JOIN b
+      ON a.s_day <= b.e_day AND b.s_day <= a.e_day
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def join_interval_overlap_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval × interval overlap join (operators/intervals.py): two
+    suppliers' shipment windows (ship day → deterministic receipt day)
+    joined on overlap via the BANDED strategy — explode each interval
+    to 16-day bins, hash-join on the bin, exact predicate inside, and
+    the first-common-bin filter emits every pair exactly once with no
+    post-join distinct. The oracle is the naive theta join — any
+    candidate the banding loses, or any duplicate the first-bin filter
+    leaks, changes the hash.
+
+    100 TB rationale: the naive form is a cross join (unrunnable); the
+    banded form shuffles each side once on the bin key and scales with
+    pairs-that-overlap, not pairs-that-exist. Adding equi keys (tenant,
+    region) bounds every bucket."""
+    from ..operators.intervals import interval_overlap_join
+
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        )
+        .withColumn(
+            "s_day",
+            F.datediff(F.col("l_shipdate").cast("date"), F.lit("1970-01-01")),
+        )
+        .withColumn(
+            "e_day",
+            F.col("s_day")
+            + (F.col("l_orderkey") * 7 + F.col("l_linenumber") * 3) % 28 + 1,
+        )
+        .select("l_orderkey", "l_linenumber", "l_suppkey", "l_shipdate",
+                "s_day", "e_day")
+    )
+    a = li.filter(F.col("l_suppkey") % 20 == 0).withColumn(
+        "ship_month", F.date_format(F.col("l_shipdate").cast("date"), "yyyy-MM")
+    )
+    b = li.filter(F.col("l_suppkey") % 20 == 1)
+    pairs = interval_overlap_join(
+        a.drop("l_shipdate"), b.drop("l_shipdate"),
+        left_start="s_day", left_end="e_day",
+        right_start="s_day", right_end="e_day",
+        bin_width=16,
+    )
+    return (
+        pairs.groupBy("ship_month")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(
+                F.least(F.col("e_day"), F.col("e_day_r"))
+                - F.greatest(F.col("s_day"), F.col("s_day_r"))
+                + 1
+            ).cast("bigint").alias("sum_overlap_days"),
+        )
+        .orderBy("ship_month")
+    )
+
+
+@query(
     "events_gap_filled_hours",
     sql=f"""
     WITH bounds AS (
