@@ -231,6 +231,43 @@ class Catalog:
 
         return read_versioned(spark, self.table_dir(name), **read_kwargs)
 
+    def attach_views(
+        self,
+        spark,
+        names: list[str] | None = None,
+        prefix: str = "",
+        versions: dict[str, int] | None = None,
+    ) -> list[str]:
+        """Register catalog tables as Spark temp views so plain
+        ``spark.sql`` works over the lake by NAME. Each view pins the
+        manifest version current at attach time (or ``versions[name]``)
+        — a multi-statement SQL session therefore gets snapshot
+        isolation across every attached table; re-attach to advance.
+        Returns the view names registered."""
+        names = names if names is not None else list(self.tables())
+        out = []
+        for n in names:
+            view = prefix + n
+            kwargs = {}
+            if versions and n in versions:
+                kwargs["version"] = versions[n]
+            else:
+                # pin NOW: a view must not move underneath a query plan
+                from .versioned import current_version
+
+                kwargs["version"] = current_version(self.table_dir(n))
+            self.table(spark, n, **kwargs).createOrReplaceTempView(view)
+            out.append(view)
+        return out
+
+    def sql(self, spark, query: str, **attach_kwargs):
+        """Attach every catalog table as a snapshot-pinned view and run
+        ``query`` — the one-call ``SELECT ... FROM <name>`` surface
+        (the reference's out-of-band DDL channel names tables the same
+        way for its SQL consumers, monkey_proc.py:98-120)."""
+        self.attach_views(spark, **attach_kwargs)
+        return spark.sql(query)
+
 
 def resolve_table_ref(ref: str, catalog_dir: str | None = None) -> str:
     """Accept either a plain directory path or ``catalog:<name>`` (the

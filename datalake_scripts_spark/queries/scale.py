@@ -891,6 +891,79 @@ def catalog_named_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("table_name")
 
 
+_CATALOG_SQL_JOIN = """
+WITH ords AS (
+  SELECT o_orderkey, o_custkey, o_totalprice
+  FROM orders WHERE o_orderkey < 5000
+), custs AS (
+  SELECT c_custkey, c_mktsegment FROM customer
+)
+SELECT c.c_mktsegment AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_price
+FROM ords o JOIN custs c ON o.o_custkey = c.c_custkey
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@query("catalog_sql_named_join", sql=_CATALOG_SQL_JOIN)
+def catalog_sql_named_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain ``spark.sql`` over catalog NAMES (Catalog.attach_views /
+    Catalog.sql, round 8): save two tables under names, then run one
+    SQL statement joining them by name — every attached view pins the
+    manifest version current at attach time, so a multi-table SQL
+    statement reads one consistent snapshot even if a writer lands
+    commits mid-query. A commit AFTER attach is proven invisible: the
+    query result (and the oracle) reflect only the pinned versions.
+
+    100 TB rationale: attach is driver-side metadata (one manifest
+    resolve per view); the SQL itself plans through Catalyst exactly
+    as path-addressed reads do — name resolution adds zero Spark
+    work."""
+    import tempfile
+
+    from ..operators.catalog import Catalog
+
+    cdir = tempfile.mkdtemp(prefix="catalog_sql_q_")
+    cat = Catalog(cdir)
+    cat.save_as_table(
+        spark,
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .filter(F.col("o_orderkey") < 5000),
+        "ords",
+    )
+    cat.save_as_table(
+        spark,
+        t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
+        "custs",
+    )
+    views = cat.attach_views(spark, prefix="lake_")
+    assert sorted(views) == ["lake_custs", "lake_ords"]
+    # a write AFTER attach must be invisible to the pinned views
+    cat.save_as_table(
+        spark,
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .filter(F.col("o_orderkey") >= 5000)
+        .limit(100),
+        "ords",
+    )
+    return spark.sql(
+        """
+        SELECT c.c_mktsegment AS segment,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_price
+        FROM lake_ords o JOIN lake_custs c ON o.o_custkey = c.c_custkey
+        GROUP BY 1
+        ORDER BY 1
+        """
+    )
+
+
 _COLMAP_SQL = """
 WITH v1 AS (
   SELECT o_orderkey, o_totalprice, o_orderpriority

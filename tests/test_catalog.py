@@ -141,3 +141,25 @@ def test_cli_tables_ddl_and_named_verbs(spark, sf_dir, tmp_path, capsys):
     assert "regions" not in capsys.readouterr().out
     # drop was metadata-only: the data table is intact
     assert V.read_versioned(spark, tdir).count() > 0
+
+
+def test_attach_views_and_sql_snapshot_isolation(spark, tmp_path):
+    from datalake_scripts_spark.operators.catalog import Catalog
+
+    cat = Catalog(str(tmp_path / "cat"))
+    df1 = spark.range(10).selectExpr("id AS k", "id * 2 AS v")
+    cat.save_as_table(spark, df1, "nums")
+    views = cat.attach_views(spark, prefix="t_")
+    assert views == ["t_nums"]
+    assert spark.sql("SELECT COUNT(*) n FROM t_nums").first()["n"] == 10
+    # commits after attach are invisible until re-attach
+    cat.save_as_table(spark, df1.limit(3), "nums", mode="append")
+    assert spark.sql("SELECT COUNT(*) n FROM t_nums").first()["n"] == 10
+    cat.attach_views(spark, prefix="t_")
+    assert spark.sql("SELECT COUNT(*) n FROM t_nums").first()["n"] == 13
+    # explicit version pin
+    cat.attach_views(spark, prefix="old_", versions={"nums": 1})
+    assert spark.sql("SELECT COUNT(*) n FROM old_nums").first()["n"] == 10
+    # one-call sql() attaches everything
+    got = cat.sql(spark, "SELECT SUM(v) s FROM nums").first()["s"]
+    assert got == sum(i * 2 for i in range(10)) + sum(i * 2 for i in range(3))
