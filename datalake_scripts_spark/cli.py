@@ -189,6 +189,26 @@ def main(argv: list[str] | None = None) -> int:
     cg.add_argument("--revoke", action="append", default=[])
     cats_sub.add_parser("history", help="catalog audit log")
 
+    dsync = tbl_sub.add_parser(
+        "delta-sync",
+        help="mirror the table as a Delta _delta_log (incremental: "
+             "only new commits written) — no Spark session",
+    )
+    dsync.add_argument("--out", default=None, help="mirror directory "
+                       "(default: inside the table dir)")
+    dsync.add_argument(
+        "--checkpoint-interval", type=int, default=None,
+        help="write a parquet checkpoint every N commits (Delta uses 10)",
+    )
+    dcp = tbl_sub.add_parser(
+        "delta-checkpoint",
+        help="write a Delta parquet checkpoint + _last_checkpoint at "
+             "the newest (or given) exported commit — no Spark session",
+    )
+    dcp.add_argument("--out", default=None)
+    dcp.add_argument("--version", type=int, default=None,
+                     help="Delta commit to checkpoint (default newest)")
+
     chk = tbl_sub.add_parser(
         "check-schema",
         help="validate a reader contract (StructType jsonValue file) "
@@ -260,6 +280,28 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"VIOLATION {viol}")
             return 1
         print(f"contract OK against {args.dir}@v{v}")
+        return 0
+
+    if args.domain == "table" and args.action in (
+        "delta-sync", "delta-checkpoint"
+    ):
+        # metadata-only Delta mirror maintenance: no Spark session
+        from .operators.delta_interop import (
+            sync_delta_log,
+            write_delta_checkpoint,
+        )
+
+        if args.action == "delta-sync":
+            n = sync_delta_log(
+                args.dir, out_dir=args.out,
+                checkpoint_interval=args.checkpoint_interval,
+            )
+            print(f"synced {n} new Delta commit(s)")
+        else:
+            cp = write_delta_checkpoint(
+                args.dir, out_dir=args.out, version=args.version
+            )
+            print(f"checkpoint written: {cp}")
         return 0
 
     from .session import get_spark

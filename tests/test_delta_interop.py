@@ -405,3 +405,35 @@ def test_checkpoint_column_mapped_table(spark, sf_dir, tmp_path):
     # mapping state (max cid) carried through the checkpoint
     m = V._load_manifest(base, 1)
     assert m.get("max_column_id", 0) >= 4
+
+
+def test_cli_delta_sync_and_checkpoint(spark, sf_dir, tmp_path, capsys):
+    from datalake_scripts_spark.cli import main
+
+    base = str(tmp_path / "tbl")
+    V.write_versioned(spark, _orders(spark, sf_dir, 0, 500), base, mode="append")
+    V.write_versioned(spark, _orders(spark, sf_dir, 500, 900), base, mode="append")
+    assert main(["table", "--dir", base, "delta-sync"]) == 0
+    assert "synced 2" in capsys.readouterr().out
+    assert main(["table", "--dir", base, "delta-checkpoint"]) == 0
+    out = capsys.readouterr().out
+    assert "checkpoint written" in out
+    log_dir = os.path.join(base, "_delta_log")
+    assert os.path.exists(os.path.join(log_dir, "_last_checkpoint"))
+    # incremental: another commit, sync picks up exactly one; only 1
+    # commit since the checkpoint at Delta 1 -> below the interval
+    V.write_versioned(spark, _orders(spark, sf_dir, 900, 950), base, mode="append")
+    assert main(["table", "--dir", base, "delta-sync",
+                 "--checkpoint-interval", "3"]) == 0
+    assert "synced 1" in capsys.readouterr().out
+    assert not os.path.exists(
+        os.path.join(log_dir, f"{2:020d}.checkpoint.parquet")
+    )
+    # two more commits -> 3 since the last checkpoint -> cadence fires
+    V.write_versioned(spark, _orders(spark, sf_dir, 950, 980), base, mode="append")
+    V.write_versioned(spark, _orders(spark, sf_dir, 980, 990), base, mode="append")
+    assert main(["table", "--dir", base, "delta-sync",
+                 "--checkpoint-interval", "3"]) == 0
+    assert os.path.exists(
+        os.path.join(log_dir, f"{4:020d}.checkpoint.parquet")
+    )
