@@ -134,6 +134,11 @@ def main(argv: list[str] | None = None) -> int:
     )
     mrg.add_argument("--source", required=True, help="parquet path of the batch")
     mrg.add_argument("--keys", required=True, help="comma-separated key columns")
+    mrg.add_argument(
+        "--dv", action="store_true",
+        help="merge-on-read: matched rows DV out, only changed rows "
+             "are written (MERGE INTO instead of read-merge-overwrite)",
+    )
     rst = tbl_sub.add_parser("restore", help="roll back to a version (new commit)")
     rst.add_argument("--version", type=int, required=True)
     cln = tbl_sub.add_parser("clone", help="clone a snapshot to a new table")
@@ -348,6 +353,21 @@ def main(argv: list[str] | None = None) -> int:
 
             keys = args.keys.split(",")
             batch = spark.read.parquet(args.source)
+            if args.dv:
+                sets = {
+                    c: f"s.{c}" for c in batch.columns if c not in keys
+                }
+                v, counts = V.merge_versioned(
+                    spark, args.dir, batch, on=keys,
+                    when_matched_update=sets or None,
+                    deletion_vectors=True,
+                    meta={"merged_from": args.source, "keys": keys},
+                )
+                print(
+                    f"merged (merge-on-read): {counts['n_updated']} "
+                    f"updated, {counts['n_inserted']} inserted -> v{v}"
+                )
+                return 0
             # pin the snapshot this merge READ: a concurrent commit
             # landing between read and publish must surface as
             # CommitConflict (re-run), not be silently dropped by a

@@ -2774,6 +2774,7 @@ def merge_versioned(
     when_not_matched_insert: bool = True,
     matched_condition: str | None = None,
     meta: dict | None = None,
+    deletion_vectors: bool = False,
 ) -> tuple[int, dict]:
     """MERGE INTO (Delta semantics) with touched-file-only rewrite:
 
@@ -2794,7 +2795,12 @@ def merge_versioned(
     (file discovery is a semi-join on the key, collected at file
     granularity — manifest-sized); untouched files carry by reference,
     deletion vectors on touched files materialize through the
-    DV-applied read. A duplicate source key is rejected up front
+    DV-applied read. ``deletion_vectors=True`` goes further — the
+    merge-on-read path writes O(changed rows): matched rows' positions
+    become a new DV, only the UPDATED images and the inserts append as
+    fresh files, and nothing else is rewritten (the completion of the
+    DELETE/UPDATE merge-on-read trio). A duplicate source key is
+    rejected up front
     (multi-match MERGE is undefined in SQL; Delta throws at runtime).
     Read-pinned commit (mode 'merge'): concurrent writers raise
     :class:`CommitConflict`. Reference parity: the reference's only
@@ -2875,6 +2881,16 @@ def merge_versioned(
         }
     all_files, all_stats = _expand_manifest(table_dir, manifest)
     touched = [f for f in all_files if os.path.basename(f) in touched_bases]
+
+    if deletion_vectors and touched and (
+        when_matched_update or when_matched_delete
+    ):
+        return _merge_via_dv(
+            spark, table_dir, v, manifest, src, on, tgt_all,
+            when_matched_update, when_matched_delete,
+            when_not_matched_insert, matched_condition, meta, touched,
+            schema_json,
+        )
 
     from pyspark.sql import Observation
 
@@ -3026,6 +3042,173 @@ def merge_versioned(
         spec_id=manifest.get("spec_id", 0),
         manifest_chunking=manifest.get("manifest_chunking"),
         dvs=_carry_dvs(manifest, touched),
+    )
+    return version, counts
+
+
+def _merge_via_dv(
+    spark: SparkSession,
+    table_dir: str,
+    v: int,
+    manifest: dict,
+    src: DataFrame,
+    on: list[str],
+    tgt_all: DataFrame,
+    when_matched_update: dict[str, str] | None,
+    when_matched_delete,
+    when_not_matched_insert: bool,
+    matched_condition: str | None,
+    meta: dict | None,
+    touched: list[str],
+    schema_json: dict | None,
+) -> tuple[int, dict]:
+    """Merge-on-read MERGE: matched rows' (file, position) pairs become
+    a new deletion vector; only the updated images and the inserts
+    append as fresh files — O(changed rows) written, untouched rows in
+    touched files never rewritten. Positions come from the DV-APPLIED
+    positional read, so the new DV is disjoint with every prior one by
+    construction (same invariant as the DELETE/UPDATE DV paths)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    t = _read_manifest_files(
+        spark, manifest, table_dir, touched, with_position=True
+    ).alias("t")
+    s = src.alias("s")
+    joined = t.join(
+        s, on=[F.col(f"t.{k}") == F.col(f"s.{k}") for k in on], how="inner"
+    )
+    matched = (
+        F.lit(True)
+        if matched_condition is None
+        else F.coalesce(F.expr(matched_condition), F.lit(False))
+    )
+    if when_matched_delete is True:
+        delete_cond = matched
+    elif when_matched_delete:
+        delete_cond = matched & F.coalesce(
+            F.expr(str(when_matched_delete)), F.lit(False)
+        )
+    else:
+        delete_cond = F.lit(False)
+    update_cond = (
+        (matched & ~delete_cond) if when_matched_update else F.lit(False)
+    )
+    tcols = [f["name"] for f in (schema_json or {}).get("fields", [])] or [
+        c
+        for c in t.columns
+        if c not in (_DV_FILE_COL, _DV_POS_COL)
+    ]
+    declared = (
+        {f.name: f.dataType for f in StructType.fromJson(schema_json).fields}
+        if schema_json
+        else {}
+    )
+    image_cols = []
+    for c in tcols:
+        if when_matched_update and c in when_matched_update:
+            img = F.expr(when_matched_update[c])
+            if c in declared:
+                img = img.cast(declared[c])
+            image_cols.append(img.alias(c))
+        else:
+            image_cols.append(F.col(f"t.{c}").alias(c))
+    # one pass over the join: the alias-qualified expressions resolve
+    # HERE; the checkpoint that follows flattens names, so everything
+    # downstream reads plain columns
+    affected = (
+        joined.filter(delete_cond | update_cond)
+        .select(
+            F.col(f"t.{_DV_FILE_COL}").alias("file_base"),
+            F.col(f"t.{_DV_POS_COL}").cast("bigint").alias("pos"),
+            delete_cond.alias("__del"),
+            *image_cols,
+        )
+        .localCheckpoint()  # read thrice: DV stage, counters, images
+    )
+    per_file = {
+        r["file_base"]: r["n"]
+        for r in affected.groupBy("file_base")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    counts_row = affected.agg(
+        F.sum(F.col("__del").cast("long")).alias("d"),
+        F.count(F.lit(1)).alias("a"),
+    ).first()
+    n_deleted = int(counts_row["d"] or 0)
+    n_updated = int(counts_row["a"]) - n_deleted
+
+    parts = []
+    if n_updated:
+        parts.append(affected.filter(~F.col("__del")).select(*tcols))
+    if when_not_matched_insert:
+        missing = set(tcols) - set(src.columns)
+        if missing:
+            raise ValueError(
+                f"when_not_matched_insert needs source columns {sorted(missing)}"
+            )
+        inserts = src.join(tgt_all.select(*on), on, "left_anti")
+        inserts = inserts.select(
+            *[
+                (F.col(c).cast(declared[c]) if c in declared else F.col(c))
+                .alias(c)
+                for c in tcols
+            ]
+        )
+        parts.append(inserts)
+
+    new_files: list[str] = []
+    new_stats: dict = {}
+    if parts:
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        pcols = _manifest_partition_spec(manifest)
+        new_files = _stage_with_spec(out, table_dir, pcols, schema_json)
+        new_stats = _stats_for_new_files(
+            table_dir,
+            new_files,
+            _physical_schema_json(schema_json or {}) or None,
+        )
+        _augment_blooms(
+            table_dir,
+            new_files,
+            new_stats,
+            _physicalize_cols(manifest.get("bloom_cols"), schema_json),
+            0.01,
+        )
+    n_staged = sum(st["rows"] for st in new_stats.values())
+    n_inserted = n_staged - n_updated
+
+    staged = list(new_files)
+    dvs = list(manifest.get("dvs", []))
+    if per_file:
+        dv_rel = _stage_dv(
+            affected.select("file_base", "pos"), table_dir
+        )
+        staged.append(dv_rel)
+        dvs = dvs + [{"path": dv_rel, "rows": per_file}]
+    old_files, old_stats = _expand_manifest(table_dir, manifest)
+    counts = {
+        "n_updated": n_updated,
+        "n_deleted": n_deleted,
+        "n_inserted": n_inserted,
+    }
+    version = _commit_dml(
+        table_dir,
+        staged,
+        old_files + new_files,
+        {**old_stats, **new_stats},
+        "merge",
+        schema_json,
+        {**(meta or {}), "merge_on": list(on), "merge_dv": True, **counts},
+        bloom_cols=manifest.get("bloom_cols"),
+        expected_version=v,
+        partition_spec=_manifest_partition_spec(manifest),
+        spec_id=manifest.get("spec_id", 0),
+        manifest_chunking=manifest.get("manifest_chunking"),
+        dvs=dvs,
     )
     return version, counts
 

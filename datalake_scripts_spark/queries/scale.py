@@ -1213,6 +1213,96 @@ def versioned_hidden_partitioning(
     )
 
 
+_MERGE_DV_SQL = """
+WITH tgt AS (
+  SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+  FROM orders WHERE o_orderkey < 6000 AND o_orderkey % 2 = 0
+), src AS (
+  SELECT o_orderkey, o_custkey,
+         o_totalprice + 1000 AS o_totalprice, o_orderpriority
+  FROM orders
+  WHERE o_orderkey < 6000 AND (o_orderkey % 4 = 0 OR o_orderkey % 2 = 1)
+), kept AS (
+  SELECT t.o_orderkey,
+         CASE WHEN s.o_orderkey IS NOT NULL
+              THEN s.o_totalprice ELSE t.o_totalprice END AS price,
+         t.o_orderpriority
+  FROM tgt t LEFT JOIN src s USING (o_orderkey)
+  WHERE NOT (s.o_orderkey IS NOT NULL AND t.o_orderpriority = '5-LOW')
+), ins AS (
+  SELECT s.o_orderkey, s.o_totalprice AS price, s.o_orderpriority
+  FROM src s ANTI JOIN tgt t USING (o_orderkey)
+), merged AS (
+  SELECT * FROM kept UNION ALL SELECT * FROM ins
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       CAST(1 AS BIGINT) AS files_carried
+FROM merged
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@query("versioned_merge_dv", sql=_MERGE_DV_SQL)
+def versioned_merge_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read MERGE, driver-verified (round 8 — completes the
+    DELETE/UPDATE/MERGE deletion-vector trio): the exact clause mix of
+    ``versioned_merge_into`` (conditional DELETE + UPDATE + INSERT)
+    with ``deletion_vectors=True`` — matched rows' positions become a
+    new DV, only the updated images and inserts are written, and NOT
+    ONE pre-merge data file is rewritten. The oracle is the same
+    LEFT JOIN + ANTI JOIN clause algebra, so hash equality proves the
+    MOR path lands the identical state as copy-on-write;
+    ``files_carried`` in-line-asserts zero rewrite (every original
+    file still in the manifest).
+
+    100 TB shape: write volume is O(changed rows) instead of O(touched
+    files) — on a wide table where a merge touches 1 row per file,
+    that's the difference between rewriting the table and appending a
+    few megabytes."""
+    import tempfile
+
+    from ..operators import versioned as V
+
+    base = tempfile.mkdtemp(prefix="merge_dv_q_")
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    ).filter(F.col("o_orderkey") < 6000)
+    V.write_versioned(
+        spark, orders.filter(F.col("o_orderkey") % 2 == 0), base,
+        mode="append",
+    )
+    files_before = set(V.files_for_read(base))
+    src = orders.filter(
+        (F.col("o_orderkey") % 4 == 0) | (F.col("o_orderkey") % 2 == 1)
+    ).withColumn("o_totalprice", F.col("o_totalprice") + 1000)
+    V.merge_versioned(
+        spark, base, src, on=["o_orderkey"],
+        when_matched_delete="t.o_orderpriority = '5-LOW'",
+        when_matched_update={"o_totalprice": "s.o_totalprice"},
+        when_not_matched_insert=True,
+        deletion_vectors=True,
+    )
+    # zero rewrite: every pre-merge file is still in the manifest
+    carried = files_before <= set(V.files_for_read(base))
+    merged = V.read_versioned(spark, base)
+    return (
+        merged.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .withColumn(
+            "files_carried", F.lit(1 if carried else 0).cast("bigint")
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 _MERGE_SQL = """
 WITH tgt AS (
   SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority

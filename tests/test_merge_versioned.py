@@ -250,3 +250,124 @@ def test_merge_insert_casts_to_declared_types(spark, sf_dir, tdir):
     # pinned-schema read of the post-merge snapshot works (physical
     # parquet types match the manifest schema)
     assert got.filter("o_orderkey >= 5000").count() == 10
+
+
+def test_merge_dv_parity_with_cow(spark, sf_dir, tmp_path):
+    """deletion_vectors=True produces the same table state as the
+    copy-on-write merge — only the write amplification differs."""
+    src = (
+        _orders(spark, sf_dir, 0, 3000)
+        .filter("o_orderkey % 3 = 0 OR o_orderkey >= 2000")
+        .withColumn("o_totalprice", F.lit(9.0))
+    )
+    results = {}
+    for name, dv in (("cow", False), ("mor", True)):
+        tdir = str(tmp_path / name)
+        V.write_versioned(spark, _orders(spark, sf_dir, 0, 2000), tdir, mode="append")
+        v, c = V.merge_versioned(
+            spark, tdir, src, on=["o_orderkey"],
+            when_matched_update={"o_totalprice": "s.o_totalprice"},
+            when_matched_delete="t.o_orderpriority = '1-URGENT'",
+            deletion_vectors=dv,
+        )
+        results[name] = (
+            c, sorted(map(tuple, V.read_versioned(spark, tdir).collect()))
+        )
+    assert results["cow"][0] == results["mor"][0]
+    assert results["cow"][1] == results["mor"][1]
+    # and the MOR table actually carries a DV
+    m = V._load_manifest(str(tmp_path / "mor"), 2)
+    assert m.get("dvs") and m["meta"]["merge_dv"] is True
+
+
+def test_merge_dv_write_amplification(spark, sf_dir, tdir):
+    """The MOR merge stages O(changed rows): every original data file
+    survives in the manifest (nothing rewritten)."""
+    tgt = _orders(spark, sf_dir, 0, 6000)
+    V.write_versioned(spark, tgt, tdir, mode="append")
+    files_before = set(V.files_for_read(tdir))
+    src = tgt.filter("o_orderkey < 120").withColumn("o_totalprice", F.lit(5.0))
+    v, c = V.merge_versioned(
+        spark, tdir, src, on=["o_orderkey"],
+        when_matched_update={"o_totalprice": "s.o_totalprice"},
+        deletion_vectors=True,
+    )
+    assert c["n_updated"] == src.count() and c["n_inserted"] == 0
+    files_after = set(V.files_for_read(tdir))
+    assert files_before <= files_after  # old files all carried
+    got = V.read_versioned(spark, tdir)
+    assert got.count() == tgt.count()
+    assert got.filter("o_totalprice = 5.0").count() == src.count()
+
+
+def test_merge_dv_stacks_on_prior_dvs_and_compacts(spark, sf_dir, tdir):
+    tgt = _orders(spark, sf_dir, 0, 2000)
+    V.write_versioned(spark, tgt, tdir, mode="append")
+    V.delete_versioned(
+        spark, tdir, "o_orderkey < 50", deletion_vectors=True
+    )
+    # a source overlapping the already-deleted range: those keys are
+    # gone, so they INSERT (not update), and the new DV must stay
+    # disjoint from the delete DV
+    src = _orders(spark, sf_dir, 0, 200).withColumn(
+        "o_totalprice", F.lit(7.0)
+    )
+    n_pre_deleted = tgt.filter("o_orderkey < 50").count()
+    v, c = V.merge_versioned(
+        spark, tdir, src, on=["o_orderkey"],
+        when_matched_update={"o_totalprice": "s.o_totalprice"},
+        deletion_vectors=True,
+    )
+    assert c["n_inserted"] == n_pre_deleted
+    assert c["n_updated"] == src.count() - n_pre_deleted
+    got = V.read_versioned(spark, tdir)
+    assert got.count() == tgt.count()
+    assert got.filter("o_totalprice = 7.0").count() == src.count()
+    # OPTIMIZE folds every DV generation away; state identical
+    before = sorted(map(tuple, got.collect()))
+    V.compact_versioned(spark, tdir, target_files=1)
+    m = V._load_manifest(tdir, V.current_version(tdir))
+    assert not m.get("dvs")
+    assert sorted(map(tuple, V.read_versioned(spark, tdir).collect())) == before
+
+
+def test_merge_dv_cdf_is_exact(spark, sf_dir, tdir):
+    tgt = _orders(spark, sf_dir, 0, 1000)
+    V.write_versioned(spark, tgt, tdir, mode="append")
+    src = tgt.filter("o_orderkey % 10 = 0").withColumn(
+        "o_totalprice", F.lit(3.5)
+    )
+    V.merge_versioned(
+        spark, tdir, src, on=["o_orderkey"],
+        when_matched_update={"o_totalprice": "s.o_totalprice"},
+        deletion_vectors=True,
+    )
+    ch = V.read_changes(spark, tdir, 1, 2)
+    by = {r["_change_type"]: r["n"] for r in
+          ch.groupBy("_change_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n = src.count()
+    assert by == {"insert": n, "delete": n}  # update = delete+insert pair
+
+
+def test_cli_merge_dv(spark, sf_dir, tdir, tmp_path, capsys):
+    from datalake_scripts_spark.cli import main
+
+    tgt = _orders(spark, sf_dir, 0, 1000)
+    V.write_versioned(spark, tgt, tdir, mode="append")
+    batch = tgt.filter("o_orderkey < 100").withColumn(
+        "o_totalprice", F.lit(2.0)
+    ).unionByName(_orders(spark, sf_dir, 5000, 5050))
+    bdir = str(tmp_path / "batch")
+    batch.coalesce(1).write.parquet(bdir)
+    assert main([
+        "table", "--dir", tdir, "--master", "local[4]",
+        "merge", "--source", bdir, "--keys", "o_orderkey", "--dv",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "merge-on-read" in out
+    got = V.read_versioned(spark, tdir)
+    n_upd = tgt.filter("o_orderkey < 100").count()
+    n_ins = _orders(spark, sf_dir, 5000, 5050).count()
+    assert got.count() == tgt.count() + n_ins
+    assert got.filter("o_totalprice = 2.0").count() == n_upd
+    assert V._load_manifest(tdir, 2).get("dvs")
