@@ -138,7 +138,10 @@ def foreach_batch_versioned(table_dir: str, partition_by: list[str] | None = Non
 
 
 def foreach_batch_merge_versioned(
-    table_dir: str, keys: list[str], latest_by: str | None = None
+    table_dir: str,
+    keys: list[str],
+    latest_by: str | None = None,
+    deletion_vectors: bool = False,
 ):
     """Streaming CDC apply: each epoch MERGEs the micro-batch into a
     versioned table (operators.upsert.merge_upsert — matched keys
@@ -154,8 +157,11 @@ def foreach_batch_merge_versioned(
     Without it, merge_upsert's unique-key contract applies as-is.
 
     Scale note: each epoch rewrites the merge RESULT (current snapshot
-    size). For a large dimension, partition/bucket the target and merge
-    per touched partition; for an append-only fact, use
+    size). ``deletion_vectors=True`` switches the per-epoch apply to
+    MERGE INTO on the merge-on-read path (versioned.merge_versioned):
+    matched rows DV out, only changed rows write — per-epoch cost
+    tracks the BATCH, not the table, which is what a CDC stream into a
+    large dimension needs. For an append-only fact, use
     foreach_batch_versioned instead."""
     from ..operators import versioned as V
     from ..operators.upsert import merge_upsert
@@ -176,6 +182,15 @@ def foreach_batch_merge_versioned(
         spark = batch_df.sparkSession
         if V.current_version(table_dir) == 0:
             merged = source
+        elif deletion_vectors:
+            sets = {c: f"s.{c}" for c in source.columns if c not in keys}
+            V.merge_versioned(
+                spark, table_dir, source, on=keys,
+                when_matched_update=sets or None,
+                deletion_vectors=True,
+                meta={"epoch": int(epoch_id)},
+            )
+            return
         else:
             target = V.read_versioned(spark, table_dir)
             merged = merge_upsert(target, source, keys)

@@ -408,6 +408,40 @@ def test_stream_cdc_merge_into_versioned(spark, tmp_path):
     assert {r.k: r.v for r in read_versioned(spark, table_dir).collect()} == cur
 
 
+def test_stream_cdc_merge_dv_path(spark, tmp_path):
+    """The deletion_vectors=True CDC sink lands the identical state as
+    the overwrite sink, epoch by epoch — but writes O(batch) per epoch:
+    the initial-load files are never rewritten."""
+    from datalake_scripts_spark.operators import versioned as V
+    from datalake_scripts_spark.streaming import foreach_batch_merge_versioned
+
+    schema = "k bigint, v string, ts bigint"
+
+    def batch(rows):
+        return spark.createDataFrame(rows, schema)
+
+    dv_dir = str(tmp_path / "dim_dv")
+    sink = foreach_batch_merge_versioned(
+        dv_dir, keys=["k"], latest_by="ts", deletion_vectors=True
+    )
+    sink(batch([(1, "a", 10), (2, "b", 11), (2, "b2", 12)]), 0)
+    files_after_load = set(V.files_for_read(dv_dir))
+    sink(batch([(1, "a9", 20), (3, "c", 21)]), 1)
+
+    assert V.current_version(dv_dir) == 2
+    cur = {r.k: r.v for r in V.read_versioned(spark, dv_dir).collect()}
+    assert cur == {1: "a9", 2: "b2", 3: "c"}
+    # merge-on-read: the epoch-0 files are all still in the manifest
+    assert files_after_load <= set(V.files_for_read(dv_dir))
+    assert V._load_manifest(dv_dir, 2).get("dvs")
+    # time travel + replay idempotence hold on the DV path too
+    v1 = {r.k: r.v for r in V.read_versioned(spark, dv_dir, version=1).collect()}
+    assert v1 == {1: "a", 2: "b2"}
+    sink(batch([(1, "a9", 20), (3, "c", 21)]), 1)
+    assert V.current_version(dv_dir) == 2
+    assert {r.k: r.v for r in V.read_versioned(spark, dv_dir).collect()} == cur
+
+
 def test_continuous_aggregate_stream(spark, tmp_path):
     """Streaming continuous aggregate: reststream pages land in a
     versioned source; a materialized per-event-type aggregate refreshes
