@@ -250,6 +250,188 @@ def range_join_value_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_trailing_distinct_users",
+    sql="""
+    WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events),
+    e AS (SELECT DISTINCT CAST(ts AS DATE) AS ed, user_id FROM events)
+    SELECT strftime(days.d, '%Y-%m-%d') AS day,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS distinct_users_7d
+    FROM days JOIN e ON e.ed BETWEEN days.d - 6 AND days.d
+    GROUP BY days.d
+    ORDER BY days.d
+    """,
+)
+def events_trailing_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window COUNT DISTINCT (7-day rolling active users) via
+    the contribute-to-window explode: each (user, day) fact fans out to
+    the ≤7 window-end days it is visible in, then one exact distinct
+    aggregation per day. The naive form is a range self-join of days ×
+    events (quadratic in the window); the fan-out form is linear with
+    a bounded factor of window/granularity = 7 and shuffles once on
+    the window day. The oracle IS the naive range join — any window
+    the fan-out misses or double-counts changes the hash.
+
+    100 TB rationale: rolling-active-users over years of events stays
+    one explode + one hash aggregation; sliding-window distinct via
+    window functions does not exist (COUNT(DISTINCT) is unsupported
+    over frames in both engines)."""
+    e = (
+        t(spark, sf_dir, "events")
+        .select(F.col("ts").cast("date").alias("ed"), "user_id")
+        .distinct()
+    )
+    days = e.select(F.col("ed").alias("d")).distinct()
+    contrib = e.withColumn(
+        "day", F.explode(F.sequence(F.col("ed"), F.date_add(F.col("ed"), 6)))
+    ).drop("ed")
+    present = contrib.join(days, contrib["day"] == days["d"], "left_semi")
+    return (
+        present.groupBy("day")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("distinct_users_7d"))
+        .orderBy("day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "distinct_users_7d",
+        )
+    )
+
+
+@query(
+    "events_cohort_retention",
+    sql="""
+    WITH wk AS (
+      SELECT user_id,
+             CAST(FLOOR(datediff('day', DATE '2024-01-01',
+                                 CAST(ts AS DATE)) / 7) AS BIGINT) AS w
+      FROM events
+    ),
+    first AS (SELECT user_id, MIN(w) AS cw FROM wk GROUP BY user_id),
+    active AS (SELECT DISTINCT user_id, w FROM wk),
+    coh AS (SELECT cw, CAST(COUNT(*) AS BIGINT) AS cohort_size
+            FROM first GROUP BY cw),
+    ret AS (
+      SELECT f.cw AS cohort_week, a.w - f.cw AS week_offset,
+             CAST(COUNT(*) AS BIGINT) AS n_active
+      FROM first f JOIN active a USING (user_id)
+      GROUP BY 1, 2
+    )
+    SELECT r.cohort_week, r.week_offset, r.n_active, c.cohort_size
+    FROM ret r JOIN coh c ON c.cw = r.cohort_week
+    ORDER BY r.cohort_week, r.week_offset
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-active week,
+    counted in each later week they return. The classic product-
+    analytics shape — two aggregations and one join, all keyed on
+    user_id, so every stage co-partitions on the same shuffle key (the
+    week math is integer arithmetic, identical in both engines).
+
+    100 TB rationale: the whole triangle is |users| + |user-weeks|
+    sized intermediate state — never events-sized after the first
+    distinct; no window over the full event stream."""
+    wk = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(
+            F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01")) / 7
+        ).cast("bigint").alias("w"),
+    )
+    first = wk.groupBy("user_id").agg(F.min("w").alias("cw"))
+    active = wk.distinct()
+    coh = first.groupBy("cw").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_size")
+    )
+    ret = (
+        first.join(active, "user_id")
+        .groupBy(
+            F.col("cw").alias("cohort_week"),
+            (F.col("w") - F.col("cw")).alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
+    )
+    return (
+        ret.join(coh, ret["cohort_week"] == coh["cw"])
+        .select("cohort_week", "week_offset", "n_active", "cohort_size")
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+@query(
+    "events_funnel_conversion",
+    sql="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+      GROUP BY e.user_id
+    )
+    SELECT stage, n_users FROM (
+      SELECT 1 AS ord, 'view' AS stage,
+             CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_users
+      UNION ALL
+      SELECT 2, 'view>click', CAST((SELECT COUNT(*) FROM c) AS BIGINT)
+      UNION ALL
+      SELECT 3, 'view>click>purchase',
+             CAST((SELECT COUNT(*) FROM p) AS BIGINT)
+    ) ORDER BY ord
+    """,
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase, strictly increasing
+    timestamps): each stage is a conditional first-occurrence — MIN(ts)
+    over events AFTER the previous stage's time — computed as a
+    per-user aggregation joined to the prior stage. Three aggregations
+    and two joins, all shuffling on user_id, so the funnel
+    co-partitions end to end; no per-user event collection, no window
+    over the raw stream.
+
+    100 TB rationale: the sequence-match-via-collect_list alternative
+    materializes every user's full history in one task; the
+    conditional-min chain keeps state at |users| per stage."""
+    ev = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t1")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    counts = [
+        ("view", v), ("view>click", c), ("view>click>purchase", p),
+    ]
+    parts = [
+        df.agg(F.count(F.lit(1)).cast("bigint").alias("n_users")).select(
+            F.lit(stage).alias("stage"), "n_users"
+        )
+        for stage, df in counts
+    ]
+    out = parts[0]
+    for q in parts[1:]:
+        out = out.unionByName(q)
+    return out
+
+
+@query(
     "join_interval_overlap_shipments",
     sql="""
     WITH li AS (
