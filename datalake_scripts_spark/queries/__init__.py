@@ -42,58 +42,58 @@ from . import graph  # noqa: F401,E402
 # oldest — the round-1/2 relational core, unchecked since then —
 # re-verified against current code as regression tripwires.
 DRIVER_PRIORITY = [
-    # --- round-7 additions (their only chance at a first driver row) ---
-    "multimodal_progressive_roundtrip",  # SOF2 full decode, pixel-hash oracle
-    "delta_interop_roundtrip",  # export _delta_log, destroy manifests, adopt
-    "catalog_named_tables",  # save_as_table + read-by-name e2e
-    "versioned_column_mapping",  # rename/drop metadata-only, time travel
-    "versioned_deletion_vectors",  # merge-on-read DELETE, zero rewrite
-    "versioned_hidden_partitioning",  # days(ts) transform spec + pruning
-    "versioned_merge_into",  # MERGE clauses, touched-file-only rewrite
-    # --- stalest driver rows (r2 then r3), staleness rotation ---
-    "scalar_math_functions",
-    "scalar_string_functions",
-    "set_except_nations",
-    "set_intersect_nations",
-    "set_union_distinct",
-    "set_union_high_value_parties",
-    "sort_limit_top_orders",
-    "string_split_part",
-    "subquery_correlated_exists",
-    "subquery_in_segment",
-    "subquery_scalar_above_avg",
-    "unpivot_order_metrics",
-    "window_lag_lead_orders",
-    "window_ntile_percent_rank",
-    "window_running_spend",
-    "window_share_of_total",
-    "agg_histogram_prices",
-    "agg_regression_trend",
-    "ann_brute_force_topk",
-    "ann_lsh_bucketed_topk",
-    "array_to_csv_string",
-    "array_transform_filter",
-    "asof_join_purchase_to_signup",
-    "decontaminate_against_benchmark",
-    "dedup_duplicate_clusters",
-    "dedup_embedding_cosine",
-    "dedup_exact_subset_keys",
-    "dedup_incremental_batch",
-    "dedup_paragraph_chunks",
-    "embedding_vector_stats",
-    "events_tumbling_hourly",
-    "graph_triangle_suppliers",
-    "json_extract_props",
-    "json_variant_typed_extract",
-    "keys_surrogate_orders",
-    "map_explode_key_value",
-    "match_fuzzy_part_names",
-    "multimodal_binary_metadata",
-    "nested_explode_child_table",
-    "nested_shred_three_levels",
-    "quality_gopher_rules",
-    "range_join_value_tiers",
-    "regex_parse_bracketed_log",
+    # --- round-8 additions (their only chance at a first driver row) ---
+    "versioned_merge_dv",  # merge-on-read MERGE, zero rewrite asserted
+    "delta_checkpoint_adoption",  # parquet checkpoint -> truncate -> adopt
+    "catalog_sql_named_join",  # spark.sql over snapshot-pinned named views
+    "join_interval_overlap_shipments",  # banded interval x interval join
+    "events_trailing_distinct_users",  # 7-day rolling distinct via explode
+    "events_funnel_conversion",  # ordered funnel, conditional-min chain
+    # --- stalest driver rows (last checked r3/r4), staleness rotation ---
+    "sample_stratified_hash",
+    "sketch_cms_join_size",
+    "sketch_hll_token_cardinality",
+    "text_blocklist_redact",
+    "text_clean_normalize",
+    "text_lang_id",
+    "text_quality_scores",
+    "text_tfidf_top_terms",
+    "text_token_entropy",
+    "text_token_stats",
+    "text_winnowing_fingerprint",
+    "ts_parse_iso_roundtrip",
+    "union_missing_columns",
+    "validate_orders_constraints",
+    "window_topk_per_nation",
+    "ann_ivf_topk",
+    "asof_join_cogroup_merge",
+    "curate_corpus_pipeline",
+    "dedup_duplicate_clusters_star",
+    "dedup_duplicated_span_stats",
+    "dedup_minhash_lsh_md5",
+    "dedup_semantic_clusters",
+    "dedup_simhash_md5",
+    "eval_langid_kappa",
+    "events_ab_test_conversion",
+    "events_dedup_latest_state",
+    "events_ewma_per_user",
+    "events_gap_filled_hours",
+    "events_hierarchical_rollup",
+    "events_hourly_growth",
+    "events_resample_ffill_hourly",
+    "events_session_windows",
+    "events_sliding_windows",
+    "events_transition_matrix",
+    "events_view_purchase_attribution",
+    "events_weekly_active_users",
+    "events_weekly_cohort_retention",
+    "events_zscore_anomalies",
+    "graph_pagerank_suppliers",
+    "matview_incremental_refresh",
+    "mining_part_pair_lift",
+    "multimodal_decode_stub",
+    "multimodal_frame_sample",
+    "multimodal_png_roundtrip",
 ]
 
 

@@ -297,66 +297,6 @@ def events_trailing_distinct_users(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
-    "events_cohort_retention",
-    sql="""
-    WITH wk AS (
-      SELECT user_id,
-             CAST(FLOOR(datediff('day', DATE '2024-01-01',
-                                 CAST(ts AS DATE)) / 7) AS BIGINT) AS w
-      FROM events
-    ),
-    first AS (SELECT user_id, MIN(w) AS cw FROM wk GROUP BY user_id),
-    active AS (SELECT DISTINCT user_id, w FROM wk),
-    coh AS (SELECT cw, CAST(COUNT(*) AS BIGINT) AS cohort_size
-            FROM first GROUP BY cw),
-    ret AS (
-      SELECT f.cw AS cohort_week, a.w - f.cw AS week_offset,
-             CAST(COUNT(*) AS BIGINT) AS n_active
-      FROM first f JOIN active a USING (user_id)
-      GROUP BY 1, 2
-    )
-    SELECT r.cohort_week, r.week_offset, r.n_active, c.cohort_size
-    FROM ret r JOIN coh c ON c.cw = r.cohort_week
-    ORDER BY r.cohort_week, r.week_offset
-    """,
-)
-def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cohort retention triangle: users grouped by first-active week,
-    counted in each later week they return. The classic product-
-    analytics shape — two aggregations and one join, all keyed on
-    user_id, so every stage co-partitions on the same shuffle key (the
-    week math is integer arithmetic, identical in both engines).
-
-    100 TB rationale: the whole triangle is |users| + |user-weeks|
-    sized intermediate state — never events-sized after the first
-    distinct; no window over the full event stream."""
-    wk = t(spark, sf_dir, "events").select(
-        "user_id",
-        F.floor(
-            F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01")) / 7
-        ).cast("bigint").alias("w"),
-    )
-    first = wk.groupBy("user_id").agg(F.min("w").alias("cw"))
-    active = wk.distinct()
-    coh = first.groupBy("cw").agg(
-        F.count(F.lit(1)).cast("bigint").alias("cohort_size")
-    )
-    ret = (
-        first.join(active, "user_id")
-        .groupBy(
-            F.col("cw").alias("cohort_week"),
-            (F.col("w") - F.col("cw")).alias("week_offset"),
-        )
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
-    )
-    return (
-        ret.join(coh, ret["cohort_week"] == coh["cw"])
-        .select("cohort_week", "week_offset", "n_active", "cohort_size")
-        .orderBy("cohort_week", "week_offset")
-    )
-
-
-@query(
     "events_funnel_conversion",
     sql="""
     WITH v AS (
