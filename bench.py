@@ -80,6 +80,12 @@ BENCH_QUERIES = [
     "multimodal_progressive_roundtrip",
     "versioned_merge_into",
     "versioned_deletion_vectors",
+    # round 8 additions: merge-on-read MERGE (DV write + image appends),
+    # the banded interval-overlap join (explode fan-out + bin join), and
+    # the rolling-distinct explode pattern
+    "versioned_merge_dv",
+    "join_interval_overlap_shipments",
+    "events_trailing_distinct_users",
 ]
 
 

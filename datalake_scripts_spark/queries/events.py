@@ -260,6 +260,7 @@ def range_join_value_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY days.d
     ORDER BY days.d
     """,
+    headline=True,
 )
 def events_trailing_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-window COUNT DISTINCT (7-day rolling active users) via
@@ -397,6 +398,7 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1
     ORDER BY 1
     """,
+    headline=True,
 )
 def join_interval_overlap_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval × interval overlap join (operators/intervals.py): two

@@ -1245,7 +1245,7 @@ ORDER BY o_orderpriority
 """
 
 
-@query("versioned_merge_dv", sql=_MERGE_DV_SQL)
+@query("versioned_merge_dv", sql=_MERGE_DV_SQL, headline=True)
 def versioned_merge_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merge-on-read MERGE, driver-verified (round 8 — completes the
     DELETE/UPDATE/MERGE deletion-vector trio): the exact clause mix of
