@@ -379,6 +379,30 @@ def _write_delta_commits(
         prev_schema, prev_spec = schema_json, spec
 
 
+def export_delta_snapshot(
+    spark, table_dir: str, out_dir: str, version: int | None = None
+) -> str:
+    """The escape hatch for histories :func:`export_delta_log` refuses
+    (deletion vectors, transform partition specs): materialize
+    snapshot ``version`` — DVs applied, hidden layout dropped — into a
+    self-contained one-commit table at ``out_dir`` and export its log.
+    O(live data), no pre-snapshot time travel in the export; the
+    snapshot provenance is recorded in the commit meta."""
+    from .versioned import (
+        current_version,
+        read_versioned,
+        write_versioned,
+    )
+
+    v = version or current_version(table_dir)
+    snap = read_versioned(spark, table_dir, version=v)
+    write_versioned(
+        spark, snap, out_dir, mode="append",
+        meta={"snapshot_of": table_dir, "snapshot_version": v},
+    )
+    return export_delta_log(out_dir)
+
+
 def _checkpoint_name(version: int) -> str:
     return f"{version:020d}.checkpoint.parquet"
 

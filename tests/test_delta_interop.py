@@ -437,3 +437,31 @@ def test_cli_delta_sync_and_checkpoint(spark, sf_dir, tmp_path, capsys):
     assert os.path.exists(
         os.path.join(log_dir, f"{4:020d}.checkpoint.parquet")
     )
+
+
+def test_export_delta_snapshot_for_dvd_table(spark, sf_dir, tmp_path):
+    """A DV'd history refuses export_delta_log; export_delta_snapshot
+    is the supported route — DVs applied, self-contained, adoptable."""
+    from datalake_scripts_spark.operators.delta_interop import (
+        export_delta_snapshot,
+    )
+
+    base = str(tmp_path / "tbl")
+    V.write_versioned(spark, _orders(spark, sf_dir, 0, 2000), base, mode="append")
+    V.delete_versioned(
+        spark, base, "o_orderpriority = '1-URGENT'", deletion_vectors=True
+    )
+    with pytest.raises(ValueError, match="deletion vectors"):
+        export_delta_log(base)
+    expected = sorted(map(tuple, V.read_versioned(spark, base).collect()))
+    out = str(tmp_path / "snap")
+    log_dir = export_delta_snapshot(spark, base, out)
+    # deleted rows are REALLY gone from the exported files (no DV
+    # descriptor needed by any reader)
+    a0 = _commit_actions(log_dir, 0)
+    assert not any(a.get("add", {}).get("deletionVector") for a in a0)
+    assert sorted(os.listdir(log_dir)) == [f"{0:020d}.json"]
+    _wipe_own_log(out)
+    import_delta_log(out)
+    got = sorted(map(tuple, V.read_versioned(spark, out).collect()))
+    assert got == expected
