@@ -373,6 +373,64 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_time_weighted_avg",
+    sql="""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events
+    ), d AS (
+      SELECT user_id, value,
+             LEAD(us) OVER (PARTITION BY user_id
+                            ORDER BY us, event_id) - us AS dt
+      FROM e
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(dt) AS BIGINT) AS span_us,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2)) * dt) AS DOUBLE)
+                 / CAST(SUM(dt) AS DOUBLE), 6) AS twap
+    FROM d WHERE dt IS NOT NULL
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average over an IRREGULAR series (TWAP): each
+    observation holds until the next one, so its weight is the gap to
+    the successor in microseconds — the estimator a plain AVG gets
+    wrong whenever sampling is bursty. One lead window per key, then a
+    decimal-exact weighted sum (value×gap products and the gap total
+    are both exact integers/decimals; the final division is the only
+    float op, identical left-to-right in both engines).
+
+    100 TB rationale: one shuffle on the key; no resampling to a dense
+    grid (the resample+ffill alternative materializes |keys| × |grid|
+    rows before averaging)."""
+    ev = t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    d = (
+        ev.select("user_id", "event_id", us.alias("us"), "value")
+        .withColumn("dt", F.lead("us").over(w) - F.col("us"))
+        .filter(F.col("dt").isNotNull())
+    )
+    return (
+        d.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+            F.sum("dt").cast("bigint").alias("span_us"),
+            F.round(
+                F.sum(
+                    F.col("value").cast("decimal(12,2)") * F.col("dt")
+                ).cast("double")
+                / F.sum("dt").cast("double"),
+                6,
+            ).alias("twap"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
     "join_interval_overlap_shipments",
     sql="""
     WITH li AS (
