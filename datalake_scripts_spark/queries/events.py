@@ -330,8 +330,12 @@ def events_trailing_distinct_users(spark: SparkSession, sf_dir: str) -> DataFram
 def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel (view → click → purchase, strictly increasing
     timestamps): each stage is a conditional first-occurrence — MIN(ts)
-    over events AFTER the previous stage's time — computed as a
-    per-user aggregation joined to the prior stage. Three aggregations
+    over events AFTER the previous stage's REALIZED time — computed as
+    a per-user aggregation joined to the prior stage. Distinct from
+    events_signup_purchase_funnel (relational2.py), whose 2-stage
+    first-vs-first comparison fits ONE aggregation; a chained N-stage
+    funnel cannot (stage 2's click must follow the first view, not
+    just exist). Three aggregations
     and two joins, all shuffling on user_id, so the funnel
     co-partitions end to end; no per-user event collection, no window
     over the raw stream.

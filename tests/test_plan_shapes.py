@@ -159,6 +159,9 @@ LINT_ALLOWLIST = {
     "window_share_of_total": {"single-partition-exchange"},
     "approx_distinct_stats": {"single-partition-exchange"},
     "events_signup_purchase_funnel": {"single-partition-exchange"},
+    # three global scalar stage-counts over |users|-sized stage frames:
+    # partial agg map-side, one tiny row per task crosses each exchange
+    "events_funnel_conversion": {"single-partition-exchange"},
     "events_hourly_growth": {"single-partition-exchange"},
     "events_gap_filled_hours": {"single-partition-exchange"},
     "profile_table_stats": {"single-partition-exchange"},
