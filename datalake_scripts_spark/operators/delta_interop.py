@@ -557,20 +557,46 @@ def write_delta_checkpoint(
     return cp_path
 
 
-def _read_checkpoint_state(log_dir: str, v: int) -> tuple:
-    """Load (protocol, metaData, {path: add}) from a single-part parquet
-    checkpoint at version ``v``."""
-    import pyarrow.parquet as pq
-
-    cp_path = os.path.join(log_dir, _checkpoint_name(v))
-    if not os.path.exists(cp_path):
-        # multi-part classic checkpoints ("parts" in _last_checkpoint)
-        # and v2 sidecar checkpoints are not supported
+def _checkpoint_files(log_dir: str, v: int) -> list[str]:
+    """The parquet file(s) of the classic checkpoint at version ``v``:
+    the single-part name, else the multi-part family
+    ``%020d.checkpoint.%010d.%010d.parquet`` (every part must be
+    present). v2 (sidecar/UUID) checkpoints are not recognized."""
+    single = os.path.join(log_dir, _checkpoint_name(v))
+    if os.path.exists(single):
+        return [single]
+    prefix = f"{v:020d}.checkpoint."
+    parts = sorted(
+        n
+        for n in os.listdir(log_dir)
+        # <v>.checkpoint.<part>.<of_n>.parquet -> 5 dot-fields
+        if n.startswith(prefix)
+        and n.endswith(".parquet")
+        and len(n.split(".")) == 5
+        and n.split(".")[2].isdigit()
+        and n.split(".")[3].isdigit()
+    )
+    if not parts:
         raise ValueError(
             f"_last_checkpoint points at version {v} but "
-            f"{_checkpoint_name(v)} is missing (multi-part or v2 "
-            "checkpoints are not supported by this importer)"
+            f"{_checkpoint_name(v)} (or its multi-part family) is "
+            "missing (v2/sidecar checkpoints are not supported by this "
+            "importer)"
         )
+    n_declared = {int(n.split(".")[3]) for n in parts}  # the of-N field
+    if len(n_declared) != 1 or len(parts) != n_declared.pop():
+        raise ValueError(
+            f"multi-part checkpoint at version {v} is incomplete in "
+            f"{log_dir}: found {len(parts)} part file(s)"
+        )
+    return [os.path.join(log_dir, n) for n in parts]
+
+
+def _read_checkpoint_state(log_dir: str, v: int) -> tuple:
+    """Load (protocol, metaData, {path: add}) from a classic parquet
+    checkpoint at version ``v`` (single- or multi-part)."""
+    import pyarrow.parquet as pq
+
     protocol = {"minReaderVersion": 1, "minWriterVersion": 2}
     meta = None
     active: dict[str, dict] = {}
@@ -580,7 +606,10 @@ def _read_checkpoint_state(log_dir: str, v: int) -> tuple:
             return {}
         return dict(v) if not isinstance(v, dict) else v
 
-    for row in pq.read_table(cp_path).to_pylist():
+    rows = []
+    for cp_path in _checkpoint_files(log_dir, v):
+        rows.extend(pq.read_table(cp_path).to_pylist())
+    for row in rows:
         if row.get("protocol"):
             protocol = {
                 k: v for k, v in row["protocol"].items() if v is not None
@@ -704,7 +733,9 @@ def import_delta_log(table_dir: str) -> int:
             cps = sorted(
                 int(n[:20])
                 for n in os.listdir(log_dir)
-                if n.endswith(".checkpoint.parquet") and n[:20].isdigit()
+                if ".checkpoint." in n
+                and n.endswith(".parquet")
+                and n[:20].isdigit()
             )
             cp_v = cps[-1] if cps else None
         if cp_v is None:

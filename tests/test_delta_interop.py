@@ -465,3 +465,47 @@ def test_export_delta_snapshot_for_dvd_table(spark, sf_dir, tmp_path):
     import_delta_log(out)
     got = sorted(map(tuple, V.read_versioned(spark, out).collect()))
     assert got == expected
+
+
+def test_multipart_checkpoint_import(spark, sf_dir, tmp_path):
+    """A multi-part classic checkpoint (what real Delta writers emit
+    for large tables) imports: simulate a foreign writer by splitting
+    our single-part checkpoint into 2 row-sliced parquet parts."""
+    import pyarrow.parquet as pq
+    from datalake_scripts_spark.operators.delta_interop import (
+        write_delta_checkpoint,
+    )
+
+    base = str(tmp_path / "tbl")
+    V.write_versioned(spark, _orders(spark, sf_dir, 0, 1000), base, mode="append")
+    V.write_versioned(spark, _orders(spark, sf_dir, 1000, 2000), base, mode="append")
+    expected = sorted(map(tuple, V.read_versioned(spark, base).collect()))
+    log_dir = export_delta_log(base)
+    cp = write_delta_checkpoint(base)  # at Delta version 1
+    tbl = pq.read_table(cp)
+    half = max(1, tbl.num_rows // 2)
+    pq.write_table(
+        tbl.slice(0, half),
+        os.path.join(log_dir, f"{1:020d}.checkpoint.{1:010d}.{2:010d}.parquet"),
+    )
+    pq.write_table(
+        tbl.slice(half),
+        os.path.join(log_dir, f"{1:020d}.checkpoint.{2:010d}.{2:010d}.parquet"),
+    )
+    os.remove(cp)
+    json.dump(
+        {"version": 1, "size": tbl.num_rows, "parts": 2},
+        open(os.path.join(log_dir, "_last_checkpoint"), "w"),
+    )
+    for dv in range(2):
+        os.remove(os.path.join(log_dir, f"{dv:020d}.json"))
+    _wipe_own_log(base)
+    assert import_delta_log(base) == 1
+    assert sorted(map(tuple, V.read_versioned(spark, base).collect())) == expected
+    # an INCOMPLETE part family refuses rather than silently dropping rows
+    os.remove(os.path.join(
+        log_dir, f"{1:020d}.checkpoint.{2:010d}.{2:010d}.parquet"
+    ))
+    _wipe_own_log(base)
+    with pytest.raises(ValueError, match="incomplete"):
+        import_delta_log(base)
