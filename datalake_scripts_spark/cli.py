@@ -213,6 +213,14 @@ def main(argv: list[str] | None = None) -> int:
     dcp.add_argument("--out", default=None)
     dcp.add_argument("--version", type=int, default=None,
                      help="Delta commit to checkpoint (default newest)")
+    dsnap = tbl_sub.add_parser(
+        "delta-snapshot",
+        help="materialize one snapshot (DVs applied, hidden layout "
+             "dropped) into a fresh table + Delta log — the export "
+             "route for histories delta-sync refuses",
+    )
+    dsnap.add_argument("--to", required=True, help="destination directory")
+    dsnap.add_argument("--version", type=int, default=None)
 
     chk = tbl_sub.add_parser(
         "check-schema",
@@ -409,6 +417,13 @@ def main(argv: list[str] | None = None) -> int:
                 manifest_chunking=mc,
             )
             print(f"committed {batch.count()} rows -> v{v}")
+        elif args.action == "delta-snapshot":
+            from .operators.delta_interop import export_delta_snapshot
+
+            log_dir = export_delta_snapshot(
+                spark, args.dir, args.to, version=args.version
+            )
+            print(f"snapshot exported: {log_dir}")
         elif args.action == "restore":
             v = V.restore_versioned(args.dir, args.version)
             print(f"restored v{args.version} -> v{v}")

@@ -509,3 +509,20 @@ def test_multipart_checkpoint_import(spark, sf_dir, tmp_path):
     _wipe_own_log(base)
     with pytest.raises(ValueError, match="incomplete"):
         import_delta_log(base)
+
+
+def test_cli_delta_snapshot(spark, sf_dir, tmp_path, capsys):
+    from datalake_scripts_spark.cli import main
+
+    base = str(tmp_path / "tbl")
+    V.write_versioned(spark, _orders(spark, sf_dir, 0, 600), base, mode="append")
+    V.delete_versioned(spark, base, "o_orderkey < 50", deletion_vectors=True)
+    dst = str(tmp_path / "snap")
+    assert main([
+        "table", "--dir", base, "--master", "local[4]",
+        "delta-snapshot", "--to", dst,
+    ]) == 0
+    assert "snapshot exported" in capsys.readouterr().out
+    want = V.read_versioned(spark, base).count()
+    assert V.read_versioned(spark, dst).count() == want
+    assert os.path.isdir(os.path.join(dst, "_delta_log"))
