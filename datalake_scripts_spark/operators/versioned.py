@@ -2002,6 +2002,84 @@ def snapshot_row_count(table_dir: str, version: int | None = None) -> int:
     return sum(s["rows"] for s in stats.values()) - _dv_total_rows(manifest)
 
 
+def history_df(spark: SparkSession, table_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY parity: one row per retained snapshot —
+    (version, mode, n_files, n_rows [DV-aware live count], n_dvs,
+    committed_at). Built from manifests on the driver (O(versions)
+    metadata, no data scanned) and returned as a DataFrame so it
+    composes with SQL/joins like any other table. Vacuumed (dropped)
+    manifests are simply absent, like Delta's history after log
+    cleanup. Reference parity: the reference's only observability is a
+    count() job per transform (SURVEY.md §2.4 A2)."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    latest = current_version(table_dir)
+    rows = []
+    for v in range(1, latest + 1):
+        try:
+            m = _load_manifest(table_dir, v)
+        except FileNotFoundError:
+            continue  # vacuumed
+        files, stats = _expand_manifest(table_dir, m)
+        n_rows = (
+            sum(s["rows"] for s in stats.values()) - _dv_total_rows(m)
+            if set(stats) == set(files)
+            else None
+        )
+        rows.append((
+            v,
+            m.get("mode", "append"),
+            len(files),
+            n_rows,
+            len(m.get("dvs", [])),
+            m.get("committed_at"),
+        ))
+    schema = StructType([
+        StructField("version", LongType()),
+        StructField("mode", StringType()),
+        StructField("n_files", LongType()),
+        StructField("n_rows", LongType()),
+        StructField("n_dvs", LongType()),
+        StructField("committed_at", StringType()),
+    ])
+    return spark.createDataFrame(rows, schema)
+
+
+def files_df(spark: SparkSession, table_dir: str,
+             version: int | None = None) -> DataFrame:
+    """Per-file metadata of one snapshot as a DataFrame — (path, rows
+    [physical], size_bytes). The `table.files` observable for job
+    planning and small-file audits; O(files) driver metadata, no data
+    scanned."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    v = version or current_version(table_dir)
+    manifest = _load_manifest(table_dir, v)
+    files, stats = _expand_manifest(table_dir, manifest)
+    rows = []
+    for f in files:
+        full = f if os.path.isabs(f) else os.path.join(table_dir, f)
+        size = os.path.getsize(full) if os.path.exists(full) else None
+        st = stats.get(f)
+        rows.append((f, st["rows"] if st else None, size))
+    schema = StructType([
+        StructField("path", StringType()),
+        StructField("n_rows", LongType()),
+        StructField("size_bytes", LongType()),
+    ])
+    return spark.createDataFrame(rows, schema)
+
+
 def compact_versioned(
     spark: SparkSession,
     table_dir: str,

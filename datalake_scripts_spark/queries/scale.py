@@ -1213,6 +1213,67 @@ def versioned_hidden_partitioning(
     )
 
 
+_HISTORY_SQL = """
+WITH base AS (
+  SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderkey < 4000
+),
+v1 AS (SELECT COUNT(*) AS n FROM base WHERE o_orderkey % 2 = 0),
+v2 AS (SELECT COUNT(*) AS n FROM base),
+v3 AS (SELECT COUNT(*) AS n FROM base
+       WHERE o_orderpriority <> '1-URGENT'),
+v4 AS (SELECT COUNT(*) AS n FROM base
+       WHERE o_orderpriority <> '1-URGENT' AND o_orderkey % 11 <> 0)
+SELECT * FROM (
+  SELECT CAST(1 AS BIGINT) AS version, 'append' AS mode,
+         CAST(n AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS n_dvs FROM v1
+  UNION ALL SELECT 2, 'append', CAST(n AS BIGINT), 0 FROM v2
+  UNION ALL SELECT 3, 'delete', CAST(n AS BIGINT), 0 FROM v3
+  UNION ALL SELECT 4, 'delete', CAST(n AS BIGINT), 1 FROM v4
+) ORDER BY version
+"""
+
+
+@query("versioned_history_table", sql=_HISTORY_SQL)
+def versioned_history_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY as a queryable DataFrame (versioned.history_df,
+    round 8): build a 4-commit history — append evens, append odds,
+    copy-on-write DELETE of one priority, merge-on-read (DV) DELETE of
+    the %11 keys — and return the history table itself (version, mode,
+    DV-aware live row count, DV generation count). The oracle
+    recomputes every snapshot's expected live count from the same key
+    arithmetic, so a wrong mode label, a DV-blind count, or a lost
+    commit changes the hash.
+
+    100 TB rationale: the history is O(versions) driver-side manifest
+    metadata — no Spark job reads data; the reference's only
+    observability is a count() job per transform (SURVEY §2.4 A2)."""
+    import tempfile
+
+    from ..operators import versioned as V
+
+    base = tempfile.mkdtemp(prefix="history_q_")
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    ).filter(F.col("o_orderkey") < 4000)
+    V.write_versioned(
+        spark, orders.filter(F.col("o_orderkey") % 2 == 0), base,
+        mode="append",
+    )
+    V.write_versioned(
+        spark, orders.filter(F.col("o_orderkey") % 2 == 1), base,
+        mode="append",
+    )
+    V.delete_versioned(spark, base, "o_orderpriority = '1-URGENT'")
+    V.delete_versioned(
+        spark, base, "o_orderkey % 11 = 0", deletion_vectors=True
+    )
+    return (
+        V.history_df(spark, base)
+        .select("version", "mode", "n_rows", "n_dvs")
+        .orderBy("version")
+    )
+
+
 _MERGE_DV_SQL = """
 WITH tgt AS (
   SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority

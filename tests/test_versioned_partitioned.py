@@ -281,3 +281,25 @@ def test_typed_partition_values_int_float_bool_date(spark, table_dir):
         table_dir, skip_filter=[("dt", "=", "2024-01-07")]
     )
     assert 0 < len(opened) < len(m["files"])
+
+
+def test_history_and_files_metadata_tables(spark, sf_dir, tmp_path):
+    from datalake_scripts_spark.operators import versioned as V
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path / "tbl")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority"
+    ).filter(F.col("o_orderkey") < 1000)
+    V.write_versioned(spark, orders, base, mode="append")
+    V.delete_versioned(spark, base, "o_orderkey < 100", deletion_vectors=True)
+    h = V.history_df(spark, base).orderBy("version").collect()
+    assert [r["version"] for r in h] == [1, 2]
+    assert h[0]["n_rows"] == orders.count()
+    assert h[1]["n_rows"] == orders.filter("o_orderkey >= 100").count()
+    assert h[1]["n_dvs"] == 1 and h[0]["n_dvs"] == 0
+    f = V.files_df(spark, base).collect()
+    assert len(f) == len(V.files_for_read(base))
+    assert all(r["size_bytes"] > 0 and r["n_rows"] > 0 for r in f)
+    # physical rows: DV'd rows still counted per file
+    assert sum(r["n_rows"] for r in f) == orders.count()
