@@ -213,6 +213,12 @@ def main(argv: list[str] | None = None) -> int:
     dcp.add_argument("--out", default=None)
     dcp.add_argument("--version", type=int, default=None,
                      help="Delta commit to checkpoint (default newest)")
+    prg = tbl_sub.add_parser(
+        "purge",
+        help="right-to-be-forgotten: copy-on-write DELETE + vacuum to "
+             "depth 1 — physical erasure, no time travel back",
+    )
+    prg.add_argument("--where", required=True, help="SQL predicate")
     dsnap = tbl_sub.add_parser(
         "delta-snapshot",
         help="materialize one snapshot (DVs applied, hidden layout "
@@ -417,6 +423,16 @@ def main(argv: list[str] | None = None) -> int:
                 manifest_chunking=mc,
             )
             print(f"committed {batch.count()} rows -> v{v}")
+        elif args.action == "purge":
+            res = V.purge_rows(spark, [args.dir], args.where)[args.dir]
+            if res.get("skipped"):
+                print(f"skipped: {res['reason']}")
+                return 1
+            print(
+                f"purged {res['n_deleted']} rows, removed "
+                f"{res['n_files_removed']} files, verified_absent="
+                f"{res['verified_absent']}"
+            )
         elif args.action == "delta-snapshot":
             from .operators.delta_interop import export_delta_snapshot
 

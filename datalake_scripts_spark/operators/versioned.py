@@ -2262,6 +2262,59 @@ def _compact_subset(
     )
 
 
+def purge_rows(
+    spark: SparkSession,
+    table_dirs: list[str],
+    predicate: str,
+    verify: bool = True,
+) -> dict[str, dict]:
+    """Right-to-be-forgotten PHYSICAL erasure across tables: for each
+    table, copy-on-write DELETE every row matching ``predicate``, then
+    vacuum down to the post-delete snapshot so the superseded files —
+    the only remaining copies of the purged bytes — are actually
+    removed from storage. Deliberately NOT the deletion-vector path: a
+    DV hides rows from readers but leaves their bytes in the parquet,
+    which is retention, not erasure. The vacuum also drops the older
+    manifests, so the purged rows are not time-travelable either.
+    Returns per-table ``{"n_deleted", "n_files_removed",
+    "verified_absent"}``.
+
+    Cost shape: the DELETE rewrites only stats-candidate files
+    (predicate-implied skip_filter pruning applies as in any
+    delete_versioned); the vacuum is driver-side metadata + unlinks.
+    Tables where the predicate column does not exist are skipped with
+    ``{"skipped": True}`` rather than failing the sweep — a purge
+    fans out over many tables and the subject's key usually exists in
+    only some of them."""
+    from pyspark.errors import AnalysisException
+
+    out: dict[str, dict] = {}
+    for td in table_dirs:
+        try:
+            _, n_del = delete_versioned(spark, td, predicate)
+        except AnalysisException as exc:
+            out[td] = {"skipped": True, "reason": str(exc).split("\n")[0]}
+            continue
+        n_removed = vacuum(td, keep_last=1)
+        res = {"n_deleted": n_del, "n_files_removed": n_removed}
+        if verify:
+            from pyspark.sql import functions as F
+
+            remaining = (
+                read_versioned(spark, td)
+                .filter(F.expr(predicate))
+                .limit(1)
+                .count()
+            )
+            res["verified_absent"] = remaining == 0
+            # belt-and-braces: no surviving file may even be a stats
+            # candidate once the rewrite landed... but a predicate like
+            # "k = 5" on an unclustered table legitimately leaves
+            # candidates, so the row-level scan above is the real gate.
+        out[td] = res
+    return out
+
+
 def vacuum(table_dir: str, keep_last: int = 1) -> int:
     """Delete data files unreferenced by the last ``keep_last`` manifests
     (and drop the older manifests). Returns number of files removed."""

@@ -1213,6 +1213,65 @@ def versioned_hidden_partitioning(
     )
 
 
+_PURGE_SQL = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderpriority FROM orders
+  WHERE o_orderkey < 5000
+),
+victim AS (SELECT MIN(o_custkey) AS vc FROM base),
+kept AS (SELECT b.* FROM base b, victim v WHERE b.o_custkey <> v.vc)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST((SELECT COUNT(*) FROM base) -
+            (SELECT COUNT(*) FROM kept) AS BIGINT) AS n_purged,
+       CAST(1 AS BIGINT) AS verified_absent
+FROM kept
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@query("compliance_purge_customer", sql=_PURGE_SQL)
+def compliance_purge_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten PHYSICAL erasure, driver-verified
+    (versioned.purge_rows, round 8): pick the smallest custkey, purge
+    every one of their orders — copy-on-write DELETE (so the bytes
+    leave the live files) + vacuum to depth 1 (so the superseded files
+    AND the pre-purge manifests are gone: no time travel back to the
+    subject). Deliberately not the DV path — a deletion vector hides
+    rows but keeps their bytes, which is retention, not erasure. The
+    result carries the purge count and the verified-absent bit
+    in-line; the oracle recomputes both from the same key arithmetic.
+
+    100 TB rationale: the DELETE rewrites only stats-candidate files
+    (skip-filter pruning as in any delete); the vacuum is driver-side
+    metadata + unlinks — a purge sweep over a petabyte lake costs
+    O(files containing the subject), not O(lake)."""
+    import tempfile
+
+    from ..operators import versioned as V
+
+    base = tempfile.mkdtemp(prefix="purge_q_")
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    ).filter(F.col("o_orderkey") < 5000)
+    V.write_versioned(spark, orders, base, mode="append")
+    victim = orders.agg(F.min("o_custkey").alias("v")).first()["v"]
+    res = V.purge_rows(spark, [base], f"o_custkey = {int(victim)}")
+    r = res[base]
+    return (
+        V.read_versioned(spark, base)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        .withColumn("n_purged", F.lit(r["n_deleted"]).cast("bigint"))
+        .withColumn(
+            "verified_absent",
+            F.lit(1 if r["verified_absent"] else 0).cast("bigint"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 _HISTORY_SQL = """
 WITH base AS (
   SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderkey < 4000

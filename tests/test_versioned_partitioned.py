@@ -303,3 +303,67 @@ def test_history_and_files_metadata_tables(spark, sf_dir, tmp_path):
     assert all(r["size_bytes"] > 0 and r["n_rows"] > 0 for r in f)
     # physical rows: DV'd rows still counted per file
     assert sum(r["n_rows"] for r in f) == orders.count()
+
+
+def test_purge_rows_physical_erasure(spark, sf_dir, tmp_path):
+    """GDPR purge: COW delete + vacuum across tables — the purged
+    bytes' files are gone from disk AND the history is not
+    time-travelable back to them; tables lacking the key are skipped."""
+    from datalake_scripts_spark.operators import versioned as V
+    from pyspark.sql import functions as F
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    ).filter(F.col("o_orderkey") < 2000)
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_name"
+    )
+    t_orders = str(tmp_path / "orders")
+    t_cust = str(tmp_path / "cust")
+    t_nokey = str(tmp_path / "nokey")
+    V.write_versioned(spark, orders, t_orders, mode="append")
+    V.write_versioned(spark, cust, t_cust, mode="append")
+    V.write_versioned(
+        spark,
+        spark.range(10).selectExpr("id AS other"),
+        t_nokey, mode="append",
+    )
+    victim = int(orders.select("o_custkey").first()["o_custkey"])
+    n_ord = orders.filter(F.col("o_custkey") == victim).count()
+    files_before = set(V.files_for_read(t_orders))
+    res = V.purge_rows(spark, [t_orders], f"o_custkey = {victim}")
+    assert res[t_orders]["n_deleted"] == n_ord
+    assert res[t_orders]["verified_absent"] is True
+    assert res[t_orders]["n_files_removed"] > 0
+    # the victim's files are PHYSICALLY gone (rewritten + vacuumed)
+    assert not (files_before & set(V.files_for_read(t_orders))) or n_ord == 0
+    # pre-purge history is gone too (vacuum dropped old manifests)
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError):
+        V.read_versioned(spark, t_orders, version=1).count()
+    res2 = V.purge_rows(spark, [t_cust], f"c_custkey = {victim}")
+    assert res2[t_cust]["n_deleted"] == 1
+    # a table without the key column is skipped, not failed
+    res3 = V.purge_rows(spark, [t_nokey], f"c_custkey = {victim}")
+    assert res3[t_nokey].get("skipped") is True
+
+
+def test_cli_purge(spark, sf_dir, tmp_path, capsys):
+    from datalake_scripts_spark.cli import main
+    from datalake_scripts_spark.operators import versioned as V
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path / "tbl")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    ).filter(F.col("o_orderkey") < 1000)
+    V.write_versioned(spark, orders, base, mode="append")
+    victim = int(orders.select("o_custkey").first()["o_custkey"])
+    assert main([
+        "table", "--dir", base, "--master", "local[4]",
+        "purge", "--where", f"o_custkey = {victim}",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "verified_absent=True" in out
+    got = V.read_versioned(spark, base)
+    assert got.filter(F.col("o_custkey") == victim).count() == 0
