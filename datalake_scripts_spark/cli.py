@@ -265,7 +265,8 @@ def main(argv: list[str] | None = None) -> int:
         else:  # list
             for name, entry in cat.tables().items():
                 grants = ",".join(entry.get("grants", [])) or "-"
-                print(f"{name}\t{entry['dir']}\tgrants={grants}")
+                loc = entry.get("dir") or "<view>"
+                print(f"{name}\t{loc}\tgrants={grants}")
         return 0
 
     if args.domain == "table" and args.dir.startswith("catalog:"):

@@ -131,6 +131,37 @@ class Catalog:
 
         return self._mutate(_apply, "create", name=name)
 
+    def create_view(
+        self,
+        name: str,
+        sql: str,
+        comment: str | None = None,
+        if_not_exists: bool = False,
+    ) -> int:
+        """CREATE VIEW parity: register ``name`` as a SAVED SQL
+        definition over catalog names (tables or earlier views). The
+        text is stored, not the plan — each attach re-resolves it over
+        the snapshot-pinned base views, so a view is always consistent
+        with the snapshot its session attached. Views are resolved in
+        CREATION ORDER at attach time, so a view may reference any view
+        created before it (forward references fail at attach with
+        Spark's own unresolved-relation error)."""
+        if not _NAME_RE.match(name):
+            raise ValueError(f"invalid view name {name!r}")
+
+        def _apply(tables: dict) -> dict:
+            if name in tables:
+                if if_not_exists:
+                    return tables
+                raise ValueError(f"{name!r} already registered")
+            entry = {"view_sql": sql, "grants": []}
+            if comment:
+                entry["comment"] = comment
+            tables[name] = entry
+            return tables
+
+        return self._mutate(_apply, "create_view", name=name)
+
     def drop_table(self, name: str, if_exists: bool = False) -> int:
         """Unregister ``name`` — METADATA-ONLY, like an external-table
         DROP: data and its commit history stay on disk (vacuum/rmtree
@@ -175,7 +206,13 @@ class Catalog:
         return tables[name]
 
     def table_dir(self, name: str) -> str:
-        return self.resolve(name)["dir"]
+        entry = self.resolve(name)
+        if "view_sql" in entry:
+            raise ValueError(
+                f"{name!r} is a saved view (no table directory) — "
+                "attach_views/sql resolve it; reads by dir cannot"
+            )
+        return entry["dir"]
 
     def tables(self) -> dict[str, dict]:
         """Current name -> entry mapping (sorted by name)."""
@@ -243,10 +280,25 @@ class Catalog:
         manifest version current at attach time (or ``versions[name]``)
         — a multi-statement SQL session therefore gets snapshot
         isolation across every attached table; re-attach to advance.
-        Returns the view names registered."""
-        names = names if names is not None else list(self.tables())
+        Saved VIEWS (:meth:`create_view`) re-resolve their stored SQL
+        over those pinned tables, in creation order (a view may build
+        on earlier views); because their SQL references bare catalog
+        names, views require ``prefix=""``. Returns the names
+        registered."""
+        _, raw = self._state()
+        chosen = names if names is not None else list(raw)
+        view_names = [
+            n for n in raw if n in set(chosen) and "view_sql" in raw[n]
+        ]
+        if view_names and prefix:
+            raise ValueError(
+                "saved views resolve bare catalog names — attach with "
+                f"prefix='' (views selected: {view_names})"
+            )
         out = []
-        for n in names:
+        for n in chosen:
+            if n in view_names:
+                continue
             view = prefix + n
             kwargs = {}
             if versions and n in versions:
@@ -258,6 +310,9 @@ class Catalog:
                 kwargs["version"] = current_version(self.table_dir(n))
             self.table(spark, n, **kwargs).createOrReplaceTempView(view)
             out.append(view)
+        for n in view_names:  # creation order (raw dict preserves it)
+            spark.sql(raw[n]["view_sql"]).createOrReplaceTempView(n)
+            out.append(n)
         return out
 
     def sql(self, spark, query: str, **attach_kwargs):

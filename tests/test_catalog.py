@@ -163,3 +163,38 @@ def test_attach_views_and_sql_snapshot_isolation(spark, tmp_path):
     # one-call sql() attaches everything
     got = cat.sql(spark, "SELECT SUM(v) s FROM nums").first()["s"]
     assert got == sum(i * 2 for i in range(10)) + sum(i * 2 for i in range(3))
+
+
+def test_saved_views_resolve_at_attach(spark, tmp_path):
+    from datalake_scripts_spark.operators.catalog import Catalog
+
+    cat = Catalog(str(tmp_path / "cat"))
+    cat.save_as_table(
+        spark, spark.range(100).selectExpr("id AS k", "id % 5 AS g"), "facts"
+    )
+    cat.create_view("g_counts", "SELECT g, COUNT(*) AS n FROM facts GROUP BY g")
+    # a view over a view, created later -> resolves in creation order
+    cat.create_view("g_big", "SELECT * FROM g_counts WHERE n >= 20")
+    got = cat.sql(
+        spark, "SELECT COUNT(*) AS c FROM g_big"
+    ).first()["c"]
+    assert got == 5  # 100 rows / 5 groups = 20 each
+    # the view re-resolves against the pinned snapshot at each attach
+    cat.save_as_table(
+        spark, spark.range(10).selectExpr("id AS k", "CAST(0 AS BIGINT) AS g"),
+        "facts", mode="append",
+    )
+    rows = cat.sql(
+        spark, "SELECT n FROM g_counts WHERE g = 0"
+    ).first()["n"]
+    assert rows == 30
+    # guards: prefixed attach with views refuses; table_dir on a view
+    import pytest as _p
+    with _p.raises(ValueError, match="prefix"):
+        cat.attach_views(spark, prefix="x_")
+    with _p.raises(ValueError, match="saved view"):
+        cat.table_dir("g_counts")
+    # views list and drop like tables
+    assert "view_sql" in cat.tables()["g_counts"]
+    cat.drop_table("g_big")
+    assert "g_big" not in cat.tables()
