@@ -185,6 +185,13 @@ def main(argv: list[str] | None = None) -> int:
                     help="grantee role (repeatable)")
     cc.add_argument("--comment", default=None)
     cc.add_argument("--if-not-exists", action="store_true")
+    cv = cats_sub.add_parser(
+        "create-view", help="register a saved SQL view over catalog names"
+    )
+    cv.add_argument("--name", required=True)
+    cv.add_argument("--sql", required=True)
+    cv.add_argument("--comment", default=None)
+    cv.add_argument("--if-not-exists", action="store_true")
     cd = cats_sub.add_parser("drop", help="unregister (metadata-only)")
     cd.add_argument("--name", required=True)
     cd.add_argument("--if-exists", action="store_true")
@@ -251,6 +258,12 @@ def main(argv: list[str] | None = None) -> int:
                 if_not_exists=args.if_not_exists,
             )
             print(f"created {args.name} -> {args.table_dir} (catalog v{v})")
+        elif args.action == "create-view":
+            v = cat.create_view(
+                args.name, args.sql, comment=args.comment,
+                if_not_exists=args.if_not_exists,
+            )
+            print(f"created view {args.name} (catalog v{v})")
         elif args.action == "drop":
             v = cat.drop_table(args.name, if_exists=args.if_exists)
             print(f"dropped {args.name} (catalog v{v})")
