@@ -101,3 +101,53 @@ def interval_overlap_join(
     )
     joined = l.join(r, on=[*on, "_bin"], how="inner").filter(cond)
     return joined.drop("_s", "_e", "_b0", "_s2", "_e2", "_b02", "_bin")
+
+
+def interval_overlap_join_broadcast(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    on: list[str] | None = None,
+    to_long: Column | None = None,
+) -> DataFrame:
+    """The small-dimension strategy: broadcast ``right`` and evaluate
+    the overlap predicate directly (BroadcastNestedLoopJoin — no
+    explode, no bin shuffle, zero duplication). Correct for any sizes
+    but O(|left| x |right|) comparisons: use when right is
+    dimension-sized (maintenance windows, promo calendars, tier
+    tables); the banded :func:`interval_overlap_join` is the
+    both-sides-large path. Same output contract (right columns
+    suffixed ``_r`` on collision)."""
+    on = on or []
+    rename = {
+        c: (c + "_r" if c in left.columns else c)
+        for c in right.columns
+        if c not in on
+    }
+    r = right.select(
+        *on,
+        *[F.col(c).alias(rename[c]) for c in right.columns if c not in on],
+    )
+
+    def cl(col):
+        x = left[col]
+        return to_long(x) if to_long is not None else x.cast("long")
+
+    def cr(col):
+        x = r[rename.get(col, col)]
+        return to_long(x) if to_long is not None else x.cast("long")
+
+    cond = (cl(left_start) <= cr(right_end)) & (
+        cr(right_start) <= cl(left_end)
+    )
+    for k in on:
+        cond = cond & (left[k] == r[k])
+    # bcast: caller contract — right is dimension-sized by definition
+    # of this strategy
+    joined = left.join(F.broadcast(r), on=cond, how="inner")
+    for k in on:
+        joined = joined.drop(r[k])
+    return joined

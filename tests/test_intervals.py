@@ -107,3 +107,68 @@ def test_plan_has_single_join_no_distinct(spark):
     )._jdf.queryExecution().optimizedPlan().toString()
     # dedup must be the join-side filter, never an Aggregate/Distinct
     assert "Deduplicate" not in plan and "Aggregate" not in plan
+
+
+@pytest.mark.parametrize("lrows,rrows", ADVERSARIAL)
+def test_broadcast_strategy_agrees_with_banded(spark, lrows, rrows):
+    from datalake_scripts_spark.operators.intervals import (
+        interval_overlap_join_broadcast,
+    )
+
+    left = _mk(spark, lrows, "L").withColumnsRenamed({"s": "ls", "e": "le"})
+    right = _mk(spark, rrows, "R").withColumnsRenamed({"s": "rs", "e": "re"})
+    got = interval_overlap_join_broadcast(
+        left, right, "ls", "le", "rs", "re"
+    ).select("Lid", "Rid").collect()
+    pairs = [(r["Lid"], r["Rid"]) for r in got]
+    assert len(pairs) == len(set(pairs))
+    assert set(pairs) == _naive_pairs(lrows, rrows)
+
+
+def test_broadcast_strategy_equi_keys(spark):
+    from datalake_scripts_spark.operators.intervals import (
+        interval_overlap_join_broadcast,
+    )
+
+    left = spark.createDataFrame(
+        [("t1", "a", 0, 10), ("t2", "b", 0, 10)],
+        "k string, lid string, s long, e long",
+    )
+    right = spark.createDataFrame(
+        [("t1", "x", 5, 6), ("t2", "y", 5, 6), ("t1", "z", 50, 60)],
+        "k string, rid string, s long, e long",
+    )
+    got = interval_overlap_join_broadcast(
+        left, right, "s", "e", "s", "e", on=["k"]
+    ).select("lid", "rid").collect()
+    assert sorted((r["lid"], r["rid"]) for r in got) == [("a", "x"), ("b", "y")]
+
+
+def test_hypothesis_banded_equals_naive(spark):
+    from hypothesis import given, settings, strategies as st
+
+    iv = st.tuples(st.integers(-50, 200), st.integers(0, 60)).map(
+        lambda t: (t[0], t[0] + t[1])
+    )
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        lrows=st.lists(iv, min_size=1, max_size=12),
+        rrows=st.lists(iv, min_size=1, max_size=12),
+        w=st.sampled_from([1, 5, 16, 64]),
+    )
+    def check(lrows, rrows, w):
+        left = _mk(spark, lrows, "L").withColumnsRenamed(
+            {"s": "ls", "e": "le"}
+        )
+        right = _mk(spark, rrows, "R").withColumnsRenamed(
+            {"s": "rs", "e": "re"}
+        )
+        got = interval_overlap_join(
+            left, right, "ls", "le", "rs", "re", bin_width=w
+        ).select("Lid", "Rid").collect()
+        pairs = [(r["Lid"], r["Rid"]) for r in got]
+        assert len(pairs) == len(set(pairs))
+        assert set(pairs) == _naive_pairs(lrows, rrows)
+
+    check()
