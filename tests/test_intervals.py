@@ -172,3 +172,44 @@ def test_hypothesis_banded_equals_naive(spark):
         assert set(pairs) == _naive_pairs(lrows, rrows)
 
     check()
+
+
+def test_broadcast_strategy_works_stream_static(spark, tmp_path):
+    """The broadcast strategy is streaming-safe: a readStream side
+    enriched by a static windows table (stream-static inner join) —
+    the calendar-window enrichment shape, no state store needed."""
+    import os
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [("a", 5, 5), ("b", 25, 25), ("c", 100, 100)],
+        "lid string, s long, e long",
+    ).coalesce(1).write.parquet(src + "/batch0")
+    windows = spark.createDataFrame(
+        [("w1", 0, 10), ("w2", 20, 30)], "wid string, s long, e long"
+    )
+    stream = (
+        spark.readStream.schema("lid string, s long, e long")
+        .parquet(src + "/*")
+    )
+    from datalake_scripts_spark.operators.intervals import (
+        interval_overlap_join_broadcast,
+    )
+
+    joined = interval_overlap_join_broadcast(
+        stream, windows, "s", "e", "s", "e"
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("iv_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {
+        (r["lid"], r["wid"])
+        for r in spark.sql("SELECT lid, wid FROM iv_stream").collect()
+    }
+    assert got == {("a", "w1"), ("b", "w2")}
