@@ -52,6 +52,7 @@ DRIVER_PRIORITY = [
     "events_time_weighted_avg",  # TWAP over irregular series
     "versioned_history_table",  # DESCRIBE HISTORY as a queryable table
     "compliance_purge_customer",  # physical erasure + vacuum, verified
+    "ingest_expectations_gate",  # DLT-style expectations + quarantine
     # --- stalest driver rows (last checked r3/r4), staleness rotation ---
     "sample_stratified_hash",
     "sketch_cms_join_size",
@@ -93,7 +94,6 @@ DRIVER_PRIORITY = [
     "events_zscore_anomalies",
     "graph_pagerank_suppliers",
     "matview_incremental_refresh",
-    "mining_part_pair_lift",
 ]
 
 

@@ -1213,6 +1213,96 @@ def versioned_hidden_partitioning(
     )
 
 
+_EXPECT_SQL = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+  FROM orders WHERE o_orderkey < 8000
+),
+kept AS (
+  SELECT * FROM base
+  WHERE o_orderkey % 97 <> 0 AND o_custkey IS NOT NULL
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_price,
+       CAST((SELECT COUNT(*) FROM base WHERE o_orderkey % 97 = 0)
+            AS BIGINT) AS n_key_violations,
+       CAST((SELECT COUNT(*) FROM base WHERE o_totalprice >= 300000)
+            AS BIGINT) AS n_price_warns,
+       CAST((SELECT COUNT(*) FROM base) -
+            (SELECT COUNT(*) FROM kept) AS BIGINT) AS n_quarantined
+FROM kept
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@query("ingest_expectations_gate", sql=_EXPECT_SQL)
+def ingest_expectations_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-time data expectations, driver-verified
+    (operators/expectations.py, round 8 — Delta Live Tables'
+    expectations on the versioned layer): ingest an orders batch
+    through three declarative rules — a drop rule (%97 keys are
+    'corrupt'), a NOT NULL drop rule, and a warn-only price rule —
+    with a quarantine table capturing the excluded rows plus their
+    failed-rule diagnosis, and per-rule counts recorded in the commit
+    meta. The result reads the CLEAN table back and carries every
+    count in-line; the oracle recomputes all of them from the same
+    predicates, so a row leaked past a drop rule, a miscounted warn,
+    or a lost quarantine row changes the hash.
+
+    100 TB rationale: the rule evaluation is one projected array
+    column (native HOFs) — a map-side pass with zero shuffles; counts
+    ride one aggregate whose partials are rule-name-sized."""
+    import tempfile
+
+    from ..operators import versioned as V
+    from ..operators.expectations import write_versioned_with_expectations
+
+    tdir = tempfile.mkdtemp(prefix="expect_q_")
+    qdir = tempfile.mkdtemp(prefix="expect_qq_")
+    batch = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    ).filter(F.col("o_orderkey") < 8000)
+    _, counts = write_versioned_with_expectations(
+        spark, batch, tdir,
+        rules={
+            "key_not_mod97": "o_orderkey % 97 <> 0",
+            "custkey_present": "o_custkey IS NOT NULL",
+            "price_below_300k": "o_totalprice < 300000",
+        },
+        actions={"price_below_300k": "warn"},
+        quarantine_dir=qdir,
+    )
+    try:
+        n_quarantined = V.read_versioned(spark, qdir).count()
+    except FileNotFoundError:
+        n_quarantined = 0
+    return (
+        V.read_versioned(spark, tdir)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .withColumn(
+            "n_key_violations",
+            F.lit(counts["key_not_mod97"]).cast("bigint"),
+        )
+        .withColumn(
+            "n_price_warns",
+            F.lit(counts["price_below_300k"]).cast("bigint"),
+        )
+        .withColumn(
+            "n_quarantined", F.lit(n_quarantined).cast("bigint")
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 _PURGE_SQL = """
 WITH base AS (
   SELECT o_orderkey, o_custkey, o_orderpriority FROM orders

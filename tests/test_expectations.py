@@ -1,0 +1,94 @@
+"""Write-time data expectations (operators/expectations.py): one-pass
+rule evaluation, warn/drop/fail actions, quarantine lane with the full
+violation diagnosis, fail-aborts-before-commit, counts in commit meta."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datalake_scripts_spark.operators import versioned as V
+from datalake_scripts_spark.operators.expectations import (
+    ExpectationsFailed,
+    apply_expectations,
+    write_versioned_with_expectations,
+)
+
+
+def _batch(spark):
+    return spark.createDataFrame(
+        [(1, 10.0, "a"), (2, -5.0, "b"), (3, 0.0, None),
+         (4, 99.0, "a"), (5, None, "c")],
+        "k bigint, price double, tag string",
+    )
+
+
+RULES = {
+    "price_positive": "price > 0",          # rows 2,3,5 fail (NULL fails)
+    "tag_present": "tag IS NOT NULL",       # row 3 fails
+    "k_small": "k < 100",                   # nobody fails
+}
+
+
+def test_apply_expectations_split_and_diagnosis(spark):
+    kept, quarantined = apply_expectations(_batch(spark), RULES)
+    assert sorted(r["k"] for r in kept.collect()) == [1, 4]
+    q = {r["k"]: sorted(r["_violations"]) for r in quarantined.collect()}
+    assert q == {
+        2: ["price_positive"],
+        3: ["price_positive", "tag_present"],
+        5: ["price_positive"],
+    }
+
+
+def test_warn_rules_never_exclude(spark):
+    kept, quarantined = apply_expectations(
+        _batch(spark), RULES,
+        actions={"price_positive": "warn", "tag_present": "warn"},
+    )
+    assert kept.count() == 5 and quarantined.count() == 0
+
+
+def test_write_with_expectations_and_quarantine(spark, tmp_path):
+    tdir, qdir = str(tmp_path / "t"), str(tmp_path / "q")
+    v, counts = write_versioned_with_expectations(
+        spark, _batch(spark), tdir, RULES,
+        actions={"tag_present": "warn"},
+        quarantine_dir=qdir,
+    )
+    assert counts == {"price_positive": 3, "tag_present": 1, "k_small": 0}
+    got = V.read_versioned(spark, tdir)
+    assert sorted(r["k"] for r in got.collect()) == [1, 4]
+    # counts are commit metadata (time-travelable quality history)
+    m = V._load_manifest(tdir, v)
+    assert m["meta"]["expectations"] == counts
+    q = V.read_versioned(spark, qdir).collect()
+    assert sorted(r["k"] for r in q) == [2, 3, 5]
+    assert {r["k"]: r["_violations"] for r in q}[3] == (
+        "price_positive,tag_present"
+    )
+
+
+def test_fail_rule_aborts_before_commit(spark, tmp_path):
+    tdir = str(tmp_path / "t")
+    with pytest.raises(ExpectationsFailed, match="price_positive=3"):
+        write_versioned_with_expectations(
+            spark, _batch(spark), tdir, RULES,
+            actions={"price_positive": "fail"},
+        )
+    assert V.current_version(tdir) == 0  # nothing committed
+
+
+def test_guards(spark):
+    with pytest.raises(ValueError, match="unknown rule"):
+        apply_expectations(_batch(spark), RULES, actions={"nope": "drop"})
+    with pytest.raises(ValueError, match="unknown action"):
+        apply_expectations(
+            _batch(spark), RULES, actions={"k_small": "explode"}
+        )
+
+
+def test_one_pass_no_shuffle(spark):
+    kept, _ = apply_expectations(_batch(spark), RULES)
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # map-only split
