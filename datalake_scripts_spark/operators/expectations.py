@@ -94,6 +94,7 @@ def write_versioned_with_expectations(
     actions: dict[str, str] | None = None,
     quarantine_dir: str | None = None,
     mode: str = "append",
+    quarantine_meta: dict | None = None,
     **write_kwargs,
 ) -> tuple[int, dict[str, int]]:
     """Validate-then-commit: evaluate ``rules`` over the batch, raise
@@ -131,13 +132,25 @@ def write_versioned_with_expectations(
     if failed:
         raise ExpectationsFailed(failed)
     if quarantine_dir is not None:
+        # replay safety (streaming epochs): if this quarantine epoch
+        # already landed, the crash was between the quarantine write
+        # and the main commit — don't double-quarantine
+        from .versioned import has_meta
+
+        epoch = (quarantine_meta or {}).get("epoch")
+        already = epoch is not None and has_meta(
+            quarantine_dir, "epoch", epoch
+        )
         q = quarantined.withColumn(
             "_violations", F.array_join("_violations", ",")
         )
-        if q.limit(1).count() > 0:
+        if not already and q.limit(1).count() > 0:
             write_versioned(
                 spark, q, quarantine_dir, mode="append",
-                meta={"quarantined_from": table_dir},
+                meta={
+                    "quarantined_from": table_dir,
+                    **(quarantine_meta or {}),
+                },
             )
     version = write_versioned(
         spark, kept, table_dir, mode=mode,

@@ -16,6 +16,7 @@ from .sinks import (  # noqa: F401
     foreach_batch_jdbc,
     foreach_batch_parquet,
     foreach_batch_continuous_aggregate,
+    foreach_batch_expectations,
     foreach_batch_merge_versioned,
     foreach_batch_versioned,
 )

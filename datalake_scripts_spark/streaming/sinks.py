@@ -201,6 +201,36 @@ def foreach_batch_merge_versioned(
     return _sink
 
 
+def foreach_batch_expectations(
+    table_dir: str,
+    rules: dict[str, str],
+    actions: dict[str, str] | None = None,
+    quarantine_dir: str | None = None,
+):
+    """Streaming ingest through write-time data expectations
+    (operators/expectations.py — the DLT streaming-table shape): each
+    epoch validates the micro-batch, quarantines drop-rule rows with
+    their diagnosis, aborts the epoch on a fail-rule violation (the
+    stream stops rather than committing a poisoned batch), and stamps
+    per-rule counts into the commit meta. Exactly-once on BOTH the
+    target and the quarantine: each checks its own epoch stamp, so a
+    crash between the two writes replays without duplicating either."""
+    from ..operators import versioned as V
+    from ..operators.expectations import write_versioned_with_expectations
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if V.has_meta(table_dir, "epoch", int(epoch_id)):
+            return
+        write_versioned_with_expectations(
+            batch_df.sparkSession, batch_df, table_dir, rules,
+            actions=actions, quarantine_dir=quarantine_dir,
+            meta={"epoch": int(epoch_id)},
+            quarantine_meta={"epoch": int(epoch_id)},
+        )
+
+    return _sink
+
+
 def foreach_batch_dual(*sinks):
     """Fan one micro-batch out to several sinks (staging parquet +
     serving JDBC, the reference's dual-write). The batch is persisted

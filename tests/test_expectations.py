@@ -92,3 +92,53 @@ def test_one_pass_no_shuffle(spark):
     kept, _ = apply_expectations(_batch(spark), RULES)
     plan = kept._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # map-only split
+
+
+def test_streaming_expectations_sink(spark, tmp_path):
+    """The DLT streaming-table shape: epochs validate, quarantine, and
+    stamp counts; replays no-op on both target and quarantine; a
+    fail-rule violation aborts the epoch with nothing committed."""
+    from datalake_scripts_spark.streaming import foreach_batch_expectations
+
+    tdir, qdir = str(tmp_path / "t"), str(tmp_path / "q")
+    sink = foreach_batch_expectations(
+        tdir, RULES, actions={"tag_present": "warn"}, quarantine_dir=qdir
+    )
+    sink(_batch(spark), 0)
+    assert sorted(
+        r["k"] for r in V.read_versioned(spark, tdir).collect()
+    ) == [1, 4]
+    assert V.read_versioned(spark, qdir).count() == 3
+    assert V._load_manifest(tdir, 1)["meta"]["expectations"][
+        "price_positive"
+    ] == 3
+    # epoch replay: neither table moves
+    sink(_batch(spark), 0)
+    assert V.current_version(tdir) == 1
+    assert V.current_version(qdir) == 1
+    # crash-between-writes replay: quarantine already has epoch 1 ->
+    # only the target lands on retry, no duplicate quarantine rows
+    from datalake_scripts_spark.operators.versioned import write_versioned
+    write_versioned(
+        spark,
+        _batch(spark).filter("k = 2").withColumn("_violations", F.lit("price_positive")),
+        qdir, mode="append", meta={"epoch": 1, "quarantined_from": tdir},
+    )
+    epoch1 = spark.createDataFrame(
+        [(2, -5.0, "b"), (9, 1.0, "z")],
+        "k bigint, price double, tag string",
+    )
+    sink(epoch1, 1)
+    assert sorted(
+        r["k"] for r in V.read_versioned(spark, tdir).collect()
+    ) == [1, 4, 9]
+    # quarantine kept exactly the pre-written epoch-1 row (no dup)
+    assert V.read_versioned(spark, qdir).filter("k = 2").count() == 2  # one from epoch 0, one pre-written
+    assert V.current_version(qdir) == 2
+    # fail action aborts the epoch
+    sink2 = foreach_batch_expectations(
+        str(tmp_path / "t2"), RULES, actions={"price_positive": "fail"}
+    )
+    with pytest.raises(ExpectationsFailed):
+        sink2(_batch(spark), 0)
+    assert V.current_version(str(tmp_path / "t2")) == 0
