@@ -526,3 +526,19 @@ def test_cli_delta_snapshot(spark, sf_dir, tmp_path, capsys):
     want = V.read_versioned(spark, base).count()
     assert V.read_versioned(spark, dst).count() == want
     assert os.path.isdir(os.path.join(dst, "_delta_log"))
+
+
+def test_import_tolerates_commitinfo_only_commits(spark, sf_dir, tmp_path):
+    """Real Delta logs contain empty commits (commitInfo only — e.g.
+    OPTIMIZE no-ops, VACUUM audit entries): import replays them as
+    empty snapshots instead of failing."""
+    base = str(tmp_path / "tbl")
+    V.write_versioned(spark, _orders(spark, sf_dir, 0, 400), base, mode="append")
+    log_dir = export_delta_log(base)
+    with open(os.path.join(log_dir, f"{1:020d}.json"), "w") as fh:
+        fh.write(json.dumps({"commitInfo": {"operation": "VACUUM"}}) + "\n")
+    expected = V.read_versioned(spark, base).count()
+    _wipe_own_log(base)
+    assert import_delta_log(base) == 2
+    assert V.read_versioned(spark, base).count() == expected
+    assert V.read_versioned(spark, base, version=1).count() == expected

@@ -142,3 +142,32 @@ def test_streaming_expectations_sink(spark, tmp_path):
     with pytest.raises(ExpectationsFailed):
         sink2(_batch(spark), 0)
     assert V.current_version(str(tmp_path / "t2")) == 0
+
+
+def test_empty_batch_and_clean_batch(spark, tmp_path):
+    """Empty batches and violation-free batches commit cleanly with
+    zero counts and never create a quarantine table."""
+    schema = "k bigint, price double, tag string"
+    clean = spark.createDataFrame([(1, 2.0, "a")], schema)
+    tdir, qdir = str(tmp_path / "t"), str(tmp_path / "q")
+    v, counts = write_versioned_with_expectations(
+        spark, clean, tdir, RULES, quarantine_dir=qdir
+    )
+    assert counts == {n: 0 for n in RULES}
+    assert V.current_version(qdir) == 0  # quarantine never materialized
+    v2, counts2 = write_versioned_with_expectations(
+        spark, spark.createDataFrame([], schema), tdir, RULES,
+        quarantine_dir=qdir,
+    )
+    assert counts2 == {n: 0 for n in RULES}
+    assert V.read_versioned(spark, tdir).count() == 1
+
+
+def test_rule_referencing_missing_column_fails_loudly(spark, tmp_path):
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(AnalysisException):
+        kept, _ = apply_expectations(
+            _batch(spark), {"bad": "no_such_col > 0"}
+        )
+        kept.count()
