@@ -2274,8 +2274,11 @@ def purge_rows(
     the only remaining copies of the purged bytes — are actually
     removed from storage. Deliberately NOT the deletion-vector path: a
     DV hides rows from readers but leaves their bytes in the parquet,
-    which is retention, not erasure. The vacuum also drops the older
-    manifests, so the purged rows are not time-travelable either.
+    which is retention, not erasure — and for the same reason, rows
+    the subject already DV-deleted earlier are purged too (raw-scan
+    touched-file discovery + raw-scan verification; ``purge_hidden``).
+    The vacuum also drops the older manifests, so the purged rows are
+    not time-travelable either.
     Returns per-table ``{"n_deleted", "n_files_removed",
     "verified_absent"}``.
 
@@ -2291,7 +2294,15 @@ def purge_rows(
     out: dict[str, dict] = {}
     for td in table_dirs:
         try:
-            _, n_del = delete_versioned(spark, td, predicate)
+            # purge_hidden: rows already hidden by a deletion-vector
+            # delete (the DV GDPR path) are invisible to a normal
+            # DELETE's touched-file discovery — but their bytes are
+            # still in the parquet. The raw-scan flag forces those
+            # files to be rewritten (materializing their DVs) so the
+            # subject's bytes actually leave storage.
+            _, n_del = delete_versioned(
+                spark, td, predicate, purge_hidden=True
+            )
         except AnalysisException as exc:
             out[td] = {"skipped": True, "reason": str(exc).split("\n")[0]}
             continue
@@ -2300,12 +2311,19 @@ def purge_rows(
         if verify:
             from pyspark.sql import functions as F
 
-            remaining = (
-                read_versioned(spark, td)
-                .filter(F.expr(predicate))
-                .limit(1)
-                .count()
-            )
+            # verify on the RAW (DV-unapplied) bytes of the surviving
+            # snapshot: a DV-applied read would report "absent" even
+            # if the bytes survived behind a deletion vector.
+            m = _load_manifest(td, current_version(td))
+            files, _ = _expand_manifest(td, m)
+            remaining = 0
+            if files:
+                remaining = (
+                    _read_manifest_files(spark, m, td, files, apply_dvs=False)
+                    .filter(F.expr(predicate))
+                    .limit(1)
+                    .count()
+                )
             res["verified_absent"] = remaining == 0
             # belt-and-braces: no surviving file may even be a stats
             # candidate once the rewrite landed... but a predicate like
@@ -2369,6 +2387,7 @@ def _predicate_touched_files(
     manifest: dict,
     predicate: str,
     skip_filter: list[tuple] | None,
+    raw_scan: bool = False,
 ) -> list[str]:
     """The manifest files that actually CONTAIN a row matching
     ``predicate`` — Delta's two-phase DML find step. Phase 1 prunes by
@@ -2377,7 +2396,13 @@ def _predicate_touched_files(
     candidates and asks which FILES contribute matches (distinct
     input_file_name — result is file-count-bounded, not row-bounded,
     so the driver collect is the same size class as the manifest
-    itself)."""
+    itself).
+
+    ``raw_scan=True`` scans files WITHOUT applying deletion vectors:
+    a file whose only matching rows are already DV-hidden still counts
+    as touched. Physical-erasure callers (:func:`purge_rows`) need
+    this — the subject's bytes are in the parquet whether or not a DV
+    hides them from readers."""
     from pyspark.sql import functions as F
 
     skip_filter = (
@@ -2399,7 +2424,8 @@ def _predicate_touched_files(
     # is a real column that survives any plan shape
     hit_rows = (
         _read_manifest_files(
-            spark, manifest, table_dir, candidates, with_position=True
+            spark, manifest, table_dir, candidates,
+            apply_dvs=not raw_scan, with_position=True,
         )
         .filter(F.expr(predicate))
         .select(F.col(_DV_FILE_COL).alias("_f"))
@@ -2417,6 +2443,7 @@ def delete_versioned(
     skip_filter: list[tuple] | None = None,
     meta: dict | None = None,
     deletion_vectors: bool = False,
+    purge_hidden: bool = False,
 ) -> tuple[int, int]:
     """Row-level DELETE (Delta-style copy-on-write): commit a new
     snapshot where rows matching ``predicate`` (a SQL boolean
@@ -2444,15 +2471,28 @@ def delete_versioned(
     mode is 'delete', so :func:`read_changes` across it takes the
     exact row-diff path (deleted rows appear as _change_type='delete').
     Read-pinned commit: a concurrent commit raises
-    :class:`CommitConflict` (re-run against the new snapshot)."""
+    :class:`CommitConflict` (re-run against the new snapshot).
+
+    ``purge_hidden=True`` (copy-on-write only) additionally rewrites
+    files whose ONLY matching rows are already hidden by a deletion
+    vector: the DV path is retention, not erasure, and a purge must
+    remove the bytes. Visible-row semantics are unchanged — the
+    rewrite keeps exactly the visible non-matching rows, so
+    ``n_deleted`` still counts only newly-deleted VISIBLE rows."""
     from pyspark.sql import functions as F
 
+    if purge_hidden and deletion_vectors:
+        raise ValueError(
+            "purge_hidden requires the copy-on-write path; a deletion "
+            "vector hides rows but leaves their bytes in the parquet"
+        )
     v = current_version(table_dir)
     if v == 0:
         raise FileNotFoundError(f"no committed version in {table_dir}")
     manifest = _load_manifest(table_dir, v)
     touched = _predicate_touched_files(
-        spark, table_dir, manifest, predicate, skip_filter
+        spark, table_dir, manifest, predicate, skip_filter,
+        raw_scan=purge_hidden,
     )
     if not touched:
         return v, 0

@@ -348,6 +348,83 @@ def test_purge_rows_physical_erasure(spark, sf_dir, tmp_path):
     assert res3[t_nokey].get("skipped") is True
 
 
+def test_purge_rows_after_dv_delete(spark, sf_dir, tmp_path):
+    """A subject whose rows were ALREADY hidden by a deletion-vector
+    delete (the merge-on-read GDPR path) must still be physically
+    purged: the DV hides the rows from readers but their bytes stay in
+    the parquet. purge_rows discovers touched files with a raw
+    (DV-unapplied) scan and verifies absence the same way — before
+    that, no file was rewritten, vacuum kept the still-referenced
+    file, and verified_absent lied."""
+    from datalake_scripts_spark.operators import versioned as V
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    ).filter(F.col("o_orderkey") < 2000)
+    base = str(tmp_path / "orders")
+    V.write_versioned(spark, orders, base, mode="append")
+    # a subject with >=2 rows so we can hide one and leave one visible
+    victim = int(
+        orders.groupBy("o_custkey").count().filter("count >= 2")
+        .first()["o_custkey"]
+    )
+    victim_rows = orders.filter(F.col("o_custkey") == victim)
+    n_victim = victim_rows.count()
+    k1 = int(victim_rows.select("o_orderkey").first()["o_orderkey"])
+    _, n_dv = V.delete_versioned(
+        spark, base,
+        f"o_custkey = {victim} AND o_orderkey = {k1}",
+        deletion_vectors=True,
+    )
+    assert n_dv == 1
+    # the hidden row's bytes are still on disk (raw scan sees them)
+    m = V._load_manifest(base, V.current_version(base))
+    files, _ = V._expand_manifest(base, m)
+    raw = V._read_manifest_files(spark, m, base, files, apply_dvs=False)
+    assert raw.filter(F.col("o_custkey") == victim).count() == n_victim
+    res = V.purge_rows(spark, [base], f"o_custkey = {victim}")
+    # only the still-VISIBLE rows count as newly deleted
+    assert res[base]["n_deleted"] == n_victim - 1
+    assert res[base]["verified_absent"] is True
+    # raw bytes of the surviving snapshot: subject fully gone
+    m2 = V._load_manifest(base, V.current_version(base))
+    files2, _ = V._expand_manifest(base, m2)
+    raw2 = V._read_manifest_files(spark, m2, base, files2, apply_dvs=False)
+    assert raw2.filter(F.col("o_custkey") == victim).count() == 0
+    # visible semantics intact for everyone else
+    assert (
+        V.read_versioned(spark, base).count()
+        == orders.count() - n_victim
+    )
+
+
+def test_purge_rows_fully_dv_hidden_subject(spark, sf_dir, tmp_path):
+    """Degenerate case of the above: EVERY row of the subject is
+    already DV-hidden, so a normal DELETE would touch zero files and
+    purge would be a silent no-op. n_deleted is 0 (no visible rows)
+    but the file must still be rewritten and the bytes erased."""
+    from datalake_scripts_spark.operators import versioned as V
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    ).filter(F.col("o_orderkey") < 1000)
+    base = str(tmp_path / "orders")
+    V.write_versioned(spark, orders, base, mode="append")
+    victim = int(orders.select("o_custkey").first()["o_custkey"])
+    _, n_dv = V.delete_versioned(
+        spark, base, f"o_custkey = {victim}", deletion_vectors=True
+    )
+    assert n_dv >= 1
+    res = V.purge_rows(spark, [base], f"o_custkey = {victim}")
+    assert res[base]["n_deleted"] == 0
+    assert res[base]["verified_absent"] is True
+    m = V._load_manifest(base, V.current_version(base))
+    files, _ = V._expand_manifest(base, m)
+    raw = V._read_manifest_files(spark, m, base, files, apply_dvs=False)
+    assert raw.filter(F.col("o_custkey") == victim).count() == 0
+    assert V.read_versioned(spark, base).count() == orders.count() - n_dv
+
+
 def test_cli_purge(spark, sf_dir, tmp_path, capsys):
     from datalake_scripts_spark.cli import main
     from datalake_scripts_spark.operators import versioned as V
