@@ -31,12 +31,14 @@ Format notes (public Delta PROTOCOL.md):
 Both directions are METADATA-ONLY — data files are shared in place,
 so adopting or exporting a 100 TB table costs O(commits), not O(data).
 :func:`sync_delta_log` keeps an exported log current incrementally
-(only new commits written, table id reused), and classic single-part
-parquet checkpoints are both WRITTEN (:func:`write_delta_checkpoint`,
-pyarrow — no Spark session) and CONSUMED: an import of a
-checkpoint-truncated log bootstraps from the newest checkpoint and
-replays the JSON tail, exactly like a Delta reader. Multi-part and v2
-(sidecar) checkpoints are refused with a clear message.
+(only new commits written, table id reused; diff state replays from
+the mirror's own tail, so vacuumed manifests and log-cleaned mirrors
+sync fine), and classic parquet checkpoints are both WRITTEN
+(:func:`write_delta_checkpoint`, pyarrow — no Spark session; always
+single-part) and CONSUMED: an import of a checkpoint-truncated log
+bootstraps from the newest checkpoint — single-part or multi-part
+classic — and replays the JSON tail, exactly like a Delta reader.
+Only v2 (sidecar) checkpoints are refused, with a clear message.
 
 Reference parity: the reference keeps all table state as bare
 parquet prefixes on an object store (monkey_proc.py save paths); this
@@ -182,19 +184,41 @@ def sync_delta_log(
     if latest == 0:
         raise FileNotFoundError(f"no committed version in {table_dir}")
     existing = _list_commit_versions(log_dir)
-    if not existing:
+    last_cp = _last_checkpoint_version(log_dir)
+    if not existing and last_cp is None:
         export_delta_log(table_dir, out_dir)
         n_new = latest
     else:
-        last_dv = existing[-1]
+        # diff state comes from the MIRROR's own tail, never from old
+        # manifests: a vacuum (purge_rows runs one) may have dropped
+        # every manifest older than the last export, and a log-cleaned
+        # mirror may hold no commit 0 — bootstrap from the newest
+        # checkpoint and replay the surviving JSON tail, exactly like
+        # a Delta reader.
+        if last_cp is not None and (not existing or existing[0] > 0):
+            state = _read_checkpoint_state(log_dir, last_cp)
+            tail = [c for c in existing if c > last_cp]
+            state = _replay_json_chain(log_dir, tail, state=state)
+            last_dv = max([last_cp] + tail)
+        else:
+            state = _replay_json_chain(log_dir, existing)
+            last_dv = existing[-1]
         if last_dv + 1 > latest:
             raise ValueError(
                 f"{log_dir} holds Delta commit {last_dv} but the table "
                 f"only has {latest} manifest versions — the mirror is "
                 "ahead of the table (wrong table_dir?)"
             )
-        table_id = _log_table_id(log_dir, existing)
-        _write_delta_commits(table_dir, log_dir, last_dv + 2, table_id)
+        if state[1] is None:
+            raise ValueError(
+                f"{log_dir} has no metaData action in its surviving "
+                "chain and no checkpoint — cannot determine the table "
+                "id to continue the mirror"
+            )
+        table_id = state[1]["id"]
+        _write_delta_commits(
+            table_dir, log_dir, last_dv + 2, table_id, prior_state=state
+        )
         n_new = latest - (last_dv + 1)
     if checkpoint_interval:
         last_cp = _last_checkpoint_version(log_dir)
@@ -215,47 +239,42 @@ def _list_commit_versions(log_dir: str) -> list[int]:
     )
 
 
-def _log_table_id(log_dir: str, commits: list[int]) -> str:
-    """The table id of an existing exported log (first metaData action
-    in the earliest commit)."""
-    with open(os.path.join(log_dir, _delta_commit_name(commits[0]))) as fh:
-        for line in fh:
-            if line.strip():
-                action = json.loads(line)
-                if "metaData" in action:
-                    return action["metaData"]["id"]
-    raise ValueError(
-        f"{log_dir} commit {commits[0]} carries no metaData action — "
-        "cannot determine the table id to continue the mirror"
-    )
-
-
 def _write_delta_commits(
-    table_dir: str, log_dir: str, start_v: int, table_id: str
+    table_dir: str,
+    log_dir: str,
+    start_v: int,
+    table_id: str,
+    prior_state: tuple | None = None,
 ) -> None:
     """Write Delta commits for manifest versions ``start_v``..latest.
-    The diff state (previous file set / schema / spec) is replayed from
-    manifest v1 regardless of ``start_v`` — replay is metadata-only, so
-    an incremental sync of a 100 TB table costs O(commits)."""
+
+    Fresh export (``start_v=1``, no ``prior_state``): diff state starts
+    empty. Incremental sync: ``prior_state`` is the MIRROR's own
+    replayed tail ``(protocol, metaData, {path: add})`` — manifests
+    older than ``start_v`` are never read, so a vacuum that dropped
+    them (``purge_rows`` runs one) cannot break the sync. A manifest
+    inside ``start_v``..latest that a vacuum removed before it was ever
+    synced is unrepresentable: its commit is emitted as a
+    commitInfo-only VACUUM placeholder (keeping Delta versions
+    contiguous and the manifest-v <-> commit-(v-1) mapping intact) and
+    the next surviving manifest's diff carries the cumulative change —
+    the same "old versions are gone" posture Delta's own log cleanup
+    leaves readers with. Replay is metadata-only either way, so an
+    incremental sync of a 100 TB table costs O(new commits)."""
     latest = current_version(table_dir)
     if latest == 0:
         raise FileNotFoundError(f"no committed version in {table_dir}")
     from .versioned import _load_manifest as _lm
 
-    # the commit where column mapping first appears emits a protocol
-    # upgrade (2/5) + a metaData with columnMapping.mode=name — the
-    # exact sequence delta-spark writes for ALTER TABLE ... SET
-    # TBLPROPERTIES ('delta.columnMapping.mode'='name')
-    first_mapped = next(
-        (
-            v
-            for v in range(1, latest + 1)
-            if _mapping_enabled(_lm(table_dir, v).get("schema"))
-        ),
-        None,
-    )
-    for v in range(1, latest + 1):
-        if _lm(table_dir, v).get("dvs"):
+    def _try_manifest(v: int) -> dict | None:
+        try:
+            return _lm(table_dir, v)
+        except FileNotFoundError:
+            return None
+
+    manifests = {v: _try_manifest(v) for v in range(start_v, latest + 1)}
+    for v, m in manifests.items():
+        if m and m.get("dvs"):
             # this exporter speaks the base Delta protocol (no
             # deletionVectors reader/writer feature) — exporting a
             # DV'd history would resurrect deleted rows for Delta
@@ -268,12 +287,79 @@ def _write_delta_commits(
             )
     now_ms = int(time.time() * 1000)
 
-    prev_files: set[str] = set()
-    prev_stats: dict = {}
-    prev_schema = None
-    prev_spec = None
-    for v in range(1, latest + 1):
-        manifest = _load_manifest(table_dir, v)
+    if prior_state is None:
+        prev_files: set[str] = set()
+        prev_delta_schema: dict | None = None
+        prev_spec: list | None = None
+        mapped_already = False
+    else:
+        protocol, meta, active = prior_state
+        prev_files = {urllib.parse.unquote(p) for p in active}
+        prev_delta_schema = (
+            json.loads(meta["schemaString"]) if meta else None
+        )
+        prev_spec = list(meta.get("partitionColumns", [])) if meta else None
+        mapped_already = protocol.get("minReaderVersion", 1) >= 2
+    for v in range(start_v, latest + 1):
+        manifest = manifests[v]
+        commit_path = os.path.join(log_dir, _delta_commit_name(v - 1))
+        if manifest is None:
+            # vacuumed before it was ever exported: placeholder commit,
+            # state carries forward. If this would be commit 0, Delta
+            # readers still need protocol+metaData there — borrow them
+            # from the earliest surviving manifest (the pre-vacuum
+            # schema is unknowable; the surviving one is the honest
+            # stand-in and prevents a spurious re-emission later).
+            actions = []
+            if v == 1 and prior_state is None:
+                surv = next(
+                    m for vv in sorted(manifests) if (m := manifests[vv])
+                )
+                schema_json = surv.get("schema")
+                if schema_json is None:
+                    raise ValueError(
+                        f"{table_dir} earliest surviving manifest has no "
+                        "committed schema — a Delta metaData action "
+                        "requires one"
+                    )
+                is_mapped = _mapping_enabled(schema_json)
+                actions.append({"protocol": (
+                    {"minReaderVersion": 2, "minWriterVersion": 5}
+                    if is_mapped
+                    else {"minReaderVersion": 1, "minWriterVersion": 2}
+                )})
+                mapped_already = is_mapped
+                prev_delta_schema = _delta_schema_json(schema_json)
+                prev_spec = list(surv.get("partition_spec") or [])
+                config = {}
+                if is_mapped:
+                    config = {
+                        "delta.columnMapping.mode": "name",
+                        "delta.columnMapping.maxColumnId": str(
+                            surv.get("max_column_id", 0)
+                        ),
+                    }
+                actions.append({"metaData": {
+                    "id": table_id,
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": json.dumps(prev_delta_schema),
+                    "partitionColumns": prev_spec,
+                    "configuration": config,
+                    "createdTime": now_ms,
+                }})
+            actions.append({"commitInfo": {
+                "operation": "VACUUM",
+                "engineInfo": "datalake-scripts-spark delta-interop",
+                "operationParameters": {
+                    "note": "manifest vacuumed before sync; "
+                            "state unchanged at this version"
+                },
+            }})
+            tmp = os.path.join(log_dir, f".{_delta_commit_name(v - 1)}.tmp")
+            with open(tmp, "w") as fh:
+                fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+            os.replace(tmp, commit_path)
+            continue
         files, stats = _expand_manifest(table_dir, manifest)
         schema_json = manifest.get("schema")
         if schema_json is None:
@@ -302,21 +388,32 @@ def _write_delta_commits(
         if is_relayout:
             mode = "optimize"
         data_change = not is_relayout
-        actions: list[dict] = []
-        if v == 1:
-            proto = (
+        delta_schema = _delta_schema_json(schema_json)
+        is_mapped = _mapping_enabled(schema_json)
+        actions = []
+        if v == 1 and prior_state is None:
+            # the commit where column mapping first appears emits a
+            # protocol upgrade (2/5) + columnMapping.mode=name metaData
+            # — the exact sequence delta-spark writes for ALTER TABLE
+            # ... SET TBLPROPERTIES ('delta.columnMapping.mode'='name')
+            actions.append({"protocol": (
                 {"minReaderVersion": 2, "minWriterVersion": 5}
-                if first_mapped == 1
+                if is_mapped
                 else {"minReaderVersion": 1, "minWriterVersion": 2}
-            )
-            actions.append({"protocol": proto})
-        elif v == first_mapped:
+            )})
+            mapped_already = is_mapped
+        elif is_mapped and not mapped_already:
             actions.append(
                 {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}
             )
-        if v == 1 or schema_json != prev_schema or spec != prev_spec:
+            mapped_already = True
+        if (
+            prev_delta_schema is None
+            or delta_schema != prev_delta_schema
+            or list(spec) != prev_spec
+        ):
             config = {}
-            if _mapping_enabled(schema_json):
+            if is_mapped:
                 config = {
                     "delta.columnMapping.mode": "name",
                     "delta.columnMapping.maxColumnId": str(
@@ -328,9 +425,7 @@ def _write_delta_commits(
                     "metaData": {
                         "id": table_id,
                         "format": {"provider": "parquet", "options": {}},
-                        "schemaString": json.dumps(
-                            _delta_schema_json(schema_json)
-                        ),
+                        "schemaString": json.dumps(delta_schema),
                         "partitionColumns": list(spec),
                         "configuration": config,
                         "createdTime": now_ms,
@@ -370,13 +465,12 @@ def _write_delta_commits(
             if dstats is not None:
                 add["stats"] = dstats
             actions.append({"add": add})
-        if v >= start_v:
-            tmp = os.path.join(log_dir, f".{_delta_commit_name(v - 1)}.tmp")
-            with open(tmp, "w") as fh:
-                fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
-            os.replace(tmp, os.path.join(log_dir, _delta_commit_name(v - 1)))
-        prev_files, prev_stats = cur, stats
-        prev_schema, prev_spec = schema_json, spec
+        tmp = os.path.join(log_dir, f".{_delta_commit_name(v - 1)}.tmp")
+        with open(tmp, "w") as fh:
+            fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+        os.replace(tmp, commit_path)
+        prev_files = cur
+        prev_delta_schema, prev_spec = delta_schema, list(spec)
 
 
 def export_delta_snapshot(
@@ -415,12 +509,20 @@ def _last_checkpoint_version(log_dir: str) -> int | None:
         return int(json.load(fh)["version"])
 
 
-def _replay_json_chain(log_dir: str, commits: list[int]) -> tuple:
+def _replay_json_chain(
+    log_dir: str, commits: list[int], state: tuple | None = None
+) -> tuple:
     """Replay a contiguous JSON chain to its final state: (protocol
-    action dict, metaData action dict, {path: add action dict})."""
-    protocol = {"minReaderVersion": 1, "minWriterVersion": 2}
-    meta = None
-    active: dict[str, dict] = {}
+    action dict, metaData action dict, {path: add action dict}).
+    ``state`` seeds the replay (a checkpoint's reconstructed state, for
+    log-cleaned directories whose JSON no longer starts at 0)."""
+    if state is not None:
+        protocol, meta, active = state
+        active = dict(active)
+    else:
+        protocol = {"minReaderVersion": 1, "minWriterVersion": 2}
+        meta = None
+        active = {}
     for dv in commits:
         with open(os.path.join(log_dir, _delta_commit_name(dv))) as fh:
             for line in fh:
@@ -457,14 +559,24 @@ def write_delta_checkpoint(
     if not commits:
         raise FileNotFoundError(f"{log_dir} holds no commit JSON files")
     v = commits[-1] if version is None else version
-    if commits[0] != 0 or v not in commits:
+    last_cp = _last_checkpoint_version(log_dir)
+    if commits[0] == 0 and v in commits:
+        protocol, meta, active = _replay_json_chain(
+            log_dir, [c for c in commits if c <= v]
+        )
+    elif last_cp is not None and last_cp <= v:
+        # log-cleaned directory (no commit 0): bootstrap from the
+        # newest checkpoint and replay the surviving JSON tail — the
+        # same path a Delta reader takes
+        state = _read_checkpoint_state(log_dir, last_cp)
+        protocol, meta, active = _replay_json_chain(
+            log_dir, [c for c in commits if last_cp < c <= v], state=state
+        )
+    else:
         raise ValueError(
             f"checkpoint at {v} needs the contiguous JSON chain 0..{v} "
-            f"in {log_dir}"
+            f"in {log_dir}, or a prior checkpoint to bootstrap from"
         )
-    protocol, meta, active = _replay_json_chain(
-        log_dir, [c for c in commits if c <= v]
-    )
     if meta is None:
         raise ValueError(f"{log_dir} chain 0..{v} has no metaData action")
 

@@ -308,6 +308,118 @@ def test_sync_delta_log_incremental(spark, sf_dir, tmp_path):
     assert m0["meta"]["delta_import"] == 0
 
 
+def test_sync_survives_vacuum(spark, sf_dir, tmp_path):
+    """A vacuum that drops every manifest older than the last export
+    (purge_rows runs one) must not break subsequent syncs: diff state
+    replays from the MIRROR's own tail, not from manifest v1 (ADVICE
+    r8 medium)."""
+    from datalake_scripts_spark.operators.delta_interop import sync_delta_log
+
+    base = str(tmp_path / "tbl")
+    V.write_versioned(spark, _orders(spark, sf_dir, 0, 1000), base, mode="append")
+    log_dir = export_delta_log(base)
+    id0 = _commit_actions(log_dir, 0)[1]["metaData"]["id"]
+    V.write_versioned(spark, _orders(spark, sf_dir, 1000, 2000), base, mode="append")
+    assert sync_delta_log(base) == 1
+    V.delete_versioned(spark, base, "o_orderkey < 100")
+    # manifests 1 and 2 are gone now; only manifest 3 survives
+    V.vacuum(base, keep_last=1)
+    assert sync_delta_log(base) == 1
+    # same continuous table: id reused, no spurious metaData re-emission
+    acts2 = _commit_actions(log_dir, 2)
+    assert not any("metaData" in a for a in acts2)
+    assert any("remove" in a for a in acts2) and any("add" in a for a in acts2)
+    expected = sorted(map(tuple, V.read_versioned(spark, base).collect()))
+    _wipe_own_log(base)
+    assert import_delta_log(base) == 3
+    assert sorted(map(tuple, V.read_versioned(spark, base).collect())) == expected
+    assert _commit_actions(log_dir, 0)[1]["metaData"]["id"] == id0
+
+
+def test_sync_vacuumed_gap_emits_placeholder(spark, sf_dir, tmp_path):
+    """A manifest vacuumed before it was EVER synced is
+    unrepresentable: its Delta commit becomes a commitInfo-only VACUUM
+    placeholder (versions stay contiguous) and the next surviving
+    manifest's diff carries the cumulative change."""
+    from datalake_scripts_spark.operators.delta_interop import sync_delta_log
+
+    base = str(tmp_path / "tbl")
+    V.write_versioned(spark, _orders(spark, sf_dir, 0, 1000), base, mode="append")
+    log_dir = export_delta_log(base)
+    # two unsynced commits, then a vacuum that drops the first of them
+    V.write_versioned(spark, _orders(spark, sf_dir, 1000, 2000), base, mode="append")
+    V.delete_versioned(spark, base, "o_orderkey < 500")
+    V.vacuum(base, keep_last=1)
+    assert sync_delta_log(base) == 2
+    acts1 = _commit_actions(log_dir, 1)
+    assert len(acts1) == 1 and acts1[0]["commitInfo"]["operation"] == "VACUUM"
+    expected = sorted(map(tuple, V.read_versioned(spark, base).collect()))
+    _wipe_own_log(base)
+    assert import_delta_log(base) == 3
+    assert sorted(map(tuple, V.read_versioned(spark, base).collect())) == expected
+
+
+def test_sync_log_cleaned_mirror(spark, sf_dir, tmp_path):
+    """Delta log cleanup removes commit 0 (where the old code read the
+    table id) — a checkpointed, log-cleaned mirror must still sync,
+    resolving state + table id from the checkpoint, and must still be
+    able to write its NEXT checkpoint from that bootstrap."""
+    from datalake_scripts_spark.operators.delta_interop import (
+        sync_delta_log,
+        write_delta_checkpoint,
+    )
+
+    base = str(tmp_path / "tbl")
+    V.write_versioned(spark, _orders(spark, sf_dir, 0, 1000), base, mode="append")
+    V.write_versioned(spark, _orders(spark, sf_dir, 1000, 2000), base, mode="append")
+    log_dir = export_delta_log(base)
+    write_delta_checkpoint(base)  # at commit 1
+    id0 = _commit_actions(log_dir, 0)[1]["metaData"]["id"]
+    # log cleanup: every pre-checkpoint JSON is gone, commit 0 included
+    os.remove(os.path.join(log_dir, f"{0:020d}.json"))
+    os.remove(os.path.join(log_dir, f"{1:020d}.json"))
+    V.delete_versioned(spark, base, "o_orderkey < 100")
+    assert sync_delta_log(base) == 1
+    acts2 = _commit_actions(log_dir, 2)
+    assert any("remove" in a for a in acts2)
+    assert not any("metaData" in a for a in acts2)
+    # a fresh checkpoint bootstraps from the old one + the JSON tail
+    write_delta_checkpoint(base)
+    lc = json.load(open(os.path.join(log_dir, "_last_checkpoint")))
+    assert lc["version"] == 2
+    expected = sorted(map(tuple, V.read_versioned(spark, base).collect()))
+    _wipe_own_log(base)
+    assert import_delta_log(base) >= 1
+    assert sorted(map(tuple, V.read_versioned(spark, base).collect())) == expected
+    # table id survived the whole journey
+    from datalake_scripts_spark.operators.delta_interop import (
+        _read_checkpoint_state,
+    )
+    assert _read_checkpoint_state(log_dir, 2)[1]["id"] == id0
+
+
+def test_fresh_export_after_vacuum(spark, sf_dir, tmp_path):
+    """Exporting a never-mirrored table whose early manifests were
+    vacuumed: placeholder commits keep Delta versions aligned with
+    manifest versions, commit 0 still carries protocol+metaData, and
+    the import reproduces the live state."""
+    base = str(tmp_path / "tbl")
+    V.write_versioned(spark, _orders(spark, sf_dir, 0, 1000), base, mode="append")
+    V.write_versioned(spark, _orders(spark, sf_dir, 1000, 2000), base, mode="append")
+    V.vacuum(base, keep_last=1)
+    log_dir = export_delta_log(base)
+    acts0 = _commit_actions(log_dir, 0)
+    assert "protocol" in acts0[0] and "metaData" in acts0[1]
+    assert acts0[-1]["commitInfo"]["operation"] == "VACUUM"
+    assert not any("add" in a for a in acts0)
+    acts1 = _commit_actions(log_dir, 1)
+    assert any("add" in a for a in acts1)
+    expected = sorted(map(tuple, V.read_versioned(spark, base).collect()))
+    _wipe_own_log(base)
+    assert import_delta_log(base) == 2
+    assert sorted(map(tuple, V.read_versioned(spark, base).collect())) == expected
+
+
 def test_checkpoint_write_and_truncated_import(spark, sf_dir, tmp_path):
     """A checkpoint-truncated log (pre-checkpoint JSONs deleted, the
     shape every long-lived real Delta table has) bootstraps the import
