@@ -12,7 +12,10 @@ Semantics (matching DLT):
 - ``warn`` rules only count; ``drop`` rules exclude the row from the
   target (and route it to the quarantine table when one is given);
 - ``fail`` rules abort the whole write before anything commits — the
-  batch-poisoning guard.
+  batch-poisoning guard;
+- a rule with NO entry in the actions map is ``warn`` — DLT's bare
+  ``@expect`` is warn-only, so porting a DLT rule set without an
+  actions map must not silently lose rows.
 
 Scale shape: the violation vector is a single projected array column
 (``filter`` over a rule-name literal array — native HOFs, no UDF), so
@@ -61,11 +64,12 @@ def apply_expectations(
     actions: dict[str, str] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Split ``df`` into (kept, quarantined) by the ``drop``/``fail``
-    rules; ``warn`` rules never exclude rows. The quarantined frame
-    carries every original column plus ``_violations``
-    (array<string> of failed rule names — warn rules included, so the
-    quarantine record is the complete diagnosis). Lazy: callers pay
-    one scan per frame they actually use."""
+    rules; ``warn`` rules never exclude rows, and a rule absent from
+    ``actions`` defaults to ``warn`` (DLT's bare ``@expect``). The
+    quarantined frame carries every original column plus
+    ``_violations`` (array<string> of failed rule names — warn rules
+    included, so the quarantine record is the complete diagnosis).
+    Lazy: callers pay one scan per frame they actually use."""
     actions = actions or {}
     for name, act in actions.items():
         if name not in rules:
@@ -75,7 +79,7 @@ def apply_expectations(
     excluding = {
         n: s
         for n, s in rules.items()
-        if actions.get(n, "drop") in ("drop", "fail")
+        if actions.get(n, "warn") in ("drop", "fail")
     }
     with_v = df.withColumn("_violations", _violations_col(rules))
     excl_names = F.array(*[F.lit(n) for n in excluding]) if excluding \
@@ -103,7 +107,8 @@ def write_versioned_with_expectations(
     failing ``drop`` rules, write the clean remainder through
     :func:`versioned.write_versioned`, and record the per-rule
     violation counts in the commit's ``meta.expectations`` so the
-    quality history is itself time-travelable. Returns
+    quality history is itself time-travelable. Rules without an entry
+    in ``actions`` are ``warn`` (count-only — DLT parity). Returns
     ``(version, counts)``.
 
     Counting costs one aggregate over the batch (rule-name explode of
@@ -127,7 +132,7 @@ def write_versioned_with_expectations(
     failed = {
         n: c
         for n, c in counts.items()
-        if actions.get(n, "drop") == "fail" and c > 0
+        if actions.get(n, "warn") == "fail" and c > 0
     }
     if failed:
         raise ExpectationsFailed(failed)

@@ -1272,7 +1272,13 @@ def ingest_expectations_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "custkey_present": "o_custkey IS NOT NULL",
             "price_below_300k": "o_totalprice < 300000",
         },
-        actions={"price_below_300k": "warn"},
+        # unlisted rules default to warn (DLT parity) — the gating
+        # rules must say drop explicitly
+        actions={
+            "key_not_mod97": "drop",
+            "custkey_present": "drop",
+            "price_below_300k": "warn",
+        },
         quarantine_dir=qdir,
     )
     try:

@@ -28,10 +28,25 @@ RULES = {
     "tag_present": "tag IS NOT NULL",       # row 3 fails
     "k_small": "k < 100",                   # nobody fails
 }
+# unlisted rules are warn-only (DLT parity) — gating needs explicit drop
+DROP_ALL = {n: "drop" for n in RULES}
+
+
+def test_bare_rules_are_warn_only(spark, tmp_path):
+    """DLT parity: a rule with no actions entry counts violations but
+    never excludes rows — porting a DLT rule set without an actions
+    map must not silently lose data (ADVICE r8)."""
+    kept, quarantined = apply_expectations(_batch(spark), RULES)
+    assert kept.count() == 5 and quarantined.count() == 0
+    v, counts = write_versioned_with_expectations(
+        spark, _batch(spark), str(tmp_path / "t"), RULES
+    )
+    assert counts == {"price_positive": 3, "tag_present": 1, "k_small": 0}
+    assert V.read_versioned(spark, str(tmp_path / "t")).count() == 5
 
 
 def test_apply_expectations_split_and_diagnosis(spark):
-    kept, quarantined = apply_expectations(_batch(spark), RULES)
+    kept, quarantined = apply_expectations(_batch(spark), RULES, DROP_ALL)
     assert sorted(r["k"] for r in kept.collect()) == [1, 4]
     q = {r["k"]: sorted(r["_violations"]) for r in quarantined.collect()}
     assert q == {
@@ -53,7 +68,7 @@ def test_write_with_expectations_and_quarantine(spark, tmp_path):
     tdir, qdir = str(tmp_path / "t"), str(tmp_path / "q")
     v, counts = write_versioned_with_expectations(
         spark, _batch(spark), tdir, RULES,
-        actions={"tag_present": "warn"},
+        actions={**DROP_ALL, "tag_present": "warn"},
         quarantine_dir=qdir,
     )
     assert counts == {"price_positive": 3, "tag_present": 1, "k_small": 0}
@@ -89,7 +104,7 @@ def test_guards(spark):
 
 
 def test_one_pass_no_shuffle(spark):
-    kept, _ = apply_expectations(_batch(spark), RULES)
+    kept, _ = apply_expectations(_batch(spark), RULES, DROP_ALL)
     plan = kept._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # map-only split
 
@@ -102,7 +117,8 @@ def test_streaming_expectations_sink(spark, tmp_path):
 
     tdir, qdir = str(tmp_path / "t"), str(tmp_path / "q")
     sink = foreach_batch_expectations(
-        tdir, RULES, actions={"tag_present": "warn"}, quarantine_dir=qdir
+        tdir, RULES, actions={**DROP_ALL, "tag_present": "warn"},
+        quarantine_dir=qdir,
     )
     sink(_batch(spark), 0)
     assert sorted(
