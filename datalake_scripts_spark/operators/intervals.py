@@ -60,33 +60,66 @@ def interval_overlap_join(
     The result contains each qualifying (left row, right row) pair
     exactly once — the first-common-bin filter replaces the
     distinct-after-explode a naive banded join needs.
+
+    Preconditions: ``start <= end`` on every row (closed intervals) —
+    an inverted interval raises a clear runtime error instead of
+    ``sequence``'s opaque one; and no input column may use the
+    reserved working names (``_s _e _b0 _s2 _e2 _b02 _bin``) — a
+    collision raises up front rather than silently clobbering data.
     """
     if bin_width <= 0:
         raise ValueError(f"bin_width must be positive, got {bin_width}")
     on = on or []
+    reserved = ("_s", "_e", "_b0", "_s2", "_e2", "_b02", "_bin")
+    clash = sorted(
+        {c for c in reserved if c in left.columns or c in right.columns}
+    )
+    if clash:
+        raise ValueError(
+            f"input column(s) {clash} collide with "
+            "interval_overlap_join's reserved working names "
+            f"{list(reserved)} — rename them before the join"
+        )
 
     def conv(df, col):
         c = F.col(col)
         return to_long(c) if to_long is not None else c.cast("long")
 
+    def bins(b0, b1, s, e, side):
+        # a clear error beats sequence()'s opaque one on end < start
+        return F.explode(F.sequence(
+            b0,
+            F.when(e >= s, b1).otherwise(F.raise_error(F.concat(
+                F.lit(
+                    f"interval_overlap_join: inverted {side} interval "
+                    "(end < start): start="
+                ),
+                s.cast("string"), F.lit(" end="), e.cast("string"),
+            ))),
+        ))
+
+    ls = conv(left, left_start).cast("long")
+    le = conv(left, left_end).cast("long")
+    rs = conv(right, right_start).cast("long")
+    re = conv(right, right_end).cast("long")
     lb0 = F.floor(conv(left, left_start) / bin_width)
     lb1 = F.floor(conv(left, left_end) / bin_width)
     rb0 = F.floor(conv(right, right_start) / bin_width)
     rb1 = F.floor(conv(right, right_end) / bin_width)
 
-    l = left.withColumn("_s", conv(left, left_start).cast("long")) \
-            .withColumn("_e", conv(left, left_end).cast("long")) \
+    l = left.withColumn("_s", ls) \
+            .withColumn("_e", le) \
             .withColumn("_b0", lb0) \
-            .withColumn("_bin", F.explode(F.sequence(lb0, lb1)))
+            .withColumn("_bin", bins(lb0, lb1, ls, le, "left"))
     rename = {
         c: (c + "_r" if c in left.columns else c)
         for c in right.columns
         if c not in on
     }
-    r = right.withColumn("_s2", conv(right, right_start).cast("long")) \
-             .withColumn("_e2", conv(right, right_end).cast("long")) \
+    r = right.withColumn("_s2", rs) \
+             .withColumn("_e2", re) \
              .withColumn("_b02", rb0) \
-             .withColumn("_bin", F.explode(F.sequence(rb0, rb1)))
+             .withColumn("_bin", bins(rb0, rb1, rs, re, "right"))
     r = r.select(
         *on,
         *[F.col(c).alias(rename[c]) for c in right.columns if c not in on],
@@ -120,7 +153,10 @@ def interval_overlap_join_broadcast(
     dimension-sized (maintenance windows, promo calendars, tier
     tables); the banded :func:`interval_overlap_join` is the
     both-sides-large path. Same output contract (right columns
-    suffixed ``_r`` on collision)."""
+    suffixed ``_r`` on collision). Intervals are closed and assumed
+    ``start <= end``; an inverted interval simply matches nothing
+    here (the overlap predicate is evaluated directly — no explode to
+    blow up)."""
     on = on or []
     rename = {
         c: (c + "_r" if c in left.columns else c)

@@ -99,6 +99,35 @@ def test_bad_bin_width_raises(spark):
         interval_overlap_join(df, df, "s", "e", "s", "e", bin_width=0)
 
 
+def test_reserved_column_collision_raises(spark):
+    """User columns named like the working columns must raise up
+    front, not be silently clobbered (ADVICE r8)."""
+    left = _mk(spark, [(0, 1)], "L").withColumn("_bin", F.lit(9))
+    right = _mk(spark, [(0, 1)], "R")
+    with pytest.raises(ValueError, match="_bin"):
+        interval_overlap_join(left, right, "s", "e", "s", "e", bin_width=4)
+    with pytest.raises(ValueError, match="_s2"):
+        interval_overlap_join(
+            right, _mk(spark, [(0, 1)], "R").withColumn("_s2", F.lit(1)),
+            "s", "e", "s", "e", bin_width=4,
+        )
+
+
+def test_inverted_interval_clear_error(spark):
+    """end < start raises a message naming the offending values, not
+    sequence()'s opaque boundary error (ADVICE r8)."""
+    left = _mk(spark, [(9, 2)], "L")
+    right = _mk(spark, [(0, 10)], "R")
+    with pytest.raises(Exception, match="inverted left interval"):
+        interval_overlap_join(
+            left, right, "s", "e", "s", "e", bin_width=4
+        ).collect()
+    with pytest.raises(Exception, match="inverted right interval"):
+        interval_overlap_join(
+            right, left, "s", "e", "s", "e", bin_width=4
+        ).collect()
+
+
 def test_plan_has_single_join_no_distinct(spark):
     left = _mk(spark, [(0, 10), (20, 30)], "L")
     right = _mk(spark, [(5, 25)], "R")
