@@ -33,11 +33,17 @@ Concurrency (Delta-protocol-style optimistic concurrency, no lock):
   latest manifest and re-validate schema — append/append auto-merges,
   Delta's WriteSerializable behavior; a blind overwrite makes no
   read-dependency claim and also retries);
-- DML (DELETE/UPDATE/OPTIMIZE) and WAP commits pin the snapshot they
-  READ (``expected_version``): a concurrent commit invalidates their
-  read set, so they clean their staged files and raise
-  :class:`CommitConflict` for the caller to re-run — Delta's
-  ConcurrentModificationException;
+- DML (DELETE/UPDATE/MERGE/OPTIMIZE WHERE) commits pin the snapshot
+  they READ (``expected_version``) and, on a lost race, run Delta-style
+  LOGICAL conflict resolution (see :func:`_commit_dml`): a winner that
+  is disjoint from the DML's work — touched files live with identical
+  DV state, same schema/spec, added files cleared by the stats guard —
+  is REBASED over automatically (WriteSerializable: the DML serializes
+  at its read snapshot), so concurrent cron writers on different
+  partitions all land; an overlapping winner raises
+  :class:`ConcurrentDMLConflict` naming the conflicting files — the
+  caller re-runs discovery (Delta's ConcurrentModificationException
+  family). WAP commits keep the strict raise-on-any-conflict behavior;
 - ``_latest`` is an advance-only CACHE of the committed-version
   pointer; the truth is the manifest directory itself (atomically
   published files), so a losing writer can never regress the pointer.
@@ -75,6 +81,38 @@ class CommitConflict(Exception):
         super().__init__(
             f"manifest v{version:05d} already committed in {table_dir} "
             "by a concurrent writer"
+        )
+
+
+class ConcurrentDMLConflict(CommitConflict):
+    """A concurrent commit LOGICALLY conflicts with this DML's read
+    set — it rewrote/removed a file this DML rewrote, changed its
+    deletion vectors, or changed the table's schema/partition spec —
+    so a rebase would publish stale data (Delta's
+    ConcurrentDeleteDelete/ConcurrentTransaction family). Disjoint
+    winners are rebased automatically and never raise this; re-run
+    the operation against the current snapshot to resolve it.
+    ``conflicting_files`` names the overlap."""
+
+    def __init__(
+        self,
+        table_dir: str,
+        version: int,
+        reason: str,
+        conflicting_files: list[str] | None = None,
+    ):
+        self.table_dir = table_dir
+        self.version = version
+        self.reason = reason
+        self.conflicting_files = sorted(conflicting_files or [])
+        named = (
+            f": {self.conflicting_files}" if self.conflicting_files else ""
+        )
+        Exception.__init__(
+            self,
+            f"concurrent commit(s) up to v{version:05d} in {table_dir} "
+            f"conflict with this DML ({reason}{named}); re-run against "
+            "the current snapshot",
         )
 
 
@@ -2259,6 +2297,17 @@ def _compact_subset(
         # the rewrite read was DV-applied, so touched files' deletes
         # are now materialized; untouched files keep their DV rows
         dvs=_carry_dvs(manifest, touched),
+        # a spec-evolving OPTIMIZE re-keys the table layout: never
+        # rebase it over concurrent commits, re-run instead. Pure
+        # re-layout reads only its touched files, so winner-added
+        # files never affect its correctness (added_check ignore).
+        rebase=None if spec_id != cur_spec_id else {
+            "touched": touched,
+            "new_files": new_files,
+            "new_stats": new_stats,
+            "cow": True,
+            "added_check": "ignore",
+        },
     )
 
 
@@ -2498,7 +2547,8 @@ def delete_versioned(
         return v, 0
     if deletion_vectors:
         return _delete_via_dv(
-            spark, table_dir, v, manifest, predicate, touched, meta
+            spark, table_dir, v, manifest, predicate, touched, meta,
+            guard=_dml_guard(manifest, skip_filter),
         )
     # NULL-safe complement: SQL DELETE removes only rows where the
     # predicate is TRUE; rows where it evaluates to NULL must be KEPT.
@@ -2556,6 +2606,13 @@ def delete_versioned(
         spec_id=manifest.get("spec_id", 0),
         manifest_chunking=manifest.get("manifest_chunking"),
         dvs=_carry_dvs(manifest, touched),
+        rebase={
+            "touched": touched,
+            "new_files": new_files,
+            "new_stats": new_stats,
+            "cow": True,
+            "added_guard": _dml_guard(manifest, skip_filter),
+        },
     )
     return version, n_deleted
 
@@ -2568,6 +2625,7 @@ def _delete_via_dv(
     predicate: str,
     touched: list[str],
     meta: dict | None,
+    guard=None,
 ) -> tuple[int, int]:
     """Merge-on-read DELETE: stage one DV parquet of the newly-deleted
     (file basename, row position) pairs and commit it alongside the
@@ -2626,6 +2684,14 @@ def _delete_via_dv(
         spec_id=manifest.get("spec_id", 0),
         manifest_chunking=manifest.get("manifest_chunking"),
         dvs=dvs,
+        rebase={
+            "touched": touched,
+            "new_files": [],
+            "new_stats": {},
+            "new_dvs": [{"path": dv_rel, "rows": per_file}],
+            "cow": False,
+            "added_guard": guard,
+        },
     )
     return version, n_deleted
 
@@ -2640,6 +2706,7 @@ def _update_via_dv(
     declared: dict,
     touched: list[str],
     meta: dict | None,
+    guard=None,
 ) -> tuple[int, int]:
     """Merge-on-read UPDATE: the matched rows' positions become a new
     DV (old versions stay intact) and only their UPDATED images append
@@ -2722,8 +2789,44 @@ def _update_via_dv(
         spec_id=manifest.get("spec_id", 0),
         manifest_chunking=manifest.get("manifest_chunking"),
         dvs=dvs,
+        rebase={
+            "touched": touched,
+            "new_files": new_files,
+            "new_stats": new_stats,
+            "new_dvs": [{"path": dv_rel, "rows": per_file}],
+            "cow": False,
+            "added_guard": guard,
+        },
     )
     return version, n_updated
+
+
+def _dml_guard(manifest: dict, skip_filter: list[tuple] | None):
+    """The physicalized stats filter a predicate DML's rebase uses to
+    clear winner-ADDED files (same translation as
+    :func:`_predicate_touched_files`). None (no skip_filter) means the
+    predicate's reach is unknowable from stats — every concurrently
+    added file is then a conservative conflict."""
+    if not skip_filter:
+        return None
+    return (
+        _physicalize_filter(skip_filter, manifest.get("schema")) or []
+    ) + _translate_skip_filter(
+        skip_filter, _manifest_partition_spec(manifest),
+        manifest.get("schema"),
+    ) or None
+
+
+def _dv_rows_on(manifest: dict, bases: set[str]) -> dict:
+    """DV state restricted to ``bases``: {(dv path, file base): rows}.
+    Two snapshots agreeing on this have byte-identical merge-on-read
+    visibility for those files."""
+    return {
+        (dv["path"], b): n
+        for dv in manifest.get("dvs", []) or []
+        for b, n in dv["rows"].items()
+        if b in bases
+    }
 
 
 def _commit_dml(
@@ -2740,47 +2843,167 @@ def _commit_dml(
     spec_id: int | None = None,
     manifest_chunking=None,
     dvs: list | None = None,
+    rebase: dict | None = None,
 ) -> int:
     """Read-pinned DML commit: targets exactly the snapshot the DML
     read (its touched-file set and metadata row counts are only valid
-    against that manifest). A concurrent commit raises
-    :class:`CommitConflict` — Delta's conflict-detection behavior for
-    DELETE/UPDATE vs anything — after removing the rewrite's staged
-    files so nothing orphans. The caller re-runs against the new
-    snapshot.
+    against that manifest).
+
+    On a lost commit race, ``rebase`` enables Delta-style LOGICAL
+    conflict resolution (the reference's deployment model is
+    concurrent cron writers — zoom_proc.py:314-343 + jhub_proc.py:267-276
+    land on shared storage): re-read the winning snapshot and, when
+    the winner is DISJOINT from this DML's work — every touched file
+    still live with identical deletion-vector state, same schema /
+    partition spec / chunking — rebuild the manifest on top of the
+    winner's file set and retry the CAS. Winner-added files (appends,
+    other DMLs' rewrites of OTHER files) simply carry into the new
+    snapshot: WriteSerializable semantics — this DML serializes as if
+    it ran at its read snapshot, before the winner. An OVERLAPPING
+    winner (rewrote/removed a touched file, changed its DVs, evolved
+    schema or spec) raises :class:`ConcurrentDMLConflict` naming the
+    conflicting files, after removing the staged files so nothing
+    orphans — a blind retry would publish stale data, so the caller
+    must re-run discovery.
+
+    ``rebase`` keys: ``touched`` (files this DML's result depends on),
+    ``new_files``/``new_stats`` (what it staged), ``new_dvs`` (DV
+    entries it appends, merge-on-read paths), ``cow`` (True: touched
+    files leave the file list; False: DV path, file list unchanged).
+    ``rebase=None`` keeps the raise-on-any-conflict behavior (WAP).
 
     ``manifest_chunking`` (inherited from the snapshot the DML read)
     keeps the table's two-level layout across rewrites: the full
     post-DML file set is re-chunked (a rewrite invalidates the touched
     chunks' rollups, so carrying descriptors by reference would lie)."""
-    chunks = None
-    if manifest_chunking:
-        chunks = _write_manifest_chunks(
-            table_dir, files, stats, manifest_chunking
-        )
-    try:
+
+    def _attempt(files_, stats_, dvs_, expected_):
+        chunks = None
+        if manifest_chunking:
+            chunks = _write_manifest_chunks(
+                table_dir, files_, stats_, manifest_chunking
+            )
         return _commit_manifest(
             table_dir,
-            files,
-            stats,
+            files_,
+            stats_,
             mode,
             schema_json,
             meta,
             bloom_cols=bloom_cols,
-            expected_version=expected_version,
+            expected_version=expected_,
             partition_spec=partition_spec,
             spec_id=spec_id,
             chunks=chunks,
             manifest_chunking=manifest_chunking,
-            dvs=dvs,
+            dvs=dvs_,
         )
-    except CommitConflict:
+
+    def _cleanup():
         for f in staged_files:
             try:
                 os.remove(os.path.join(table_dir, f))
             except FileNotFoundError:
                 pass
-        raise
+
+    try:
+        return _attempt(files, stats, dvs, expected_version)
+    except CommitConflict as first:
+        if rebase is None:
+            _cleanup()
+            raise
+        last: CommitConflict = first
+    try:
+        base_m = _load_manifest(table_dir, expected_version)
+    except FileNotFoundError:
+        _cleanup()
+        raise last  # read snapshot vacuumed mid-flight: can't classify
+    touched = list(rebase["touched"])
+    touched_set = set(touched)
+    touched_bases = {os.path.basename(f) for f in touched}
+    base_dv_sig = _dv_rows_on(base_m, touched_bases)
+    base_files = set(_expand_manifest(table_dir, base_m)[0])
+
+    def _conflict(reason: str, conflicting) -> ConcurrentDMLConflict:
+        _cleanup()
+        return ConcurrentDMLConflict(
+            table_dir, current_version(table_dir), reason,
+            sorted(conflicting),
+        )
+
+    for _ in range(16):
+        cur = current_version(table_dir)
+        cur_m = _load_manifest(table_dir, cur)
+        if cur_m.get("schema") != base_m.get("schema"):
+            raise _conflict("concurrent schema change", [])
+        if (
+            _manifest_partition_spec(cur_m)
+            != _manifest_partition_spec(base_m)
+            or cur_m.get("spec_id", 0) != base_m.get("spec_id", 0)
+        ):
+            raise _conflict("concurrent partition-spec change", [])
+        if cur_m.get("manifest_chunking") != base_m.get("manifest_chunking"):
+            raise _conflict("concurrent manifest-chunking change", [])
+        live_cur, stats_cur = _expand_manifest(table_dir, cur_m)
+        missing = touched_set - set(live_cur)
+        if missing:
+            raise _conflict(
+                "touched files were concurrently rewritten or removed",
+                missing,
+            )
+        if _dv_rows_on(cur_m, touched_bases) != base_dv_sig:
+            raise _conflict(
+                "deletion vectors changed on touched files", touched_bases
+            )
+        # Delta's ConcurrentAppend check: files the winner ADDED that
+        # may contain rows this DML's predicate should have seen break
+        # the DML's "all matching rows" contract. The guard is the
+        # physicalized skip_filter / source-key envelope; with no
+        # guard, any added file is conservatively a conflict. Pure
+        # re-layout ops (OPTIMIZE) read only their touched files and
+        # set added_check='ignore'.
+        if rebase.get("added_check", "guard") == "guard":
+            added = [f for f in live_cur if f not in base_files]
+            guard = rebase.get("added_guard")
+            hits = [
+                f
+                for f in added
+                # a zero-row file can't hold a matching row (empty
+                # partitions staged as files have no min/max to prune)
+                if (stats_cur.get(f) or {}).get("rows") != 0
+                and (
+                    guard is None
+                    or _file_may_match(stats_cur.get(f), guard)
+                )
+            ]
+            if hits:
+                raise _conflict(
+                    "concurrently added files may contain rows matching "
+                    "this DML's predicate/keys",
+                    hits,
+                )
+        new_files = list(rebase.get("new_files") or [])
+        new_dvs = list(rebase.get("new_dvs") or [])
+        if rebase.get("cow", True):
+            carried = [f for f in live_cur if f not in touched_set]
+            files2 = carried + new_files
+            stats2 = {
+                **{f: stats_cur[f] for f in carried if f in stats_cur},
+                **rebase.get("new_stats", {}),
+            }
+            dvs2 = (_carry_dvs(cur_m, touched) or []) + new_dvs
+        else:
+            files2 = list(live_cur) + [
+                f for f in new_files if f not in set(live_cur)
+            ]
+            stats2 = {**stats_cur, **rebase.get("new_stats", {})}
+            dvs2 = list(cur_m.get("dvs", []) or []) + new_dvs
+        try:
+            return _attempt(files2, stats2, dvs2 or None, cur)
+        except CommitConflict as c:
+            last = c  # another winner landed while we rebased: re-read
+    _cleanup()
+    raise last
 
 
 def update_versioned(
@@ -2835,6 +3058,7 @@ def update_versioned(
         return _update_via_dv(
             spark, table_dir, v, manifest, predicate, set_exprs,
             declared, touched, meta,
+            guard=_dml_guard(manifest, skip_filter),
         )
     old_rows = _read_manifest_files(spark, manifest, table_dir, touched)
     pred = F.expr(predicate)
@@ -2889,6 +3113,13 @@ def update_versioned(
         spec_id=manifest.get("spec_id", 0),
         manifest_chunking=manifest.get("manifest_chunking"),
         dvs=_carry_dvs(manifest, touched),
+        rebase={
+            "touched": touched,
+            "new_files": new_files,
+            "new_stats": new_stats,
+            "cow": True,
+            "added_guard": _dml_guard(manifest, skip_filter),
+        },
     )
     return version, n_updated
 
@@ -3060,7 +3291,7 @@ def merge_versioned(
             spark, table_dir, v, manifest, src, on, tgt_all,
             when_matched_update, when_matched_delete,
             when_not_matched_insert, matched_condition, meta, touched,
-            schema_json,
+            schema_json, guard=env_phys,
         )
 
     from pyspark.sql import Observation
@@ -3213,6 +3444,15 @@ def merge_versioned(
         spec_id=manifest.get("spec_id", 0),
         manifest_chunking=manifest.get("manifest_chunking"),
         dvs=_carry_dvs(manifest, touched),
+        rebase={
+            "touched": touched,
+            "new_files": new_files,
+            "new_stats": new_stats,
+            "cow": True,
+            # winner-added files that may hold source keys break the
+            # matched/not-matched split: the envelope is the guard
+            "added_guard": env_phys,
+        },
     )
     return version, counts
 
@@ -3232,6 +3472,7 @@ def _merge_via_dv(
     meta: dict | None,
     touched: list[str],
     schema_json: dict | None,
+    guard=None,
 ) -> tuple[int, dict]:
     """Merge-on-read MERGE: matched rows' (file, position) pairs become
     a new deletion vector; only the updated images and the inserts
@@ -3380,6 +3621,16 @@ def _merge_via_dv(
         spec_id=manifest.get("spec_id", 0),
         manifest_chunking=manifest.get("manifest_chunking"),
         dvs=dvs,
+        rebase={
+            "touched": touched,
+            "new_files": new_files,
+            "new_stats": new_stats,
+            "new_dvs": (
+                [{"path": dv_rel, "rows": per_file}] if per_file else []
+            ),
+            "cow": False,
+            "added_guard": guard,
+        },
     )
     return version, counts
 
