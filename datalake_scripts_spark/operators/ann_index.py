@@ -1,0 +1,334 @@
+"""Persisted IVF vector index over the versioned layer (VERDICT r8
+ask #2): build the expensive parts of approximate-nearest-neighbor
+search — centroids and per-vector cell assignments — ONCE per corpus
+change and serve many queries from the stored index, instead of
+re-clustering and re-assigning per query (the pre-r9
+:func:`operators.similarity.ivf_topk` shape, whose cost is paid on the
+wrong side at 100 TB: per *query* instead of per *corpus change*).
+
+Index layout (two versioned tables under ``index_dir``):
+
+    index_dir/centroids     (cid bigint, cvec array<double>)
+    index_dir/assignments   (neighbor_id bigint, cv array<double>,
+                             cn double, cell bigint)
+
+- ``centroids`` commit meta records the build params (centroid
+  strategy, stride/k, assignment path, columns) and the source table.
+- every ``assignments`` commit records the SOURCE VERSION it covers —
+  the watermark incremental maintenance resumes from.
+- assignments are hive-partitioned BY CELL: a query probing ``nprobe``
+  cells reads only those partitions' files (manifest skip_filter +
+  partition pruning), so serving cost is O(corpus/nprobe-fraction),
+  not O(corpus) — the at-scale payoff of persisting the index.
+
+Incremental maintenance (:func:`refresh_ann_index`) rides the table's
+own change feed: an append to the corpus assigns ONLY the new vectors
+against the stored centroids (``read_changes``'s append fast path
+reads just the added files — O(batch), proven by test) and appends
+them to the assignments table. Non-append changes (delete/update/
+overwrite) and drift past ``drift_threshold`` (new rows vs indexed
+rows) trigger a full rebuild with fresh centroids — stale centroids
+on a shifted distribution silently degrade recall, so the re-cluster
+trigger is part of the contract, not an optimization.
+
+Reference parity: the reference has no similarity search at all
+(SURVEY.md §2); this is the index half of the ANN family the north
+star's training-data pipeline needs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import similarity as S
+from .versioned import (
+    _expand_manifest,
+    _load_manifest,
+    current_version,
+    read_changes,
+    read_versioned,
+    write_versioned,
+)
+
+
+def _n_rows(table_dir: str) -> int:
+    """Committed row count from manifest stats — metadata-only."""
+    m = _load_manifest(table_dir, current_version(table_dir))
+    _, stats = _expand_manifest(table_dir, m)
+    return sum(s["rows"] for s in stats.values())
+
+_CENTROIDS = "centroids"
+_ASSIGNMENTS = "assignments"
+
+
+def _subdir(index_dir: str, name: str) -> str:
+    return os.path.join(index_dir, name)
+
+
+def _index_meta(index_dir: str) -> dict:
+    """The build params (centroids commit meta) + the source-version
+    watermark (latest assignments commit meta)."""
+    cdir = _subdir(index_dir, _CENTROIDS)
+    adir = _subdir(index_dir, _ASSIGNMENTS)
+    cm = _load_manifest(cdir, current_version(cdir))
+    am = _load_manifest(adir, current_version(adir))
+    meta = dict(cm.get("meta", {}))
+    meta["source_version"] = am.get("meta", {})["source_version"]
+    return meta
+
+
+def load_centroids(
+    spark: SparkSession, index_dir: str
+) -> list[tuple[int, list[float]]]:
+    """Stored centroids as the driver-side (cid, values) list every
+    assignment/probe path accepts — O(n_centroids) rows by
+    construction."""
+    rows = read_versioned(
+        spark, _subdir(index_dir, _CENTROIDS)
+    ).collect()
+    return sorted(
+        (int(r["cid"]), [float(x) for x in r["cvec"]]) for r in rows
+    )
+
+
+def _assign(
+    corpus: DataFrame, cents, assignment: str, id_col: str, vec_col: str
+) -> DataFrame:
+    """(neighbor_id, cv, cn, cell) for every corpus vector — the
+    stored inverted file. 'literal' is the DuckDB-replicable oracle
+    twin; 'pandas' is the centroid-count-flat Arrow/numpy scale path
+    (same contract as similarity.ivf_topk)."""
+    if assignment == "pandas":
+        return S.ivf_assign_pandas(
+            corpus, cents, nprobe=1, id_col=id_col, vec_col=vec_col
+        )
+    dim = len(cents[0][1]) if cents else None
+    vv = F.col(vec_col).cast("array<double>")
+    return (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            vv.alias("cv"),
+            S.dot(vv, vv, dim).alias("cn"),
+        )
+        .withColumn(
+            "cell", S.ivf_assign_cell(F.col("cv"), F.col("cn"), cents)
+        )
+    )
+
+
+def build_ann_index(
+    spark: SparkSession,
+    corpus_dir: str,
+    index_dir: str,
+    centroids: str = "kmeans",
+    n_centroids: int = 64,
+    stride: int = 50,
+    max_sample: int = 10_000,
+    assignment: str = "pandas",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Build (or fully rebuild) the index from the corpus table's
+    CURRENT snapshot. Returns ``{"source_version", "n_centroids",
+    "n_indexed"}``. Cost: one centroid derivation (bounded driver
+    sample for kmeans) + one map-side assignment pass + one
+    cell-partitioned write — O(corpus), paid once per build."""
+    v = current_version(corpus_dir)
+    corpus = read_versioned(spark, corpus_dir)
+    if centroids == "kmeans":
+        cents = S.ivf_centroids_kmeans(
+            corpus, n_centroids=n_centroids, max_sample=max_sample,
+            id_col=id_col, vec_col=vec_col,
+        )
+    else:
+        cents = S.ivf_centroids(
+            corpus, stride=stride, id_col=id_col, vec_col=vec_col
+        )
+    if not cents:
+        raise ValueError(f"{corpus_dir} has no vectors to index")
+    params = {
+        "source_dir": corpus_dir,
+        "centroids": centroids,
+        "n_centroids": len(cents),
+        "stride": stride,
+        "max_sample": max_sample,
+        "assignment": assignment,
+        "id_col": id_col,
+        "vec_col": vec_col,
+    }
+    cent_df = spark.createDataFrame(
+        [(cid, vec) for cid, vec in cents],
+        "cid bigint, cvec array<double>",
+    )
+    write_versioned(
+        spark, cent_df, _subdir(index_dir, _CENTROIDS),
+        mode="overwrite", meta={**params, "source_version": v},
+    )
+    assigned = _assign(corpus, cents, assignment, id_col, vec_col)
+    write_versioned(
+        spark, assigned, _subdir(index_dir, _ASSIGNMENTS),
+        mode="overwrite", partition_by=["cell"],
+        meta={"source_version": v},
+    )
+    n_indexed = _n_rows(_subdir(index_dir, _ASSIGNMENTS))
+    return {
+        "source_version": v,
+        "n_centroids": len(cents),
+        "n_indexed": n_indexed,
+        "action": "built",
+    }
+
+
+def refresh_ann_index(
+    spark: SparkSession,
+    corpus_dir: str,
+    index_dir: str,
+    drift_threshold: float = 0.5,
+) -> dict:
+    """Bring the index up to the corpus's current snapshot.
+
+    - no corpus change since the watermark: no-op, zero jobs;
+    - append-only changes below ``drift_threshold`` (new rows /
+      indexed rows): assign ONLY the new vectors against the STORED
+      centroids and append — O(batch) work (the change feed's
+      append fast path reads just the added files; the assignments
+      commit carries every prior file by reference);
+    - non-append changes (delete/update/overwrite reached the corpus)
+      or drift past the threshold: full rebuild with fresh centroids —
+      re-clustering on distribution shift is what keeps recall honest.
+
+    Returns ``{"action": "noop"|"assigned"|"rebuilt", ...}``."""
+    meta = _index_meta(index_dir)
+    v0 = meta["source_version"]
+    cur = current_version(corpus_dir)
+    if cur == v0:
+        return {"action": "noop", "source_version": v0}
+
+    def _rebuild():
+        return build_ann_index(
+            spark, corpus_dir, index_dir,
+            centroids=meta.get("centroids", "kmeans"),
+            n_centroids=meta.get("n_centroids", 64),
+            stride=meta.get("stride", 50),
+            max_sample=meta.get("max_sample", 10_000),
+            assignment=meta.get("assignment", "pandas"),
+            id_col=meta.get("id_col", "vec_id"),
+            vec_col=meta.get("vec_col", "embedding"),
+        ) | {"action": "rebuilt"}
+
+    non_append = [
+        v
+        for v in range(v0 + 1, cur + 1)
+        if _load_manifest(corpus_dir, v)["mode"] != "append"
+    ]
+    if non_append:
+        return _rebuild()
+    adir = _subdir(index_dir, _ASSIGNMENTS)
+    n_indexed = _n_rows(adir)
+    new_rows = read_changes(spark, corpus_dir, v0, cur).drop("_change_type")
+    n_new = new_rows.count()
+    if n_indexed and n_new > drift_threshold * n_indexed:
+        return _rebuild()
+    if n_new:
+        cents = load_centroids(spark, index_dir)
+        assigned = _assign(
+            new_rows, cents, meta.get("assignment", "pandas"),
+            meta.get("id_col", "vec_id"), meta.get("vec_col", "embedding"),
+        )
+        write_versioned(
+            spark, assigned, adir, mode="append", partition_by=["cell"],
+            meta={"source_version": cur},
+        )
+    else:
+        # empty appends still move the watermark: stamp a metadata-only
+        # append so the next refresh doesn't rescan the same range
+        write_versioned(
+            spark,
+            read_versioned(spark, adir).limit(0),
+            adir, mode="append", partition_by=["cell"],
+            meta={"source_version": cur},
+        )
+    return {"action": "assigned", "n_new": n_new, "source_version": cur}
+
+
+def ivf_topk_indexed(
+    spark: SparkSession,
+    queries_df: DataFrame,
+    index_dir: str,
+    k: int = 3,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    prune: bool = True,
+) -> DataFrame:
+    """Serve top-k cosine neighbors FROM the stored index: centroids
+    load O(n_centroids) driver-side, queries probe their ``nprobe``
+    nearest cells map-side, and candidates come from the
+    cell-partitioned assignments table. With ``prune`` (default) the
+    probed cell ids — O(queries x nprobe) driver rows, bounded by the
+    same small-query-batch contract as the broadcast — become a static
+    partition filter on the assignments scan, so only the probed
+    cells' files are read: serving cost tracks the probed fraction of
+    the corpus, not the corpus. No clustering, no corpus assignment,
+    no corpus-wide scan on the query path. Same output contract as
+    :func:`operators.similarity.ivf_topk`
+    (query_id, cell, neighbor_id, cosine, rnk)."""
+    from pyspark.sql import Window as W
+
+    cents = load_centroids(spark, index_dir)
+    if not cents:
+        raise ValueError(f"{index_dir} holds no centroids")
+    meta = _index_meta(index_dir)
+    dim = len(cents[0][1])
+    vv = F.col(vec_col).cast("array<double>")
+    if meta.get("assignment") == "pandas":
+        q = (
+            S.ivf_assign_pandas(
+                queries_df, cents, nprobe=nprobe, id_col=id_col,
+                vec_col=vec_col, out_id="query_id",
+            )
+            .withColumnRenamed("cv", "qv")
+            .withColumnRenamed("cn", "qn")
+        )
+    else:
+        q = (
+            queries_df.select(
+                F.col(id_col).alias("query_id"),
+                vv.alias("qv"),
+                S.dot(vv, vv, dim).alias("qn"),
+            )
+            .withColumn(
+                "cell",
+                F.explode(
+                    S.ivf_probe_cells(F.col("qv"), F.col("qn"), cents, nprobe)
+                ),
+            )
+        )
+    c = read_versioned(spark, _subdir(index_dir, _ASSIGNMENTS))
+    if prune:
+        # bounded collect (see docstring): a static isin on the hive
+        # partition column lets the scan skip unprobed cells entirely
+        probed = sorted(
+            r["cell"] for r in q.select("cell").distinct().collect()
+        )
+        c = c.filter(F.col("cell").isin(probed))
+    scored = (
+        # bcast: O(queries x nprobe) — the query batch, small by contract
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "cell",
+            "neighbor_id",
+            S.cosine_with_norms(
+                F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn"), dim
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= k
+    )
