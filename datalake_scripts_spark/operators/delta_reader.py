@@ -1,0 +1,358 @@
+"""Minimal INDEPENDENT Delta Lake log reader (VERDICT r8 ask #3).
+
+The sandbox has no ``deltalake`` (delta-rs) wheel, so export/import
+conformance was previously provable only by hand-parsing the log with
+the exporter's own vocabulary — a shape guess, not a proof. This
+module is a read-only Delta client written from scratch against the
+PUBLIC protocol description (github.com/delta-io/delta PROTOCOL.md):
+
+- resolves ``_last_checkpoint`` and bootstraps from classic parquet
+  checkpoints (single- and multi-part), then replays the JSON tail;
+- replays ``protocol`` / ``metaData`` / ``add`` / ``remove`` actions
+  to the active-file state at any version (time travel);
+- materializes rows with pyarrow: per-file parquet reads, hive
+  partition columns restored from ``add.partitionValues`` with
+  Delta's string-serialization rules, column-mapping (``name`` mode)
+  resolution from field metadata, committed column order;
+- refuses what it does not implement (readers > 2, ``id`` mapping
+  mode, v2/UUID checkpoints, deletion vectors) loudly.
+
+INDEPENDENCE CONTRACT: this file must share NO code with
+``operators.delta_interop`` — separate JSON parsing, separate
+checkpoint reading, separate schema handling. The exporter is
+verified by ROUND-TRIP (tests/test_delta_reader.py): a table exported
+by delta_interop must read back byte-equal through THIS reader, so an
+exporter bug becomes a failing test instead of a guess. Keep it that
+way: do not import from delta_interop here, and do not "reuse" this
+module's helpers there.
+
+No Spark session needed — the reader is O(log + data) pyarrow.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import re
+
+
+class DeltaReadError(ValueError):
+    """The log is unreadable or uses a feature this reader refuses."""
+
+
+_COMMIT_RE = re.compile(r"^(\d{20})\.json$")
+_CP_SINGLE_RE = re.compile(r"^(\d{20})\.checkpoint\.parquet$")
+_CP_MULTI_RE = re.compile(
+    r"^(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet$"
+)
+
+
+class DeltaSnapshot:
+    """Reconstructed state of a Delta table at one version."""
+
+    def __init__(self, version, protocol, metadata, adds):
+        self.version = version
+        self.protocol = protocol
+        self.metadata = metadata
+        self.adds = adds  # {path(str, url-quoted as in the log): add dict}
+
+    # -- schema ------------------------------------------------------
+    @property
+    def schema(self) -> dict:
+        return json.loads(self.metadata["schemaString"])
+
+    @property
+    def partition_columns(self) -> list[str]:
+        return list(self.metadata.get("partitionColumns") or [])
+
+    def _mapping_mode(self) -> str:
+        return (self.metadata.get("configuration") or {}).get(
+            "delta.columnMapping.mode", "none"
+        )
+
+    def _physical_name(self, field: dict) -> str:
+        meta = field.get("metadata") or {}
+        if self._mapping_mode() == "name":
+            return meta.get(
+                "delta.columnMapping.physicalName", field["name"]
+            )
+        return field["name"]
+
+    # -- data --------------------------------------------------------
+    def num_records(self) -> int | None:
+        """Sum of per-file ``stats.numRecords`` — None if any active
+        file lacks stats."""
+        total = 0
+        for add in self.adds.values():
+            raw = add.get("stats")
+            if not raw:
+                return None
+            total += int(json.loads(raw)["numRecords"])
+        return total
+
+    def to_arrow(self, table_dir: str):
+        """Materialize the snapshot as one pyarrow Table: committed
+        column order, logical names, partition columns restored from
+        ``partitionValues`` with Delta's string serialization rules."""
+        import urllib.parse
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        fields = self.schema.get("fields", [])
+        part_cols = set(self.partition_columns)
+        pieces = []
+        for path, add in sorted(self.adds.items()):
+            full = os.path.join(table_dir, urllib.parse.unquote(path))
+            t = pq.read_table(full)
+            cols, names = [], []
+            pv = add.get("partitionValues") or {}
+            for f in fields:
+                name, phys = f["name"], self._physical_name(f)
+                if name in part_cols or phys in pv or name in pv:
+                    raw = pv.get(phys, pv.get(name))
+                    cols.append(
+                        pa.array(
+                            [_decode_partition_value(raw, f["type"])]
+                            * len(t),
+                            type=_arrow_type(f["type"]),
+                        )
+                    )
+                else:
+                    if phys not in t.column_names:
+                        raise DeltaReadError(
+                            f"{full} lacks column {phys!r} "
+                            f"(logical {name!r})"
+                        )
+                    cols.append(t.column(phys))
+                names.append(name)
+            pieces.append(pa.table(dict(zip(names, cols))))
+        if not pieces:
+            return pa.table(
+                {
+                    f["name"]: pa.array([], type=_arrow_type(f["type"]))
+                    for f in fields
+                }
+            )
+        return pa.concat_tables(pieces, promote_options="permissive")
+
+    def to_rows(self, table_dir: str) -> list[tuple]:
+        """Sorted row tuples — the round-trip comparison currency."""
+        t = self.to_arrow(table_dir)
+        return sorted(
+            tuple(row[name] for name in t.column_names)
+            for row in t.to_pylist()
+        )
+
+
+def _arrow_type(type_name):
+    import pyarrow as pa
+
+    if not isinstance(type_name, str):
+        # nested types never appear as partition columns and data
+        # columns keep their file-borne type; null placeholder is fine
+        return pa.null()
+    return {
+        "string": pa.string(),
+        "long": pa.int64(),
+        "integer": pa.int32(),
+        "short": pa.int16(),
+        "byte": pa.int8(),
+        "double": pa.float64(),
+        "float": pa.float32(),
+        "boolean": pa.bool_(),
+        "date": pa.date32(),
+        "timestamp": pa.timestamp("us", tz="UTC"),
+        "timestamp_ntz": pa.timestamp("us"),
+        "binary": pa.binary(),
+    }.get(type_name, pa.string())
+
+
+def _decode_partition_value(raw, type_name):
+    """Delta PROTOCOL.md partition-value serialization: strings, with
+    null encoded as a missing/NULL value (Spark's hive layer writes
+    __HIVE_DEFAULT_PARTITION__)."""
+    if raw is None or raw == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    if type_name in ("long", "integer", "short", "byte"):
+        return int(raw)
+    if type_name in ("double", "float"):
+        return float(raw)
+    if type_name == "boolean":
+        return raw == "true"
+    if type_name == "date":
+        return datetime.date.fromisoformat(raw)
+    if type_name in ("timestamp", "timestamp_ntz"):
+        return datetime.datetime.fromisoformat(raw)
+    return raw
+
+
+class DeltaLog:
+    """A ``_delta_log`` directory, parsed independently of the writer."""
+
+    def __init__(self, table_dir: str):
+        self.table_dir = table_dir
+        self.log_dir = os.path.join(table_dir, "_delta_log")
+        if not os.path.isdir(self.log_dir):
+            raise DeltaReadError(f"{self.log_dir} does not exist")
+
+    # -- listing -----------------------------------------------------
+    def _commit_versions(self) -> list[int]:
+        out = []
+        for n in os.listdir(self.log_dir):
+            m = _COMMIT_RE.match(n)
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def _checkpoint_versions(self) -> dict[int, list[str]]:
+        """version -> its parquet part files (sorted)."""
+        singles: dict[int, list[str]] = {}
+        multis: dict[int, dict[int, tuple[int, str]]] = {}
+        for n in os.listdir(self.log_dir):
+            m = _CP_SINGLE_RE.match(n)
+            if m:
+                singles[int(m.group(1))] = [n]
+                continue
+            m = _CP_MULTI_RE.match(n)
+            if m:
+                v, part, of_n = (
+                    int(m.group(1)), int(m.group(2)), int(m.group(3)),
+                )
+                multis.setdefault(v, {})[part] = (of_n, n)
+        out = dict(singles)
+        for v, parts in multis.items():
+            of_ns = {of for of, _ in parts.values()}
+            if len(of_ns) == 1 and len(parts) == of_ns.pop():
+                out.setdefault(
+                    v, [n for _, (_, n) in sorted(parts.items())]
+                )
+        return out
+
+    def latest_version(self) -> int:
+        commits = self._commit_versions()
+        cps = self._checkpoint_versions()
+        if not commits and not cps:
+            raise DeltaReadError(f"{self.log_dir} holds no commits")
+        return max(commits + list(cps))
+
+    # -- replay ------------------------------------------------------
+    def _apply_action(self, state: dict, action: dict) -> None:
+        if "protocol" in action:
+            state["protocol"] = action["protocol"]
+        elif "metaData" in action:
+            state["metadata"] = action["metaData"]
+        elif "add" in action:
+            a = action["add"]
+            if a.get("deletionVector"):
+                raise DeltaReadError(
+                    "this reader does not implement deletion vectors"
+                )
+            state["adds"][a["path"]] = a
+        elif "remove" in action:
+            state["adds"].pop(action["remove"]["path"], None)
+        # commitInfo / txn / cdc / domainMetadata: no table-state effect
+
+    def _load_checkpoint(self, state: dict, parts: list[str]) -> None:
+        import pyarrow.parquet as pq
+
+        for n in parts:
+            rows = pq.read_table(
+                os.path.join(self.log_dir, n)
+            ).to_pylist()
+            for row in rows:
+                for key in ("protocol", "metaData", "add", "remove"):
+                    val = row.get(key)
+                    if not val:
+                        continue
+                    if key == "metaData":
+                        val = dict(val)
+                        val["configuration"] = dict(
+                            val.get("configuration") or {}
+                        )
+                        fmt = dict(val.get("format") or {})
+                        fmt["options"] = dict(fmt.get("options") or {})
+                        val["format"] = fmt
+                        val["partitionColumns"] = list(
+                            val.get("partitionColumns") or []
+                        )
+                    if key == "add":
+                        val = dict(val)
+                        val["partitionValues"] = dict(
+                            val.get("partitionValues") or {}
+                        )
+                    self._apply_action(state, {key: val})
+
+    def snapshot(self, version: int | None = None) -> DeltaSnapshot:
+        """Replay to ``version`` (default: latest): nearest usable
+        checkpoint at-or-before it, then the JSON commits after it —
+        exactly the bootstrap path PROTOCOL.md prescribes. Raises
+        DeltaReadError when the history needed is gone (log-cleaned
+        past the asked version) or a required feature is missing."""
+        v = self.latest_version() if version is None else version
+        commits = self._commit_versions()
+        cps = self._checkpoint_versions()
+        usable_cps = [c for c in cps if c <= v]
+        # prefer the newest checkpoint <= v; fall back to pure JSON
+        state = {
+            "protocol": {"minReaderVersion": 1, "minWriterVersion": 2},
+            "metadata": None,
+            "adds": {},
+        }
+        start_after = -1
+        if usable_cps:
+            cp_v = max(usable_cps)
+            self._load_checkpoint(state, cps[cp_v])
+            start_after = cp_v
+            tail = [c for c in commits if cp_v < c <= v]
+        else:
+            tail = [c for c in commits if c <= v]
+            if tail and tail[0] != 0:
+                raise DeltaReadError(
+                    f"cannot reconstruct version {v}: JSON chain starts "
+                    f"at {tail[0]} and no checkpoint <= {v} exists"
+                )
+        expected = list(range(start_after + 1, v + 1))
+        if tail != expected:
+            missing = sorted(set(expected) - set(tail))
+            raise DeltaReadError(
+                f"cannot reconstruct version {v}: missing commit(s) "
+                f"{missing}"
+            )
+        for c in tail:
+            with open(
+                os.path.join(self.log_dir, f"{c:020d}.json")
+            ) as fh:
+                for line in fh:
+                    line = line.strip()
+                    if line:
+                        self._apply_action(state, json.loads(line))
+        proto = state["protocol"]
+        if proto.get("minReaderVersion", 1) > 2:
+            raise DeltaReadError(
+                f"minReaderVersion {proto['minReaderVersion']} > 2: "
+                "this reader implements readers 1-2 only"
+            )
+        if state["metadata"] is None:
+            raise DeltaReadError(
+                f"no metaData action found reconstructing version {v}"
+            )
+        mode = (state["metadata"].get("configuration") or {}).get(
+            "delta.columnMapping.mode", "none"
+        )
+        if mode not in ("none", "name"):
+            raise DeltaReadError(
+                f"columnMapping.mode {mode!r} not implemented "
+                "(only 'none' and 'name')"
+            )
+        return DeltaSnapshot(
+            v, proto, state["metadata"], state["adds"]
+        )
+
+    # -- conveniences ------------------------------------------------
+    def to_arrow(self, version: int | None = None):
+        return self.snapshot(version).to_arrow(self.table_dir)
+
+    def to_rows(self, version: int | None = None) -> list[tuple]:
+        return self.snapshot(version).to_rows(self.table_dir)

@@ -1,0 +1,243 @@
+"""Round-trip proof for the Delta exporter (VERDICT r8 ask #3): every
+shape delta_interop exports must read back row-equal through the
+INDEPENDENT reader in operators/delta_reader.py — separate JSON
+parsing, separate checkpoint loading, no shared code — so exporter
+bugs fail tests instead of surviving as protocol-shape guesses."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from datalake_scripts_spark.operators import versioned as V
+from datalake_scripts_spark.operators.delta_interop import (
+    export_delta_log,
+    sync_delta_log,
+    write_delta_checkpoint,
+)
+from datalake_scripts_spark.operators.delta_reader import (
+    DeltaLog,
+    DeltaReadError,
+)
+
+
+def _orders(spark, sf_dir, lo, hi):
+    from datalake_scripts_spark.io import read_table
+
+    return (
+        read_table(spark, sf_dir, "orders")
+        .filter((F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+    )
+
+
+def _spark_rows(spark, base, version=None):
+    return sorted(
+        map(tuple, V.read_versioned(spark, base, version=version).collect())
+    )
+
+
+def test_roundtrip_multi_commit_history(spark, sf_dir, tmp_path):
+    """append, append, DELETE, OPTIMIZE — adds, removes, and a
+    dataChange=false re-layout all replay to the same rows, at every
+    version (time travel parity: manifest v == Delta commit v-1)."""
+    base = str(tmp_path / "tbl")
+    V.write_versioned(spark, _orders(spark, sf_dir, 0, 2000), base, mode="append")
+    V.write_versioned(spark, _orders(spark, sf_dir, 2000, 4000), base, mode="append")
+    V.delete_versioned(spark, base, "o_orderpriority = '1-URGENT'")
+    V.compact_versioned(spark, base, target_files=1)
+    export_delta_log(base)
+    log = DeltaLog(base)
+    assert log.latest_version() == 3
+    for v in range(4):
+        assert log.to_rows(v) == _spark_rows(spark, base, version=v + 1), (
+            f"mismatch at Delta commit {v}"
+        )
+    # per-file stats agree with the materialized row count
+    snap = log.snapshot()
+    assert snap.num_records() == len(log.to_rows())
+
+
+def test_roundtrip_partitioned_table(spark, sf_dir, tmp_path):
+    """Hive-partitioned export: partitionValues restore the partition
+    column (typed), not null-filled."""
+    base = str(tmp_path / "tbl")
+    df = _orders(spark, sf_dir, 0, 3000)
+    V.write_versioned(
+        spark, df, base, mode="append", partition_by=["o_orderpriority"]
+    )
+    V.delete_versioned(spark, base, "o_custkey % 5 = 0")
+    export_delta_log(base)
+    log = DeltaLog(base)
+    got = log.to_rows()
+    assert got == _spark_rows(spark, base)
+    # the partition column is real data, with values
+    snap = log.snapshot()
+    assert snap.partition_columns == ["o_orderpriority"]
+    t = log.to_arrow()
+    vals = set(t.column("o_orderpriority").to_pylist())
+    assert len(vals) >= 2 and None not in vals
+
+
+def test_roundtrip_checkpoint_truncated_log(spark, sf_dir, tmp_path):
+    """Checkpoint bootstrap: pre-checkpoint JSONs deleted — the reader
+    loads the parquet checkpoint and replays the tail."""
+    base = str(tmp_path / "tbl")
+    V.write_versioned(spark, _orders(spark, sf_dir, 0, 2000), base, mode="append")
+    V.write_versioned(spark, _orders(spark, sf_dir, 2000, 3000), base, mode="append")
+    V.delete_versioned(spark, base, "o_orderkey < 50")
+    log_dir = export_delta_log(base)
+    write_delta_checkpoint(base, version=1)
+    for dv in range(2):
+        os.remove(os.path.join(log_dir, f"{dv:020d}.json"))
+    log = DeltaLog(base)
+    assert log.to_rows() == _spark_rows(spark, base)
+    # time travel to the checkpointed version works; before it, refuses
+    assert log.to_rows(1) == _spark_rows(spark, base, version=2)
+    with pytest.raises(DeltaReadError, match="missing commit|no checkpoint"):
+        log.snapshot(0)
+
+
+def test_roundtrip_column_mapped_table(spark, sf_dir, tmp_path):
+    """columnMapping=name export: files store physical names; the
+    reader resolves logical names through the field metadata."""
+    base = str(tmp_path / "tbl")
+    V.write_versioned(spark, _orders(spark, sf_dir, 0, 1000), base, mode="append")
+    V.enable_column_mapping(base)
+    V.rename_column(base, "o_totalprice", "price_usd")
+    V.write_versioned(
+        spark,
+        _orders(spark, sf_dir, 1000, 1500).withColumnRenamed(
+            "o_totalprice", "price_usd"
+        ),
+        base, mode="append",
+    )
+    export_delta_log(base)
+    log = DeltaLog(base)
+    snap = log.snapshot()
+    assert snap.protocol["minReaderVersion"] == 2
+    t = log.to_arrow()
+    assert "price_usd" in t.column_names
+    assert log.to_rows() == _spark_rows(spark, base)
+
+
+def test_roundtrip_synced_mirror_after_vacuum(spark, sf_dir, tmp_path):
+    """The r9 sync path (mirror-tail replay, VACUUM placeholders) must
+    still produce a log the independent reader accepts."""
+    base = str(tmp_path / "tbl")
+    V.write_versioned(spark, _orders(spark, sf_dir, 0, 1000), base, mode="append")
+    export_delta_log(base)
+    V.write_versioned(spark, _orders(spark, sf_dir, 1000, 2000), base, mode="append")
+    V.delete_versioned(spark, base, "o_orderkey < 100")
+    V.vacuum(base, keep_last=1)
+    sync_delta_log(base)
+    log = DeltaLog(base)
+    assert log.to_rows() == _spark_rows(spark, base)
+    # placeholder commit (vacuumed-before-sync) replays as a no-op
+    base2 = str(tmp_path / "tbl2")
+    V.write_versioned(spark, _orders(spark, sf_dir, 0, 1000), base2, mode="append")
+    export_delta_log(base2)
+    V.write_versioned(spark, _orders(spark, sf_dir, 1000, 2000), base2, mode="append")
+    V.delete_versioned(spark, base2, "o_orderkey < 500")
+    V.vacuum(base2, keep_last=1)
+    sync_delta_log(base2)
+    assert DeltaLog(base2).to_rows() == _spark_rows(spark, base2)
+
+
+def test_reader_refuses_unimplemented_features(spark, sf_dir, tmp_path):
+    base = str(tmp_path / "tbl")
+    V.write_versioned(spark, _orders(spark, sf_dir, 0, 500), base, mode="append")
+    log_dir = export_delta_log(base)
+    # reader version 3 (table features) must be refused, not guessed at
+    import json as _json
+
+    p = os.path.join(log_dir, f"{0:020d}.json")
+    lines = open(p).read().splitlines()
+    out = []
+    for line in lines:
+        a = _json.loads(line)
+        if "protocol" in a:
+            a["protocol"] = {"minReaderVersion": 3, "minWriterVersion": 7}
+        out.append(_json.dumps(a))
+    open(p, "w").write("\n".join(out) + "\n")
+    with pytest.raises(DeltaReadError, match="minReaderVersion"):
+        DeltaLog(base).snapshot()
+
+
+def test_reader_refuses_deletion_vectors(spark, sf_dir, tmp_path):
+    base = str(tmp_path / "tbl")
+    V.write_versioned(spark, _orders(spark, sf_dir, 0, 500), base, mode="append")
+    log_dir = export_delta_log(base)
+    import json as _json
+
+    p = os.path.join(log_dir, f"{0:020d}.json")
+    lines = [_json.loads(x) for x in open(p).read().splitlines()]
+    for a in lines:
+        if "add" in a:
+            a["add"]["deletionVector"] = {
+                "storageType": "u", "pathOrInlineDv": "x",
+                "offset": 1, "sizeInBytes": 40, "cardinality": 6,
+            }
+    open(p, "w").write("\n".join(_json.dumps(a) for a in lines) + "\n")
+    with pytest.raises(DeltaReadError, match="deletion vectors"):
+        DeltaLog(base).snapshot()
+
+
+def test_reader_on_foreign_log(spark, tmp_path):
+    """A hand-written minimal log (the import-test fixture shape — a
+    'foreign' writer) reads identically through the independent reader
+    and through import_delta_log + read_versioned."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datalake_scripts_spark.operators.delta_interop import (
+        import_delta_log,
+    )
+
+    base = str(tmp_path / "ftbl")
+    os.makedirs(os.path.join(base, "_delta_log"))
+    data = pa.table({"k": [1, 2, 3], "v": ["a", "b", "c"]})
+    pq.write_table(data, os.path.join(base, "part-000.parquet"))
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "v", "type": "string", "nullable": True, "metadata": {}},
+        ],
+    }
+    actions = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {
+            "id": "foreign-id",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": _json.dumps(schema),
+            "partitionColumns": [],
+            "configuration": {},
+            "createdTime": 0,
+        }},
+        {"add": {
+            "path": "part-000.parquet",
+            "partitionValues": {},
+            "size": os.path.getsize(
+                os.path.join(base, "part-000.parquet")
+            ),
+            "modificationTime": 0,
+            "dataChange": True,
+            "stats": _json.dumps({
+                "numRecords": 3, "minValues": {"k": 1},
+                "maxValues": {"k": 3}, "nullCount": {"k": 0},
+            }),
+        }},
+    ]
+    with open(
+        os.path.join(base, "_delta_log", f"{0:020d}.json"), "w"
+    ) as fh:
+        fh.write("\n".join(_json.dumps(a) for a in actions) + "\n")
+    reader_rows = DeltaLog(base).to_rows()
+    import_delta_log(base)
+    spark_rows = sorted(map(tuple, V.read_versioned(spark, base).collect()))
+    assert reader_rows == spark_rows == [(1, "a"), (2, "b"), (3, "c")]
