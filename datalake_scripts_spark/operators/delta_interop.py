@@ -24,9 +24,17 @@ Format notes (public Delta PROTOCOL.md):
   export emits the 2/5 protocol upgrade + ``columnMapping.mode=name``
   metaData that delta-spark itself writes (field metadata
   ``delta.columnMapping.physicalName``/``.id`` translated from our
-  ``physical``/``cid`` keys). Imports accept reader versions 1 and 2
+  ``physical``/``cid`` keys). Once deletion vectors enter the history,
+  the export upgrades to the table-features protocol (3/7, explicit
+  ``readerFeatures``/``writerFeatures``) and each DV'd file's ``add``
+  carries an INLINE deletion-vector descriptor: the live positions
+  serialized as a RoaringBitmapArray (portable format), Z85-encoded —
+  previously refused, unlocked in r9 by the independent reader
+  (operators/delta_reader.py) whose round-trip tests verify the
+  encoding end-to-end. Imports accept reader versions 1 and 2
   (mapping mode ``name`` resolves by physicalName — our native
-  resolution) and refuse 3+ (deletion vectors / table features).
+  resolution) and refuse 3+ (this importer does not apply foreign
+  DVs).
 
 Both directions are METADATA-ONLY — data files are shared in place,
 so adopting or exporting a 100 TB table costs O(commits), not O(data).
@@ -106,6 +114,198 @@ def _from_delta_schema_json(schema_json: dict) -> dict:
 
 def _delta_commit_name(version: int) -> str:
     return f"{version:020d}.json"
+
+
+# --------------------------------------------------------------- DVs
+# Inline deletion-vector export (public PROTOCOL.md "Deletion Vectors"
+# + RoaringFormatSpec). The codec lives HERE, on the writer side; the
+# independent reader (operators/delta_reader.py) carries its OWN
+# parser, so an encoding bug fails the round-trip tests instead of
+# cancelling out. Serialized form: RoaringBitmapArray "portable"
+# (4-byte LE magic 1681511377, 8-byte LE bitmap count, then one
+# standard 32-bit roaring bitmap per high-32-bit key) — array
+# containers <= 4096 values, bitmap containers above, no run
+# containers written. Inline descriptors Z85-encode the bytes
+# (zero-padded to a multiple of 4; sizeInBytes recovers the true
+# length).
+
+_Z85_ALPHABET = (
+    "0123456789abcdefghijklmnopqrstuvwxyz"
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#"
+)
+_ROARING_MAGIC = 1681511377
+_SERIAL_COOKIE_NO_RUN = 12346
+
+
+def _z85_encode(data: bytes) -> str:
+    pad = (-len(data)) % 4
+    data = data + b"\x00" * pad
+    out = []
+    for i in range(0, len(data), 4):
+        n = int.from_bytes(data[i:i + 4], "big")
+        chunk = []
+        for _ in range(5):
+            n, r = divmod(n, 85)
+            chunk.append(_Z85_ALPHABET[r])
+        out.extend(reversed(chunk))
+    return "".join(out)
+
+
+def _z85_decode(text: str) -> bytes:
+    idx = {c: i for i, c in enumerate(_Z85_ALPHABET)}
+    if len(text) % 5:
+        raise ValueError(f"Z85 length {len(text)} not a multiple of 5")
+    out = bytearray()
+    for i in range(0, len(text), 5):
+        n = 0
+        for c in text[i:i + 5]:
+            n = n * 85 + idx[c]
+        out += n.to_bytes(4, "big")
+    return bytes(out)
+
+
+def _serialize_roaring32(values: list[int]) -> bytes:
+    import struct
+
+    containers: dict[int, list[int]] = {}
+    for v in values:
+        containers.setdefault(v >> 16, []).append(v & 0xFFFF)
+    keys = sorted(containers)
+    n = len(keys)
+    out = struct.pack("<ii", _SERIAL_COOKIE_NO_RUN, n)
+    for k in keys:
+        out += struct.pack("<HH", k, len(containers[k]) - 1)
+    # offset header (always present with the no-run cookie)
+    pos = 8 + 4 * n + 4 * n
+    offsets = []
+    for k in keys:
+        offsets.append(pos)
+        pos += 2 * len(containers[k]) if len(containers[k]) <= 4096 else 8192
+    out += struct.pack(f"<{n}I", *offsets) if n else b""
+    for k in keys:
+        vals = sorted(containers[k])
+        if len(vals) <= 4096:
+            out += struct.pack(f"<{len(vals)}H", *vals)
+        else:
+            words = [0] * 1024
+            for v in vals:
+                words[v >> 6] |= 1 << (v & 63)
+            out += struct.pack("<1024Q", *words)
+    return out
+
+
+def _serialize_positions(positions) -> bytes:
+    """64-bit row positions -> RoaringBitmapArray portable bytes."""
+    import struct
+
+    by_high: dict[int, list[int]] = {}
+    for p in sorted(set(int(x) for x in positions)):
+        by_high.setdefault(p >> 32, []).append(p & 0xFFFFFFFF)
+    n_bitmaps = (max(by_high) + 1) if by_high else 0
+    out = struct.pack("<iq", _ROARING_MAGIC, n_bitmaps)
+    for hi in range(n_bitmaps):
+        out += _serialize_roaring32(by_high.get(hi, []))
+    return out
+
+
+def _deserialize_positions(buf: bytes) -> tuple[int, ...]:
+    """Writer-side inverse (mirror replay needs prior DV signatures);
+    the independent reader has its own parser."""
+    import struct
+
+    magic, n_bitmaps = struct.unpack_from("<iq", buf, 0)
+    if magic != _ROARING_MAGIC:
+        raise ValueError(f"bad RoaringBitmapArray magic {magic}")
+    pos = 12
+    out: list[int] = []
+    for hi in range(n_bitmaps):
+        cookie, = struct.unpack_from("<i", buf, pos)
+        if cookie != _SERIAL_COOKIE_NO_RUN:
+            raise ValueError(
+                f"writer-side parser expects no-run cookie, got {cookie}"
+            )
+        n, = struct.unpack_from("<i", buf, pos + 4)
+        desc = struct.unpack_from(f"<{2 * n}H", buf, pos + 8)
+        body = pos + 8 + 4 * n + 4 * n
+        for i in range(n):
+            key, card = desc[2 * i], desc[2 * i + 1] + 1
+            if card <= 4096:
+                vals = struct.unpack_from(f"<{card}H", buf, body)
+                body += 2 * card
+            else:
+                words = struct.unpack_from("<1024Q", buf, body)
+                body += 8192
+                vals = [
+                    (w_i << 6) | b
+                    for w_i, w in enumerate(words)
+                    if w
+                    for b in range(64)
+                    if w >> b & 1
+                ]
+            out.extend(
+                (hi << 32) | (key << 16) | v for v in vals
+            )
+        pos = body
+    return tuple(sorted(out))
+
+
+def _dv_descriptor(positions) -> dict:
+    raw = _serialize_positions(positions)
+    return {
+        "storageType": "i",
+        "pathOrInlineDv": _z85_encode(raw),
+        "sizeInBytes": len(raw),
+        "cardinality": len(set(int(x) for x in positions)),
+    }
+
+
+def _descriptor_positions(desc: dict) -> tuple[int, ...]:
+    raw = _z85_decode(desc["pathOrInlineDv"])[: desc["sizeInBytes"]]
+    return _deserialize_positions(raw)
+
+
+def _dv_positions(table_dir: str, manifest: dict) -> dict:
+    """{file basename: sorted position tuple} for a snapshot's live
+    deletion vectors — read with pyarrow (O(deleted rows), no Spark).
+    The per-entry ``rows`` dict is authoritative for which bases an
+    entry still applies to (rewrites drop bases via _carry_dvs)."""
+    dvs = manifest.get("dvs") or []
+    if not dvs:
+        return {}
+    import pyarrow.parquet as pq
+
+    by_base: dict[str, set] = {}
+    for dv in dvs:
+        live = set(dv["rows"])
+        t = pq.read_table(
+            os.path.join(table_dir, dv["path"]),
+            columns=["file_base", "pos"],
+        )
+        for b, p in zip(
+            t.column("file_base").to_pylist(), t.column("pos").to_pylist()
+        ):
+            if b in live:
+                by_base.setdefault(b, set()).add(int(p))
+    return {b: tuple(sorted(s)) for b, s in by_base.items()}
+
+
+def _proto_action(mapped: bool, dv: bool) -> dict:
+    """The protocol a table with these features needs: base (1,2),
+    columnMapping (2,5), deletionVectors -> table features (3,7) with
+    every reader/writer feature listed, as PROTOCOL.md requires."""
+    if dv:
+        feats = sorted(
+            ["deletionVectors"] + (["columnMapping"] if mapped else [])
+        )
+        return {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": feats,
+            "writerFeatures": feats,
+        }
+    if mapped:
+        return {"minReaderVersion": 2, "minWriterVersion": 5}
+    return {"minReaderVersion": 1, "minWriterVersion": 2}
 
 
 def _partition_values(rel_path: str) -> dict:
@@ -273,25 +473,16 @@ def _write_delta_commits(
             return None
 
     manifests = {v: _try_manifest(v) for v in range(start_v, latest + 1)}
-    for v, m in manifests.items():
-        if m and m.get("dvs"):
-            # this exporter speaks the base Delta protocol (no
-            # deletionVectors reader/writer feature) — exporting a
-            # DV'd history would resurrect deleted rows for Delta
-            # readers. Materialize first.
-            raise ValueError(
-                f"{table_dir}@v{v} carries deletion vectors; this "
-                "exporter speaks the base protocol only — materialize "
-                "them (compact_versioned) or export a clone of the "
-                "compacted snapshot instead of DV'd history"
-            )
     now_ms = int(time.time() * 1000)
 
     if prior_state is None:
         prev_files: set[str] = set()
         prev_delta_schema: dict | None = None
         prev_spec: list | None = None
+        prev_config: dict | None = None
+        prev_dv: dict = {}
         mapped_already = False
+        dv_already = False
     else:
         protocol, meta, active = prior_state
         prev_files = {urllib.parse.unquote(p) for p in active}
@@ -299,7 +490,22 @@ def _write_delta_commits(
             json.loads(meta["schemaString"]) if meta else None
         )
         prev_spec = list(meta.get("partitionColumns", [])) if meta else None
-        mapped_already = protocol.get("minReaderVersion", 1) >= 2
+        prev_config = dict(meta.get("configuration") or {}) if meta else None
+        rfeats = set(protocol.get("readerFeatures") or [])
+        mapped_already = (
+            protocol.get("minReaderVersion", 1) == 2
+            or "columnMapping" in rfeats
+        )
+        dv_already = "deletionVectors" in rfeats
+        # prior DV signatures: decode the mirror's own descriptors so a
+        # stacked DV on an already-exported file diffs correctly
+        prev_dv = {
+            urllib.parse.unquote(p): _descriptor_positions(
+                a["deletionVector"]
+            )
+            for p, a in active.items()
+            if a.get("deletionVector")
+        }
     for v in range(start_v, latest + 1):
         manifest = manifests[v]
         commit_path = os.path.join(log_dir, _delta_commit_name(v - 1))
@@ -323,12 +529,11 @@ def _write_delta_commits(
                         "requires one"
                     )
                 is_mapped = _mapping_enabled(schema_json)
-                actions.append({"protocol": (
-                    {"minReaderVersion": 2, "minWriterVersion": 5}
-                    if is_mapped
-                    else {"minReaderVersion": 1, "minWriterVersion": 2}
-                )})
-                mapped_already = is_mapped
+                has_dv = bool(surv.get("dvs"))
+                actions.append(
+                    {"protocol": _proto_action(is_mapped, has_dv)}
+                )
+                mapped_already, dv_already = is_mapped, has_dv
                 prev_delta_schema = _delta_schema_json(schema_json)
                 prev_spec = list(surv.get("partition_spec") or [])
                 config = {}
@@ -339,6 +544,9 @@ def _write_delta_commits(
                             surv.get("max_column_id", 0)
                         ),
                     }
+                if has_dv:
+                    config["delta.enableDeletionVectors"] = "true"
+                prev_config = config
                 actions.append({"metaData": {
                     "id": table_id,
                     "format": {"provider": "parquet", "options": {}},
@@ -390,36 +598,46 @@ def _write_delta_commits(
         data_change = not is_relayout
         delta_schema = _delta_schema_json(schema_json)
         is_mapped = _mapping_enabled(schema_json)
+        # live DV positions per file basename (pyarrow, O(deleted rows))
+        dv_pos = _dv_positions(table_dir, manifest)
+        cur = set(files)
+        cur_dv = {
+            f: dv_pos[os.path.basename(f)]
+            for f in files
+            if os.path.basename(f) in dv_pos
+        }
+        has_dv = bool(cur_dv)
         actions = []
-        if v == 1 and prior_state is None:
-            # the commit where column mapping first appears emits a
-            # protocol upgrade (2/5) + columnMapping.mode=name metaData
-            # — the exact sequence delta-spark writes for ALTER TABLE
-            # ... SET TBLPROPERTIES ('delta.columnMapping.mode'='name')
-            actions.append({"protocol": (
-                {"minReaderVersion": 2, "minWriterVersion": 5}
-                if is_mapped
-                else {"minReaderVersion": 1, "minWriterVersion": 2}
-            )})
-            mapped_already = is_mapped
-        elif is_mapped and not mapped_already:
-            actions.append(
-                {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}
-            )
-            mapped_already = True
+        # protocol ladder: the commit where a feature first appears
+        # emits the upgrade — 2/5 for columnMapping (what delta-spark
+        # writes for ALTER TABLE ... columnMapping.mode=name), 3/7 with
+        # explicit reader/writer feature lists once deletion vectors
+        # enter (table-features protocol). Monotone: never downgraded,
+        # even after DVs are materialized away.
+        new_mapped = mapped_already or is_mapped
+        new_dv = dv_already or has_dv
+        proto = _proto_action(new_mapped, new_dv)
+        if (v == 1 and prior_state is None) or proto != _proto_action(
+            mapped_already, dv_already
+        ):
+            actions.append({"protocol": proto})
+        mapped_already, dv_already = new_mapped, new_dv
+        config = {}
+        if is_mapped:
+            config = {
+                "delta.columnMapping.mode": "name",
+                "delta.columnMapping.maxColumnId": str(
+                    manifest.get("max_column_id", 0)
+                ),
+            }
+        if dv_already:
+            config["delta.enableDeletionVectors"] = "true"
         if (
             prev_delta_schema is None
             or delta_schema != prev_delta_schema
             or list(spec) != prev_spec
+            or config != prev_config
         ):
-            config = {}
-            if is_mapped:
-                config = {
-                    "delta.columnMapping.mode": "name",
-                    "delta.columnMapping.maxColumnId": str(
-                        manifest.get("max_column_id", 0)
-                    ),
-                }
             actions.append(
                 {
                     "metaData": {
@@ -440,18 +658,26 @@ def _write_delta_commits(
                 }
             }
         )
-        cur = set(files)
-        for f in sorted(prev_files - cur):
+        # a carried file whose DV changed (stacked or materialized) is
+        # re-added with its new descriptor — Delta's remove+add shape
+        # for merge-on-read DML
+        dv_changed = {
+            f
+            for f in (cur & prev_files)
+            if prev_dv.get(f) != cur_dv.get(f)
+        }
+        for f in sorted((prev_files - cur) | dv_changed):
             actions.append(
                 {
                     "remove": {
                         "path": urllib.parse.quote(f),
                         "deletionTimestamp": now_ms,
-                        "dataChange": data_change,
+                        # a DV change deletes rows even in a "relayout"
+                        "dataChange": data_change or f in dv_changed,
                     }
                 }
             )
-        for f in sorted(cur - prev_files):
+        for f in sorted((cur - prev_files) | dv_changed):
             full = os.path.join(table_dir, f)
             st = os.stat(full)
             add = {
@@ -459,8 +685,10 @@ def _write_delta_commits(
                 "partitionValues": _partition_values(f),
                 "size": st.st_size,
                 "modificationTime": int(st.st_mtime * 1000),
-                "dataChange": data_change,
+                "dataChange": data_change or f in dv_changed,
             }
+            if f in cur_dv:
+                add["deletionVector"] = _dv_descriptor(cur_dv[f])
             dstats = _delta_stats(stats.get(f))
             if dstats is not None:
                 add["stats"] = dstats
@@ -469,19 +697,22 @@ def _write_delta_commits(
         with open(tmp, "w") as fh:
             fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
         os.replace(tmp, commit_path)
-        prev_files = cur
+        prev_files, prev_dv = cur, cur_dv
         prev_delta_schema, prev_spec = delta_schema, list(spec)
+        prev_config = config
 
 
 def export_delta_snapshot(
     spark, table_dir: str, out_dir: str, version: int | None = None
 ) -> str:
     """The escape hatch for histories :func:`export_delta_log` refuses
-    (deletion vectors, transform partition specs): materialize
-    snapshot ``version`` — DVs applied, hidden layout dropped — into a
-    self-contained one-commit table at ``out_dir`` and export its log.
-    O(live data), no pre-snapshot time travel in the export; the
-    snapshot provenance is recorded in the commit meta."""
+    (transform partition specs) or whose export a consumer can't read
+    (DV'd histories need a deletionVectors-capable reader — protocol
+    3/7): materialize snapshot ``version`` — DVs applied, hidden
+    layout dropped — into a self-contained one-commit base-protocol
+    table at ``out_dir`` and export its log. O(live data), no
+    pre-snapshot time travel in the export; the snapshot provenance is
+    recorded in the commit meta."""
     from .versioned import (
         current_version,
         read_versioned,
@@ -579,6 +810,14 @@ def write_delta_checkpoint(
         )
     if meta is None:
         raise ValueError(f"{log_dir} chain 0..{v} has no metaData action")
+    if any(a.get("deletionVector") for a in active.values()):
+        raise ValueError(
+            f"checkpoint at {v} would drop deletion-vector descriptors "
+            "(the classic checkpoint schema written here has no "
+            "deletionVector column) — materialize DVs "
+            "(compact_versioned) before checkpointing, or checkpoint "
+            "an earlier DV-free version"
+        )
 
     def _map(d):
         return list((d or {}).items())

@@ -14,8 +14,13 @@ PUBLIC protocol description (github.com/delta-io/delta PROTOCOL.md):
   partition columns restored from ``add.partitionValues`` with
   Delta's string-serialization rules, column-mapping (``name`` mode)
   resolution from field metadata, committed column order;
-- refuses what it does not implement (readers > 2, ``id`` mapping
-  mode, v2/UUID checkpoints, deletion vectors) loudly.
+- applies INLINE deletion vectors: Z85 decode + a from-scratch
+  RoaringBitmapArray parser (portable format; array, bitmap, AND run
+  containers — real Delta writers run-compress), masking deleted row
+  positions out of each file read;
+- refuses what it does not implement (readers > 2 without a known
+  feature set, ``id`` mapping mode, v2/UUID checkpoints, on-disk
+  ``u``/``p`` deletion vectors) loudly.
 
 INDEPENDENCE CONTRACT: this file must share NO code with
 ``operators.delta_interop`` — separate JSON parsing, separate
@@ -39,6 +44,120 @@ import re
 
 class DeltaReadError(ValueError):
     """The log is unreadable or uses a feature this reader refuses."""
+
+
+# ------------------------------------------------- deletion vectors
+# Independent decode path — deliberately NOT shared with the
+# exporter's codec in delta_interop (round-trip independence).
+
+_Z85_CHARS = (
+    "0123456789abcdefghijklmnopqrstuvwxyz"
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#"
+)
+_Z85_INDEX = {c: i for i, c in enumerate(_Z85_CHARS)}
+
+
+def _z85_to_bytes(text: str) -> bytes:
+    if len(text) % 5:
+        raise DeltaReadError(
+            f"Z85 payload length {len(text)} is not a multiple of 5"
+        )
+    out = bytearray()
+    for i in range(0, len(text), 5):
+        n = 0
+        for c in text[i:i + 5]:
+            if c not in _Z85_INDEX:
+                raise DeltaReadError(f"invalid Z85 character {c!r}")
+            n = n * 85 + _Z85_INDEX[c]
+        out += n.to_bytes(4, "big")
+    return bytes(out)
+
+
+def _parse_roaring_bitmap32(buf: bytes, pos: int):
+    """One standard-serialization 32-bit roaring bitmap starting at
+    ``pos`` -> (sorted values, next position). Handles array, bitmap,
+    and run containers (RoaringFormatSpec)."""
+    import struct
+
+    cookie, = struct.unpack_from("<I", buf, pos)
+    if cookie == 12346:  # SERIAL_COOKIE_NO_RUNCONTAINER
+        n, = struct.unpack_from("<I", buf, pos + 4)
+        run_flags = [False] * n
+        p = pos + 8
+    elif (cookie & 0xFFFF) == 12347:  # SERIAL_COOKIE (run-capable)
+        n = (cookie >> 16) + 1
+        nbytes = (n + 7) // 8
+        bits = buf[pos + 4: pos + 4 + nbytes]
+        run_flags = [bool(bits[i // 8] >> (i % 8) & 1) for i in range(n)]
+        p = pos + 4 + nbytes
+    else:
+        raise DeltaReadError(f"unknown roaring cookie {cookie}")
+    desc = struct.unpack_from(f"<{2 * n}H", buf, p)
+    p += 4 * n
+    # offset header: always with cookie 12346; with runs only when
+    # the container count reaches the spec's NO_OFFSET_THRESHOLD (4)
+    if cookie == 12346 or n >= 4:
+        p += 4 * n
+    values: list[int] = []
+    for i in range(n):
+        key, card = desc[2 * i], desc[2 * i + 1] + 1
+        base = key << 16
+        if run_flags[i]:
+            n_runs, = struct.unpack_from("<H", buf, p)
+            p += 2
+            runs = struct.unpack_from(f"<{2 * n_runs}H", buf, p)
+            p += 4 * n_runs
+            for r in range(n_runs):
+                start, length = runs[2 * r], runs[2 * r + 1]
+                values.extend(base + start + j for j in range(length + 1))
+        elif card <= 4096:
+            vals = struct.unpack_from(f"<{card}H", buf, p)
+            p += 2 * card
+            values.extend(base + v for v in vals)
+        else:
+            words = struct.unpack_from("<1024Q", buf, p)
+            p += 8192
+            values.extend(
+                base + (wi << 6) + b
+                for wi, w in enumerate(words)
+                if w
+                for b in range(64)
+                if w >> b & 1
+            )
+    return values, p
+
+
+def _deleted_positions(descriptor: dict) -> frozenset:
+    """Inline DV descriptor -> the set of deleted row positions."""
+    import struct
+
+    if descriptor.get("storageType") != "i":
+        raise DeltaReadError(
+            f"deletion vector storageType "
+            f"{descriptor.get('storageType')!r} not implemented "
+            "(only inline 'i')"
+        )
+    raw = _z85_to_bytes(descriptor["pathOrInlineDv"])
+    size = int(descriptor["sizeInBytes"])
+    if size > len(raw):
+        raise DeltaReadError(
+            f"sizeInBytes {size} exceeds decoded payload {len(raw)}"
+        )
+    raw = raw[:size]
+    magic, n_bitmaps = struct.unpack_from("<iq", raw, 0)
+    if magic != 1681511377:
+        raise DeltaReadError(f"bad RoaringBitmapArray magic {magic}")
+    pos = 12
+    out: set[int] = set()
+    for hi in range(n_bitmaps):
+        vals, pos = _parse_roaring_bitmap32(raw, pos)
+        out.update((hi << 32) | v for v in vals)
+    if len(out) != int(descriptor.get("cardinality", len(out))):
+        raise DeltaReadError(
+            f"descriptor cardinality {descriptor.get('cardinality')} "
+            f"!= decoded {len(out)}"
+        )
+    return frozenset(out)
 
 
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
@@ -81,14 +200,18 @@ class DeltaSnapshot:
 
     # -- data --------------------------------------------------------
     def num_records(self) -> int | None:
-        """Sum of per-file ``stats.numRecords`` — None if any active
-        file lacks stats."""
+        """LIVE row count: per-file ``stats.numRecords`` (physical)
+        minus each file's deletion-vector cardinality — None if any
+        active file lacks stats."""
         total = 0
         for add in self.adds.values():
             raw = add.get("stats")
             if not raw:
                 return None
             total += int(json.loads(raw)["numRecords"])
+            dv = add.get("deletionVector")
+            if dv:
+                total -= int(dv["cardinality"])
         return total
 
     def to_arrow(self, table_dir: str):
@@ -106,6 +229,13 @@ class DeltaSnapshot:
         for path, add in sorted(self.adds.items()):
             full = os.path.join(table_dir, urllib.parse.unquote(path))
             t = pq.read_table(full)
+            dv = add.get("deletionVector")
+            if dv:
+                dead = _deleted_positions(dv)
+                mask = pa.array(
+                    [i not in dead for i in range(len(t))], type=pa.bool_()
+                )
+                t = t.filter(mask)
             cols, names = [], []
             pv = add.get("partitionValues") or {}
             for f in fields:
@@ -245,10 +375,6 @@ class DeltaLog:
             state["metadata"] = action["metaData"]
         elif "add" in action:
             a = action["add"]
-            if a.get("deletionVector"):
-                raise DeltaReadError(
-                    "this reader does not implement deletion vectors"
-                )
             state["adds"][a["path"]] = a
         elif "remove" in action:
             state["adds"].pop(action["remove"]["path"], None)
@@ -329,10 +455,18 @@ class DeltaLog:
                     if line:
                         self._apply_action(state, json.loads(line))
         proto = state["protocol"]
-        if proto.get("minReaderVersion", 1) > 2:
+        if proto.get("minReaderVersion", 1) == 3:
+            unknown = set(proto.get("readerFeatures") or []) - {
+                "deletionVectors", "columnMapping",
+            }
+            if unknown:
+                raise DeltaReadError(
+                    f"unsupported reader feature(s) {sorted(unknown)}"
+                )
+        elif proto.get("minReaderVersion", 1) > 3:
             raise DeltaReadError(
-                f"minReaderVersion {proto['minReaderVersion']} > 2: "
-                "this reader implements readers 1-2 only"
+                f"minReaderVersion {proto['minReaderVersion']} > 3: "
+                "this reader implements readers 1-3 only"
             )
         if state["metadata"] is None:
             raise DeltaReadError(

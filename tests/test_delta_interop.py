@@ -552,8 +552,10 @@ def test_cli_delta_sync_and_checkpoint(spark, sf_dir, tmp_path, capsys):
 
 
 def test_export_delta_snapshot_for_dvd_table(spark, sf_dir, tmp_path):
-    """A DV'd history refuses export_delta_log; export_delta_snapshot
-    is the supported route — DVs applied, self-contained, adoptable."""
+    """export_delta_snapshot stays the base-protocol route for DV'd
+    histories (r9: export_delta_log now exports them natively as
+    protocol 3/7 with inline descriptors — consumers lacking the
+    deletionVectors feature still want the materialized snapshot)."""
     from datalake_scripts_spark.operators.delta_interop import (
         export_delta_snapshot,
     )
@@ -563,8 +565,6 @@ def test_export_delta_snapshot_for_dvd_table(spark, sf_dir, tmp_path):
     V.delete_versioned(
         spark, base, "o_orderpriority = '1-URGENT'", deletion_vectors=True
     )
-    with pytest.raises(ValueError, match="deletion vectors"):
-        export_delta_log(base)
     expected = sorted(map(tuple, V.read_versioned(spark, base).collect()))
     out = str(tmp_path / "snap")
     log_dir = export_delta_snapshot(spark, base, out)

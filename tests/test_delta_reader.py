@@ -146,11 +146,174 @@ def test_roundtrip_synced_mirror_after_vacuum(spark, sf_dir, tmp_path):
     assert DeltaLog(base2).to_rows() == _spark_rows(spark, base2)
 
 
+def test_roundtrip_inline_deletion_vectors(spark, sf_dir, tmp_path):
+    """DV'd history exports natively (r9: protocol 3/7, inline Z85
+    roaring descriptors) and the independent reader — own Z85 decode,
+    own roaring parser — masks the deleted rows back out: the
+    previously-refused inline-DV export, now round-trip-proven."""
+    base = str(tmp_path / "tbl")
+    V.write_versioned(spark, _orders(spark, sf_dir, 0, 2000), base, mode="append")
+    V.delete_versioned(
+        spark, base, "o_orderpriority = '1-URGENT'", deletion_vectors=True
+    )
+    export_delta_log(base)
+    log = DeltaLog(base)
+    snap = log.snapshot()
+    assert snap.protocol["minReaderVersion"] == 3
+    assert "deletionVectors" in snap.protocol["readerFeatures"]
+    assert any(a.get("deletionVector") for a in snap.adds.values())
+    d = next(
+        a["deletionVector"]
+        for a in snap.adds.values()
+        if a.get("deletionVector")
+    )
+    assert d["storageType"] == "i" and d["cardinality"] > 0
+    # live rows match the DV-applied Spark read, at every version
+    assert log.to_rows() == _spark_rows(spark, base)
+    assert log.to_rows(0) == _spark_rows(spark, base, version=1)
+    assert snap.num_records() == len(log.to_rows())
+
+
+def test_roundtrip_stacked_and_materialized_dvs(spark, sf_dir, tmp_path):
+    """Stacked DVs on the same file merge into one descriptor (Delta's
+    remove+add shape per commit); a later OPTIMIZE materializes them
+    and the descriptor disappears while the protocol stays 3/7."""
+    base = str(tmp_path / "tbl")
+    V.write_versioned(
+        spark, _orders(spark, sf_dir, 0, 2000).coalesce(1), base,
+        mode="append",
+    )
+    V.delete_versioned(spark, base, "o_orderkey < 100", deletion_vectors=True)
+    V.delete_versioned(
+        spark, base, "o_orderkey >= 100 AND o_orderkey < 200",
+        deletion_vectors=True,
+    )
+    export_delta_log(base)
+    log = DeltaLog(base)
+    for v in range(3):
+        assert log.to_rows(v) == _spark_rows(spark, base, version=v + 1), (
+            f"mismatch at Delta commit {v}"
+        )
+    snap = log.snapshot()
+    descs = [
+        a["deletionVector"]
+        for a in snap.adds.values()
+        if a.get("deletionVector")
+    ]
+    assert len(descs) == 1  # one file, one MERGED descriptor
+    n_dv_rows = V.read_versioned(spark, base, version=1).filter(
+        "o_orderkey < 200"
+    ).count()
+    assert descs[0]["cardinality"] == n_dv_rows
+    # materialize: descriptors gone, rows identical, protocol kept
+    V.compact_versioned(spark, base, target_files=1)
+    sync_delta_log(base)
+    log2 = DeltaLog(base)
+    snap2 = log2.snapshot()
+    assert not any(a.get("deletionVector") for a in snap2.adds.values())
+    assert snap2.protocol["minReaderVersion"] == 3
+    assert log2.to_rows() == _spark_rows(spark, base)
+
+
+def test_roundtrip_dv_merge_on_read(spark, sf_dir, tmp_path):
+    """Merge-on-read MERGE (DV + update images + inserts in one
+    commit) round-trips: the reader sees exactly the post-merge
+    rows."""
+    base = str(tmp_path / "tbl")
+    V.write_versioned(spark, _orders(spark, sf_dir, 0, 1000), base, mode="append")
+    src = (
+        _orders(spark, sf_dir, 0, 1000).limit(20)
+        .withColumn("o_totalprice", F.lit(123.45))
+    )
+    V.merge_versioned(
+        spark, base, src, on=["o_orderkey"],
+        when_matched_update={"o_totalprice": "s.o_totalprice"},
+        deletion_vectors=True,
+    )
+    export_delta_log(base)
+    assert DeltaLog(base).to_rows() == _spark_rows(spark, base)
+
+
+def test_roundtrip_dv_bitmap_container(spark, sf_dir, tmp_path):
+    """>4096 deleted positions in one 16-bit chunk forces a roaring
+    BITMAP container — the codec's other container type, round-tripped
+    through the independent parser."""
+    base = str(tmp_path / "tbl")
+    big = spark.range(9000).selectExpr("id AS k", "id * 2 AS v").coalesce(1)
+    V.write_versioned(spark, big, base, mode="append")
+    V.delete_versioned(spark, base, "k % 7 != 0", deletion_vectors=True)
+    export_delta_log(base)
+    log = DeltaLog(base)
+    d = next(
+        a["deletionVector"]
+        for a in log.snapshot().adds.values()
+        if a.get("deletionVector")
+    )
+    assert d["cardinality"] > 4096
+    assert log.to_rows() == _spark_rows(spark, base)
+
+
+def test_reader_parses_run_containers(tmp_path):
+    """Real Delta writers run-compress: the reader's parser handles
+    run containers and the run-capable cookie even though our exporter
+    never writes them (hand-built fixture per RoaringFormatSpec)."""
+    import struct
+
+    from datalake_scripts_spark.operators.delta_reader import (
+        _parse_roaring_bitmap32,
+    )
+
+    # one run container: cookie 12347 (n-1=0 << 16), run flag set,
+    # key 0, cardinality 10 (stored as 9), no offsets (n < 4),
+    # 1 run: start 5, length-1 = 9
+    buf = (
+        struct.pack("<I", 12347)
+        + bytes([0b1])
+        + struct.pack("<HH", 0, 9)
+        + struct.pack("<H", 1)
+        + struct.pack("<HH", 5, 9)
+    )
+    vals, pos = _parse_roaring_bitmap32(buf, 0)
+    assert sorted(vals) == list(range(5, 15)) and pos == len(buf)
+
+
+def test_checkpoint_refuses_dv_state(spark, sf_dir, tmp_path):
+    """The classic checkpoint written here has no deletionVector
+    column: checkpointing a DV'd snapshot must refuse loudly instead
+    of silently resurrecting deleted rows."""
+    base = str(tmp_path / "tbl")
+    V.write_versioned(spark, _orders(spark, sf_dir, 0, 1000), base, mode="append")
+    V.delete_versioned(spark, base, "o_orderkey < 50", deletion_vectors=True)
+    export_delta_log(base)
+    with pytest.raises(ValueError, match="deletion-vector"):
+        write_delta_checkpoint(base)
+
+
+def test_reader_refuses_ondisk_dv(spark, sf_dir, tmp_path):
+    import json as _json
+
+    base = str(tmp_path / "tbl")
+    V.write_versioned(spark, _orders(spark, sf_dir, 0, 500), base, mode="append")
+    log_dir = export_delta_log(base)
+    p = os.path.join(log_dir, f"{0:020d}.json")
+    lines = [_json.loads(x) for x in open(p).read().splitlines()]
+    for a in lines:
+        if "add" in a:
+            a["add"]["deletionVector"] = {
+                "storageType": "u", "pathOrInlineDv": "ab^cd",
+                "offset": 1, "sizeInBytes": 40, "cardinality": 6,
+            }
+    open(p, "w").write("\n".join(_json.dumps(a) for a in lines) + "\n")
+    with pytest.raises(DeltaReadError, match="storageType"):
+        DeltaLog(base).to_arrow()
+
+
 def test_reader_refuses_unimplemented_features(spark, sf_dir, tmp_path):
     base = str(tmp_path / "tbl")
     V.write_versioned(spark, _orders(spark, sf_dir, 0, 500), base, mode="append")
     log_dir = export_delta_log(base)
-    # reader version 3 (table features) must be refused, not guessed at
+    # reader version 3 with a feature this reader lacks must refuse,
+    # not guess
     import json as _json
 
     p = os.path.join(log_dir, f"{0:020d}.json")
@@ -159,29 +322,14 @@ def test_reader_refuses_unimplemented_features(spark, sf_dir, tmp_path):
     for line in lines:
         a = _json.loads(line)
         if "protocol" in a:
-            a["protocol"] = {"minReaderVersion": 3, "minWriterVersion": 7}
+            a["protocol"] = {
+                "minReaderVersion": 3, "minWriterVersion": 7,
+                "readerFeatures": ["v2Checkpoint"],
+                "writerFeatures": ["v2Checkpoint"],
+            }
         out.append(_json.dumps(a))
     open(p, "w").write("\n".join(out) + "\n")
-    with pytest.raises(DeltaReadError, match="minReaderVersion"):
-        DeltaLog(base).snapshot()
-
-
-def test_reader_refuses_deletion_vectors(spark, sf_dir, tmp_path):
-    base = str(tmp_path / "tbl")
-    V.write_versioned(spark, _orders(spark, sf_dir, 0, 500), base, mode="append")
-    log_dir = export_delta_log(base)
-    import json as _json
-
-    p = os.path.join(log_dir, f"{0:020d}.json")
-    lines = [_json.loads(x) for x in open(p).read().splitlines()]
-    for a in lines:
-        if "add" in a:
-            a["add"]["deletionVector"] = {
-                "storageType": "u", "pathOrInlineDv": "x",
-                "offset": 1, "sizeInBytes": 40, "cardinality": 6,
-            }
-    open(p, "w").write("\n".join(_json.dumps(a) for a in lines) + "\n")
-    with pytest.raises(DeltaReadError, match="deletion vectors"):
+    with pytest.raises(DeltaReadError, match="reader feature"):
         DeltaLog(base).snapshot()
 
 
