@@ -1,0 +1,614 @@
+"""Apache Iceberg v2 metadata interop (VERDICT r8 ask #5): export a
+versioned table's history as Iceberg table metadata — JSON metadata
+files + Avro manifest lists + Avro manifests (the structure the
+chunked-manifest layer already mirrors) — and adopt (import) such a
+metadata tree back into the versioned manifest chain, sharing data
+files in place. Both directions are METADATA-ONLY: O(commits + file
+entries), never O(data).
+
+Layout written (HadoopTables / filesystem-catalog convention from the
+public Iceberg table spec, iceberg.apache.org/spec):
+
+    <table>/metadata/v<N>.metadata.json     one per exported snapshot
+    <table>/metadata/version-hint.text      latest N
+    <table>/metadata/snap-<id>-1-<uuid>.avro   manifest lists
+    <table>/metadata/<uuid>-m0.avro            manifest files
+
+Shape per the v2 spec:
+- manifest LIST entries carry field-ids 500-517 (path, length,
+  spec-id, content, sequence numbers, snapshot id, file/row counts);
+- manifest entries carry status/snapshot_id/sequence numbers and an
+  (id 2) ``data_file`` record: content, file_path, file_format,
+  partition record (field-ids 1000+), record_count, file size;
+- table metadata: format-version 2, schemas with field-ids,
+  identity partition-specs, snapshots with sequence numbers,
+  snapshot-log; schema field-ids reuse the column-mapping ``cid``
+  when the table has one (so Iceberg ids and our mapping ids agree).
+
+Cost/shape notes: an append snapshot ADDS one manifest and reuses
+every prior one by reference (the incremental path — exactly how the
+versioned layer's chunked manifests work); a non-append commit
+(DELETE/UPDATE/MERGE/OPTIMIZE) rewrites ONE fresh manifest holding
+the snapshot's live files with status EXISTING for carried files —
+O(live file entries), still metadata-only.
+
+Honest refusals (same posture as the Delta exporter): deletion
+vectors (Iceberg expresses row-level deletes as delete files, not
+implemented), transform (hidden) partitioning specs, nested column
+types (struct/array/map field-id assignment not implemented), and
+short/byte columns (Iceberg has no 16/8-bit ints; a silent widen
+would change the adopted schema).
+
+Avro is written/read by functions/avro_min.py — the image has no
+avro Python package and no spark-avro DataSource module.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from ..functions.avro_min import read_container, write_container
+from .versioned import (
+    _commit_manifest,
+    _expand_manifest,
+    _load_manifest,
+    current_version,
+)
+
+_SPARK_TO_ICEBERG = {
+    "long": "long",
+    "integer": "int",
+    "string": "string",
+    "double": "double",
+    "float": "float",
+    "boolean": "boolean",
+    "date": "date",
+    "timestamp": "timestamptz",
+    "timestamp_ntz": "timestamp",
+    "binary": "binary",
+}
+_ICEBERG_TO_SPARK = {
+    "long": "long",
+    "int": "integer",
+    "string": "string",
+    "double": "double",
+    "float": "float",
+    "boolean": "boolean",
+    "date": "date",
+    "timestamptz": "timestamp",
+    "timestamp": "timestamp_ntz",
+    "binary": "binary",
+}
+
+
+def _iceberg_schema(schema_json: dict) -> tuple[dict, dict[str, int]]:
+    """Spark StructType JSON -> (Iceberg schema JSON, name->field-id).
+    Field ids reuse column-mapping ``cid`` metadata when present."""
+    fields, ids = [], {}
+    next_id = 1 + max(
+        (
+            int((f.get("metadata") or {}).get("cid", 0))
+            for f in schema_json["fields"]
+        ),
+        default=0,
+    )
+    for f in schema_json["fields"]:
+        t = f["type"]
+        if not isinstance(t, str):
+            raise ValueError(
+                f"column {f['name']!r} has nested type {t.get('type')!r}; "
+                "nested field-id assignment is not implemented — flatten "
+                "first (operators.nested.flatten_struct)"
+            )
+        if t.startswith("decimal"):
+            ice_t = t.replace("decimal", "decimal", 1)
+        elif t in _SPARK_TO_ICEBERG:
+            ice_t = _SPARK_TO_ICEBERG[t]
+        else:
+            raise ValueError(
+                f"column {f['name']!r} type {t!r} has no exact Iceberg "
+                "equivalent (short/byte would silently widen) — cast "
+                "before export"
+            )
+        cid = (f.get("metadata") or {}).get("cid")
+        fid = int(cid) if cid is not None else next_id
+        if cid is None:
+            next_id += 1
+        ids[f["name"]] = fid
+        fields.append(
+            {
+                "id": fid,
+                "name": f["name"],
+                "required": not f.get("nullable", True),
+                "type": ice_t,
+            }
+        )
+    return {"type": "struct", "schema-id": 0, "fields": fields}, ids
+
+
+def _spark_schema(ice_schema: dict) -> dict:
+    fields = []
+    for f in ice_schema["fields"]:
+        t = f["type"]
+        if isinstance(t, str) and t.startswith("decimal"):
+            spark_t = t
+        elif isinstance(t, str) and t in _ICEBERG_TO_SPARK:
+            spark_t = _ICEBERG_TO_SPARK[t]
+        else:
+            raise ValueError(
+                f"Iceberg type {t!r} (column {f['name']!r}) is not "
+                "adoptable by this importer"
+            )
+        fields.append(
+            {
+                "name": f["name"],
+                "type": spark_t,
+                "nullable": not f.get("required", False),
+                "metadata": {},
+            }
+        )
+    return {"type": "struct", "fields": fields}
+
+
+def _avro_primitive(ice_type: str) -> str:
+    """Avro physical type of an Iceberg primitive (spec Appendix A:
+    date -> int days, timestamps -> long micros)."""
+    return {
+        "int": "int",
+        "long": "long",
+        "date": "int",
+        "timestamp": "long",
+        "timestamptz": "long",
+        "string": "string",
+        "double": "double",
+        "float": "float",
+        "boolean": "boolean",
+    }.get(ice_type, "string")
+
+
+_MANIFEST_LIST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long", "field-id": 516},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        {"name": "added_files_count", "type": "int", "field-id": 504},
+        {"name": "existing_files_count", "type": "int", "field-id": 505},
+        {"name": "deleted_files_count", "type": "int", "field-id": 506},
+        {"name": "added_rows_count", "type": "long", "field-id": 512},
+        {"name": "existing_rows_count", "type": "long", "field-id": 513},
+        {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+    ],
+}
+
+
+def _manifest_schema(spec_fields: list[dict], ice_schema: dict) -> dict:
+    by_id = {f["id"]: f for f in ice_schema["fields"]}
+    part_fields = []
+    for pf in spec_fields:
+        src = by_id[pf["source-id"]]
+        part_fields.append(
+            {
+                "name": pf["name"],
+                "type": ["null", _avro_primitive(src["type"])],
+                "field-id": pf["field-id"],
+                "default": None,
+            }
+        )
+    data_file = {
+        "type": "record",
+        "name": "r2",
+        "fields": [
+            {"name": "content", "type": "int", "field-id": 134},
+            {"name": "file_path", "type": "string", "field-id": 100},
+            {"name": "file_format", "type": "string", "field-id": 101},
+            {
+                "name": "partition",
+                "type": {
+                    "type": "record",
+                    "name": "r102",
+                    "fields": part_fields,
+                },
+                "field-id": 102,
+            },
+            {"name": "record_count", "type": "long", "field-id": 103},
+            {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+        ],
+    }
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {"name": "snapshot_id", "type": ["null", "long"],
+             "field-id": 1, "default": None},
+            {"name": "sequence_number", "type": ["null", "long"],
+             "field-id": 3, "default": None},
+            {"name": "file_sequence_number", "type": ["null", "long"],
+             "field-id": 4, "default": None},
+            {"name": "data_file", "type": data_file, "field-id": 2},
+        ],
+    }
+
+
+def _partition_values_of(rel_path: str, spec_fields, ice_schema) -> dict:
+    """Hive ``k=v`` segments -> typed partition record values."""
+    import urllib.parse
+
+    by_id = {f["id"]: f for f in ice_schema["fields"]}
+    raw = {}
+    for seg in rel_path.split("/")[:-1]:
+        if "=" in seg:
+            k, _, v = seg.partition("=")
+            raw[urllib.parse.unquote(k)] = urllib.parse.unquote(v)
+    out = {}
+    for pf in spec_fields:
+        v = raw.get(pf["name"])
+        if v is None or v == "__HIVE_DEFAULT_PARTITION__":
+            out[pf["name"]] = None
+            continue
+        t = by_id[pf["source-id"]]["type"]
+        if t in ("long", "int"):
+            out[pf["name"]] = int(v)
+        elif t in ("double", "float"):
+            out[pf["name"]] = float(v)
+        elif t == "boolean":
+            out[pf["name"]] = v == "true"
+        else:
+            out[pf["name"]] = v
+        if t == "date":
+            import datetime
+
+            out[pf["name"]] = (
+                datetime.date.fromisoformat(v)
+                - datetime.date(1970, 1, 1)
+            ).days
+    return out
+
+
+def export_iceberg_metadata(
+    table_dir: str, out_dir: str | None = None
+) -> str:
+    """Write ``<out_dir or table_dir>/metadata/`` expressing the
+    table's manifest history as Iceberg v2 snapshots (manifest v maps
+    to sequence-number v). Returns the metadata directory. Data files
+    are referenced in place by absolute path — zero bytes copied."""
+    meta_dir = os.path.join(out_dir or table_dir, "metadata")
+    os.makedirs(meta_dir, exist_ok=True)
+    latest = current_version(table_dir)
+    if latest == 0:
+        raise FileNotFoundError(f"no committed version in {table_dir}")
+    now_ms = int(time.time() * 1000)
+    table_uuid = str(uuid.uuid4())
+    location = os.path.abspath(out_dir or table_dir)
+
+    manifests: dict = {}  # version -> manifest-list entry dict
+    first_seen: dict[str, int] = {}  # file -> version it first appeared
+    snapshots: list[dict] = []
+    snapshot_ids: dict[int, int] = {}
+    prev_files: set[str] = set()
+    ice_schema = None
+    spec_fields: list[dict] = []
+    spec_id = 0
+    last_col_id = 0
+    for v in range(1, latest + 1):
+        try:
+            m = _load_manifest(table_dir, v)
+        except FileNotFoundError:
+            raise ValueError(
+                f"{table_dir}@v{v} was vacuumed; Iceberg snapshots must "
+                "be contiguous — export to a fresh directory only the "
+                "surviving history (or vacuum the mirror the same way)"
+            ) from None
+        if m.get("dvs"):
+            raise ValueError(
+                f"{table_dir}@v{v} carries deletion vectors; Iceberg "
+                "expresses row-level deletes as delete files, which "
+                "this exporter does not emit — materialize first "
+                "(compact_versioned)"
+            )
+        spec = m.get("partition_spec") or []
+        if any(isinstance(e, dict) for e in spec):
+            raise ValueError(
+                f"{table_dir}@v{v} uses transform partitioning {spec}; "
+                "mapping transform specs to Iceberg transforms is not "
+                "implemented — re-layout with an identity spec first"
+            )
+        schema_json = m.get("schema")
+        if schema_json is None:
+            raise ValueError(f"{table_dir}@v{v} has no committed schema")
+        ice_schema, ids = _iceberg_schema(schema_json)
+        last_col_id = max(ids.values(), default=0)
+        spec_fields = [
+            {
+                "name": c,
+                "transform": "identity",
+                "source-id": ids[c],
+                "field-id": 1000 + i,
+            }
+            for i, c in enumerate(spec)
+        ]
+        files, stats = _expand_manifest(table_dir, m)
+        cur = set(files)
+        for f in cur - prev_files:
+            first_seen[f] = v
+        snap_id = now_ms + v  # unique, monotone
+        snapshot_ids[v] = snap_id
+        mode = m.get("mode", "append")
+        is_append = mode == "append" and prev_files <= cur
+        mschema = _manifest_schema(spec_fields, ice_schema)
+
+        def _entry(f: str, status: int, seen_v: int) -> dict:
+            return {
+                "status": status,
+                "snapshot_id": snapshot_ids[seen_v],
+                "sequence_number": seen_v,
+                "file_sequence_number": seen_v,
+                "data_file": {
+                    "content": 0,
+                    "file_path": os.path.abspath(
+                        os.path.join(table_dir, f)
+                    ),
+                    "file_format": "PARQUET",
+                    "partition": _partition_values_of(
+                        f, spec_fields, ice_schema
+                    ),
+                    "record_count": stats.get(f, {}).get("rows", 0),
+                    "file_size_in_bytes": os.path.getsize(
+                        os.path.join(table_dir, f)
+                    ),
+                },
+            }
+
+        if is_append:
+            added = sorted(cur - prev_files)
+            entries = [_entry(f, 1, v) for f in added]
+            keep = {k: e for k, e in manifests.items()}
+        else:
+            # rewrite: ONE fresh manifest holding the live files —
+            # carried files keep EXISTING status + origin snapshot
+            entries = [
+                _entry(f, 1 if first_seen[f] == v else 0, first_seen[f])
+                for f in sorted(cur)
+            ]
+            keep = {}
+        mpath = os.path.join(meta_dir, f"{uuid.uuid4().hex}-m0.avro")
+        write_container(
+            mpath,
+            mschema,
+            entries,
+            metadata={
+                "schema": json.dumps(ice_schema),
+                "schema-id": "0",
+                "partition-spec": json.dumps(spec_fields),
+                "partition-spec-id": str(spec_id),
+                "format-version": "2",
+                "content": "data",
+            },
+        )
+        n_added = sum(1 for e in entries if e["status"] == 1)
+        rows_added = sum(
+            e["data_file"]["record_count"]
+            for e in entries
+            if e["status"] == 1
+        )
+        rows_existing = sum(
+            e["data_file"]["record_count"]
+            for e in entries
+            if e["status"] == 0
+        )
+        keep[v] = {
+            "manifest_path": mpath,
+            "manifest_length": os.path.getsize(mpath),
+            "partition_spec_id": spec_id,
+            "content": 0,
+            "sequence_number": v,
+            "min_sequence_number": min(
+                (e["sequence_number"] for e in entries), default=v
+            ),
+            "added_snapshot_id": snap_id,
+            "added_files_count": n_added,
+            "existing_files_count": len(entries) - n_added,
+            "deleted_files_count": 0,
+            "added_rows_count": rows_added,
+            "existing_rows_count": rows_existing,
+            "deleted_rows_count": 0,
+        }
+        manifests = keep
+        list_path = os.path.join(
+            meta_dir, f"snap-{snap_id}-1-{uuid.uuid4().hex}.avro"
+        )
+        write_container(
+            list_path,
+            _MANIFEST_LIST_SCHEMA,
+            [manifests[k] for k in sorted(manifests)],
+            metadata={"format-version": "2"},
+        )
+        op = {
+            "append": "append",
+            "delete": "delete",
+            "update": "overwrite",
+            "merge": "overwrite",
+            "optimize": "replace",
+            "overwrite": "overwrite",
+            "restore": "overwrite",
+        }.get(mode, "overwrite")
+        snapshots.append(
+            {
+                "snapshot-id": snap_id,
+                **(
+                    {"parent-snapshot-id": snapshot_ids[v - 1]}
+                    if v > 1
+                    else {}
+                ),
+                "sequence-number": v,
+                "timestamp-ms": now_ms + v,
+                "summary": {"operation": op},
+                "manifest-list": list_path,
+                "schema-id": 0,
+            }
+        )
+        table_meta = {
+            "format-version": 2,
+            "table-uuid": table_uuid,
+            "location": location,
+            "last-sequence-number": v,
+            "last-updated-ms": now_ms + v,
+            "last-column-id": last_col_id,
+            "current-schema-id": 0,
+            "schemas": [ice_schema],
+            "default-spec-id": spec_id,
+            "partition-specs": [
+                {"spec-id": spec_id, "fields": spec_fields}
+            ],
+            "last-partition-id": max(
+                (pf["field-id"] for pf in spec_fields), default=999
+            ),
+            "default-sort-order-id": 0,
+            "sort-orders": [{"order-id": 0, "fields": []}],
+            "properties": {},
+            "current-snapshot-id": snap_id,
+            "refs": {
+                "main": {"snapshot-id": snap_id, "type": "branch"}
+            },
+            "snapshots": list(snapshots),
+            "snapshot-log": [
+                {
+                    "snapshot-id": s["snapshot-id"],
+                    "timestamp-ms": s["timestamp-ms"],
+                }
+                for s in snapshots
+            ],
+            "metadata-log": [],
+        }
+        mjson = os.path.join(meta_dir, f"v{v}.metadata.json")
+        tmp = mjson + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(table_meta, fh, indent=1)
+        os.replace(tmp, mjson)
+        prev_files = cur
+    hint = os.path.join(meta_dir, "version-hint.text")
+    with open(hint + ".tmp", "w") as fh:
+        fh.write(str(latest))
+    os.replace(hint + ".tmp", hint)
+    return meta_dir
+
+
+def import_iceberg_metadata(table_dir: str) -> int:
+    """Adopt an Iceberg metadata tree at ``<table_dir>/metadata`` into
+    the versioned manifest chain: each snapshot (sequence order)
+    becomes one manifest version referencing the SAME data files.
+    Returns the number of versions committed. Refuses delete manifests
+    (content=1, row-level deletes) and non-identity transforms."""
+    meta_dir = os.path.join(table_dir, "metadata")
+    hint = os.path.join(meta_dir, "version-hint.text")
+    if os.path.exists(hint):
+        n = int(open(hint).read().strip())
+        meta_path = os.path.join(meta_dir, f"v{n}.metadata.json")
+    else:
+        cands = sorted(
+            (f for f in os.listdir(meta_dir) if f.endswith(".metadata.json")),
+            key=lambda f: int(f[1:].split(".")[0]),
+        )
+        if not cands:
+            raise FileNotFoundError(f"{meta_dir} holds no metadata.json")
+        meta_path = os.path.join(meta_dir, cands[-1])
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    if meta.get("format-version") != 2:
+        raise ValueError(
+            f"format-version {meta.get('format-version')} != 2; only v2 "
+            "metadata is adoptable"
+        )
+    schemas = {s["schema-id"]: s for s in meta["schemas"]}
+    specs = {s["spec-id"]: s["fields"] for s in meta["partition-specs"]}
+    for fields in specs.values():
+        if any(pf["transform"] != "identity" for pf in fields):
+            raise ValueError(
+                "non-identity partition transforms are not adoptable"
+            )
+    if current_version(table_dir) != 0:
+        raise ValueError(
+            f"{table_dir} already has committed versions; adopt into a "
+            "clean directory"
+        )
+    from .commitstore import get_commit_store
+
+    get_commit_store().ensure_log(table_dir)
+    def _resolve(path: str) -> str:
+        if os.path.exists(path):
+            return path
+        local = os.path.join(meta_dir, os.path.basename(path))
+        if os.path.exists(local):
+            return local
+        raise FileNotFoundError(path)
+
+    n_committed = 0
+    for snap in sorted(meta["snapshots"], key=lambda s: s["sequence-number"]):
+        schema_json = _spark_schema(
+            schemas[snap.get("schema-id", meta["current-schema-id"])]
+        )
+        files: list[str] = []
+        stats: dict = {}
+        spec_fields: list[dict] = []
+        _, _, mlist = read_container(_resolve(snap["manifest-list"]))
+        for mf in mlist:
+            if mf.get("content", 0) != 0:
+                raise ValueError(
+                    "delete manifests (content=1) are not adoptable — "
+                    "this importer has no row-level delete application"
+                )
+            mschema, mmeta, entries = read_container(
+                _resolve(mf["manifest_path"])
+            )
+            spec_fields = json.loads(mmeta.get("partition-spec", "[]"))
+            for e in entries:
+                if e["status"] == 2:  # DELETED tombstone
+                    continue
+                df = e["data_file"]
+                if df.get("content", 0) != 0:
+                    raise ValueError(
+                        "delete files are not adoptable"
+                    )
+                if df["file_format"].upper() != "PARQUET":
+                    raise ValueError(
+                        f"file_format {df['file_format']!r} != PARQUET"
+                    )
+                path = df["file_path"]
+                rel = (
+                    os.path.relpath(path, table_dir)
+                    if os.path.isabs(path)
+                    and path.startswith(os.path.abspath(table_dir) + os.sep)
+                    else path
+                )
+                files.append(rel)
+                stats[rel] = {
+                    "rows": int(df["record_count"]),
+                    "columns": {},
+                }
+        op = (snap.get("summary") or {}).get("operation", "append")
+        mode = {"append": "append", "delete": "delete",
+                "replace": "optimize"}.get(op, "overwrite")
+        _commit_manifest(
+            table_dir,
+            sorted(set(files)),
+            stats,
+            mode,
+            schema_json,
+            {
+                "iceberg_snapshot_id": snap["snapshot-id"],
+                "iceberg_sequence_number": snap["sequence-number"],
+            },
+            bloom_cols=None,
+            partition_spec=[pf["name"] for pf in spec_fields],
+        )
+        n_committed += 1
+    return n_committed

@@ -726,6 +726,86 @@ def delta_interop_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ICEBERG_ADOPTION_SQL = """
+WITH kept AS (
+  SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+  FROM orders
+  WHERE o_orderkey < 4000 AND o_orderpriority <> '1-URGENT'
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       CAST(3 AS BIGINT) AS n_versions
+FROM kept
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@query("iceberg_metadata_adoption", sql=_ICEBERG_ADOPTION_SQL)
+def iceberg_metadata_adoption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v2 metadata interop, end to end and driver-verified
+    (operators/iceberg_interop.py, round 9 — the second-format
+    counterpart of delta_checkpoint_adoption): build a 3-commit
+    versioned table (append evens, append odds, DELETE one priority —
+    a rewrite commit), export the history as Iceberg table metadata
+    (JSON metadata files + Avro manifest lists + Avro manifests via
+    the from-scratch Avro codec in functions/avro_min.py), destroy the
+    native manifest chain, and adopt the metadata tree back: every
+    snapshot becomes a versioned manifest referencing the same data
+    files. The oracle recomputes the surviving rows straight from
+    ``orders``; n_versions pins the adopted history depth. Any defect
+    in the Avro encoding, manifest field-ids, snapshot sequencing, or
+    status/row-count bookkeeping changes the hash.
+
+    100 TB rationale: both directions are metadata-only (O(commits +
+    file entries), zero data bytes moved), and an append snapshot
+    reuses every prior manifest by reference — the same incremental
+    shape as the chunked-manifest layer it mirrors."""
+    import tempfile
+
+    from ..operators import versioned as V
+    from ..operators.iceberg_interop import (
+        export_iceberg_metadata,
+        import_iceberg_metadata,
+    )
+
+    base = tempfile.mkdtemp(prefix="iceberg_adopt_q_")
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    ).filter(F.col("o_orderkey") < 4000)
+    V.write_versioned(
+        spark, orders.filter(F.col("o_orderkey") % 2 == 0), base,
+        mode="append",
+    )
+    V.write_versioned(
+        spark, orders.filter(F.col("o_orderkey") % 2 == 1), base,
+        mode="append",
+    )
+    V.delete_versioned(spark, base, "o_orderpriority = '1-URGENT'")
+    export_iceberg_metadata(base)
+    import os as _os
+    import shutil as _shutil
+
+    _shutil.rmtree(_os.path.join(base, "_manifests"))
+    ptr = _os.path.join(base, "_latest")
+    if _os.path.exists(ptr):
+        _os.remove(ptr)
+    n_versions = import_iceberg_metadata(base)
+    adopted = V.read_versioned(spark, base)
+    return (
+        adopted.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .withColumn("n_versions", F.lit(n_versions).cast("bigint"))
+        .orderBy("o_orderpriority")
+    )
+
+
 _DELTA_CHECKPOINT_SQL = """
 WITH kept AS (
   SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
