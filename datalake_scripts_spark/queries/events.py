@@ -298,6 +298,89 @@ def events_trailing_distinct_users(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
+    "stream_trailing_distinct_users",
+    sql="""
+    WITH e AS (SELECT DISTINCT CAST(ts AS DATE) AS ed, user_id FROM events)
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users_7d
+    FROM (SELECT ed + CAST(i AS INT) AS day, user_id
+          FROM e CROSS JOIN range(7) t(i))
+    GROUP BY day
+    ORDER BY day
+    """,
+)
+def stream_trailing_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING twin of events_trailing_distinct_users, run as an
+    actual Structured Streaming query and hash-verified against a plain
+    DuckDB oracle (streaming.windows.trailing_distinct_users, VERDICT
+    r8 ask #6): events stream from a temp parquet copy (ts cast to
+    instant — watermarks reject NTZ), fan out to their ≤7 window-end
+    days, dedup per (user, window day) within the watermark
+    (COUNT DISTINCT is unsupported over streaming aggs — dedup-then-
+    count replaces it), and a 1-day tumbling aggregation emits each
+    day in append mode once the watermark passes it. A far-future
+    sentinel event advances the watermark so every real day flushes;
+    the sentinel's own days stay below the watermark and never emit,
+    so the result is exactly the batch semantics over all window-end
+    days.
+
+    100 TB rationale: rolling active users over an unbounded stream
+    with O(active users x 7) dedup state + O(open days) agg buckets,
+    both watermark-bounded — no range join, no unbounded frame, and
+    the same bounded-explode plan the batch path runs."""
+    import datetime
+    import tempfile
+    import uuid as _uuid
+
+    from ..streaming import (
+        stream_from_directory,
+        trailing_distinct_users,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    typed = ev.select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        F.col("value").cast("double").alias("value"),
+        F.col("props").cast("string").alias("props"),
+    )
+    max_ts = typed.agg(F.max("ts")).first()[0]
+    sentinel = spark.createDataFrame(
+        [(
+            -1,
+            max_ts + datetime.timedelta(days=40),
+            -1,
+            "sentinel",
+            0.0,
+            "{}",
+        )],
+        typed.schema,
+    )
+    src = tempfile.mkdtemp(prefix="stream_tdu_")
+    typed.unionByName(sentinel).write.mode("overwrite").parquet(src)
+    name = f"sttdu_{_uuid.uuid4().hex[:10]}"
+    q = (
+        trailing_distinct_users(stream_from_directory(spark, src))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return (
+        spark.table(name)
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "distinct_users_7d",
+        )
+        .orderBy("day")
+    )
+
+
+@query(
     "events_funnel_conversion",
     sql="""
     WITH v AS (

@@ -4,6 +4,7 @@ from .windows import (  # noqa: F401
     tumbling_agg,
     sliding_agg,
     session_agg,
+    trailing_distinct_users,
     dedup_within_watermark,
     run_to_memory,
     stream_stream_interval_join,

@@ -106,6 +106,65 @@ def session_agg(
     )
 
 
+def trailing_distinct_users(
+    events: DataFrame,
+    window_days: int = 7,
+    watermark: str = "8 days",
+) -> DataFrame:
+    """Streaming 7-day rolling distinct users — the streaming twin of
+    the batch ``events_trailing_distinct_users`` query (VERDICT r8 ask
+    #6). COUNT(DISTINCT) is unsupported over streaming aggregations,
+    so distinctness becomes DEDUP-then-COUNT, and the trailing window
+    becomes the same bounded contribute-to-window explode the batch
+    path uses (streaming-safe by construction — each event fans out to
+    the ≤``window_days`` window-end days it is visible in, no range
+    join, no unbounded frame):
+
+    1. explode each event to its window-end days (``day_ts``);
+    2. ``dropDuplicatesWithinWatermark`` on (user, window day) — one
+       vote per user per window;
+    3. a 1-day tumbling aggregation over ``day_ts`` counts the votes.
+
+    Watermark notes: ``day_ts`` runs up to ``window_days - 1`` days
+    AHEAD of the event time that produced it, and duplicates of one
+    (user, window day) pair arrive up to ``window_days`` apart — so
+    the watermark must be at least ``window_days + lateness`` days for
+    exact parity with the batch twin (hence the 8-day default). State
+    is O(active users x window_days) dedup keys + O(open days)
+    aggregation buckets, both watermark-bounded.
+
+    Emits (day date, distinct_users_7d) in append mode once the
+    watermark passes each day — EVERY window-end day a user is visible
+    in, including calendar days with no events of their own (the batch
+    query's trailing semantics restricted to observed days; the twin
+    test aligns on observed days)."""
+    day = F.date_trunc("DAY", F.col("ts"))
+    contrib = (
+        events.select("ts", "user_id")
+        .withColumn(
+            "day_ts",
+            F.explode(
+                F.sequence(
+                    day,
+                    day + F.expr(f"INTERVAL {window_days - 1} DAYS"),
+                    F.expr("INTERVAL 1 DAY"),
+                )
+            ),
+        )
+        .drop("ts")
+    )
+    return (
+        contrib.withWatermark("day_ts", watermark)
+        .dropDuplicatesWithinWatermark(["user_id", "day_ts"])
+        .groupBy(F.window("day_ts", "1 day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("distinct_users_7d"))
+        .select(
+            F.col("window.start").cast("date").alias("day"),
+            "distinct_users_7d",
+        )
+    )
+
+
 def dedup_within_watermark(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
     """Streaming dedup on event_id within the watermark horizon —
     replaces the reference's "append duplicates, consumers dedup" policy
