@@ -42,58 +42,58 @@ from . import graph  # noqa: F401,E402
 # oldest — the round-1/2 relational core, unchecked since then —
 # re-verified against current code as regression tripwires.
 DRIVER_PRIORITY = [
-    # --- round-8 additions (their only chance at a first driver row) ---
-    "versioned_merge_dv",  # merge-on-read MERGE, zero rewrite asserted
-    "delta_checkpoint_adoption",  # parquet checkpoint -> truncate -> adopt
-    "catalog_sql_named_join",  # spark.sql over snapshot-pinned named views
-    "join_interval_overlap_shipments",  # banded interval x interval join
-    "events_trailing_distinct_users",  # 7-day rolling distinct via explode
-    "events_funnel_conversion",  # ordered funnel, conditional-min chain
-    "events_time_weighted_avg",  # TWAP over irregular series
-    "versioned_history_table",  # DESCRIBE HISTORY as a queryable table
-    "compliance_purge_customer",  # physical erasure + vacuum, verified
-    "ingest_expectations_gate",  # DLT-style expectations + quarantine
-    # --- stalest driver rows (last checked r3/r4), staleness rotation ---
-    "sample_stratified_hash",
-    "sketch_cms_join_size",
-    "sketch_hll_token_cardinality",
-    "text_blocklist_redact",
-    "text_clean_normalize",
-    "text_lang_id",
-    "text_quality_scores",
-    "text_tfidf_top_terms",
-    "text_token_entropy",
-    "text_token_stats",
-    "text_winnowing_fingerprint",
-    "ts_parse_iso_roundtrip",
-    "union_missing_columns",
-    "validate_orders_constraints",
-    "window_topk_per_nation",
-    "ann_ivf_topk",
-    "asof_join_cogroup_merge",
-    "curate_corpus_pipeline",
-    "dedup_duplicate_clusters_star",
-    "dedup_duplicated_span_stats",
-    "dedup_minhash_lsh_md5",
-    "dedup_semantic_clusters",
-    "dedup_simhash_md5",
-    "eval_langid_kappa",
-    "events_ab_test_conversion",
-    "events_dedup_latest_state",
-    "events_ewma_per_user",
-    "events_gap_filled_hours",
-    "events_hierarchical_rollup",
-    "events_hourly_growth",
-    "events_resample_ffill_hourly",
-    "events_session_windows",
-    "events_sliding_windows",
-    "events_transition_matrix",
-    "events_view_purchase_attribution",
-    "events_weekly_active_users",
-    "events_weekly_cohort_retention",
-    "events_zscore_anomalies",
-    "graph_pagerank_suppliers",
-    "matview_incremental_refresh",
+    # --- round-9 additions (their only chance at a first driver row) ---
+    "ann_ivf_indexed_topk",  # persisted IVF index, stride-twin oracle
+    "iceberg_metadata_adoption",  # Iceberg v2 export -> adopt round trip
+    "stream_trailing_distinct_users",  # REAL streaming query, full oracle
+    # --- stalest driver rows (last checked r4/r5), staleness rotation ---
+    "mining_part_pair_lift",
+    "multimodal_decode_stub",
+    "multimodal_frame_sample",
+    "multimodal_png_roundtrip",
+    "nested_explode_outer_preserves_parents",
+    "null_handling_semantics",
+    "pack_sequences_greedy",
+    "profile_table_stats",
+    "q11_important_part_values",
+    "q12_priority_line_classes",
+    "q20_excess_stock_suppliers",
+    "q2_min_cost_supplier",
+    "q4_priority_with_late_lines",
+    "q9_product_type_profit",
+    "salted_join_segment_revenue",
+    "sketch_cms_heavy_hitters",
+    "sketch_hll_union_rollup",
+    "sketch_kll_price_quantiles",
+    "sketch_theta_customer_reach",
+    "ts_parse_epoch_seconds",
+    "udtf_chunk_documents",
+    "window_range_frame",
+    "agg_histogram_equidepth",
+    "agg_ordered_statistics",
+    "ann_ivf_kmeans_topk",
+    "ann_ivf_topk_vectorized",
+    "array_compose_flatten_zip",
+    "cap_docs_per_domain",
+    "corpus_source_overlap",
+    "decontaminate_embedding_benchmark",
+    "dedup_containment_pairs",
+    "dedup_corpus_keep",
+    "dedup_exact_full_text",
+    "dedup_fingerprint_token_set",
+    "dedup_keep_best_quality",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_remove_duplicated_spans",
+    "dedup_simhash",
+    "dedup_url_canonical",
+    "dedup_winnowing_pairs",
+    "eval_langid_per_class",
+    "history_latest_snapshot",
+    "join_full_outer_nation_presence",
+    "json_serialize_roundtrip",
+    "map_functions_and_regex_all",
+    "mixture_weighted_sample",
 ]
 
 

@@ -276,17 +276,34 @@ def test_dv_on_column_mapped_table(spark, sf_dir, tdir):
     assert got.filter("price > 250000").count() == 0
 
 
-def test_delta_export_refuses_dvs(spark, sf_dir, tdir):
+def test_delta_export_carries_dvs_inline(spark, sf_dir, tdir):
+    """r9: a DV'd history no longer refuses export — it upgrades to
+    protocol 3/7 and the DV'd file's add carries an inline descriptor
+    whose cardinality matches the deleted-row count (full decode
+    round-trips live in tests/test_delta_reader.py)."""
+    import json
+
     from datalake_scripts_spark.operators.delta_interop import (
         export_delta_log,
     )
 
     V.write_versioned(spark, _orders(spark, sf_dir), tdir, mode="append")
-    V.delete_versioned(
+    _, n_del = V.delete_versioned(
         spark, tdir, "o_orderkey % 2 = 0", deletion_vectors=True
     )
-    with pytest.raises(ValueError, match="deletion vectors"):
-        export_delta_log(tdir)
+    log_dir = export_delta_log(tdir)
+    with open(f"{log_dir}/{1:020d}.json") as fh:
+        actions = [json.loads(x) for x in fh if x.strip()]
+    proto = next(a["protocol"] for a in actions if "protocol" in a)
+    assert proto["minReaderVersion"] == 3
+    assert "deletionVectors" in proto["readerFeatures"]
+    descs = [
+        a["add"]["deletionVector"]
+        for a in actions
+        if a.get("add", {}).get("deletionVector")
+    ]
+    assert sum(d["cardinality"] for d in descs) == n_del
+    assert all(d["storageType"] == "i" for d in descs)
 
 
 def test_streaming_source_emits_dv_deletes(spark, sf_dir, tdir, tmp_path):
