@@ -168,6 +168,12 @@ def build_ann_index(
         mode="overwrite", meta={**params, "source_version": v},
     )
     assigned = _assign(corpus, cents, assignment, id_col, vec_col)
+    # co-locate each cell before the partitioned write: without this,
+    # every input task writes a sliver into every cell directory and
+    # the store fragments into O(tasks x cells) tiny files (measured
+    # ~1300 at sf0.1), which the pruned serve then pays for in
+    # planning. One shuffle -> ~one file per cell.
+    assigned = assigned.repartition(F.col("cell"))
     write_versioned(
         spark, assigned, _subdir(index_dir, _ASSIGNMENTS),
         mode="overwrite", partition_by=["cell"],
@@ -237,7 +243,7 @@ def refresh_ann_index(
         assigned = _assign(
             new_rows, cents, meta.get("assignment", "pandas"),
             meta.get("id_col", "vec_id"), meta.get("vec_col", "embedding"),
-        )
+        ).repartition(F.col("cell"))  # see build: one file per cell
         write_versioned(
             spark, assigned, adir, mode="append", partition_by=["cell"],
             meta={"source_version": cur},

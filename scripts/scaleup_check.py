@@ -90,6 +90,17 @@ DEFAULT_QUERIES = [
     "provenance_partition_lineage",
     "versioned_stats_drift",
     "entity_resolution_scaled",
+    # round-9 additions: the persisted-index production build (kmeans
+    # + Arrow assignment; linear build is the claim), the Iceberg
+    # export->adopt round trip over a k-fold FILE COUNT with constant
+    # data (isolates the O(file entries) metadata claim — the registry
+    # adoption query is constant-size under key-shifted replication by
+    # construction), and the watermarked streaming rolling distinct
+    # (events k-fold denser, user set constant -> linear scan, state
+    # flat)
+    "ann_indexed_scaled",
+    "iceberg_files_scaled",
+    "stream_trailing_distinct_users",
 ]
 
 
@@ -294,7 +305,71 @@ def _heavy_hitters_scaled(spark, sf_dir):
     return heavy_hitters_exact(items, "item", _HH_K)
 
 
+def _ann_indexed_scaled(spark, sf_dir):
+    """Persisted-IVF production path at scale (round 9): kmeans
+    centroids from a BOUNDED sample, Arrow/numpy assignment,
+    cell-partitioned store, probed-cells-only serve. Build is the
+    O(corpus) cost paid once per corpus change; healthy scaling is
+    ~linear build. The stride/literal registry twin deliberately does
+    NOT scale — its centroid count grows with the corpus by
+    construction (|C|/stride), which is the documented oracle-only
+    regime."""
+    import tempfile
+
+    from datalake_scripts_spark.operators import ann_index as AI
+    from datalake_scripts_spark.operators import versioned as V
+
+    corpus = tempfile.mkdtemp(prefix="annx_corpus_")
+    idx = tempfile.mkdtemp(prefix="annx_idx_")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    V.write_versioned(spark, emb, corpus, mode="append")
+    AI.build_ann_index(
+        spark, corpus, idx,
+        centroids="kmeans", n_centroids=64, assignment="pandas",
+    )
+    q = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        "vec_id < 10"
+    )
+    return AI.ivf_topk_indexed(spark, q, idx, k=3, nprobe=2)
+
+
+def _iceberg_files_scaled(spark, sf_dir):
+    """Iceberg export+adopt over a table with k-fold MANY FILES and
+    CONSTANT data (20k rows repartitioned into 64k files): both
+    directions are O(file entries) metadata work, so healthy scaling
+    is ~linear in k with a small constant — a super-linear move means
+    the manifest writer or the Avro codec grew a quadratic term."""
+    import tempfile
+
+    from datalake_scripts_spark.operators import versioned as V
+    from datalake_scripts_spark.operators.iceberg_interop import (
+        export_iceberg_metadata,
+        import_iceberg_metadata,
+    )
+
+    k = int(os.environ.get("SCALEUP_K", "10"))
+    base = tempfile.mkdtemp(prefix="icex_")
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(20_000)
+        .repartition(64 * k)
+    )
+    V.write_versioned(spark, orders, base, mode="append")
+    export_iceberg_metadata(base)
+    shutil.rmtree(os.path.join(base, "_manifests"))
+    ptr = os.path.join(base, "_latest")
+    if os.path.exists(ptr):
+        os.remove(ptr)
+    import_iceberg_metadata(base)
+    return V.files_df(spark, base)
+
+
 EXTRA = {
+    "ann_indexed_scaled": _ann_indexed_scaled,
+    "iceberg_files_scaled": _iceberg_files_scaled,
     "heavy_hitters_scaled": _heavy_hitters_scaled,
     "ngram_jaccard_noprefix": _ngram_jaccard_noprefix,
     "containment_noprefix": _containment_noprefix,
