@@ -235,6 +235,40 @@ def main(argv: list[str] | None = None) -> int:
     dsnap.add_argument("--to", required=True, help="destination directory")
     dsnap.add_argument("--version", type=int, default=None)
 
+    ice = tbl_sub.add_parser(
+        "iceberg-export",
+        help="mirror the table history as Iceberg v2 metadata "
+             "(metadata.json + Avro manifests) — no Spark session",
+    )
+    ice.add_argument("--out", default=None, help="mirror directory "
+                     "(default: inside the table dir)")
+    tbl_sub.add_parser(
+        "iceberg-import",
+        help="adopt an Iceberg v2 metadata tree at <dir>/metadata into "
+             "the versioned manifest chain — no Spark session",
+    )
+    annb = tbl_sub.add_parser(
+        "ann-build",
+        help="build the persisted IVF vector index (centroids + "
+             "cell-partitioned assignments) from this corpus table",
+    )
+    annb.add_argument("--index", required=True, help="index directory")
+    annb.add_argument("--centroids", choices=["kmeans", "stride"],
+                      default="kmeans")
+    annb.add_argument("--n-centroids", type=int, default=64)
+    annb.add_argument("--stride", type=int, default=50)
+    annb.add_argument("--assignment", choices=["pandas", "literal"],
+                      default="pandas")
+    annb.add_argument("--id-col", default="vec_id")
+    annb.add_argument("--vec-col", default="embedding")
+    annr = tbl_sub.add_parser(
+        "ann-refresh",
+        help="bring the persisted IVF index up to the corpus's current "
+             "snapshot (appends assign O(batch); drift re-clusters)",
+    )
+    annr.add_argument("--index", required=True, help="index directory")
+    annr.add_argument("--drift-threshold", type=float, default=0.5)
+
     chk = tbl_sub.add_parser(
         "check-schema",
         help="validate a reader contract (StructType jsonValue file) "
@@ -337,6 +371,23 @@ def main(argv: list[str] | None = None) -> int:
             print(f"checkpoint written: {cp}")
         return 0
 
+    if args.domain == "table" and args.action in (
+        "iceberg-export", "iceberg-import"
+    ):
+        # metadata-only Iceberg interop: no Spark session
+        from .operators.iceberg_interop import (
+            export_iceberg_metadata,
+            import_iceberg_metadata,
+        )
+
+        if args.action == "iceberg-export":
+            meta_dir = export_iceberg_metadata(args.dir, out_dir=args.out)
+            print(f"Iceberg metadata written: {meta_dir}")
+        else:
+            n = import_iceberg_metadata(args.dir)
+            print(f"adopted {n} Iceberg snapshot(s) as versions")
+        return 0
+
     from .session import get_spark
 
     if args.domain == "table":
@@ -437,6 +488,32 @@ def main(argv: list[str] | None = None) -> int:
                 manifest_chunking=mc,
             )
             print(f"committed {batch.count()} rows -> v{v}")
+        elif args.action == "ann-build":
+            from .operators.ann_index import build_ann_index
+
+            res = build_ann_index(
+                spark, args.dir, args.index,
+                centroids=args.centroids, n_centroids=args.n_centroids,
+                stride=args.stride, assignment=args.assignment,
+                id_col=args.id_col, vec_col=args.vec_col,
+            )
+            print(
+                f"built index: {res['n_centroids']} centroids, "
+                f"{res['n_indexed']} vectors @ source v"
+                f"{res['source_version']}"
+            )
+        elif args.action == "ann-refresh":
+            from .operators.ann_index import refresh_ann_index
+
+            res = refresh_ann_index(
+                spark, args.dir, args.index,
+                drift_threshold=args.drift_threshold,
+            )
+            print(
+                f"{res['action']}: "
+                + ", ".join(f"{k}={v}" for k, v in res.items()
+                            if k != "action")
+            )
         elif args.action == "purge":
             res = V.purge_rows(spark, [args.dir], args.where)[args.dir]
             if res.get("skipped"):

@@ -180,3 +180,24 @@ def test_empty_append_advances_watermark(spark, corpus_dir, tmp_path):
     res = AI.refresh_ann_index(spark, corpus_dir, idx)
     assert res["action"] == "assigned" and res["n_new"] == 0
     assert AI.refresh_ann_index(spark, corpus_dir, idx)["action"] == "noop"
+
+
+def test_cli_ann_build_and_refresh(spark, corpus_dir, tmp_path, capsys):
+    from datalake_scripts_spark.cli import main
+
+    idx = str(tmp_path / "idx")
+    assert main([
+        "table", "--dir", corpus_dir, "ann-build", "--index", idx,
+        "--centroids", "stride", "--assignment", "literal",
+    ]) == 0
+    assert "built index" in capsys.readouterr().out
+    batch = read_table(spark, SF, "embeddings").filter(
+        (F.col("vec_id") >= 400) & (F.col("vec_id") < 420)
+    )
+    V.write_versioned(spark, batch, corpus_dir, mode="append")
+    assert main([
+        "table", "--dir", corpus_dir, "ann-refresh", "--index", idx,
+    ]) == 0
+    assert "assigned: n_new=20" in capsys.readouterr().out
+    got = AI.ivf_topk_indexed(spark, batch.limit(1), idx, k=3, nprobe=2)
+    assert got.count() == 3

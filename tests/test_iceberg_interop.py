@@ -235,3 +235,18 @@ def test_import_refuses_foreign_features(spark, sf_dir, tmp_path):
     _wipe_own_log(base)
     with pytest.raises(ValueError, match="identity"):
         import_iceberg_metadata(base)
+
+
+def test_cli_iceberg_export_import(spark, sf_dir, tmp_path, capsys):
+    from datalake_scripts_spark.cli import main
+
+    base = str(tmp_path / "tbl")
+    V.write_versioned(spark, _orders(spark, sf_dir, 0, 1000), base, mode="append")
+    expected = sorted(map(tuple, V.read_versioned(spark, base).collect()))
+    assert main(["table", "--dir", base, "iceberg-export"]) == 0
+    assert "metadata" in capsys.readouterr().out
+    _wipe_own_log(base)
+    assert main(["table", "--dir", base, "iceberg-import"]) == 0
+    assert "adopted 1 Iceberg snapshot" in capsys.readouterr().out
+    got = sorted(map(tuple, V.read_versioned(spark, base).collect()))
+    assert got == expected
