@@ -810,19 +810,18 @@ def write_delta_checkpoint(
         )
     if meta is None:
         raise ValueError(f"{log_dir} chain 0..{v} has no metaData action")
-    if any(a.get("deletionVector") for a in active.values()):
-        raise ValueError(
-            f"checkpoint at {v} would drop deletion-vector descriptors "
-            "(the classic checkpoint schema written here has no "
-            "deletionVector column) — materialize DVs "
-            "(compact_versioned) before checkpointing, or checkpoint "
-            "an earlier DV-free version"
-        )
 
     def _map(d):
         return list((d or {}).items())
 
     str_map = pa.map_(pa.string(), pa.string())
+    dv_t = pa.struct([
+        ("storageType", pa.string()),
+        ("pathOrInlineDv", pa.string()),
+        ("offset", pa.int32()),
+        ("sizeInBytes", pa.int32()),
+        ("cardinality", pa.int64()),
+    ])
     add_t = pa.struct([
         ("path", pa.string()),
         ("partitionValues", str_map),
@@ -831,6 +830,7 @@ def write_delta_checkpoint(
         ("dataChange", pa.bool_()),
         ("stats", pa.string()),
         ("tags", str_map),
+        ("deletionVector", dv_t),
     ])
     meta_t = pa.struct([
         ("id", pa.string()),
@@ -848,6 +848,8 @@ def write_delta_checkpoint(
     proto_t = pa.struct([
         ("minReaderVersion", pa.int32()),
         ("minWriterVersion", pa.int32()),
+        ("readerFeatures", pa.list_(pa.string())),
+        ("writerFeatures", pa.list_(pa.string())),
     ])
     remove_t = pa.struct([
         ("path", pa.string()),
@@ -870,6 +872,8 @@ def write_delta_checkpoint(
         {"protocol": {
             "minReaderVersion": protocol.get("minReaderVersion", 1),
             "minWriterVersion": protocol.get("minWriterVersion", 2),
+            "readerFeatures": protocol.get("readerFeatures"),
+            "writerFeatures": protocol.get("writerFeatures"),
         }},
         {"metaData": {
             "id": meta["id"],
@@ -887,6 +891,7 @@ def write_delta_checkpoint(
     ]
     for path in sorted(active):
         add = active[path]
+        dv = add.get("deletionVector")
         rows.append({"add": {
             "path": add["path"],
             "partitionValues": _map(add.get("partitionValues")),
@@ -895,6 +900,13 @@ def write_delta_checkpoint(
             "dataChange": bool(add.get("dataChange", True)),
             "stats": add.get("stats"),
             "tags": _map(add.get("tags")) if add.get("tags") else None,
+            "deletionVector": {
+                "storageType": dv["storageType"],
+                "pathOrInlineDv": dv["pathOrInlineDv"],
+                "offset": dv.get("offset"),
+                "sizeInBytes": int(dv["sizeInBytes"]),
+                "cardinality": int(dv["cardinality"]),
+            } if dv else None,
         }})
     table = pa.Table.from_pylist(rows, schema=schema)
     cp_path = os.path.join(log_dir, _checkpoint_name(v))
@@ -978,6 +990,9 @@ def _read_checkpoint_state(log_dir: str, v: int) -> tuple:
         if row.get("add"):
             add = dict(row["add"])
             add["partitionValues"] = _unmap(add.get("partitionValues"))
+            dv = add.get("deletionVector")
+            if not dv or dv.get("storageType") is None:
+                add.pop("deletionVector", None)
             active[add["path"]] = add
     if meta is None:
         raise ValueError(f"{cp_path} carries no metaData row")

@@ -277,16 +277,31 @@ def test_reader_parses_run_containers(tmp_path):
     assert sorted(vals) == list(range(5, 15)) and pos == len(buf)
 
 
-def test_checkpoint_refuses_dv_state(spark, sf_dir, tmp_path):
-    """The classic checkpoint written here has no deletionVector
-    column: checkpointing a DV'd snapshot must refuse loudly instead
-    of silently resurrecting deleted rows."""
+def test_checkpoint_carries_dv_descriptors(spark, sf_dir, tmp_path):
+    """Checkpoints of DV'd snapshots keep the descriptors and the
+    table-features protocol: a log-cleaned DV'd mirror bootstraps from
+    the checkpoint alone and still masks the deleted rows; a
+    subsequent sync on top of that bootstrap diffs correctly."""
     base = str(tmp_path / "tbl")
     V.write_versioned(spark, _orders(spark, sf_dir, 0, 1000), base, mode="append")
     V.delete_versioned(spark, base, "o_orderkey < 50", deletion_vectors=True)
-    export_delta_log(base)
-    with pytest.raises(ValueError, match="deletion-vector"):
-        write_delta_checkpoint(base)
+    log_dir = export_delta_log(base)
+    write_delta_checkpoint(base)  # at commit 1, DV'd state
+    for dv in range(2):
+        os.remove(os.path.join(log_dir, f"{dv:020d}.json"))
+    log = DeltaLog(base)
+    snap = log.snapshot()
+    assert snap.protocol["minReaderVersion"] == 3
+    assert "deletionVectors" in snap.protocol["readerFeatures"]
+    assert any(a.get("deletionVector") for a in snap.adds.values())
+    assert log.to_rows() == _spark_rows(spark, base)
+    # sync continues from the checkpoint bootstrap: stack another DV
+    V.delete_versioned(
+        spark, base, "o_orderkey >= 50 AND o_orderkey < 80",
+        deletion_vectors=True,
+    )
+    assert sync_delta_log(base) == 1
+    assert DeltaLog(base).to_rows() == _spark_rows(spark, base)
 
 
 def test_reader_refuses_ondisk_dv(spark, sf_dir, tmp_path):
