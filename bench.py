@@ -86,6 +86,12 @@ BENCH_QUERIES = [
     "versioned_merge_dv",
     "join_interval_overlap_shipments",
     "events_trailing_distinct_users",
+    # round 9 additions: persisted-IVF build+serve (index write + pruned
+    # probe join), the Iceberg metadata round trip (Avro codec + adopt),
+    # and the REAL streaming rolling distinct (watermarked dedup+agg)
+    "ann_ivf_indexed_topk",
+    "iceberg_metadata_adoption",
+    "stream_trailing_distinct_users",
 ]
 
 
