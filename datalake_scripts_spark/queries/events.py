@@ -764,13 +764,19 @@ def events_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB the hourly table is the only thing the daily (and
     monthly) jobs read. Counts and decimal sums compose by SUM; distinct
     users do NOT compose, so the hourly level carries an HLL sketch per
-    bucket and the daily level merges sketches (hll_union_agg — exact
-    in the sparse regime, the oracle is the raw-scan daily aggregate).
+    bucket and the daily level merges sketches (hll_union_agg). The
+    oracle is the raw-scan daily exact distinct, so the sketch must be
+    in its exact (coupon) regime at the tested SFs: the default
+    lgConfigK=12 leaves coupon mode around ~512 distinct and the r9
+    sf0.1 sweep caught the resulting ~0.7% drift at ~1.3k users/day —
+    lgConfigK=20 keeps the sketch exact through ~10^5 distinct per
+    bucket while staying sketch-composed (at true 100 TB cardinality
+    it estimates, which is the operator's contract).
     """
     ev = t(spark, sf_dir, "events")
     hourly = ev.groupBy(F.window("ts", "1 hour")).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.hll_sketch_agg("user_id").alias("users_sketch"),
+        F.hll_sketch_agg("user_id", 20).alias("users_sketch"),
         F.sum(F.col("value").cast("decimal(12,2)")).alias("sum_value_dec"),
     )
     return (

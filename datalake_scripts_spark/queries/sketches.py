@@ -96,13 +96,19 @@ def sketch_hll_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sketch_theta_customer_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct customers per order status via theta sketches (exact
-    below k=4096 retained hashes — true at sf0.01; set-expression-
-    capable at scale, unlike HLL: theta supports intersection/difference
-    for audience-overlap questions)."""
+    """Distinct customers per order status via theta sketches —
+    set-expression-capable at scale, unlike HLL (intersection /
+    difference for audience-overlap questions). Theta is exact below
+    its retained-hash budget: the default lgNomEntries=12 (k=4096)
+    was exact at sf0.01 but ~1.3% off at sf0.1's ~14k distinct (the
+    r9 sf0.1 sweep caught it); lgNomEntries=20 keeps the sketch exact
+    through ~10^6 distinct per group against the exact-count oracle
+    (at true corpus cardinality it estimates — the contract)."""
     orders = t(spark, sf_dir, "orders")
     return orders.groupBy("o_orderstatus").agg(
-        F.round(F.theta_sketch_estimate(F.theta_sketch_agg("o_custkey")))
+        F.round(
+            F.theta_sketch_estimate(F.theta_sketch_agg("o_custkey", 20))
+        )
         .cast("bigint")
         .alias("distinct_customers")
     )
