@@ -247,6 +247,13 @@ def main(argv: list[str] | None = None) -> int:
         help="adopt an Iceberg v2 metadata tree at <dir>/metadata into "
              "the versioned manifest chain — no Spark session",
     )
+    isync = tbl_sub.add_parser(
+        "iceberg-sync",
+        help="bring an Iceberg metadata mirror up to the current "
+             "version (incremental: only new snapshots) — no Spark "
+             "session",
+    )
+    isync.add_argument("--out", default=None)
     annb = tbl_sub.add_parser(
         "ann-build",
         help="build the persisted IVF vector index (centroids + "
@@ -372,17 +379,21 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.domain == "table" and args.action in (
-        "iceberg-export", "iceberg-import"
+        "iceberg-export", "iceberg-import", "iceberg-sync"
     ):
         # metadata-only Iceberg interop: no Spark session
         from .operators.iceberg_interop import (
             export_iceberg_metadata,
             import_iceberg_metadata,
+            sync_iceberg_metadata,
         )
 
         if args.action == "iceberg-export":
             meta_dir = export_iceberg_metadata(args.dir, out_dir=args.out)
             print(f"Iceberg metadata written: {meta_dir}")
+        elif args.action == "iceberg-sync":
+            n = sync_iceberg_metadata(args.dir, out_dir=args.out)
+            print(f"synced {n} new Iceberg snapshot(s)")
         else:
             n = import_iceberg_metadata(args.dir)
             print(f"adopted {n} Iceberg snapshot(s) as versions")

@@ -3,8 +3,12 @@ versioned table's history as Iceberg table metadata — JSON metadata
 files + Avro manifest lists + Avro manifests (the structure the
 chunked-manifest layer already mirrors) — and adopt (import) such a
 metadata tree back into the versioned manifest chain, sharing data
-files in place. Both directions are METADATA-ONLY: O(commits + file
-entries), never O(data).
+files in place. :func:`sync_iceberg_metadata` keeps a mirror current
+incrementally (only new snapshots written; diff state reconstructed
+from the MIRROR's own current snapshot, so source manifests older
+than the mirror may be vacuumed — the same posture as
+``sync_delta_log``). Both directions are METADATA-ONLY: O(commits +
+file entries), never O(data).
 
 Layout written (HadoopTables / filesystem-catalog convention from the
 public Iceberg table spec, iceberg.apache.org/spec):
@@ -281,32 +285,122 @@ def export_iceberg_metadata(
     table's manifest history as Iceberg v2 snapshots (manifest v maps
     to sequence-number v). Returns the metadata directory. Data files
     are referenced in place by absolute path — zero bytes copied."""
+    return _write_iceberg_snapshots(table_dir, out_dir, 1, None)
+
+
+def sync_iceberg_metadata(
+    table_dir: str, out_dir: str | None = None
+) -> int:
+    """Incremental export (the Iceberg analog of ``sync_delta_log``):
+    bring an existing metadata mirror up to the table's current
+    version, writing ONLY the new snapshots — prior manifests, the
+    table uuid, and snapshot ids are reused from the mirror's own
+    current state, so manifests older than the mirror may have been
+    vacuumed. A fresh directory behaves like
+    :func:`export_iceberg_metadata`. Returns the number of new
+    snapshots written. Cost: O(new commits + their file entries)."""
+    meta_dir = os.path.join(out_dir or table_dir, "metadata")
+    hint = os.path.join(meta_dir, "version-hint.text")
+    latest = current_version(table_dir)
+    if latest == 0:
+        raise FileNotFoundError(f"no committed version in {table_dir}")
+    if not os.path.exists(hint):
+        export_iceberg_metadata(table_dir, out_dir)
+        return latest
+    k = int(open(hint).read().strip())
+    if k > latest:
+        raise ValueError(
+            f"{meta_dir} holds snapshot sequence {k} but the table only "
+            f"has {latest} versions — the mirror is ahead of the table "
+            "(wrong table_dir?)"
+        )
+    if k == latest:
+        return 0
+    _write_iceberg_snapshots(
+        table_dir, out_dir, k + 1, _prior_iceberg_state(meta_dir, table_dir, k)
+    )
+    return latest - k
+
+
+def _prior_iceberg_state(meta_dir: str, table_dir: str, k: int) -> dict:
+    """Reconstruct the exporter's diff state from the MIRROR itself
+    (current snapshot's manifest list + entries) — never from old
+    source manifests, which a vacuum may have dropped."""
+    with open(os.path.join(meta_dir, f"v{k}.metadata.json")) as fh:
+        meta = json.load(fh)
+    snapshots = list(meta["snapshots"])
+    snapshot_ids = {s["sequence-number"]: s["snapshot-id"] for s in snapshots}
+    cur_snap = next(
+        s
+        for s in snapshots
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    _, _, mlist = read_container(cur_snap["manifest-list"])
+    manifests = {e["sequence_number"]: dict(e) for e in mlist}
+    prev_files: set[str] = set()
+    first_seen: dict[str, int] = {}
+    tprefix = os.path.abspath(table_dir) + os.sep
+    for e in mlist:
+        _, _, entries = read_container(e["manifest_path"])
+        for en in entries:
+            if en["status"] == 2:
+                continue
+            path = en["data_file"]["file_path"]
+            rel = (
+                os.path.relpath(path, table_dir)
+                if path.startswith(tprefix)
+                else path
+            )
+            prev_files.add(rel)
+            first_seen[rel] = en["sequence_number"]
+    return {
+        "table_uuid": meta["table-uuid"],
+        "snapshots": snapshots,
+        "snapshot_ids": snapshot_ids,
+        "manifests": manifests,
+        "prev_files": prev_files,
+        "first_seen": first_seen,
+    }
+
+
+def _write_iceberg_snapshots(
+    table_dir: str, out_dir: str | None, start_v: int, prior: dict | None
+) -> str:
     meta_dir = os.path.join(out_dir or table_dir, "metadata")
     os.makedirs(meta_dir, exist_ok=True)
     latest = current_version(table_dir)
     if latest == 0:
         raise FileNotFoundError(f"no committed version in {table_dir}")
     now_ms = int(time.time() * 1000)
-    table_uuid = str(uuid.uuid4())
     location = os.path.abspath(out_dir or table_dir)
 
-    manifests: dict = {}  # version -> manifest-list entry dict
-    first_seen: dict[str, int] = {}  # file -> version it first appeared
-    snapshots: list[dict] = []
-    snapshot_ids: dict[int, int] = {}
-    prev_files: set[str] = set()
+    if prior is None:
+        table_uuid = str(uuid.uuid4())
+        manifests: dict = {}  # version -> manifest-list entry dict
+        first_seen: dict[str, int] = {}  # file -> first version seen
+        snapshots: list[dict] = []
+        snapshot_ids: dict[int, int] = {}
+        prev_files: set[str] = set()
+    else:
+        table_uuid = prior["table_uuid"]
+        manifests = dict(prior["manifests"])
+        first_seen = dict(prior["first_seen"])
+        snapshots = list(prior["snapshots"])
+        snapshot_ids = dict(prior["snapshot_ids"])
+        prev_files = set(prior["prev_files"])
     ice_schema = None
     spec_fields: list[dict] = []
     spec_id = 0
     last_col_id = 0
-    for v in range(1, latest + 1):
+    for v in range(start_v, latest + 1):
         try:
             m = _load_manifest(table_dir, v)
         except FileNotFoundError:
             raise ValueError(
                 f"{table_dir}@v{v} was vacuumed; Iceberg snapshots must "
-                "be contiguous — export to a fresh directory only the "
-                "surviving history (or vacuum the mirror the same way)"
+                "be contiguous — sync the mirror before vacuuming "
+                "unsynced versions, or export the surviving history to "
+                "a fresh directory"
             ) from None
         if m.get("dvs"):
             raise ValueError(
@@ -340,7 +434,7 @@ def export_iceberg_metadata(
         cur = set(files)
         for f in cur - prev_files:
             first_seen[f] = v
-        snap_id = now_ms + v  # unique, monotone
+        snap_id = now_ms + v  # unique, monotone (fresh clock per run)
         snapshot_ids[v] = snap_id
         mode = m.get("mode", "append")
         is_append = mode == "append" and prev_files <= cur

@@ -250,3 +250,52 @@ def test_cli_iceberg_export_import(spark, sf_dir, tmp_path, capsys):
     assert "adopted 1 Iceberg snapshot" in capsys.readouterr().out
     got = sorted(map(tuple, V.read_versioned(spark, base).collect()))
     assert got == expected
+
+
+def test_sync_iceberg_incremental_and_after_vacuum(spark, sf_dir, tmp_path):
+    """sync_iceberg_metadata writes only the new snapshots, reuses the
+    table uuid / snapshot ids / manifests from the MIRROR's own state
+    (so source manifests older than the mirror may be vacuumed), and
+    the synced mirror adopts back with full history."""
+    import time as _time
+
+    from datalake_scripts_spark.operators.iceberg_interop import (
+        sync_iceberg_metadata,
+    )
+
+    base = str(tmp_path / "tbl")
+    V.write_versioned(spark, _orders(spark, sf_dir, 0, 1000), base, mode="append")
+    meta_dir = export_iceberg_metadata(base)
+    m1 = json.load(open(os.path.join(meta_dir, "v1.metadata.json")))
+    uuid0 = m1["table-uuid"]
+    # no change -> no-op
+    assert sync_iceberg_metadata(base) == 0
+    V.write_versioned(spark, _orders(spark, sf_dir, 1000, 2000), base, mode="append")
+    _time.sleep(0.002)  # snapshot ids are clock-derived per run
+    assert sync_iceberg_metadata(base) == 1
+    m2 = json.load(open(os.path.join(meta_dir, "v2.metadata.json")))
+    assert m2["table-uuid"] == uuid0
+    assert len(m2["snapshots"]) == 2
+    s1, s2 = sorted(m2["snapshots"], key=lambda s: s["sequence-number"])
+    assert s2["parent-snapshot-id"] == s1["snapshot-id"]
+    # the append REUSED the prior manifest by reference
+    _, _, l1 = read_container(s1["manifest-list"])
+    _, _, l2 = read_container(s2["manifest-list"])
+    assert l2[0]["manifest_path"] == l1[0]["manifest_path"]
+    # vacuum everything already synced; a rewrite commit still syncs
+    V.vacuum(base, keep_last=1)
+    V.delete_versioned(spark, base, "o_orderkey < 100")
+    _time.sleep(0.002)
+    assert sync_iceberg_metadata(base) == 1
+    assert open(os.path.join(meta_dir, "version-hint.text")).read() == "3"
+    expected = {
+        v: sorted(map(tuple, V.read_versioned(spark, base, version=v).collect()))
+        for v in (3,)
+    }
+    _wipe_own_log(base)
+    assert import_iceberg_metadata(base) == 3
+    got = sorted(map(tuple, V.read_versioned(spark, base).collect()))
+    assert got == expected[3]
+    # pre-delete history adopted too (manifest files survive in the
+    # mirror even though the SOURCE manifests were vacuumed)
+    assert V.read_versioned(spark, base, version=2).count() > len(got)
