@@ -33,8 +33,11 @@ Format notes (public Delta PROTOCOL.md):
   (operators/delta_reader.py) whose round-trip tests verify the
   encoding end-to-end. Imports accept reader versions 1 and 2
   (mapping mode ``name`` resolves by physicalName — our native
-  resolution) and refuse 3+ (this importer does not apply foreign
-  DVs).
+  resolution) and version 3 when every reader feature is implemented
+  here (deletionVectors, columnMapping): inline DV descriptors
+  decode into native DV parquets on adoption, so a DV'd export
+  round-trips through import_delta_log too. Unknown features and
+  on-disk ('u'/'p') DVs refuse loudly.
 
 Both directions are METADATA-ONLY — data files are shared in place,
 so adopting or exporting a 100 TB table costs O(commits), not O(data).
@@ -1053,6 +1056,71 @@ def _import_metadata(meta: dict, cur_max_cid: int) -> tuple:
     return schema_json, spec, max_cid
 
 
+def _check_reader_protocol(proto: dict) -> None:
+    """Importer protocol gate: base (1), columnMapping (2), and the
+    table-features protocol (3) when every reader feature is one we
+    implement — deletionVectors (inline descriptors materialize into
+    native DV parquets on adoption) and columnMapping."""
+    mrv = proto.get("minReaderVersion", 1)
+    if mrv == 3:
+        feats = proto.get("readerFeatures")
+        if feats is None:
+            raise ValueError(
+                "Delta protocol minReaderVersion 3 without a "
+                "readerFeatures list is malformed (the table-features "
+                "protocol requires it) — refusing to guess"
+            )
+        unknown = set(feats) - {"deletionVectors", "columnMapping"}
+        if unknown:
+            raise ValueError(
+                f"Delta reader feature(s) {sorted(unknown)} are not "
+                "implemented by this importer"
+            )
+    elif mrv > 3:
+        raise ValueError(
+            f"Delta protocol minReaderVersion {mrv} is not implemented "
+            "by this importer (readers 1-3 with known features only)"
+        )
+
+
+def _materialize_dvs(table_dir: str, dv_map: dict) -> list:
+    """Decode inline deletion-vector descriptors ({data rel/abs path:
+    descriptor}) into ONE native DV parquet under data/ (pyarrow — the
+    import stays sessionless) and return the manifest ``dvs`` entry
+    list. On-disk ('u'/'p') descriptors are refused — this importer
+    only applies what the exporter emits."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    bases: list[str] = []
+    poss: list[int] = []
+    rows: dict[str, int] = {}
+    for rel, desc in sorted(dv_map.items()):
+        if desc.get("storageType") != "i":
+            raise ValueError(
+                f"deletion vector storageType {desc.get('storageType')!r} "
+                "is not importable (only inline 'i')"
+            )
+        positions = _descriptor_positions(desc)
+        base = os.path.basename(rel)
+        rows[base] = len(positions)
+        bases.extend([base] * len(positions))
+        poss.extend(positions)
+    data_dir = os.path.join(table_dir, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    dst = f"dv-{uuid.uuid4().hex}.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "file_base": pa.array(bases, pa.string()),
+                "pos": pa.array(poss, pa.int64()),
+            }
+        ),
+        os.path.join(data_dir, dst),
+    )
+    return [{"path": os.path.join("data", dst), "rows": rows}]
+
+
 def import_delta_log(table_dir: str) -> int:
     """Adopt ``<table_dir>/_delta_log`` into the versioned layer:
     replay the contiguous JSON commit chain from Delta version 0,
@@ -1067,12 +1135,17 @@ def import_delta_log(table_dir: str) -> int:
 
     Refuses (ValueError) when: the table already has a manifest chain
     (adoption is for fresh dirs), the JSON chain does not start at 0
-    (checkpoint-truncated log), the protocol requires reader version
-    3+ (deletion vectors / table features), columnMapping mode is
-    ``id`` (parquet-field-id resolution), or an add carries a deletion
-    vector. Column mapping mode ``name`` imports natively — Delta's
-    physicalName/id field metadata becomes our ``physical``/``cid``
-    keys and renames/drops keep working post-adoption.
+    (checkpoint-truncated log), the protocol requires reader features
+    beyond deletionVectors/columnMapping, columnMapping mode is
+    ``id`` (parquet-field-id resolution), or a deletion vector is
+    on-disk ('u'/'p'). Column mapping mode ``name`` imports natively —
+    Delta's physicalName/id field metadata becomes our
+    ``physical``/``cid`` keys and renames/drops keep working
+    post-adoption. Inline deletion vectors import natively too: each
+    distinct descriptor state materializes ONE native DV parquet
+    (file_base, pos) that read_versioned anti-joins, so the adopted
+    table hides exactly the rows the Delta log hides and later DML /
+    OPTIMIZE work unchanged.
     ``cdc``/``txn``/``commitInfo``/``domainMetadata`` actions are
     skipped — they carry no table state."""
     if current_version(table_dir) > 0:
@@ -1084,7 +1157,10 @@ def import_delta_log(table_dir: str) -> int:
     if not os.path.isdir(log_dir):
         raise FileNotFoundError(f"{log_dir} does not exist")
     commits = _list_commit_versions(log_dir)
-    active: dict[str, dict | None] = {}  # rel path -> stats (ordered)
+    # rel path -> (stats, inline DV descriptor or None), insertion-ordered
+    active: dict[str, tuple] = {}
+    last_dv_sig = None  # descriptor-state signature of the last DV parquet
+    last_dvs = None
     schema_json = None
     spec: list[str] = []
     max_cid = 0
@@ -1130,29 +1206,31 @@ def import_delta_log(table_dir: str) -> int:
     store.ensure_log(table_dir)
     if cp_seed is not None:
         protocol, meta, cp_active = cp_seed
-        if protocol.get("minReaderVersion", 1) > 2:
-            raise ValueError(
-                "Delta protocol minReaderVersion "
-                f"{protocol['minReaderVersion']} requires reader table "
-                "features this importer does not implement"
-            )
+        _check_reader_protocol(protocol)
         schema_json, spec, max_cid = _import_metadata(meta, 0)
         for path, add in cp_active.items():
-            if add.get("deletionVector"):
-                raise ValueError(
-                    "deletion vectors are not supported by this importer"
-                )
-            active[urllib.parse.unquote(path)] = _manifest_stats(add)
+            active[urllib.parse.unquote(path)] = (
+                _manifest_stats(add), add.get("deletionVector"),
+            )
         manifest = {
             "version": 1,
             "mode": "append",
             "files": list(active),
-            "stats": {f: s for f, s in active.items() if s is not None},
+            "stats": {
+                f: st for f, (st, _) in active.items() if st is not None
+            },
             "schema": schema_json,
             "meta": {"delta_import": base + 1, "delta_checkpoint": base + 1},
             "partition_spec": spec,
             "spec_id": 0,
         }
+        dv_map = {f: d for f, (_, d) in active.items() if d}
+        if dv_map:
+            last_dvs = _materialize_dvs(table_dir, dv_map)
+            last_dv_sig = frozenset(
+                (f, d["pathOrInlineDv"]) for f, d in dv_map.items()
+            )
+            manifest["dvs"] = last_dvs
         if max_cid:
             manifest["max_column_id"] = max_cid
         if not store.put_if_absent(
@@ -1172,32 +1250,20 @@ def import_delta_log(table_dir: str) -> int:
                     continue
                 action = json.loads(line)
                 if "protocol" in action:
-                    # reader version 2 adds exactly one feature —
-                    # column mapping — which this importer speaks
-                    # (mode=name resolves by physicalName, our native
-                    # resolution). 3+ is table features (deletion
-                    # vectors etc.): refuse.
-                    if action["protocol"].get("minReaderVersion", 1) > 2:
-                        raise ValueError(
-                            "Delta protocol minReaderVersion "
-                            f"{action['protocol']['minReaderVersion']} "
-                            "requires reader table features (deletion "
-                            "vectors / v2 checkpoints) this importer "
-                            "does not implement"
-                        )
+                    # reader 2 = column mapping (native resolution);
+                    # reader 3 accepted when every feature is one we
+                    # implement (deletionVectors, columnMapping)
+                    _check_reader_protocol(action["protocol"])
                 elif "metaData" in action:
                     schema_json, spec, max_cid = _import_metadata(
                         action["metaData"], max_cid
                     )
                 elif "add" in action:
                     add = action["add"]
-                    if add.get("deletionVector"):
-                        raise ValueError(
-                            "deletion vectors are not supported by this "
-                            "importer"
-                        )
                     path = urllib.parse.unquote(add["path"])
-                    active[path] = _manifest_stats(add)
+                    active[path] = (
+                        _manifest_stats(add), add.get("deletionVector"),
+                    )
                 elif "remove" in action:
                     active.pop(urllib.parse.unquote(action["remove"]["path"]), None)
                     removes += 1
@@ -1207,7 +1273,7 @@ def import_delta_log(table_dir: str) -> int:
                 f"Delta commit {dv} reached without a metaData action"
             )
         files = list(active)
-        stats = {f: s for f, s in active.items() if s is not None}
+        stats = {f: st for f, (st, _) in active.items() if st is not None}
         v_out = dv - base
         manifest = {
             "version": v_out,
@@ -1219,6 +1285,17 @@ def import_delta_log(table_dir: str) -> int:
             "partition_spec": spec,
             "spec_id": 0,
         }
+        # inline DV descriptors -> one native DV parquet per distinct
+        # descriptor state (unchanged states re-reference the object)
+        dv_map = {f: d for f, (_, d) in active.items() if d}
+        if dv_map:
+            sig = frozenset(
+                (f, d["pathOrInlineDv"]) for f, d in dv_map.items()
+            )
+            if sig != last_dv_sig:
+                last_dvs = _materialize_dvs(table_dir, dv_map)
+                last_dv_sig = sig
+            manifest["dvs"] = last_dvs
         if max_cid:
             manifest["max_column_id"] = max_cid
         if not store.put_if_absent(

@@ -404,3 +404,80 @@ def test_reader_on_foreign_log(spark, tmp_path):
     import_delta_log(base)
     spark_rows = sorted(map(tuple, V.read_versioned(spark, base).collect()))
     assert reader_rows == spark_rows == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_dvd_export_roundtrips_through_import(spark, sf_dir, tmp_path):
+    """r9 completion: a DV'd export adopts back through
+    import_delta_log — inline descriptors decode into native DV
+    parquets, the adopted table hides exactly the rows the log hides
+    (at every version), and further merge-on-read DML works on top."""
+    from datalake_scripts_spark.operators.delta_interop import (
+        import_delta_log,
+    )
+
+    base = str(tmp_path / "tbl")
+    V.write_versioned(
+        spark, _orders(spark, sf_dir, 0, 2000).coalesce(1), base,
+        mode="append",
+    )
+    V.delete_versioned(spark, base, "o_orderkey < 100", deletion_vectors=True)
+    V.delete_versioned(
+        spark, base, "o_orderkey >= 100 AND o_orderkey < 150",
+        deletion_vectors=True,
+    )
+    per_version = {
+        v: sorted(map(tuple, V.read_versioned(spark, base, version=v).collect()))
+        for v in (1, 2, 3)
+    }
+    export_delta_log(base)
+    import shutil
+
+    shutil.rmtree(os.path.join(base, "_manifests"))
+    ptr = os.path.join(base, "_latest")
+    if os.path.exists(ptr):
+        os.remove(ptr)
+    assert import_delta_log(base) == 3
+    for v, want in per_version.items():
+        got = sorted(
+            map(tuple, V.read_versioned(spark, base, version=v).collect())
+        )
+        assert got == want, f"mismatch at adopted version {v}"
+    m = V._load_manifest(base, 3)
+    assert m.get("dvs"), "adopted manifest must carry native DVs"
+    # further merge-on-read DML stacks on the adopted DVs
+    _, n = V.delete_versioned(
+        spark, base, "o_orderkey >= 150 AND o_orderkey < 160",
+        deletion_vectors=True,
+    )
+    assert n == V.read_versioned(spark, base, version=3).filter(
+        "o_orderkey >= 150 AND o_orderkey < 160"
+    ).count()
+    got = V.read_versioned(spark, base)
+    assert got.filter("o_orderkey < 160").count() == 0
+
+
+def test_import_refuses_ondisk_dv(spark, sf_dir, tmp_path):
+    import json as _json
+
+    from datalake_scripts_spark.operators.delta_interop import (
+        import_delta_log,
+    )
+
+    base = str(tmp_path / "tbl")
+    V.write_versioned(spark, _orders(spark, sf_dir, 0, 500), base, mode="append")
+    log_dir = export_delta_log(base)
+    p = os.path.join(log_dir, f"{0:020d}.json")
+    lines = [_json.loads(x) for x in open(p).read().splitlines()]
+    for a in lines:
+        if "add" in a:
+            a["add"]["deletionVector"] = {
+                "storageType": "u", "pathOrInlineDv": "ab^cd",
+                "offset": 1, "sizeInBytes": 40, "cardinality": 6,
+            }
+    open(p, "w").write("\n".join(_json.dumps(a) for a in lines) + "\n")
+    import shutil
+
+    shutil.rmtree(os.path.join(base, "_manifests"))
+    os.remove(os.path.join(base, "_latest"))
+    with pytest.raises(ValueError, match="storageType"):
+        import_delta_log(base)
