@@ -4,6 +4,7 @@ from .windows import (  # noqa: F401
     tumbling_agg,
     sliding_agg,
     session_agg,
+    streaming_funnel,
     trailing_distinct_users,
     dedup_within_watermark,
     run_to_memory,

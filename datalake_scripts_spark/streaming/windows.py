@@ -188,6 +188,153 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
     return q
 
 
+def streaming_funnel(
+    events: DataFrame,
+    stages: tuple[str, str, str] = ("view", "click", "purchase"),
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Ordered 3-stage funnel as a stateful streaming operator
+    (applyInPandasWithState), EXACT under out-of-order arrival within
+    the watermark — the streaming twin of the batch
+    ``events_funnel_conversion`` semantics: t1 = first stage-1 event,
+    t2 = first stage-2 event STRICTLY after the realized t1, t3 = first
+    stage-3 event strictly after t2.
+
+    Why naive state (just t1/t2/t3) is wrong: a late stage-1 event can
+    LOWER t1, which can make an already-seen stage-2 event qualify
+    retroactively — if it was discarded, the funnel silently
+    under-counts. The sufficient state is the realized times PLUS, per
+    later stage, the CANDIDATE buffer of events that do not qualify
+    yet but still could if an earlier stage's time drops: stage-2
+    events with watermark < ts <= t1, stage-3 events with
+    watermark < ts <= t2. A buffered candidate with ts <= watermark
+    can never qualify (the earlier time can only drop to >= the
+    watermark), so buffers are pruned every batch — state is
+    O(events within the watermark horizon) per user, not O(history).
+
+    Per batch, per user: fold stage-1 minima into t1; re-evaluate the
+    stage-2 buffer + new stage-2 events against the (possibly lower)
+    t1; then stage 3 against the (possibly lower) t2; prune buffers to
+    the current watermark; emit (user_id, stage_reached, t1, t2, t3)
+    in update mode when anything changed. Every coordinate improves
+    monotonically (times only decrease, stage only increases), so the
+    latest emission per user IS the best state. Batch-mode input falls
+    back to the equivalent per-user conditional-min chain."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    s1, s2, s3 = stages
+    out_schema = (
+        "user_id bigint, stage_reached int, "
+        "t1 timestamp, t2 timestamp, t3 timestamp"
+    )
+
+    if not events.isStreaming:
+        v = (
+            events.filter(F.col("event_type") == s1)
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t1"))
+        )
+        c = (
+            events.filter(F.col("event_type") == s2)
+            .join(v, "user_id")
+            .filter(F.col("ts") > F.col("t1"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t2"))
+        )
+        p = (
+            events.filter(F.col("event_type") == s3)
+            .join(c, "user_id")
+            .filter(F.col("ts") > F.col("t2"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t3"))
+        )
+        return (
+            v.join(c, "user_id", "left")
+            .join(p, "user_id", "left")
+            .select(
+                "user_id",
+                (
+                    F.when(F.col("t3").isNotNull(), 3)
+                    .when(F.col("t2").isNotNull(), 2)
+                    .otherwise(1)
+                ).cast("int").alias("stage_reached"),
+                "t1", "t2", "t3",
+            )
+        )
+
+    def _us(series) -> list[int]:
+        return (series.astype("int64") // 1000).tolist()
+
+    def update(key, pdfs, state: GroupState):
+        # state: realized times in micros (-1 = not reached) + buffers
+        if state.exists:
+            t1, t2, t3, buf2, buf3 = state.get
+            buf2, buf3 = list(buf2), list(buf3)
+        else:
+            t1, t2, t3, buf2, buf3 = -1, -1, -1, [], []
+        before = (t1, t2, t3)
+        new2: list[int] = []
+        new3: list[int] = []
+        for pdf in pdfs:
+            by = pdf.groupby("event_type")["ts"]
+            for ev, series in by:
+                if ev == s1:
+                    m = min(_us(series))
+                    t1 = m if t1 < 0 else min(t1, m)
+                elif ev == s2:
+                    new2.extend(_us(series))
+                elif ev == s3:
+                    new3.extend(_us(series))
+        # stage 2 against the (possibly lowered) t1
+        cand2 = buf2 + new2
+        if t1 >= 0:
+            qual = [c for c in cand2 if c > t1]
+            if qual:
+                m = min(qual)
+                t2 = m if t2 < 0 else min(t2, m)
+        # stage 3 against the (possibly lowered) t2
+        cand3 = buf3 + new3
+        if t2 >= 0:
+            qual = [c for c in cand3 if c > t2]
+            if qual:
+                m = min(qual)
+                t3 = m if t3 < 0 else min(t3, m)
+        # re-buffer the still-possible candidates, pruned to the
+        # watermark (ts <= wm can never qualify later; see docstring)
+        wm = state.getCurrentWatermarkMs() * 1000  # ms -> us
+        buf2 = sorted(c for c in cand2 if c > wm and (t1 < 0 or c <= t1))
+        buf3 = sorted(c for c in cand3 if c > wm and (t2 < 0 or c <= t2))
+        state.update((t1, t2, t3, buf2, buf3))
+        if (t1, t2, t3) != before and t1 >= 0:
+            stage = 3 if t3 >= 0 else 2 if t2 >= 0 else 1
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "stage_reached": [stage],
+                    "t1": [pd.Timestamp(t1, unit="us")],
+                    "t2": [pd.Timestamp(t2, unit="us") if t2 >= 0 else None],
+                    "t3": [pd.Timestamp(t3, unit="us") if t3 >= 0 else None],
+                }
+            )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .select("user_id", "event_type", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=(
+                "t1 bigint, t2 bigint, t3 bigint, "
+                "buf2 array<bigint>, buf3 array<bigint>"
+            ),
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def running_user_totals(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
     """Custom stateful streaming operator via applyInPandasWithState:
     per-user running event count + value total maintained across

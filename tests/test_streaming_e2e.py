@@ -701,3 +701,81 @@ def test_trailing_distinct_stream_matches_batch_twin(spark, tmp_path):
     v_before = V.current_version(out)
     run_once()
     assert V.current_version(out) == v_before
+
+
+def test_streaming_funnel_exact_under_out_of_order(spark, tmp_path):
+    """Stateful streaming funnel (streaming.windows.streaming_funnel):
+    candidate buffers make it EXACT when late earlier-stage events
+    retroactively qualify already-seen later-stage events — the case a
+    naive (t1,t2,t3)-only state silently loses. Final state equals the
+    batch twin over the union of all batches."""
+    import datetime
+
+    from datalake_scripts_spark.streaming import (
+        events_schema,
+        stream_from_directory,
+        streaming_funnel,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    base = datetime.datetime(2024, 5, 1)
+
+    def mk(rows):  # (event_id, hour, user, type)
+        return spark.createDataFrame(
+            [
+                (eid, base + datetime.timedelta(hours=h), uid, et, 1.0, "{}")
+                for eid, h, uid, et in rows
+            ],
+            schema=events_schema(),
+        )
+
+    # A: later stages arrive BEFORE the view; B: a late view lowers t1
+    # and a better click lowers t2; C: click before view qualifies only
+    # after the late view; D: view only
+    batch1 = [
+        (1, 5, 1, "click"), (2, 6, 1, "purchase"),
+        (3, 10, 2, "view"), (4, 12, 2, "click"),
+        (5, 3, 3, "view"), (6, 2, 3, "click"),
+        (7, 4, 4, "view"),
+    ]
+    batch2 = [
+        (8, 1, 1, "view"),
+        (9, 2, 2, "view"), (10, 4, 2, "click"), (11, 5, 2, "purchase"),
+        (12, 1, 3, "view"),
+    ]
+    mk(batch1).coalesce(1).write.parquet(str(src / "p1"))
+    mk(batch2).coalesce(1).write.parquet(str(src / "p2"))
+
+    q = (
+        streaming_funnel(
+            stream_from_directory(spark, f"{src}/*", max_files_per_trigger=1),
+            watermark="2 days",
+        )
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("funnel_stream")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    # every coordinate improves monotonically -> aggregate to final
+    got = {
+        r["user_id"]: (r["stage"], r["t1"], r["t2"], r["t3"])
+        for r in spark.sql(
+            "SELECT user_id, MAX(stage_reached) AS stage, MIN(t1) AS t1,"
+            "       MIN(t2) AS t2, MIN(t3) AS t3 "
+            "FROM funnel_stream GROUP BY user_id"
+        ).collect()
+    }
+    want = {
+        r["user_id"]: (r["stage_reached"], r["t1"], r["t2"], r["t3"])
+        for r in streaming_funnel(mk(batch1 + batch2)).collect()
+    }
+    assert got == want
+    # pin the retroactive cases explicitly
+    h = lambda n: base + datetime.timedelta(hours=n)
+    assert got[1] == (3, h(1), h(5), h(6))   # stages arrived before view
+    assert got[2] == (3, h(2), h(4), h(5))   # late view lowered t1 AND t2
+    assert got[3] == (2, h(1), h(2), None)   # buffered click qualified late
+    assert got[4] == (1, h(4), None, None)
