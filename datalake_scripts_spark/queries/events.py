@@ -381,6 +381,91 @@ def stream_trailing_distinct_users(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
+    "stream_funnel_conversion",
+    sql="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+      GROUP BY e.user_id
+    )
+    SELECT v.user_id,
+           CAST(CASE WHEN p.t3 IS NOT NULL THEN 3
+                     WHEN c.t2 IS NOT NULL THEN 2
+                     ELSE 1 END AS INT) AS stage_reached,
+           v.t1, c.t2, p.t3
+    FROM v
+    LEFT JOIN c ON v.user_id = c.user_id
+    LEFT JOIN p ON v.user_id = p.user_id
+    ORDER BY v.user_id
+    """,
+)
+def stream_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ordered funnel run as an ACTUAL stateful streaming
+    query (streaming.windows.streaming_funnel, applyInPandasWithState)
+    and hash-verified against the plain batch-funnel oracle: events
+    stream from a temp copy, per-user state tracks the realized stage
+    times plus the watermark-bounded candidate buffers that make the
+    operator exact under out-of-order arrival, and update-mode
+    emissions — every coordinate improves monotonically — aggregate to
+    the final (stage_reached, t1, t2, t3) per user.
+
+    100 TB rationale: funnel state is O(users) plus the in-horizon
+    candidate buffers; no per-user event history is ever retained, and
+    the same operator keeps the exact batch semantics when late
+    earlier-stage events retroactively qualify later-stage ones."""
+    import tempfile
+    import uuid as _uuid
+
+    from ..streaming import stream_from_directory, streaming_funnel
+
+    ev = t(spark, sf_dir, "events")
+    typed = ev.select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        F.col("value").cast("double").alias("value"),
+        F.col("props").cast("string").alias("props"),
+    )
+    src = tempfile.mkdtemp(prefix="stream_funnel_")
+    typed.write.mode("overwrite").parquet(src)
+    name = f"stfun_{_uuid.uuid4().hex[:10]}"
+    q = (
+        streaming_funnel(
+            stream_from_directory(spark, src), watermark="90 days"
+        )
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max("stage_reached").cast("int").alias("stage_reached"),
+            F.min("t1").cast("timestamp_ntz").alias("t1"),
+            F.min("t2").cast("timestamp_ntz").alias("t2"),
+            F.min("t3").cast("timestamp_ntz").alias("t3"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
     "events_funnel_conversion",
     sql="""
     WITH v AS (
