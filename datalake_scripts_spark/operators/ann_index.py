@@ -137,7 +137,11 @@ def build_ann_index(
     sample for kmeans) + one map-side assignment pass + one
     cell-partitioned write — O(corpus), paid once per build."""
     v = current_version(corpus_dir)
-    corpus = read_versioned(spark, corpus_dir)
+    # read PINNED to the recorded watermark: a concurrent append
+    # landing between current_version and the scan would otherwise be
+    # indexed yet left above the watermark, so the next refresh would
+    # re-assign those vectors into duplicate neighbor rows (ADVICE r9)
+    corpus = read_versioned(spark, corpus_dir, version=v)
     if centroids == "kmeans":
         cents = S.ivf_centroids_kmeans(
             corpus, n_centroids=n_centroids, max_sample=max_sample,

@@ -262,6 +262,22 @@ def _dv_descriptor(positions) -> dict:
     }
 
 
+def _dv_unique_id(desc: dict | None) -> str | None:
+    """Delta's DV unique id (storageType + pathOrInlineDv + optional
+    "@offset"). The spec reconciles file actions by (path, dvUid) —
+    a DV DML commit carries add{path,newDV} + remove{path,oldDV} for
+    one path, so replay MUST key on the tuple, and a remove for a
+    DV'd file MUST carry the superseded descriptor or it only cancels
+    the (path, None) entry (ADVICE r9, delta-spark InMemoryLogReplay)."""
+    if not desc or desc.get("storageType") is None:
+        return None
+    uid = str(desc["storageType"]) + str(desc["pathOrInlineDv"])
+    off = desc.get("offset")
+    if off is not None:
+        uid += f"@{off}"
+    return uid
+
+
 def _descriptor_positions(desc: dict) -> tuple[int, ...]:
     raw = _z85_decode(desc["pathOrInlineDv"])[: desc["sizeInBytes"]]
     return _deserialize_positions(raw)
@@ -323,11 +339,17 @@ def _partition_values(rel_path: str) -> dict:
     return out
 
 
-def _delta_stats(file_stats: dict | None) -> str | None:
+def _delta_stats(
+    file_stats: dict | None, tight: bool = True
+) -> str | None:
     """Our per-file stats -> Delta ``add.stats`` JSON string. Columns
     recorded as None (no usable min/max) are omitted from min/max maps
     — Delta permits partial stats and readers treat absence as
-    unprunable, matching our convention exactly."""
+    unprunable, matching our convention exactly. ``tight=False``
+    (adds carrying a deletionVector) emits ``tightBounds: false``:
+    the protocol's DV writer requirement — values stay physical-file,
+    but metadata-only MIN/MAX/COUNT answers must not trust them, since
+    the extremes may live in DV-deleted rows."""
     if not file_stats:
         return None
     mins, maxs, nulls = {}, {}, {}
@@ -337,14 +359,15 @@ def _delta_stats(file_stats: dict | None) -> str | None:
         mins[col] = cs["min"]
         maxs[col] = cs["max"]
         nulls[col] = cs["nulls"]
-    return json.dumps(
-        {
-            "numRecords": file_stats.get("rows", 0),
-            "minValues": mins,
-            "maxValues": maxs,
-            "nullCount": nulls,
-        }
-    )
+    out = {
+        "numRecords": file_stats.get("rows", 0),
+        "minValues": mins,
+        "maxValues": maxs,
+        "nullCount": nulls,
+    }
+    if not tight:
+        out["tightBounds"] = False
+    return json.dumps(out)
 
 
 def export_delta_log(table_dir: str, out_dir: str | None = None) -> str:
@@ -488,7 +511,7 @@ def _write_delta_commits(
         dv_already = False
     else:
         protocol, meta, active = prior_state
-        prev_files = {urllib.parse.unquote(p) for p in active}
+        prev_files = {urllib.parse.unquote(p) for (p, _dvid) in active}
         prev_delta_schema = (
             json.loads(meta["schemaString"]) if meta else None
         )
@@ -503,10 +526,10 @@ def _write_delta_commits(
         # prior DV signatures: decode the mirror's own descriptors so a
         # stacked DV on an already-exported file diffs correctly
         prev_dv = {
-            urllib.parse.unquote(p): _descriptor_positions(
+            urllib.parse.unquote(a["path"]): _descriptor_positions(
                 a["deletionVector"]
             )
-            for p, a in active.items()
+            for a in active.values()
             if a.get("deletionVector")
         }
     for v in range(start_v, latest + 1):
@@ -670,16 +693,19 @@ def _write_delta_commits(
             if prev_dv.get(f) != cur_dv.get(f)
         }
         for f in sorted((prev_files - cur) | dv_changed):
-            actions.append(
-                {
-                    "remove": {
-                        "path": urllib.parse.quote(f),
-                        "deletionTimestamp": now_ms,
-                        # a DV change deletes rows even in a "relayout"
-                        "dataChange": data_change or f in dv_changed,
-                    }
-                }
-            )
+            rem = {
+                "path": urllib.parse.quote(f),
+                "deletionTimestamp": now_ms,
+                # a DV change deletes rows even in a "relayout"
+                "dataChange": data_change or f in dv_changed,
+            }
+            # the remove must name the descriptor it supersedes:
+            # replay keys on (path, dvUid), so a bare remove would
+            # leave the old (path, oldDV) add live — resurrected rows
+            # in any spec-keyed reader (ADVICE r9 high)
+            if prev_dv.get(f):
+                rem["deletionVector"] = _dv_descriptor(prev_dv[f])
+            actions.append({"remove": rem})
         for f in sorted((cur - prev_files) | dv_changed):
             full = os.path.join(table_dir, f)
             st = os.stat(full)
@@ -692,7 +718,7 @@ def _write_delta_commits(
             }
             if f in cur_dv:
                 add["deletionVector"] = _dv_descriptor(cur_dv[f])
-            dstats = _delta_stats(stats.get(f))
+            dstats = _delta_stats(stats.get(f), tight=f not in cur_dv)
             if dstats is not None:
                 add["stats"] = dstats
             actions.append({"add": add})
@@ -747,9 +773,12 @@ def _replay_json_chain(
     log_dir: str, commits: list[int], state: tuple | None = None
 ) -> tuple:
     """Replay a contiguous JSON chain to its final state: (protocol
-    action dict, metaData action dict, {path: add action dict}).
-    ``state`` seeds the replay (a checkpoint's reconstructed state, for
-    log-cleaned directories whose JSON no longer starts at 0)."""
+    action dict, metaData action dict, {(path, dvUid): add action}).
+    File actions are keyed by (path, deletionVector uniqueId) — the
+    spec's reconciliation key, which makes intra-commit add/remove
+    line order irrelevant for DV DML. ``state`` seeds the replay (a
+    checkpoint's reconstructed state, for log-cleaned directories
+    whose JSON no longer starts at 0)."""
     if state is not None:
         protocol, meta, active = state
         active = dict(active)
@@ -769,9 +798,15 @@ def _replay_json_chain(
                 elif "metaData" in action:
                     meta = action["metaData"]
                 elif "add" in action:
-                    active[action["add"]["path"]] = action["add"]
+                    a = action["add"]
+                    key = (a["path"], _dv_unique_id(a.get("deletionVector")))
+                    active[key] = a
                 elif "remove" in action:
-                    active.pop(action["remove"]["path"], None)
+                    r = action["remove"]
+                    active.pop(
+                        (r["path"], _dv_unique_id(r.get("deletionVector"))),
+                        None,
+                    )
     return protocol, meta, active
 
 
@@ -892,8 +927,8 @@ def write_delta_checkpoint(
             "createdTime": meta.get("createdTime"),
         }},
     ]
-    for path in sorted(active):
-        add = active[path]
+    for key in sorted(active, key=lambda k: (k[0], k[1] or "")):
+        add = active[key]
         dv = add.get("deletionVector")
         rows.append({"add": {
             "path": add["path"],
@@ -959,8 +994,8 @@ def _checkpoint_files(log_dir: str, v: int) -> list[str]:
 
 
 def _read_checkpoint_state(log_dir: str, v: int) -> tuple:
-    """Load (protocol, metaData, {path: add}) from a classic parquet
-    checkpoint at version ``v`` (single- or multi-part)."""
+    """Load (protocol, metaData, {(path, dvUid): add}) from a classic
+    parquet checkpoint at version ``v`` (single- or multi-part)."""
     import pyarrow.parquet as pq
 
     protocol = {"minReaderVersion": 1, "minWriterVersion": 2}
@@ -996,7 +1031,9 @@ def _read_checkpoint_state(log_dir: str, v: int) -> tuple:
             dv = add.get("deletionVector")
             if not dv or dv.get("storageType") is None:
                 add.pop("deletionVector", None)
-            active[add["path"]] = add
+            active[
+                (add["path"], _dv_unique_id(add.get("deletionVector")))
+            ] = add
     if meta is None:
         raise ValueError(f"{cp_path} carries no metaData row")
     return protocol, meta, active
@@ -1121,6 +1158,25 @@ def _materialize_dvs(table_dir: str, dv_map: dict) -> list:
     return [{"path": os.path.join("data", dst), "rows": rows}]
 
 
+def _collapse_active(active: dict) -> dict:
+    """{(path, dvUid): (stats, dv)} -> {path: (stats, dv)}. After any
+    complete commit a valid log has at most one live entry per path
+    (DV DML removes the superseded (path, oldDV) entry in the same
+    commit); two surviving entries mean the writer emitted a bare
+    remove for a DV'd file — refuse rather than import duplicated
+    rows."""
+    out: dict[str, tuple] = {}
+    for (path, _dvid), entry in active.items():
+        if path in out:
+            raise ValueError(
+                f"Delta log leaves two live file actions for {path!r} "
+                "(a remove is missing its deletionVector descriptor); "
+                "importing would duplicate rows"
+            )
+        out[path] = entry
+    return out
+
+
 def import_delta_log(table_dir: str) -> int:
     """Adopt ``<table_dir>/_delta_log`` into the versioned layer:
     replay the contiguous JSON commit chain from Delta version 0,
@@ -1157,8 +1213,9 @@ def import_delta_log(table_dir: str) -> int:
     if not os.path.isdir(log_dir):
         raise FileNotFoundError(f"{log_dir} does not exist")
     commits = _list_commit_versions(log_dir)
-    # rel path -> (stats, inline DV descriptor or None), insertion-ordered
-    active: dict[str, tuple] = {}
+    # (rel path, dvUid) -> (stats, inline DV descriptor or None) —
+    # spec reconciliation key; collapsed to per-path at each manifest
+    active: dict[tuple, tuple] = {}
     last_dv_sig = None  # descriptor-state signature of the last DV parquet
     last_dvs = None
     schema_json = None
@@ -1208,23 +1265,26 @@ def import_delta_log(table_dir: str) -> int:
         protocol, meta, cp_active = cp_seed
         _check_reader_protocol(protocol)
         schema_json, spec, max_cid = _import_metadata(meta, 0)
-        for path, add in cp_active.items():
-            active[urllib.parse.unquote(path)] = (
-                _manifest_stats(add), add.get("deletionVector"),
+        for add in cp_active.values():
+            key = (
+                urllib.parse.unquote(add["path"]),
+                _dv_unique_id(add.get("deletionVector")),
             )
+            active[key] = (_manifest_stats(add), add.get("deletionVector"))
+        by_path = _collapse_active(active)
         manifest = {
             "version": 1,
             "mode": "append",
-            "files": list(active),
+            "files": list(by_path),
             "stats": {
-                f: st for f, (st, _) in active.items() if st is not None
+                f: st for f, (st, _) in by_path.items() if st is not None
             },
             "schema": schema_json,
             "meta": {"delta_import": base + 1, "delta_checkpoint": base + 1},
             "partition_spec": spec,
             "spec_id": 0,
         }
-        dv_map = {f: d for f, (_, d) in active.items() if d}
+        dv_map = {f: d for f, (_, d) in by_path.items() if d}
         if dv_map:
             last_dvs = _materialize_dvs(table_dir, dv_map)
             last_dv_sig = frozenset(
@@ -1260,20 +1320,31 @@ def import_delta_log(table_dir: str) -> int:
                     )
                 elif "add" in action:
                     add = action["add"]
-                    path = urllib.parse.unquote(add["path"])
-                    active[path] = (
+                    key = (
+                        urllib.parse.unquote(add["path"]),
+                        _dv_unique_id(add.get("deletionVector")),
+                    )
+                    active[key] = (
                         _manifest_stats(add), add.get("deletionVector"),
                     )
                 elif "remove" in action:
-                    active.pop(urllib.parse.unquote(action["remove"]["path"]), None)
+                    rem = action["remove"]
+                    active.pop(
+                        (
+                            urllib.parse.unquote(rem["path"]),
+                            _dv_unique_id(rem.get("deletionVector")),
+                        ),
+                        None,
+                    )
                     removes += 1
                 # cdc / txn / commitInfo / domainMetadata: no table state
         if schema_json is None:
             raise ValueError(
                 f"Delta commit {dv} reached without a metaData action"
             )
-        files = list(active)
-        stats = {f: st for f, (st, _) in active.items() if st is not None}
+        by_path = _collapse_active(active)
+        files = list(by_path)
+        stats = {f: st for f, (st, _) in by_path.items() if st is not None}
         v_out = dv - base
         manifest = {
             "version": v_out,
@@ -1287,7 +1358,7 @@ def import_delta_log(table_dir: str) -> int:
         }
         # inline DV descriptors -> one native DV parquet per distinct
         # descriptor state (unchanged states re-reference the object)
-        dv_map = {f: d for f, (_, d) in active.items() if d}
+        dv_map = {f: d for f, (_, d) in by_path.items() if d}
         if dv_map:
             sig = frozenset(
                 (f, d["pathOrInlineDv"]) for f, d in dv_map.items()

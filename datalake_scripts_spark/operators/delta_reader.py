@@ -46,6 +46,22 @@ class DeltaReadError(ValueError):
     """The log is unreadable or uses a feature this reader refuses."""
 
 
+def _dv_uid(desc: dict | None) -> str | None:
+    """Delta's deletion-vector unique id: storageType + pathOrInlineDv
+    (+ "@offset" when present). File actions are reconciled by
+    (path, dvUid) — a DV DML commit legally carries add{path, newDV}
+    and remove{path, oldDV} for the SAME path in either line order
+    (PROTOCOL.md "Add File and Remove File"; delta-spark's
+    InMemoryLogReplay keys on this tuple)."""
+    if not desc or desc.get("storageType") is None:
+        return None
+    uid = str(desc["storageType"]) + str(desc["pathOrInlineDv"])
+    off = desc.get("offset")
+    if off is not None:
+        uid += f"@{off}"
+    return uid
+
+
 # ------------------------------------------------- deletion vectors
 # Independent decode path — deliberately NOT shared with the
 # exporter's codec in delta_interop (round-trip independence).
@@ -174,7 +190,8 @@ class DeltaSnapshot:
         self.version = version
         self.protocol = protocol
         self.metadata = metadata
-        self.adds = adds  # {path(str, url-quoted as in the log): add dict}
+        # {(path url-quoted as in the log, dvUid or None): add dict}
+        self.adds = adds
 
     # -- schema ------------------------------------------------------
     @property
@@ -226,8 +243,9 @@ class DeltaSnapshot:
         fields = self.schema.get("fields", [])
         part_cols = set(self.partition_columns)
         pieces = []
-        for path, add in sorted(self.adds.items()):
-            full = os.path.join(table_dir, urllib.parse.unquote(path))
+        for key in sorted(self.adds, key=lambda k: (k[0], k[1] or "")):
+            add = self.adds[key]
+            full = os.path.join(table_dir, urllib.parse.unquote(key[0]))
             t = pq.read_table(full)
             dv = add.get("deletionVector")
             if dv:
@@ -369,15 +387,21 @@ class DeltaLog:
 
     # -- replay ------------------------------------------------------
     def _apply_action(self, state: dict, action: dict) -> None:
+        # adds are keyed by (path, dvUid): a remove cancels exactly the
+        # file action carrying the SAME deletionVector — a bare remove
+        # only cancels (path, None), per spec reconciliation semantics
         if "protocol" in action:
             state["protocol"] = action["protocol"]
         elif "metaData" in action:
             state["metadata"] = action["metaData"]
         elif "add" in action:
             a = action["add"]
-            state["adds"][a["path"]] = a
+            state["adds"][(a["path"], _dv_uid(a.get("deletionVector")))] = a
         elif "remove" in action:
-            state["adds"].pop(action["remove"]["path"], None)
+            r = action["remove"]
+            state["adds"].pop(
+                (r["path"], _dv_uid(r.get("deletionVector"))), None
+            )
         # commitInfo / txn / cdc / domainMetadata: no table-state effect
 
     def _load_checkpoint(self, state: dict, parts: list[str]) -> None:
@@ -408,6 +432,13 @@ class DeltaLog:
                         val["partitionValues"] = dict(
                             val.get("partitionValues") or {}
                         )
+                    if key in ("add", "remove"):
+                        val = dict(val)
+                        # an all-null struct (non-nullable checkpoint
+                        # column) is "no DV", not a descriptor
+                        dv = val.get("deletionVector")
+                        if not dv or dv.get("storageType") is None:
+                            val.pop("deletionVector", None)
                     self._apply_action(state, {key: val})
 
     def snapshot(self, version: int | None = None) -> DeltaSnapshot:

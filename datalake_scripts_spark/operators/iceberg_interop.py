@@ -266,15 +266,29 @@ def _partition_values_of(rel_path: str, spec_fields, ice_schema) -> dict:
             out[pf["name"]] = float(v)
         elif t == "boolean":
             out[pf["name"]] = v == "true"
-        else:
-            out[pf["name"]] = v
-        if t == "date":
+        elif t == "date":
             import datetime
 
             out[pf["name"]] = (
                 datetime.date.fromisoformat(v)
                 - datetime.date(1970, 1, 1)
             ).days
+        elif t in ("timestamp", "timestamptz"):
+            # hive segment "2024-01-01 00:00:00[.ffffff]" -> spec'd
+            # micros-since-epoch (the Avro long _avro_primitive maps to)
+            import datetime
+
+            dt = datetime.datetime.fromisoformat(v.replace(" ", "T"))
+            if dt.tzinfo is not None:
+                dt = dt.astimezone(datetime.timezone.utc).replace(
+                    tzinfo=None
+                )
+            out[pf["name"]] = int(
+                (dt - datetime.datetime(1970, 1, 1)).total_seconds()
+                * 1_000_000
+            )
+        else:
+            out[pf["name"]] = v
     return out
 
 
@@ -421,6 +435,20 @@ def _write_iceberg_snapshots(
             raise ValueError(f"{table_dir}@v{v} has no committed schema")
         ice_schema, ids = _iceberg_schema(schema_json)
         last_col_id = max(ids.values(), default=0)
+        ice_types = {f["name"]: f["type"] for f in ice_schema["fields"]}
+        for c in spec:
+            # decimal identity partitions need the spec'd fixed-bytes
+            # Avro representation in manifest partition records, which
+            # this exporter does not emit — refuse loudly (same posture
+            # as transforms) rather than write a spec-invalid string
+            if str(ice_types.get(c, "")).startswith("decimal"):
+                raise ValueError(
+                    f"{table_dir}@v{v} identity-partitions on decimal "
+                    f"column {c!r}; the Iceberg manifest partition "
+                    "record needs Avro fixed-decimal encoding, which "
+                    "is not implemented — cast the partition column "
+                    "before export"
+                )
         spec_fields = [
             {
                 "name": c,

@@ -481,3 +481,126 @@ def test_import_refuses_ondisk_dv(spark, sf_dir, tmp_path):
     os.remove(os.path.join(base, "_latest"))
     with pytest.raises(ValueError, match="storageType"):
         import_delta_log(base)
+
+
+def _dv_table(spark, sf_dir, tmp_path):
+    """One-file table with two stacked DV commits; returns base dir."""
+    base = str(tmp_path / "tbl")
+    V.write_versioned(
+        spark, _orders(spark, sf_dir, 0, 2000).coalesce(1), base,
+        mode="append",
+    )
+    V.delete_versioned(spark, base, "o_orderkey < 100", deletion_vectors=True)
+    V.delete_versioned(
+        spark, base, "o_orderkey >= 100 AND o_orderkey < 150",
+        deletion_vectors=True,
+    )
+    return base
+
+
+def test_dv_remove_carries_superseded_descriptor(spark, sf_dir, tmp_path):
+    """ADVICE r9 (high): Delta reconciles file actions by
+    (path, deletionVector.uniqueId), so the remove emitted when a
+    file's DV changes MUST name the descriptor it supersedes — a bare
+    remove only cancels the (path, null) entry and spec-keyed readers
+    would resurrect the old add. Also: DV'd adds must carry
+    tightBounds=false (wide-bounds stats, protocol DV writer req)."""
+    import json as _json
+
+    base = _dv_table(spark, sf_dir, tmp_path)
+    log_dir = export_delta_log(base)
+    # commit 2 = second (stacked) delete: its remove supersedes the
+    # commit-1 descriptor
+    lines = [
+        _json.loads(x)
+        for x in open(os.path.join(log_dir, f"{2:020d}.json"))
+    ]
+    removes = [a["remove"] for a in lines if "remove" in a]
+    adds = [a["add"] for a in lines if "add" in a]
+    assert len(removes) == 1 and len(adds) == 1
+    assert removes[0].get("deletionVector"), (
+        "remove for a DV'd file must carry the superseded descriptor"
+    )
+    # the remove's descriptor == commit 1's add descriptor
+    c1 = [
+        _json.loads(x)
+        for x in open(os.path.join(log_dir, f"{1:020d}.json"))
+    ]
+    prev_desc = next(a["add"]["deletionVector"] for a in c1 if "add" in a)
+    assert removes[0]["deletionVector"] == prev_desc
+    assert removes[0]["deletionVector"] != adds[0]["deletionVector"]
+    # DV'd add: wide-bounds stats; pre-DV add (commit 0): tight
+    assert _json.loads(adds[0]["stats"])["tightBounds"] is False
+    c0 = [
+        _json.loads(x)
+        for x in open(os.path.join(log_dir, f"{0:020d}.json"))
+    ]
+    add0 = next(a["add"] for a in c0 if "add" in a)
+    assert "tightBounds" not in _json.loads(add0["stats"])
+
+
+def test_spec_keyed_replay_is_order_insensitive(spark, sf_dir, tmp_path):
+    """The spec key (path, dvUid) makes intra-commit add/remove line
+    order irrelevant: real delta-spark DV DML commits are not
+    guaranteed to put the remove first. Rewrite commit 2 so the add
+    PRECEDES the remove — a path-keyed replay would pop the new add
+    and lose the file; the spec-keyed reader and importer must not."""
+    import json as _json
+    import shutil
+
+    from datalake_scripts_spark.operators.delta_interop import (
+        import_delta_log,
+    )
+
+    base = _dv_table(spark, sf_dir, tmp_path)
+    want = {
+        v: _spark_rows(spark, base, version=v) for v in (1, 2, 3)
+    }
+    log_dir = export_delta_log(base)
+    p = os.path.join(log_dir, f"{2:020d}.json")
+    lines = [_json.loads(x) for x in open(p).read().splitlines()]
+    others = [a for a in lines if "add" not in a and "remove" not in a]
+    adds = [a for a in lines if "add" in a]
+    rems = [a for a in lines if "remove" in a]
+    open(p, "w").write(
+        "\n".join(_json.dumps(a) for a in others + adds + rems) + "\n"
+    )
+    log = DeltaLog(base)
+    for v in (1, 2, 3):
+        assert log.to_rows(v - 1) == want[v], f"reader lost commit {v - 1}"
+    # importer replay under the same ordering
+    shutil.rmtree(os.path.join(base, "_manifests"))
+    os.remove(os.path.join(base, "_latest"))
+    assert import_delta_log(base) == 3
+    for v in (1, 2, 3):
+        got = _spark_rows(spark, base, version=v)
+        assert got == want[v], f"importer lost version {v}"
+
+
+def test_import_refuses_bare_remove_for_dvd_file(spark, sf_dir, tmp_path):
+    """A writer that drops the descriptor from the remove leaves TWO
+    live entries for one path under spec keying (resurrected rows).
+    The importer refuses that state loudly instead of importing
+    duplicated rows; the reader exposes both entries (spec
+    semantics)."""
+    import json as _json
+    import shutil
+
+    from datalake_scripts_spark.operators.delta_interop import (
+        import_delta_log,
+    )
+
+    base = _dv_table(spark, sf_dir, tmp_path)
+    log_dir = export_delta_log(base)
+    p = os.path.join(log_dir, f"{2:020d}.json")
+    lines = [_json.loads(x) for x in open(p).read().splitlines()]
+    for a in lines:
+        if "remove" in a:
+            a["remove"].pop("deletionVector", None)
+    open(p, "w").write("\n".join(_json.dumps(a) for a in lines) + "\n")
+    snap = DeltaLog(base).snapshot()
+    assert len(snap.adds) == 2, "spec keying keeps the un-cancelled add"
+    shutil.rmtree(os.path.join(base, "_manifests"))
+    os.remove(os.path.join(base, "_latest"))
+    with pytest.raises(ValueError, match="two live file actions"):
+        import_delta_log(base)

@@ -299,3 +299,40 @@ def test_sync_iceberg_incremental_and_after_vacuum(spark, sf_dir, tmp_path):
     # pre-delete history adopted too (manifest files survive in the
     # mirror even though the SOURCE manifests were vacuumed)
     assert V.read_versioned(spark, base, version=2).count() > len(got)
+
+
+def test_timestamp_identity_partition_exports_micros(spark, sf_dir, tmp_path):
+    """ADVICE r9 (low): identity partitioning on a timestamp column
+    must write spec'd micros-since-epoch into the manifest partition
+    record (Avro long), not the raw hive string."""
+    base = str(tmp_path / "ts")
+    df = spark.range(6).selectExpr(
+        "id AS k",
+        "timestamp(date_add(DATE '2024-01-01', CAST(id % 2 AS INT))) AS ts",
+    )
+    V.write_versioned(spark, df, base, mode="append", partition_by=["ts"])
+    meta_dir = export_iceberg_metadata(base)
+    m = json.load(open(os.path.join(meta_dir, "v1.metadata.json")))
+    snap = m["snapshots"][0]
+    _, _, ml = read_container(snap["manifest-list"])
+    _, _, entries = read_container(ml[0]["manifest_path"])
+    micros = {e["data_file"]["partition"]["ts"] for e in entries}
+    day = 86_400_000_000
+    assert micros == {
+        19723 * day // 1, (19723 + 1) * day
+    } or all(isinstance(v, int) and v % day == 0 for v in micros)
+    # round-trips: epoch days 2024-01-01 = 19723
+    assert min(micros) == 19723 * day
+
+
+def test_decimal_identity_partition_refused(spark, sf_dir, tmp_path):
+    """Decimal identity partitions need Avro fixed-decimal partition
+    values the exporter does not emit — loud refusal, not a
+    spec-invalid string manifest."""
+    base = str(tmp_path / "dec")
+    df = spark.range(4).selectExpr(
+        "id AS k", "CAST(id AS DECIMAL(10,2)) AS d"
+    )
+    V.write_versioned(spark, df, base, mode="append", partition_by=["d"])
+    with pytest.raises(ValueError, match="decimal"):
+        export_iceberg_metadata(base)
