@@ -133,6 +133,27 @@ def _iceberg_schema(schema_json: dict) -> tuple[dict, dict[str, int]]:
     return {"type": "struct", "schema-id": 0, "fields": fields}, ids
 
 
+def _name_mapping_property(schema_json: dict) -> str | None:
+    """``schema.name-mapping.default`` JSON for column-mapped tables:
+    our parquet files carry PHYSICAL column names and no Iceberg
+    field-ids, so a renamed column is unresolvable to a foreign reader
+    without the spec's name mapping (field-id -> candidate names).
+    Emitted only when some physical name differs from the logical."""
+    from .versioned import _field_physical
+
+    entries = []
+    diverged = False
+    for f in schema_json["fields"]:
+        phys = _field_physical(f)
+        cid = (f.get("metadata") or {}).get("cid")
+        if cid is None:
+            continue
+        names = [phys] if phys == f["name"] else [phys, f["name"]]
+        diverged = diverged or phys != f["name"]
+        entries.append({"field-id": int(cid), "names": names})
+    return json.dumps(entries) if diverged else None
+
+
 def _spark_schema(ice_schema: dict) -> dict:
     fields = []
     for f in ice_schema["fields"]:
@@ -434,6 +455,7 @@ def _write_iceberg_snapshots(
         if schema_json is None:
             raise ValueError(f"{table_dir}@v{v} has no committed schema")
         ice_schema, ids = _iceberg_schema(schema_json)
+        nm = _name_mapping_property(schema_json)
         last_col_id = max(ids.values(), default=0)
         ice_types = {f["name"]: f["type"] for f in ice_schema["fields"]}
         for c in spec:
@@ -596,7 +618,9 @@ def _write_iceberg_snapshots(
             ),
             "default-sort-order-id": 0,
             "sort-orders": [{"order-id": 0, "fields": []}],
-            "properties": {},
+            "properties": (
+                {"schema.name-mapping.default": nm} if nm else {}
+            ),
             "current-snapshot-id": snap_id,
             "refs": {
                 "main": {"snapshot-id": snap_id, "type": "branch"}

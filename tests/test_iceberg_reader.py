@@ -1,0 +1,255 @@
+"""Round-trip proof for the Iceberg exporter (VERDICT r9 ask #1):
+every shape iceberg_interop exports must read back row-equal through
+the INDEPENDENT reader in operators/iceberg_reader.py — its own Avro
+container decoder, its own manifest walk, no shared code — so an
+avro_min encoding bug or a manifest-shape guess becomes a failing
+test instead of round-tripping invisibly through export -> import."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from datalake_scripts_spark.operators import versioned as V
+from datalake_scripts_spark.operators.iceberg_interop import (
+    export_iceberg_metadata,
+    sync_iceberg_metadata,
+)
+from datalake_scripts_spark.operators.iceberg_reader import (
+    IcebergReadError,
+    IcebergTable,
+    read_avro_file,
+)
+
+
+def _orders(spark, sf_dir, lo, hi):
+    from datalake_scripts_spark.io import read_table
+
+    return (
+        read_table(spark, sf_dir, "orders")
+        .filter((F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+    )
+
+
+def _spark_rows(spark, base, version=None):
+    return sorted(
+        map(tuple, V.read_versioned(spark, base, version=version).collect())
+    )
+
+
+def test_avro_decoder_against_independent_writer(tmp_path):
+    """The reader's from-scratch Avro decoder decodes containers
+    written by avro_min across the full type subset Iceberg needs —
+    THE cross-implementation check that proves the shared-codec
+    encoding is real Avro, not a self-consistent dialect."""
+    from datalake_scripts_spark.functions.avro_min import write_container
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "s", "type": "string"},
+            {"name": "i", "type": "int"},
+            {"name": "l", "type": "long"},
+            {"name": "d", "type": "double"},
+            {"name": "f", "type": "float"},
+            {"name": "b", "type": "boolean"},
+            {"name": "u", "type": ["null", "long"]},
+            {"name": "arr", "type": {"type": "array", "items": "long"}},
+            {"name": "m", "type": {"type": "map", "values": "string"}},
+            {
+                "name": "nested",
+                "type": {
+                    "type": "record",
+                    "name": "inner",
+                    "fields": [{"name": "x", "type": "string"}],
+                },
+            },
+        ],
+    }
+    records = [
+        {
+            "s": "héllo", "i": -3, "l": 2**40, "d": 1.5, "f": 2.0,
+            "b": True, "u": None, "arr": [1, -2, 3],
+            "m": {"k": "v"}, "nested": {"x": "y"},
+        },
+        {
+            "s": "", "i": 0, "l": -(2**40), "d": -0.25, "f": 0.0,
+            "b": False, "u": 7, "arr": [], "m": {},
+            "nested": {"x": ""},
+        },
+    ]
+    p = str(tmp_path / "t.avro")
+    write_container(p, schema, records)
+    got = read_avro_file(p)
+    assert len(got) == 2
+    for want, have in zip(records, got):
+        for k, v in want.items():
+            if k == "f":
+                assert abs(have[k] - v) < 1e-6
+            else:
+                assert have[k] == v, k
+
+
+def test_avro_decoder_deflate_and_multiblock(tmp_path):
+    """Real Iceberg writers deflate-compress and write many blocks;
+    the decoder handles both even though avro_min never writes them
+    (hand-built container per the Avro spec)."""
+    import io
+    import struct
+    import zlib
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "v", "type": "long"}],
+    }
+
+    def zz(n):
+        n = (n << 1) ^ (n >> 63)
+        out = b""
+        n &= (1 << 64) - 1
+        while True:
+            b = n & 0x7F
+            n >>= 7
+            if n:
+                out += bytes([b | 0x80])
+            else:
+                return out + bytes([b])
+
+    def s(b):
+        return zz(len(b)) + b
+
+    sync = bytes(range(16))
+    hdr = io.BytesIO()
+    hdr.write(b"Obj\x01")
+    meta = {
+        "avro.schema": json.dumps(schema).encode(),
+        "avro.codec": b"deflate",
+    }
+    hdr.write(zz(len(meta)))
+    for k, v in meta.items():
+        hdr.write(s(k.encode()) + s(v))
+    hdr.write(zz(0))
+    hdr.write(sync)
+    for block_vals in ([1, 2, 3], [4, 5]):
+        raw = b"".join(zz(v) for v in block_vals)
+        comp = zlib.compress(raw)[2:-4]  # raw DEFLATE, no zlib wrapper
+        hdr.write(zz(len(block_vals)) + zz(len(comp)) + comp + sync)
+    p = str(tmp_path / "d.avro")
+    open(p, "wb").write(hdr.getvalue())
+    assert [r["v"] for r in read_avro_file(p)] == [1, 2, 3, 4, 5]
+    assert struct is not None
+
+
+def test_roundtrip_multi_commit_history(spark, sf_dir, tmp_path):
+    """append, append, DELETE, OPTIMIZE — every snapshot reads back
+    row-equal through the independent reader (time-travel parity:
+    manifest v == sequence-number v)."""
+    base = str(tmp_path / "tbl")
+    V.write_versioned(spark, _orders(spark, sf_dir, 0, 2000), base, mode="append")
+    V.write_versioned(spark, _orders(spark, sf_dir, 2000, 4000), base, mode="append")
+    V.delete_versioned(spark, base, "o_orderpriority = '1-URGENT'")
+    V.compact_versioned(spark, base, target_files=1)
+    export_iceberg_metadata(base)
+    t = IcebergTable(base)
+    assert t.sequence_numbers() == [1, 2, 3, 4]
+    for v in (1, 2, 3, 4):
+        assert t.to_rows(v) == _spark_rows(spark, base, version=v), (
+            f"mismatch at sequence-number {v}"
+        )
+    assert t.to_rows() == _spark_rows(spark, base)
+
+
+def test_roundtrip_partitioned_table(spark, sf_dir, tmp_path):
+    """Identity string partition: values restored from the manifest
+    partition record, not the data file."""
+    base = str(tmp_path / "tbl")
+    V.write_versioned(
+        spark, _orders(spark, sf_dir, 0, 3000), base, mode="append",
+        partition_by=["o_orderpriority"],
+    )
+    export_iceberg_metadata(base)
+    assert IcebergTable(base).to_rows() == _spark_rows(spark, base)
+
+
+def test_roundtrip_timestamp_partition(spark, sf_dir, tmp_path):
+    """Identity timestamp partition: the manifest carries spec'd
+    micros; the reader restores the logical timestamp column."""
+    base = str(tmp_path / "ts")
+    df = spark.range(6).selectExpr(
+        "id AS k",
+        "CAST(date_add(DATE '2024-01-01', CAST(id % 2 AS INT)) "
+        "AS TIMESTAMP_NTZ) AS ts",
+    )
+    V.write_versioned(spark, df, base, mode="append", partition_by=["ts"])
+    export_iceberg_metadata(base)
+    assert IcebergTable(base).to_rows() == _spark_rows(spark, base)
+
+
+def test_roundtrip_synced_mirror(spark, sf_dir, tmp_path):
+    """sync_iceberg_metadata's incremental snapshots read back equal,
+    including after the source vacuumed pre-sync manifests."""
+    base = str(tmp_path / "tbl")
+    V.write_versioned(spark, _orders(spark, sf_dir, 0, 1000), base, mode="append")
+    export_iceberg_metadata(base)
+    V.write_versioned(spark, _orders(spark, sf_dir, 1000, 2000), base, mode="append")
+    V.delete_versioned(spark, base, "o_orderkey < 500")
+    sync_iceberg_metadata(base)
+    t = IcebergTable(base)
+    for v in (1, 2, 3):
+        assert t.to_rows(v) == _spark_rows(spark, base, version=v), (
+            f"mismatch at sequence-number {v}"
+        )
+
+
+def test_reader_refuses_unknown_shapes(spark, sf_dir, tmp_path):
+    base = str(tmp_path / "tbl")
+    V.write_versioned(spark, _orders(spark, sf_dir, 0, 500), base, mode="append")
+    meta_dir = export_iceberg_metadata(base)
+    p = os.path.join(meta_dir, "v1.metadata.json")
+    m = json.load(open(p))
+    # format-version != 2
+    m2 = dict(m, **{"format-version": 1})
+    json.dump(m2, open(p, "w"))
+    with pytest.raises(IcebergReadError, match="format-version"):
+        IcebergTable(base)
+    # non-identity transform
+    m3 = json.loads(json.dumps(m))
+    m3["partition-specs"] = [{
+        "spec-id": 0,
+        "fields": [{
+            "name": "b", "transform": "bucket[16]",
+            "source-id": 1, "field-id": 1000,
+        }],
+    }]
+    json.dump(m3, open(p, "w"))
+    # force the spec to be consulted: patch every manifest-list entry's
+    # partition_spec_id is already 0, so snapshot() must refuse
+    with pytest.raises(IcebergReadError, match="transform"):
+        IcebergTable(base).snapshot().to_arrow()
+
+
+def test_roundtrip_renamed_column_via_name_mapping(spark, sf_dir, tmp_path):
+    """Column-mapped tables: our parquet files carry PHYSICAL names
+    and no Iceberg field-ids, so the export emits
+    ``schema.name-mapping.default`` (spec: Column Projection) and the
+    reader resolves the renamed logical column through it — without
+    the property the tree would be unreadable to any foreign reader."""
+    base = str(tmp_path / "tbl")
+    V.write_versioned(
+        spark, spark.range(5).selectExpr("id AS k", "id*2 AS v"),
+        base, mode="append",
+    )
+    V.enable_column_mapping(base)
+    V.rename_column(base, "v", "doubled")
+    meta_dir = export_iceberg_metadata(base)
+    m = json.load(open(os.path.join(
+        meta_dir, f"v{V.current_version(base)}.metadata.json")))
+    nm = json.loads(m["properties"]["schema.name-mapping.default"])
+    assert any("v" in e["names"] and "doubled" in e["names"] for e in nm)
+    assert IcebergTable(base).to_rows() == _spark_rows(spark, base)
