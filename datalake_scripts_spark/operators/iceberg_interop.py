@@ -36,12 +36,20 @@ versioned layer's chunked manifests work); a non-append commit
 the snapshot's live files with status EXISTING for carried files —
 O(live file entries), still metadata-only.
 
-Honest refusals (same posture as the Delta exporter): deletion
-vectors (Iceberg expresses row-level deletes as delete files, not
-implemented), transform (hidden) partitioning specs, nested column
-types (struct/array/map field-id assignment not implemented), and
-short/byte columns (Iceberg has no 16/8-bit ints; a silent widen
-would change the adopted schema).
+Deletion vectors export natively (VERDICT r9 ask #2): each DV'd data
+file becomes one FILE-SCOPED v2 position-delete parquet (spec'd
+file_path/pos schema, reserved field-ids 2147483546/2147483545) and
+the snapshot carries one content=1 delete manifest expressing the
+full current DV state; adoption maps position deletes back onto
+native deletion vectors, honoring the sequence-number rule (deletes
+apply to data files with data seq <= delete seq).
+
+Honest refusals (same posture as the Delta exporter): transform
+(hidden) partitioning specs, nested column types (struct/array/map
+field-id assignment not implemented), equality deletes on import,
+decimal identity partition values, and short/byte columns (Iceberg
+has no 16/8-bit ints; a silent widen would change the adopted
+schema).
 
 Avro is written/read by functions/avro_min.py — the image has no
 avro Python package and no spark-avro DataSource module.
@@ -313,6 +321,62 @@ def _partition_values_of(rel_path: str, spec_fields, ice_schema) -> dict:
     return out
 
 
+def _dv_positions_by_base(table_dir: str, manifest: dict) -> dict:
+    """{data file basename: sorted positions} for a snapshot's live
+    deletion vectors (pyarrow, O(deleted rows), sessionless). The
+    per-entry ``rows`` dict is authoritative for which bases an entry
+    still applies to."""
+    dvs = manifest.get("dvs") or []
+    if not dvs:
+        return {}
+    import pyarrow.parquet as pq
+
+    out: dict[str, set] = {}
+    for dv in dvs:
+        live = set(dv["rows"])
+        t = pq.read_table(
+            os.path.join(table_dir, dv["path"]),
+            columns=["file_base", "pos"],
+        )
+        for b, p in zip(
+            t.column("file_base").to_pylist(), t.column("pos").to_pylist()
+        ):
+            if b in live:
+                out.setdefault(b, set()).add(int(p))
+    return {b: sorted(s) for b, s in out.items()}
+
+
+def _write_position_delete_parquet(
+    path: str, data_file_path: str, positions: list[int]
+) -> None:
+    """One FILE-SCOPED Iceberg v2 position-delete parquet: columns
+    ``file_path`` (field-id 2147483546) / ``pos`` (2147483545) per the
+    spec's reserved delete-schema ids, rows sorted by (path, pos)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pa.schema([
+        pa.field(
+            "file_path", pa.string(), nullable=False,
+            metadata={b"PARQUET:field_id": b"2147483546"},
+        ),
+        pa.field(
+            "pos", pa.int64(), nullable=False,
+            metadata={b"PARQUET:field_id": b"2147483545"},
+        ),
+    ])
+    pq.write_table(
+        pa.table(
+            {
+                "file_path": [data_file_path] * len(positions),
+                "pos": sorted(int(p) for p in positions),
+            },
+            schema=schema,
+        ),
+        path,
+    )
+
+
 def export_iceberg_metadata(
     table_dir: str, out_dir: str | None = None
 ) -> str:
@@ -371,11 +435,20 @@ def _prior_iceberg_state(meta_dir: str, table_dir: str, k: int) -> dict:
         if s["snapshot-id"] == meta["current-snapshot-id"]
     )
     _, _, mlist = read_container(cur_snap["manifest-list"])
-    manifests = {e["sequence_number"]: dict(e) for e in mlist}
+    manifests = {
+        e["sequence_number"]: dict(e)
+        for e in mlist
+        if e.get("content", 0) == 0
+    }
+    del_entry = next(
+        (dict(e) for e in mlist if e.get("content", 0) == 1), None
+    )
     prev_files: set[str] = set()
     first_seen: dict[str, int] = {}
     tprefix = os.path.abspath(table_dir) + os.sep
     for e in mlist:
+        if e.get("content", 0) != 0:
+            continue
         _, _, entries = read_container(e["manifest_path"])
         for en in entries:
             if en["status"] == 2:
@@ -388,6 +461,29 @@ def _prior_iceberg_state(meta_dir: str, table_dir: str, k: int) -> dict:
             )
             prev_files.add(rel)
             first_seen[rel] = en["sequence_number"]
+    # reconstruct the DV-state signature from the mirror's own delete
+    # manifest so an unchanged state keeps reusing it by reference
+    del_sig: frozenset = frozenset()
+    if del_entry is not None:
+        import pyarrow.parquet as pq
+
+        by_base: dict[str, set] = {}
+        _, _, dentries = read_container(del_entry["manifest_path"])
+        for en in dentries:
+            if en["status"] == 2:
+                continue
+            t = pq.read_table(
+                en["data_file"]["file_path"],
+                columns=["file_path", "pos"],
+            )
+            for fp, p in zip(
+                t.column("file_path").to_pylist(),
+                t.column("pos").to_pylist(),
+            ):
+                by_base.setdefault(os.path.basename(fp), set()).add(int(p))
+        del_sig = frozenset(
+            (b, tuple(sorted(s))) for b, s in by_base.items()
+        )
     return {
         "table_uuid": meta["table-uuid"],
         "snapshots": snapshots,
@@ -395,6 +491,8 @@ def _prior_iceberg_state(meta_dir: str, table_dir: str, k: int) -> dict:
         "manifests": manifests,
         "prev_files": prev_files,
         "first_seen": first_seen,
+        "del_entry": del_entry,
+        "del_sig": del_sig,
     }
 
 
@@ -416,6 +514,8 @@ def _write_iceberg_snapshots(
         snapshots: list[dict] = []
         snapshot_ids: dict[int, int] = {}
         prev_files: set[str] = set()
+        del_entry: dict | None = None  # carried delete-manifest entry
+        del_sig: frozenset = frozenset()  # DV state signature
     else:
         table_uuid = prior["table_uuid"]
         manifests = dict(prior["manifests"])
@@ -423,6 +523,8 @@ def _write_iceberg_snapshots(
         snapshots = list(prior["snapshots"])
         snapshot_ids = dict(prior["snapshot_ids"])
         prev_files = set(prior["prev_files"])
+        del_entry = prior.get("del_entry")
+        del_sig = prior.get("del_sig", frozenset())
     ice_schema = None
     spec_fields: list[dict] = []
     spec_id = 0
@@ -437,13 +539,6 @@ def _write_iceberg_snapshots(
                 "unsynced versions, or export the surviving history to "
                 "a fresh directory"
             ) from None
-        if m.get("dvs"):
-            raise ValueError(
-                f"{table_dir}@v{v} carries deletion vectors; Iceberg "
-                "expresses row-level deletes as delete files, which "
-                "this exporter does not emit — materialize first "
-                "(compact_versioned)"
-            )
         spec = m.get("partition_spec") or []
         if any(isinstance(e, dict) for e in spec):
             raise ValueError(
@@ -567,13 +662,90 @@ def _write_iceberg_snapshots(
             "deleted_rows_count": 0,
         }
         manifests = keep
+        # deletion vectors -> v2 POSITION DELETE files (VERDICT r9 ask
+        # #2): each DV'd data file gets one file-scoped delete parquet
+        # (spec'd file_path/pos schema, reserved field-ids) and the
+        # snapshot carries ONE content=1 delete manifest expressing the
+        # FULL current DV state at sequence-number v. Unchanged DV
+        # state reuses the manifest by reference (like data manifests);
+        # a snapshot with no DVs drops it. Position deletes apply to
+        # data files with data seq <= delete seq — our DVs only ever
+        # target files first seen at <= v, so the rule holds. Delete
+        # parquets live in metadata/ so the source table's vacuum
+        # (which walks data/ only) can never sweep the mirror's files.
+        dv_by_base = _dv_positions_by_base(table_dir, m)
+        sig = frozenset((b, tuple(p)) for b, p in dv_by_base.items())
+        if not sig:
+            del_entry = None
+        elif sig != del_sig:
+            base_to_rel = {os.path.basename(f): f for f in files}
+            del_records = []
+            for b in sorted(dv_by_base):
+                rel = base_to_rel[b]
+                dpath = os.path.join(
+                    meta_dir, f"del-{uuid.uuid4().hex}.parquet"
+                )
+                _write_position_delete_parquet(
+                    dpath,
+                    os.path.abspath(os.path.join(table_dir, rel)),
+                    dv_by_base[b],
+                )
+                del_records.append({
+                    "status": 1,
+                    "snapshot_id": snap_id,
+                    "sequence_number": v,
+                    "file_sequence_number": v,
+                    "data_file": {
+                        "content": 1,
+                        "file_path": dpath,
+                        "file_format": "PARQUET",
+                        "partition": _partition_values_of(
+                            rel, spec_fields, ice_schema
+                        ),
+                        "record_count": len(dv_by_base[b]),
+                        "file_size_in_bytes": os.path.getsize(dpath),
+                    },
+                })
+            dmpath = os.path.join(meta_dir, f"{uuid.uuid4().hex}-m1.avro")
+            write_container(
+                dmpath,
+                mschema,
+                del_records,
+                metadata={
+                    "schema": json.dumps(ice_schema),
+                    "schema-id": "0",
+                    "partition-spec": json.dumps(spec_fields),
+                    "partition-spec-id": str(spec_id),
+                    "format-version": "2",
+                    "content": "deletes",
+                },
+            )
+            del_entry = {
+                "manifest_path": dmpath,
+                "manifest_length": os.path.getsize(dmpath),
+                "partition_spec_id": spec_id,
+                "content": 1,
+                "sequence_number": v,
+                "min_sequence_number": v,
+                "added_snapshot_id": snap_id,
+                "added_files_count": len(del_records),
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": sum(
+                    e["data_file"]["record_count"] for e in del_records
+                ),
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+            }
+        del_sig = sig
         list_path = os.path.join(
             meta_dir, f"snap-{snap_id}-1-{uuid.uuid4().hex}.avro"
         )
         write_container(
             list_path,
             _MANIFEST_LIST_SCHEMA,
-            [manifests[k] for k in sorted(manifests)],
+            [manifests[k] for k in sorted(manifests)]
+            + ([del_entry] if del_entry else []),
             metadata={"format-version": "2"},
         )
         op = {
@@ -698,6 +870,8 @@ def import_iceberg_metadata(table_dir: str) -> int:
         raise FileNotFoundError(path)
 
     n_committed = 0
+    last_dv_sig: frozenset | None = None
+    last_dvs: list | None = None
     for snap in sorted(meta["snapshots"], key=lambda s: s["sequence-number"]):
         schema_json = _spark_schema(
             schemas[snap.get("schema-id", meta["current-schema-id"])]
@@ -705,29 +879,48 @@ def import_iceberg_metadata(table_dir: str) -> int:
         files: list[str] = []
         stats: dict = {}
         spec_fields: list[dict] = []
+        data_seq: dict[str, int] = {}  # data file basename -> data seq
+        del_rows: list[tuple] = []  # (delete seq, target path, pos)
         _, _, mlist = read_container(_resolve(snap["manifest-list"]))
         for mf in mlist:
-            if mf.get("content", 0) != 0:
-                raise ValueError(
-                    "delete manifests (content=1) are not adoptable — "
-                    "this importer has no row-level delete application"
-                )
             mschema, mmeta, entries = read_container(
                 _resolve(mf["manifest_path"])
             )
-            spec_fields = json.loads(mmeta.get("partition-spec", "[]"))
+            is_delete_manifest = mf.get("content", 0) == 1
+            if not is_delete_manifest:
+                spec_fields = json.loads(mmeta.get("partition-spec", "[]"))
             for e in entries:
                 if e["status"] == 2:  # DELETED tombstone
                     continue
                 df = e["data_file"]
-                if df.get("content", 0) != 0:
-                    raise ValueError(
-                        "delete files are not adoptable"
-                    )
+                content = df.get("content", 0)
                 if df["file_format"].upper() != "PARQUET":
                     raise ValueError(
                         f"file_format {df['file_format']!r} != PARQUET"
                     )
+                if content == 2:
+                    raise ValueError(
+                        "equality deletes are not adoptable — only "
+                        "position deletes (content=1) map onto native "
+                        "deletion vectors"
+                    )
+                if is_delete_manifest or content == 1:
+                    # v2 position-delete file -> (seq, target, pos)
+                    import pyarrow.parquet as _pq
+
+                    t = _pq.read_table(
+                        _resolve(df["file_path"]),
+                        columns=["file_path", "pos"],
+                    )
+                    seq = e["sequence_number"]
+                    del_rows.extend(
+                        (seq, fp, int(p))
+                        for fp, p in zip(
+                            t.column("file_path").to_pylist(),
+                            t.column("pos").to_pylist(),
+                        )
+                    )
+                    continue
                 path = df["file_path"]
                 rel = (
                     os.path.relpath(path, table_dir)
@@ -736,6 +929,7 @@ def import_iceberg_metadata(table_dir: str) -> int:
                     else path
                 )
                 files.append(rel)
+                data_seq[os.path.basename(rel)] = e["sequence_number"]
                 stats[rel] = {
                     "rows": int(df["record_count"]),
                     "columns": {},
@@ -743,6 +937,22 @@ def import_iceberg_metadata(table_dir: str) -> int:
         op = (snap.get("summary") or {}).get("operation", "append")
         mode = {"append": "append", "delete": "delete",
                 "replace": "optimize"}.get(op, "overwrite")
+        # position deletes apply to data files whose data sequence
+        # number <= the delete file's (spec); adopted as native DVs
+        dv_by_base: dict[str, set] = {}
+        for dseq, fp, p in del_rows:
+            b = os.path.basename(fp)
+            if b in data_seq and dseq >= data_seq[b]:
+                dv_by_base.setdefault(b, set()).add(p)
+        dvs = None
+        if dv_by_base:
+            sig = frozenset(
+                (b, tuple(sorted(s))) for b, s in dv_by_base.items()
+            )
+            if sig != last_dv_sig:
+                last_dvs = _positions_to_dvs(table_dir, dv_by_base)
+                last_dv_sig = sig
+            dvs = last_dvs
         _commit_manifest(
             table_dir,
             sorted(set(files)),
@@ -755,6 +965,38 @@ def import_iceberg_metadata(table_dir: str) -> int:
             },
             bloom_cols=None,
             partition_spec=[pf["name"] for pf in spec_fields],
+            dvs=dvs,
         )
         n_committed += 1
     return n_committed
+
+
+def _positions_to_dvs(table_dir: str, dv_by_base: dict) -> list:
+    """Materialize adopted position-delete state ({data file basename:
+    positions}) as ONE native DV parquet (file_base, pos) under data/
+    — the same object read_versioned anti-joins — and return the
+    manifest ``dvs`` entry list."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    bases: list[str] = []
+    poss: list[int] = []
+    rows: dict[str, int] = {}
+    for b in sorted(dv_by_base):
+        positions = sorted(dv_by_base[b])
+        rows[b] = len(positions)
+        bases.extend([b] * len(positions))
+        poss.extend(positions)
+    data_dir = os.path.join(table_dir, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    dst = f"dv-{uuid.uuid4().hex}.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "file_base": pa.array(bases, pa.string()),
+                "pos": pa.array(poss, pa.int64()),
+            }
+        ),
+        os.path.join(data_dir, dst),
+    )
+    return [{"path": os.path.join("data", dst), "rows": rows}]

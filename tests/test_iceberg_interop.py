@@ -191,12 +191,6 @@ def test_adoption_partitioned_table(spark, sf_dir, tmp_path):
 
 
 def test_export_refusals(spark, sf_dir, tmp_path):
-    # deletion vectors
-    base = str(tmp_path / "dv")
-    V.write_versioned(spark, _orders(spark, sf_dir, 0, 1000), base, mode="append")
-    V.delete_versioned(spark, base, "o_orderkey < 50", deletion_vectors=True)
-    with pytest.raises(ValueError, match="deletion vectors"):
-        export_iceberg_metadata(base)
     # nested column types
     base2 = str(tmp_path / "nested")
     V.write_versioned(

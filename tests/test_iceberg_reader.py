@@ -253,3 +253,114 @@ def test_roundtrip_renamed_column_via_name_mapping(spark, sf_dir, tmp_path):
     nm = json.loads(m["properties"]["schema.name-mapping.default"])
     assert any("v" in e["names"] and "doubled" in e["names"] for e in nm)
     assert IcebergTable(base).to_rows() == _spark_rows(spark, base)
+
+
+def test_roundtrip_dv_history_as_position_deletes(spark, sf_dir, tmp_path):
+    """VERDICT r9 ask #2: a merge-on-read (deletion-vector) history
+    exports as v2 position-delete files + a content=1 delete manifest,
+    and every snapshot reads back row-equal through the independent
+    reader — including the stacked-DV state and the post-OPTIMIZE
+    state where the deletes disappear."""
+    base = str(tmp_path / "tbl")
+    V.write_versioned(
+        spark, _orders(spark, sf_dir, 0, 2000).coalesce(1), base,
+        mode="append",
+    )
+    V.delete_versioned(spark, base, "o_orderkey < 100", deletion_vectors=True)
+    V.delete_versioned(
+        spark, base, "o_orderkey >= 100 AND o_orderkey < 150",
+        deletion_vectors=True,
+    )
+    export_iceberg_metadata(base)
+    t = IcebergTable(base)
+    for v in (1, 2, 3):
+        assert t.to_rows(v) == _spark_rows(spark, base, version=v), (
+            f"mismatch at sequence-number {v}"
+        )
+    snap = t.snapshot()
+    assert snap.delete_entries, "snapshot must carry delete files"
+    # file-scoped: one delete parquet per DV'd data file, reserved ids
+    import pyarrow.parquet as pq
+
+    d = snap.delete_entries[0]["data_file"]
+    sch = pq.read_schema(d["file_path"])
+    assert sch.field("file_path").metadata[b"PARQUET:field_id"] == b"2147483546"
+    assert sch.field("pos").metadata[b"PARQUET:field_id"] == b"2147483545"
+    # materialize away: the next sync drops the delete manifest
+    V.compact_versioned(spark, base, target_files=1)
+    sync_iceberg_metadata(base)
+    t2 = IcebergTable(base)
+    assert not t2.snapshot().delete_entries
+    assert t2.to_rows() == _spark_rows(spark, base)
+
+
+def test_dv_export_unchanged_state_reuses_delete_manifest(spark, sf_dir, tmp_path):
+    """An append after a DV commit keeps the SAME delete manifest by
+    reference (no rewrite), and the appended files — with data seq >
+    the delete seq — are not affected by it."""
+    base = str(tmp_path / "tbl")
+    V.write_versioned(
+        spark, _orders(spark, sf_dir, 0, 1000).coalesce(1), base,
+        mode="append",
+    )
+    V.delete_versioned(spark, base, "o_orderkey < 100", deletion_vectors=True)
+    export_iceberg_metadata(base)
+    t = IcebergTable(base)
+    dm2 = t.snapshot(2).delete_entries[0]
+    V.write_versioned(
+        spark, _orders(spark, sf_dir, 1000, 2000).coalesce(1), base,
+        mode="append",
+    )
+    sync_iceberg_metadata(base)
+    t3 = IcebergTable(base)
+    dm3 = t3.snapshot(3).delete_entries[0]
+    # reused by reference: the manifest-list entry names the same file
+    assert os.path.basename(
+        dm3["data_file"]["file_path"]
+    ) == os.path.basename(dm2["data_file"]["file_path"])
+    assert t3.to_rows(3) == _spark_rows(spark, base, version=3)
+
+
+def test_dvd_export_adopts_back_as_native_dvs(spark, sf_dir, tmp_path):
+    """Import closes the circle: position-delete files adopt back as
+    native deletion vectors, every version row-equal, and further
+    merge-on-read DML stacks on top."""
+    import shutil
+
+    from datalake_scripts_spark.operators.iceberg_interop import (
+        import_iceberg_metadata,
+    )
+
+    base = str(tmp_path / "tbl")
+    V.write_versioned(
+        spark, _orders(spark, sf_dir, 0, 2000).coalesce(1), base,
+        mode="append",
+    )
+    V.delete_versioned(spark, base, "o_orderkey < 100", deletion_vectors=True)
+    V.delete_versioned(
+        spark, base, "o_orderkey >= 100 AND o_orderkey < 150",
+        deletion_vectors=True,
+    )
+    per_version = {
+        v: _spark_rows(spark, base, version=v) for v in (1, 2, 3)
+    }
+    export_iceberg_metadata(base)
+    shutil.rmtree(os.path.join(base, "_manifests"))
+    ptr = os.path.join(base, "_latest")
+    if os.path.exists(ptr):
+        os.remove(ptr)
+    assert import_iceberg_metadata(base) == 3
+    for v, want in per_version.items():
+        assert _spark_rows(spark, base, version=v) == want, (
+            f"mismatch at adopted version {v}"
+        )
+    assert V._load_manifest(base, 3).get("dvs"), (
+        "adopted manifest must carry native DVs"
+    )
+    _, n = V.delete_versioned(
+        spark, base, "o_orderkey >= 150 AND o_orderkey < 160",
+        deletion_vectors=True,
+    )
+    assert V.read_versioned(spark, base).filter(
+        "o_orderkey < 160"
+    ).count() == 0
