@@ -59,6 +59,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 
@@ -228,10 +229,16 @@ def _manifest_schema(spec_fields: list[dict], ice_schema: dict) -> dict:
     part_fields = []
     for pf in spec_fields:
         src = by_id[pf["source-id"]]
+        # bucket[N] partition values are ints regardless of source type
+        t = (
+            "int"
+            if pf.get("transform", "identity").startswith("bucket")
+            else _avro_primitive(src["type"])
+        )
         part_fields.append(
             {
                 "name": pf["name"],
-                "type": ["null", _avro_primitive(src["type"])],
+                "type": ["null", t],
                 "field-id": pf["field-id"],
                 "default": None,
             }
@@ -287,6 +294,9 @@ def _partition_values_of(rel_path: str, spec_fields, ice_schema) -> dict:
         v = raw.get(pf["name"])
         if v is None or v == "__HIVE_DEFAULT_PARTITION__":
             out[pf["name"]] = None
+            continue
+        if pf.get("transform", "identity").startswith("bucket"):
+            out[pf["name"]] = int(v)
             continue
         t = by_id[pf["source-id"]]["type"]
         if t in ("long", "int"):
@@ -540,11 +550,23 @@ def _write_iceberg_snapshots(
                 "a fresh directory"
             ) from None
         spec = m.get("partition_spec") or []
-        if any(isinstance(e, dict) for e in spec):
+        for e in spec:
+            if not isinstance(e, dict):
+                continue
+            if e["transform"] == "bucket" and e.get("hash") == "murmur3":
+                continue  # Iceberg's own bucket hash — exports truthfully
+            if e["transform"] == "bucket":
+                raise ValueError(
+                    f"{table_dir}@v{v} buckets with xxhash64; Iceberg's "
+                    "bucket[N] is murmur3, so translating the spec "
+                    "would make foreign readers prune WRONG — write "
+                    "new tables with bucket_hash='murmur3' (they export "
+                    "truthfully) or re-layout with an identity spec"
+                )
             raise ValueError(
                 f"{table_dir}@v{v} uses transform partitioning {spec}; "
-                "mapping transform specs to Iceberg transforms is not "
-                "implemented — re-layout with an identity spec first"
+                "mapping this transform to Iceberg is not implemented "
+                "— re-layout with an identity spec first"
             )
         schema_json = m.get("schema")
         if schema_json is None:
@@ -558,7 +580,9 @@ def _write_iceberg_snapshots(
             # Avro representation in manifest partition records, which
             # this exporter does not emit — refuse loudly (same posture
             # as transforms) rather than write a spec-invalid string
-            if str(ice_types.get(c, "")).startswith("decimal"):
+            if isinstance(c, str) and str(
+                ice_types.get(c, "")
+            ).startswith("decimal"):
                 raise ValueError(
                     f"{table_dir}@v{v} identity-partitions on decimal "
                     f"column {c!r}; the Iceberg manifest partition "
@@ -571,6 +595,16 @@ def _write_iceberg_snapshots(
                 "name": c,
                 "transform": "identity",
                 "source-id": ids[c],
+                "field-id": 1000 + i,
+            }
+            if isinstance(c, str)
+            else {
+                # murmur3 bucket: Iceberg's own transform, truthfully;
+                # the field name keeps the hidden directory name so
+                # partition values resolve from the hive path
+                "name": c["name"],
+                "transform": f"bucket[{c['n']}]",
+                "source-id": ids[c["col"]],
                 "field-id": 1000 + i,
             }
             for i, c in enumerate(spec)
@@ -849,9 +883,14 @@ def import_iceberg_metadata(table_dir: str) -> int:
     schemas = {s["schema-id"]: s for s in meta["schemas"]}
     specs = {s["spec-id"]: s["fields"] for s in meta["partition-specs"]}
     for fields in specs.values():
-        if any(pf["transform"] != "identity" for pf in fields):
+        for pf in fields:
+            t = pf["transform"]
+            if t == "identity" or re.fullmatch(r"bucket\[\d+\]", t):
+                continue  # bucket[N] adopts as a murmur3 hidden spec
             raise ValueError(
-                "non-identity partition transforms are not adoptable"
+                f"partition transform {t!r} is not adoptable — only "
+                "identity and bucket[N] (Iceberg's murmur3 bucket, "
+                "adopted as bucket_hash='murmur3')"
             )
     if current_version(table_dir) != 0:
         raise ValueError(
@@ -964,11 +1003,39 @@ def import_iceberg_metadata(table_dir: str) -> int:
                 "iceberg_sequence_number": snap["sequence-number"],
             },
             bloom_cols=None,
-            partition_spec=[pf["name"] for pf in spec_fields],
+            partition_spec=_adopt_spec(
+                spec_fields,
+                schemas[snap.get("schema-id", meta["current-schema-id"])],
+            ),
             dvs=dvs,
         )
         n_committed += 1
     return n_committed
+
+
+def _adopt_spec(spec_fields: list[dict], ice_schema: dict) -> list:
+    """Iceberg spec fields -> the versioned layer's partition_spec:
+    identity fields become column names; bucket[N] fields become
+    murmur3 bucket transform entries keeping the exported field name
+    (= the hive directory name, so existing paths keep resolving)."""
+    by_id = {f["id"]: f["name"] for f in ice_schema["fields"]}
+    out: list = []
+    for pf in spec_fields:
+        t = pf["transform"]
+        if t == "identity":
+            out.append(pf["name"])
+            continue
+        m = re.fullmatch(r"bucket\[(\d+)\]", t)
+        if not m:
+            raise ValueError(f"partition transform {t!r} is not adoptable")
+        out.append({
+            "transform": "bucket",
+            "col": by_id[pf["source-id"]],
+            "n": int(m.group(1)),
+            "hash": "murmur3",
+            "name": pf["name"],
+        })
+    return out
 
 
 def _positions_to_dvs(table_dir: str, dv_by_base: dict) -> list:

@@ -273,10 +273,17 @@ class IcebergSnapshot:
         }
         self.data_entries: list[dict] = []
         self.delete_entries: list[dict] = []
+        import re as _re
+
         for mf in read_avro_file(snap["manifest-list"]):
             spec_fields = specs.get(mf["partition_spec_id"], [])
             for pf in spec_fields:
-                if pf["transform"] != "identity":
+                # identity restores a column; bucket[N] values are
+                # derived (the source column is IN the data file), so
+                # they participate in pruning but not projection
+                if pf["transform"] != "identity" and not _re.fullmatch(
+                    r"bucket\[\d+\]", pf["transform"]
+                ):
                     raise IcebergReadError(
                         f"transform {pf['transform']!r} not implemented"
                     )
@@ -362,7 +369,11 @@ class IcebergSnapshot:
                 )
                 t = t.filter(mask)
             part = df.get("partition") or {}
-            part_names = {pf["name"] for pf in e["_spec_fields"]}
+            part_names = {
+                pf["name"]
+                for pf in e["_spec_fields"]
+                if pf["transform"] == "identity"
+            }
             cols, names = [], []
             for f in fields:
                 fname = f["name"]

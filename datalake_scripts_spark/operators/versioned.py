@@ -1110,12 +1110,24 @@ def _normalize_spec(partition_by) -> list:
             n = e.get("n")
             if not isinstance(n, int) or n < 1:
                 raise ValueError(f"{t} transform needs integer n >= 1")
+        h = e.get("hash")
+        if h is not None and t != "bucket":
+            raise ValueError(f"'hash' only applies to bucket, not {t!r}")
+        if h not in (None, "xxhash64", "murmur3"):
+            raise ValueError(
+                f"bucket hash {h!r}: only 'xxhash64' (default, Spark's "
+                "executor-native F.xxhash64) and 'murmur3' (Iceberg's "
+                "spec'd bucket hash — choose it when the table must "
+                "export as an Iceberg bucket[N] spec) are implemented"
+            )
         name = e.get("name") or (
             f"_p_{t}_{e['col']}" + (f"_{e['n']}" if "n" in e else "")
         )
         norm = {"transform": t, "col": e["col"], "name": name}
         if "n" in e:
             norm["n"] = e["n"]
+        if h == "murmur3":
+            norm["hash"] = h
         out.append(norm)
     return out
 
@@ -1144,6 +1156,23 @@ def _transform_expr(entry: dict, src, src_type: str | None):
     if t in _DATE_FMT:
         return F.date_format(src, _DATE_FMT[t][0])
     if t == "bucket":
+        if entry.get("hash") == "murmur3":
+            # Iceberg's spec'd bucket hash (functions/murmur3.py).
+            # Spark's built-in F.hash IS Murmur3 x86_32 but pins seed
+            # 42 (Iceberg: 0), so the hidden column is computed by an
+            # Arrow-batched pandas UDF — one pass at WRITE time only;
+            # reads prune via planning-time arithmetic, never the UDF.
+            if src_type in _INTEGRAL_TYPES:
+                return _murmur3_bucket_udf(entry["n"], False)(
+                    src.cast("bigint")
+                )
+            if src_type == "string":
+                return _murmur3_bucket_udf(entry["n"], True)(src)
+            raise ValueError(
+                f"bucket_hash='murmur3' supports integral and string "
+                f"sources (Iceberg single-value serialization), not "
+                f"{src_type!r}"
+            )
         # Spark's xxhash64 hashes IntegerType/ShortType/ByteType via a
         # 4-byte path that the planning-time twin (functions/xxh.py,
         # 8-byte longs only) cannot reproduce — cast integral sources
@@ -1157,6 +1186,21 @@ def _transform_expr(entry: dict, src, src_type: str | None):
     if src_type in ("string",):
         return F.substring(src, 1, w)
     return (F.floor(src / w) * w).cast("bigint")
+
+
+def _murmur3_bucket_udf(n: int, is_str: bool):
+    """Arrow-batched Iceberg-murmur3 bucket column (write-path only)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from ..functions.murmur3 import bucket_long, bucket_str
+
+    fn = bucket_str if is_str else bucket_long
+
+    @pandas_udf("long")
+    def _bucket(s):
+        return s.map(lambda v: None if v is None else fn(v, n))
+
+    return _bucket
 
 
 def _spec_apply_transforms(df: DataFrame, spec, schema_json) -> DataFrame:
@@ -1234,11 +1278,25 @@ def _translate_skip_filter(skip_filter, spec, schema_json=None) -> list[tuple]:
                 elif op in ("<", "<="):
                     out.append((e["name"], "<=", sv))
             elif t == "bucket" and op == "=":
-                from ..functions.xxh import xxhash64_long, xxhash64_str
-
                 declared = col_types.get(col)
                 if isinstance(val, bool) or declared is None:
                     continue
+                if e.get("hash") == "murmur3":
+                    from ..functions.murmur3 import (
+                        bucket_long as m3_long,
+                        bucket_str as m3_str,
+                    )
+
+                    if isinstance(val, int) and declared in _INTEGRAL_TYPES:
+                        b = m3_long(val, e["n"])
+                    elif isinstance(val, str) and declared == "string":
+                        b = m3_str(val, e["n"])
+                    else:
+                        continue
+                    out.append((e["name"], "=", b))
+                    continue
+                from ..functions.xxh import xxhash64_long, xxhash64_str
+
                 if isinstance(val, int) and declared in _INTEGRAL_TYPES:
                     # write side casts integral sources to bigint
                     # before xxhash64 (_transform_expr), so the 8-byte

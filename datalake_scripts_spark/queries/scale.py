@@ -1763,3 +1763,93 @@ def iceberg_position_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("reader_rows", F.lit(reader_rows).cast("bigint"))
         .orderBy("o_orderpriority")
     )
+
+
+_ICEBERG_BUCKET_SQL = """
+WITH kept AS (
+  SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+  FROM orders
+  WHERE o_orderkey < 4000
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       CAST(1 AS BIGINT) AS n_versions,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM kept) AS reader_rows,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM kept WHERE o_custkey = 7)
+         AS pruned_rows
+FROM kept
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@query("iceberg_bucket_transform", sql=_ICEBERG_BUCKET_SQL)
+def iceberg_bucket_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-compatible hidden partitioning (round 10, VERDICT r9
+    ask #3): write a table bucketed with ``bucket_hash='murmur3'`` —
+    Iceberg's spec'd 32-bit Murmur3 over the single-value
+    serialization (functions/murmur3.py, Appendix-B vector parity) —
+    export it as a TRUE ``bucket[N]`` Iceberg spec, read the snapshot
+    back through the independent reader (row count pinned), adopt the
+    tree into a fresh manifest chain (the murmur3 spec reconstructs),
+    and answer one equality lookup through the planning-time bucket
+    prune (pruned_rows). xxhash64 layouts stay refused at export —
+    translating them would make foreign readers prune wrong.
+
+    100 TB rationale: bucket pruning turns a point lookup on a
+    100 TB table into a read of 1/N of its files via pure
+    planning-time arithmetic (no Spark job, no hash scan), and the
+    murmur3 option makes that layout portable to every Iceberg
+    reader; the hash itself is computed once per row at write time in
+    Arrow batches."""
+    import tempfile
+
+    from ..operators import versioned as V
+    from ..operators.iceberg_interop import (
+        export_iceberg_metadata,
+        import_iceberg_metadata,
+    )
+    from ..operators.iceberg_reader import IcebergTable
+
+    base = tempfile.mkdtemp(prefix="iceberg_bucket_q_")
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    ).filter(F.col("o_orderkey") < 4000)
+    V.write_versioned(
+        spark, orders, base, mode="append",
+        partition_by=[
+            {"transform": "bucket", "col": "o_custkey", "n": 8,
+             "hash": "murmur3"},
+        ],
+    )
+    export_iceberg_metadata(base)
+    # bounded: o_orderkey < 4000 pins the row count at every SF
+    reader_rows = len(IcebergTable(base).to_rows())
+    import os as _os
+    import shutil as _shutil
+
+    _shutil.rmtree(_os.path.join(base, "_manifests"))
+    ptr = _os.path.join(base, "_latest")
+    if _os.path.exists(ptr):
+        _os.remove(ptr)
+    n_versions = import_iceberg_metadata(base)
+    pruned_rows = (
+        V.read_versioned(spark, base, skip_filter=[("o_custkey", "=", 7)])
+        .filter(F.col("o_custkey") == 7)
+        .count()
+    )
+    adopted = V.read_versioned(spark, base)
+    return (
+        adopted.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .withColumn("n_versions", F.lit(n_versions).cast("bigint"))
+        .withColumn("reader_rows", F.lit(reader_rows).cast("bigint"))
+        .withColumn("pruned_rows", F.lit(pruned_rows).cast("bigint"))
+        .orderBy("o_orderpriority")
+    )

@@ -221,7 +221,7 @@ def test_import_refuses_foreign_features(spark, sf_dir, tmp_path):
     m["partition-specs"] = [{
         "spec-id": 0,
         "fields": [{
-            "name": "k_bucket", "transform": "bucket[16]",
+            "name": "k_trunc", "transform": "truncate[4]",
             "source-id": 1, "field-id": 1000,
         }],
     }]

@@ -223,7 +223,7 @@ def test_reader_refuses_unknown_shapes(spark, sf_dir, tmp_path):
     m3["partition-specs"] = [{
         "spec-id": 0,
         "fields": [{
-            "name": "b", "transform": "bucket[16]",
+            "name": "b", "transform": "truncate[4]",
             "source-id": 1, "field-id": 1000,
         }],
     }]
