@@ -44,12 +44,17 @@ full current DV state; adoption maps position deletes back onto
 native deletion vectors, honoring the sequence-number rule (deletes
 apply to data files with data seq <= delete seq).
 
-Honest refusals (same posture as the Delta exporter): transform
-(hidden) partitioning specs, nested column types (struct/array/map
-field-id assignment not implemented), equality deletes on import,
-decimal identity partition values, and short/byte columns (Iceberg
-has no 16/8-bit ints; a silent widen would change the adopted
-schema).
+Nested struct/array/map columns export with spec'd per-member
+field-ids (top-level ids reuse column-mapping cids; nested member
+ids are allocated depth-first after them) and adopt back into nested
+Spark schemas (VERDICT r9 ask #7). Hidden ``bucket_hash='murmur3'``
+layouts export as true ``bucket[N]`` specs (ask #3).
+
+Honest refusals (same posture as the Delta exporter): xxhash64
+bucket specs and non-bucket transforms (a translated spec would make
+foreign readers prune wrong), equality deletes on import, decimal
+identity partition values, and short/byte columns (Iceberg has no
+16/8-bit ints; a silent widen would change the adopted schema).
 
 Avro is written/read by functions/avro_min.py — the image has no
 avro Python package and no spark-avro DataSource module.
@@ -97,9 +102,72 @@ _ICEBERG_TO_SPARK = {
 }
 
 
+def _ice_primitive(name: str, t: str) -> str:
+    if t.startswith("decimal"):
+        return t
+    if t in _SPARK_TO_ICEBERG:
+        return _SPARK_TO_ICEBERG[t]
+    raise ValueError(
+        f"column {name!r} type {t!r} has no exact Iceberg "
+        "equivalent (short/byte would silently widen) — cast "
+        "before export"
+    )
+
+
+def _ice_nested(name: str, t, alloc) -> dict | str:
+    """Spark type JSON (possibly nested) -> Iceberg type, allocating
+    field-ids for nested members via ``alloc`` (spec: every struct
+    field, list element, and map key/value carries a unique id)."""
+    if isinstance(t, str):
+        return _ice_primitive(name, t)
+    tt = t["type"]
+    if tt == "struct":
+        out = []
+        for f in t["fields"]:
+            fid = alloc()
+            out.append(
+                {
+                    "id": fid,
+                    "name": f["name"],
+                    "required": not f.get("nullable", True),
+                    "type": _ice_nested(
+                        f"{name}.{f['name']}", f["type"], alloc
+                    ),
+                }
+            )
+        return {"type": "struct", "fields": out}
+    if tt == "array":
+        eid = alloc()
+        return {
+            "type": "list",
+            "element-id": eid,
+            "element": _ice_nested(
+                f"{name}.element", t["elementType"], alloc
+            ),
+            "element-required": not t.get("containsNull", True),
+        }
+    if tt == "map":
+        kid = alloc()
+        key = _ice_nested(f"{name}.key", t["keyType"], alloc)
+        vid = alloc()
+        return {
+            "type": "map",
+            "key-id": kid,
+            "key": key,
+            "value-id": vid,
+            "value": _ice_nested(f"{name}.value", t["valueType"], alloc),
+            "value-required": not t.get("valueContainsNull", True),
+        }
+    raise ValueError(f"column {name!r}: Spark type {tt!r} not exportable")
+
+
 def _iceberg_schema(schema_json: dict) -> tuple[dict, dict[str, int]]:
     """Spark StructType JSON -> (Iceberg schema JSON, name->field-id).
-    Field ids reuse column-mapping ``cid`` metadata when present."""
+    Top-level field ids reuse column-mapping ``cid`` metadata when
+    present (so Iceberg ids and our mapping ids agree); nested
+    struct/list/map member ids (VERDICT r9 ask #7) are allocated
+    depth-first AFTER every top-level id — deterministic for a given
+    schema, so re-exports and incremental syncs reproduce them."""
     fields, ids = [], {}
     next_id = 1 + max(
         (
@@ -108,35 +176,29 @@ def _iceberg_schema(schema_json: dict) -> tuple[dict, dict[str, int]]:
         ),
         default=0,
     )
+    # first pass: pin every TOP-LEVEL id (cid or sequential)
+    top_ids = []
     for f in schema_json["fields"]:
-        t = f["type"]
-        if not isinstance(t, str):
-            raise ValueError(
-                f"column {f['name']!r} has nested type {t.get('type')!r}; "
-                "nested field-id assignment is not implemented — flatten "
-                "first (operators.nested.flatten_struct)"
-            )
-        if t.startswith("decimal"):
-            ice_t = t.replace("decimal", "decimal", 1)
-        elif t in _SPARK_TO_ICEBERG:
-            ice_t = _SPARK_TO_ICEBERG[t]
-        else:
-            raise ValueError(
-                f"column {f['name']!r} type {t!r} has no exact Iceberg "
-                "equivalent (short/byte would silently widen) — cast "
-                "before export"
-            )
         cid = (f.get("metadata") or {}).get("cid")
         fid = int(cid) if cid is not None else next_id
         if cid is None:
             next_id += 1
+        top_ids.append(fid)
+    nested_next = max(top_ids, default=0) + 1
+
+    def alloc() -> int:
+        nonlocal nested_next
+        nested_next += 1
+        return nested_next - 1
+
+    for f, fid in zip(schema_json["fields"], top_ids):
         ids[f["name"]] = fid
         fields.append(
             {
                 "id": fid,
                 "name": f["name"],
                 "required": not f.get("nullable", True),
-                "type": ice_t,
+                "type": _ice_nested(f["name"], f["type"], alloc),
             }
         )
     return {"type": "struct", "schema-id": 0, "fields": fields}, ids
@@ -163,28 +225,59 @@ def _name_mapping_property(schema_json: dict) -> str | None:
     return json.dumps(entries) if diverged else None
 
 
+def _spark_type(t) -> dict | str:
+    """Iceberg type (possibly nested) -> Spark type JSON."""
+    if isinstance(t, str):
+        if t.startswith("decimal"):
+            return t
+        if t in _ICEBERG_TO_SPARK:
+            return _ICEBERG_TO_SPARK[t]
+        raise ValueError(
+            f"Iceberg type {t!r} is not adoptable by this importer"
+        )
+    tt = t["type"]
+    if tt == "struct":
+        return {
+            "type": "struct",
+            "fields": [
+                {
+                    "name": f["name"],
+                    "type": _spark_type(f["type"]),
+                    "nullable": not f.get("required", False),
+                    "metadata": {},
+                }
+                for f in t["fields"]
+            ],
+        }
+    if tt == "list":
+        return {
+            "type": "array",
+            "elementType": _spark_type(t["element"]),
+            "containsNull": not t.get("element-required", False),
+        }
+    if tt == "map":
+        return {
+            "type": "map",
+            "keyType": _spark_type(t["key"]),
+            "valueType": _spark_type(t["value"]),
+            "valueContainsNull": not t.get("value-required", False),
+        }
+    raise ValueError(f"Iceberg type {tt!r} is not adoptable")
+
+
 def _spark_schema(ice_schema: dict) -> dict:
-    fields = []
-    for f in ice_schema["fields"]:
-        t = f["type"]
-        if isinstance(t, str) and t.startswith("decimal"):
-            spark_t = t
-        elif isinstance(t, str) and t in _ICEBERG_TO_SPARK:
-            spark_t = _ICEBERG_TO_SPARK[t]
-        else:
-            raise ValueError(
-                f"Iceberg type {t!r} (column {f['name']!r}) is not "
-                "adoptable by this importer"
-            )
-        fields.append(
+    return {
+        "type": "struct",
+        "fields": [
             {
                 "name": f["name"],
-                "type": spark_t,
+                "type": _spark_type(f["type"]),
                 "nullable": not f.get("required", False),
                 "metadata": {},
             }
-        )
-    return {"type": "struct", "fields": fields}
+            for f in ice_schema["fields"]
+        ],
+    }
 
 
 def _avro_primitive(ice_type: str) -> str:

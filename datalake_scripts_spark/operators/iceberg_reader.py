@@ -217,9 +217,26 @@ _EPOCH_DAY_TYPES = ("date",)
 _MICROS_TYPES = ("timestamp", "timestamptz")
 
 
-def _arrow_type(ice_type: str):
+def _arrow_type(ice_type):
     import pyarrow as pa
 
+    if isinstance(ice_type, dict):
+        tt = ice_type["type"]
+        if tt == "struct":
+            return pa.struct(
+                [
+                    (f["name"], _arrow_type(f["type"]))
+                    for f in ice_type["fields"]
+                ]
+            )
+        if tt == "list":
+            return pa.list_(_arrow_type(ice_type["element"]))
+        if tt == "map":
+            return pa.map_(
+                _arrow_type(ice_type["key"]),
+                _arrow_type(ice_type["value"]),
+            )
+        raise IcebergReadError(f"Iceberg type {tt!r} not implemented")
     if ice_type.startswith("decimal"):
         p, s = ice_type[ice_type.index("(") + 1:-1].split(",")
         return pa.decimal128(int(p), int(s))
@@ -388,7 +405,15 @@ class IcebergSnapshot:
                     )
                 else:
                     phys = self._resolve(t.column_names, f, name_map)
-                    cols.append(t.column(phys).cast(at))
+                    col = t.column(phys)
+                    if col.type != at:
+                        try:
+                            col = col.cast(at)
+                        except pa.lib.ArrowNotImplementedError:
+                            # nested casts differing only in child
+                            # field names (list<element> vs list<item>)
+                            pass
+                    cols.append(col)
                 names.append(fname)
             pieces.append(pa.table(dict(zip(names, cols))))
         if not pieces:

@@ -1853,3 +1853,85 @@ def iceberg_bucket_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pruned_rows", F.lit(pruned_rows).cast("bigint"))
         .orderBy("o_orderpriority")
     )
+
+
+_ICEBERG_NESTED_SQL = """
+WITH staged AS (
+  SELECT o_orderkey,
+         o_orderpriority AS pri,
+         o_totalprice AS price,
+         o_custkey
+  FROM orders
+  WHERE o_orderkey < 4000
+)
+SELECT pri,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       CAST(SUM(CAST(o_custkey AS BIGINT) + 1) AS BIGINT) AS sum_tag
+FROM staged
+GROUP BY pri
+ORDER BY pri
+"""
+
+
+@query("iceberg_nested_adoption", sql=_ICEBERG_NESTED_SQL)
+def iceberg_nested_adoption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-type Iceberg interop (round 10, VERDICT r9 ask #7 — the
+    reference's domain is nested JSON, so a NOT-yet-flattened staging
+    table must survive the circle): stage orders as a struct+array
+    table (meta struct holding priority/price, tags array derived
+    from the custkey), export it — per-member field-ids assigned
+    depth-first per the spec — destroy the native manifest chain,
+    adopt the metadata tree back, and answer the aggregate THROUGH the
+    adopted nested schema (struct field access + array element_at).
+    The oracle recomputes from flat ``orders``; a defect in nested
+    schema translation (either direction) breaks the read or the
+    hash."""
+    import tempfile
+
+    from ..operators import versioned as V
+    from ..operators.iceberg_interop import (
+        export_iceberg_metadata,
+        import_iceberg_metadata,
+    )
+
+    base = tempfile.mkdtemp(prefix="iceberg_nested_q_")
+    staged = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 4000)
+        .select(
+            "o_orderkey",
+            F.struct(
+                F.col("o_orderpriority").alias("pri"),
+                F.col("o_totalprice").alias("price"),
+            ).alias("meta"),
+            F.array(
+                F.col("o_custkey").cast("bigint"),
+                (F.col("o_custkey") + 1).cast("bigint"),
+            ).alias("tags"),
+        )
+    )
+    V.write_versioned(spark, staged, base, mode="append")
+    export_iceberg_metadata(base)
+    import os as _os
+    import shutil as _shutil
+
+    _shutil.rmtree(_os.path.join(base, "_manifests"))
+    ptr = _os.path.join(base, "_latest")
+    if _os.path.exists(ptr):
+        _os.remove(ptr)
+    import_iceberg_metadata(base)
+    adopted = V.read_versioned(spark, base)
+    return (
+        adopted.groupBy(F.col("meta.pri").alias("pri"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.col("meta.price").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+            F.sum(F.element_at(F.col("tags"), 2))
+            .cast("bigint")
+            .alias("sum_tag"),
+        )
+        .orderBy("pri")
+    )

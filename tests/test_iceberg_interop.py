@@ -191,15 +191,6 @@ def test_adoption_partitioned_table(spark, sf_dir, tmp_path):
 
 
 def test_export_refusals(spark, sf_dir, tmp_path):
-    # nested column types
-    base2 = str(tmp_path / "nested")
-    V.write_versioned(
-        spark,
-        spark.range(5).selectExpr("id AS k", "array(id, id) AS arr"),
-        base2, mode="append",
-    )
-    with pytest.raises(ValueError, match="nested"):
-        export_iceberg_metadata(base2)
     # short/byte would silently widen
     base3 = str(tmp_path / "short")
     V.write_versioned(

@@ -364,3 +364,70 @@ def test_dvd_export_adopts_back_as_native_dvs(spark, sf_dir, tmp_path):
     assert V.read_versioned(spark, base).filter(
         "o_orderkey < 160"
     ).count() == 0
+
+
+def test_roundtrip_nested_types(spark, sf_dir, tmp_path):
+    """VERDICT r9 ask #7: struct (incl. nested struct), array, and map
+    columns export with unique per-member field-ids (spec: every
+    struct field, list element, map key/value), read back value-equal
+    through the independent reader, and adopt back into a working
+    nested Spark schema."""
+    import shutil
+
+    from datalake_scripts_spark.operators.iceberg_interop import (
+        import_iceberg_metadata,
+    )
+
+    base = str(tmp_path / "tbl")
+    df = spark.range(8).selectExpr(
+        "id AS k",
+        "named_struct('a', id * 2, 'b', CAST(id AS STRING), "
+        "'inner', named_struct('c', id + 1)) AS st",
+        "array(id, id + 1, id + 2) AS arr",
+        "map(CAST(id AS STRING), id * 10) AS m",
+    )
+    V.write_versioned(spark, df, base, mode="append")
+    meta_dir = export_iceberg_metadata(base)
+    sch = json.load(
+        open(os.path.join(meta_dir, "v1.metadata.json"))
+    )["schemas"][0]
+    ids = []
+
+    def walk(t):
+        if not isinstance(t, dict):
+            return
+        if t["type"] == "struct":
+            for f in t["fields"]:
+                ids.append(f["id"])
+                walk(f["type"])
+        elif t["type"] == "list":
+            ids.append(t["element-id"])
+            walk(t["element"])
+        elif t["type"] == "map":
+            ids.append(t["key-id"])
+            walk(t["key"])
+            ids.append(t["value-id"])
+            walk(t["value"])
+
+    walk(sch)
+    assert len(ids) == len(set(ids)) and len(ids) == 11
+    # value parity (normalize: Spark Row -> dict, arrow map -> dict)
+    got = {
+        r[0]: (dict(r[1], inner=dict(r[2])), list(r[3]), dict(r[4]))
+        for r in (
+            (row[0], row[1], row[1]["inner"], row[2], row[3])
+            for row in IcebergTable(base).to_rows()
+        )
+    }
+    for row in V.read_versioned(spark, base).collect():
+        st = row.st.asDict()
+        st["inner"] = row.st.inner.asDict()
+        assert got[row.k] == (st, list(row.arr), dict(row.m)), row.k
+    # adopt back: nested schema reconstructs and reads
+    shutil.rmtree(os.path.join(base, "_manifests"))
+    os.remove(os.path.join(base, "_latest"))
+    assert import_iceberg_metadata(base) == 1
+    adopted = V.read_versioned(spark, base)
+    assert adopted.count() == 8
+    assert adopted.selectExpr("st.inner.c").filter("`c` = 3").count() == 1
+    assert {f.name for f in adopted.schema.fields} == {"k", "st", "arr", "m"}
