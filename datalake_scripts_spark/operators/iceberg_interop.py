@@ -415,10 +415,11 @@ def _partition_values_of(rel_path: str, spec_fields, ice_schema) -> dict:
                 dt = dt.astimezone(datetime.timezone.utc).replace(
                     tzinfo=None
                 )
-            out[pf["name"]] = int(
-                (dt - datetime.datetime(1970, 1, 1)).total_seconds()
-                * 1_000_000
-            )
+            # exact integer micros (total_seconds() is a float and
+            # can round the last microsecond on modern epochs)
+            out[pf["name"]] = (
+                dt - datetime.datetime(1970, 1, 1)
+            ) // datetime.timedelta(microseconds=1)
         else:
             out[pf["name"]] = v
     return out

@@ -42,58 +42,58 @@ from . import graph  # noqa: F401,E402
 # oldest — the round-1/2 relational core, unchecked since then —
 # re-verified against current code as regression tripwires.
 DRIVER_PRIORITY = [
-    # --- round-9 additions (their only chance at a first driver row) ---
-    "ann_ivf_indexed_topk",  # persisted IVF index, stride-twin oracle
-    "iceberg_metadata_adoption",  # Iceberg v2 export -> adopt round trip
-    "stream_trailing_distinct_users",  # REAL streaming query, full oracle
-    # --- stalest driver rows (last checked r4/r5), staleness rotation ---
-    "mining_part_pair_lift",
-    "multimodal_decode_stub",
-    "multimodal_frame_sample",
-    "multimodal_png_roundtrip",
-    "nested_explode_outer_preserves_parents",
-    "null_handling_semantics",
-    "pack_sequences_greedy",
-    "profile_table_stats",
-    "q11_important_part_values",
-    "q12_priority_line_classes",
-    "q20_excess_stock_suppliers",
-    "q2_min_cost_supplier",
-    "q4_priority_with_late_lines",
-    "q9_product_type_profit",
-    "salted_join_segment_revenue",
-    "sketch_cms_heavy_hitters",
-    "sketch_hll_union_rollup",
-    "sketch_kll_price_quantiles",
-    "sketch_theta_customer_reach",
-    "ts_parse_epoch_seconds",
-    "udtf_chunk_documents",
-    "window_range_frame",
-    "agg_histogram_equidepth",
-    "agg_ordered_statistics",
-    "ann_ivf_kmeans_topk",
-    "ann_ivf_topk_vectorized",
-    "array_compose_flatten_zip",
-    "cap_docs_per_domain",
-    "corpus_source_overlap",
-    "decontaminate_embedding_benchmark",
-    "dedup_containment_pairs",
-    "dedup_corpus_keep",
-    "dedup_exact_full_text",
-    "dedup_fingerprint_token_set",
-    "dedup_keep_best_quality",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_remove_duplicated_spans",
-    "dedup_simhash",
-    "dedup_url_canonical",
-    "dedup_winnowing_pairs",
-    "eval_langid_per_class",
-    "history_latest_snapshot",
-    "join_full_outer_nation_presence",
-    "json_serialize_roundtrip",
-    "map_functions_and_regex_all",
-    "mixture_weighted_sample",
+    # --- never driver-checked (their only chance at a first row) ---
+    "stream_funnel_conversion",  # landed after the r9 window froze
+    "iceberg_position_deletes",  # r10: DV'd history -> v2 position deletes
+    "iceberg_bucket_transform",  # r10: murmur3 bucket[N] truthful export
+    "iceberg_nested_adoption",  # r10: nested field-ids round trip
+    # --- stalest driver rows (last checked r5/r6), staleness rotation ---
+    "multimodal_jpeg_roundtrip",
+    "multimodal_quarantine_pipeline",
+    "multimodal_video_roundtrip",
+    "multimodal_wav_roundtrip",
+    "nested_flatten_struct",
+    "posexplode_with_ordinality",
+    "quality_bigram_logprob",
+    "quality_unigram_logprob",
+    "reconcile_checksum_orders",
+    "salted_agg_revenue_by_flag",
+    "sample_exact_per_group",
+    "sessionize_per_event",
+    "skew_report_orders_custkey",
+    "split_train_val_test",
+    "string_advanced_functions",
+    "text_bm25_scores",
+    "text_pii_scrub",
+    "text_repetition_stats",
+    "text_top_bigrams_per_lang",
+    "versioned_change_feed",
+    "vocab_token_frequencies",
+    "window_cumulative_distinct_users",
+    "agg_cube_flag_status",
+    "agg_exact_percentiles",
+    "agg_group_stats",
+    "agg_pivot_status_by_priority",
+    "agg_rollup_region_nation",
+    "ann_ivf_recall",
+    "approx_distinct_stats",
+    "array_agg_sorted_orders",
+    "bpe_first_merges",
+    "bpe_second_merge",
+    "case_when_balance_tiers",
+    "distinct_order_months",
+    "dsir_importance_select",
+    "entity_resolution_canonical",
+    "events_mad_outliers",
+    "events_signup_purchase_funnel",
+    "graph_bfs_customer_reach",
+    "grouping_sets_explicit",
+    "join_anti_dormant_customers",
+    "join_broadcast_brand_revenue",
+    "join_inner_orders_customers",
+    "join_left_order_counts",
+    "join_semi_active_customers",
+    "mixture_temperature_targets",
 ]
 
 
