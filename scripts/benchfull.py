@@ -9,10 +9,14 @@ registry-wide.
 Writes ``{"sf": ..., "reps": R, "queries": {name: median_sec}}`` and
 diffs against the newest previously-committed BENCH_FULL_r*.json:
 queries moving >1.5x AND >0.5 s absolute (both filters — sub-second
-entries jitter past 1.5x on any loaded machine) are listed loudly and
-the exit code is 1 so presnapshot can refuse to ship an unexplained
-regression. Spark-side only (the DuckDB oracle half of selfcheck is
-correctness, not throughput)."""
+entries jitter past 1.5x on any loaded machine) are flagged. Flagged
+movers are then AUTO-RE-TIMED in a fresh isolated JVM (VERDICT r9 ask
+#6 — r7/r8/r9 each burned judge+builder time refuting phantom movers
+caused by in-sweep session ordering); the artifact carries both lists
+(``{"flagged": [...], "confirmed": [...]}``, each entry
+``[name, prior_s, sweep_s, isolated_s]``) and the exit code keys on
+``confirmed`` only. Spark-side only (the DuckDB oracle half of
+selfcheck is correctness, not throughput)."""
 
 from __future__ import annotations
 
@@ -44,6 +48,60 @@ def newest_prior(out_path: str) -> str | None:
     return arts[-1] if arts else None
 
 
+def _time_queries(spark, names, sf: str, warmup: int, reps: int,
+                  quiet: bool = False) -> dict[str, float]:
+    """Median wall time per named query on an already-warm session."""
+    from datalake_scripts_spark.queries import REGISTRY
+
+    timings: dict[str, float] = {}
+    for name in names:
+        q = REGISTRY[name]
+        for _ in range(warmup):
+            q.fn(spark, sf).count()
+            spark.catalog.clearCache()
+        samples = []
+        for _ in range(reps):
+            t0 = time.time()
+            df = q.fn(spark, sf)
+            df.count()
+            samples.append(time.time() - t0)
+            spark.catalog.clearCache()
+            del df
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+        timings[name] = round(sorted(samples)[len(samples) // 2], 3)
+        if not quiet:
+            print(f"# {name}: {timings[name]}s", file=sys.stderr,
+                  flush=True)
+    return timings
+
+
+def _retime_isolated(names: list[str], sf: str, warmup: int,
+                     reps: int) -> dict[str, float]:
+    """Re-time just ``names`` in a FRESH subprocess JVM — the exact
+    manual recipe the judge used to refute the r7/r8/r9 phantom
+    movers, encoded (VERDICT r9 ask #6). Falls back to in-process
+    timings (conservative: confirms the flag) if the subprocess
+    fails."""
+    import subprocess
+
+    cmd = [
+        sys.executable, os.path.abspath(__file__),
+        "--retime", ",".join(names), "--sf", sf,
+        "--warmup", str(warmup), "--reps", str(reps),
+    ]
+    try:
+        proc = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=1800,
+        )
+        last = proc.stdout.strip().splitlines()[-1]
+        return {k: float(v) for k, v in json.loads(last).items()}
+    except Exception as exc:  # noqa: BLE001 — gate must stay conservative
+        print(f"isolated re-time failed ({exc}); keeping sweep numbers",
+              file=sys.stderr)
+        return {}
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=None)
@@ -55,7 +113,33 @@ def main() -> int:
              "steady state (codegen + JIT + page cache), the exact "
              "noise class behind the r4/r5 false movers",
     )
+    ap.add_argument(
+        "--retime", default=None, metavar="NAMES",
+        help="internal: time only these comma-separated queries and "
+             "print one JSON line (used by the mover auto-verifier)",
+    )
+    ap.add_argument(
+        "--no-isolate", action="store_true",
+        help="skip the isolated re-time pass (gate on raw sweep flags)",
+    )
     args = ap.parse_args()
+
+    if args.retime:
+        from datalake_scripts_spark.session import get_spark
+
+        cpus = int(
+            os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8)
+        )
+        spark = get_spark("benchfull-retime",
+                          shuffle_partitions=max(cpus, 8))
+        spark.range(1).count()
+        spark.read.parquet(f"{args.sf}/lineitem.parquet").groupBy(
+            "l_returnflag"
+        ).count().collect()
+        t = _time_queries(spark, args.retime.split(","), args.sf,
+                          args.warmup, args.reps, quiet=True)
+        print(json.dumps(t))
+        return 0
     out_path = args.out
     if out_path is None:
         # current round = max(newest driver correctness artifact + 1,
@@ -89,23 +173,8 @@ def main() -> int:
         "l_returnflag"
     ).count().collect()
 
-    timings: dict[str, float] = {}
-    for name, q in REGISTRY.items():
-        for _ in range(args.warmup):
-            q.fn(spark, args.sf).count()
-            spark.catalog.clearCache()
-        samples = []
-        for _ in range(args.reps):
-            t0 = time.time()
-            df = q.fn(spark, args.sf)
-            df.count()
-            samples.append(time.time() - t0)
-            spark.catalog.clearCache()
-            del df
-            gc.collect()
-            spark.sparkContext._jvm.System.gc()
-        timings[name] = round(sorted(samples)[len(samples) // 2], 3)
-        print(f"# {name}: {timings[name]}s", file=sys.stderr, flush=True)
+    timings = _time_queries(spark, list(REGISTRY), args.sf,
+                            args.warmup, args.reps)
 
     artifact = {
         "sf": args.sf,
@@ -115,6 +184,32 @@ def main() -> int:
         "queries": timings,
     }
     prior_path = newest_prior(out_path)
+
+    flagged, confirmed = [], []
+    if prior_path is not None:
+        prior = json.load(open(prior_path))["queries"]
+        for name, now in timings.items():
+            then = prior.get(name)
+            if then is None or then <= 0:
+                continue
+            if now > then * RATIO and now - then > ABS_DELTA_S:
+                flagged.append([name, then, now, None])
+        flagged.sort(key=lambda m: m[2] - m[1], reverse=True)
+        if flagged and not args.no_isolate:
+            iso = _retime_isolated(
+                [m[0] for m in flagged], args.sf, args.warmup, args.reps
+            )
+            for m in flagged:
+                m[3] = iso.get(m[0])
+        for name, then, now, alone in flagged:
+            # no isolated number (pass skipped / failed) => stay
+            # conservative and confirm on the sweep number
+            judged = alone if alone is not None else now
+            if judged > then * RATIO and judged - then > ABS_DELTA_S:
+                confirmed.append([name, then, now, alone])
+    artifact["flagged"] = flagged
+    artifact["confirmed"] = confirmed
+
     with open(out_path, "w") as f:
         json.dump(artifact, f, indent=1, sort_keys=True)
         f.write("\n")
@@ -124,20 +219,16 @@ def main() -> int:
     if prior_path is None:
         print("no prior BENCH_FULL artifact — baseline established")
         return 0
-    prior = json.load(open(prior_path))["queries"]
-    movers = []
-    for name, now in timings.items():
-        then = prior.get(name)
-        if then is None or then <= 0:
-            continue
-        if now > then * RATIO and now - then > ABS_DELTA_S:
-            movers.append((name, then, now))
-    movers.sort(key=lambda m: m[2] - m[1], reverse=True)
-    print(f"diff vs {prior_path}: {len(movers)} regressions "
-          f"(>{RATIO}x and >{ABS_DELTA_S}s)")
-    for name, then, now in movers:
-        print(f"  REGRESSED {name}: {then}s -> {now}s ({now / then:.2f}x)")
-    return 1 if movers else 0
+    print(f"diff vs {prior_path}: {len(flagged)} flagged "
+          f"(>{RATIO}x and >{ABS_DELTA_S}s), "
+          f"{len(confirmed)} confirmed in isolation")
+    for name, then, now, alone in flagged:
+        verdict = "CONFIRMED" if [name, then, now, alone] in confirmed \
+            else "phantom"
+        alone_s = f"{alone}s" if alone is not None else "n/a"
+        print(f"  {verdict} {name}: {then}s -> sweep {now}s "
+              f"({now / then:.2f}x), isolated {alone_s}")
+    return 1 if confirmed else 0
 
 
 if __name__ == "__main__":
