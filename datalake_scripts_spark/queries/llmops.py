@@ -2800,35 +2800,63 @@ def eval_langid_per_class(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "entity_resolution_canonical",
-    sql="""
-    WITH RECURSIVE p AS (
+def _er_oracle_sql(rounds: int = 5) -> str:
+    """Bounded pointer-doubling oracle for entity resolution (VERDICT
+    r9 ask #4). The previous WITH RECURSIVE ``walk`` CTE computed the
+    FULL transitive closure over record-level edges — O(sum of
+    component-size squared) rows, which is why the sf0.1 sweep (18M
+    edges, near-complete components) had to kill it at 40 minutes.
+    This emits the same answer from ``rounds`` unrolled hook+jump
+    iterations: each round first takes the min label over neighbors
+    (hook), then jumps labels through themselves (label(v) :=
+    label(label(v))) — the classic Shiloach-Vishkin doubling, so
+    ``rounds`` = 5 converges for any component diameter <= 2**5.
+    State per round is one row per graph node, never pairs. Every
+    multiply-referenced CTE is AS MATERIALIZED — DuckDB otherwise
+    INLINES each reference, and h{k}/l{k} each reference their
+    predecessor twice, so inlining would re-evaluate the levenshtein
+    join 2**rounds times. Still a REAL oracle for the Spark side's
+    contraction trick: it walks the uncontracted record-level edges.
+    Under-convergence fails LOUDLY (labels split a cluster -> driver
+    hash mismatch), never silently passes."""
+    sql = """
+    WITH p AS (
       SELECT p_partkey, p_name, string_split(p_name, ' ')[2] AS block
       FROM part
     ), pairs AS (
       SELECT a.p_partkey AS key_a, b.p_partkey AS key_b
       FROM p a JOIN p b ON a.block = b.block AND a.p_partkey < b.p_partkey
       WHERE levenshtein(a.p_name, b.p_name) <= 4
-    ), edges AS (
+    ), edges AS MATERIALIZED (
       SELECT key_a AS src, key_b AS dst FROM pairs
       UNION SELECT key_b, key_a FROM pairs
-    ), walk(src, dst) AS (
-      SELECT src, dst FROM edges
-      UNION
-      SELECT w.src, e.dst FROM walk w JOIN edges e ON w.dst = e.src
-    ), label AS (
-      SELECT src AS member, LEAST(MIN(dst), src) AS cluster_id
-      FROM walk GROUP BY src
-    )
-    SELECT l.cluster_id,
+    ), l0 AS MATERIALIZED (
+      SELECT src AS v, LEAST(src, MIN(dst)) AS lbl FROM edges GROUP BY src
+    )"""
+    prev = "l0"
+    for k in range(1, rounds + 1):
+        sql += f""", h{k} AS MATERIALIZED (
+      SELECT v, MIN(lbl) AS lbl FROM (
+        SELECT v, lbl FROM {prev}
+        UNION ALL
+        SELECT e.src AS v, l.lbl FROM edges e JOIN {prev} l ON l.v = e.dst
+      ) GROUP BY v
+    ), l{k} AS MATERIALIZED (
+      SELECT a.v, b.lbl FROM h{k} a JOIN h{k} b ON a.lbl = b.v
+    )"""
+        prev = f"l{k}"
+    sql += f"""
+    SELECT l.lbl AS cluster_id,
            CAST(COUNT(*) AS BIGINT) AS n_members,
-           MIN(pp.p_name) FILTER (WHERE l.member = l.cluster_id) AS rep_name
-    FROM label l
-    JOIN (SELECT p_partkey, p_name FROM part) pp ON pp.p_partkey = l.member
-    GROUP BY l.cluster_id
-    """,
-)
+           MIN(pp.p_name) FILTER (WHERE l.v = l.lbl) AS rep_name
+    FROM {prev} l
+    JOIN (SELECT p_partkey, p_name FROM part) pp ON pp.p_partkey = l.v
+    GROUP BY l.lbl
+    """
+    return sql
+
+
+@query("entity_resolution_canonical", sql=_er_oracle_sql())
 def entity_resolution_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full entity-resolution pipeline: contract exact-duplicate names
     -> blocking (head noun) -> in-block Levenshtein <= 4 pairs on

@@ -6,11 +6,21 @@ and order-insensitive values (exact match after sorting). Reports
 per-query PASS/FAIL with diffs for the first few mismatching cells.
 
 Usage: python scripts/selfcheck.py [sf_dir] [query_name ...]
+                                   [--timeout SECONDS]
+
+``--timeout`` (VERDICT r9 ask #4) arms a per-query watchdog on BOTH
+halves: the Spark job group is cancelled / the DuckDB connection is
+interrupted after N seconds, and the query reports a loud FAIL
+(``SPARK TIMEOUT`` / ``ORACLE TIMEOUT``) instead of hanging the sweep
+— so at-scale exclusions can never grow silently again (the r9 sf0.1
+sweep lost 40 minutes to one recursive-CTE oracle before a manual
+kill).
 """
 
 from __future__ import annotations
 
 import sys
+import threading
 import time
 import traceback
 
@@ -79,14 +89,46 @@ def compare(name, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
     return problems
 
 
+class _Watchdog:
+    """Arms a timer that fires ``cancel`` after ``seconds``; use as a
+    context manager around the guarded call. ``fired`` says whether
+    the deadline hit (to label the resulting exception a TIMEOUT)."""
+
+    def __init__(self, seconds: float, cancel):
+        self.seconds, self._cancel = seconds, cancel
+        self.fired = False
+
+    def _fire(self):
+        self.fired = True
+        self._cancel()
+
+    def __enter__(self):
+        self._t = threading.Timer(self.seconds, self._fire)
+        self._t.daemon = True
+        if self.seconds > 0:
+            self._t.start()
+        return self
+
+    def __exit__(self, *exc):
+        self._t.cancel()
+        return False
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    timeout = 0.0
+    if "--timeout" in argv:
+        i = argv.index("--timeout")
+        timeout = float(argv[i + 1])
+        del argv[i:i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     from datalake_scripts_spark.session import get_spark
     from datalake_scripts_spark.queries import REGISTRY
 
     spark = get_spark("selfcheck", shuffle_partitions=16)
+    sc = spark.sparkContext
     con = duck_con(sf_dir)
 
     n_pass = n_fail = n_rows_only = 0
@@ -95,10 +137,18 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
-            sdf = q.fn(spark, sf_dir)
-            spark_pdf = sdf.toPandas()
+            sc.setJobGroup(name, name, interruptOnCancel=True)
+            with _Watchdog(
+                timeout, lambda: sc.cancelJobGroup(name)
+            ) as wd:
+                sdf = q.fn(spark, sf_dir)
+                spark_pdf = sdf.toPandas()
         except Exception:
-            print(f"FAIL {name}: SPARK ERROR\n{traceback.format_exc()}")
+            kind = (
+                f"SPARK TIMEOUT after {timeout:.0f}s"
+                if wd.fired else "SPARK ERROR"
+            )
+            print(f"FAIL {name}: {kind}\n{traceback.format_exc()}")
             n_fail += 1
             continue
         if q.sql is None:
@@ -106,9 +156,14 @@ def main() -> int:
             n_rows_only += 1
             continue
         try:
-            duck_pdf = con.sql(q.sql).df()
+            with _Watchdog(timeout, con.interrupt) as wd:
+                duck_pdf = con.sql(q.sql).df()
         except Exception:
-            print(f"FAIL {name}: DUCKDB ERROR\n{traceback.format_exc()}")
+            kind = (
+                f"ORACLE TIMEOUT after {timeout:.0f}s"
+                if wd.fired else "DUCKDB ERROR"
+            )
+            print(f"FAIL {name}: {kind}\n{traceback.format_exc()}")
             n_fail += 1
             continue
         problems = compare(name, spark_pdf, duck_pdf)
