@@ -31,6 +31,22 @@ rows) trigger a full rebuild with fresh centroids — stale centroids
 on a shifted distribution silently degrade recall, so the re-cluster
 trigger is part of the contract, not an optimization.
 
+Concurrency (VERDICT r9 ask #5 — cron writers make refresh-vs-append
+races routine): the ASSIGNMENTS commit is the index's single
+linearization point. Every assignments commit CASes on the version
+the maintainer read (``expected_version``) and records BOTH the
+source watermark and the ``centroids_version`` it was assigned
+against; serving and maintenance read centroids PINNED to that
+recorded version, never "latest". So a build's centroids overwrite
+landing without its assignments commit (lost race, crash) is an
+orphan snapshot nobody references — the index is never observable in
+a torn centroids/assignments state. Two concurrent refreshes: one
+wins the CAS, the loser's :class:`~.versioned.CommitConflict` makes
+:func:`refresh_ann_index` retry from fresh state, where it sees the
+winner's watermark and no-ops (never duplicate neighbor rows). A
+corpus append landing mid-refresh stays above the pinned watermark
+and is picked up by the next refresh.
+
 Reference parity: the reference has no similarity search at all
 (SURVEY.md §2); this is the index half of the ANN family the north
 star's training-data pipeline needs.
@@ -45,6 +61,7 @@ from pyspark.sql import functions as F
 
 from . import similarity as S
 from .versioned import (
+    CommitConflict,
     _expand_manifest,
     _load_manifest,
     current_version,
@@ -69,25 +86,40 @@ def _subdir(index_dir: str, name: str) -> str:
 
 
 def _index_meta(index_dir: str) -> dict:
-    """The build params (centroids commit meta) + the source-version
-    watermark (latest assignments commit meta)."""
+    """Build params + watermarks, all resolved THROUGH the latest
+    assignments commit (the linearization point): its meta names the
+    ``centroids_version`` this index state was assigned against, and
+    the build params ride that pinned centroids commit — never the
+    centroids table's unpinned head, which a concurrent build may
+    have already moved. Also carries ``assignments_version`` (the
+    version read — the CAS base for the next maintenance commit)."""
     cdir = _subdir(index_dir, _CENTROIDS)
     adir = _subdir(index_dir, _ASSIGNMENTS)
-    cm = _load_manifest(cdir, current_version(cdir))
-    am = _load_manifest(adir, current_version(adir))
+    a_v = current_version(adir)
+    am = _load_manifest(adir, a_v)
+    c_v = am.get("meta", {}).get(
+        # pre-r10 indexes didn't record it: fall back to head (the
+        # only version such an index can have been built against)
+        "centroids_version", current_version(cdir)
+    )
+    cm = _load_manifest(cdir, c_v)
     meta = dict(cm.get("meta", {}))
     meta["source_version"] = am.get("meta", {})["source_version"]
+    meta["centroids_version"] = c_v
+    meta["assignments_version"] = a_v
     return meta
 
 
 def load_centroids(
-    spark: SparkSession, index_dir: str
+    spark: SparkSession, index_dir: str, version: int | None = None
 ) -> list[tuple[int, list[float]]]:
     """Stored centroids as the driver-side (cid, values) list every
     assignment/probe path accepts — O(n_centroids) rows by
-    construction."""
+    construction. ``version`` pins a centroids snapshot (serving and
+    refresh pass the one recorded by the latest assignments commit);
+    None reads the head."""
     rows = read_versioned(
-        spark, _subdir(index_dir, _CENTROIDS)
+        spark, _subdir(index_dir, _CENTROIDS), version=version
     ).collect()
     return sorted(
         (int(r["cid"]), [float(x) for x in r["cvec"]]) for r in rows
@@ -135,7 +167,17 @@ def build_ann_index(
     CURRENT snapshot. Returns ``{"source_version", "n_centroids",
     "n_indexed"}``. Cost: one centroid derivation (bounded driver
     sample for kmeans) + one map-side assignment pass + one
-    cell-partitioned write — O(corpus), paid once per build."""
+    cell-partitioned write — O(corpus), paid once per build.
+
+    Concurrency: the final assignments commit CASes on the
+    assignments version read at entry and records the new centroids
+    version; losing the race raises
+    :class:`~.versioned.CommitConflict` (the centroids snapshot
+    already written is an unreferenced orphan — harmless). Callers
+    that want retry-until-landed go through
+    :func:`refresh_ann_index`."""
+    adir = _subdir(index_dir, _ASSIGNMENTS)
+    a_v = current_version(adir)
     v = current_version(corpus_dir)
     # read PINNED to the recorded watermark: a concurrent append
     # landing between current_version and the scan would otherwise be
@@ -167,7 +209,7 @@ def build_ann_index(
         [(cid, vec) for cid, vec in cents],
         "cid bigint, cvec array<double>",
     )
-    write_versioned(
+    c_new = write_versioned(
         spark, cent_df, _subdir(index_dir, _CENTROIDS),
         mode="overwrite", meta={**params, "source_version": v},
     )
@@ -178,16 +220,21 @@ def build_ann_index(
     # ~1300 at sf0.1), which the pruned serve then pays for in
     # planning. One shuffle -> ~one file per cell.
     assigned = assigned.repartition(F.col("cell"))
-    write_versioned(
-        spark, assigned, _subdir(index_dir, _ASSIGNMENTS),
+    a_new = write_versioned(
+        spark, assigned, adir,
         mode="overwrite", partition_by=["cell"],
-        meta={"source_version": v},
+        # CAS: if any maintenance landed since a_v, raise instead of
+        # publishing assignments that drop or duplicate its rows
+        expected_version=a_v,
+        meta={"source_version": v, "centroids_version": c_new},
     )
-    n_indexed = _n_rows(_subdir(index_dir, _ASSIGNMENTS))
+    n_indexed = _n_rows(adir)
     return {
         "source_version": v,
         "n_centroids": len(cents),
         "n_indexed": n_indexed,
+        "centroids_version": c_new,
+        "assignments_version": a_new,
         "action": "built",
     }
 
@@ -197,6 +244,7 @@ def refresh_ann_index(
     corpus_dir: str,
     index_dir: str,
     drift_threshold: float = 0.5,
+    max_attempts: int = 5,
 ) -> dict:
     """Bring the index up to the corpus's current snapshot.
 
@@ -210,9 +258,35 @@ def refresh_ann_index(
       or drift past the threshold: full rebuild with fresh centroids —
       re-clustering on distribution shift is what keeps recall honest.
 
+    Every commit CASes on the assignments version this refresh READ;
+    a concurrent maintainer landing first raises
+    :class:`~.versioned.CommitConflict` internally and the refresh
+    RETRIES against fresh state (see module docstring) — typically
+    resolving to a no-op because the winner already covered the
+    range. After ``max_attempts`` lost races the last conflict
+    propagates (named, never silent staleness or double-indexing).
+
     Returns ``{"action": "noop"|"assigned"|"rebuilt", ...}``."""
+    last: CommitConflict | None = None
+    for _ in range(max_attempts):
+        try:
+            return _refresh_once(
+                spark, corpus_dir, index_dir, drift_threshold
+            )
+        except CommitConflict as exc:
+            last = exc
+    raise last
+
+
+def _refresh_once(
+    spark: SparkSession,
+    corpus_dir: str,
+    index_dir: str,
+    drift_threshold: float,
+) -> dict:
     meta = _index_meta(index_dir)
     v0 = meta["source_version"]
+    a_v = meta["assignments_version"]
     cur = current_version(corpus_dir)
     if cur == v0:
         return {"action": "noop", "source_version": v0}
@@ -242,15 +316,21 @@ def refresh_ann_index(
     n_new = new_rows.count()
     if n_indexed and n_new > drift_threshold * n_indexed:
         return _rebuild()
+    commit_meta = {
+        "source_version": cur,
+        "centroids_version": meta["centroids_version"],
+    }
     if n_new:
-        cents = load_centroids(spark, index_dir)
+        cents = load_centroids(
+            spark, index_dir, version=meta["centroids_version"]
+        )
         assigned = _assign(
             new_rows, cents, meta.get("assignment", "pandas"),
             meta.get("id_col", "vec_id"), meta.get("vec_col", "embedding"),
         ).repartition(F.col("cell"))  # see build: one file per cell
         write_versioned(
             spark, assigned, adir, mode="append", partition_by=["cell"],
-            meta={"source_version": cur},
+            expected_version=a_v, meta=commit_meta,
         )
     else:
         # empty appends still move the watermark: stamp a metadata-only
@@ -259,7 +339,7 @@ def refresh_ann_index(
             spark,
             read_versioned(spark, adir).limit(0),
             adir, mode="append", partition_by=["cell"],
-            meta={"source_version": cur},
+            expected_version=a_v, meta=commit_meta,
         )
     return {"action": "assigned", "n_new": n_new, "source_version": cur}
 
@@ -288,10 +368,15 @@ def ivf_topk_indexed(
     (query_id, cell, neighbor_id, cosine, rnk)."""
     from pyspark.sql import Window as W
 
-    cents = load_centroids(spark, index_dir)
+    meta = _index_meta(index_dir)
+    # centroids pinned to the version the assignments were built
+    # against — a concurrent rebuild's newer centroids must not be
+    # scored against this snapshot's cells
+    cents = load_centroids(
+        spark, index_dir, version=meta["centroids_version"]
+    )
     if not cents:
         raise ValueError(f"{index_dir} holds no centroids")
-    meta = _index_meta(index_dir)
     dim = len(cents[0][1])
     vv = F.col(vec_col).cast("array<double>")
     if meta.get("assignment") == "pandas":

@@ -114,6 +114,7 @@ def refresh_aggregate(
     view_dir: str,
     group_cols: list[str],
     agg_spec: dict[str, tuple[str, str]],
+    max_attempts: int = 5,
 ) -> int:
     """Bring the materialized aggregate at ``view_dir`` up to date with
     the versioned source at ``source_dir``; returns the source version
@@ -125,8 +126,38 @@ def refresh_aggregate(
     ``versioned.write_versioned`` with ``meta={'source_version': N}`` so
     refresh cursors survive restarts and the view itself is
     time-travelable per refresh.
+
+    Concurrency (VERDICT r9 ask #5): the state overwrite CASes on the
+    view version this refresh READ its cursor + prior state from
+    (``expected_version``). Without it, two cron refreshes racing from
+    the same cursor would both commit, and whichever read the OLDER
+    source snapshot could land LAST — a view whose latest state
+    silently loses the winner's delta. On a lost race the refresh
+    retries whole against fresh cursor/state (typically no-op: the
+    winner already folded the delta); after ``max_attempts`` lost
+    races the conflict propagates named. A source commit landing
+    mid-refresh is invisible (the read is pinned to ``src_version``)
+    and is folded by the next refresh.
     """
     _validate_spec(agg_spec)
+    last: versioned.CommitConflict | None = None
+    for _ in range(max_attempts):
+        try:
+            return _refresh_aggregate_once(
+                spark, source_dir, view_dir, group_cols, agg_spec
+            )
+        except versioned.CommitConflict as exc:
+            last = exc
+    raise last
+
+
+def _refresh_aggregate_once(
+    spark: SparkSession,
+    source_dir: str,
+    view_dir: str,
+    group_cols: list[str],
+    agg_spec: dict[str, tuple[str, str]],
+) -> int:
     src_version = versioned.current_version(source_dir)
     view_version = versioned.current_version(view_dir)
     last_src = 0
@@ -160,6 +191,7 @@ def refresh_aggregate(
         state,
         view_dir,
         mode="overwrite",
+        expected_version=view_version,
         meta={"source_version": src_version},
     )
     return src_version
