@@ -50,11 +50,17 @@ ids are allocated depth-first after them) and adopt back into nested
 Spark schemas (VERDICT r9 ask #7). Hidden ``bucket_hash='murmur3'``
 layouts export as true ``bucket[N]`` specs (ask #3).
 
+Equality deletes (content=2, the Flink-CDC write path) are adoptable:
+at import each delete file's key set is materialized into per-file
+row positions under the spec's rules (STRICTLY older data files only,
+null matches null, partition scope honored) and becomes native
+deletion vectors — cost paid once at adoption, never on reads.
+
 Honest refusals (same posture as the Delta exporter): xxhash64
 bucket specs and non-bucket transforms (a translated spec would make
-foreign readers prune wrong), equality deletes on import, decimal
-identity partition values, and short/byte columns (Iceberg has no
-16/8-bit ints; a silent widen would change the adopted schema).
+foreign readers prune wrong), decimal identity partition values, and
+short/byte columns (Iceberg has no 16/8-bit ints; a silent widen
+would change the adopted schema).
 
 Avro is written/read by functions/avro_min.py — the image has no
 avro Python package and no spark-avro DataSource module.
@@ -948,12 +954,112 @@ def _write_iceberg_snapshots(
     return meta_dir
 
 
+def _eq_delete_positions(
+    eq_dels: list[dict],
+    ice_schema: dict,
+    name_map: dict[int, list[str]],
+    data_seq: dict[str, int],
+    file_scope: dict[str, tuple],
+    abs_by_base: dict[str, str],
+    specs: dict[int, list[dict]],
+) -> dict[str, set]:
+    """Materialize equality deletes into per-data-file row positions
+    (the shape native deletion vectors adopt). Spec semantics: a
+    delete row removes data rows matching it on every ``equality_ids``
+    column (null matches null), from data files whose data sequence
+    number is STRICTLY below the delete file's; a delete stored with a
+    partitioned spec applies only to data files in the same
+    (spec, partition), an unpartitioned one applies globally.
+    Cost: one key-column parquet scan per (delete file x covered data
+    file) — paid once at adoption, never on reads."""
+    import pyarrow.parquet as pq
+
+    by_id = {f["id"]: f for f in ice_schema["fields"]}
+
+    def _col_name(fid: int, cols: list[str], base: str) -> str | None:
+        f = by_id.get(fid)
+        if f is None or not isinstance(f["type"], str):
+            raise ValueError(
+                f"equality id {fid} does not resolve to a top-level "
+                "primitive column"
+            )
+        for cand in name_map.get(fid, []) + [f["name"]]:
+            if cand in cols:
+                return cand
+        return None  # not physical: identity partition column
+
+    out: dict[str, set] = {}
+    for ed in eq_dels:
+        kt = pq.read_table(ed["path"])
+        key_cols = []
+        for fid in ed["ids"]:
+            phys = _col_name(fid, kt.column_names, "<delete file>")
+            if phys is None:
+                raise ValueError(
+                    f"equality column id {fid} missing from delete "
+                    f"file {ed['path']}"
+                )
+            key_cols.append(kt.column(phys).to_pylist())
+        keys = set(zip(*key_cols)) if key_cols else set()
+        if not keys:
+            continue
+        for base, dseq in data_seq.items():
+            if dseq >= ed["seq"]:  # strict: same-sequence data survives
+                continue
+            spec_id, part = file_scope[base]
+            if ed["partition"] is not None and (
+                spec_id != ed["spec_id"] or part != ed["partition"]
+            ):
+                continue
+            t = pq.read_table(abs_by_base[base])
+            ident_names = {
+                pf["name"]
+                for pf in specs.get(spec_id, [])
+                if pf.get("transform") == "identity"
+            }
+            vals = []
+            for fid in ed["ids"]:
+                phys = _col_name(fid, t.column_names, base)
+                if phys is not None:
+                    vals.append(t.column(phys).to_pylist())
+                elif by_id[fid]["name"] in ident_names:
+                    # manifest partition values are spec'd physical
+                    # (date=days, timestamp=micros); the delete
+                    # parquet's key values are logical — convert
+                    import datetime as _dt
+
+                    raw = part.get(by_id[fid]["name"])
+                    ftype = by_id[fid]["type"]
+                    if raw is not None and ftype == "date":
+                        raw = _dt.date(1970, 1, 1) + _dt.timedelta(days=raw)
+                    elif raw is not None and ftype in (
+                        "timestamp", "timestamptz"
+                    ):
+                        raw = _dt.datetime(1970, 1, 1) + _dt.timedelta(
+                            microseconds=raw
+                        )
+                    vals.append([raw] * len(t))
+                else:
+                    raise ValueError(
+                        f"equality column id {fid} not resolvable in "
+                        f"{base} and not an identity partition column"
+                    )
+            hit = {
+                i for i, key in enumerate(zip(*vals)) if key in keys
+            }
+            if hit:
+                out.setdefault(base, set()).update(hit)
+    return out
+
+
 def import_iceberg_metadata(table_dir: str) -> int:
     """Adopt an Iceberg metadata tree at ``<table_dir>/metadata`` into
     the versioned manifest chain: each snapshot (sequence order)
     becomes one manifest version referencing the SAME data files.
-    Returns the number of versions committed. Refuses delete manifests
-    (content=1, row-level deletes) and non-identity transforms."""
+    Returns the number of versions committed. Position deletes adopt
+    as native deletion vectors; equality deletes materialize to
+    positions first (see :func:`_eq_delete_positions`). Refuses
+    non-identity/non-bucket transforms."""
     meta_dir = os.path.join(table_dir, "metadata")
     hint = os.path.join(meta_dir, "version-hint.text")
     if os.path.exists(hint):
@@ -1014,14 +1120,20 @@ def import_iceberg_metadata(table_dir: str) -> int:
         spec_fields: list[dict] = []
         data_seq: dict[str, int] = {}  # data file basename -> data seq
         del_rows: list[tuple] = []  # (delete seq, target path, pos)
+        # equality deletes (Flink-CDC write path): collected per
+        # snapshot, then materialized into native DV positions below
+        eq_dels: list[dict] = []
+        file_scope: dict[str, tuple] = {}  # base -> (spec_id, partition)
+        abs_by_base: dict[str, str] = {}
         _, _, mlist = read_container(_resolve(snap["manifest-list"]))
         for mf in mlist:
             mschema, mmeta, entries = read_container(
                 _resolve(mf["manifest_path"])
             )
             is_delete_manifest = mf.get("content", 0) == 1
+            mf_spec = json.loads(mmeta.get("partition-spec", "[]"))
             if not is_delete_manifest:
-                spec_fields = json.loads(mmeta.get("partition-spec", "[]"))
+                spec_fields = mf_spec
             for e in entries:
                 if e["status"] == 2:  # DELETED tombstone
                     continue
@@ -1032,11 +1144,28 @@ def import_iceberg_metadata(table_dir: str) -> int:
                         f"file_format {df['file_format']!r} != PARQUET"
                     )
                 if content == 2:
-                    raise ValueError(
-                        "equality deletes are not adoptable — only "
-                        "position deletes (content=1) map onto native "
-                        "deletion vectors"
+                    ids = df.get("equality_ids") or []
+                    if not ids:
+                        raise ValueError(
+                            "equality delete file carries no equality_ids"
+                        )
+                    scoped = bool(mf_spec)
+                    eq_dels.append(
+                        {
+                            "seq": e["sequence_number"],
+                            "ids": ids,
+                            "path": _resolve(df["file_path"]),
+                            "spec_id": (
+                                mf["partition_spec_id"] if scoped else None
+                            ),
+                            "partition": (
+                                dict(df.get("partition") or {})
+                                if scoped
+                                else None
+                            ),
+                        }
                     )
+                    continue
                 if is_delete_manifest or content == 1:
                     # v2 position-delete file -> (seq, target, pos)
                     import pyarrow.parquet as _pq
@@ -1062,7 +1191,13 @@ def import_iceberg_metadata(table_dir: str) -> int:
                     else path
                 )
                 files.append(rel)
-                data_seq[os.path.basename(rel)] = e["sequence_number"]
+                base = os.path.basename(rel)
+                data_seq[base] = e["sequence_number"]
+                file_scope[base] = (
+                    mf["partition_spec_id"],
+                    dict(df.get("partition") or {}),
+                )
+                abs_by_base[base] = _resolve(df["file_path"])
                 stats[rel] = {
                     "rows": int(df["record_count"]),
                     "columns": {},
@@ -1077,6 +1212,23 @@ def import_iceberg_metadata(table_dir: str) -> int:
             b = os.path.basename(fp)
             if b in data_seq and dseq >= data_seq[b]:
                 dv_by_base.setdefault(b, set()).add(p)
+        # equality deletes -> positions (STRICTLY older data files
+        # only, partition scope honored); adopted as native DVs too
+        if eq_dels:
+            ice_sch = schemas[snap.get("schema-id", meta["current-schema-id"])]
+            nm_raw = (meta.get("properties") or {}).get(
+                "schema.name-mapping.default"
+            )
+            name_map = {
+                m["field-id"]: list(m.get("names") or [])
+                for m in (json.loads(nm_raw) if nm_raw else [])
+                if m.get("field-id") is not None
+            }
+            for b, positions in _eq_delete_positions(
+                eq_dels, ice_sch, name_map, data_seq, file_scope,
+                abs_by_base, specs,
+            ).items():
+                dv_by_base.setdefault(b, set()).update(positions)
         dvs = None
         if dv_by_base:
             sig = frozenset(

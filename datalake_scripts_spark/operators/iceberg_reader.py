@@ -20,13 +20,21 @@ and is the round-trip PROOF for the exporter, exactly the role
 - applies POSITION DELETE files (content=1 manifests, v2 row-level
   deletes): a delete file removes (file_path, pos) rows from data
   files whose data sequence number <= the delete file's;
+- applies EQUALITY DELETE files (content=2 entries, the Flink-CDC
+  write path): a delete row removes data rows whose values on the
+  ``equality_ids`` columns match (null matches null), from data files
+  whose data sequence number is STRICTLY below the delete file's (the
+  spec's rule that lets one commit delete-by-key and re-insert the
+  same key); a delete file stored with a partitioned spec applies
+  only to data files in the same (spec, partition), an unpartitioned
+  one applies globally;
 - materializes rows with pyarrow: identity-partition values restored
   from the manifest partition record per the spec's types (date =
   days, timestamp/timestamptz = micros), committed column order,
   ``schema.name-mapping.default`` honored for parquet files written
   without Iceberg field ids;
 - refuses loudly what it does not implement (format-version != 2,
-  non-identity transforms, equality deletes, unknown Avro codecs).
+  non-identity/non-bucket transforms, unknown Avro codecs).
 
 INDEPENDENCE CONTRACT: this file must share NO code with
 ``operators.iceberg_interop`` or ``functions.avro_min`` — its Avro
@@ -290,6 +298,7 @@ class IcebergSnapshot:
         }
         self.data_entries: list[dict] = []
         self.delete_entries: list[dict] = []
+        self.eq_delete_entries: list[dict] = []
         import re as _re
 
         for mf in read_avro_file(snap["manifest-list"]):
@@ -309,16 +318,11 @@ class IcebergSnapshot:
                     continue
                 content = entry["data_file"].get("content", 0)
                 entry["_spec_fields"] = spec_fields
-                if mf.get("content", 0) == 1 or content == 1:
-                    if content == 2:
-                        raise IcebergReadError(
-                            "equality deletes not implemented"
-                        )
+                entry["_spec_id"] = mf["partition_spec_id"]
+                if content == 2:
+                    self.eq_delete_entries.append(entry)
+                elif mf.get("content", 0) == 1 or content == 1:
                     self.delete_entries.append(entry)
-                elif content == 2:
-                    raise IcebergReadError(
-                        "equality deletes not implemented"
-                    )
                 else:
                     self.data_entries.append(entry)
 
@@ -349,6 +353,60 @@ class IcebergSnapshot:
                 out.setdefault(fp, set()).add((seq, int(p)))
         return out
 
+    def _equality_deletes(self) -> list[dict]:
+        """Loaded equality-delete files: per file the sequence number,
+        the key FIELDS (schema entries for its equality_ids), the set
+        of key tuples, and — when the delete was stored with a
+        partitioned spec — the (spec_id, partition) scope; None scope
+        means a global delete (spec rule)."""
+        out: list[dict] = []
+        if not self.eq_delete_entries:
+            return out
+        import pyarrow.parquet as pq
+
+        by_id = {f["id"]: f for f in self.schema["fields"]}
+        name_map = self._name_mapping()
+        for e in self.eq_delete_entries:
+            df = e["data_file"]
+            if df["file_format"].upper() != "PARQUET":
+                raise IcebergReadError(
+                    f"delete file format {df['file_format']!r} refused"
+                )
+            ids = df.get("equality_ids") or []
+            if not ids:
+                raise IcebergReadError(
+                    "equality delete file carries no equality_ids"
+                )
+            fields = []
+            for fid in ids:
+                f = by_id.get(fid)
+                if f is None or not isinstance(f["type"], str):
+                    raise IcebergReadError(
+                        f"equality id {fid} does not resolve to a "
+                        "top-level primitive column"
+                    )
+                fields.append(f)
+            t = pq.read_table(df["file_path"])
+            cols = [
+                t.column(
+                    self._resolve(t.column_names, f, name_map)
+                ).to_pylist()
+                for f in fields
+            ]
+            scoped = bool(e["_spec_fields"])
+            out.append(
+                {
+                    "seq": e["sequence_number"],
+                    "fields": fields,
+                    "keys": set(zip(*cols)) if cols else set(),
+                    "spec_id": e["_spec_id"] if scoped else None,
+                    "partition": (
+                        dict(df.get("partition") or {}) if scoped else None
+                    ),
+                }
+            )
+        return out
+
     def num_live_rows(self) -> int:
         return len(self.to_arrow())
 
@@ -363,6 +421,7 @@ class IcebergSnapshot:
         fields = self.schema["fields"]
         name_map = self._name_mapping()
         deletes = self._deleted_positions()
+        eq_deletes = self._equality_deletes()
         pieces = []
         for e in sorted(
             self.data_entries, key=lambda x: x["data_file"]["file_path"]
@@ -374,23 +433,57 @@ class IcebergSnapshot:
                 )
             t = pq.read_table(df["file_path"])
             data_seq = e["sequence_number"]
-            dead = {
-                p
-                for (dseq, p) in deletes.get(df["file_path"], ())
-                if dseq >= data_seq
-            }
-            if dead:
-                mask = pa.array(
-                    [i not in dead for i in range(len(t))],
-                    type=pa.bool_(),
-                )
-                t = t.filter(mask)
             part = df.get("partition") or {}
             part_names = {
                 pf["name"]
                 for pf in e["_spec_fields"]
                 if pf["transform"] == "identity"
             }
+            dead = {
+                p
+                for (dseq, p) in deletes.get(df["file_path"], ())
+                if dseq >= data_seq
+            }
+            for ed in eq_deletes:
+                # spec: strictly-older data only (same-sequence
+                # delete+insert of one key must keep the insert)
+                if ed["seq"] <= data_seq:
+                    continue
+                if ed["partition"] is not None and (
+                    e["_spec_id"] != ed["spec_id"]
+                    or dict(part) != ed["partition"]
+                ):
+                    continue
+                vals = []
+                for f in ed["fields"]:
+                    if f["name"] in part_names:
+                        # identity-partitioned key column: constant,
+                        # not physically in the file
+                        vals.append(
+                            [
+                                _partition_scalar(
+                                    part.get(f["name"]), f["type"]
+                                )
+                            ]
+                            * len(t)
+                        )
+                    else:
+                        vals.append(
+                            t.column(
+                                self._resolve(t.column_names, f, name_map)
+                            ).to_pylist()
+                        )
+                dead.update(
+                    i
+                    for i, key in enumerate(zip(*vals))
+                    if key in ed["keys"]
+                )
+            if dead:
+                mask = pa.array(
+                    [i not in dead for i in range(len(t))],
+                    type=pa.bool_(),
+                )
+                t = t.filter(mask)
             cols, names = [], []
             for f in fields:
                 fname = f["name"]

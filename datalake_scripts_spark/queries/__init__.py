@@ -47,6 +47,7 @@ DRIVER_PRIORITY = [
     "iceberg_position_deletes",  # r10: DV'd history -> v2 position deletes
     "iceberg_bucket_transform",  # r10: murmur3 bucket[N] truthful export
     "iceberg_nested_adoption",  # r10: nested field-ids round trip
+    "iceberg_equality_deletes",  # r10: Flink-CDC deletes adopt as DVs
     # --- stalest driver rows (last checked r5/r6), staleness rotation ---
     "multimodal_jpeg_roundtrip",
     "multimodal_quarantine_pipeline",
@@ -93,7 +94,6 @@ DRIVER_PRIORITY = [
     "join_inner_orders_customers",
     "join_left_order_counts",
     "join_semi_active_customers",
-    "mixture_temperature_targets",
 ]
 
 

@@ -1935,3 +1935,97 @@ def iceberg_nested_adoption(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pri")
     )
+
+
+_ICEBERG_EQDEL_SQL = """
+WITH kept AS (
+  SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+  FROM orders
+  WHERE o_orderkey < 2500 AND o_orderpriority <> '3-MEDIUM'
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM kept) AS reader_rows
+FROM kept
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@query("iceberg_equality_deletes", sql=_ICEBERG_EQDEL_SQL)
+def iceberg_equality_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign EQUALITY deletes through the import path (round 10):
+    the Flink-CDC write shape — delete-by-key files (content=2 with
+    equality_ids), which our engine never writes but must read and
+    adopt. Stage bounded orders, export, append a spec-conformant
+    equality-delete snapshot via the foreign-writer simulator
+    (operators/iceberg_foreign.py) deleting every '3-MEDIUM' key,
+    then (a) read through the INDEPENDENT reader (row count pinned as
+    a column) and (b) destroy the native chain and adopt — equality
+    deletes materialize into per-file positions (strictly-older rule,
+    null-safe key match) and become native deletion vectors. The
+    aggregate runs on the adopted table; the oracle recomputes from
+    flat ``orders``. A defect in the key matching, the sequence rule,
+    or the DV materialization changes the hash.
+
+    100 TB rationale: adoption pays one key-column scan per (delete
+    file x covered data file) ONCE, then every read is DV-masked —
+    the same read-amplification trade Iceberg readers make, but paid
+    at import instead of per query."""
+    import tempfile
+
+    from ..operators import versioned as V
+    from ..operators.iceberg_foreign import append_equality_delete_snapshot
+    from ..operators.iceberg_interop import (
+        export_iceberg_metadata,
+        import_iceberg_metadata,
+    )
+    from ..operators.iceberg_reader import IcebergTable
+
+    base = tempfile.mkdtemp(prefix="iceberg_eqdel_q_")
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    ).filter(F.col("o_orderkey") < 2500)
+    V.write_versioned(spark, orders, base, mode="append")
+    export_iceberg_metadata(base)
+    import json as _json
+    import os as _os
+
+    ice_schema = _json.load(
+        open(_os.path.join(base, "metadata", "v1.metadata.json"))
+    )["schemas"][0]
+    key_fid = next(
+        f["id"] for f in ice_schema["fields"] if f["name"] == "o_orderkey"
+    )
+    # bounded collect: victims within the o_orderkey < 2500 slice
+    victims = sorted(
+        r["o_orderkey"]
+        for r in V.read_versioned(spark, base)
+        .filter(F.col("o_orderpriority") == "3-MEDIUM")
+        .select("o_orderkey")
+        .collect()
+    )
+    append_equality_delete_snapshot(
+        base, {"o_orderkey": victims}, [key_fid]
+    )
+    reader_rows = len(IcebergTable(base).to_rows())
+    import shutil as _shutil
+
+    _shutil.rmtree(_os.path.join(base, "_manifests"))
+    ptr = _os.path.join(base, "_latest")
+    if _os.path.exists(ptr):
+        _os.remove(ptr)
+    import_iceberg_metadata(base)
+    adopted = V.read_versioned(spark, base)
+    return (
+        adopted.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .withColumn("reader_rows", F.lit(reader_rows).cast("bigint"))
+        .orderBy("o_orderpriority")
+    )

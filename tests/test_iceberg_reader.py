@@ -431,3 +431,147 @@ def test_roundtrip_nested_types(spark, sf_dir, tmp_path):
     assert adopted.count() == 8
     assert adopted.selectExpr("st.inner.c").filter("`c` = 3").count() == 1
     assert {f.name for f in adopted.schema.fields} == {"k", "st", "arr", "m"}
+
+
+# ------------------------------------------------- equality deletes
+
+
+from datalake_scripts_spark.operators.iceberg_foreign import (
+    append_equality_delete_snapshot as _append_eq_delete_snapshot,
+)
+
+
+def test_equality_deletes_read_and_adopt(spark, sf_dir, tmp_path):
+    """Global equality delete (the Flink-CDC write path): the
+    independent reader drops exactly the matching keys, time travel
+    below the delete still sees them, and import materializes the
+    deletes into native DVs — the adopted table matches the reader."""
+    import shutil
+
+    from datalake_scripts_spark.operators.iceberg_interop import (
+        import_iceberg_metadata,
+    )
+
+    base = str(tmp_path / "tbl")
+    V.write_versioned(
+        spark, _orders(spark, sf_dir, 0, 200), base, mode="append"
+    )
+    export_iceberg_metadata(base)
+    ice_schema = json.load(
+        open(os.path.join(base, "metadata", "v1.metadata.json"))
+    )["schemas"][0]
+    key_fid = next(
+        f["id"] for f in ice_schema["fields"] if f["name"] == "o_orderkey"
+    )
+    victims = sorted(
+        r["o_orderkey"]
+        for r in V.read_versioned(spark, base).limit(7).collect()
+    )
+    v = _append_eq_delete_snapshot(
+        base, {"o_orderkey": victims}, [key_fid]
+    )
+    t = IcebergTable(base)
+    rows = t.snapshot().to_rows()
+    keys = {r[0] for r in rows}
+    assert not keys & set(victims)
+    before = t.snapshot(sequence_number=v - 1).to_rows()
+    assert {r[0] for r in before} >= set(victims)
+    assert len(before) == len(rows) + len(victims)
+    # adopt: eq deletes -> native DVs
+    shutil.rmtree(os.path.join(base, "_manifests"))
+    os.remove(os.path.join(base, "_latest"))
+    assert import_iceberg_metadata(base) == 2
+    native = _spark_rows(spark, base)
+    assert sorted(rows) == native
+    # time travel below the delete still has the victims
+    v1 = _spark_rows(spark, base, version=1)
+    assert len(v1) == len(native) + len(victims)
+
+
+def test_equality_delete_same_sequence_insert_survives(
+    spark, sf_dir, tmp_path
+):
+    """The strict-sequence rule: a data file added in the SAME
+    snapshot as the equality delete is NOT affected — the CDC upsert
+    (delete key + re-insert row in one commit) keeps the insert."""
+    import shutil
+
+    import pyarrow as pa
+
+    from datalake_scripts_spark.operators.iceberg_interop import (
+        import_iceberg_metadata,
+    )
+
+    base = str(tmp_path / "tbl")
+    V.write_versioned(
+        spark, _orders(spark, sf_dir, 0, 120), base, mode="append"
+    )
+    export_iceberg_metadata(base)
+    ice_schema = json.load(
+        open(os.path.join(base, "metadata", "v1.metadata.json"))
+    )["schemas"][0]
+    key_fid = next(
+        f["id"] for f in ice_schema["fields"] if f["name"] == "o_orderkey"
+    )
+    victim = V.read_versioned(spark, base).limit(1).collect()[0]
+    k = victim["o_orderkey"]
+    replacement = pa.table(
+        {
+            "o_orderkey": pa.array([k], type=pa.int64()),
+            "o_custkey": pa.array([victim["o_custkey"]], type=pa.int64()),
+            "o_totalprice": pa.array([999.5], type=pa.float64()),
+            "o_orderpriority": pa.array(["9-UPSERTED"], type=pa.string()),
+        }
+    )
+    _append_eq_delete_snapshot(
+        base, {"o_orderkey": [k]}, [key_fid], add_data=replacement
+    )
+    rows = IcebergTable(base).snapshot().to_rows()
+    mine = [r for r in rows if r[0] == k]
+    assert mine == [(k, victim["o_custkey"], 999.5, "9-UPSERTED")]
+    shutil.rmtree(os.path.join(base, "_manifests"))
+    os.remove(os.path.join(base, "_latest"))
+    import_iceberg_metadata(base)
+    native = [r for r in _spark_rows(spark, base) if r[0] == k]
+    assert native == mine
+
+
+def test_equality_delete_partition_scoped(spark, sf_dir, tmp_path):
+    """A delete stored with the table's partitioned spec applies only
+    to its own partition: the same key value in another partition
+    survives, in both the independent reader and the adopted table."""
+    import shutil
+
+    from datalake_scripts_spark.operators.iceberg_interop import (
+        import_iceberg_metadata,
+    )
+
+    base = str(tmp_path / "tbl")
+    df = spark.range(40).selectExpr(
+        "id AS k",
+        "CAST(id % 2 AS STRING) AS bucket_col",
+        "id * 10 AS val",
+    )
+    V.write_versioned(
+        spark, df, base, mode="append", partition_by=["bucket_col"]
+    )
+    export_iceberg_metadata(base)
+    ice_schema = json.load(
+        open(os.path.join(base, "metadata", "v1.metadata.json"))
+    )["schemas"][0]
+    key_fid = next(
+        f["id"] for f in ice_schema["fields"] if f["name"] == "k"
+    )
+    # delete k in {4, 6} but ONLY in partition bucket_col='0'
+    _append_eq_delete_snapshot(
+        base, {"k": [4, 6, 5]}, [key_fid], partition={"bucket_col": "0"}
+    )
+    rows = IcebergTable(base).snapshot().to_rows()
+    keys = {r[0] for r in rows}
+    assert 4 not in keys and 6 not in keys
+    assert 5 in keys  # k=5 lives in partition '1': out of scope
+    shutil.rmtree(os.path.join(base, "_manifests"))
+    os.remove(os.path.join(base, "_latest"))
+    import_iceberg_metadata(base)
+    native_keys = {r[0] for r in _spark_rows(spark, base)}
+    assert native_keys == keys
