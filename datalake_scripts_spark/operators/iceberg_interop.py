@@ -531,6 +531,98 @@ def sync_iceberg_metadata(
     return latest - k
 
 
+def expire_iceberg_snapshots(
+    table_dir: str, out_dir: str | None = None, keep_last: int = 2
+) -> dict:
+    """Expire old snapshots from a metadata mirror (the maintenance
+    analog of Iceberg's ``expireSnapshots``): keep the newest
+    ``keep_last`` sequence numbers (always including the current
+    snapshot), prune the rest from the CURRENT metadata.json —
+    rewritten in place, same file name, so ``sync_iceberg_metadata``'s
+    hint/sequence convention is untouched — and physically remove
+    mirror files no surviving snapshot references: expired manifest
+    lists, manifests referenced only by expired snapshots (the
+    exporter shares unchanged manifests across snapshots BY
+    REFERENCE, so liveness is computed, not assumed), delete-file
+    parquets under metadata/, and the expired sequences' own
+    metadata.json files. Data files are the source table's and are
+    never touched. Returns ``{"expired": n, "removed_files": m}``.
+
+    Why it matters at 100 TB: the mirror's metadata grows with every
+    sync (a delete manifest per DV change, a manifest list per
+    snapshot); without expiration a year of 15-minute cron syncs is
+    ~35k snapshots of dead weight that every reader must parse past.
+    Iceberg snapshots are SELF-CONTAINED (each manifest list names
+    every live file), so expiring history never changes what the
+    current snapshot reads — proven by the round-trip tests."""
+    from ..functions.avro_min import read_container
+
+    meta_dir = os.path.join(out_dir or table_dir, "metadata")
+    hint = os.path.join(meta_dir, "version-hint.text")
+    if not os.path.exists(hint):
+        raise FileNotFoundError(f"{meta_dir} is not a metadata mirror")
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    k = int(open(hint).read().strip())
+    meta_path = os.path.join(meta_dir, f"v{k}.metadata.json")
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    snapshots = list(meta["snapshots"])
+    seqs = sorted(s["sequence-number"] for s in snapshots)
+    cur_seq = next(
+        s["sequence-number"]
+        for s in snapshots
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    keep_seqs = set(seqs[-keep_last:]) | {cur_seq}
+    expired = [
+        s for s in snapshots if s["sequence-number"] not in keep_seqs
+    ]
+    if not expired:
+        return {"expired": 0, "removed_files": 0}
+    survivors = [
+        s for s in snapshots if s["sequence-number"] in keep_seqs
+    ]
+
+    def _mirror_refs(snap: dict) -> set[str]:
+        refs = {os.path.abspath(snap["manifest-list"])}
+        for mf in read_container(snap["manifest-list"])[2]:
+            refs.add(os.path.abspath(mf["manifest_path"]))
+            if mf.get("content", 0) == 1:
+                for e in read_container(mf["manifest_path"])[2]:
+                    fp = os.path.abspath(e["data_file"]["file_path"])
+                    if fp.startswith(os.path.abspath(meta_dir) + os.sep):
+                        refs.add(fp)
+        return refs
+
+    live: set[str] = set()
+    for s in survivors:
+        live |= _mirror_refs(s)
+    candidates: set[str] = set()
+    for s in expired:
+        candidates |= _mirror_refs(s)
+        old_meta = os.path.join(
+            meta_dir, f"v{s['sequence-number']}.metadata.json"
+        )
+        if os.path.exists(old_meta) and old_meta != meta_path:
+            candidates.add(os.path.abspath(old_meta))
+    removed = 0
+    for path in sorted(candidates - live):
+        os.remove(path)
+        removed += 1
+    meta["snapshots"] = survivors
+    meta["snapshot-log"] = [
+        e
+        for e in meta.get("snapshot-log", [])
+        if e["snapshot-id"] in {s["snapshot-id"] for s in survivors}
+    ]
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh, indent=1)
+    os.replace(tmp, meta_path)
+    return {"expired": len(expired), "removed_files": removed}
+
+
 def _prior_iceberg_state(meta_dir: str, table_dir: str, k: int) -> dict:
     """Reconstruct the exporter's diff state from the MIRROR itself
     (current snapshot's manifest list + entries) — never from old

@@ -321,3 +321,84 @@ def test_decimal_identity_partition_refused(spark, sf_dir, tmp_path):
     V.write_versioned(spark, df, base, mode="append", partition_by=["d"])
     with pytest.raises(ValueError, match="decimal"):
         export_iceberg_metadata(base)
+
+
+# --------------------------------------------- snapshot expiration
+
+
+def test_expire_snapshots_prunes_history_and_files(spark, sf_dir, tmp_path):
+    """expire keeps the newest keep_last snapshots, physically removes
+    mirror files only THEY referenced (shared manifests survive —
+    liveness is computed), the current snapshot still reads row-equal
+    through the independent reader, and expired time travel fails
+    loudly."""
+    from datalake_scripts_spark.operators.iceberg_interop import (
+        expire_iceberg_snapshots,
+    )
+    from datalake_scripts_spark.operators.iceberg_reader import (
+        IcebergReadError,
+        IcebergTable,
+    )
+
+    base = str(tmp_path / "tbl")
+    for lo in (0, 400, 800, 1200):
+        V.write_versioned(
+            spark, _orders(spark, sf_dir, lo, lo + 400), base, mode="append"
+        )
+    export_iceberg_metadata(base)
+    meta_dir = os.path.join(base, "metadata")
+    before_rows = IcebergTable(base).snapshot().to_rows()
+    n_files_before = len(os.listdir(meta_dir))
+    res = expire_iceberg_snapshots(base, keep_last=2)
+    assert res["expired"] == 2 and res["removed_files"] > 0
+    assert len(os.listdir(meta_dir)) < n_files_before
+    t = IcebergTable(base)
+    assert t.sequence_numbers() == [3, 4]
+    assert t.snapshot().to_rows() == before_rows
+    assert t.snapshot(sequence_number=3).to_rows()  # kept seq readable
+    with pytest.raises(IcebergReadError):
+        t.snapshot(sequence_number=1)
+    # idempotent: nothing more to expire
+    assert expire_iceberg_snapshots(base, keep_last=2)["expired"] == 0
+
+
+def test_expire_then_sync_and_adopt(spark, sf_dir, tmp_path):
+    """Incremental sync keeps working after expiration (hint/sequence
+    convention untouched), and an expired mirror ADOPTS: snapshots are
+    self-contained, so the surviving history imports row-equal."""
+    import shutil
+
+    from datalake_scripts_spark.operators.iceberg_interop import (
+        expire_iceberg_snapshots,
+        import_iceberg_metadata,
+        sync_iceberg_metadata,
+    )
+    from datalake_scripts_spark.operators.iceberg_reader import IcebergTable
+
+    base = str(tmp_path / "tbl")
+    for lo in (0, 300, 600):
+        V.write_versioned(
+            spark, _orders(spark, sf_dir, lo, lo + 300), base, mode="append"
+        )
+    export_iceberg_metadata(base)
+    expire_iceberg_snapshots(base, keep_last=1)
+    # table advances; sync writes only the new snapshot
+    V.write_versioned(
+        spark, _orders(spark, sf_dir, 900, 1200), base, mode="append"
+    )
+    assert sync_iceberg_metadata(base) == 1
+    t = IcebergTable(base)
+    assert t.sequence_numbers() == [3, 4]
+    rows = t.snapshot().to_rows()
+    assert rows == _spark_rows_interop(spark, base)
+    # adopt the expired mirror into a fresh chain
+    shutil.rmtree(os.path.join(base, "_manifests"))
+    os.remove(os.path.join(base, "_latest"))
+    assert import_iceberg_metadata(base) == 2
+    assert _spark_rows_interop(spark, base) == rows
+
+
+def _spark_rows_interop(spark, base, version=None):
+    return sorted(
+        map(tuple, V.read_versioned(spark, base, version=version).collect())
+    )
