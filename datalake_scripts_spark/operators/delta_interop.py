@@ -455,6 +455,63 @@ def sync_delta_log(
     return n_new
 
 
+def clean_delta_log(
+    table_dir: str, out_dir: str | None = None, keep_last: int = 10
+) -> dict:
+    """Metadata cleanup for a ``_delta_log`` mirror (delta-spark's
+    log-retention analog, the Delta twin of
+    ``iceberg_interop.expire_iceberg_snapshots``): keep the newest
+    ``keep_last`` JSON commits, make sure a parquet checkpoint covers
+    everything older (writing one at the cut if needed — readers
+    bootstrap checkpoint + JSON tail, so nothing a reader needs is
+    ever removed), then delete the covered JSON commits and any older
+    checkpoint parquets. Time travel below the cut stops working —
+    the same documented trade delta-spark makes. Returns
+    ``{"removed_json": n, "removed_checkpoints": m,
+    "checkpoint_version": C}``.
+
+    At 100 TB the motivation is identical to the Iceberg side: a
+    15-minute cron sync accretes ~35k commit files a year, and every
+    fresh reader LISTS the log directory before bootstrapping."""
+    log_dir = os.path.join(out_dir or table_dir, _LOG_DIR)
+    existing = _list_commit_versions(log_dir)
+    if not existing:
+        raise FileNotFoundError(f"{log_dir} holds no Delta commits")
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    latest = existing[-1]
+    cut = latest - keep_last  # delete JSON commits <= cut
+    removable = [c for c in existing if c <= cut]
+    last_cp = _last_checkpoint_version(log_dir)
+    if not removable:
+        return {
+            "removed_json": 0,
+            "removed_checkpoints": 0,
+            "checkpoint_version": last_cp,
+        }
+    if last_cp is None or last_cp < cut:
+        write_delta_checkpoint(table_dir, out_dir, version=cut)
+        last_cp = cut
+    # the checkpoint at last_cp (>= cut here) replaces every JSON
+    # commit <= it; honor keep_last by removing only <= cut
+    removed_json = 0
+    for c in removable:
+        os.remove(os.path.join(log_dir, f"{c:020d}.json"))
+        removed_json += 1
+    removed_cp = 0
+    for n in os.listdir(log_dir):
+        if ".checkpoint" in n and n.endswith(".parquet"):
+            v = int(n.split(".")[0])
+            if v < last_cp:
+                os.remove(os.path.join(log_dir, n))
+                removed_cp += 1
+    return {
+        "removed_json": removed_json,
+        "removed_checkpoints": removed_cp,
+        "checkpoint_version": last_cp,
+    }
+
+
 def _list_commit_versions(log_dir: str) -> list[int]:
     if not os.path.isdir(log_dir):
         return []

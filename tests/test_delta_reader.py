@@ -604,3 +604,52 @@ def test_import_refuses_bare_remove_for_dvd_file(spark, sf_dir, tmp_path):
     os.remove(os.path.join(base, "_latest"))
     with pytest.raises(ValueError, match="two live file actions"):
         import_delta_log(base)
+
+
+def test_clean_delta_log_keeps_readers_whole(spark, sf_dir, tmp_path):
+    """clean_delta_log removes JSON commits only after a checkpoint
+    covers them: the independent reader still reads the head
+    row-equal, incremental sync keeps working, import adopts from the
+    checkpoint, and time travel below the cut fails loudly instead of
+    silently reading a torn chain."""
+    import shutil
+
+    from datalake_scripts_spark.operators.delta_interop import (
+        clean_delta_log,
+        import_delta_log,
+    )
+
+    base = str(tmp_path / "tbl")
+    for lo in (0, 300, 600, 900):
+        V.write_versioned(
+            spark, _orders(spark, sf_dir, lo, lo + 300), base, mode="append"
+        )
+    export_delta_log(base)
+    before = DeltaLog(base).to_rows()
+    res = clean_delta_log(base, keep_last=2)
+    assert res["removed_json"] == 2 and res["checkpoint_version"] == 1
+    log_dir = os.path.join(base, "_delta_log")
+    remaining = sorted(
+        n for n in os.listdir(log_dir) if n.endswith(".json")
+    )
+    assert remaining == ["00000000000000000002.json",
+                        "00000000000000000003.json"]
+    log = DeltaLog(base)
+    assert log.to_rows() == before
+    with pytest.raises(DeltaReadError):
+        log.snapshot(version=0)
+    # idempotent second clean
+    assert clean_delta_log(base, keep_last=2)["removed_json"] == 0
+    # sync after clean: table advances, mirror follows
+    V.write_versioned(
+        spark, _orders(spark, sf_dir, 1200, 1500), base, mode="append"
+    )
+    assert sync_delta_log(base) == 1
+    rows = DeltaLog(base).to_rows()
+    assert len(rows) > len(before)
+    # adopt the cleaned mirror into a fresh chain (checkpoint bootstrap)
+    shutil.rmtree(os.path.join(base, "_manifests"))
+    os.remove(os.path.join(base, "_latest"))
+    import_delta_log(base)
+    native = sorted(map(tuple, V.read_versioned(spark, base).collect()))
+    assert native == rows
