@@ -254,6 +254,24 @@ def main(argv: list[str] | None = None) -> int:
              "session",
     )
     isync.add_argument("--out", default=None)
+    iexp = tbl_sub.add_parser(
+        "iceberg-expire",
+        help="expire old snapshots from an Iceberg metadata mirror "
+             "and remove files no surviving snapshot references — no "
+             "Spark session",
+    )
+    iexp.add_argument("--out", default=None)
+    iexp.add_argument("--keep-last", type=int, default=2,
+                      help="newest snapshots to keep (default 2)")
+    dcln = tbl_sub.add_parser(
+        "delta-clean",
+        help="checkpoint-covered log retention for a Delta mirror: "
+             "keep the newest N JSON commits, checkpoint + remove the "
+             "rest — no Spark session",
+    )
+    dcln.add_argument("--out", default=None)
+    dcln.add_argument("--keep-last", type=int, default=10,
+                      help="newest JSON commits to keep (default 10)")
     annb = tbl_sub.add_parser(
         "ann-build",
         help="build the persisted IVF vector index (centroids + "
@@ -357,10 +375,11 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.domain == "table" and args.action in (
-        "delta-sync", "delta-checkpoint"
+        "delta-sync", "delta-checkpoint", "delta-clean"
     ):
         # metadata-only Delta mirror maintenance: no Spark session
         from .operators.delta_interop import (
+            clean_delta_log,
             sync_delta_log,
             write_delta_checkpoint,
         )
@@ -371,6 +390,15 @@ def main(argv: list[str] | None = None) -> int:
                 checkpoint_interval=args.checkpoint_interval,
             )
             print(f"synced {n} new Delta commit(s)")
+        elif args.action == "delta-clean":
+            res = clean_delta_log(
+                args.dir, out_dir=args.out, keep_last=args.keep_last
+            )
+            print(
+                f"removed {res['removed_json']} JSON commit(s) + "
+                f"{res['removed_checkpoints']} checkpoint(s); "
+                f"checkpoint at {res['checkpoint_version']}"
+            )
         else:
             cp = write_delta_checkpoint(
                 args.dir, out_dir=args.out, version=args.version
@@ -379,10 +407,12 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.domain == "table" and args.action in (
-        "iceberg-export", "iceberg-import", "iceberg-sync"
+        "iceberg-export", "iceberg-import", "iceberg-sync",
+        "iceberg-expire",
     ):
         # metadata-only Iceberg interop: no Spark session
         from .operators.iceberg_interop import (
+            expire_iceberg_snapshots,
             export_iceberg_metadata,
             import_iceberg_metadata,
             sync_iceberg_metadata,
@@ -394,6 +424,14 @@ def main(argv: list[str] | None = None) -> int:
         elif args.action == "iceberg-sync":
             n = sync_iceberg_metadata(args.dir, out_dir=args.out)
             print(f"synced {n} new Iceberg snapshot(s)")
+        elif args.action == "iceberg-expire":
+            res = expire_iceberg_snapshots(
+                args.dir, out_dir=args.out, keep_last=args.keep_last
+            )
+            print(
+                f"expired {res['expired']} snapshot(s), removed "
+                f"{res['removed_files']} mirror file(s)"
+            )
         else:
             n = import_iceberg_metadata(args.dir)
             print(f"adopted {n} Iceberg snapshot(s) as versions")

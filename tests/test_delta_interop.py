@@ -654,3 +654,21 @@ def test_import_tolerates_commitinfo_only_commits(spark, sf_dir, tmp_path):
     assert import_delta_log(base) == 2
     assert V.read_versioned(spark, base).count() == expected
     assert V.read_versioned(spark, base, version=1).count() == expected
+
+
+def test_cli_delta_clean(spark, sf_dir, tmp_path, capsys):
+    from datalake_scripts_spark.cli import main
+    from datalake_scripts_spark.operators.delta_reader import DeltaLog
+
+    base = str(tmp_path / "tbl")
+    for lo in (0, 300, 600, 900):
+        V.write_versioned(
+            spark, _orders(spark, sf_dir, lo, lo + 300), base, mode="append"
+        )
+    assert main(["table", "--dir", base, "delta-sync"]) == 0
+    capsys.readouterr()
+    before = DeltaLog(base).to_rows()
+    assert main(["table", "--dir", base, "delta-clean",
+                 "--keep-last", "2"]) == 0
+    assert "removed 2 JSON commit(s)" in capsys.readouterr().out
+    assert DeltaLog(base).to_rows() == before

@@ -402,3 +402,23 @@ def _spark_rows_interop(spark, base, version=None):
     return sorted(
         map(tuple, V.read_versioned(spark, base, version=version).collect())
     )
+
+
+def test_cli_iceberg_expire(spark, sf_dir, tmp_path, capsys):
+    from datalake_scripts_spark.cli import main
+    from datalake_scripts_spark.operators.iceberg_reader import IcebergTable
+
+    base = str(tmp_path / "tbl")
+    for lo in (0, 300, 600):
+        V.write_versioned(
+            spark, _orders(spark, sf_dir, lo, lo + 300), base, mode="append"
+        )
+    assert main(["table", "--dir", base, "iceberg-export"]) == 0
+    capsys.readouterr()
+    before = IcebergTable(base).snapshot().to_rows()
+    assert main(["table", "--dir", base, "iceberg-expire",
+                 "--keep-last", "1"]) == 0
+    assert "expired 2 snapshot(s)" in capsys.readouterr().out
+    t = IcebergTable(base)
+    assert t.sequence_numbers() == [3]
+    assert t.snapshot().to_rows() == before
