@@ -58,9 +58,10 @@ deletion vectors — cost paid once at adoption, never on reads.
 
 Honest refusals (same posture as the Delta exporter): xxhash64
 bucket specs and non-bucket transforms (a translated spec would make
-foreign readers prune wrong), decimal identity partition values, and
-short/byte columns (Iceberg has no 16/8-bit ints; a silent widen
-would change the adopted schema).
+foreign readers prune wrong) and short/byte columns (Iceberg has no
+16/8-bit ints; a silent widen would change the adopted schema).
+Decimal identity partition values encode as the spec'd fixed-bytes
+Avro representation (minimal big-endian two's-complement unscaled).
 
 Avro is written/read by functions/avro_min.py — the image has no
 avro Python package and no spark-avro DataSource module.
@@ -323,17 +324,36 @@ _MANIFEST_LIST_SCHEMA = {
 }
 
 
+def _decimal_pts(ice_type: str) -> tuple[int, int, int]:
+    """decimal(P,S) -> (precision, scale, required fixed size) — the
+    spec stores decimal partition values as minimal-length big-endian
+    two's-complement unscaled bytes (Java TypeUtil.decimalRequiredBytes)."""
+    p, s = ice_type[ice_type.index("(") + 1:-1].replace(" ", "").split(",")
+    p, s = int(p), int(s)
+    size = ((10 ** p - 1).bit_length() + 1 + 7) // 8
+    return p, s, size
+
+
 def _manifest_schema(spec_fields: list[dict], ice_schema: dict) -> dict:
     by_id = {f["id"]: f for f in ice_schema["fields"]}
     part_fields = []
     for pf in spec_fields:
         src = by_id[pf["source-id"]]
         # bucket[N] partition values are ints regardless of source type
-        t = (
-            "int"
-            if pf.get("transform", "identity").startswith("bucket")
-            else _avro_primitive(src["type"])
-        )
+        if pf.get("transform", "identity").startswith("bucket"):
+            t = "int"
+        elif str(src["type"]).startswith("decimal"):
+            p, s, size = _decimal_pts(src["type"])
+            t = {
+                "type": "fixed",
+                "name": f"dec_{pf['field-id']}",
+                "size": size,
+                "logicalType": "decimal",
+                "precision": p,
+                "scale": s,
+            }
+        else:
+            t = _avro_primitive(src["type"])
         part_fields.append(
             {
                 "name": pf["name"],
@@ -426,6 +446,13 @@ def _partition_values_of(rel_path: str, spec_fields, ice_schema) -> dict:
             out[pf["name"]] = (
                 dt - datetime.datetime(1970, 1, 1)
             ) // datetime.timedelta(microseconds=1)
+        elif str(t).startswith("decimal"):
+            # spec: minimal big-endian two's-complement unscaled bytes
+            from decimal import Decimal
+
+            _, s, size = _decimal_pts(t)
+            unscaled = int(Decimal(v).scaleb(s).to_integral_value())
+            out[pf["name"]] = unscaled.to_bytes(size, "big", signed=True)
         else:
             out[pf["name"]] = v
     return out
@@ -766,22 +793,8 @@ def _write_iceberg_snapshots(
         ice_schema, ids = _iceberg_schema(schema_json)
         nm = _name_mapping_property(schema_json)
         last_col_id = max(ids.values(), default=0)
-        ice_types = {f["name"]: f["type"] for f in ice_schema["fields"]}
-        for c in spec:
-            # decimal identity partitions need the spec'd fixed-bytes
-            # Avro representation in manifest partition records, which
-            # this exporter does not emit — refuse loudly (same posture
-            # as transforms) rather than write a spec-invalid string
-            if isinstance(c, str) and str(
-                ice_types.get(c, "")
-            ).startswith("decimal"):
-                raise ValueError(
-                    f"{table_dir}@v{v} identity-partitions on decimal "
-                    f"column {c!r}; the Iceberg manifest partition "
-                    "record needs Avro fixed-decimal encoding, which "
-                    "is not implemented — cast the partition column "
-                    "before export"
-                )
+        # decimal identity partitions encode as the spec'd fixed-bytes
+        # Avro values (see _decimal_pts / _partition_values_of)
         spec_fields = [
             {
                 "name": c,

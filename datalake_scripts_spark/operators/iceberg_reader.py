@@ -278,6 +278,16 @@ def _partition_scalar(raw, ice_type: str):
         return datetime.datetime(1970, 1, 1) + datetime.timedelta(
             microseconds=raw
         )
+    if isinstance(ice_type, str) and ice_type.startswith("decimal"):
+        # spec: fixed-length big-endian two's-complement unscaled bytes
+        from decimal import Decimal
+
+        _, s = ice_type[ice_type.index("(") + 1:-1].replace(
+            " ", ""
+        ).split(",")
+        return Decimal(
+            int.from_bytes(raw, "big", signed=True)
+        ).scaleb(-int(s))
     return raw
 
 

@@ -310,17 +310,21 @@ def test_timestamp_identity_partition_exports_micros(spark, sf_dir, tmp_path):
     assert min(micros) == 19723 * day
 
 
-def test_decimal_identity_partition_refused(spark, sf_dir, tmp_path):
-    """Decimal identity partitions need Avro fixed-decimal partition
-    values the exporter does not emit — loud refusal, not a
-    spec-invalid string manifest."""
+def test_decimal_identity_partition_exports(spark, sf_dir, tmp_path):
+    """r10: the former decimal-partition refusal is lifted — the
+    exporter emits the spec'd fixed-bytes values (full circle proven
+    in tests/test_iceberg_reader.py::
+    test_decimal_identity_partition_roundtrip); here just assert the
+    export completes and adopts."""
     base = str(tmp_path / "dec")
     df = spark.range(4).selectExpr(
         "id AS k", "CAST(id AS DECIMAL(10,2)) AS d"
     )
     V.write_versioned(spark, df, base, mode="append", partition_by=["d"])
-    with pytest.raises(ValueError, match="decimal"):
-        export_iceberg_metadata(base)
+    export_iceberg_metadata(base)
+    _wipe_own_log(base)
+    assert import_iceberg_metadata(base) == 1
+    assert V.read_versioned(spark, base).count() == 4
 
 
 # --------------------------------------------- snapshot expiration

@@ -575,3 +575,53 @@ def test_equality_delete_partition_scoped(spark, sf_dir, tmp_path):
     import_iceberg_metadata(base)
     native_keys = {r[0] for r in _spark_rows(spark, base)}
     assert native_keys == keys
+
+
+def test_decimal_identity_partition_roundtrip(spark, sf_dir, tmp_path):
+    """Decimal identity partitions export as the spec'd fixed-bytes
+    Avro partition values (minimal big-endian two's-complement
+    unscaled), read back as exact Decimals through the independent
+    reader, and adopt (r10: lifts the last partition-type refusal)."""
+    import shutil
+    from decimal import Decimal
+
+    from datalake_scripts_spark.functions.avro_min import read_container
+    from datalake_scripts_spark.operators.iceberg_interop import (
+        import_iceberg_metadata,
+    )
+
+    base = str(tmp_path / "tbl")
+    df = spark.range(20).selectExpr(
+        "id AS k",
+        "CAST(CASE WHEN id % 2 = 0 THEN '12.50' ELSE '-3.07' END "
+        "AS DECIMAL(9,2)) AS price_band",
+        "id * 2 AS val",
+    )
+    V.write_versioned(
+        spark, df, base, mode="append", partition_by=["price_band"]
+    )
+    export_iceberg_metadata(base)
+    # manifest partition record: fixed bytes of the spec'd size
+    meta = json.load(
+        open(os.path.join(base, "metadata", "v1.metadata.json"))
+    )
+    snap = meta["snapshots"][0]
+    _, _, ml = read_container(snap["manifest-list"])
+    _, _, entries = read_container(ml[0]["manifest_path"])
+    raw = entries[0]["data_file"]["partition"]["price_band"]
+    assert isinstance(raw, bytes) and len(raw) == 4  # decimal(9) -> 4B
+    assert int.from_bytes(raw, "big", signed=True) in (1250, -307)
+    rows = IcebergTable(base).snapshot().to_rows()
+    assert len(rows) == 20
+    bands = {r[1] for r in rows}
+    assert bands == {Decimal("12.50"), Decimal("-3.07")}
+    shutil.rmtree(os.path.join(base, "_manifests"))
+    os.remove(os.path.join(base, "_latest"))
+    assert import_iceberg_metadata(base) == 1
+    got = {
+        (r["k"], str(r["price_band"]), r["val"])
+        for r in V.read_versioned(spark, base).collect()
+    }
+    assert got == {
+        (r[0], str(r[1]), r[2]) for r in rows
+    }
