@@ -92,6 +92,13 @@ BENCH_QUERIES = [
     "ann_ivf_indexed_topk",
     "iceberg_metadata_adoption",
     "stream_trailing_distinct_users",
+    # round 10 additions: DV'd history -> position-delete export +
+    # adoption (the heaviest new interop circle), the stateful
+    # streaming funnel (applyInPandasWithState under a full oracle),
+    # and foreign equality-delete adoption (key-scan materialization)
+    "iceberg_position_deletes",
+    "stream_funnel_conversion",
+    "iceberg_equality_deletes",
 ]
 
 
