@@ -106,6 +106,9 @@ def append_equality_delete_snapshot(
             "partition": dict(partition or {}),
             "record_count": n_keys,
             "file_size_in_bytes": os.path.getsize(dpath),
+            "null_value_counts": None,
+            "lower_bounds": None,
+            "upper_bounds": None,
             "equality_ids": list(equality_ids),
         },
     }
@@ -158,6 +161,9 @@ def append_equality_delete_snapshot(
                 "partition": {},
                 "record_count": len(add_data),
                 "file_size_in_bytes": os.path.getsize(data_path),
+                "null_value_counts": None,
+                "lower_bounds": None,
+                "upper_bounds": None,
             },
         }
         dmf = os.path.join(meta_dir, f"{uuid.uuid4().hex}-m0.avro")

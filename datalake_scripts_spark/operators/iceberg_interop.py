@@ -324,6 +324,84 @@ _MANIFEST_LIST_SCHEMA = {
 }
 
 
+def _single_value_ser(ice_type: str, v) -> bytes | None:
+    """Iceberg single-value binary serialization (table-spec Appendix
+    D) for manifest lower/upper bounds. Returns None for values this
+    exporter cannot faithfully encode (the maps are optional and may
+    be partial per spec — a missing bound only costs pruning)."""
+    import struct as _struct
+
+    if v is None or not isinstance(ice_type, str):
+        return None
+    try:
+        if ice_type == "int":
+            return _struct.pack("<i", int(v))
+        if ice_type == "long":
+            return _struct.pack("<q", int(v))
+        if ice_type == "float":
+            return _struct.pack("<f", float(v))
+        if ice_type == "double":
+            return _struct.pack("<d", float(v))
+        if ice_type == "boolean":
+            return b"\x01" if v else b"\x00"
+        if ice_type == "string":
+            return str(v).encode("utf-8")
+        if ice_type == "date":
+            import datetime as _dt
+
+            d = _dt.date.fromisoformat(str(v)[:10])
+            return _struct.pack(
+                "<i", (d - _dt.date(1970, 1, 1)).days
+            )
+        if ice_type in ("timestamp", "timestamptz"):
+            import datetime as _dt
+
+            dt = _dt.datetime.fromisoformat(str(v).replace(" ", "T"))
+            if dt.tzinfo is not None:
+                dt = dt.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            micros = (
+                dt - _dt.datetime(1970, 1, 1)
+            ) // _dt.timedelta(microseconds=1)
+            return _struct.pack("<q", micros)
+        # decimal bounds deliberately NOT exported: native stats hold
+        # them as floats (_json_safe), and a float-narrowed bound
+        # would make a foreign reader prune a file that contains the
+        # true extreme — absent bounds only cost pruning, never rows
+    except (ValueError, OverflowError, ArithmeticError):
+        return None
+    return None
+
+
+def _stats_maps(
+    cols: dict, ids: dict[str, int], ice_types: dict[str, str]
+) -> dict:
+    """Native per-file column stats -> the manifest's optional spec
+    maps (Avro array-of-kv, logicalType map — Avro map keys must be
+    strings, so int-keyed spec maps use the array encoding, exactly
+    like Java Iceberg): null_value_counts (110), lower_bounds (125),
+    upper_bounds (128). Partial by design: a column whose value can't
+    be faithfully encoded is simply absent."""
+    nulls, lower, upper = [], [], []
+    for name, st in sorted(cols.items()):
+        fid = ids.get(name)
+        t = ice_types.get(name)
+        if fid is None or not isinstance(t, str):
+            continue
+        if st.get("nulls") is not None:
+            nulls.append({"key": fid, "value": int(st["nulls"])})
+        lo = _single_value_ser(t, st.get("min"))
+        if lo is not None:
+            lower.append({"key": fid, "value": lo})
+        hi = _single_value_ser(t, st.get("max"))
+        if hi is not None:
+            upper.append({"key": fid, "value": hi})
+    return {
+        "null_value_counts": nulls or None,
+        "lower_bounds": lower or None,
+        "upper_bounds": upper or None,
+    }
+
+
 def _decimal_pts(ice_type: str) -> tuple[int, int, int]:
     """decimal(P,S) -> (precision, scale, required fixed size) — the
     spec stores decimal partition values as minimal-length big-endian
@@ -332,6 +410,24 @@ def _decimal_pts(ice_type: str) -> tuple[int, int, int]:
     p, s = int(p), int(s)
     size = ((10 ** p - 1).bit_length() + 1 + 7) // 8
     return p, s, size
+
+
+def _kv_array(name: str, kid: int, vid: int, vtype: str) -> dict:
+    """Spec int-keyed map as Avro array<record{key,value}> with
+    logicalType map (Avro map keys are strings, so Java Iceberg uses
+    the array encoding for these fields too)."""
+    return {
+        "type": "array",
+        "logicalType": "map",
+        "items": {
+            "type": "record",
+            "name": name,
+            "fields": [
+                {"name": "key", "type": "int", "field-id": kid},
+                {"name": "value", "type": vtype, "field-id": vid},
+            ],
+        },
+    }
 
 
 def _manifest_schema(spec_fields: list[dict], ice_schema: dict) -> dict:
@@ -380,6 +476,27 @@ def _manifest_schema(spec_fields: list[dict], ice_schema: dict) -> dict:
             },
             {"name": "record_count", "type": "long", "field-id": 103},
             {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+            # optional per-column stats (spec field-ids; int-keyed
+            # maps use Avro's array-of-kv encoding since Avro map
+            # keys must be strings — same as Java Iceberg)
+            {
+                "name": "null_value_counts",
+                "type": ["null", _kv_array("k121_v122", 121, 122, "long")],
+                "field-id": 110,
+                "default": None,
+            },
+            {
+                "name": "lower_bounds",
+                "type": ["null", _kv_array("k126_v127", 126, 127, "bytes")],
+                "field-id": 125,
+                "default": None,
+            },
+            {
+                "name": "upper_bounds",
+                "type": ["null", _kv_array("k129_v130", 129, 130, "bytes")],
+                "field-id": 128,
+                "default": None,
+            },
         ],
     }
     return {
@@ -824,6 +941,10 @@ def _write_iceberg_snapshots(
         is_append = mode == "append" and prev_files <= cur
         mschema = _manifest_schema(spec_fields, ice_schema)
 
+        ice_types_by_name = {
+            f["name"]: f["type"] for f in ice_schema["fields"]
+        }
+
         def _entry(f: str, status: int, seen_v: int) -> dict:
             return {
                 "status": status,
@@ -842,6 +963,14 @@ def _write_iceberg_snapshots(
                     "record_count": stats.get(f, {}).get("rows", 0),
                     "file_size_in_bytes": os.path.getsize(
                         os.path.join(table_dir, f)
+                    ),
+                    # per-column bounds: what lets a FOREIGN reader
+                    # (Trino/Spark+Iceberg) data-skip our mirror — at
+                    # 100 TB a stats-free export is a full-scan trap
+                    **_stats_maps(
+                        stats.get(f, {}).get("columns", {}) or {},
+                        ids,
+                        ice_types_by_name,
                     ),
                 },
             }
@@ -943,6 +1072,9 @@ def _write_iceberg_snapshots(
                         ),
                         "record_count": len(dv_by_base[b]),
                         "file_size_in_bytes": os.path.getsize(dpath),
+                        "null_value_counts": None,
+                        "lower_bounds": None,
+                        "upper_bounds": None,
                     },
                 })
             dmpath = os.path.join(meta_dir, f"{uuid.uuid4().hex}-m1.avro")
@@ -1057,6 +1189,78 @@ def _write_iceberg_snapshots(
         fh.write(str(latest))
     os.replace(hint + ".tmp", hint)
     return meta_dir
+
+
+def _single_value_deser(ice_type: str, b: bytes):
+    """Inverse of :func:`_single_value_ser`, returning values in the
+    NATIVE manifest-stats convention (ISO strings for date/timestamp,
+    matching versioned._json_safe) so adopted stats compare exactly
+    like natively-written ones. None = not adoptable."""
+    import struct as _struct
+
+    if b is None or not isinstance(ice_type, str):
+        return None
+    try:
+        if ice_type == "int":
+            return _struct.unpack("<i", b)[0]
+        if ice_type == "long":
+            return _struct.unpack("<q", b)[0]
+        if ice_type == "float":
+            return _struct.unpack("<f", b)[0]
+        if ice_type == "double":
+            return _struct.unpack("<d", b)[0]
+        if ice_type == "boolean":
+            return b != b"\x00"
+        if ice_type == "string":
+            return b.decode("utf-8")
+        if ice_type == "date":
+            import datetime as _dt
+
+            days = _struct.unpack("<i", b)[0]
+            return (
+                _dt.date(1970, 1, 1) + _dt.timedelta(days=days)
+            ).isoformat()
+        if ice_type in ("timestamp", "timestamptz"):
+            import datetime as _dt
+
+            micros = _struct.unpack("<q", b)[0]
+            return (
+                _dt.datetime(1970, 1, 1)
+                + _dt.timedelta(microseconds=micros)
+            ).isoformat()
+    except (ValueError, _struct.error):
+        return None
+    return None
+
+
+def _adopt_file_stats(df_rec: dict, ice_schema: dict) -> dict:
+    """Manifest bounds maps -> native per-column stats, so an adopted
+    table keeps manifest-level data skipping (skip_filter) without
+    re-reading any parquet footers."""
+    by_id = {f["id"]: f for f in ice_schema["fields"]}
+
+    def _kv(field):
+        return {
+            e["key"]: e["value"] for e in (df_rec.get(field) or [])
+        }
+
+    lower, upper = _kv("lower_bounds"), _kv("upper_bounds")
+    nulls = _kv("null_value_counts")
+    cols: dict[str, dict] = {}
+    for fid in set(lower) & set(upper):
+        f = by_id.get(fid)
+        if f is None or not isinstance(f["type"], str):
+            continue
+        mn = _single_value_deser(f["type"], lower[fid])
+        mx = _single_value_deser(f["type"], upper[fid])
+        if mn is None or mx is None:
+            continue
+        cols[f["name"]] = {
+            "min": mn,
+            "max": mx,
+            "nulls": int(nulls.get(fid, 0)),
+        }
+    return cols
 
 
 def _eq_delete_positions(
@@ -1305,7 +1509,14 @@ def import_iceberg_metadata(table_dir: str) -> int:
                 abs_by_base[base] = _resolve(df["file_path"])
                 stats[rel] = {
                     "rows": int(df["record_count"]),
-                    "columns": {},
+                    # bounds adopt as native stats: the adopted table
+                    # keeps manifest-level data skipping for free
+                    "columns": _adopt_file_stats(
+                        df,
+                        schemas[
+                            snap.get("schema-id", meta["current-schema-id"])
+                        ],
+                    ),
                 }
         op = (snap.get("summary") or {}).get("operation", "append")
         mode = {"append": "append", "delete": "delete",

@@ -291,6 +291,39 @@ def _partition_scalar(raw, ice_type: str):
     return raw
 
 
+def _sv_deser(ice_type: str, b: bytes):
+    """Single-value binary deserialization (spec Appendix D), this
+    reader's own implementation — shares no code with the exporter."""
+    if not isinstance(ice_type, str) or b is None:
+        return None
+    import datetime
+
+    try:
+        if ice_type == "int":
+            return struct.unpack("<i", b)[0]
+        if ice_type == "long":
+            return struct.unpack("<q", b)[0]
+        if ice_type == "float":
+            return struct.unpack("<f", b)[0]
+        if ice_type == "double":
+            return struct.unpack("<d", b)[0]
+        if ice_type == "boolean":
+            return b != b"\x00"
+        if ice_type == "string":
+            return b.decode("utf-8")
+        if ice_type == "date":
+            return datetime.date(1970, 1, 1) + datetime.timedelta(
+                days=struct.unpack("<i", b)[0]
+            )
+        if ice_type in ("timestamp", "timestamptz"):
+            return datetime.datetime(1970, 1, 1) + datetime.timedelta(
+                microseconds=struct.unpack("<q", b)[0]
+            )
+    except (ValueError, struct.error):
+        return None
+    return None
+
+
 class IcebergSnapshot:
     """One snapshot's reconstructed file state."""
 
@@ -416,6 +449,62 @@ class IcebergSnapshot:
                 }
             )
         return out
+
+    def prune_files(self, column: str, op: str, value) -> list[str]:
+        """Data-file paths whose exported lower/upper bounds ADMIT
+        ``column <op> value`` — the data skipping a foreign Iceberg
+        reader derives from our manifests. Files without bounds for
+        the column are admitted (pruning must never drop rows).
+        ``op`` in =, <, <=, >, >=. Value decoding is this module's own
+        implementation of the spec's single-value serialization
+        (Appendix D) — independent of the exporter's encoder, so an
+        encoding bug there fails the pruning-parity test instead of
+        round-tripping invisibly."""
+        field = next(
+            (f for f in self.schema["fields"] if f["name"] == column),
+            None,
+        )
+        if field is None:
+            raise IcebergReadError(f"no column {column!r}")
+        fid, t = field["id"], field["type"]
+        out = []
+        for e in self.data_entries:
+            df = e["data_file"]
+            lo = next(
+                (
+                    kv["value"]
+                    for kv in (df.get("lower_bounds") or [])
+                    if kv["key"] == fid
+                ),
+                None,
+            )
+            hi = next(
+                (
+                    kv["value"]
+                    for kv in (df.get("upper_bounds") or [])
+                    if kv["key"] == fid
+                ),
+                None,
+            )
+            if lo is None or hi is None:
+                out.append(df["file_path"])
+                continue
+            mn, mx = _sv_deser(t, lo), _sv_deser(t, hi)
+            if mn is None or mx is None:
+                out.append(df["file_path"])
+                continue
+            admit = {
+                "=": mn <= value <= mx,
+                "<": mn < value,
+                "<=": mn <= value,
+                ">": mx > value,
+                ">=": mx >= value,
+            }.get(op)
+            if admit is None:
+                raise IcebergReadError(f"op {op!r} not supported")
+            if admit:
+                out.append(df["file_path"])
+        return sorted(out)
 
     def num_live_rows(self) -> int:
         return len(self.to_arrow())

@@ -625,3 +625,82 @@ def test_decimal_identity_partition_roundtrip(spark, sf_dir, tmp_path):
     assert got == {
         (r[0], str(r[1]), r[2]) for r in rows
     }
+
+
+# ------------------------------------------------- exported bounds
+
+
+def test_exported_bounds_enable_foreign_pruning_and_adopt(
+    spark, sf_dir, tmp_path
+):
+    """r10: manifests export spec'd per-column bounds
+    (null_value_counts 110 / lower_bounds 125 / upper_bounds 128,
+    Appendix-D single-value bytes) so FOREIGN readers can data-skip
+    the mirror; the independent reader prunes on them with its own
+    deserializer, pruning never drops a row (ground-truth scan), and
+    adoption turns the bounds back into native stats so skip_filter
+    works on the adopted table without touching a parquet footer."""
+    import shutil
+    import struct
+
+    import pyarrow.parquet as pq
+
+    from datalake_scripts_spark.functions.avro_min import read_container
+    from datalake_scripts_spark.operators.iceberg_interop import (
+        import_iceberg_metadata,
+    )
+    from datalake_scripts_spark.operators.versioned import files_for_read
+
+    base = str(tmp_path / "tbl")
+    # three appends with DISJOINT key ranges -> three prunable files
+    for lo in (0, 500, 1000):
+        V.write_versioned(
+            spark,
+            _orders(spark, sf_dir, lo, lo + 500).coalesce(1),
+            base,
+            mode="append",
+        )
+    export_iceberg_metadata(base)
+    snap = IcebergTable(base).snapshot()
+    # raw bytes: o_orderkey (field id 1, long) little-endian per spec
+    entry = min(
+        snap.data_entries, key=lambda e: e["data_file"]["file_path"]
+    )
+    lows = sorted(
+        struct.unpack("<q", kv["value"])[0]
+        for e in snap.data_entries
+        for kv in e["data_file"]["lower_bounds"] or []
+        if kv["key"] == 1
+    )
+    assert lows == [0, 500, 1000]
+    # pruning parity: "=" admits exactly the file holding the key;
+    # ground truth by scanning the pruned-OUT files
+    probe = 750
+    admitted = snap.prune_files("o_orderkey", "=", probe)
+    assert len(admitted) == 1
+    all_files = sorted(
+        e["data_file"]["file_path"] for e in snap.data_entries
+    )
+    for f in set(all_files) - set(admitted):
+        t = pq.read_table(f, columns=["o_orderkey"])
+        assert probe not in set(t.column("o_orderkey").to_pylist())
+    t = pq.read_table(admitted[0], columns=["o_orderkey"])
+    assert probe in set(t.column("o_orderkey").to_pylist())
+    # string bounds prune too
+    adm = snap.prune_files("o_orderpriority", ">=", "1-URGENT")
+    assert adm == all_files  # every file holds urgent orders
+    # range ops
+    assert len(snap.prune_files("o_orderkey", "<", 500)) == 1
+    assert len(snap.prune_files("o_orderkey", ">=", 1000)) == 1
+    # adopt: bounds become native stats; skip_filter prunes files
+    shutil.rmtree(os.path.join(base, "_manifests"))
+    os.remove(os.path.join(base, "_latest"))
+    assert import_iceberg_metadata(base) == 3
+    flt = [("o_orderkey", ">=", 1000)]
+    kept = files_for_read(base, skip_filter=flt)
+    assert len(kept) == 1
+    got = V.read_versioned(spark, base, skip_filter=flt)
+    want = V.read_versioned(spark, base).filter("o_orderkey >= 1000")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
