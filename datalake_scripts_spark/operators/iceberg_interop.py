@@ -1233,6 +1233,28 @@ def _single_value_deser(ice_type: str, b: bytes):
     return None
 
 
+_PRUNABLE_EQ_TYPES = ("int", "long", "float", "double", "string")
+
+
+def _prunable_bounds(df_rec: dict, by_id: dict) -> dict[int, tuple]:
+    """{field id: (lo, hi)} from a manifest entry, only for types
+    whose decoded values compare directly with parquet-logical delete
+    keys (int/long/float/double/string) — used to skip data files a
+    delete's key range can't touch."""
+    lo = {e["key"]: e["value"] for e in (df_rec.get("lower_bounds") or [])}
+    hi = {e["key"]: e["value"] for e in (df_rec.get("upper_bounds") or [])}
+    out = {}
+    for fid in set(lo) & set(hi):
+        f = by_id.get(fid)
+        if f is None or f["type"] not in _PRUNABLE_EQ_TYPES:
+            continue
+        mn = _single_value_deser(f["type"], lo[fid])
+        mx = _single_value_deser(f["type"], hi[fid])
+        if mn is not None and mx is not None:
+            out[fid] = (mn, mx)
+    return out
+
+
 def _adopt_file_stats(df_rec: dict, ice_schema: dict) -> dict:
     """Manifest bounds maps -> native per-column stats, so an adopted
     table keeps manifest-level data skipping (skip_filter) without
@@ -1271,6 +1293,7 @@ def _eq_delete_positions(
     file_scope: dict[str, tuple],
     abs_by_base: dict[str, str],
     specs: dict[int, list[dict]],
+    file_bounds: dict[str, dict] | None = None,
 ) -> dict[str, set]:
     """Materialize equality deletes into per-data-file row positions
     (the shape native deletion vectors adopt). Spec semantics: a
@@ -1280,10 +1303,15 @@ def _eq_delete_positions(
     partitioned spec applies only to data files in the same
     (spec, partition), an unpartitioned one applies globally.
     Cost: one key-column parquet scan per (delete file x covered data
-    file) — paid once at adoption, never on reads."""
+    file) — paid once at adoption, never on reads — and data files
+    whose manifest bounds (``file_bounds``: base -> {fid: (lo, hi)})
+    can't intersect the delete keys' range on the FIRST equality
+    column are skipped without opening them, so adoption cost tracks
+    the touched key range, not the table."""
     import pyarrow.parquet as pq
 
     by_id = {f["id"]: f for f in ice_schema["fields"]}
+    file_bounds = file_bounds or {}
 
     def _col_name(fid: int, cols: list[str], base: str) -> str | None:
         f = by_id.get(fid)
@@ -1312,6 +1340,12 @@ def _eq_delete_positions(
         keys = set(zip(*key_cols)) if key_cols else set()
         if not keys:
             continue
+        # bounds-prune on the first equality column: the delete keys'
+        # own [min, max] vs each data file's manifest bounds
+        fid0 = ed["ids"][0]
+        k0 = [k[0] for k in keys if k[0] is not None]
+        k0_rng = (min(k0), max(k0)) if k0 else None
+        has_null_key = len(k0) < len(keys)
         for base, dseq in data_seq.items():
             if dseq >= ed["seq"]:  # strict: same-sequence data survives
                 continue
@@ -1320,6 +1354,14 @@ def _eq_delete_positions(
                 spec_id != ed["spec_id"] or part != ed["partition"]
             ):
                 continue
+            b = (file_bounds.get(base) or {}).get(fid0)
+            if (
+                b is not None
+                and k0_rng is not None
+                and not has_null_key
+                and (k0_rng[1] < b[0] or k0_rng[0] > b[1])
+            ):
+                continue  # key range disjoint from the file: skip scan
             t = pq.read_table(abs_by_base[base])
             ident_names = {
                 pf["name"]
@@ -1434,6 +1476,7 @@ def import_iceberg_metadata(table_dir: str) -> int:
         eq_dels: list[dict] = []
         file_scope: dict[str, tuple] = {}  # base -> (spec_id, partition)
         abs_by_base: dict[str, str] = {}
+        bounds_by_base: dict[str, dict] = {}  # base -> {fid: (lo, hi)}
         _, _, mlist = read_container(_resolve(snap["manifest-list"]))
         for mf in mlist:
             mschema, mmeta, entries = read_container(
@@ -1507,6 +1550,12 @@ def import_iceberg_metadata(table_dir: str) -> int:
                     dict(df.get("partition") or {}),
                 )
                 abs_by_base[base] = _resolve(df["file_path"])
+                snap_schema = schemas[
+                    snap.get("schema-id", meta["current-schema-id"])
+                ]
+                bounds_by_base[base] = _prunable_bounds(
+                    df, {f["id"]: f for f in snap_schema["fields"]}
+                )
                 stats[rel] = {
                     "rows": int(df["record_count"]),
                     # bounds adopt as native stats: the adopted table
@@ -1542,7 +1591,7 @@ def import_iceberg_metadata(table_dir: str) -> int:
             }
             for b, positions in _eq_delete_positions(
                 eq_dels, ice_sch, name_map, data_seq, file_scope,
-                abs_by_base, specs,
+                abs_by_base, specs, file_bounds=bounds_by_base,
             ).items():
                 dv_by_base.setdefault(b, set()).update(positions)
         dvs = None

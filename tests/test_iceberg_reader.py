@@ -704,3 +704,58 @@ def test_exported_bounds_enable_foreign_pruning_and_adopt(
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, want.collect())
     )
+
+
+def test_eq_delete_adoption_prunes_scans_by_bounds(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """r10: equality-delete adoption uses the exported manifest bounds
+    to SKIP data files the delete keys' range can't touch — counted
+    via a read_table probe. Three disjoint-range files, a delete whose
+    keys live entirely in one: exactly 1 data-file scan (+1 for the
+    delete parquet itself), and the result equals the unpruned path."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from datalake_scripts_spark.operators.iceberg_interop import (
+        import_iceberg_metadata,
+    )
+
+    base = str(tmp_path / "tbl")
+    for lo in (0, 500, 1000):
+        V.write_versioned(
+            spark,
+            _orders(spark, sf_dir, lo, lo + 500).coalesce(1),
+            base,
+            mode="append",
+        )
+    export_iceberg_metadata(base)
+    ice_schema = json.load(
+        open(os.path.join(base, "metadata", "v1.metadata.json"))
+    )["schemas"][0]
+    key_fid = next(
+        f["id"] for f in ice_schema["fields"] if f["name"] == "o_orderkey"
+    )
+    victims = [700, 711, 742]  # all inside the [500, 1000) file
+    _append_eq_delete_snapshot(base, {"o_orderkey": victims}, [key_fid])
+    shutil.rmtree(os.path.join(base, "_manifests"))
+    os.remove(os.path.join(base, "_latest"))
+
+    calls = []
+    real = pq.read_table
+
+    def counting(path, *a, **k):
+        calls.append(str(path))
+        return real(path, *a, **k)
+
+    monkeypatch.setattr(pq, "read_table", counting)
+    import_iceberg_metadata(base)
+    monkeypatch.undo()
+    data_scans = [c for c in calls if "/data/" in c]
+    assert len(data_scans) == 1, data_scans  # only the covered file
+    keys = {
+        r["o_orderkey"] for r in V.read_versioned(spark, base).collect()
+    }
+    assert not keys & set(victims)
+    assert len(keys) == 1500 - len(victims)
