@@ -839,6 +839,9 @@ def _prior_iceberg_state(meta_dir: str, table_dir: str, k: int) -> dict:
         "first_seen": first_seen,
         "del_entry": del_entry,
         "del_sig": del_sig,
+        # schema registry: evolved histories carry one entry per
+        # distinct schema; ids are stable across incremental syncs
+        "schemas": list(meta.get("schemas", [])),
     }
 
 
@@ -862,6 +865,7 @@ def _write_iceberg_snapshots(
         prev_files: set[str] = set()
         del_entry: dict | None = None  # carried delete-manifest entry
         del_sig: frozenset = frozenset()  # DV state signature
+        schemas_list: list[dict] = []  # one entry per DISTINCT schema
     else:
         table_uuid = prior["table_uuid"]
         manifests = dict(prior["manifests"])
@@ -871,6 +875,14 @@ def _write_iceberg_snapshots(
         prev_files = set(prior["prev_files"])
         del_entry = prior.get("del_entry")
         del_sig = prior.get("del_sig", frozenset())
+        schemas_list = list(prior.get("schemas", []))
+    schema_key_to_id = {
+        json.dumps(
+            {k: v for k, v in s.items() if k != "schema-id"},
+            sort_keys=True,
+        ): s["schema-id"]
+        for s in schemas_list
+    }
     ice_schema = None
     spec_fields: list[dict] = []
     spec_id = 0
@@ -908,8 +920,26 @@ def _write_iceberg_snapshots(
         if schema_json is None:
             raise ValueError(f"{table_dir}@v{v} has no committed schema")
         ice_schema, ids = _iceberg_schema(schema_json)
+        # schema registry: evolved histories get one schemas[] entry
+        # per distinct schema; every snapshot records ITS schema-id so
+        # time travel reads old data with the schema it was written
+        # under (old files null-fill later-added optional columns)
+        skey = json.dumps(
+            {k: v for k, v in ice_schema.items() if k != "schema-id"},
+            sort_keys=True,
+        )
+        if skey not in schema_key_to_id:
+            sid_new = max(
+                (s["schema-id"] for s in schemas_list), default=-1
+            ) + 1
+            schema_key_to_id[skey] = sid_new
+            schemas_list.append({**ice_schema, "schema-id": sid_new})
+        cur_schema_id = schema_key_to_id[skey]
+        ice_schema = {**ice_schema, "schema-id": cur_schema_id}
         nm = _name_mapping_property(schema_json)
-        last_col_id = max(ids.values(), default=0)
+        last_col_id = max(
+            max(ids.values(), default=0), last_col_id
+        )
         # decimal identity partitions encode as the spec'd fixed-bytes
         # Avro values (see _decimal_pts / _partition_values_of)
         spec_fields = [
@@ -994,7 +1024,7 @@ def _write_iceberg_snapshots(
             entries,
             metadata={
                 "schema": json.dumps(ice_schema),
-                "schema-id": "0",
+                "schema-id": str(cur_schema_id),
                 "partition-spec": json.dumps(spec_fields),
                 "partition-spec-id": str(spec_id),
                 "format-version": "2",
@@ -1084,7 +1114,7 @@ def _write_iceberg_snapshots(
                 del_records,
                 metadata={
                     "schema": json.dumps(ice_schema),
-                    "schema-id": "0",
+                    "schema-id": str(cur_schema_id),
                     "partition-spec": json.dumps(spec_fields),
                     "partition-spec-id": str(spec_id),
                     "format-version": "2",
@@ -1140,7 +1170,7 @@ def _write_iceberg_snapshots(
                 "timestamp-ms": now_ms + v,
                 "summary": {"operation": op},
                 "manifest-list": list_path,
-                "schema-id": 0,
+                "schema-id": cur_schema_id,
             }
         )
         table_meta = {
@@ -1150,8 +1180,8 @@ def _write_iceberg_snapshots(
             "last-sequence-number": v,
             "last-updated-ms": now_ms + v,
             "last-column-id": last_col_id,
-            "current-schema-id": 0,
-            "schemas": [ice_schema],
+            "current-schema-id": cur_schema_id,
+            "schemas": list(schemas_list),
             "default-spec-id": spec_id,
             "partition-specs": [
                 {"spec-id": spec_id, "fields": spec_fields}

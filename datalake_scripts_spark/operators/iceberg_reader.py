@@ -330,10 +330,13 @@ class IcebergSnapshot:
     def __init__(self, table_meta: dict, snap: dict):
         self.table_meta = table_meta
         self.snapshot = snap
+        # the SNAPSHOT's schema (spec: snapshots record schema-id), so
+        # time travel across schema evolution reads with the schema
+        # the data was committed under; current-schema-id is the
+        # fallback for writers that don't stamp snapshots
+        sid = snap.get("schema-id", table_meta["current-schema-id"])
         self.schema = next(
-            s
-            for s in table_meta["schemas"]
-            if s["schema-id"] == table_meta["current-schema-id"]
+            s for s in table_meta["schemas"] if s["schema-id"] == sid
         )
         specs = {
             s["spec-id"]: s["fields"]
@@ -567,10 +570,16 @@ class IcebergSnapshot:
                             * len(t)
                         )
                     else:
+                        phys = self._resolve(
+                            t.column_names, f, name_map,
+                            optional_ok=not f.get("required", False),
+                        )
                         vals.append(
-                            t.column(
-                                self._resolve(t.column_names, f, name_map)
-                            ).to_pylist()
+                            t.column(phys).to_pylist()
+                            if phys is not None
+                            # key column added after this file: its
+                            # rows hold null (matches only null keys)
+                            else [None] * len(t)
                         )
                 dead.update(
                     i
@@ -596,7 +605,16 @@ class IcebergSnapshot:
                         )
                     )
                 else:
-                    phys = self._resolve(t.column_names, f, name_map)
+                    phys = self._resolve(
+                        t.column_names, f, name_map,
+                        optional_ok=not f.get("required", False),
+                    )
+                    if phys is None:
+                        # spec column projection: an optional column
+                        # absent from an older data file reads as null
+                        cols.append(pa.nulls(len(t), type=at))
+                        names.append(fname)
+                        continue
                     col = t.column(phys)
                     if col.type != at:
                         try:
@@ -641,11 +659,21 @@ class IcebergSnapshot:
         }
 
     def _resolve(
-        self, file_cols: list[str], field: dict, name_map: dict
-    ) -> str:
+        self,
+        file_cols: list[str],
+        field: dict,
+        name_map: dict,
+        optional_ok: bool = False,
+    ) -> str | None:
+        """Physical parquet column for a schema field, or None when
+        the field is absent AND ``optional_ok`` (spec column
+        projection: optional columns missing from older files read as
+        nulls; a missing REQUIRED column is still a loud error)."""
         for cand in name_map.get(field["id"], []) + [field["name"]]:
             if cand in file_cols:
                 return cand
+        if optional_ok:
+            return None
         raise IcebergReadError(
             f"column {field['name']!r} (field-id {field['id']}) not "
             f"resolvable in parquet columns {file_cols} — no matching "

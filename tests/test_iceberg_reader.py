@@ -759,3 +759,54 @@ def test_eq_delete_adoption_prunes_scans_by_bounds(
     }
     assert not keys & set(victims)
     assert len(keys) == 1500 - len(victims)
+
+
+def test_schema_evolution_roundtrip_and_sync(spark, sf_dir, tmp_path):
+    """r10: evolved histories export one schemas[] entry per distinct
+    schema, snapshots record THEIR schema-id, old data files null-fill
+    later-added optional columns (spec column projection), time travel
+    reads each snapshot with its own schema, adoption preserves the
+    per-version schema, and incremental sync carries the schema
+    registry forward."""
+    import shutil
+
+    from datalake_scripts_spark.operators.iceberg_interop import (
+        import_iceberg_metadata,
+    )
+
+    base = str(tmp_path / "tbl")
+    V.write_versioned(
+        spark, spark.range(5).selectExpr("id AS k", "id*2 AS a"),
+        base, mode="append",
+    )
+    export_iceberg_metadata(base)  # mirror at schema v1
+    V.write_versioned(
+        spark,
+        spark.range(5, 10).selectExpr("id AS k", "id*2 AS a", "id*3 AS b"),
+        base, mode="append", merge_schema=True,
+    )
+    # INCREMENTAL sync across the evolution
+    assert sync_iceberg_metadata(base) == 1
+    meta = json.load(
+        open(os.path.join(base, "metadata", "v2.metadata.json"))
+    )
+    assert len(meta["schemas"]) == 2
+    sids = {s["sequence-number"]: s["schema-id"] for s in meta["snapshots"]}
+    assert sids[1] != sids[2]
+    assert meta["current-schema-id"] == sids[2]
+    t = IcebergTable(base)
+    # snapshot 1 reads with ITS schema (2 columns)
+    assert t.snapshot(sequence_number=1).to_rows() == [
+        (i, 2 * i) for i in range(5)
+    ]
+    # head: 3 columns, old files null-fill b
+    head = t.snapshot().to_rows()
+    assert head[0] == (0, 0, None) and head[-1] == (9, 18, 27)
+    shutil.rmtree(os.path.join(base, "_manifests"))
+    os.remove(os.path.join(base, "_latest"))
+    assert import_iceberg_metadata(base) == 2
+    assert sorted(
+        map(tuple, V.read_versioned(spark, base, version=1).collect())
+    ) == [(i, 2 * i) for i in range(5)]
+    got = sorted(map(tuple, V.read_versioned(spark, base).collect()))
+    assert got == head
