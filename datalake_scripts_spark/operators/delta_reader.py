@@ -269,9 +269,20 @@ class DeltaSnapshot:
                     )
                 else:
                     if phys not in t.column_names:
+                        if f.get("nullable", True):
+                            # schema evolution: files written before a
+                            # nullable column was added read it as null
+                            # (delta-spark's read-time behavior)
+                            cols.append(
+                                pa.nulls(
+                                    len(t), type=_arrow_type(f["type"])
+                                )
+                            )
+                            names.append(name)
+                            continue
                         raise DeltaReadError(
-                            f"{full} lacks column {phys!r} "
-                            f"(logical {name!r})"
+                            f"{full} lacks non-nullable column "
+                            f"{phys!r} (logical {name!r})"
                         )
                     cols.append(t.column(phys))
                 names.append(name)

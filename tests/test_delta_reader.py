@@ -653,3 +653,38 @@ def test_clean_delta_log_keeps_readers_whole(spark, sf_dir, tmp_path):
     import_delta_log(base)
     native = sorted(map(tuple, V.read_versioned(spark, base).collect()))
     assert native == rows
+
+
+def test_schema_evolution_null_fills_old_files(spark, sf_dir, tmp_path):
+    """r10: the independent reader null-fills a nullable column added
+    after a data file was written (delta-spark's read-time behavior);
+    time travel below the evolution reads the old schema, and the
+    adopted chain preserves per-version schemas."""
+    import shutil
+
+    from datalake_scripts_spark.operators.delta_interop import (
+        import_delta_log,
+    )
+
+    base = str(tmp_path / "tbl")
+    V.write_versioned(
+        spark, spark.range(5).selectExpr("id AS k", "id*2 AS a"),
+        base, mode="append",
+    )
+    V.write_versioned(
+        spark,
+        spark.range(5, 10).selectExpr("id AS k", "id*2 AS a", "id*3 AS b"),
+        base, mode="append", merge_schema=True,
+    )
+    export_delta_log(base)
+    log = DeltaLog(base)
+    assert log.to_rows(version=0) == [(i, 2 * i) for i in range(5)]
+    head = log.to_rows()
+    assert head[0] == (0, 0, None) and head[-1] == (9, 18, 27)
+    shutil.rmtree(os.path.join(base, "_manifests"))
+    os.remove(os.path.join(base, "_latest"))
+    import_delta_log(base)
+    assert sorted(
+        map(tuple, V.read_versioned(spark, base, version=1).collect())
+    ) == [(i, 2 * i) for i in range(5)]
+    assert sorted(map(tuple, V.read_versioned(spark, base).collect())) == head
