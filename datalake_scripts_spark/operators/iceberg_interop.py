@@ -782,13 +782,13 @@ def _prior_iceberg_state(meta_dir: str, table_dir: str, k: int) -> dict:
     )
     _, _, mlist = read_container(cur_snap["manifest-list"])
     manifests = {
-        e["sequence_number"]: dict(e)
+        (e["sequence_number"], e["partition_spec_id"]): dict(e)
         for e in mlist
         if e.get("content", 0) == 0
     }
-    del_entry = next(
-        (dict(e) for e in mlist if e.get("content", 0) == 1), None
-    )
+    del_entries = [
+        dict(e) for e in mlist if e.get("content", 0) == 1
+    ]
     prev_files: set[str] = set()
     first_seen: dict[str, int] = {}
     tprefix = os.path.abspath(table_dir) + os.sep
@@ -810,23 +810,26 @@ def _prior_iceberg_state(meta_dir: str, table_dir: str, k: int) -> dict:
     # reconstruct the DV-state signature from the mirror's own delete
     # manifest so an unchanged state keeps reusing it by reference
     del_sig: frozenset = frozenset()
-    if del_entry is not None:
+    if del_entries:
         import pyarrow.parquet as pq
 
         by_base: dict[str, set] = {}
-        _, _, dentries = read_container(del_entry["manifest_path"])
-        for en in dentries:
-            if en["status"] == 2:
-                continue
-            t = pq.read_table(
-                en["data_file"]["file_path"],
-                columns=["file_path", "pos"],
-            )
-            for fp, p in zip(
-                t.column("file_path").to_pylist(),
-                t.column("pos").to_pylist(),
-            ):
-                by_base.setdefault(os.path.basename(fp), set()).add(int(p))
+        for de in del_entries:
+            _, _, dentries = read_container(de["manifest_path"])
+            for en in dentries:
+                if en["status"] == 2:
+                    continue
+                t = pq.read_table(
+                    en["data_file"]["file_path"],
+                    columns=["file_path", "pos"],
+                )
+                for fp, p in zip(
+                    t.column("file_path").to_pylist(),
+                    t.column("pos").to_pylist(),
+                ):
+                    by_base.setdefault(
+                        os.path.basename(fp), set()
+                    ).add(int(p))
         del_sig = frozenset(
             (b, tuple(sorted(s))) for b, s in by_base.items()
         )
@@ -837,11 +840,12 @@ def _prior_iceberg_state(meta_dir: str, table_dir: str, k: int) -> dict:
         "manifests": manifests,
         "prev_files": prev_files,
         "first_seen": first_seen,
-        "del_entry": del_entry,
+        "del_entries": del_entries,
         "del_sig": del_sig,
-        # schema registry: evolved histories carry one entry per
-        # distinct schema; ids are stable across incremental syncs
+        # schema/spec registries: evolved histories carry one entry
+        # per distinct schema/spec; ids are stable across syncs
         "schemas": list(meta.get("schemas", [])),
+        "partition_specs": list(meta.get("partition-specs", [])),
     }
 
 
@@ -863,9 +867,10 @@ def _write_iceberg_snapshots(
         snapshots: list[dict] = []
         snapshot_ids: dict[int, int] = {}
         prev_files: set[str] = set()
-        del_entry: dict | None = None  # carried delete-manifest entry
+        del_entries: list[dict] = []  # carried delete-manifest entries
         del_sig: frozenset = frozenset()  # DV state signature
         schemas_list: list[dict] = []  # one entry per DISTINCT schema
+        specs_list: list[dict] = []  # one entry per DISTINCT spec
     else:
         table_uuid = prior["table_uuid"]
         manifests = dict(prior["manifests"])
@@ -873,15 +878,20 @@ def _write_iceberg_snapshots(
         snapshots = list(prior["snapshots"])
         snapshot_ids = dict(prior["snapshot_ids"])
         prev_files = set(prior["prev_files"])
-        del_entry = prior.get("del_entry")
+        del_entries = list(prior.get("del_entries", []))
         del_sig = prior.get("del_sig", frozenset())
         schemas_list = list(prior.get("schemas", []))
+        specs_list = list(prior.get("partition_specs", []))
     schema_key_to_id = {
         json.dumps(
             {k: v for k, v in s.items() if k != "schema-id"},
             sort_keys=True,
         ): s["schema-id"]
         for s in schemas_list
+    }
+    spec_key_to_id = {
+        json.dumps(s["fields"], sort_keys=True): s["spec-id"]
+        for s in specs_list
     }
     ice_schema = None
     spec_fields: list[dict] = []
@@ -961,6 +971,40 @@ def _write_iceberg_snapshots(
             }
             for i, c in enumerate(spec)
         ]
+        # spec registry (mirrors the schema registry): evolved layouts
+        # get one partition-specs[] entry per distinct spec; carried
+        # manifests keep THEIR spec id, so a reader restores identity
+        # partition values for every file under the spec its layout
+        # was written with
+        pkey = json.dumps(spec_fields, sort_keys=True)
+        if pkey not in spec_key_to_id:
+            pid_new = max(
+                (s["spec-id"] for s in specs_list), default=-1
+            ) + 1
+            spec_key_to_id[pkey] = pid_new
+            specs_list.append(
+                {"spec-id": pid_new, "fields": spec_fields}
+            )
+        spec_id = spec_key_to_id[pkey]
+
+        def _layout_spec_of(f: str) -> tuple[int, list[dict]]:
+            """The registered spec matching a file's OWN hive layout
+            (the directory names are the layout); current spec when
+            nothing else matches (flat files, fresh layouts)."""
+            import urllib.parse
+
+            segs = frozenset(
+                urllib.parse.unquote(seg.split("=", 1)[0])
+                for seg in f.split("/")[:-1]
+                if "=" in seg
+            )
+            if segs == frozenset(pf["name"] for pf in spec_fields):
+                return spec_id, spec_fields  # current spec wins ties
+            for s in specs_list:
+                if frozenset(pf["name"] for pf in s["fields"]) == segs:
+                    return s["spec-id"], s["fields"]
+            return spec_id, spec_fields
+
         files, stats = _expand_manifest(table_dir, m)
         cur = set(files)
         for f in cur - prev_files:
@@ -969,13 +1013,12 @@ def _write_iceberg_snapshots(
         snapshot_ids[v] = snap_id
         mode = m.get("mode", "append")
         is_append = mode == "append" and prev_files <= cur
-        mschema = _manifest_schema(spec_fields, ice_schema)
 
         ice_types_by_name = {
             f["name"]: f["type"] for f in ice_schema["fields"]
         }
 
-        def _entry(f: str, status: int, seen_v: int) -> dict:
+        def _entry(f: str, status: int, seen_v: int, pv_fields) -> dict:
             return {
                 "status": status,
                 "snapshot_id": snapshot_ids[seen_v],
@@ -988,7 +1031,7 @@ def _write_iceberg_snapshots(
                     ),
                     "file_format": "PARQUET",
                     "partition": _partition_values_of(
-                        f, spec_fields, ice_schema
+                        f, pv_fields, ice_schema
                     ),
                     "record_count": stats.get(f, {}).get("rows", 0),
                     "file_size_in_bytes": os.path.getsize(
@@ -1005,60 +1048,81 @@ def _write_iceberg_snapshots(
                 },
             }
 
+        def _write_group(sid: int, sfields, entries) -> dict:
+            mpath = os.path.join(
+                meta_dir, f"{uuid.uuid4().hex}-m0.avro"
+            )
+            write_container(
+                mpath,
+                _manifest_schema(sfields, ice_schema),
+                entries,
+                metadata={
+                    "schema": json.dumps(ice_schema),
+                    "schema-id": str(cur_schema_id),
+                    "partition-spec": json.dumps(sfields),
+                    "partition-spec-id": str(sid),
+                    "format-version": "2",
+                    "content": "data",
+                },
+            )
+            n_added = sum(1 for e in entries if e["status"] == 1)
+            return {
+                "manifest_path": mpath,
+                "manifest_length": os.path.getsize(mpath),
+                "partition_spec_id": sid,
+                "content": 0,
+                "sequence_number": v,
+                "min_sequence_number": min(
+                    (e["sequence_number"] for e in entries), default=v
+                ),
+                "added_snapshot_id": snap_id,
+                "added_files_count": n_added,
+                "existing_files_count": len(entries) - n_added,
+                "deleted_files_count": 0,
+                "added_rows_count": sum(
+                    e["data_file"]["record_count"]
+                    for e in entries
+                    if e["status"] == 1
+                ),
+                "existing_rows_count": sum(
+                    e["data_file"]["record_count"]
+                    for e in entries
+                    if e["status"] == 0
+                ),
+                "deleted_rows_count": 0,
+            }
+
         if is_append:
+            # new files are laid out under the CURRENT spec; carried
+            # manifests keep their own (possibly older) spec ids
             added = sorted(cur - prev_files)
-            entries = [_entry(f, 1, v) for f in added]
+            entries = [_entry(f, 1, v, spec_fields) for f in added]
             keep = {k: e for k, e in manifests.items()}
+            keep[(v, spec_id)] = _write_group(
+                spec_id, spec_fields, entries
+            )
         else:
-            # rewrite: ONE fresh manifest holding the live files —
-            # carried files keep EXISTING status + origin snapshot
-            entries = [
-                _entry(f, 1 if first_seen[f] == v else 0, first_seen[f])
-                for f in sorted(cur)
-            ]
+            # rewrite: fresh manifests holding the live files, GROUPED
+            # by each file's own layout spec (a manifest has exactly
+            # one spec; partition values must come from the spec the
+            # file's hive directories were written under) — carried
+            # files keep EXISTING status + origin snapshot
+            groups: dict[int, tuple] = {}
+            for f in sorted(cur):
+                sid, sfields = _layout_spec_of(f)
+                groups.setdefault(sid, (sfields, []))[1].append(f)
             keep = {}
-        mpath = os.path.join(meta_dir, f"{uuid.uuid4().hex}-m0.avro")
-        write_container(
-            mpath,
-            mschema,
-            entries,
-            metadata={
-                "schema": json.dumps(ice_schema),
-                "schema-id": str(cur_schema_id),
-                "partition-spec": json.dumps(spec_fields),
-                "partition-spec-id": str(spec_id),
-                "format-version": "2",
-                "content": "data",
-            },
-        )
-        n_added = sum(1 for e in entries if e["status"] == 1)
-        rows_added = sum(
-            e["data_file"]["record_count"]
-            for e in entries
-            if e["status"] == 1
-        )
-        rows_existing = sum(
-            e["data_file"]["record_count"]
-            for e in entries
-            if e["status"] == 0
-        )
-        keep[v] = {
-            "manifest_path": mpath,
-            "manifest_length": os.path.getsize(mpath),
-            "partition_spec_id": spec_id,
-            "content": 0,
-            "sequence_number": v,
-            "min_sequence_number": min(
-                (e["sequence_number"] for e in entries), default=v
-            ),
-            "added_snapshot_id": snap_id,
-            "added_files_count": n_added,
-            "existing_files_count": len(entries) - n_added,
-            "deleted_files_count": 0,
-            "added_rows_count": rows_added,
-            "existing_rows_count": rows_existing,
-            "deleted_rows_count": 0,
-        }
+            for sid, (sfields, fs) in sorted(groups.items()):
+                entries = [
+                    _entry(
+                        f,
+                        1 if first_seen[f] == v else 0,
+                        first_seen[f],
+                        sfields,
+                    )
+                    for f in fs
+                ]
+                keep[(v, sid)] = _write_group(sid, sfields, entries)
         manifests = keep
         # deletion vectors -> v2 POSITION DELETE files (VERDICT r9 ask
         # #2): each DV'd data file gets one file-scoped delete parquet
@@ -1074,12 +1138,18 @@ def _write_iceberg_snapshots(
         dv_by_base = _dv_positions_by_base(table_dir, m)
         sig = frozenset((b, tuple(p)) for b, p in dv_by_base.items())
         if not sig:
-            del_entry = None
+            del_entries = []
         elif sig != del_sig:
             base_to_rel = {os.path.basename(f): f for f in files}
-            del_records = []
+            # delete records GROUPED by the target data file's layout
+            # spec (same rule as data manifests): the delete entry's
+            # partition record must be spec-consistent or foreign
+            # readers would prune the delete file away from the very
+            # files it covers
+            rec_groups: dict[int, tuple] = {}
             for b in sorted(dv_by_base):
                 rel = base_to_rel[b]
+                sid, sfields = _layout_spec_of(rel)
                 dpath = os.path.join(
                     meta_dir, f"del-{uuid.uuid4().hex}.parquet"
                 )
@@ -1088,7 +1158,7 @@ def _write_iceberg_snapshots(
                     os.path.abspath(os.path.join(table_dir, rel)),
                     dv_by_base[b],
                 )
-                del_records.append({
+                rec_groups.setdefault(sid, (sfields, []))[1].append({
                     "status": 1,
                     "snapshot_id": snap_id,
                     "sequence_number": v,
@@ -1098,7 +1168,7 @@ def _write_iceberg_snapshots(
                         "file_path": dpath,
                         "file_format": "PARQUET",
                         "partition": _partition_values_of(
-                            rel, spec_fields, ice_schema
+                            rel, sfields, ice_schema
                         ),
                         "record_count": len(dv_by_base[b]),
                         "file_size_in_bytes": os.path.getsize(dpath),
@@ -1107,37 +1177,42 @@ def _write_iceberg_snapshots(
                         "upper_bounds": None,
                     },
                 })
-            dmpath = os.path.join(meta_dir, f"{uuid.uuid4().hex}-m1.avro")
-            write_container(
-                dmpath,
-                mschema,
-                del_records,
-                metadata={
-                    "schema": json.dumps(ice_schema),
-                    "schema-id": str(cur_schema_id),
-                    "partition-spec": json.dumps(spec_fields),
-                    "partition-spec-id": str(spec_id),
-                    "format-version": "2",
-                    "content": "deletes",
-                },
-            )
-            del_entry = {
-                "manifest_path": dmpath,
-                "manifest_length": os.path.getsize(dmpath),
-                "partition_spec_id": spec_id,
-                "content": 1,
-                "sequence_number": v,
-                "min_sequence_number": v,
-                "added_snapshot_id": snap_id,
-                "added_files_count": len(del_records),
-                "existing_files_count": 0,
-                "deleted_files_count": 0,
-                "added_rows_count": sum(
-                    e["data_file"]["record_count"] for e in del_records
-                ),
-                "existing_rows_count": 0,
-                "deleted_rows_count": 0,
-            }
+            del_entries = []
+            for sid, (sfields, del_records) in sorted(rec_groups.items()):
+                dmpath = os.path.join(
+                    meta_dir, f"{uuid.uuid4().hex}-m1.avro"
+                )
+                write_container(
+                    dmpath,
+                    _manifest_schema(sfields, ice_schema),
+                    del_records,
+                    metadata={
+                        "schema": json.dumps(ice_schema),
+                        "schema-id": str(cur_schema_id),
+                        "partition-spec": json.dumps(sfields),
+                        "partition-spec-id": str(sid),
+                        "format-version": "2",
+                        "content": "deletes",
+                    },
+                )
+                del_entries.append({
+                    "manifest_path": dmpath,
+                    "manifest_length": os.path.getsize(dmpath),
+                    "partition_spec_id": sid,
+                    "content": 1,
+                    "sequence_number": v,
+                    "min_sequence_number": v,
+                    "added_snapshot_id": snap_id,
+                    "added_files_count": len(del_records),
+                    "existing_files_count": 0,
+                    "deleted_files_count": 0,
+                    "added_rows_count": sum(
+                        e["data_file"]["record_count"]
+                        for e in del_records
+                    ),
+                    "existing_rows_count": 0,
+                    "deleted_rows_count": 0,
+                })
         del_sig = sig
         list_path = os.path.join(
             meta_dir, f"snap-{snap_id}-1-{uuid.uuid4().hex}.avro"
@@ -1145,8 +1220,7 @@ def _write_iceberg_snapshots(
         write_container(
             list_path,
             _MANIFEST_LIST_SCHEMA,
-            [manifests[k] for k in sorted(manifests)]
-            + ([del_entry] if del_entry else []),
+            [manifests[k] for k in sorted(manifests)] + list(del_entries),
             metadata={"format-version": "2"},
         )
         op = {
@@ -1183,11 +1257,14 @@ def _write_iceberg_snapshots(
             "current-schema-id": cur_schema_id,
             "schemas": list(schemas_list),
             "default-spec-id": spec_id,
-            "partition-specs": [
-                {"spec-id": spec_id, "fields": spec_fields}
-            ],
+            "partition-specs": list(specs_list),
             "last-partition-id": max(
-                (pf["field-id"] for pf in spec_fields), default=999
+                (
+                    pf["field-id"]
+                    for s in specs_list
+                    for pf in s["fields"]
+                ),
+                default=999,
             ),
             "default-sort-order-id": 0,
             "sort-orders": [{"order-id": 0, "fields": []}],

@@ -810,3 +810,63 @@ def test_schema_evolution_roundtrip_and_sync(spark, sf_dir, tmp_path):
     ) == [(i, 2 * i) for i in range(5)]
     got = sorted(map(tuple, V.read_versioned(spark, base).collect()))
     assert got == head
+
+
+def test_partition_spec_evolution_mixed_layout_roundtrip(
+    spark, sf_dir, tmp_path
+):
+    """r10: layout evolution exports one partition-specs[] entry per
+    distinct spec; every manifest entry carries partition values under
+    the spec its FILE's hive layout was written with (rewrites and DV
+    delete manifests group per layout), so the independent reader
+    restores identity values for old-layout files while new flat files
+    read theirs physically. Previously the old-layout column came back
+    null through the circle. Covers: evolve partitioned -> flat, a COW
+    delete across mixed layouts, a DV delete across mixed layouts,
+    incremental sync, and adoption of the whole history."""
+    import shutil
+
+    from datalake_scripts_spark.operators.iceberg_interop import (
+        import_iceberg_metadata,
+    )
+
+    base = str(tmp_path / "tbl")
+    df1 = spark.range(6).selectExpr(
+        "id AS k", "CAST(id % 2 AS STRING) AS p", "id*2 AS val"
+    )
+    V.write_versioned(spark, df1, base, mode="append", partition_by=["p"])
+    export_iceberg_metadata(base)  # mirror at the partitioned spec
+    df2 = spark.range(6, 12).selectExpr(
+        "id AS k", "CAST(id % 2 AS STRING) AS p", "id*2 AS val"
+    )
+    V.write_versioned(
+        spark, df2, base, mode="append",
+        partition_by=[], evolve_partitioning=True,
+    )
+    V.delete_versioned(spark, base, "k IN (1, 7)")  # COW, mixed layouts
+    V.delete_versioned(
+        spark, base, "k IN (2, 8)", deletion_vectors=True
+    )  # MOR, mixed layouts
+    assert sync_iceberg_metadata(base) == 3  # registry survives sync
+    meta = json.load(
+        open(os.path.join(base, "metadata", "v4.metadata.json"))
+    )
+    assert len(meta["partition-specs"]) == 2
+    t = IcebergTable(base)
+    for seq in t.sequence_numbers():
+        got = t.snapshot(sequence_number=seq).to_rows()
+        want = sorted(
+            map(
+                tuple,
+                V.read_versioned(spark, base, version=seq).collect(),
+            )
+        )
+        assert got == want, f"mismatch at sequence {seq}"
+    head = t.snapshot().to_rows()
+    assert {r[0] for r in head} == set(range(12)) - {1, 7, 2, 8}
+    assert all(r[1] in ("0", "1") for r in head)  # p restored, not null
+    shutil.rmtree(os.path.join(base, "_manifests"))
+    os.remove(os.path.join(base, "_latest"))
+    assert import_iceberg_metadata(base) == 4
+    got = sorted(map(tuple, V.read_versioned(spark, base).collect()))
+    assert got == head
