@@ -129,3 +129,58 @@ def test_streaming_sink_with_per_epoch_mirror_sync(spark, sf_dir, tmp_path):
     assert os.path.exists(
         os.path.join(table_dir, "_delta_log", "_last_checkpoint")
     )
+
+
+def test_compliance_circle_purge_sync_expire(spark, sf_dir, tmp_path):
+    """Right-to-be-forgotten across the WHOLE deployment: mirrors are
+    synced, a subject is physically purged (COW delete + vacuum), the
+    mirrors sync the purge commit, and retention expires the pre-purge
+    snapshots whose manifests still reference the erased files. After
+    the circle both independent readers serve the head WITHOUT the
+    subject, and neither mirror retains a readable pre-purge
+    snapshot — the erased bytes are unreachable everywhere."""
+    import pytest
+
+    from datalake_scripts_spark.operators.iceberg_reader import (
+        IcebergReadError,
+    )
+
+    table_dir = str(tmp_path / "t")
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    V.write_versioned(
+        spark, orders.filter("o_orderkey < 400"), table_dir, mode="append"
+    )
+    V.write_versioned(
+        spark,
+        orders.filter("o_orderkey >= 400 AND o_orderkey < 800"),
+        table_dir, mode="append",
+    )
+    sync_delta_log(table_dir)
+    sync_iceberg_metadata(table_dir)
+    subject = int(
+        V.read_versioned(spark, table_dir).limit(1).collect()[0]["o_custkey"]
+    )
+    res = V.purge_rows(
+        spark, [table_dir], f"o_custkey = {subject}", verify=True
+    )
+    assert res[table_dir]["n_deleted"] > 0
+    # the purge commit flows into both mirrors (vacuumed pre-purge
+    # source manifests must not break the incremental sync — r9)
+    assert sync_delta_log(table_dir) >= 1
+    assert sync_iceberg_metadata(table_dir) >= 1
+    native = _native_rows(spark, table_dir)
+    assert all(r[1] != subject for r in native)
+    assert IcebergTable(table_dir).snapshot().to_rows() == native
+    assert DeltaLog(table_dir).to_rows() == native
+    # retention: expire every pre-purge snapshot from both mirrors
+    expire_iceberg_snapshots(table_dir, keep_last=1)
+    clean_delta_log(table_dir, keep_last=1)
+    t = IcebergTable(table_dir)
+    assert len(t.sequence_numbers()) == 1
+    assert t.snapshot().to_rows() == native
+    with pytest.raises(IcebergReadError):
+        t.snapshot(sequence_number=1)
+    log = DeltaLog(table_dir)
+    assert log.to_rows() == native
