@@ -435,9 +435,24 @@ def _manifest_schema(spec_fields: list[dict], ice_schema: dict) -> dict:
     part_fields = []
     for pf in spec_fields:
         src = by_id[pf["source-id"]]
-        # bucket[N] partition values are ints regardless of source type
-        if pf.get("transform", "identity").startswith("bucket"):
+        tr = pf.get("transform", "identity")
+        # bucket[N] values are ints; year/month/day/hour store the
+        # spec'd int offsets from epoch; truncate keeps the source's
+        # primitive type
+        if tr.startswith("bucket") or tr in (
+            "year", "month", "day", "hour"
+        ):
             t = "int"
+        elif tr.startswith("truncate"):
+            st = str(src["type"])
+            if st not in ("int", "long", "string"):
+                raise ValueError(
+                    f"truncate partition on source type {st!r} is not "
+                    "exportable (Iceberg truncate is defined for "
+                    "int/long/string/decimal; this layer writes only "
+                    "int/long/string truncates)"
+                )
+            t = st
         elif str(src["type"]).startswith("decimal"):
             p, s, size = _decimal_pts(src["type"])
             t = {
@@ -531,8 +546,37 @@ def _partition_values_of(rel_path: str, spec_fields, ice_schema) -> dict:
         if v is None or v == "__HIVE_DEFAULT_PARTITION__":
             out[pf["name"]] = None
             continue
-        if pf.get("transform", "identity").startswith("bucket"):
+        tr = pf.get("transform", "identity")
+        if tr.startswith("bucket"):
             out[pf["name"]] = int(v)
+            continue
+        if tr in ("year", "month", "day", "hour"):
+            # hive segments hold Iceberg's human-readable forms
+            # ("2024", "2024-01", "2024-01-15", "2024-01-15-07");
+            # manifest values are the spec'd int offsets from epoch
+            import datetime
+
+            if tr == "year":
+                out[pf["name"]] = int(v) - 1970
+            elif tr == "month":
+                y, mo = v.split("-")
+                out[pf["name"]] = (int(y) - 1970) * 12 + int(mo) - 1
+            elif tr == "day":
+                out[pf["name"]] = (
+                    datetime.date.fromisoformat(v)
+                    - datetime.date(1970, 1, 1)
+                ).days
+            else:  # hour
+                d, hh = v[:10], int(v[11:13])
+                days = (
+                    datetime.date.fromisoformat(d)
+                    - datetime.date(1970, 1, 1)
+                ).days
+                out[pf["name"]] = days * 24 + hh
+            continue
+        if tr.startswith("truncate"):
+            st = str(by_id[pf["source-id"]]["type"])
+            out[pf["name"]] = v if st == "string" else int(v)
             continue
         t = by_id[pf["source-id"]]["type"]
         if t in ("long", "int"):
@@ -921,6 +965,13 @@ def _write_iceberg_snapshots(
                     "new tables with bucket_hash='murmur3' (they export "
                     "truthfully) or re-layout with an identity spec"
                 )
+            if e["transform"] in ("truncate", "days", "months", "years",
+                                  "hours"):
+                # value-identical to Iceberg's truncate[W] / day /
+                # month / year / hour (floor arithmetic and ISO string
+                # prefixes; even the hive path forms match Iceberg's
+                # human-readable convention) — exports truthfully
+                continue
             raise ValueError(
                 f"{table_dir}@v{v} uses transform partitioning {spec}; "
                 "mapping this transform to Iceberg is not implemented "
@@ -952,6 +1003,16 @@ def _write_iceberg_snapshots(
         )
         # decimal identity partitions encode as the spec'd fixed-bytes
         # Avro values (see _decimal_pts / _partition_values_of)
+        def _ice_transform(c: dict) -> str:
+            t = c["transform"]
+            if t == "bucket":
+                return f"bucket[{c['n']}]"
+            if t == "truncate":
+                return f"truncate[{c['n']}]"
+            # native plural names -> Iceberg singular transform names
+            return {"days": "day", "months": "month",
+                    "years": "year", "hours": "hour"}[t]
+
         spec_fields = [
             {
                 "name": c,
@@ -961,11 +1022,11 @@ def _write_iceberg_snapshots(
             }
             if isinstance(c, str)
             else {
-                # murmur3 bucket: Iceberg's own transform, truthfully;
-                # the field name keeps the hidden directory name so
-                # partition values resolve from the hive path
+                # hidden transforms export as Iceberg's own; the field
+                # name keeps the hidden directory name so partition
+                # values resolve from the hive path
                 "name": c["name"],
-                "transform": f"bucket[{c['n']}]",
+                "transform": _ice_transform(c),
                 "source-id": ids[c["col"]],
                 "field-id": 1000 + i,
             }
@@ -1543,12 +1604,15 @@ def import_iceberg_metadata(table_dir: str) -> int:
     for fields in specs.values():
         for pf in fields:
             t = pf["transform"]
-            if t == "identity" or re.fullmatch(r"bucket\[\d+\]", t):
-                continue  # bucket[N] adopts as a murmur3 hidden spec
+            if (
+                t in ("identity", "year", "month", "day", "hour")
+                or re.fullmatch(r"(bucket|truncate)\[\d+\]", t)
+            ):
+                continue  # adopt as the layer's own hidden transforms
             raise ValueError(
-                f"partition transform {t!r} is not adoptable — only "
-                "identity and bucket[N] (Iceberg's murmur3 bucket, "
-                "adopted as bucket_hash='murmur3')"
+                f"partition transform {t!r} is not adoptable — "
+                "identity, bucket[N] (murmur3), truncate[W], and "
+                "year/month/day/hour are; re-layout the source first"
             )
     if current_version(table_dir) != 0:
         raise ValueError(
@@ -1743,16 +1807,35 @@ def _adopt_spec(spec_fields: list[dict], ice_schema: dict) -> list:
         if t == "identity":
             out.append(pf["name"])
             continue
-        m = re.fullmatch(r"bucket\[(\d+)\]", t)
-        if not m:
-            raise ValueError(f"partition transform {t!r} is not adoptable")
-        out.append({
-            "transform": "bucket",
-            "col": by_id[pf["source-id"]],
-            "n": int(m.group(1)),
-            "hash": "murmur3",
-            "name": pf["name"],
-        })
+        if (m := re.fullmatch(r"bucket\[(\d+)\]", t)) is not None:
+            out.append({
+                "transform": "bucket",
+                "col": by_id[pf["source-id"]],
+                "n": int(m.group(1)),
+                "hash": "murmur3",
+                "name": pf["name"],
+            })
+            continue
+        if (m := re.fullmatch(r"truncate\[(\d+)\]", t)) is not None:
+            out.append({
+                "transform": "truncate",
+                "col": by_id[pf["source-id"]],
+                "n": int(m.group(1)),
+                "name": pf["name"],
+            })
+            continue
+        if t in ("year", "month", "day", "hour"):
+            out.append({
+                # Iceberg singular -> the layer's plural names; the
+                # hidden values regenerate as the same ISO prefixes
+                # the hive paths already hold
+                "transform": {"year": "years", "month": "months",
+                              "day": "days", "hour": "hours"}[t],
+                "col": by_id[pf["source-id"]],
+                "name": pf["name"],
+            })
+            continue
+        raise ValueError(f"partition transform {t!r} is not adoptable")
     return out
 
 

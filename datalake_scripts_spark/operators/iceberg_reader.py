@@ -350,11 +350,14 @@ class IcebergSnapshot:
         for mf in read_avro_file(snap["manifest-list"]):
             spec_fields = specs.get(mf["partition_spec_id"], [])
             for pf in spec_fields:
-                # identity restores a column; bucket[N] values are
-                # derived (the source column is IN the data file), so
-                # they participate in pruning but not projection
+                # identity restores a column; bucket/truncate/date
+                # transform values are derived (the source column is
+                # IN the data file), so they participate in pruning
+                # but not projection
                 if pf["transform"] != "identity" and not _re.fullmatch(
-                    r"bucket\[\d+\]", pf["transform"]
+                    r"bucket\[\d+\]|truncate\[\d+\]"
+                    r"|year|month|day|hour",
+                    pf["transform"],
                 ):
                     raise IcebergReadError(
                         f"transform {pf['transform']!r} not implemented"

@@ -206,19 +206,20 @@ def test_import_refuses_foreign_features(spark, sf_dir, tmp_path):
     base = str(tmp_path / "tbl")
     V.write_versioned(spark, _orders(spark, sf_dir, 0, 500), base, mode="append")
     meta_dir = export_iceberg_metadata(base)
-    # non-identity transform
+    # a transform the importer does not implement (truncate/date
+    # transforms adopt since r10, so use void)
     p = os.path.join(meta_dir, "v1.metadata.json")
     m = json.load(open(p))
     m["partition-specs"] = [{
         "spec-id": 0,
         "fields": [{
-            "name": "k_trunc", "transform": "truncate[4]",
+            "name": "k_void", "transform": "void",
             "source-id": 1, "field-id": 1000,
         }],
     }]
     json.dump(m, open(p, "w"))
     _wipe_own_log(base)
-    with pytest.raises(ValueError, match="identity"):
+    with pytest.raises(ValueError, match="not adoptable"):
         import_iceberg_metadata(base)
 
 

@@ -218,12 +218,13 @@ def test_reader_refuses_unknown_shapes(spark, sf_dir, tmp_path):
     json.dump(m2, open(p, "w"))
     with pytest.raises(IcebergReadError, match="format-version"):
         IcebergTable(base)
-    # non-identity transform
+    # a transform this reader does not implement (truncate/date
+    # transforms are implemented since r10, so use void)
     m3 = json.loads(json.dumps(m))
     m3["partition-specs"] = [{
         "spec-id": 0,
         "fields": [{
-            "name": "b", "transform": "truncate[4]",
+            "name": "b", "transform": "void",
             "source-id": 1, "field-id": 1000,
         }],
     }]
@@ -870,3 +871,73 @@ def test_partition_spec_evolution_mixed_layout_roundtrip(
     assert import_iceberg_metadata(base) == 4
     got = sorted(map(tuple, V.read_versioned(spark, base).collect()))
     assert got == head
+
+
+def test_truncate_and_date_transforms_roundtrip(spark, sf_dir, tmp_path):
+    """r10: hidden truncate[W] and month/day/year/hour layouts export
+    as Iceberg's OWN transforms (value-identical semantics; the hive
+    path forms already match Iceberg's human-readable convention) with
+    the spec'd int partition values, read back row-equal through the
+    independent reader, and adopt back into native hidden specs that
+    keep pruning."""
+    import shutil
+
+    from datalake_scripts_spark.functions.avro_min import read_container
+    from datalake_scripts_spark.operators.iceberg_interop import (
+        import_iceberg_metadata,
+    )
+
+    base = str(tmp_path / "tbl")
+    df = spark.range(40).selectExpr(
+        "id AS k",
+        "date_add(DATE'2024-01-01', CAST(id * 7 AS INT)) AS d",
+        "CONCAT('user_', CAST(id % 5 AS STRING), '_tail') AS name",
+        "id * 10 AS val",
+    )
+    V.write_versioned(
+        spark, df, base, mode="append",
+        partition_by=[
+            {"transform": "months", "col": "d"},
+            {"transform": "truncate", "col": "name", "n": 6},
+        ],
+    )
+    native = _spark_rows(spark, base)
+    meta_dir = export_iceberg_metadata(base)
+    meta = json.load(open(os.path.join(meta_dir, "v1.metadata.json")))
+    spec = meta["partition-specs"][0]["fields"]
+    assert {f["transform"] for f in spec} == {"month", "truncate[6]"}
+    # manifest partition values: spec'd int month offsets + prefixes
+    snap = meta["snapshots"][0]
+    _, _, ml = read_container(snap["manifest-list"])
+    _, _, entries = read_container(ml[0]["manifest_path"])
+    parts = [e["data_file"]["partition"] for e in entries]
+    month_field = next(f["name"] for f in spec if f["transform"] == "month")
+    trunc_field = next(
+        f["name"] for f in spec if f["transform"] == "truncate[6]"
+    )
+    months = {p[month_field] for p in parts}
+    # 2024-01 is (2024-1970)*12 + 0 = 648 months from epoch
+    assert min(months) == 648
+    assert all(isinstance(m, int) for m in months)
+    assert {p[trunc_field] for p in parts} == {"user_0", "user_1",
+                                               "user_2", "user_3",
+                                               "user_4"}
+    # independent reader: row-equal (source cols are IN the files)
+    assert IcebergTable(base).snapshot().to_rows() == native
+    # adopt: hidden spec reconstructs with native transform names
+    shutil.rmtree(os.path.join(base, "_manifests"))
+    os.remove(os.path.join(base, "_latest"))
+    assert import_iceberg_metadata(base) == 1
+    assert _spark_rows(spark, base) == native
+    m1 = V._load_manifest(base, 1)
+    tr = {e["transform"] for e in m1["partition_spec"] if isinstance(e, dict)}
+    assert tr == {"months", "truncate"}
+    # the adopted table keeps writing under the same hidden layout
+    more = spark.range(40, 50).selectExpr(
+        "id AS k",
+        "date_add(DATE'2024-01-01', CAST(id * 7 AS INT)) AS d",
+        "CONCAT('user_', CAST(id % 5 AS STRING), '_tail') AS name",
+        "id * 10 AS val",
+    )
+    V.write_versioned(spark, more, base, mode="append")
+    assert V.read_versioned(spark, base).count() == 50
