@@ -48,7 +48,16 @@ Nested struct/array/map columns export with spec'd per-member
 field-ids (top-level ids reuse column-mapping cids; nested member
 ids are allocated depth-first after them) and adopt back into nested
 Spark schemas (VERDICT r9 ask #7). Hidden ``bucket_hash='murmur3'``
-layouts export as true ``bucket[N]`` specs (ask #3).
+layouts export as true ``bucket[N]`` specs (ask #3); hidden truncate
+and days/months/years/hours layouts export as Iceberg's own
+``truncate[W]``/``day``/``month``/``year``/``hour`` (value-identical
+semantics, spec'd int epoch-offset partition values) and adopt back.
+Evolved histories export one schemas[]/partition-specs[] entry per
+distinct schema/spec; snapshots record their schema-id; rewrites and
+delete manifests group entries per layout spec. Per-column
+lower/upper bounds (Appendix-D single-value binary) ride every data
+entry so foreign readers can data-skip the mirror; import adopts
+them back into native manifest stats.
 
 Equality deletes (content=2, the Flink-CDC write path) are adoptable:
 at import each delete file's key set is materialized into per-file
