@@ -99,6 +99,10 @@ BENCH_QUERIES = [
     "iceberg_position_deletes",
     "stream_funnel_conversion",
     "iceberg_equality_deletes",
+    # round 10 (late): SCD2 full-history build — three window stages
+    # over one key shuffle (the dimensional-modeling family's heaviest
+    # representative; the PIT join is the same plan + one as-of pass)
+    "scd2_user_tier_history",
 ]
 
 

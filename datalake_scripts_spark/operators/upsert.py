@@ -105,3 +105,61 @@ def scd2_apply(
     return closed_rows.unionByName(unchanged).unionByName(to_close).unionByName(
         new_versions
     )
+
+
+def scd2_from_changes(
+    changes: DataFrame,
+    keys: list[str],
+    tracked_cols: list[str],
+    ts_col: str = "ts",
+    tiebreak: list[str] | None = None,
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+    current_flag_col: str = "is_current",
+) -> DataFrame:
+    """Build the FULL SCD2 history in one pass from a change feed
+    (the batch/backfill dual of :func:`scd2_apply`, which applies one
+    incremental batch to an existing dimension).
+
+    Semantics per key, ordered by (ts, tiebreak):
+
+    1. last-write-wins within an equal-``ts`` run (the CDC convention:
+       later ``tiebreak`` — e.g. a log sequence number — supersedes);
+    2. consecutive no-change rows collapse (a row opens a new version
+       only when some tracked column IS DISTINCT FROM its predecessor);
+    3. ``valid_from`` = change ts, ``valid_to`` = next change ts
+       (half-open interval, NULL = open), ``is_current`` = open row.
+
+    Scale: ONE hash shuffle on ``keys`` — all three window stages share
+    the same partitioning, so Catalyst plans a single Exchange; history
+    length per key is bounded by that key's change count, never by the
+    corpus. The reference's mutation model (hst_* append tables,
+    monkey_proc.py:229-268) keeps every raw duplicate; this derives the
+    queryable validity-interval view from exactly that shape.
+    """
+    tiebreak = tiebreak or []
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in tiebreak]
+    w = W.partitionBy(*keys).orderBy(*order)
+
+    # 1. last-write-wins per (keys, ts): keep the LAST row of each
+    #    equal-ts run — the row whose successor has a different ts.
+    lww = changes.withColumn("_next_ts", F.lead(ts_col).over(w)).filter(
+        F.col("_next_ts").isNull() | (F.col("_next_ts") != F.col(ts_col))
+    )
+
+    # 2. collapse consecutive no-change rows (null-safe per column).
+    changed = None
+    for c in tracked_cols:
+        d = ~F.col(c).eqNullSafe(F.lag(c).over(w))
+        changed = d if changed is None else (changed | d)
+    is_first = F.lag(ts_col).over(w).isNull()
+    collapsed = lww.withColumn("_open", is_first | changed).filter(F.col("_open"))
+
+    # 3. validity intervals: half-open [valid_from, valid_to).
+    return collapsed.select(
+        *keys,
+        *tracked_cols,
+        F.col(ts_col).alias(valid_from_col),
+        F.lead(ts_col).over(w).alias(valid_to_col),
+        F.lead(ts_col).over(w).isNull().alias(current_flag_col),
+    )

@@ -29,6 +29,7 @@ from . import scale  # noqa: F401,E402
 from . import traindata  # noqa: F401,E402
 from . import sketches  # noqa: F401,E402
 from . import graph  # noqa: F401,E402
+from . import dimensional  # noqa: F401,E402
 
 
 # The driver's correctness sweep checks the FIRST 50 entries of
@@ -48,6 +49,8 @@ DRIVER_PRIORITY = [
     "iceberg_bucket_transform",  # r10: murmur3 bucket[N] truthful export
     "iceberg_nested_adoption",  # r10: nested field-ids round trip
     "iceberg_equality_deletes",  # r10: Flink-CDC deletes adopt as DVs
+    "scd2_user_tier_history",  # r10 late: SCD2 build from change feed
+    "scd2_point_in_time_tier",  # r10 late: PIT as-of fact attribution
     # --- stalest driver rows (last checked r5/r6), staleness rotation ---
     "multimodal_jpeg_roundtrip",
     "multimodal_quarantine_pipeline",

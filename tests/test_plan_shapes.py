@@ -77,6 +77,28 @@ def test_asof_join_single_shuffle(spark, sf_dir):
     assert n_exchanges == 1, plan
 
 
+def test_scd2_build_single_shuffle(spark, sf_dir):
+    import re
+
+    plan = plan_of(spark, sf_dir, "scd2_user_tier_history")
+    # three window stages (LWW, change-collapse, interval close) share
+    # one hash partitioning on the key -> exactly one Exchange
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchanges == 1, plan
+
+
+def test_scd2_point_in_time_single_shuffle_no_theta_join(spark, sf_dir):
+    import re
+
+    plan = plan_of(spark, sf_dir, "scd2_point_in_time_tier")
+    # as-of union+window instead of an interval theta-join: no
+    # nested-loop join anywhere; exactly three exchanges — dim-build
+    # key hash, as-of union key hash, final (3-row) group-by
+    assert "NestedLoop" not in plan, plan
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchanges <= 3, plan
+
+
 def test_partition_pruned_scan(spark, sf_dir, tmp_path):
     """S2 upgrade: ingest-date partition columns replace glob masks;
     Catalyst prunes partitions statically (PartitionFilters in the scan,

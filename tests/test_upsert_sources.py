@@ -66,6 +66,77 @@ def test_scd2_apply(spark):
     assert rows[(1, "OLD")].is_current is False  # history preserved
 
 
+def test_scd2_from_changes_collapse_and_intervals(spark):
+    from datalake_scripts_spark.operators.upsert import scd2_from_changes
+
+    t = lambda d: dt.datetime(2024, 1, d)  # noqa: E731
+    changes = spark.createDataFrame(
+        [
+            Row(k=1, city="SPB", ts=t(1), seq=1),
+            Row(k=1, city="SPB", ts=t(2), seq=2),  # no change -> collapses
+            Row(k=1, city="MSK", ts=t(3), seq=3),
+            Row(k=2, city="EKB", ts=t(5), seq=4),
+        ]
+    )
+    out = scd2_from_changes(changes, ["k"], ["city"], tiebreak=["seq"]).collect()
+    rows = {(r.k, r.city): r for r in out}
+    assert len(out) == 3
+    v1 = rows[(1, "SPB")]
+    assert (v1.valid_from, v1.valid_to, v1.is_current) == (t(1), t(3), False)
+    v2 = rows[(1, "MSK")]
+    assert (v2.valid_from, v2.valid_to, v2.is_current) == (t(3), None, True)
+    assert rows[(2, "EKB")].is_current is True
+
+
+def test_scd2_from_changes_last_write_wins(spark):
+    from datalake_scripts_spark.operators.upsert import scd2_from_changes
+
+    ts = dt.datetime(2024, 1, 1)
+    changes = spark.createDataFrame(
+        [
+            Row(k=1, city="A", ts=ts, seq=1),
+            Row(k=1, city="B", ts=ts, seq=2),  # same ts, later seq wins
+        ]
+    )
+    out = scd2_from_changes(changes, ["k"], ["city"], tiebreak=["seq"]).collect()
+    assert len(out) == 1 and out[0].city == "B" and out[0].is_current is True
+
+
+def test_scd2_from_changes_matches_incremental_apply(spark):
+    """Full-history build == initial build + scd2_apply of a later batch,
+    restricted to open rows (apply keeps richer closed-row history; the
+    open frontier must agree)."""
+    from datalake_scripts_spark.operators.upsert import scd2_from_changes
+
+    t = lambda d: dt.datetime(2024, 1, d)  # noqa: E731
+    all_changes = [
+        Row(k=1, city="SPB", ts=t(1), seq=1),
+        Row(k=2, city="MSK", ts=t(1), seq=2),
+        Row(k=1, city="KZN", ts=t(4), seq=3),
+        Row(k=3, city="EKB", ts=t(4), seq=4),
+    ]
+    full = scd2_from_changes(
+        spark.createDataFrame(all_changes), ["k"], ["city"], tiebreak=["seq"]
+    )
+    initial = scd2_from_changes(
+        spark.createDataFrame(all_changes[:2]), ["k"], ["city"], tiebreak=["seq"]
+    ).withColumnRenamed("valid_from", "effective_ts").withColumnRenamed(
+        "valid_to", "end_ts"
+    )
+    batch = spark.createDataFrame(all_changes[2:]).drop("seq")
+    applied = scd2_apply(initial, batch, ["k"], ["city"])
+
+    open_full = {
+        (r.k, r.city, r.valid_from)
+        for r in full.filter("is_current").collect()
+    }
+    open_applied = {
+        (r.k, r.city, r.effective_ts)
+        for r in applied.filter("is_current").collect()
+    }
+    assert open_full == open_applied
+
+
 # ---------------------------------------------------------------- sources ---
 
 
