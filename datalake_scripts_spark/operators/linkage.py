@@ -1,0 +1,232 @@
+"""Probabilistic record linkage — Fellegi–Sunter model with EM-learned
+match/unmatch weights (Fellegi & Sunter 1969; the splink design).
+
+The reference's closest shape is exact-key joins between API entity
+tables (vk_proc.py joins on ids); real-world linkage has no shared key.
+This operator family does the standard three stages:
+
+1. **blocking** — candidate pairs only within a cheap equality block
+   (bounds fan-out to block size; never all-pairs);
+2. **comparison vectors** — K boolean agreement fields ("gammas") per
+   candidate pair;
+3. **EM** — learn P(gamma_k agrees | match) = m_k,
+   P(gamma_k agrees | non-match) = u_k and the match prevalence lambda,
+   unsupervised, then score each pair with the posterior match
+   probability.
+
+Scale design (the part that matters at 100 TB): EM does NOT iterate
+over pairs. The likelihood only depends on the COUNT of each distinct
+gamma pattern (2^K rows), so one distributed pass aggregates pattern
+counts, EM runs on those 2^K counts driver-side in O(iterations * 2^K),
+and pair scoring is a broadcast join against the 2^K-row posterior
+lookup. Pair volume never moves twice.
+
+Determinism (oracle hash-equality): per-pattern posteriors are
+fixed-pointed to 1e-6 (FLOOR, not round — floor of identical doubles
+cannot disagree across engines), all EM sums run over exact BIGINTs
+(pf*count <= 1e6 * pairs stays far below 2^53), and every double
+expression is written with the same association order in the Python EM
+and the generated SQL oracle, so the learned parameters are
+bit-identical.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SCALE = 1_000_000  # fixed-point denominator for posteriors
+CLAMP_LO = 0.000001
+CLAMP_HI = 0.999999
+
+
+@dataclass
+class FSParams:
+    """EM state: per-field m/u and the match prevalence lambda."""
+
+    m: list[float]
+    u: list[float]
+    lam: float
+
+
+def comparison_patterns(pairs: DataFrame, gamma_cols: list[str]) -> DataFrame:
+    """Aggregate candidate pairs to gamma-pattern counts (<= 2^K rows).
+
+    Map-side combinable: 2^K groups means the shuffle carries at most
+    2^K rows per task regardless of pair volume.
+    """
+    return pairs.groupBy(*[F.col(c) for c in gamma_cols]).agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+
+
+def _clamp(x: float) -> float:
+    return min(max(x, CLAMP_LO), CLAMP_HI)
+
+
+def _posterior_fixed(gamma: tuple[int, ...], p: FSParams) -> int:
+    """FLOOR(posterior * 1e6) for one gamma pattern — the exact
+    expression the SQL oracle spells out, same association order."""
+    pm = 1.0
+    pu = 1.0
+    for k, g in enumerate(gamma):
+        pm = pm * (p.m[k] if g == 1 else 1.0 - p.m[k])
+        pu = pu * (p.u[k] if g == 1 else 1.0 - p.u[k])
+    num = p.lam * pm
+    den = num + ((1.0 - p.lam) * pu)
+    return int(math.floor((num / den) * float(SCALE)))
+
+
+def fs_em(
+    patterns: list[tuple[tuple[int, ...], int]],
+    n_fields: int,
+    n_iter: int = 3,
+    init: FSParams | None = None,
+) -> tuple[FSParams, dict[tuple[int, ...], int]]:
+    """Run EM over gamma-pattern counts; returns the learned params and
+    the final fixed-point posterior per pattern.
+
+    All sufficient statistics are exact integers (pf * count); the only
+    doubles are the final divisions — matched 1:1 by the generated SQL
+    oracle (:func:`fs_em_sql`).
+    """
+    p = init or FSParams(
+        m=[0.9] * n_fields, u=[0.1] * n_fields, lam=0.5
+    )
+    for _ in range(n_iter):
+        pf = {g: _posterior_fixed(g, p) for g, _ in patterns}
+        t_sum = sum(pf[g] * c for g, c in patterns)  # sum p
+        n6 = sum(SCALE * c for _, c in patterns)
+        w_sum = n6 - t_sum  # sum (1-p)
+        new_m, new_u = [], []
+        for k in range(n_fields):
+            num_m = sum(pf[g] * c for g, c in patterns if g[k] == 1)
+            num_u = sum((SCALE - pf[g]) * c for g, c in patterns if g[k] == 1)
+            new_m.append(_clamp(float(num_m) / float(t_sum)))
+            new_u.append(_clamp(float(num_u) / float(w_sum)))
+        p = FSParams(m=new_m, u=new_u, lam=_clamp(float(t_sum) / float(n6)))
+    return p, {g: _posterior_fixed(g, p) for g, _ in patterns}
+
+
+def score_patterns(
+    spark: SparkSession,
+    patterns: DataFrame,
+    gamma_cols: list[str],
+    n_iter: int = 3,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Attach EM posteriors to the pattern-count table.
+
+    Collects ONLY the <= 2^K pattern rows (O(1) metadata, never pair
+    volume), runs EM driver-side, and broadcast-joins the posterior
+    lookup back — so the returned plan stays distributed and downstream
+    pair scoring is a broadcast hash join.
+    """
+    rows = patterns.collect()  # <= 2^K rows by construction
+    pat_counts = [
+        (tuple(int(r[c]) for c in gamma_cols), int(r["n_pairs"])) for r in rows
+    ]
+    pat_counts.sort()
+    _, posteriors = fs_em(pat_counts, n_fields=len(gamma_cols), n_iter=n_iter)
+    lookup = spark.createDataFrame(
+        [(*g, pf) for g, pf in sorted(posteriors.items())],
+        schema=", ".join(f"{c} int" for c in gamma_cols) + ", pf bigint",
+    )
+    # bcast: <= 2^K rows
+    return (
+        patterns.join(F.broadcast(lookup), gamma_cols)
+        .withColumn(
+            "match_prob", (F.col("pf").cast("double") / F.lit(float(SCALE)))
+        )
+        .withColumn("is_match", F.col("pf") >= F.lit(int(threshold * SCALE)))
+        .drop("pf")
+    )
+
+
+# ------------------------------------------------------------- SQL oracle --
+
+
+def _sql_posterior_exprs(n_fields: int, gcols: list[str]) -> tuple[str, str]:
+    """(pm, pu) product expressions, left-associated like the Python EM."""
+    pm_terms = [
+        f"(CASE WHEN {gcols[k]} = 1 THEN m{k} ELSE 1.0 - m{k} END)"
+        for k in range(n_fields)
+    ]
+    pu_terms = [
+        f"(CASE WHEN {gcols[k]} = 1 THEN u{k} ELSE 1.0 - u{k} END)"
+        for k in range(n_fields)
+    ]
+    return " * ".join(pm_terms), " * ".join(pu_terms)
+
+
+def fs_em_sql(
+    pairs_cte: str,
+    gcols: list[str],
+    n_iter: int = 3,
+    init_m: float = 0.9,
+    init_u: float = 0.1,
+    init_lam: float = 0.5,
+) -> str:
+    """Generate the unrolled-EM CTE chain for the DuckDB oracle.
+
+    ``pairs_cte`` must SELECT the gamma columns (ints 0/1). Produces
+    CTEs: ``pat`` (pattern counts), ``it0..itN`` (param rows), and
+    ``scored`` (pattern + final fixed-point posterior ``pf``).
+    Every multiply-referenced CTE is AS MATERIALIZED (DuckDB inlines by
+    default — an inlined EM chain re-evaluates the pair join per
+    reference; see docs/ROUND_NOTES.md round-10 gotcha (a)).
+    """
+    nf = len(gcols)
+    pm, pu = _sql_posterior_exprs(nf, gcols)
+    gl = ", ".join(gcols)
+    pf_expr = (
+        f"CAST(FLOOR(((lam * ({pm})) / ((lam * ({pm})) + "
+        f"((1.0 - lam) * ({pu})))) * {float(SCALE)}) AS BIGINT)"
+    )
+    init_cols = ", ".join(
+        [f"CAST({init_m} AS DOUBLE) AS m{k}" for k in range(nf)]
+        + [f"CAST({init_u} AS DOUBLE) AS u{k}" for k in range(nf)]
+        + [f"CAST({init_lam} AS DOUBLE) AS lam"]
+    )
+    parts = [
+        f"pairs AS MATERIALIZED ({pairs_cte})",
+        f"pat AS MATERIALIZED (SELECT {gl}, CAST(COUNT(*) AS BIGINT) AS cnt "
+        f"FROM pairs GROUP BY {gl})",
+        f"it0 AS (SELECT {init_cols})",
+    ]
+    clamp = (
+        lambda e: f"LEAST(GREATEST({e}, {CLAMP_LO}), {CLAMP_HI})"
+    )  # noqa: E731
+    for i in range(1, n_iter + 1):
+        upd_m = ", ".join(
+            clamp(
+                f"CAST(SUM(CASE WHEN {gcols[k]} = 1 THEN pf * cnt ELSE 0 END) "
+                f"AS DOUBLE) / CAST(SUM(pf * cnt) AS DOUBLE)"
+            )
+            + f" AS m{k}"
+            for k in range(nf)
+        )
+        upd_u = ", ".join(
+            clamp(
+                f"CAST(SUM(CASE WHEN {gcols[k]} = 1 THEN ({SCALE} - pf) * cnt "
+                f"ELSE 0 END) AS DOUBLE) / "
+                f"CAST(SUM(({SCALE} - pf) * cnt) AS DOUBLE)"
+            )
+            + f" AS u{k}"
+            for k in range(nf)
+        )
+        upd_lam = clamp(
+            f"CAST(SUM(pf * cnt) AS DOUBLE) / CAST(SUM({SCALE} * cnt) AS DOUBLE)"
+        )
+        parts.append(
+            f"it{i} AS MATERIALIZED (SELECT {upd_m}, {upd_u}, {upd_lam} AS lam "
+            f"FROM (SELECT pat.*, {pf_expr} AS pf FROM pat CROSS JOIN it{i - 1}))"
+        )
+    parts.append(
+        f"scored AS MATERIALIZED (SELECT {gl}, cnt, {pf_expr} AS pf "
+        f"FROM pat CROSS JOIN it{n_iter})"
+    )
+    return "WITH " + ",\n".join(parts)

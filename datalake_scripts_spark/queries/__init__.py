@@ -30,6 +30,7 @@ from . import traindata  # noqa: F401,E402
 from . import sketches  # noqa: F401,E402
 from . import graph  # noqa: F401,E402
 from . import dimensional  # noqa: F401,E402
+from . import linkage  # noqa: F401,E402
 
 
 # The driver's correctness sweep checks the FIRST 50 entries of
@@ -51,6 +52,8 @@ DRIVER_PRIORITY = [
     "iceberg_equality_deletes",  # r10: Flink-CDC deletes adopt as DVs
     "scd2_user_tier_history",  # r10 late: SCD2 build from change feed
     "scd2_point_in_time_tier",  # r10 late: PIT as-of fact attribution
+    "linkage_fs_em_params",  # r10 late: Fellegi-Sunter EM parameters
+    "linkage_fs_match_patterns",  # r10 late: FS posterior classification
     # --- stalest driver rows (last checked r5/r6), staleness rotation ---
     "multimodal_jpeg_roundtrip",
     "multimodal_quarantine_pipeline",
