@@ -1,0 +1,324 @@
+"""Persisted inverted text index over the versioned layer — the BM25
+analog of :mod:`operators.ann_index`: build the expensive parts of
+lexical retrieval — the (token, doc, tf) postings and per-doc lengths —
+ONCE per corpus change and serve many queries from the stored index,
+instead of re-tokenizing the corpus per query (the
+``text_bm25_scores`` shape, whose cost lands per *query* instead of per
+*corpus change* at 100 TB).
+
+Index layout (two versioned tables under ``index_dir``):
+
+    index_dir/postings   (token string, doc_id bigint, tf bigint,
+                          bucket bigint)   — hive-partitioned BY BUCKET
+    index_dir/docstats   (doc_id bigint, dl bigint)
+
+- postings are partitioned by ``bucket = pmod(xxhash64(token), B)``:
+  a query with Q terms probes at most Q buckets, computed driver-side
+  via the pure-Python xxhash64 twin (functions/xxh.py), so the scan
+  statically prunes to the probed buckets' files — serving cost tracks
+  the probed fraction of the vocabulary, never the corpus;
+- ALL postings for a token live in its one bucket, so document
+  frequencies computed inside the pruned scan are exact corpus-wide;
+- the docstats commit meta carries the exact corpus scalars
+  (``n_docs``, ``total_len``) so BM25's idf/avgdl need no corpus scan
+  at query time.
+
+Unlike the ANN index there is NO drift trigger: BM25's statistics
+(df, dl, n_docs, total_len) are derived at query time from the stored
+postings + meta, so incremental appends keep scoring exact — there is
+no stale-model analog of shifted centroids. Non-append changes
+(delete/update/overwrite) still force the honest full rebuild: postings
+of removed rows cannot be carved out of an append-only index.
+
+Concurrency mirrors ann_index: the POSTINGS commit is the single
+linearization point — it CASes on the postings version the maintainer
+read and records both the source watermark and the ``docstats_version``
+it belongs with; serving resolves docstats PINNED through that record,
+so a torn postings/docstats pair is never observable, and a lost race
+retries to (typically) a no-op at the winner's watermark.
+
+Reference parity: the reference has no text retrieval at all
+(SURVEY.md §2); this is the index half of the BM25 family
+(queries/llmops.py text_bm25_scores / text_bm25_topk_pruned).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.xxh import xxhash64_str
+from .text import tokens
+from .versioned import (
+    CommitConflict,
+    _load_manifest,
+    current_version,
+    read_changes,
+    read_versioned,
+    write_versioned,
+)
+
+_POSTINGS = "postings"
+_DOCSTATS = "docstats"
+DEFAULT_BUCKETS = 64
+
+
+def _subdir(index_dir: str, name: str) -> str:
+    return os.path.join(index_dir, name)
+
+
+def _bucket_col(token_col: F.Column, n_buckets: int) -> F.Column:
+    return F.pmod(F.xxhash64(token_col), F.lit(n_buckets))
+
+
+def bucket_of(token: str, n_buckets: int) -> int:
+    """Driver-side twin of :func:`_bucket_col` (same xxhash64 seed=42
+    semantics via the pure-Python implementation)."""
+    return xxhash64_str(token) % n_buckets
+
+
+def _index_meta(index_dir: str) -> dict:
+    """Build params + watermarks, resolved THROUGH the latest postings
+    commit (the linearization point — see module docstring)."""
+    pdir = _subdir(index_dir, _POSTINGS)
+    ddir = _subdir(index_dir, _DOCSTATS)
+    p_v = current_version(pdir)
+    pm = _load_manifest(pdir, p_v).get("meta", {})
+    d_v = pm["docstats_version"]
+    dm = _load_manifest(ddir, d_v).get("meta", {})
+    return {
+        "source_version": pm["source_version"],
+        "postings_version": p_v,
+        "docstats_version": d_v,
+        "n_buckets": pm["n_buckets"],
+        "id_col": pm.get("id_col", "doc_id"),
+        "text_col": pm.get("text_col", "text"),
+        "n_docs": dm["n_docs"],
+        "total_len": dm["total_len"],
+    }
+
+
+def _tokenize(corpus: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return corpus.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("token")
+    )
+
+
+def build_text_index(
+    spark: SparkSession,
+    corpus_dir: str,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> dict:
+    """Build (or fully rebuild) the inverted index from the corpus
+    table's CURRENT snapshot. One tokenize pass, two aggregations, one
+    bucket-partitioned write — O(corpus), paid once per build.
+
+    The final postings commit CASes on the postings version read at
+    entry; losing the race raises
+    :class:`~.versioned.CommitConflict` (the docstats snapshot already
+    written is an unreferenced orphan — harmless). Retry-until-landed
+    callers go through :func:`refresh_text_index`."""
+    pdir = _subdir(index_dir, _POSTINGS)
+    p_v = current_version(pdir)
+    v = current_version(corpus_dir)
+    # pinned read: an append landing between current_version and the
+    # scan must not be indexed-yet-above-watermark (ADVICE r9 on the
+    # ANN build applies identically here)
+    corpus = read_versioned(spark, corpus_dir, version=v)
+    tok = _tokenize(corpus, id_col, text_col)
+    docstats = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = docstats.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
+    ).collect()[0]
+    d_new = write_versioned(
+        spark, docstats, _subdir(index_dir, _DOCSTATS), mode="overwrite",
+        meta={
+            "source_version": v,
+            "n_docs": int(stats["n_docs"] or 0),
+            "total_len": int(stats["total_len"] or 0),
+        },
+    )
+    postings = (
+        tok.groupBy("token", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("bucket", _bucket_col(F.col("token"), n_buckets))
+        # co-locate each bucket before the partitioned write (see
+        # ann_index build: one shuffle -> ~one file per bucket, not
+        # O(tasks x buckets) slivers the pruned serve pays to plan)
+        .repartition(F.col("bucket"))
+    )
+    p_new = write_versioned(
+        spark, postings, pdir, mode="overwrite", partition_by=["bucket"],
+        expected_version=p_v,
+        meta={
+            "source_version": v,
+            "docstats_version": d_new,
+            "n_buckets": n_buckets,
+            "id_col": id_col,
+            "text_col": text_col,
+        },
+    )
+    return {
+        "action": "built",
+        "source_version": v,
+        "postings_version": p_new,
+        "docstats_version": d_new,
+        "n_docs": int(stats["n_docs"] or 0),
+    }
+
+
+def refresh_text_index(
+    spark: SparkSession,
+    corpus_dir: str,
+    index_dir: str,
+    max_attempts: int = 5,
+) -> dict:
+    """Bring the index up to the corpus's current snapshot.
+
+    - no corpus change since the watermark: no-op, zero jobs;
+    - append-only changes: tokenize ONLY the new docs (the change
+      feed's append fast path reads just the added files — O(batch))
+      and append their postings/docstats; corpus scalars update by
+      exact-integer addition in the commit meta;
+    - non-append changes: full rebuild (append-only postings cannot
+      un-index removed rows).
+
+    Lost CAS races retry from fresh state (typically to a no-op at the
+    winner's watermark); after ``max_attempts`` the conflict
+    propagates named."""
+    last: CommitConflict | None = None
+    for _ in range(max_attempts):
+        try:
+            return _refresh_once(spark, corpus_dir, index_dir)
+        except CommitConflict as exc:
+            last = exc
+    raise last
+
+
+def _refresh_once(spark: SparkSession, corpus_dir: str, index_dir: str) -> dict:
+    meta = _index_meta(index_dir)
+    v0 = meta["source_version"]
+    p_v = meta["postings_version"]
+    cur = current_version(corpus_dir)
+    if cur == v0:
+        return {"action": "noop", "source_version": v0}
+    non_append = [
+        v
+        for v in range(v0 + 1, cur + 1)
+        if _load_manifest(corpus_dir, v)["mode"] != "append"
+    ]
+    if non_append:
+        return build_text_index(
+            spark, corpus_dir, index_dir,
+            id_col=meta["id_col"], text_col=meta["text_col"],
+            n_buckets=meta["n_buckets"],
+        ) | {"action": "rebuilt"}
+
+    pdir = _subdir(index_dir, _POSTINGS)
+    ddir = _subdir(index_dir, _DOCSTATS)
+    new_docs = read_changes(spark, corpus_dir, v0, cur).drop("_change_type")
+    tok = _tokenize(new_docs, meta["id_col"], meta["text_col"])
+    docstats = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = docstats.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
+    ).collect()[0]
+    n_new = int(stats["n_docs"] or 0)
+    d_new = write_versioned(
+        spark, docstats, ddir, mode="append",
+        meta={
+            "source_version": cur,
+            # exact-integer scalar roll-forward — never a re-scan
+            "n_docs": meta["n_docs"] + n_new,
+            "total_len": meta["total_len"] + int(stats["total_len"] or 0),
+        },
+    )
+    postings = (
+        tok.groupBy("token", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("bucket", _bucket_col(F.col("token"), meta["n_buckets"]))
+        .repartition(F.col("bucket"))
+    )
+    write_versioned(
+        spark, postings, pdir, mode="append", partition_by=["bucket"],
+        expected_version=p_v,
+        meta={
+            "source_version": cur,
+            "docstats_version": d_new,
+            "n_buckets": meta["n_buckets"],
+            "id_col": meta["id_col"],
+            "text_col": meta["text_col"],
+        },
+    )
+    return {"action": "appended", "n_new_docs": n_new, "source_version": cur}
+
+
+def bm25_topk_indexed(
+    spark: SparkSession,
+    index_dir: str,
+    terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    prune: bool = True,
+) -> dict | DataFrame:
+    """Serve BM25 top-k FROM the stored index: no tokenize pass, no
+    corpus scan — the postings scan statically prunes to the <= Q
+    buckets of the query terms (driver-side xxhash64 twin), df comes
+    from the pruned postings (exact: a token's postings all live in
+    its bucket), dl joins from docstats, and idf/avgdl use the exact
+    corpus scalars recorded in the commit meta. Output contract and
+    float discipline are IDENTICAL to ``text_bm25_scores``
+    (doc_id, bm25_micro, n_matched_terms) — same fold order, FLOOR
+    fixed-pointing — so the same oracle verifies both."""
+    meta = _index_meta(index_dir)
+    pdir = _subdir(index_dir, _POSTINGS)
+    ddir = _subdir(index_dir, _DOCSTATS)
+    p = read_versioned(spark, pdir, version=meta["postings_version"])
+    if prune:
+        probed = sorted({bucket_of(t, meta["n_buckets"]) for t in terms})
+        p = p.filter(F.col("bucket").isin(probed))
+    tf = p.filter(F.col("token").isin(list(terms))).select(
+        "token", "doc_id", "tf"
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    dl = read_versioned(spark, ddir, version=meta["docstats_version"]).select(
+        "doc_id", "dl"
+    )
+    n_docs = float(meta["n_docs"])
+    avgdl = float(meta["total_len"]) / n_docs
+    idf = F.log(
+        (F.lit(n_docs) - F.col("df").cast("double") + 0.5)
+        / (F.col("df").cast("double") + 0.5)
+        + 1.0
+    )
+    term_score = (
+        idf
+        * (F.col("tf").cast("double") * (k1 + 1.0))
+        / (
+            F.col("tf").cast("double")
+            + k1 * (1.0 - b + b * F.col("dl").cast("double") / F.lit(avgdl))
+        )
+    )
+    scored = (
+        # bcast: O(query terms) — df rows, bounded by the term list
+        tf.join(F.broadcast(dfreq), "token")
+        .join(dl, "doc_id")
+        .select(
+            "doc_id",
+            F.floor(term_score * 1e6).cast("bigint").alias("term_score_micro"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("term_score_micro").cast("bigint").alias("bm25_micro"),
+            F.count(F.lit(1)).alias("n_matched_terms"),
+        )
+        .orderBy(F.desc("bm25_micro"), "doc_id")
+        .limit(k)
+    )

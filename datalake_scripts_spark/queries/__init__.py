@@ -31,6 +31,7 @@ from . import sketches  # noqa: F401,E402
 from . import graph  # noqa: F401,E402
 from . import dimensional  # noqa: F401,E402
 from . import linkage  # noqa: F401,E402
+from . import textindex  # noqa: F401,E402
 
 
 # The driver's correctness sweep checks the FIRST 50 entries of
@@ -54,6 +55,8 @@ DRIVER_PRIORITY = [
     "scd2_point_in_time_tier",  # r10 late: PIT as-of fact attribution
     "linkage_fs_em_params",  # r10 late: Fellegi-Sunter EM parameters
     "linkage_fs_match_patterns",  # r10 late: FS posterior classification
+    "text_bm25_indexed_topk",  # r10 late: persisted inverted index serve
+    "text_bm25_index_refresh",  # r10 late: O(batch) index maintenance
     # --- stalest driver rows (last checked r5/r6), staleness rotation ---
     "multimodal_jpeg_roundtrip",
     "multimodal_quarantine_pipeline",

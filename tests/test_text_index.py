@@ -1,0 +1,155 @@
+"""Persisted inverted text index (operators/text_index.py): build-once
+serving equals the on-the-fly BM25 exactly, appends maintain the index
+with O(batch) tokenize work (proven via manifest file lists, not
+timing), non-append changes force the honest rebuild, and serving
+prunes to the probed token buckets."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datalake_scripts_spark.io import read_table
+from datalake_scripts_spark.operators import text_index as TI
+from datalake_scripts_spark.operators import versioned as V
+from datalake_scripts_spark.queries.llmops import BM25_QUERY_TERMS
+from datalake_scripts_spark.queries.registry import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def corpus_dir(spark, tmp_path):
+    d = str(tmp_path / "corpus")
+    docs = read_table(spark, SF, "documents")
+    V.write_versioned(spark, docs.filter("doc_id % 3 != 0"), d, mode="append")
+    return d
+
+
+def _rows(df):
+    return sorted(
+        (r["doc_id"], r["bm25_micro"], r["n_matched_terms"])
+        for r in df.collect()
+    )
+
+
+def test_indexed_equals_on_the_fly(spark, tmp_path):
+    """Served top-20 from the stored index == the full-scan
+    text_bm25_scores query on the same corpus."""
+    cdir, idx = str(tmp_path / "c"), str(tmp_path / "i")
+    docs = read_table(spark, SF, "documents")
+    V.write_versioned(spark, docs, cdir, mode="append")
+    res = TI.build_text_index(spark, cdir, idx)
+    assert res["action"] == "built" and res["n_docs"] > 0
+    got = TI.bm25_topk_indexed(spark, idx, BM25_QUERY_TERMS, k=20)
+    want = REGISTRY["text_bm25_scores"].fn(spark, SF)
+    assert _rows(got) == _rows(want)
+
+
+def test_refresh_noop_without_corpus_change(spark, corpus_dir, tmp_path):
+    idx = str(tmp_path / "i")
+    TI.build_text_index(spark, corpus_dir, idx)
+    assert TI.refresh_text_index(spark, corpus_dir, idx)["action"] == "noop"
+
+
+def test_append_refresh_is_o_batch_and_matches_rebuild(
+    spark, corpus_dir, tmp_path
+):
+    """Appending docs refreshes via the fast path (postings commit
+    carries prior files by reference — only the new docs tokenize) and
+    the refreshed index serves exactly the full-rebuild answer."""
+    idx = str(tmp_path / "i")
+    TI.build_text_index(spark, corpus_dir, idx)
+    docs = read_table(spark, SF, "documents")
+    V.write_versioned(
+        spark, docs.filter("doc_id % 3 = 0"), corpus_dir, mode="append"
+    )
+    before_files = set(
+        V._expand_manifest(
+            TI._subdir(idx, "postings"),
+            V._load_manifest(
+                TI._subdir(idx, "postings"),
+                V.current_version(TI._subdir(idx, "postings")),
+            ),
+        )[0]
+    )
+    res = TI.refresh_text_index(spark, corpus_dir, idx)
+    assert res["action"] == "appended" and res["n_new_docs"] > 0
+    after_files = set(
+        V._expand_manifest(
+            TI._subdir(idx, "postings"),
+            V._load_manifest(
+                TI._subdir(idx, "postings"),
+                V.current_version(TI._subdir(idx, "postings")),
+            ),
+        )[0]
+    )
+    # O(batch): every pre-existing postings file is carried by
+    # reference, the commit only ADDS files
+    assert before_files <= after_files
+
+    idx2 = str(tmp_path / "i2")
+    TI.build_text_index(spark, corpus_dir, idx2)
+    got = TI.bm25_topk_indexed(spark, idx, BM25_QUERY_TERMS, k=20)
+    want = TI.bm25_topk_indexed(spark, idx2, BM25_QUERY_TERMS, k=20)
+    assert _rows(got) == _rows(want)
+    # and the corpus scalars rolled forward exactly
+    assert TI._index_meta(idx)["n_docs"] == TI._index_meta(idx2)["n_docs"]
+    assert TI._index_meta(idx)["total_len"] == TI._index_meta(idx2)["total_len"]
+
+
+def test_non_append_change_triggers_rebuild(spark, corpus_dir, tmp_path):
+    idx = str(tmp_path / "i")
+    TI.build_text_index(spark, corpus_dir, idx)
+    V.delete_versioned(spark, corpus_dir, "doc_id % 5 = 0")
+    res = TI.refresh_text_index(spark, corpus_dir, idx)
+    assert res["action"] == "rebuilt"
+    # rebuilt index == fresh build on the mutated corpus
+    idx2 = str(tmp_path / "i2")
+    TI.build_text_index(spark, corpus_dir, idx2)
+    got = TI.bm25_topk_indexed(spark, idx, BM25_QUERY_TERMS, k=20)
+    want = TI.bm25_topk_indexed(spark, idx2, BM25_QUERY_TERMS, k=20)
+    assert _rows(got) == _rows(want)
+
+
+def test_serving_scan_prunes_to_probed_buckets(spark, corpus_dir, tmp_path):
+    """The probed-buckets filter reaches the postings scan as a
+    partition filter, and every probed bucket is the xxhash64 twin's
+    prediction for a query term."""
+    idx = str(tmp_path / "i")
+    TI.build_text_index(spark, corpus_dir, idx)
+    got = TI.bm25_topk_indexed(spark, idx, BM25_QUERY_TERMS, k=20)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+    assert got.count() > 0
+    # cross-check the driver-side bucket twin against Spark's xxhash64
+    twin = {t: TI.bucket_of(t, 64) for t in BM25_QUERY_TERMS}
+    spark_buckets = {
+        r["t"]: r["b"]
+        for r in spark.createDataFrame(
+            [(t,) for t in BM25_QUERY_TERMS], "t string"
+        )
+        .select("t", F.pmod(F.xxhash64(F.col("t")), F.lit(64)).alias("b"))
+        .collect()
+    }
+    assert twin == spark_buckets
+
+
+def test_concurrent_refresh_loses_cas_then_noops(spark, corpus_dir, tmp_path):
+    """Two maintainers race: the loser's retry sees the winner's
+    watermark and no-ops — never duplicate postings rows."""
+    idx = str(tmp_path / "i")
+    TI.build_text_index(spark, corpus_dir, idx)
+    docs = read_table(spark, SF, "documents")
+    V.write_versioned(
+        spark, docs.filter("doc_id % 3 = 0"), corpus_dir, mode="append"
+    )
+    # maintainer A lands the refresh
+    assert TI.refresh_text_index(spark, corpus_dir, idx)["action"] == "appended"
+    # maintainer B raced and lost: its fresh read now sees A's watermark
+    assert TI.refresh_text_index(spark, corpus_dir, idx)["action"] == "noop"
+    # postings hold no duplicate (token, doc) rows
+    p = V.read_versioned(spark, TI._subdir(idx, "postings"))
+    assert (
+        p.groupBy("token", "doc_id").count().filter("count > 1").count() == 0
+    )
