@@ -1005,6 +1005,63 @@ def sample_exact_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _es_key_sql(id_expr: str, w_expr: str) -> str:
+    """Efraimidis–Spirakis sampling key, engine-portable: a uniform
+    u in (0,1) derived from 8 md5 nibbles of the id (the simhash-twin
+    primitive set — instr/substr/md5 evaluate identically in Spark SQL
+    and DuckDB), ranked by ln(u)/w — the monotone equivalent of the
+    classic u^(1/w) (exp is monotone), so only ONE libm call crosses
+    the engines — then FLOOR-fixed-pointed to nano-units so engine
+    ulp drift cannot reorder the top-k."""
+    # BIGINT accumulator: Spark's instr is INT32 and 16^8 overflows
+    # ANSI int arithmetic; DuckDB is BIGINT-native either way
+    h = (
+        f"CAST((instr('0123456789abcdef', "
+        f"substr(md5(CAST({id_expr} AS STRING)), 1, 1)) - 1) AS BIGINT)"
+    )
+    for i in range(2, 9):
+        nib = (
+            f"(instr('0123456789abcdef', "
+            f"substr(md5(CAST({id_expr} AS STRING)), {i}, 1)) - 1)"
+        )
+        h = f"({h} * 16 + {nib})"
+    u = f"((CAST({h} AS DOUBLE) + 0.5) / 4294967296.0)"
+    return f"CAST(FLOOR((ln({u}) / {w_expr}) * 1000000000.0) AS BIGINT)"
+
+
+_ES_KEY = _es_key_sql("o_orderkey", "o_totalprice")
+
+
+@query(
+    "sample_weighted_reservoir",
+    sql=f"""
+    SELECT o_orderkey, o_totalprice AS weight, {_ES_KEY} AS es_key_nano
+    FROM orders
+    ORDER BY es_key_nano DESC, o_orderkey LIMIT 25
+    """,
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis
+    A-ES): P(row in sample) rises with its weight, reproducible across
+    runs/engines/partitionings — the weighted complement of
+    sample_exact_per_group (which is uniform-per-stratum). Each row
+    gets key = u^(1/w) with u a deterministic md5-derived uniform;
+    the global top-k by key IS the weighted sample. Spark executes it
+    as TakeOrdered (per-partition top-k, then a k-row merge on the
+    driver) — one pass, no shuffle of the data, O(k) merge state: the
+    exact shape a 100 TB weighted draw needs."""
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderkey",
+            F.col("o_totalprice").alias("weight"),
+            F.expr(_ES_KEY).alias("es_key_nano"),
+        )
+        .orderBy(F.desc("es_key_nano"), "o_orderkey")
+        .limit(25)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Token-budget corpus selection (quality-ranked knapsack fill)
 # ---------------------------------------------------------------------------

@@ -127,3 +127,26 @@ def test_rrf_fusion_arithmetic(spark):
             want += round(1e6 / (_RRF_C + r.vec_rank))
         assert r.rrf_micro == want
     assert list(df.rrf_micro) == sorted(df.rrf_micro, reverse=True)
+
+
+def test_weighted_reservoir_biases_toward_weight(spark):
+    """A-ES sampling: the 25-row weighted draw's mean weight must
+    exceed the corpus mean (weights span ~1x-40x here), and the plan
+    is a TakeOrdered — no full sort, no shuffle of the data."""
+    from pyspark.sql import functions as F
+
+    from datalake_scripts_spark.io import read_table
+    from datalake_scripts_spark.queries import REGISTRY
+
+    got = REGISTRY["sample_weighted_reservoir"].fn(spark, SF)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrdered" in plan, plan
+    rows = got.collect()
+    assert len(rows) == 25
+    sample_mean = sum(r.weight for r in rows) / len(rows)
+    corpus_mean = (
+        read_table(spark, SF, "orders")
+        .agg(F.avg("o_totalprice"))
+        .collect()[0][0]
+    )
+    assert sample_mean > corpus_mean
