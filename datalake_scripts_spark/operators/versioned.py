@@ -2082,6 +2082,22 @@ def has_meta(table_dir: str, key: str, value) -> bool:
     return False
 
 
+def version_with_meta(table_dir: str, key: str, value) -> int | None:
+    """Version of the most recent retained manifest carrying
+    ``meta[key] == value`` (None if absent) — the lookup half of
+    :func:`has_meta`, for sinks that must REPAIR a partially-applied
+    epoch by re-reading exactly that commit's change feed."""
+    latest = current_version(table_dir)
+    for v in range(latest, 0, -1):
+        try:
+            m = _load_manifest(table_dir, v)
+        except FileNotFoundError:
+            break
+        if m.get("meta", {}).get(key) == value:
+            return v
+    return None
+
+
 def snapshot_row_count(table_dir: str, version: int | None = None) -> int:
     """Metadata-only row count from manifest stats (no Spark job) — the
     engine's replacement for the reference's count-after-every-transform

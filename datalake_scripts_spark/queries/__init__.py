@@ -58,6 +58,7 @@ DRIVER_PRIORITY = [
     "text_bm25_indexed_topk",  # r10 late: persisted inverted index serve
     "text_bm25_index_refresh",  # r10 late: O(batch) index maintenance
     "sample_weighted_reservoir",  # r10 late: deterministic A-ES sample
+    "stream_ingest_dedup",  # r10 late: online dedup at ingest, full oracle
     # --- stalest driver rows (last checked r5/r6), staleness rotation ---
     "multimodal_jpeg_roundtrip",
     "multimodal_quarantine_pipeline",

@@ -2923,3 +2923,77 @@ def entity_resolution_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rep_name"),
         )
     )
+
+
+@query(
+    "stream_ingest_dedup",
+    sql=f"""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct({{SQL_TOKS}})), ' '))
+               AS fingerprint
+      FROM documents),
+    ranked AS (
+      SELECT doc_id, fingerprint,
+             ROW_NUMBER() OVER (PARTITION BY fingerprint ORDER BY doc_id)
+               AS rn
+      FROM fp)
+    SELECT doc_id, fingerprint FROM ranked WHERE rn = 1
+    """.format(SQL_TOKS=SQL_TOKS),
+)
+def stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online dedup at ingest as an ACTUAL Structured Streaming query
+    under the FULL batch oracle: documents arrive in three micro-batch
+    epochs (file source, one file per trigger, mtime-ordered), each
+    epoch fingerprints its docs, keeps the min-id winner in-batch,
+    anti-joins the persisted fingerprint store, and lands survivors +
+    store rows in two exactly-once versioned commits
+    (streaming.sinks.foreach_batch_dedup_ingest). Because epochs
+    arrive in doc_id order, stream keep-first == global min-id-per-
+    fingerprint — exactly the batch dedup the oracle computes over the
+    whole corpus.
+
+    100 TB rationale: ingest pays O(batch) fingerprinting + one
+    anti-join against the store (one compact row per distinct doc ever
+    admitted); the accumulated corpus is NEVER re-deduped — the
+    streaming form of dedup_incremental_batch's cost argument, with
+    crash-repair between the two table commits chaos-tested."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators import versioned as V
+    from ..streaming import foreach_batch_dedup_ingest, stream_from_directory
+
+    docs = t(spark, sf_dir, "documents")
+    n_max = docs.agg(F.max("doc_id")).first()[0]
+    cuts = [(0, n_max // 3), (n_max // 3, 2 * n_max // 3 + 1),
+            (2 * n_max // 3 + 1, n_max + 1)]
+    src = tempfile.mkdtemp(prefix="sid_src_")
+    stage = tempfile.mkdtemp(prefix="sid_stage_")
+    base = 1_700_000_000
+    for i, (lo, hi) in enumerate(cuts):
+        part = os.path.join(stage, str(i))
+        docs.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).coalesce(1).write.mode("overwrite").parquet(part)
+        fn = next(f for f in os.listdir(part) if f.endswith(".parquet"))
+        dst = os.path.join(src, f"{i:03d}.parquet")
+        shutil.copyfile(os.path.join(part, fn), dst)
+        os.utime(dst, (base + 100 * i, base + 100 * i))
+    corpus_dir = tempfile.mkdtemp(prefix="sid_corpus_")
+    seen_dir = tempfile.mkdtemp(prefix="sid_seen_")
+    ckpt = tempfile.mkdtemp(prefix="sid_ckpt_")
+    q = (
+        stream_from_directory(
+            spark, src, schema=docs.schema, max_files_per_trigger=1
+        )
+        .writeStream.foreachBatch(
+            foreach_batch_dedup_ingest(corpus_dir, seen_dir)
+        )
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return V.read_versioned(spark, corpus_dir).select("doc_id", "fingerprint")

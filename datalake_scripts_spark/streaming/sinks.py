@@ -425,3 +425,92 @@ def stream_refresh_aggregate(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def foreach_batch_dedup_ingest(
+    corpus_dir: str,
+    seen_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Online exact-dedup at ingest: every epoch fingerprints its
+    documents (md5 of the sorted distinct token set —
+    operators.text.fingerprint), keeps the min-id winner per
+    fingerprint WITHIN the batch, anti-joins the persisted fingerprint
+    store (``seen_dir``) to drop documents the corpus already holds,
+    then appends the survivors to ``corpus_dir`` and their
+    fingerprints to the store. The production "dedup before it lands"
+    shape: each ingest pays O(batch) fingerprinting + one anti-join
+    against the store — the accumulated corpus is never re-scanned.
+
+    Exactly-once across BOTH tables without a distributed transaction:
+    corpus commits first, store second, and both record the epoch id.
+    - store has the epoch -> full replay, no-op;
+    - corpus has it but the store doesn't (crash between the commits)
+      -> REPAIR: re-derive the fingerprints from exactly that corpus
+      commit's change feed (version_with_meta + read_changes) and
+      land the store commit — never re-appending documents.
+
+    At 100 TB the store is the compact table (one row per distinct
+    fingerprint); partition it by fingerprint prefix so the per-epoch
+    anti-join prunes, exactly like the text/ANN index buckets."""
+    from pyspark.sql import functions as F
+
+    from ..operators import versioned as V
+    from ..operators.text import fingerprint
+
+    def _fp(df: DataFrame) -> DataFrame:
+        return df.withColumn("fingerprint", fingerprint(text_col))
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        eid = int(epoch_id)
+        if V.has_meta(seen_dir, "epoch", eid):
+            return
+        corpus_v = V.version_with_meta(corpus_dir, "epoch", eid)
+        if corpus_v is not None:
+            # crash landed the corpus commit but not the store commit:
+            # repair from that commit's own rows
+            landed = V.read_changes(spark, corpus_dir, corpus_v - 1, corpus_v)
+            V.write_versioned(
+                spark,
+                landed.select(id_col, "fingerprint").withColumnRenamed(
+                    id_col, "winner_id"
+                ),
+                seen_dir,
+                mode="append",
+                meta={"epoch": eid},
+            )
+            return
+        from pyspark.sql import Window as W
+
+        batch = _fp(batch_df)
+        w = W.partitionBy("fingerprint").orderBy(id_col)
+        batch_winners = (
+            batch.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        try:
+            seen = V.read_versioned(spark, seen_dir).select("fingerprint")
+        except FileNotFoundError:
+            seen = None
+        survivors = (
+            batch_winners.join(seen, "fingerprint", "left_anti")
+            if seen is not None
+            else batch_winners
+        )
+        V.write_versioned(
+            spark, survivors, corpus_dir, mode="append", meta={"epoch": eid}
+        )
+        V.write_versioned(
+            spark,
+            survivors.select(
+                F.col(id_col).alias("winner_id"), "fingerprint"
+            ),
+            seen_dir,
+            mode="append",
+            meta={"epoch": eid},
+        )
+
+    return _sink
