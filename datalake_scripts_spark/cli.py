@@ -294,6 +294,23 @@ def main(argv: list[str] | None = None) -> int:
     annr.add_argument("--index", required=True, help="index directory")
     annr.add_argument("--drift-threshold", type=float, default=0.5)
 
+    tib = tbl_sub.add_parser(
+        "text-index-build",
+        help="build the persisted inverted text index (bucket-"
+             "partitioned postings + docstats) from this corpus table",
+    )
+    tib.add_argument("--index", required=True, help="index directory")
+    tib.add_argument("--id-col", default="doc_id")
+    tib.add_argument("--text-col", default="text")
+    tib.add_argument("--n-buckets", type=int, default=64)
+    tir = tbl_sub.add_parser(
+        "text-index-refresh",
+        help="bring the inverted index up to the corpus's current "
+             "snapshot (appends tokenize O(batch); row-level changes "
+             "rebuild)",
+    )
+    tir.add_argument("--index", required=True, help="index directory")
+
     chk = tbl_sub.add_parser(
         "check-schema",
         help="validate a reader contract (StructType jsonValue file) "
@@ -558,6 +575,27 @@ def main(argv: list[str] | None = None) -> int:
                 spark, args.dir, args.index,
                 drift_threshold=args.drift_threshold,
             )
+            print(
+                f"{res['action']}: "
+                + ", ".join(f"{k}={v}" for k, v in res.items()
+                            if k != "action")
+            )
+        elif args.action == "text-index-build":
+            from .operators.text_index import build_text_index
+
+            res = build_text_index(
+                spark, args.dir, args.index,
+                id_col=args.id_col, text_col=args.text_col,
+                n_buckets=args.n_buckets,
+            )
+            print(
+                f"built index: {res['n_docs']} docs @ source v"
+                f"{res['source_version']}"
+            )
+        elif args.action == "text-index-refresh":
+            from .operators.text_index import refresh_text_index
+
+            res = refresh_text_index(spark, args.dir, args.index)
             print(
                 f"{res['action']}: "
                 + ", ".join(f"{k}={v}" for k, v in res.items()

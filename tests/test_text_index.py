@@ -153,3 +153,24 @@ def test_concurrent_refresh_loses_cas_then_noops(spark, corpus_dir, tmp_path):
     assert (
         p.groupBy("token", "doc_id").count().filter("count > 1").count() == 0
     )
+
+
+def test_cli_text_index_build_and_refresh(spark, corpus_dir, tmp_path, capsys):
+    from datalake_scripts_spark.cli import main
+    from datalake_scripts_spark.queries.llmops import BM25_QUERY_TERMS
+
+    idx = str(tmp_path / "idx")
+    assert main([
+        "table", "--dir", corpus_dir, "text-index-build", "--index", idx,
+    ]) == 0
+    assert "built index" in capsys.readouterr().out
+    docs = read_table(spark, SF, "documents")
+    V.write_versioned(
+        spark, docs.filter("doc_id % 3 = 0"), corpus_dir, mode="append"
+    )
+    assert main([
+        "table", "--dir", corpus_dir, "text-index-refresh", "--index", idx,
+    ]) == 0
+    assert "appended" in capsys.readouterr().out
+    got = TI.bm25_topk_indexed(spark, idx, BM25_QUERY_TERMS, k=5)
+    assert got.count() == 5
