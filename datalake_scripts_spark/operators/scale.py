@@ -194,6 +194,91 @@ def resample_ffill(
     )
 
 
+def resample_interpolate(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak: str,
+    step: str = "1 hour",
+    unit: str = "hour",
+) -> DataFrame:
+    """Linear-interpolation sibling of :func:`resample_ffill`: gaps get
+    the straight line between the surrounding observations instead of
+    the previous value — time_bucket_gapfill + interpolate.
+
+    Same one-shuffle plan: bucket-dedup window, per-key grid explode,
+    then TWO fill windows over the shared key partitioning — the
+    backward pass carries (prev value, prev observed bucket) with
+    last(ignorenulls) and the forward pass carries (next value, next
+    observed bucket) with first(ignorenulls) over the mirrored frame.
+    Every interior gap has both anchors by construction (the grid
+    spans min..max OBSERVED buckets), so the blend ratio's denominator
+    is never zero on unobserved rows; observed rows pass through
+    verbatim.
+
+    Determinism: the ratio divides two exact bucket-count BIGINTs
+    (timestampdiff at `unit` grain) and the blend is the same
+    association order in the SQL oracle, so the interpolated doubles
+    are engine-identical.
+    """
+    bucket = F.date_trunc(unit, F.col(ts_col))
+    obs = df.select(
+        F.col(key), bucket.alias("bucket_ts"), F.col(ts_col),
+        F.col(tiebreak), F.col(value_col),
+    )
+    w_last = W.partitionBy(key, "bucket_ts").orderBy(
+        F.col(ts_col).desc(), F.col(tiebreak).desc()
+    )
+    last_obs = (
+        obs.withColumn("_rn", F.row_number().over(w_last))
+        .filter(F.col("_rn") == 1)
+        .select(key, "bucket_ts", F.col(value_col).alias("_v"))
+    )
+    grid = (
+        obs.groupBy(key)
+        .agg(F.min("bucket_ts").alias("_a"), F.max("bucket_ts").alias("_b"))
+        .select(
+            key,
+            F.explode(
+                F.expr(f"sequence(_a, _b, interval {step})")
+            ).alias("bucket_ts"),
+        )
+    )
+    w_back = (
+        W.partitionBy(key)
+        .orderBy("bucket_ts")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_fwd = (
+        W.partitionBy(key)
+        .orderBy("bucket_ts")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    obs_ts = F.when(F.col("_v").isNotNull(), F.col("bucket_ts"))
+    j = grid.join(last_obs, [key, "bucket_ts"], "left").select(
+        key,
+        "bucket_ts",
+        "_v",
+        F.last("_v", ignorenulls=True).over(w_back).alias("_pv"),
+        F.last(obs_ts, ignorenulls=True).over(w_back).alias("_pt"),
+        F.first("_v", ignorenulls=True).over(w_fwd).alias("_nv"),
+        F.first(obs_ts, ignorenulls=True).over(w_fwd).alias("_nt"),
+    )
+    unit_kw = unit.upper()
+    dh = F.expr(f"timestampdiff({unit_kw}, _pt, bucket_ts)").cast("double")
+    dt = F.expr(f"timestampdiff({unit_kw}, _pt, _nt)").cast("double")
+    interp = F.col("_pv") + (F.col("_nv") - F.col("_pv")) * (dh / dt)
+    return j.select(
+        key,
+        "bucket_ts",
+        F.when(F.col("_v").isNotNull(), F.col("_v"))
+        .otherwise(interp)
+        .alias("value_interp"),
+        F.col("_v").isNotNull().cast("int").alias("is_observed"),
+    )
+
+
 def assign_surrogate_keys(
     df: DataFrame,
     order_by: list[str],

@@ -59,6 +59,7 @@ DRIVER_PRIORITY = [
     "text_bm25_index_refresh",  # r10 late: O(batch) index maintenance
     "sample_weighted_reservoir",  # r10 late: deterministic A-ES sample
     "stream_ingest_dedup",  # r10 late: online dedup at ingest, full oracle
+    "events_resample_interpolate_hourly",  # r10 late: gapfill+interpolate
     # --- stalest driver rows (last checked r5/r6), staleness rotation ---
     "multimodal_jpeg_roundtrip",
     "multimodal_quarantine_pipeline",

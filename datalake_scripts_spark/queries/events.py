@@ -968,6 +968,66 @@ def events_resample_ffill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_resample_interpolate_hourly",
+    sql="""
+    WITH p AS (SELECT user_id, ts, event_id, value,
+                      date_trunc('hour', ts) AS bucket_ts
+               FROM events WHERE event_type = 'purchase'),
+    hl AS (SELECT user_id, bucket_ts, value FROM
+           (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, bucket_ts
+                                         ORDER BY ts DESC, event_id DESC) AS rn
+            FROM p) x WHERE rn = 1),
+    b AS (SELECT user_id, MIN(bucket_ts) AS a, MAX(bucket_ts) AS z
+          FROM p GROUP BY user_id),
+    nums AS (SELECT i FROM range(0, 2000) AS r(i)),
+    grid AS (SELECT user_id, a + i * INTERVAL 1 HOUR AS bucket_ts
+             FROM b JOIN nums ON i <= datediff('hour', a, z)),
+    j AS (SELECT g.user_id, g.bucket_ts, hl.value
+          FROM grid g LEFT JOIN hl USING (user_id, bucket_ts)),
+    anch AS (
+      SELECT user_id, bucket_ts, value,
+             last_value(value IGNORE NULLS) OVER w_back AS pv,
+             last_value(CASE WHEN value IS NOT NULL THEN bucket_ts END
+                        IGNORE NULLS) OVER w_back AS pt,
+             first_value(value IGNORE NULLS) OVER w_fwd AS nv,
+             first_value(CASE WHEN value IS NOT NULL THEN bucket_ts END
+                         IGNORE NULLS) OVER w_fwd AS nt
+      FROM j
+      WINDOW
+        w_back AS (PARTITION BY user_id ORDER BY bucket_ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        w_fwd AS (PARTITION BY user_id ORDER BY bucket_ts
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT user_id, bucket_ts,
+           CASE WHEN value IS NOT NULL THEN value
+                ELSE pv + (nv - pv)
+                     * (CAST(datediff('hour', pt, bucket_ts) AS DOUBLE)
+                        / CAST(datediff('hour', pt, nt) AS DOUBLE))
+           END AS value_interp,
+           CAST(value IS NOT NULL AS INT) AS is_observed
+    FROM anch
+    """,
+)
+def events_resample_interpolate_hourly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Gap-filled hourly resample with LINEAR INTERPOLATION
+    (operators.scale.resample_interpolate) — time_bucket_gapfill +
+    interpolate, the companion of the forward-fill resample for
+    metrics where a straight line beats a step (sensor readings,
+    balances). One key shuffle; the backward/forward anchor windows
+    share the fill partitioning. The blend ratio divides exact
+    hour-count integers, so interpolated doubles are engine-equal."""
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    from ..operators.scale import resample_interpolate
+
+    return resample_interpolate(
+        ev, "user_id", "ts", "value", tiebreak="event_id",
+        step="1 hour", unit="hour",
+    )
+
+
+@query(
     "events_zscore_anomalies",
     sql="""
     WITH v AS (

@@ -175,6 +175,39 @@ def test_resample_ffill_fills_gaps_deterministically(spark):
     assert len(out) == 4              # grids span each key's own range
 
 
+def test_resample_interpolate_blends_gaps(spark):
+    import datetime as dt
+
+    from datalake_scripts_spark.operators.scale import resample_interpolate
+
+    def ts(h, m=0):
+        return dt.datetime(2024, 3, 1, h, m)
+
+    df = spark.createDataFrame(
+        [
+            # user 1: obs 01 (=10), gaps 02-03, obs 04 (=40):
+            # interpolation climbs 10 per hour
+            (1, ts(1, 10), 100, 10.0),
+            (1, ts(4, 5), 101, 40.0),
+            # user 2: single observation -> trivially observed grid
+            (2, ts(7, 0), 200, 5.0),
+        ],
+        "user_id long, ts timestamp, event_id long, value double",
+    )
+    out = {
+        (r.user_id, r.bucket_ts.hour): (r.value_interp, r.is_observed)
+        for r in resample_interpolate(
+            df, "user_id", "ts", "value", tiebreak="event_id"
+        ).collect()
+    }
+    assert out[(1, 1)] == (10.0, 1)
+    assert out[(1, 2)] == (20.0, 0)   # 10 + (40-10) * 1/3
+    assert out[(1, 3)] == (30.0, 0)   # 10 + (40-10) * 2/3
+    assert out[(1, 4)] == (40.0, 1)
+    assert out[(2, 7)] == (5.0, 1)
+    assert len(out) == 5
+
+
 def test_surrogate_keys_dense_and_order_defined(spark, sf_dir):
     from datalake_scripts_spark.io import read_table
     from datalake_scripts_spark.operators.scale import assign_surrogate_keys
