@@ -57,6 +57,7 @@ from .versioned import (
     current_version,
     read_changes,
     read_versioned,
+    version_with_meta,
     write_versioned,
 )
 
@@ -79,25 +80,80 @@ def bucket_of(token: str, n_buckets: int) -> int:
     return xxhash64_str(token) % n_buckets
 
 
+def _resolve_docstats_version(pdir: str, ddir: str, p_v: int) -> int | None:
+    """Docstats version materialized FOR postings version ``p_v``
+    (marker ``for_postings_version`` in the docstats commit meta).
+    Walks back through postings commits explicitly stamped
+    ``no_docstats_change`` (empty watermark appends); returns None —
+    repair needed — if a content-bearing postings commit has no
+    materialized docstats."""
+    v = p_v
+    while v >= 1:
+        d = version_with_meta(ddir, "for_postings_version", v)
+        if d is not None:
+            return d
+        if not _load_manifest(pdir, v).get("meta", {}).get(
+            "no_docstats_change"
+        ):
+            return None
+        v -= 1
+    return None
+
+
 def _index_meta(index_dir: str) -> dict:
-    """Build params + watermarks, resolved THROUGH the latest postings
-    commit (the linearization point — see module docstring)."""
+    """Build params + watermarks + corpus scalars, ALL resolved through
+    the latest postings commit — the index's single CAS linearization
+    point. Docstats is a derived materialization keyed by a
+    ``for_postings_version`` marker; ``docstats_version`` is None when
+    the materialization is missing (crash between the postings commit
+    and the docstats commit) and :func:`repair_docstats` re-derives it
+    from the postings snapshot itself."""
     pdir = _subdir(index_dir, _POSTINGS)
     ddir = _subdir(index_dir, _DOCSTATS)
     p_v = current_version(pdir)
     pm = _load_manifest(pdir, p_v).get("meta", {})
-    d_v = pm["docstats_version"]
-    dm = _load_manifest(ddir, d_v).get("meta", {})
     return {
         "source_version": pm["source_version"],
         "postings_version": p_v,
-        "docstats_version": d_v,
+        "docstats_version": _resolve_docstats_version(pdir, ddir, p_v),
         "n_buckets": pm["n_buckets"],
         "id_col": pm.get("id_col", "doc_id"),
         "text_col": pm.get("text_col", "text"),
-        "n_docs": dm["n_docs"],
-        "total_len": dm["total_len"],
+        "n_docs": pm["n_docs"],
+        "total_len": pm["total_len"],
     }
+
+
+def repair_docstats(spark: SparkSession, index_dir: str) -> int:
+    """Materialize docstats for the CURRENT postings version by
+    deriving it from the postings snapshot itself (dl = SUM(tf) per
+    doc — docstats is always derivable, which is exactly why the
+    postings commit can be the only linearization point). Idempotent
+    and race-safe: the overwrite CASes on the docstats head; a loser
+    re-resolves and accepts the winner's materialization."""
+    pdir = _subdir(index_dir, _POSTINGS)
+    ddir = _subdir(index_dir, _DOCSTATS)
+    p_v = current_version(pdir)
+    existing = _resolve_docstats_version(pdir, ddir, p_v)
+    if existing is not None:
+        return existing
+    postings = read_versioned(spark, pdir, version=p_v)
+    docstats = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    try:
+        d_head = current_version(ddir)
+    except Exception:
+        d_head = 0
+    try:
+        return write_versioned(
+            spark, docstats, ddir, mode="overwrite",
+            expected_version=d_head,
+            meta={"for_postings_version": p_v},
+        )
+    except CommitConflict:
+        resolved = _resolve_docstats_version(pdir, ddir, p_v)
+        if resolved is not None:
+            return resolved
+        raise
 
 
 def _tokenize(corpus: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -118,12 +174,19 @@ def build_text_index(
     table's CURRENT snapshot. One tokenize pass, two aggregations, one
     bucket-partitioned write — O(corpus), paid once per build.
 
-    The final postings commit CASes on the postings version read at
-    entry; losing the race raises
-    :class:`~.versioned.CommitConflict` (the docstats snapshot already
-    written is an unreferenced orphan — harmless). Retry-until-landed
-    callers go through :func:`refresh_text_index`."""
+    Commit order (race-hardened — the original docstats-first design
+    let a loser's docstats land while its postings CAS failed, and
+    append-carried files would poison every later pinned read; caught
+    by tests/test_maintenance_races.py): POSTINGS commits FIRST and is
+    the ONLY CAS point, carrying the exact corpus scalars in its meta;
+    docstats materializes AFTER, keyed to that postings version by the
+    ``for_postings_version`` marker. A crash or lost race between the
+    two commits leaves a gap that any later maintainer/server repairs
+    by re-deriving docstats from the postings snapshot itself
+    (:func:`repair_docstats`). Retry-until-landed callers go through
+    :func:`refresh_text_index`."""
     pdir = _subdir(index_dir, _POSTINGS)
+    ddir = _subdir(index_dir, _DOCSTATS)
     p_v = current_version(pdir)
     v = current_version(corpus_dir)
     # pinned read: an append landing between current_version and the
@@ -131,18 +194,10 @@ def build_text_index(
     # ANN build applies identically here)
     corpus = read_versioned(spark, corpus_dir, version=v)
     tok = _tokenize(corpus, id_col, text_col)
-    docstats = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    docstats = tok.groupBy("doc_id").agg(F.sum(F.lit(1)).alias("dl"))
     stats = docstats.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
     ).collect()[0]
-    d_new = write_versioned(
-        spark, docstats, _subdir(index_dir, _DOCSTATS), mode="overwrite",
-        meta={
-            "source_version": v,
-            "n_docs": int(stats["n_docs"] or 0),
-            "total_len": int(stats["total_len"] or 0),
-        },
-    )
     postings = (
         tok.groupBy("token", "doc_id")
         .agg(F.count(F.lit(1)).alias("tf"))
@@ -157,11 +212,16 @@ def build_text_index(
         expected_version=p_v,
         meta={
             "source_version": v,
-            "docstats_version": d_new,
             "n_buckets": n_buckets,
             "id_col": id_col,
             "text_col": text_col,
+            "n_docs": int(stats["n_docs"] or 0),
+            "total_len": int(stats["total_len"] or 0),
         },
+    )
+    d_new = write_versioned(
+        spark, docstats, ddir, mode="overwrite",
+        meta={"for_postings_version": p_new},
     )
     return {
         "action": "built",
@@ -221,6 +281,11 @@ def _refresh_once(spark: SparkSession, corpus_dir: str, index_dir: str) -> dict:
 
     pdir = _subdir(index_dir, _POSTINGS)
     ddir = _subdir(index_dir, _DOCSTATS)
+    # heal any gap FIRST so this refresh's docstats delta appends onto
+    # a materialization that covers every prior postings commit
+    if meta["docstats_version"] is None:
+        repair_docstats(spark, index_dir)
+        meta = _index_meta(index_dir)
     new_docs = read_changes(spark, corpus_dir, v0, cur).drop("_change_type")
     tok = _tokenize(new_docs, meta["id_col"], meta["text_col"])
     docstats = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
@@ -228,33 +293,82 @@ def _refresh_once(spark: SparkSession, corpus_dir: str, index_dir: str) -> dict:
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
     ).collect()[0]
     n_new = int(stats["n_docs"] or 0)
-    d_new = write_versioned(
-        spark, docstats, ddir, mode="append",
-        meta={
-            "source_version": cur,
-            # exact-integer scalar roll-forward — never a re-scan
-            "n_docs": meta["n_docs"] + n_new,
-            "total_len": meta["total_len"] + int(stats["total_len"] or 0),
-        },
-    )
+    base_meta = {
+        "source_version": cur,
+        "n_buckets": meta["n_buckets"],
+        "id_col": meta["id_col"],
+        "text_col": meta["text_col"],
+        # exact-integer scalar roll-forward — never a re-scan
+        "n_docs": meta["n_docs"] + n_new,
+        "total_len": meta["total_len"] + int(stats["total_len"] or 0),
+    }
+    if n_new == 0:
+        # empty appends still move the watermark: metadata-only stamp,
+        # explicitly marked so docstats resolution walks past it
+        write_versioned(
+            spark,
+            read_versioned(spark, pdir).limit(0),
+            pdir, mode="append", partition_by=["bucket"],
+            expected_version=p_v,
+            meta=base_meta | {"no_docstats_change": True},
+        )
+        return {"action": "appended", "n_new_docs": 0, "source_version": cur}
     postings = (
         tok.groupBy("token", "doc_id")
         .agg(F.count(F.lit(1)).alias("tf"))
         .withColumn("bucket", _bucket_col(F.col("token"), meta["n_buckets"]))
         .repartition(F.col("bucket"))
     )
-    write_versioned(
+    # the ONLY CAS commit — a loser raises here having written nothing
+    p_new = write_versioned(
         spark, postings, pdir, mode="append", partition_by=["bucket"],
-        expected_version=p_v,
-        meta={
-            "source_version": cur,
-            "docstats_version": d_new,
-            "n_buckets": meta["n_buckets"],
-            "id_col": meta["id_col"],
-            "text_col": meta["text_col"],
-        },
+        expected_version=p_v, meta=base_meta,
     )
+    # delta materialization, keyed to the postings commit it covers; a
+    # crash before this line is healed by repair_docstats on next touch
+    _materialize_docstats(spark, pdir, ddir, p_new, delta=docstats,
+                          expected_d=meta["docstats_version"])
     return {"action": "appended", "n_new_docs": n_new, "source_version": cur}
+
+
+def _materialize_docstats(
+    spark: SparkSession,
+    pdir: str,
+    ddir: str,
+    p_new: int,
+    delta: DataFrame,
+    expected_d: int,
+) -> None:
+    """Land the docstats materialization for postings commit ``p_new``.
+
+    Fast path: the docstats head is still the version this refresh
+    resolved — append the O(batch) delta, CASed on that version so a
+    stray late writer (a stalled prior winner waking after a repair)
+    can never be silently carried forward by this append. Any
+    interference falls back to a FULL re-derive overwrite (overwrites
+    don't carry files, so they wash strays out of the lineage)."""
+    try:
+        if current_version(ddir) == expected_d:
+            write_versioned(
+                spark, delta, ddir, mode="append",
+                expected_version=expected_d,
+                meta={"for_postings_version": p_new},
+            )
+            return
+    except CommitConflict:
+        pass  # lost the CAS to an interloper: full derive below
+    postings = read_versioned(spark, pdir, version=p_new)
+    full = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    try:
+        write_versioned(
+            spark, full, ddir, mode="overwrite",
+            expected_version=current_version(ddir),
+            meta={"for_postings_version": p_new},
+        )
+    except CommitConflict:
+        # tolerable only if someone else materialized exactly p_new
+        if version_with_meta(ddir, "for_postings_version", p_new) is None:
+            raise
 
 
 def bm25_topk_indexed(
@@ -276,6 +390,11 @@ def bm25_topk_indexed(
     (doc_id, bm25_micro, n_matched_terms) — same fold order, FLOOR
     fixed-pointing — so the same oracle verifies both."""
     meta = _index_meta(index_dir)
+    if meta["docstats_version"] is None:
+        # crash gap between a postings commit and its docstats
+        # materialization: heal it (derivable from postings), re-read
+        repair_docstats(spark, index_dir)
+        meta = _index_meta(index_dir)
     pdir = _subdir(index_dir, _POSTINGS)
     ddir = _subdir(index_dir, _DOCSTATS)
     p = read_versioned(spark, pdir, version=meta["postings_version"])

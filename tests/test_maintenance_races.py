@@ -396,3 +396,124 @@ def test_matview_source_append_mid_refresh_folds_next_round(
     )
     assert second == V.current_version(source_dir)
     assert _view_pdf(spark, view) == _expected_pdf(spark, source_dir)
+
+
+# ------------------------------------------- inverted text index maintenance
+
+
+@pytest.fixture()
+def docs_dir(spark, store, tmp_path):
+    d = str(tmp_path / "docs")
+    docs = read_table(spark, SF, "documents")
+    V.write_versioned(
+        spark, docs.filter(F.col("doc_id") < 300), d, mode="append"
+    )
+    return d
+
+
+def _doc_batch(spark, lo, hi):
+    return read_table(spark, SF, "documents").filter(
+        (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+    )
+
+
+def _indexed_doc_ids(spark, idx):
+    rows = (
+        V.read_versioned(spark, idx + "/docstats").select("doc_id").collect()
+    )
+    return sorted(r["doc_id"] for r in rows)
+
+
+def test_text_racing_refreshes_never_duplicate(spark, store, docs_dir, tmp_path):
+    """Two inverted-index refreshes race over the same appended docs:
+    the loser's CAS fails, its retry no-ops at the winner's watermark,
+    and postings hold each (token, doc) exactly once."""
+    from datalake_scripts_spark.operators import text_index as TI
+
+    idx = str(tmp_path / "tidx")
+    TI.build_text_index(spark, docs_dir, idx)
+    V.write_versioned(spark, _doc_batch(spark, 300, 360), docs_dir, mode="append")
+
+    def winner():
+        res = TI.refresh_text_index(spark, docs_dir, idx)
+        assert res["action"] == "appended" and res["n_new_docs"] == 60
+
+    wrapper, real = _race(winner)
+    V._commit_manifest = wrapper
+    try:
+        res = TI.refresh_text_index(spark, docs_dir, idx)
+    finally:
+        V._commit_manifest = real
+    assert res["action"] == "noop"
+    ids = _indexed_doc_ids(spark, idx)
+    assert ids == sorted(set(ids)), "duplicate docstats rows"
+    assert len(ids) == 360
+    p = V.read_versioned(spark, idx + "/postings")
+    assert p.groupBy("token", "doc_id").count().filter("count > 1").count() == 0
+
+
+def test_text_corpus_append_mid_refresh_lands_next_round(
+    spark, store, docs_dir, tmp_path
+):
+    """A corpus append landing between the refresh's read and its
+    commit stays above the pinned watermark: this refresh indexes
+    exactly its range, the next picks up the rest."""
+    from datalake_scripts_spark.operators import text_index as TI
+
+    idx = str(tmp_path / "tidx")
+    TI.build_text_index(spark, docs_dir, idx)
+    V.write_versioned(spark, _doc_batch(spark, 300, 360), docs_dir, mode="append")
+
+    def winner():
+        # NOT an index maintainer: a concurrent corpus producer
+        V.write_versioned(
+            spark, _doc_batch(spark, 360, 400), docs_dir, mode="append"
+        )
+
+    wrapper, real = _race(winner)
+    V._commit_manifest = wrapper
+    try:
+        res = TI.refresh_text_index(spark, docs_dir, idx)
+    finally:
+        V._commit_manifest = real
+    assert res["action"] in ("appended", "noop")
+    follow = TI.refresh_text_index(spark, docs_dir, idx)
+    assert follow["action"] in ("appended", "noop")
+    assert len(_indexed_doc_ids(spark, idx)) == 400
+    # corpus scalars agree with a from-scratch build
+    idx2 = str(tmp_path / "tidx2")
+    TI.build_text_index(spark, docs_dir, idx2)
+    assert TI._index_meta(idx)["n_docs"] == TI._index_meta(idx2)["n_docs"]
+    assert (
+        TI._index_meta(idx)["total_len"] == TI._index_meta(idx2)["total_len"]
+    )
+
+
+def test_text_build_losing_race_raises_and_index_not_torn(
+    spark, store, docs_dir, tmp_path
+):
+    """A rebuild whose postings CAS loses to a concurrent refresh
+    raises the named conflict; the orphaned docstats snapshot it wrote
+    is never observable because serving resolves docstats through the
+    surviving postings commit's recorded version."""
+    from datalake_scripts_spark.operators import text_index as TI
+    from datalake_scripts_spark.queries.llmops import BM25_QUERY_TERMS
+
+    idx = str(tmp_path / "tidx")
+    TI.build_text_index(spark, docs_dir, idx)
+    V.write_versioned(spark, _doc_batch(spark, 300, 330), docs_dir, mode="append")
+
+    def winner():
+        TI.refresh_text_index(spark, docs_dir, idx)
+
+    wrapper, real = _race(winner)
+    V._commit_manifest = wrapper
+    try:
+        with pytest.raises(CommitConflict):
+            TI.build_text_index(spark, docs_dir, idx)
+    finally:
+        V._commit_manifest = real
+    meta = TI._index_meta(idx)
+    assert meta["n_docs"] == 330  # the winner's consistent pair
+    got = TI.bm25_topk_indexed(spark, idx, BM25_QUERY_TERMS, k=5)
+    assert got.count() == 5

@@ -174,3 +174,31 @@ def test_cli_text_index_build_and_refresh(spark, corpus_dir, tmp_path, capsys):
     assert "appended" in capsys.readouterr().out
     got = TI.bm25_topk_indexed(spark, idx, BM25_QUERY_TERMS, k=5)
     assert got.count() == 5
+
+
+def test_crash_gap_between_postings_and_docstats_heals(
+    spark, corpus_dir, tmp_path, monkeypatch
+):
+    """Crash window: the postings CAS commit landed, the docstats
+    materialization didn't. Serving detects the gap (no
+    for_postings_version marker) and heals it by re-deriving docstats
+    from the postings snapshot — result identical to the uncrashed
+    refresh."""
+    idx = str(tmp_path / "i")
+    TI.build_text_index(spark, corpus_dir, idx)
+    docs = read_table(spark, SF, "documents")
+    V.write_versioned(
+        spark, docs.filter("doc_id % 3 = 0"), corpus_dir, mode="append"
+    )
+    monkeypatch.setattr(
+        TI, "_materialize_docstats", lambda *a, **k: None
+    )  # simulated crash after the postings commit
+    assert TI.refresh_text_index(spark, corpus_dir, idx)["action"] == "appended"
+    monkeypatch.undo()
+    assert TI._index_meta(idx)["docstats_version"] is None  # the gap
+    got = TI.bm25_topk_indexed(spark, idx, BM25_QUERY_TERMS, k=20)
+    rows = _rows(got)  # serving healed on demand
+    assert TI._index_meta(idx)["docstats_version"] is not None
+    idx2 = str(tmp_path / "i2")
+    TI.build_text_index(spark, corpus_dir, idx2)
+    assert rows == _rows(TI.bm25_topk_indexed(spark, idx2, BM25_QUERY_TERMS, k=20))
