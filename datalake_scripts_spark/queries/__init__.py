@@ -60,6 +60,8 @@ DRIVER_PRIORITY = [
     "sample_weighted_reservoir",  # r10 late: deterministic A-ES sample
     "stream_ingest_dedup",  # r10 late: online dedup at ingest, full oracle
     "events_resample_interpolate_hourly",  # r10 late: gapfill+interpolate
+    "linkage_fs_matched_pairs",  # r10 late: pair-level FS deliverable
+    "events_cusum_changepoint",  # r10 late: telescoped CUSUM windows
     # --- stalest driver rows (last checked r5/r6), staleness rotation ---
     "multimodal_jpeg_roundtrip",
     "multimodal_quarantine_pipeline",

@@ -968,6 +968,89 @@ def events_resample_ffill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_cusum_changepoint",
+    sql="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY event_type, date_trunc('day', ts)),
+    tot AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(n_events) AS BIGINT) AS t
+      FROM daily GROUP BY event_type),
+    y AS (
+      SELECT d.event_type, d.day, d.n_events,
+             4 * tot.n_days * d.n_events - 5 * tot.t AS yd,
+             tot.t AS t
+      FROM daily d JOIN tot ON tot.event_type = d.event_type),
+    p0 AS (
+      SELECT event_type, day, n_events, t,
+             SUM(yd) OVER (PARTITION BY event_type ORDER BY day
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS pd
+      FROM y),
+    p AS (
+      SELECT event_type, day, n_events, t, pd,
+             MIN(pd) OVER (PARTITION BY event_type ORDER BY day
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS minp
+      FROM p0)
+    SELECT event_type, day, n_events,
+           CAST(pd - LEAST(0, minp) AS BIGINT) AS cusum_scaled,
+           pd - LEAST(0, minp) > 4 * t AS is_change
+    FROM p
+    """,
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection over each event type's daily count
+    series — the classic S_d = max(0, S_{d-1} + (x_d - mean - slack))
+    recursion, which Spark cannot express directly, TELESCOPED into
+    pure window algebra: S_d = P_d - min(0, min_{j<=d} P_j) with P the
+    prefix sum of the drift-adjusted series. Working in exact integer
+    units of 4·n_days·count (slack = 25% of the per-type daily mean,
+    alarm when the accumulated excess clears 4·total = one full mean
+    day in those units), so both engines agree bit-for-bit with zero
+    float ops. One shuffle on event_type; the nested min-over-sum
+    windows share its partitioning."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    tot = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("n_events").alias("t"),
+    )
+    # bcast: O(event types) — 5 rows
+    y = daily.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "day",
+        "n_events",
+        (4 * F.col("n_days") * F.col("n_events") - 5 * F.col("t")).alias("yd"),
+        "t",
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    p = y.select(
+        "event_type",
+        "day",
+        "n_events",
+        "t",
+        F.sum("yd").over(w).alias("pd"),
+    ).withColumn("minp", F.min("pd").over(w))
+    s = F.col("pd") - F.least(F.lit(0), F.col("minp"))
+    return p.select(
+        "event_type",
+        "day",
+        "n_events",
+        s.cast("bigint").alias("cusum_scaled"),
+        (s > 4 * F.col("t")).alias("is_change"),
+    )
+
+
+@query(
     "events_resample_interpolate_hourly",
     sql="""
     WITH p AS (SELECT user_id, ts, event_id, value,

@@ -168,3 +168,71 @@ def linkage_fs_match_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_patterns(
         spark, patterns, _GCOLS, n_iter=_N_ITER, threshold=0.9
     )
+
+
+@query(
+    "linkage_fs_matched_pairs",
+    sql=_EM_SQL
+    + """
+    , pairids AS (
+      SELECT a.key AS key_a, b.key AS key_b,
+             CAST(a.name = b.name AS INT) AS g_name,
+             CAST(a.seg = b.seg AS INT) AS g_seg,
+             CAST(a.bucket = b.bucket AS INT) AS g_bucket
+      FROM ({side_a}) a JOIN ({side_b}) b ON a.nat = b.nat)
+    SELECT p.key_a, p.key_b,
+           CAST(s.pf AS DOUBLE) / 1000000.0 AS match_prob
+    FROM pairids p
+    JOIN scored s
+      ON s.g_name = p.g_name AND s.g_seg = p.g_seg
+     AND s.g_bucket = p.g_bucket
+    WHERE s.pf >= 900000
+    """.format(side_a=_SQL_SIDE_A, side_b=_SQL_SIDE_B),
+)
+def linkage_fs_matched_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pair-level linkage deliverable: candidate pairs whose gamma
+    pattern's EM posterior clears 0.9 — i.e. the record pairs the model
+    links. On this data every matched pair is a true (A_k, B_k) twin:
+    the learned classifier is name agreement and customer names are
+    unique, so precision is 1.0 by construction and recall is the
+    planted name-survival rate (~13/16). Scale shape: the pattern
+    posteriors (<= 2^K rows) broadcast onto the pair stream — scoring
+    adds zero shuffles to pair generation."""
+    cust = t(spark, sf_dir, "customer")
+    a = cust.select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_nationkey").alias("nat"),
+        F.floor(F.col("c_acctbal") / 1000.0).cast("bigint").alias("bucket"),
+    )
+    b = a.select(
+        "key",
+        "nat",
+        F.when(_nibble(1) < 3, F.concat(F.col("name"), F.lit("~")))
+        .otherwise(F.col("name"))
+        .alias("name"),
+        F.when(_nibble(2) < 5, F.lit("OTHER")).otherwise(F.col("seg")).alias("seg"),
+        (
+            F.col("bucket")
+            + F.when(_nibble(3) < 4, F.lit(1)).otherwise(F.lit(0))
+        ).alias("bucket"),
+    )
+    al, bl = a.alias("a"), b.alias("b")
+    pairs = al.join(bl, "nat").select(
+        F.col("a.key").alias("key_a"),
+        F.col("b.key").alias("key_b"),
+        (F.col("a.name") == F.col("b.name")).cast("int").alias("g_name"),
+        (F.col("a.seg") == F.col("b.seg")).cast("int").alias("g_seg"),
+        (F.col("a.bucket") == F.col("b.bucket")).cast("int").alias("g_bucket"),
+    )
+    scored = score_patterns(
+        spark, comparison_patterns(pairs, _GCOLS), _GCOLS,
+        n_iter=_N_ITER, threshold=0.9,
+    ).select(*_GCOLS, "match_prob", "is_match")
+    return (
+        # bcast: <= 2^K posterior rows
+        pairs.join(F.broadcast(scored), _GCOLS)
+        .filter(F.col("is_match"))
+        .select("key_a", "key_b", "match_prob")
+    )

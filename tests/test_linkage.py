@@ -103,3 +103,17 @@ def test_score_patterns_broadcast_lookup(spark):
     assert rows[(1, 1)].match_prob > 0.9
     # counts preserved through the broadcast join
     assert rows[(0, 0)].n_pairs == 90
+
+
+def test_matched_pairs_are_exactly_true_twins(spark):
+    """Pair-level precision on the planted data: every matched pair is
+    (A_k, B_k) for the same k — the model links exactly the true twins
+    whose names survived perturbation."""
+    from datalake_scripts_spark.queries import REGISTRY
+
+    rows = REGISTRY["linkage_fs_matched_pairs"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) > 0
+    assert all(r.key_a == r.key_b for r in rows)  # precision 1.0
+    assert all(r.match_prob >= 0.9 for r in rows)

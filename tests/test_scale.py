@@ -258,3 +258,45 @@ def test_surrogate_keys_invariant_to_partition_count(spark, sf_dir):
             ).collect()
         }
         assert got == base
+
+
+def test_cusum_telescoping_matches_recursion(spark):
+    """The window form S_d = P_d - min(0, min prefix P) must equal the
+    textbook recursion S_d = max(0, S_{d-1} + y_d) on a crafted series
+    with a mid-series burst."""
+    import datetime as dt
+
+    from datalake_scripts_spark.queries import REGISTRY
+
+    # 10 quiet days of 2 events, then 4 burst days of 12
+    rows, eid = [], 0
+    for d in range(14):
+        n = 2 if d < 10 else 12
+        for i in range(n):
+            rows.append((eid, dt.datetime(2024, 1, 1 + d, 6 + (i % 12)),
+                         1, "burst", 1.0, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    import tempfile
+
+    src = tempfile.mkdtemp(prefix="cusum_")
+    df.write.mode("overwrite").parquet(src + "/events.parquet")
+    out = {
+        r.day.day: (r.cusum_scaled, r.is_change)
+        for r in REGISTRY["events_cusum_changepoint"].fn(spark, src).collect()
+    }
+    # recursion twin in plain python (same integer units)
+    n_days, t = 14, 10 * 2 + 4 * 12
+    s, expect = 0, {}
+    for d in range(14):
+        x = 2 if d < 10 else 12
+        s = max(0, s + (4 * n_days * x - 5 * t))
+        expect[d + 1] = (s, s > 4 * t)
+    assert out == expect
+    # the burst is detected, the quiet period is not
+    assert not any(flag for day, (_, flag) in out.items() if day <= 10)
+    assert any(flag for day, (_, flag) in out.items() if day > 10)
