@@ -97,17 +97,8 @@ DRIVER_PRIORITY = [
     "bpe_second_merge",
     "case_when_balance_tiers",
     "distinct_order_months",
-    "dsir_importance_select",
-    "entity_resolution_canonical",
-    "events_mad_outliers",
-    "events_signup_purchase_funnel",
-    "graph_bfs_customer_reach",
-    "grouping_sets_explicit",
-    "join_anti_dormant_customers",
-    "join_broadcast_brand_revenue",
-    "join_inner_orders_customers",
-    "join_left_order_counts",
-    "join_semi_active_customers",
+    # (11 stale slots displaced by this round's new queries — the
+    # rotation resumes with them next round; ledger keeps their ranks)
 ]
 
 
