@@ -243,3 +243,74 @@ def test_wav_roundtrip_property(specs):
         assert np.array_equal(decoded, a)
         r = rms_int16(a)
         assert 0.0 <= r <= 2**15
+
+
+def _scd2_python_twin(changes):
+    """Brute-force SCD2: per key, sort by (ts, seq), last-write-wins per
+    ts, collapse no-change runs, close intervals."""
+    out = []
+    keys = {k for k, _, _, _ in changes}
+    for k in sorted(keys):
+        rows = sorted(
+            [(ts, seq, v) for kk, ts, seq, v in changes if kk == k]
+        )
+        lww = {}
+        for ts, seq, v in rows:  # later (ts, seq) wins within a ts
+            lww[ts] = v
+        collapsed = []
+        for ts in sorted(lww):
+            if not collapsed or collapsed[-1][1] != lww[ts]:
+                collapsed.append((ts, lww[ts]))
+        for i, (ts, v) in enumerate(collapsed):
+            nxt = collapsed[i + 1][0] if i + 1 < len(collapsed) else None
+            out.append((k, v, ts, nxt, nxt is None))
+    return sorted(out)
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 3),                # key
+            st.integers(0, 5),                # day offset (duplicates ok)
+            st.sampled_from(["a", "b", "c"]),  # tracked value
+        ),
+        min_size=1,
+        max_size=16,
+    )
+)
+def test_scd2_from_changes_matches_python_twin(spark, rows):
+    """SCD2 invariants for ALL change feeds: intervals per key are
+    disjoint, contiguous, end open; history equals the brute-force
+    last-write-wins + collapse twin."""
+    import datetime as dt
+
+    from datalake_scripts_spark.operators.upsert import scd2_from_changes
+
+    feed = [
+        (k, dt.datetime(2024, 1, 1 + d), seq, v)
+        for seq, (k, d, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        [(k, ts, seq, v) for k, ts, seq, v in feed],
+        "k long, ts timestamp, seq long, city string",
+    )
+    got = sorted(
+        (r.k, r.city, r.valid_from, r.valid_to, r.is_current)
+        for r in scd2_from_changes(
+            df, ["k"], ["city"], tiebreak=["seq"]
+        ).collect()
+    )
+    want = _scd2_python_twin([(k, ts, seq, v) for k, ts, seq, v in feed])
+    assert got == want
+    # structural invariants: per key, exactly one open row and
+    # contiguous half-open intervals
+    per_key = {}
+    for k, v, vf, vt, cur in got:
+        per_key.setdefault(k, []).append((vf, vt, cur))
+    for k, ivs in per_key.items():
+        ivs.sort()
+        assert sum(1 for _, vt, cur in ivs if cur) == 1
+        for (f1, t1, _), (f2, _, _) in zip(ivs, ivs[1:]):
+            assert t1 == f2  # contiguous, no gap or overlap
+        assert ivs[-1][1] is None
