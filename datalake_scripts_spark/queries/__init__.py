@@ -62,6 +62,7 @@ DRIVER_PRIORITY = [
     "events_resample_interpolate_hourly",  # r10 late: gapfill+interpolate
     "linkage_fs_matched_pairs",  # r10 late: pair-level FS deliverable
     "events_cusum_changepoint",  # r10 late: telescoped CUSUM windows
+    "split_leakage_safe",  # r10 late: dedup-group-keyed split coin
     # --- stalest driver rows (last checked r5/r6), staleness rotation ---
     "multimodal_jpeg_roundtrip",
     "multimodal_quarantine_pipeline",
@@ -96,8 +97,7 @@ DRIVER_PRIORITY = [
     "bpe_first_merges",
     "bpe_second_merge",
     "case_when_balance_tiers",
-    "distinct_order_months",
-    # (11 stale slots displaced by this round's new queries — the
+    # (12 stale slots displaced by this round's new queries — the
     # rotation resumes with them next round; ledger keeps their ranks)
 ]
 

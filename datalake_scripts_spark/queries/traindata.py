@@ -495,6 +495,63 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "split_leakage_safe",
+    sql=f"""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct({{toks}})), ' '))
+               AS fingerprint
+      FROM documents),
+    assigned AS (
+      SELECT doc_id, fingerprint,
+             CASE WHEN instr('0123456789abcdef',
+                             substr(md5(fingerprint), 1, 1)) - 1 < 12
+                    THEN 'train'
+                  WHEN instr('0123456789abcdef',
+                             substr(md5(fingerprint), 1, 1)) - 1 < 14
+                    THEN 'val'
+                  ELSE 'test' END AS split
+      FROM fp)
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT fingerprint) AS BIGINT) AS n_groups,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+    FROM assigned GROUP BY split
+    """.format(toks=SQL_TOKS),
+)
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: the split coin is hashed from
+    the document's DEDUP-GROUP key (the order-insensitive token-set
+    fingerprint), not its id — so exact duplicates and token-reordered
+    twins can NEVER straddle train and test, the eval-contamination
+    mode a per-id split (split_train_val_test) permits by design.
+    Map-only: no join, no shuffle before the summary agg; the same
+    expression composes with the near-dup pipeline by hashing
+    dedup_duplicate_clusters' cluster_id instead of the fingerprint
+    when the corpus needs fuzzy-group safety. Coin = md5 nibble of the
+    fingerprint (12/2/2 of 16 => 75/12.5/12.5), identical in both
+    engines (simhash-twin primitive set)."""
+    from ..operators.text import fingerprint
+
+    docs = t(spark, sf_dir, "documents")
+    fp = docs.select("doc_id", fingerprint("text").alias("fingerprint"))
+    nib = F.expr(
+        "instr('0123456789abcdef', substr(md5(fingerprint), 1, 1)) - 1"
+    )
+    assigned = fp.select(
+        "doc_id",
+        "fingerprint",
+        F.when(nib < 12, "train").when(nib < 14, "val").otherwise("test")
+        .alias("split"),
+    )
+    return assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("fingerprint").alias("n_groups"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # In-query quality classifier (multinomial Naive Bayes) and DSIR
 # importance weighting — the two published "model-based" curation gates

@@ -150,3 +150,40 @@ def test_weighted_reservoir_biases_toward_weight(spark):
         .collect()[0][0]
     )
     assert sample_mean > corpus_mean
+
+
+def test_leakage_safe_split_keeps_dup_groups_together(spark):
+    """Docs with the same token-set fingerprint must land in the SAME
+    split (the invariant split_train_val_test cannot give), and every
+    doc gets exactly one split."""
+    from pyspark.sql import functions as F
+
+    from datalake_scripts_spark.io import read_table
+    from datalake_scripts_spark.operators.text import fingerprint
+
+    docs = read_table(spark, SF, "documents")
+    nib = F.expr(
+        "instr('0123456789abcdef', substr(md5(fingerprint), 1, 1)) - 1"
+    )
+    assigned = docs.select(
+        "doc_id", fingerprint("text").alias("fingerprint")
+    ).select(
+        "doc_id",
+        "fingerprint",
+        F.when(nib < 12, "train").when(nib < 14, "val").otherwise("test")
+        .alias("split"),
+    )
+    # per fingerprint: exactly one distinct split
+    leaky = (
+        assigned.groupBy("fingerprint")
+        .agg(F.countDistinct("split").alias("k"))
+        .filter("k > 1")
+        .count()
+    )
+    assert leaky == 0
+    # duplicates exist in the corpus, so the invariant is non-vacuous
+    assert (
+        assigned.groupBy("fingerprint").count().filter("count > 1").count()
+        > 0
+    )
+    assert assigned.count() == docs.count()
