@@ -186,13 +186,29 @@ def main() -> int:
     prior_path = newest_prior(out_path)
 
     flagged, confirmed = [], []
+    env_factor = 1.0
     if prior_path is not None:
         prior = json.load(open(prior_path))["queries"]
+        # Environment factor: the prior artifact was taken under a
+        # possibly different machine state (the r7-r10 phantom-mover
+        # ritual traced every time to exactly this). The MEDIAN
+        # current/prior ratio over all shared, non-trivial queries is
+        # a robust estimate of uniform host drift — a real plan
+        # regression moves one query, not the median of 200. Movers
+        # are judged against the env-adjusted prior.
+        ratios = sorted(
+            timings[n] / prior[n]
+            for n in timings
+            if prior.get(n, 0) > 0.2 and n in timings
+        )
+        if len(ratios) >= 10:
+            env_factor = round(ratios[len(ratios) // 2], 3)
         for name, now in timings.items():
             then = prior.get(name)
             if then is None or then <= 0:
                 continue
-            if now > then * RATIO and now - then > ABS_DELTA_S:
+            base = then * env_factor
+            if now > base * RATIO and now - base > ABS_DELTA_S:
                 flagged.append([name, then, now, None])
         flagged.sort(key=lambda m: m[2] - m[1], reverse=True)
         if flagged and not args.no_isolate:
@@ -205,10 +221,12 @@ def main() -> int:
             # no isolated number (pass skipped / failed) => stay
             # conservative and confirm on the sweep number
             judged = alone if alone is not None else now
-            if judged > then * RATIO and judged - then > ABS_DELTA_S:
+            base = then * env_factor
+            if judged > base * RATIO and judged - base > ABS_DELTA_S:
                 confirmed.append([name, then, now, alone])
     artifact["flagged"] = flagged
     artifact["confirmed"] = confirmed
+    artifact["env_factor"] = env_factor
 
     with open(out_path, "w") as f:
         json.dump(artifact, f, indent=1, sort_keys=True)
@@ -219,8 +237,9 @@ def main() -> int:
     if prior_path is None:
         print("no prior BENCH_FULL artifact — baseline established")
         return 0
-    print(f"diff vs {prior_path}: {len(flagged)} flagged "
-          f"(>{RATIO}x and >{ABS_DELTA_S}s), "
+    print(f"diff vs {prior_path}: env factor {env_factor}x, "
+          f"{len(flagged)} flagged "
+          f"(>{RATIO}x and >{ABS_DELTA_S}s beyond env), "
           f"{len(confirmed)} confirmed in isolation")
     for name, then, now, alone in flagged:
         verdict = "CONFIRMED" if [name, then, now, alone] in confirmed \
