@@ -63,6 +63,7 @@ DRIVER_PRIORITY = [
     "linkage_fs_matched_pairs",  # r10 late: pair-level FS deliverable
     "events_cusum_changepoint",  # r10 late: telescoped CUSUM windows
     "split_leakage_safe",  # r10 late: dedup-group-keyed split coin
+    "text_phrase_search",  # r10 late: positional posting intersection
     # --- stalest driver rows (last checked r5/r6), staleness rotation ---
     "multimodal_jpeg_roundtrip",
     "multimodal_quarantine_pipeline",
@@ -96,8 +97,7 @@ DRIVER_PRIORITY = [
     "array_agg_sorted_orders",
     "bpe_first_merges",
     "bpe_second_merge",
-    "case_when_balance_tiers",
-    # (12 stale slots displaced by this round's new queries — the
+    # (13 stale slots displaced by this round's new queries — the
     # rotation resumes with them next round; ledger keeps their ranks)
 ]
 

@@ -2997,3 +2997,70 @@ def stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.processAllAvailable()
     q.stop()
     return V.read_versioned(spark, corpus_dir).select("doc_id", "fingerprint")
+
+
+PHRASE_QUERIES = ["slow hash batch", "customer part join"]
+
+
+@query(
+    "text_phrase_search",
+    sql=f"""
+    WITH toks AS (
+      SELECT doc_id, {SQL_TOKS} AS tk FROM documents),
+    tg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(tk) - 1),
+                    i -> array_to_string(tk[i:i+2], ' '))) AS g
+      FROM toks WHERE len(tk) >= 3)
+    SELECT g AS phrase, doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM tg
+    WHERE g IN ('slow hash batch', 'customer part join')
+    GROUP BY g, doc_id
+    """,
+)
+def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search by POSITIONAL POSTING INTERSECTION — the IR
+    engine form: posexplode the corpus once into (doc, pos, token)
+    postings, filter each phrase word's posting list, and chain-join on
+    (doc, pos+offset). All three joins share the doc_id partitioning,
+    so Catalyst plans ONE exchange per posting list and reuses it down
+    the chain; at 100 TB this is the standard phrase-query plan served
+    from a positional inverted index (the positions column is the
+    natural extension of operators.text_index's postings). The ORACLE
+    deliberately computes the same answer the OTHER way — a flat
+    n-gram scan — so the two engines cross-check algorithmically
+    independent implementations, not a shared formula."""
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(X.tokens("text")).alias("pos", "token")
+    )
+    out = None
+    for phrase in PHRASE_QUERIES:
+        words = phrase.split()
+        # distinct column names per posting list: a chained self-join
+        # of the same base frame leaves `doc_id` ambiguous otherwise
+        m = tok.filter(F.col("token") == words[0]).select(
+            F.col("doc_id").alias("d0"), F.col("pos").alias("p0")
+        )
+        for i, w in enumerate(words[1:], start=1):
+            nxt = tok.filter(F.col("token") == w).select(
+                F.col("doc_id").alias(f"d{i}"), F.col("pos").alias(f"p{i}")
+            )
+            m = m.join(
+                nxt,
+                on=[
+                    F.col("d0") == F.col(f"d{i}"),
+                    F.col(f"p{i}") == F.col("p0") + i,
+                ],
+            ).drop(f"d{i}")
+        hits = (
+            m.groupBy("d0")
+            .agg(F.count(F.lit(1)).alias("n_occurrences"))
+            .select(
+                F.lit(phrase).alias("phrase"),
+                F.col("d0").alias("doc_id"),
+                "n_occurrences",
+            )
+        )
+        out = hits if out is None else out.unionByName(hits)
+    return out
