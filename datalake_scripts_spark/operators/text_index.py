@@ -9,7 +9,9 @@ instead of re-tokenizing the corpus per query (the
 Index layout (two versioned tables under ``index_dir``):
 
     index_dir/postings   (token string, doc_id bigint, tf bigint,
-                          bucket bigint)   — hive-partitioned BY BUCKET
+                          positions array<int>, bucket bigint)
+                         — hive-partitioned BY BUCKET, positions make
+                           it a POSITIONAL index (phrase queries)
     index_dir/docstats   (doc_id bigint, dl bigint)
 
 - postings are partitioned by ``bucket = pmod(xxhash64(token), B)``:
@@ -156,9 +158,21 @@ def repair_docstats(spark: SparkSession, index_dir: str) -> int:
         raise
 
 
+def _postings_agg(tok: DataFrame) -> DataFrame:
+    """(token, doc_id, tf, positions) — positions sorted so the stored
+    array is deterministic (collect_list order is not)."""
+    return tok.groupBy("token", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.sort_array(F.collect_list("pos")).alias("positions"),
+    )
+
+
 def _tokenize(corpus: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, pos, token) postings stream — positions ride along so
+    the stored index can answer PHRASE queries, not just bags."""
     return corpus.select(
-        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("token")
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(text_col)).alias("pos", "token"),
     )
 
 
@@ -199,8 +213,7 @@ def build_text_index(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
     ).collect()[0]
     postings = (
-        tok.groupBy("token", "doc_id")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        _postings_agg(tok)
         .withColumn("bucket", _bucket_col(F.col("token"), n_buckets))
         # co-locate each bucket before the partitioned write (see
         # ann_index build: one shuffle -> ~one file per bucket, not
@@ -314,8 +327,7 @@ def _refresh_once(spark: SparkSession, corpus_dir: str, index_dir: str) -> dict:
         )
         return {"action": "appended", "n_new_docs": 0, "source_version": cur}
     postings = (
-        tok.groupBy("token", "doc_id")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        _postings_agg(tok)
         .withColumn("bucket", _bucket_col(F.col("token"), meta["n_buckets"]))
         .repartition(F.col("bucket"))
     )
@@ -440,4 +452,59 @@ def bm25_topk_indexed(
         )
         .orderBy(F.desc("bm25_micro"), "doc_id")
         .limit(k)
+    )
+
+
+def phrase_search_indexed(
+    spark: SparkSession,
+    index_dir: str,
+    phrase: str,
+    prune: bool = True,
+) -> DataFrame:
+    """Exact phrase search FROM the stored positional index: probe only
+    the phrase words' buckets (static partition pruning, like BM25
+    serving), join the words' posting rows per doc, explode the first
+    word's positions and check each successor with array_contains —
+    no corpus scan, no tokenize, and the join count is bounded by the
+    phrase length. Returns (phrase, doc_id, n_occurrences) — the same
+    contract as the on-the-fly positional-intersection query
+    (queries.llmops.text_phrase_search), so the same oracle verifies
+    both."""
+    words = phrase.split()
+    if not words:
+        raise ValueError("empty phrase")
+    meta = _index_meta(index_dir)
+    if meta["docstats_version"] is None:
+        repair_docstats(spark, index_dir)
+        meta = _index_meta(index_dir)
+    pdir = _subdir(index_dir, _POSTINGS)
+    p = read_versioned(spark, pdir, version=meta["postings_version"])
+    if prune:
+        probed = sorted({bucket_of(w, meta["n_buckets"]) for w in words})
+        p = p.filter(F.col("bucket").isin(probed))
+    m = (
+        p.filter(F.col("token") == words[0])
+        .select(
+            F.col("doc_id").alias("d0"),
+            F.explode("positions").alias("p0"),
+        )
+    )
+    for i, w in enumerate(words[1:], start=1):
+        nxt = p.filter(F.col("token") == w).select(
+            F.col("doc_id").alias(f"d{i}"),
+            F.col("positions").alias(f"ps{i}"),
+        )
+        m = (
+            m.join(nxt, on=[F.col("d0") == F.col(f"d{i}")])
+            .filter(F.array_contains(F.col(f"ps{i}"), F.col("p0") + i))
+            .drop(f"d{i}", f"ps{i}")
+        )
+    return (
+        m.groupBy("d0")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .select(
+            F.lit(phrase).alias("phrase"),
+            F.col("d0").alias("doc_id"),
+            "n_occurrences",
+        )
     )

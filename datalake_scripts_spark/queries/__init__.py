@@ -64,6 +64,7 @@ DRIVER_PRIORITY = [
     "events_cusum_changepoint",  # r10 late: telescoped CUSUM windows
     "split_leakage_safe",  # r10 late: dedup-group-keyed split coin
     "text_phrase_search",  # r10 late: positional posting intersection
+    "text_phrase_indexed",  # r10 late: phrase served from stored index
     # --- stalest driver rows (last checked r5/r6), staleness rotation ---
     "multimodal_jpeg_roundtrip",
     "multimodal_quarantine_pipeline",
@@ -96,8 +97,7 @@ DRIVER_PRIORITY = [
     "approx_distinct_stats",
     "array_agg_sorted_orders",
     "bpe_first_merges",
-    "bpe_second_merge",
-    # (13 stale slots displaced by this round's new queries — the
+    # (14 stale slots displaced by this round's new queries — the
     # rotation resumes with them next round; ledger keeps their ranks)
 ]
 

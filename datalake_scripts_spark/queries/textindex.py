@@ -63,3 +63,30 @@ def text_bm25_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = TI.refresh_text_index(spark, corpus_dir, index_dir)
     assert res["action"] == "appended", res
     return TI.bm25_topk_indexed(spark, index_dir, BM25_QUERY_TERMS, k=20)
+
+
+@query(
+    "text_phrase_indexed",
+    sql=REGISTRY["text_phrase_search"].sql,
+)
+def text_phrase_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase search served FROM the persisted positional index: probe
+    only the phrase words' buckets, join their posting rows per doc,
+    and verify adjacency against the stored positions arrays — no
+    corpus scan, no tokenize at query time. Same oracle as the
+    on-the-fly positional-intersection query (text_phrase_search),
+    which itself cross-checks against the oracle's independent n-gram
+    scan — three algorithmically distinct implementations of one
+    answer."""
+    from .llmops import PHRASE_QUERIES
+
+    docs = t(spark, sf_dir, "documents")
+    corpus_dir = tempfile.mkdtemp(prefix="phr_corpus_")
+    index_dir = tempfile.mkdtemp(prefix="phr_index_")
+    V.write_versioned(spark, docs, corpus_dir, mode="append")
+    TI.build_text_index(spark, corpus_dir, index_dir)
+    out = None
+    for phrase in PHRASE_QUERIES:
+        hits = TI.phrase_search_indexed(spark, index_dir, phrase)
+        out = hits if out is None else out.unionByName(hits)
+    return out

@@ -202,3 +202,57 @@ def test_crash_gap_between_postings_and_docstats_heals(
     idx2 = str(tmp_path / "i2")
     TI.build_text_index(spark, corpus_dir, idx2)
     assert rows == _rows(TI.bm25_topk_indexed(spark, idx2, BM25_QUERY_TERMS, k=20))
+
+
+def test_phrase_indexed_equals_on_the_fly(spark, tmp_path):
+    """Phrase serving from the positional index == the on-the-fly
+    positional-intersection query on the same (full) corpus, and the
+    scan prunes to the phrase words' buckets."""
+    from datalake_scripts_spark.queries.llmops import PHRASE_QUERIES
+
+    cdir, idx = str(tmp_path / "c"), str(tmp_path / "i")
+    V.write_versioned(
+        spark, read_table(spark, SF, "documents"), cdir, mode="append"
+    )
+    TI.build_text_index(spark, cdir, idx)
+    import pyspark.sql.functions as SF2
+
+    from datalake_scripts_spark.operators.text import tokens as _tokens
+
+    docs = V.read_versioned(spark, cdir)
+    total_hits = 0
+    for phrase in PHRASE_QUERIES:
+        got = TI.phrase_search_indexed(spark, idx, phrase)
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "bucket" in plan
+        got_rows, want = _phrase_twin(docs, phrase, got)
+        assert got_rows == want
+        total_hits += len(want)
+    assert total_hits > 0
+
+
+def _phrase_twin(docs, phrase, got):
+    import pyspark.sql.functions as SF
+
+    from datalake_scripts_spark.operators.text import tokens as _tokens
+    tok = docs.select(
+        "doc_id", SF.posexplode(_tokens("text")).alias("pos", "token")
+    )
+    words = phrase.split()
+    m = tok.filter(SF.col("token") == words[0]).select(
+        SF.col("doc_id").alias("d0"), SF.col("pos").alias("p0")
+    )
+    for i, w in enumerate(words[1:], start=1):
+        nxt = tok.filter(SF.col("token") == w).select(
+            SF.col("doc_id").alias(f"d{i}"), SF.col("pos").alias(f"p{i}")
+        )
+        m = m.join(
+            nxt,
+            on=[SF.col("d0") == SF.col(f"d{i}"),
+                SF.col(f"p{i}") == SF.col("p0") + i],
+        ).drop(f"d{i}")
+    want = {
+        (r["d0"], r["n"])
+        for r in m.groupBy("d0").agg(SF.count(SF.lit(1)).alias("n")).collect()
+    }
+    return {(r.doc_id, r.n_occurrences) for r in got.collect()}, want
