@@ -140,6 +140,22 @@ def scd2_from_changes(
     tiebreak = tiebreak or []
     order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in tiebreak]
     w = W.partitionBy(*keys).orderBy(*order)
+    return _scd2_pipeline(
+        changes, keys, tracked_cols, ts_col, w,
+        valid_from_col, valid_to_col, current_flag_col,
+    )
+
+
+def _scd2_pipeline(
+    changes: DataFrame,
+    keys: list[str],
+    tracked_cols: list[str],
+    ts_col: str,
+    w,
+    valid_from_col: str,
+    valid_to_col: str,
+    current_flag_col: str,
+) -> DataFrame:
 
     # 1. last-write-wins per (keys, ts): keep the LAST row of each
     #    equal-ts run — the row whose successor has a different ts.
@@ -163,3 +179,63 @@ def scd2_from_changes(
         F.lead(ts_col).over(w).alias(valid_to_col),
         F.lead(ts_col).over(w).isNull().alias(current_flag_col),
     )
+
+
+def scd2_merge_backfill(
+    dim: DataFrame,
+    late_changes: DataFrame,
+    keys: list[str],
+    tracked_cols: list[str],
+    ts_col: str = "ts",
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+    current_flag_col: str = "is_current",
+) -> DataFrame:
+    """Merge LATE-ARRIVING changes into an existing SCD2 dimension —
+    including changes that land in the MIDDLE of a key's history, the
+    case :func:`scd2_apply` (head-append only) cannot express and a
+    naive pipeline silently mis-intervals.
+
+    Shape: only the touched keys rework. The late batch's keys
+    (semi-join) have their histories re-derived from the union of
+    (a) the dim's own version rows — each IS a canonical change at its
+    ``valid_from`` — and (b) the late changes; untouched keys pass
+    through by anti-join. Cost rides the touched keys' history length,
+    never the dimension: the 100 TB backfill shape.
+
+    Equal-timestamp policy: a late change at an existing change-point's
+    exact ts WINS (CDC re-delivery semantics) — the merge tiebreak
+    orders dim rows before late rows at equal ts and last-write-wins
+    keeps the late one. Consecutive equal values across the splice
+    re-collapse, so merging a no-op backfill is the identity.
+
+    ``dim`` and ``late_changes`` must not share one DataFrame lineage
+    (Spark's self-union rejects zipping a plan with itself); when the
+    late batch is derived from the dim, materialize one side first
+    (localCheckpoint or a table round-trip — the versioned layer's
+    read does this naturally).
+    """
+    touched = late_changes.select(*keys).distinct()
+    existing = (
+        dim.join(touched, keys, "left_semi")
+        .select(
+            *keys,
+            *tracked_cols,
+            F.col(valid_from_col).alias(ts_col),
+            F.lit(0).alias("_src"),
+        )
+    )
+    late = late_changes.select(
+        *keys, *tracked_cols, F.col(ts_col), F.lit(1).alias("_src")
+    )
+    merged = existing.unionByName(late)
+    w = W.partitionBy(*keys).orderBy(F.col(ts_col).asc(), F.col("_src").asc())
+    rebuilt = _scd2_pipeline(
+        merged, keys, tracked_cols, ts_col, w,
+        valid_from_col, valid_to_col, current_flag_col,
+    ).select(*keys, *tracked_cols, valid_from_col, valid_to_col,
+             current_flag_col)
+    untouched = dim.join(touched, keys, "left_anti").select(
+        *keys, *tracked_cols, valid_from_col, valid_to_col, current_flag_col
+    )
+    return untouched.unionByName(rebuilt)

@@ -65,6 +65,7 @@ DRIVER_PRIORITY = [
     "split_leakage_safe",  # r10 late: dedup-group-keyed split coin
     "text_phrase_search",  # r10 late: positional posting intersection
     "text_phrase_indexed",  # r10 late: phrase served from stored index
+    "scd2_backfill_merge",  # r10 late: mid-history splice, full oracle
     # --- stalest driver rows (last checked r5/r6), staleness rotation ---
     "multimodal_jpeg_roundtrip",
     "multimodal_quarantine_pipeline",
@@ -96,8 +97,7 @@ DRIVER_PRIORITY = [
     "ann_ivf_recall",
     "approx_distinct_stats",
     "array_agg_sorted_orders",
-    "bpe_first_merges",
-    # (14 stale slots displaced by this round's new queries — the
+    # (15 stale slots displaced by this round's new queries — the
     # rotation resumes with them next round; ledger keeps their ranks)
 ]
 

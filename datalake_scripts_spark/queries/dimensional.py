@@ -146,3 +146,37 @@ def scd2_point_in_time_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_value"),
         )
     )
+
+
+@query(
+    "scd2_backfill_merge",
+    sql=_SCD2_SRC_SQL
+    + """
+    SELECT user_id, tier, valid_from, valid_to, valid_to IS NULL AS is_current
+    FROM dim
+    """,
+)
+def scd2_backfill_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-arriving backfill merged into a LIVE SCD2 dimension
+    (operators.upsert.scd2_merge_backfill): the dim is first built from
+    only the RECENT half of the change feed (the out-of-order-delivery
+    reality), then the early half arrives late and splices into the
+    MIDDLE of every key's history — interval splits, boundary
+    re-collapse, head replacement — with rework scoped to the touched
+    keys by semi/anti-join, never the whole dimension. The result must
+    equal the full-history oracle over ALL events: merge(build(late),
+    early) == build(all), under the same oracle as
+    scd2_user_tier_history."""
+    from ..operators.upsert import scd2_merge_backfill
+
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    changes = ev.select("user_id", "ts", _tier_col().alias("tier"), "event_id")
+    cutoff = "2024-01-15"
+    recent = changes.filter(F.col("ts") >= F.lit(cutoff).cast("timestamp"))
+    early = changes.filter(F.col("ts") < F.lit(cutoff).cast("timestamp"))
+    dim = scd2_from_changes(
+        recent, ["user_id"], ["tier"], ts_col="ts", tiebreak=["event_id"]
+    )
+    return scd2_merge_backfill(
+        dim, early.drop("event_id"), ["user_id"], ["tier"], ts_col="ts"
+    )

@@ -213,3 +213,58 @@ def test_distributed_fetch(spark):
     assert json.loads(out["https://api/bb"].body)["n"] == len("https://api/bb")
     assert out["https://api/bad"].status.startswith("error")
     assert out["https://api/bad"].body is None
+
+
+def test_scd2_merge_backfill_mid_history_splice(spark):
+    """A late change landing in the MIDDLE of a key's history splits
+    the enclosing interval; a late change equal in value to its new
+    neighbor collapses; a late change at an existing change-point's
+    exact ts WINS (CDC re-delivery). Untouched keys pass through
+    row-identical."""
+    from datalake_scripts_spark.operators.upsert import (
+        scd2_from_changes,
+        scd2_merge_backfill,
+    )
+
+    t = lambda d: dt.datetime(2024, 1, d)  # noqa: E731
+    recent = spark.createDataFrame(
+        [
+            Row(k=1, city="SPB", ts=t(10), seq=1),
+            Row(k=1, city="MSK", ts=t(20), seq=2),
+            Row(k=2, city="EKB", ts=t(10), seq=3),  # untouched key
+        ]
+    )
+    dim = scd2_from_changes(recent, ["k"], ["city"], tiebreak=["seq"])
+    late = spark.createDataFrame(
+        [
+            Row(k=1, city="KZN", ts=t(5)),    # new head
+            Row(k=1, city="NSK", ts=t(15)),   # splits [10, 20)
+            Row(k=1, city="VLG", ts=t(20)),   # same-ts override wins
+        ]
+    )
+    out = scd2_merge_backfill(dim, late, ["k"], ["city"])
+    rows = sorted(
+        (r.k, r.city, r.valid_from, r.valid_to, r.is_current)
+        for r in out.collect()
+    )
+    assert rows == [
+        (1, "KZN", t(5), t(10), False),
+        (1, "NSK", t(15), t(20), False),
+        (1, "SPB", t(10), t(15), False),
+        (1, "VLG", t(20), None, True),  # same-ts override beat MSK
+        (2, "EKB", t(10), None, True),
+    ]
+    # identity: merging the feed's own change-points changes nothing
+    # (materialized first — self-referencing one lineage as both dim
+    # and late batch trips Spark's self-union zip)
+    mat = spark.createDataFrame(out.collect(), out.schema)
+    same = scd2_merge_backfill(
+        mat,
+        mat.selectExpr("k", "city", "valid_from AS ts"),
+        ["k"],
+        ["city"],
+    )
+    assert sorted(
+        (r.k, r.city, r.valid_from, r.valid_to, r.is_current)
+        for r in same.collect()
+    ) == rows
