@@ -280,11 +280,18 @@ def _refresh_once(spark: SparkSession, corpus_dir: str, index_dir: str) -> dict:
     cur = current_version(corpus_dir)
     if cur == v0:
         return {"action": "noop", "source_version": v0}
-    non_append = [
-        v
-        for v in range(v0 + 1, cur + 1)
-        if _load_manifest(corpus_dir, v)["mode"] != "append"
-    ]
+    try:
+        non_append = [
+            v
+            for v in range(v0 + 1, cur + 1)
+            if _load_manifest(corpus_dir, v)["mode"] != "append"
+        ]
+    except FileNotFoundError:
+        # A manifest in (v0, cur] was vacuumed. The append fast path is
+        # unusable in exactly this state (read_changes over the same
+        # range would fail too), so treat the unreadable range as
+        # non-append and take the honest full rebuild (ADVICE r10).
+        non_append = [cur]
     if non_append:
         return build_text_index(
             spark, corpus_dir, index_dir,

@@ -187,6 +187,7 @@ def scd2_merge_backfill(
     keys: list[str],
     tracked_cols: list[str],
     ts_col: str = "ts",
+    tiebreak: list[str] | None = None,
     valid_from_col: str = "valid_from",
     valid_to_col: str = "valid_to",
     current_flag_col: str = "is_current",
@@ -204,10 +205,16 @@ def scd2_merge_backfill(
     never the dimension: the 100 TB backfill shape.
 
     Equal-timestamp policy: a late change at an existing change-point's
-    exact ts WINS (CDC re-delivery semantics) — the merge tiebreak
-    orders dim rows before late rows at equal ts and last-write-wins
-    keeps the late one. Consecutive equal values across the splice
-    re-collapse, so merging a no-op backfill is the identity.
+    exact ts WINS (CDC re-delivery semantics) — the merge window orders
+    dim rows before late rows at equal ts and last-write-wins keeps the
+    late one. WITHIN the late batch, equal-ts rows are ordered by
+    ``tiebreak`` (e.g. a log sequence number) so the highest-tiebreak
+    change wins deterministically; without it, two late changes for one
+    key at one ts would be resolved by nondeterministic physical row
+    order. Dim rows carry NULL tiebreaks (they are already per-ts
+    unique, being LWW winners of their own build). Consecutive equal
+    values across the splice re-collapse, so merging a no-op backfill
+    is the identity.
 
     ``dim`` and ``late_changes`` must not share one DataFrame lineage
     (Spark's self-union rejects zipping a plan with itself); when the
@@ -215,6 +222,7 @@ def scd2_merge_backfill(
     (localCheckpoint or a table round-trip — the versioned layer's
     read does this naturally).
     """
+    tiebreak = tiebreak or []
     touched = late_changes.select(*keys).distinct()
     existing = (
         dim.join(touched, keys, "left_semi")
@@ -223,13 +231,21 @@ def scd2_merge_backfill(
             *tracked_cols,
             F.col(valid_from_col).alias(ts_col),
             F.lit(0).alias("_src"),
+            *[
+                F.lit(None).cast(late_changes.schema[c].dataType).alias(c)
+                for c in tiebreak
+            ],
         )
     )
     late = late_changes.select(
-        *keys, *tracked_cols, F.col(ts_col), F.lit(1).alias("_src")
+        *keys, *tracked_cols, F.col(ts_col), F.lit(1).alias("_src"), *tiebreak
     )
     merged = existing.unionByName(late)
-    w = W.partitionBy(*keys).orderBy(F.col(ts_col).asc(), F.col("_src").asc())
+    w = W.partitionBy(*keys).orderBy(
+        F.col(ts_col).asc(),
+        F.col("_src").asc(),
+        *[F.col(c).asc() for c in tiebreak],
+    )
     rebuilt = _scd2_pipeline(
         merged, keys, tracked_cols, ts_col, w,
         valid_from_col, valid_to_col, current_flag_col,

@@ -178,5 +178,5 @@ def scd2_backfill_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         recent, ["user_id"], ["tier"], ts_col="ts", tiebreak=["event_id"]
     )
     return scd2_merge_backfill(
-        dim, early.drop("event_id"), ["user_id"], ["tier"], ts_col="ts"
+        dim, early, ["user_id"], ["tier"], ts_col="ts", tiebreak=["event_id"]
     )

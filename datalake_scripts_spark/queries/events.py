@@ -938,9 +938,10 @@ def events_ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM p) x WHERE rn = 1),
     b AS (SELECT user_id, MIN(bucket_ts) AS a, MAX(bucket_ts) AS z
           FROM p GROUP BY user_id),
-    nums AS (SELECT i FROM range(0, 2000) AS r(i)),
-    grid AS (SELECT user_id, a + i * INTERVAL 1 HOUR AS bucket_ts
-             FROM b JOIN nums ON i <= datediff('hour', a, z)),
+    grid AS (SELECT user_id,
+                    unnest(generate_series(a, z, INTERVAL 1 HOUR))
+                      AS bucket_ts
+             FROM b),
     j AS (SELECT g.user_id, g.bucket_ts, hl.value
           FROM grid g LEFT JOIN hl USING (user_id, bucket_ts))
     SELECT user_id, bucket_ts,
@@ -957,8 +958,10 @@ def events_resample_ffill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     forward fill (operators.scale.resample_ffill) — time_bucket_gapfill
     + locf re-expressed as bucket-dedup window -> per-key sequence
     explode -> fill window, all sharing one key shuffle. The oracle
-    replays it with a constant numbers table (2000 > the 719-hour
-    testdata span; DuckDB range() rejects correlated bounds)."""
+    replays it with a data-derived per-key grid
+    (unnest(generate_series(a, z, 1 HOUR)) — the exact dual of Spark's
+    sequence(), with no constant bound to silently truncate long
+    spans)."""
     ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
     from ..operators.scale import resample_ffill
 
@@ -1062,9 +1065,10 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM p) x WHERE rn = 1),
     b AS (SELECT user_id, MIN(bucket_ts) AS a, MAX(bucket_ts) AS z
           FROM p GROUP BY user_id),
-    nums AS (SELECT i FROM range(0, 2000) AS r(i)),
-    grid AS (SELECT user_id, a + i * INTERVAL 1 HOUR AS bucket_ts
-             FROM b JOIN nums ON i <= datediff('hour', a, z)),
+    grid AS (SELECT user_id,
+                    unnest(generate_series(a, z, INTERVAL 1 HOUR))
+                      AS bucket_ts
+             FROM b),
     j AS (SELECT g.user_id, g.bucket_ts, hl.value
           FROM grid g LEFT JOIN hl USING (user_id, bucket_ts)),
     anch AS (

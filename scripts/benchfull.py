@@ -15,7 +15,13 @@ movers are then AUTO-RE-TIMED in a fresh isolated JVM (VERDICT r9 ask
 caused by in-sweep session ordering); the artifact carries both lists
 (``{"flagged": [...], "confirmed": [...]}``, each entry
 ``[name, prior_s, sweep_s, isolated_s]``) and the exit code keys on
-``confirmed`` only. Spark-side only (the DuckDB oracle half of
+``confirmed`` only. Two r11 additions: (a) a non-fatal ``watch`` lane
+for sub-ABS-floor queries whose isolated ratio still clears 2x the
+env-adjusted prior (the floor otherwise blinds the gate to regressions
+on sub-0.7 s queries), and (b) the env factor is clamped to a
+plausible host-drift band with a loud ``env_warning`` when the median
+itself moves beyond it (an across-the-board regression must not be
+absorbed as drift). Spark-side only (the DuckDB oracle half of
 selfcheck is correctness, not throughput)."""
 
 from __future__ import annotations
@@ -33,6 +39,20 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 RATIO = 1.5
 ABS_DELTA_S = 0.5
+# Relative-only "watch" lane (VERDICT r10 ask #6): the ABS floor keeps
+# sub-second jitter out of the fatal gate, but it also blinds the gate
+# to a genuine 3x regression on any query under ~0.7 s. Queries whose
+# ISOLATED ratio clears WATCH_RATIO x the env-adjusted prior but miss
+# the ABS floor are reported in the artifact as ``watch`` — non-fatal,
+# gate semantics unchanged.
+WATCH_RATIO = 2.0
+# Plausible host-drift band (ADVICE r10): an env factor outside this is
+# no longer "uniform host drift" — it is an across-the-board regression
+# (or improvement) that median-normalization would otherwise absorb
+# silently. The factor is clamped and the artifact carries a loud
+# ``env_warning``. (r10's measured real VM drift was 1.25-1.35, so the
+# band must sit outside that.)
+ENV_CLAMP = (0.7, 1.4)
 
 
 def newest_prior(out_path: str) -> str | None:
@@ -185,8 +205,9 @@ def main() -> int:
     }
     prior_path = newest_prior(out_path)
 
-    flagged, confirmed = [], []
-    env_factor = 1.0
+    flagged, confirmed, watch = [], [], []
+    env_factor = env_factor_raw = 1.0
+    env_warning = None
     if prior_path is not None:
         prior = json.load(open(prior_path))["queries"]
         # Environment factor: the prior artifact was taken under a
@@ -195,14 +216,29 @@ def main() -> int:
         # current/prior ratio over all shared, non-trivial queries is
         # a robust estimate of uniform host drift — a real plan
         # regression moves one query, not the median of 200. Movers
-        # are judged against the env-adjusted prior.
+        # are judged against the env-adjusted prior. The factor is
+        # CLAMPED to a plausible host-drift band: a median ratio
+        # outside it is an across-the-board regression, not drift,
+        # and must not be normalized away (ADVICE r10).
         ratios = sorted(
             timings[n] / prior[n]
             for n in timings
             if prior.get(n, 0) > 0.2 and n in timings
         )
         if len(ratios) >= 10:
-            env_factor = round(ratios[len(ratios) // 2], 3)
+            env_factor_raw = round(ratios[len(ratios) // 2], 3)
+            env_factor = min(max(env_factor_raw, ENV_CLAMP[0]),
+                             ENV_CLAMP[1])
+            if env_factor != env_factor_raw:
+                env_warning = (
+                    f"median current/prior ratio {env_factor_raw} is "
+                    f"outside the host-drift band {ENV_CLAMP}: this is "
+                    f"an across-the-board change, not environment — "
+                    f"factor clamped to {env_factor}; investigate "
+                    f"session config / versioned-layer / JVM changes"
+                )
+                print(f"WARNING: {env_warning}", file=sys.stderr)
+        watch_cand = []
         for name, now in timings.items():
             then = prior.get(name)
             if then is None or then <= 0:
@@ -210,12 +246,18 @@ def main() -> int:
             base = then * env_factor
             if now > base * RATIO and now - base > ABS_DELTA_S:
                 flagged.append([name, then, now, None])
+            elif now > base * WATCH_RATIO:
+                # relative-only candidate under the ABS floor: needs an
+                # isolated confirm before it earns a watch row
+                watch_cand.append([name, then, now, None])
         flagged.sort(key=lambda m: m[2] - m[1], reverse=True)
-        if flagged and not args.no_isolate:
-            iso = _retime_isolated(
-                [m[0] for m in flagged], args.sf, args.warmup, args.reps
-            )
+        watch_cand.sort(key=lambda m: m[2] / m[1], reverse=True)
+        retime = [m[0] for m in flagged] + [m[0] for m in watch_cand]
+        if retime and not args.no_isolate:
+            iso = _retime_isolated(retime, args.sf, args.warmup, args.reps)
             for m in flagged:
+                m[3] = iso.get(m[0])
+            for m in watch_cand:
                 m[3] = iso.get(m[0])
         for name, then, now, alone in flagged:
             # no isolated number (pass skipped / failed) => stay
@@ -224,9 +266,17 @@ def main() -> int:
             base = then * env_factor
             if judged > base * RATIO and judged - base > ABS_DELTA_S:
                 confirmed.append([name, then, now, alone])
+        for name, then, now, alone in watch_cand:
+            judged = alone if alone is not None else now
+            if judged > then * env_factor * WATCH_RATIO:
+                watch.append([name, then, now, alone])
     artifact["flagged"] = flagged
     artifact["confirmed"] = confirmed
+    artifact["watch"] = watch
     artifact["env_factor"] = env_factor
+    artifact["env_factor_raw"] = env_factor_raw
+    if env_warning:
+        artifact["env_warning"] = env_warning
 
     with open(out_path, "w") as f:
         json.dump(artifact, f, indent=1, sort_keys=True)
@@ -237,10 +287,15 @@ def main() -> int:
     if prior_path is None:
         print("no prior BENCH_FULL artifact — baseline established")
         return 0
-    print(f"diff vs {prior_path}: env factor {env_factor}x, "
-          f"{len(flagged)} flagged "
+    print(f"diff vs {prior_path}: env factor {env_factor}x "
+          f"(raw {env_factor_raw}x), {len(flagged)} flagged "
           f"(>{RATIO}x and >{ABS_DELTA_S}s beyond env), "
-          f"{len(confirmed)} confirmed in isolation")
+          f"{len(confirmed)} confirmed in isolation, "
+          f"{len(watch)} sub-floor watch (>{WATCH_RATIO}x relative)")
+    for name, then, now, alone in watch:
+        alone_s = f"{alone}s" if alone is not None else "n/a"
+        print(f"  WATCH {name}: {then}s -> sweep {now}s "
+              f"({now / then:.2f}x), isolated {alone_s} [non-fatal]")
     for name, then, now, alone in flagged:
         verdict = "CONFIRMED" if [name, then, now, alone] in confirmed \
             else "phantom"
