@@ -1342,3 +1342,194 @@ def remove_duplicated_spans(
             F.coalesce(F.col("_clean"), F.lit("")).alias("text_clean"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Regime-aware tiering (VERDICT r10 ask #1)
+# --------------------------------------------------------------------------
+
+def shingle_pair_mass(dfs: DataFrame, df_col: str = "_df") -> int:
+    """Exact candidate-pair mass of the inverted-index self-join over a
+    per-shingle document-frequency relation: sum_s df_s * (df_s - 1) / 2
+    — the number of unordered doc pairs the EXHAUSTIVE shingle join
+    would emit (an upper bound on the prefix-filtered join, which cuts
+    it by ~(1-t)^2 but cannot change its growth ORDER).
+
+    This is THE saturation signal: on Heaps-law corpora (vocabulary
+    grows with the corpus) mean shingle df stays ~constant so mass per
+    doc is flat; on saturated shingle spaces (templated logs,
+    boilerplate, tiny vocabularies) df grows linearly with corpus size
+    and mass per doc grows linearly too — i.e. total pairs quadratic
+    (measured: 54x pair time at 10x docs on the sf1 fixture,
+    docs/BENCH_SF1_NOTES.md). One single-row aggregate over the df
+    stats the hot-shingle cap already computes; integer-exact in any
+    engine (df*(df-1) is even, so the halving is exact).
+    """
+    row = dfs.agg(
+        F.sum(F.col(df_col).cast("bigint") * (F.col(df_col) - F.lit(1)))
+    ).collect()[0][0]
+    return int(row or 0) // 2
+
+
+def _capped_df_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    block_col: str | None,
+    max_df_frac: float,
+    min_df_keep: int,
+):
+    """Capped shingle table + per-shingle df relation + doc count —
+    the probe inputs shared with (and reusable by) the exact tier."""
+    join_keys = ["shingle"] + ([block_col] if block_col else [])
+    n_docs = df.count()
+    sh0 = _shingle_table(df, id_col, text_col, n, block_col).localCheckpoint()
+    sh = cap_shingle_df(
+        sh0, join_keys, n_docs, max_df_frac, min_df_keep
+    ).localCheckpoint()
+    dfs = (
+        sh.groupBy(*join_keys)
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .localCheckpoint()
+    )
+    return sh, dfs, join_keys, n_docs
+
+
+def auto_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    threshold: float = 0.5,
+    block_col: str | None = None,
+    mass_budget_per_doc: int = 128,
+    widen_step: int = 2,
+    num_hashes: int = 32,
+    bands: int = 8,
+    hash_family: str = "xxhash64",
+    max_df_frac: float = 0.5,
+    min_df_keep: int = 100,
+) -> DataFrame:
+    """Regime-aware near-dup pairs: probe the corpus's shingle
+    saturation and route to the cheapest SOUND tier (VERDICT r10 ask
+    #1 — nothing previously chose between the exact and sketch tiers;
+    on saturated corpora the exact tier is quadratic, measured 54x at
+    10x data while MinHash held 5.2x).
+
+    Decision rule — :func:`shingle_pair_mass` over the capped df stats
+    (the stats the hot-shingle cap already aggregates), integer-exact
+    and replicated verbatim by the SQL oracle so the ROUTING itself is
+    hash-checked cross-engine:
+
+    1. mass(n) <= budget * n_docs  ->  exact tier at ``n``
+       (:func:`ngram_jaccard_pairs`, lossless prefix filter), reusing
+       the probe's shingle/df tables via ``ranked_shingles``;
+    2. else widen to n' = n + widen_step (wider shingles de-saturate a
+       small vocabulary: the fixture's 5-gram pair mass grows 12.3x at
+       10x data vs ~100x for 3-grams) — mass(n') <= budget * n_docs
+       ->  exact tier at ``n'``;
+    3. else  ->  MinHash-LSH candidates at the ORIGINAL ``n`` with
+       exact-Jaccard verification (:func:`minhash_lsh_pairs`): band
+       buckets stay uniform on any corpus, pair cost rides true
+       near-dup density, recall is the standard banded-LSH S-curve
+       (1-(1-t^r)^b, ~0.99+ at t=0.5 with 32/8) instead of lossless.
+
+    Output: (id_a, id_b, jaccard, tier) — ``tier`` names the branch
+    taken (``exact_n{k}`` / ``minhash_n{k}``), so a result set is
+    self-describing about which guarantee it carries. NOTE the widened
+    tier scores Jaccard over n'-gram sets (a different, stricter
+    measure than n-gram Jaccard — wider shingles only lower similarity
+    of non-identical docs); callers needing the base-n score on a
+    saturated corpus should force the LSH tier instead
+    (mass_budget_per_doc=0).
+
+    Probe cost: two linear explode+count jobs and two single-row
+    collects — O(corpus) with no wide join, amortized into the exact
+    tier when it is chosen (the capped/df tables are passed through).
+    """
+    budget = int(mass_budget_per_doc)
+    sh, dfs, join_keys, n_docs = _capped_df_stats(
+        df, id_col, text_col, n, block_col, max_df_frac, min_df_keep
+    )
+    if shingle_pair_mass(dfs) <= budget * n_docs:
+        out = ngram_jaccard_pairs(
+            df, id_col, text_col, n=n, threshold=threshold,
+            block_col=block_col, max_df_frac=max_df_frac,
+            min_df_keep=min_df_keep,
+            ranked_shingles=sh.join(dfs, join_keys),
+        )
+        tier = f"exact_n{n}"
+    else:
+        n_w = n + widen_step
+        sh_w, dfs_w, join_keys_w, _ = _capped_df_stats(
+            df, id_col, text_col, n_w, block_col, max_df_frac, min_df_keep
+        )
+        if shingle_pair_mass(dfs_w) <= budget * n_docs:
+            out = ngram_jaccard_pairs(
+                df, id_col, text_col, n=n_w, threshold=threshold,
+                block_col=block_col, max_df_frac=max_df_frac,
+                min_df_keep=min_df_keep,
+                ranked_shingles=sh_w.join(dfs_w, join_keys_w),
+            )
+            tier = f"exact_n{n_w}"
+        else:
+            out = minhash_lsh_pairs(
+                df, id_col, text_col, n=n, num_hashes=num_hashes,
+                bands=bands, verify_threshold=threshold,
+                max_df_frac=max_df_frac, min_df_keep=min_df_keep,
+                hash_family=hash_family,
+            )
+            tier = f"minhash_n{n}"
+    return out.select(
+        "id_a", "id_b", "jaccard", F.lit(tier).alias("tier")
+    )
+
+
+def auto_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    threshold: float = 0.8,
+    block_col: str | None = None,
+    mass_budget_per_doc: int = 64,
+    widen_step: int = 2,
+    max_widenings: int = 2,
+    max_df_frac: float = 0.5,
+    min_df_keep: int = 100,
+) -> DataFrame:
+    """Regime-aware DIRECTIONAL containment pairs: same saturation
+    probe as :func:`auto_near_dup_pairs`, escalation by shingle
+    WIDENING only (a MinHash-Jaccard sketch is not a sound containment
+    filter — a paragraph fully inside a 10x-longer page has containment
+    1.0 but Jaccard ~0.1, exactly the pairs LSH banding on Jaccard
+    misses). Widens up to ``max_widenings`` steps; the last width runs
+    unconditionally (honest bound: on a corpus still saturated at the
+    widest shingle, cost is whatever the data costs — the tier column
+    names the width so the consumer can see the escalation).
+
+    The probe scalar is the UNORDERED pair mass; containment's ordered
+    join emits both directions (exactly 2x), a constant absorbed into
+    the budget. Output: containment_pairs columns + ``tier``
+    (``exact_n{k}``).
+    """
+    budget = int(mass_budget_per_doc)
+    n_cur = n
+    for step in range(max_widenings + 1):
+        sh, dfs, join_keys, n_docs = _capped_df_stats(
+            df, id_col, text_col, n_cur, block_col, max_df_frac, min_df_keep
+        )
+        # short-circuit: the final width runs unconditionally, no probe
+        if step == max_widenings or (
+            shingle_pair_mass(dfs) <= budget * n_docs
+        ):
+            break
+        n_cur += widen_step
+    out = containment_pairs(
+        df, id_col, text_col, n=n_cur, threshold=threshold,
+        block_col=block_col, max_df_frac=max_df_frac,
+        min_df_keep=min_df_keep,
+        ranked_shingles=sh.join(dfs, join_keys),
+    )
+    return out.select(*out.columns, F.lit(f"exact_n{n_cur}").alias("tier"))
