@@ -123,6 +123,8 @@ def _index_meta(index_dir: str) -> dict:
         "text_col": pm.get("text_col", "text"),
         "n_docs": pm["n_docs"],
         "total_len": pm["total_len"],
+        # pre-r11 indexes predate the flag and always stored positions
+        "positions": pm.get("positions", True),
     }
 
 
@@ -158,13 +160,17 @@ def repair_docstats(spark: SparkSession, index_dir: str) -> int:
         raise
 
 
-def _postings_agg(tok: DataFrame) -> DataFrame:
-    """(token, doc_id, tf, positions) — positions sorted so the stored
-    array is deterministic (collect_list order is not)."""
-    return tok.groupBy("token", "doc_id").agg(
-        F.count(F.lit(1)).alias("tf"),
-        F.sort_array(F.collect_list("pos")).alias("positions"),
-    )
+def _postings_agg(tok: DataFrame, positions: bool = True) -> DataFrame:
+    """(token, doc_id, tf[, positions]) — positions sorted so the
+    stored array is deterministic (collect_list order is not).
+    ``positions=False`` drops the array: a BM25-only index needs just
+    tf, and the positional payload grew the build shuffle ~1.8x
+    (r10 budget re-freeze) — the phrase tax is opt-in (VERDICT r10
+    ask #7)."""
+    aggs = [F.count(F.lit(1)).alias("tf")]
+    if positions:
+        aggs.append(F.sort_array(F.collect_list("pos")).alias("positions"))
+    return tok.groupBy("token", "doc_id").agg(*aggs)
 
 
 def _tokenize(corpus: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -183,6 +189,7 @@ def build_text_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int = DEFAULT_BUCKETS,
+    positions: bool = True,
 ) -> dict:
     """Build (or fully rebuild) the inverted index from the corpus
     table's CURRENT snapshot. One tokenize pass, two aggregations, one
@@ -213,7 +220,7 @@ def build_text_index(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
     ).collect()[0]
     postings = (
-        _postings_agg(tok)
+        _postings_agg(tok, positions=positions)
         .withColumn("bucket", _bucket_col(F.col("token"), n_buckets))
         # co-locate each bucket before the partitioned write (see
         # ann_index build: one shuffle -> ~one file per bucket, not
@@ -230,6 +237,7 @@ def build_text_index(
             "text_col": text_col,
             "n_docs": int(stats["n_docs"] or 0),
             "total_len": int(stats["total_len"] or 0),
+            "positions": positions,
         },
     )
     d_new = write_versioned(
@@ -296,7 +304,7 @@ def _refresh_once(spark: SparkSession, corpus_dir: str, index_dir: str) -> dict:
         return build_text_index(
             spark, corpus_dir, index_dir,
             id_col=meta["id_col"], text_col=meta["text_col"],
-            n_buckets=meta["n_buckets"],
+            n_buckets=meta["n_buckets"], positions=meta["positions"],
         ) | {"action": "rebuilt"}
 
     pdir = _subdir(index_dir, _POSTINGS)
@@ -321,6 +329,7 @@ def _refresh_once(spark: SparkSession, corpus_dir: str, index_dir: str) -> dict:
         # exact-integer scalar roll-forward — never a re-scan
         "n_docs": meta["n_docs"] + n_new,
         "total_len": meta["total_len"] + int(stats["total_len"] or 0),
+        "positions": meta["positions"],
     }
     if n_new == 0:
         # empty appends still move the watermark: metadata-only stamp,
@@ -334,7 +343,7 @@ def _refresh_once(spark: SparkSession, corpus_dir: str, index_dir: str) -> dict:
         )
         return {"action": "appended", "n_new_docs": 0, "source_version": cur}
     postings = (
-        _postings_agg(tok)
+        _postings_agg(tok, positions=meta["positions"])
         .withColumn("bucket", _bucket_col(F.col("token"), meta["n_buckets"]))
         .repartition(F.col("bucket"))
     )
@@ -481,6 +490,12 @@ def phrase_search_indexed(
     if not words:
         raise ValueError("empty phrase")
     meta = _index_meta(index_dir)
+    if not meta["positions"]:
+        raise ValueError(
+            "index was built with positions=False (BM25-only); phrase "
+            "search needs a positional index — rebuild with "
+            "build_text_index(..., positions=True)"
+        )
     if meta["docstats_version"] is None:
         repair_docstats(spark, index_dir)
         meta = _index_meta(index_dir)

@@ -90,3 +90,21 @@ def text_phrase_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         hits = TI.phrase_search_indexed(spark, index_dir, phrase)
         out = hits if out is None else out.unionByName(hits)
     return out
+
+
+@query("text_bm25_index_nopos", sql=_BM25_ORACLE)
+def text_bm25_index_nopos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-only index (``build_text_index(positions=False)``, VERDICT
+    r10 ask #7): positional postings grew the index-build shuffle ~1.8x
+    (r10 budget re-freeze), a tax a pure-BM25 deployment shouldn't pay —
+    the flag drops the positions array while tf/df/docstats (everything
+    BM25 scores from) are unchanged, so the served top-20 stays
+    hash-exact under the same oracle as the positional build. Its
+    shuffle budget freezes separately from text_bm25_indexed_topk's so
+    the gate tracks the tax itself."""
+    docs = t(spark, sf_dir, "documents")
+    corpus_dir = tempfile.mkdtemp(prefix="bm25np_corpus_")
+    index_dir = tempfile.mkdtemp(prefix="bm25np_index_")
+    V.write_versioned(spark, docs, corpus_dir, mode="append")
+    TI.build_text_index(spark, corpus_dir, index_dir, positions=False)
+    return TI.bm25_topk_indexed(spark, index_dir, BM25_QUERY_TERMS, k=20)

@@ -256,3 +256,31 @@ def _phrase_twin(docs, phrase, got):
         for r in m.groupBy("d0").agg(SF.count(SF.lit(1)).alias("n")).collect()
     }
     return {(r.doc_id, r.n_occurrences) for r in got.collect()}, want
+
+
+def test_nopos_index_serves_identical_bm25(spark, corpus_dir, tmp_path):
+    """positions=False drops the positional payload; BM25 serving is
+    unchanged (tf/df/docstats identical), refresh preserves the flag,
+    and phrase search refuses the positionless index loudly."""
+    idx_np, idx_pos = str(tmp_path / "np"), str(tmp_path / "pos")
+    TI.build_text_index(spark, corpus_dir, idx_np, positions=False)
+    TI.build_text_index(spark, corpus_dir, idx_pos)
+    p_np = V.read_versioned(spark, TI._subdir(idx_np, TI._POSTINGS))
+    assert "positions" not in p_np.columns
+    got_np = TI.bm25_topk_indexed(spark, idx_np, BM25_QUERY_TERMS, k=20)
+    got_pos = TI.bm25_topk_indexed(spark, idx_pos, BM25_QUERY_TERMS, k=20)
+    assert _rows(got_np) == _rows(got_pos)
+
+    # append refresh must keep writing positionless postings
+    docs = read_table(spark, SF, "documents")
+    V.write_versioned(
+        spark, docs.filter("doc_id % 3 = 0"), corpus_dir, mode="append"
+    )
+    res = TI.refresh_text_index(spark, corpus_dir, idx_np)
+    assert res["action"] == "appended" and res["n_new_docs"] > 0
+    p_np2 = V.read_versioned(spark, TI._subdir(idx_np, TI._POSTINGS))
+    assert "positions" not in p_np2.columns
+    assert TI._index_meta(idx_np)["positions"] is False
+
+    with pytest.raises(ValueError, match="positions=False"):
+        TI.phrase_search_indexed(spark, idx_np, "the quick")
