@@ -143,23 +143,76 @@ def _parse_roaring_bitmap32(buf: bytes, pos: int):
     return values, p
 
 
-def _deleted_positions(descriptor: dict) -> frozenset:
-    """Inline DV descriptor -> the set of deleted row positions."""
+def _ondisk_dv_bytes(table_dir: str, descriptor: dict) -> bytes:
+    """On-disk DV descriptor ('u'/'p') -> the raw RoaringBitmapArray
+    payload, independently of the writer (PROTOCOL.md "Deletion Vector
+    File Storage Format"): the ``.bin`` file opens with a 1-byte
+    format version (1); the blob at ``offset`` is <dataSize int32
+    BE><bitmap><CRC-32 int32 BE>, both size and checksum verified."""
+    import struct
+    import uuid as _uuid
+    import zlib
+
+    st = descriptor["storageType"]
+    if st == "p":
+        path = descriptor["pathOrInlineDv"]
+        if not os.path.isabs(path):
+            path = os.path.join(table_dir, path)
+    else:  # 'u': <randomPrefix><z85(uuid bytes), 20 chars>
+        enc = descriptor["pathOrInlineDv"]
+        if len(enc) < 20:
+            raise DeltaReadError(f"storageType 'u' payload {enc!r}")
+        prefix, enc_uuid = enc[:-20], enc[-20:]
+        u = _uuid.UUID(bytes=_z85_to_bytes(enc_uuid))
+        name = f"deletion_vector_{u}.bin"
+        path = (
+            os.path.join(table_dir, prefix, name)
+            if prefix
+            else os.path.join(table_dir, name)
+        )
+    with open(path, "rb") as fh:
+        data = fh.read()
+    if not data or data[0] != 1:
+        raise DeltaReadError(f"{path}: bad DV file format version")
+    off = int(descriptor.get("offset") or 1)
+    (size,) = struct.unpack_from(">i", data, off)
+    if size != int(descriptor["sizeInBytes"]):
+        raise DeltaReadError(
+            f"{path}@{off}: stored size {size} != descriptor "
+            f"sizeInBytes {descriptor['sizeInBytes']}"
+        )
+    payload = data[off + 4: off + 4 + size]
+    if len(payload) != size:
+        raise DeltaReadError(f"{path}@{off}: truncated DV payload")
+    (crc,) = struct.unpack_from(">I", data, off + 4 + size)
+    if zlib.crc32(payload) & 0xFFFFFFFF != crc:
+        raise DeltaReadError(f"{path}@{off}: DV checksum mismatch")
+    return payload
+
+
+def _deleted_positions(
+    descriptor: dict, table_dir: str | None = None
+) -> frozenset:
+    """DV descriptor (inline 'i', or on-disk 'u'/'p' when
+    ``table_dir`` is given) -> the set of deleted row positions."""
     import struct
 
-    if descriptor.get("storageType") != "i":
+    st = descriptor.get("storageType")
+    if st == "i":
+        raw = _z85_to_bytes(descriptor["pathOrInlineDv"])
+        size = int(descriptor["sizeInBytes"])
+        if size > len(raw):
+            raise DeltaReadError(
+                f"sizeInBytes {size} exceeds decoded payload {len(raw)}"
+            )
+        raw = raw[:size]
+    elif st in ("u", "p") and table_dir is not None:
+        raw = _ondisk_dv_bytes(table_dir, descriptor)
+    else:
         raise DeltaReadError(
-            f"deletion vector storageType "
-            f"{descriptor.get('storageType')!r} not implemented "
-            "(only inline 'i')"
+            f"deletion vector storageType {st!r} not readable here "
+            "(inline 'i'; on-disk 'u'/'p' need the table dir)"
         )
-    raw = _z85_to_bytes(descriptor["pathOrInlineDv"])
-    size = int(descriptor["sizeInBytes"])
-    if size > len(raw):
-        raise DeltaReadError(
-            f"sizeInBytes {size} exceeds decoded payload {len(raw)}"
-        )
-    raw = raw[:size]
     magic, n_bitmaps = struct.unpack_from("<iq", raw, 0)
     if magic != 1681511377:
         raise DeltaReadError(f"bad RoaringBitmapArray magic {magic}")
@@ -180,6 +233,9 @@ _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
 _CP_SINGLE_RE = re.compile(r"^(\d{20})\.checkpoint\.parquet$")
 _CP_MULTI_RE = re.compile(
     r"^(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet$"
+)
+_CP_V2_RE = re.compile(
+    r"^(\d{20})\.checkpoint\.([0-9a-fA-F-]{36})\.(parquet|json)$"
 )
 
 
@@ -249,7 +305,7 @@ class DeltaSnapshot:
             t = pq.read_table(full)
             dv = add.get("deletionVector")
             if dv:
-                dead = _deleted_positions(dv)
+                dead = _deleted_positions(dv, table_dir)
                 mask = pa.array(
                     [i not in dead for i in range(len(t))], type=pa.bool_()
                 )
@@ -374,6 +430,14 @@ class DeltaLog:
             if m:
                 singles[int(m.group(1))] = [n]
                 continue
+            m = _CP_V2_RE.match(n)
+            if m:
+                # V2 UUID-named manifest: any one is complete; keep the
+                # lexicographically first for determinism
+                v = int(m.group(1))
+                if v not in singles or singles[v][0] > n:
+                    singles[v] = [n]
+                continue
             m = _CP_MULTI_RE.match(n)
             if m:
                 v, part, of_n = (
@@ -418,10 +482,27 @@ class DeltaLog:
     def _load_checkpoint(self, state: dict, parts: list[str]) -> None:
         import pyarrow.parquet as pq
 
+        def _file_rows(path: str) -> list[dict]:
+            if path.endswith(".json"):
+                with open(path) as fh:
+                    return [json.loads(ln) for ln in fh if ln.strip()]
+            return pq.read_table(path).to_pylist()
+
         for n in parts:
-            rows = pq.read_table(
-                os.path.join(self.log_dir, n)
-            ).to_pylist()
+            rows = []
+            for row in _file_rows(os.path.join(self.log_dir, n)):
+                sc = row.get("sidecar")
+                if sc and sc.get("path"):
+                    # V2 checkpoint sidecar reference: file actions
+                    # live in _delta_log/_sidecars/<path>
+                    sc_path = sc["path"]
+                    if not os.path.isabs(sc_path):
+                        sc_path = os.path.join(
+                            self.log_dir, "_sidecars", sc_path
+                        )
+                    rows.extend(_file_rows(sc_path))
+                else:
+                    rows.append(row)
             for row in rows:
                 for key in ("protocol", "metaData", "add", "remove"):
                     val = row.get(key)
@@ -499,7 +580,7 @@ class DeltaLog:
         proto = state["protocol"]
         if proto.get("minReaderVersion", 1) == 3:
             unknown = set(proto.get("readerFeatures") or []) - {
-                "deletionVectors", "columnMapping",
+                "deletionVectors", "columnMapping", "v2Checkpoint",
             }
             if unknown:
                 raise DeltaReadError(

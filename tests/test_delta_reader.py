@@ -304,7 +304,10 @@ def test_checkpoint_carries_dv_descriptors(spark, sf_dir, tmp_path):
     assert DeltaLog(base).to_rows() == _spark_rows(spark, base)
 
 
-def test_reader_refuses_ondisk_dv(spark, sf_dir, tmp_path):
+def test_reader_refuses_malformed_ondisk_dv(spark, sf_dir, tmp_path):
+    """On-disk DVs read natively as of r11 (tests/test_delta_v2_dv.py);
+    a MALFORMED 'u' payload (too short to carry the z85 uuid) must
+    still refuse loudly instead of guessing a file name."""
     import json as _json
 
     base = str(tmp_path / "tbl")
@@ -337,10 +340,12 @@ def test_reader_refuses_unimplemented_features(spark, sf_dir, tmp_path):
     for line in lines:
         a = _json.loads(line)
         if "protocol" in a:
+            # typeWidening: a real reader feature this engine lacks
+            # (v2Checkpoint graduated to implemented in r11)
             a["protocol"] = {
                 "minReaderVersion": 3, "minWriterVersion": 7,
-                "readerFeatures": ["v2Checkpoint"],
-                "writerFeatures": ["v2Checkpoint"],
+                "readerFeatures": ["typeWidening"],
+                "writerFeatures": ["typeWidening"],
             }
         out.append(_json.dumps(a))
     open(p, "w").write("\n".join(out) + "\n")
@@ -456,7 +461,9 @@ def test_dvd_export_roundtrips_through_import(spark, sf_dir, tmp_path):
     assert got.filter("o_orderkey < 160").count() == 0
 
 
-def test_import_refuses_ondisk_dv(spark, sf_dir, tmp_path):
+def test_import_refuses_malformed_ondisk_dv(spark, sf_dir, tmp_path):
+    """Import twin of the malformed-'u' refusal (adoption reads on-disk
+    DVs natively as of r11)."""
     import json as _json
 
     from datalake_scripts_spark.operators.delta_interop import (
