@@ -3064,3 +3064,185 @@ def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = hits if out is None else out.unionByName(hits)
     return out
+
+
+# ---------------------------------------------------------------- PQ
+def _pq_slice(side: str, j: str, sd: int) -> str:
+    return f"{side}[({j}*{sd}+1):({j}*{sd}+{sd})]"
+
+
+def _pq_l2(a: str, b: str) -> str:
+    """The engine-identical L2^2 combination (see operators.similarity
+    PQ notes): (dot(a,a) - 2*dot(a,b)) + dot(b,b), each dot a
+    left-to-right fold."""
+    return (
+        f"((list_dot_product({a}, {a}) - 2.0*list_dot_product({a}, {b}))"
+        f" + list_dot_product({b}, {b}))"
+    )
+
+
+_PQ_M, _PQ_SD, _PQ_STRIDE = 8, 8, 10
+
+
+def _pq_ctes() -> str:
+    enc_d = _pq_l2(_pq_slice("e.v", "j", _PQ_SD), _pq_slice("c.cvec", "j", _PQ_SD))
+    adc_d = _pq_l2(_pq_slice("qe.v", "cd.j", _PQ_SD), _pq_slice("c.cvec", "cd.j", _PQ_SD))
+    # fixed-order (left-assoc) sum over the m subspace lookups — float
+    # addition order is part of the contract
+    terms = [f"MAX(CASE WHEN j = {j} THEN d END)" for j in range(_PQ_M)]
+    ssum = terms[0]
+    for t in terms[1:]:
+        ssum = f"({ssum} + {t})"
+    return f"""
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cid, v AS cvec FROM e
+             WHERE vec_id % {_PQ_STRIDE} = 0),
+    subd AS (SELECT unnest(range({_PQ_M})) AS j),
+    encd AS (
+      SELECT e.vec_id, j, c.cid, {enc_d} AS d
+      FROM e CROSS JOIN subd CROSS JOIN cent c),
+    codes AS (
+      SELECT vec_id, j, cid FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                                     ORDER BY d ASC, cid ASC) AS rn
+        FROM encd) x WHERE rn = 1),
+    qids AS (SELECT vec_id AS query_id FROM e WHERE vec_id < 10),
+    qd AS (
+      SELECT q.query_id, cd.vec_id AS neighbor_id, cd.j, {adc_d} AS d
+      FROM codes cd
+      JOIN qids q ON q.query_id <> cd.vec_id
+      JOIN e qe ON qe.vec_id = q.query_id
+      JOIN cent c ON c.cid = cd.cid),
+    adc AS (
+      SELECT query_id, neighbor_id, {ssum} AS adc_dist
+      FROM qd GROUP BY 1, 2)"""
+
+
+@query(
+    "ann_pq_topk",
+    sql=f"""
+    WITH {_pq_ctes()}
+    SELECT query_id, neighbor_id, adc_dist, CAST(rnk AS INT) AS rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY adc_dist ASC, neighbor_id ASC) AS rnk
+      FROM adc) x
+    WHERE rnk <= 3
+    """,
+)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-3 (operators.similarity.pq_topk,
+    Jégou et al. 2011): 64-dim vectors quantize into m=8 subspace codes
+    against stride-seeded codebooks (the ivf_centroids oracle-twin
+    convention); query-candidate distance is the fixed-order sum of 8
+    table lookups instead of a 64-term fold. Encode is map-side (inline
+    codebook literals, zero shuffle — the shape that holds at 100 TB
+    where PQ's 32x vector compression is the point); the oracle
+    replicates codebooks, encoding argmins, ADC sums, and ranking
+    bit-for-bit."""
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    return S.pq_topk(q, emb, k=3, m=_PQ_M, stride=_PQ_STRIDE)
+
+
+_PQ_SHORTLIST = 50
+
+
+def _pq_rerank_ctes() -> str:
+    return f"""{_pq_ctes()},
+    short AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY adc_dist ASC, neighbor_id ASC) AS rnk
+        FROM adc) x WHERE rnk <= {_PQ_SHORTLIST}),
+    rer AS (
+      SELECT query_id, neighbor_id, l2_dist,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY l2_dist ASC, neighbor_id ASC) AS rnk
+      FROM (
+        SELECT s.query_id, s.neighbor_id,
+               {_pq_l2('qe.v', 'e.v')} AS l2_dist
+        FROM short s
+        JOIN e qe ON qe.vec_id = s.query_id
+        JOIN e ON e.vec_id = s.neighbor_id) y)"""
+
+
+@query(
+    "ann_pq_rerank_topk",
+    sql=f"""
+    WITH {_pq_rerank_ctes()}
+    SELECT query_id, neighbor_id, l2_dist, CAST(rnk AS INT) AS rnk
+    FROM rer WHERE rnk <= 5
+    """,
+)
+def ann_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production PQ serve shape (operators.similarity.
+    pq_rerank_topk): ADC shortlists 50 candidates per query from the
+    COMPRESSED codes (corpus scan touches m bytes/vector, not 4d), then
+    only the shortlist's full vectors join back for an exact-L2 rerank.
+    Oracle replicates shortlist, rerank distances, and final ranking."""
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    return S.pq_rerank_topk(
+        q, emb, k=5, shortlist=_PQ_SHORTLIST, m=_PQ_M, stride=_PQ_STRIDE
+    )
+
+
+@query(
+    "ann_pq_recall",
+    sql=f"""
+    WITH {_pq_rerank_ctes()},
+    pq5 AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY adc_dist ASC, neighbor_id ASC) AS rnk
+        FROM adc) x WHERE rnk <= 5),
+    rer5 AS (SELECT query_id, neighbor_id FROM rer WHERE rnk <= 5),
+    exact5 AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                 {_pq_l2('qe.v', 'e.v')} ASC, e.vec_id ASC) AS rnk
+        FROM qids q
+        JOIN e qe ON qe.vec_id = q.query_id
+        CROSS JOIN e WHERE e.vec_id <> q.query_id) x
+      WHERE rnk <= 5)
+    SELECT CAST((SELECT COUNT(*) FROM exact5) AS BIGINT) AS n_exact,
+           (SELECT COUNT(*) FROM pq5 a JOIN exact5 b
+            ON a.query_id = b.query_id
+           AND a.neighbor_id = b.neighbor_id) * 1.0
+             / (SELECT COUNT(*) FROM exact5) AS recall_adc_at_5,
+           (SELECT COUNT(*) FROM rer5 a JOIN exact5 b
+            ON a.query_id = b.query_id
+           AND a.neighbor_id = b.neighbor_id) * 1.0
+             / (SELECT COUNT(*) FROM exact5) AS recall_rerank_at_5
+    """,
+)
+def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of BOTH PQ tiers — raw ADC and ADC+exact-rerank —
+    against the exact-L2 baseline (operators.similarity.l2_brute_topk:
+    same metric, same float combination), the honesty harness every
+    approximate tier here ships with (ann_ivf_recall set the pattern).
+    On these random synthetic embeddings (no cluster structure — PQ's
+    worst case) ADC-only recall is low by construction and the rerank
+    tier recovers most of it; both ratios are deterministic and
+    hash-verified."""
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    pq5 = S.pq_topk(q, emb, k=5, m=_PQ_M, stride=_PQ_STRIDE).select(
+        "query_id", "neighbor_id"
+    )
+    rer5 = S.pq_rerank_topk(
+        q, emb, k=5, shortlist=_PQ_SHORTLIST, m=_PQ_M, stride=_PQ_STRIDE
+    ).select("query_id", "neighbor_id")
+    ex5 = S.l2_brute_topk(q, emb, k=5).select("query_id", "neighbor_id")
+    n_exact = ex5.count()
+    hits_adc = pq5.join(ex5, ["query_id", "neighbor_id"]).count()
+    hits_rer = rer5.join(ex5, ["query_id", "neighbor_id"]).count()
+    return spark.createDataFrame(
+        [(n_exact, hits_adc, hits_rer)],
+        "n_exact bigint, _ha bigint, _hr bigint",
+    ).select(
+        "n_exact",
+        (F.col("_ha") * 1.0 / F.col("n_exact")).alias("recall_adc_at_5"),
+        (F.col("_hr") * 1.0 / F.col("n_exact")).alias("recall_rerank_at_5"),
+    )
