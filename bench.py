@@ -111,6 +111,9 @@ BENCH_QUERIES = [
     "text_phrase_indexed",
     "dedup_auto_tier",
     "dedup_containment_auto_tier",
+    # round 11: PQ — compressed-code ADC scan + exact rerank (the new
+    # ANN compression tier; the rerank form is the production serve)
+    "ann_pq_rerank_topk",
 ]
 
 

@@ -47,59 +47,59 @@ from . import autotier  # noqa: F401,E402
 # re-verified against current code as regression tripwires.
 DRIVER_PRIORITY = [
     # --- never driver-checked (their only chance at a first row) ---
-    "stream_funnel_conversion",  # landed after the r9 window froze
-    "iceberg_position_deletes",  # r10: DV'd history -> v2 position deletes
-    "iceberg_bucket_transform",  # r10: murmur3 bucket[N] truthful export
-    "iceberg_nested_adoption",  # r10: nested field-ids round trip
-    "iceberg_equality_deletes",  # r10: Flink-CDC deletes adopt as DVs
-    "scd2_user_tier_history",  # r10 late: SCD2 build from change feed
-    "scd2_point_in_time_tier",  # r10 late: PIT as-of fact attribution
-    "linkage_fs_em_params",  # r10 late: Fellegi-Sunter EM parameters
-    "linkage_fs_match_patterns",  # r10 late: FS posterior classification
-    "text_bm25_indexed_topk",  # r10 late: persisted inverted index serve
-    "text_bm25_index_refresh",  # r10 late: O(batch) index maintenance
-    "sample_weighted_reservoir",  # r10 late: deterministic A-ES sample
-    "stream_ingest_dedup",  # r10 late: online dedup at ingest, full oracle
-    "events_resample_interpolate_hourly",  # r10 late: gapfill+interpolate
-    "linkage_fs_matched_pairs",  # r10 late: pair-level FS deliverable
-    "events_cusum_changepoint",  # r10 late: telescoped CUSUM windows
-    "split_leakage_safe",  # r10 late: dedup-group-keyed split coin
-    "text_phrase_search",  # r10 late: positional posting intersection
-    "text_phrase_indexed",  # r10 late: phrase served from stored index
-    "scd2_backfill_merge",  # r10 late: mid-history splice, full oracle
-    # --- stalest driver rows (last checked r5/r6), staleness rotation ---
-    "multimodal_jpeg_roundtrip",
-    "multimodal_quarantine_pipeline",
-    "multimodal_video_roundtrip",
-    "multimodal_wav_roundtrip",
-    "nested_flatten_struct",
-    "posexplode_with_ordinality",
-    "quality_bigram_logprob",
-    "quality_unigram_logprob",
-    "reconcile_checksum_orders",
-    "salted_agg_revenue_by_flag",
-    "sample_exact_per_group",
-    "sessionize_per_event",
-    "skew_report_orders_custkey",
-    "split_train_val_test",
-    "string_advanced_functions",
-    "text_bm25_scores",
-    "text_pii_scrub",
-    "text_repetition_stats",
-    "text_top_bigrams_per_lang",
-    "versioned_change_feed",
-    "vocab_token_frequencies",
-    "window_cumulative_distinct_users",
-    "agg_cube_flag_status",
-    "agg_exact_percentiles",
-    "agg_group_stats",
-    "agg_pivot_status_by_priority",
-    "agg_rollup_region_nation",
-    "ann_ivf_recall",
-    "approx_distinct_stats",
-    "array_agg_sorted_orders",
-    # (15 stale slots displaced by this round's new queries — the
-    # rotation resumes with them next round; ledger keeps their ranks)
+    "dedup_auto_tier",  # r11: regime router -> widened exact tier
+    "dedup_auto_tier_exact",  # r11: permissive budget keeps base tier
+    "dedup_auto_tier_lsh",  # r11: tight budget falls through to LSH
+    "dedup_containment_auto_tier",  # r11: containment widening router
+    "text_bm25_index_nopos",  # r11: BM25-only index (positions opt-in)
+    "ann_pq_topk",  # r11: product-quantization ADC top-k
+    "ann_pq_rerank_topk",  # r11: ADC shortlist + exact rerank serve
+    "ann_pq_recall",  # r11: dual-tier recall harness
+    # --- stalest driver rows (last checked r6), staleness rotation ---
+    "bpe_first_merges",
+    "bpe_second_merge",
+    "case_when_balance_tiers",
+    "distinct_order_months",
+    "dsir_importance_select",
+    "entity_resolution_canonical",
+    "events_mad_outliers",
+    "events_signup_purchase_funnel",
+    "graph_bfs_customer_reach",
+    "grouping_sets_explicit",
+    "join_anti_dormant_customers",
+    "join_broadcast_brand_revenue",
+    "join_inner_orders_customers",
+    "join_left_order_counts",
+    "join_semi_active_customers",
+    "mixture_temperature_targets",
+    "multimodal_decode_census",
+    "provenance_partition_lineage",
+    "q10_returned_revenue",
+    "q13_order_count_distribution",
+    "q14_promo_revenue_share",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_predicates",
+    "q1_pricing_summary",
+    "q21_waiting_suppliers",
+    "q22_dormant_high_balance",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_bilateral_volume",
+    "q8_national_market_share",
+    "quality_nb_classifier",
+    "retrieval_hybrid_rrf",
+    "scalar_date_functions",
+    "select_docs_token_budget",
+    "sketch_mg_heavy_hitters_exact",
+    "text_bm25_topk_pruned",
+    "versioned_chunked_pruning",
+    "versioned_stats_drift",
+    # (remaining r6-stale and all r7+ names rotate in next rounds;
+    # docs/driver_checked.json keeps every name's first-green rank)
 ]
 
 
