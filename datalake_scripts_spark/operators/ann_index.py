@@ -127,18 +127,29 @@ def load_centroids(
 
 
 def _assign(
-    corpus: DataFrame, cents, assignment: str, id_col: str, vec_col: str
+    corpus: DataFrame, cents, assignment: str, id_col: str, vec_col: str,
+    metric: str = "cosine",
 ) -> DataFrame:
     """(neighbor_id, cv, cn, cell) for every corpus vector — the
     stored inverted file. 'literal' is the DuckDB-replicable oracle
     twin; 'pandas' is the centroid-count-flat Arrow/numpy scale path
-    (same contract as similarity.ivf_topk)."""
+    (same contract as similarity.ivf_topk). ``metric`` picks the cell
+    rule: 'cosine' (the original serve metric) or 'l2' (the FAISS
+    default, what the IVF-PQ serve path scores in)."""
     if assignment == "pandas":
+        if metric != "cosine":
+            raise ValueError(
+                "metric 'l2' needs assignment='literal' (the pandas "
+                "assigner is cosine-only)"
+            )
         return S.ivf_assign_pandas(
             corpus, cents, nprobe=1, id_col=id_col, vec_col=vec_col
         )
     dim = len(cents[0][1]) if cents else None
     vv = F.col(vec_col).cast("array<double>")
+    assign = (
+        S.ivf_assign_cell_l2 if metric == "l2" else S.ivf_assign_cell
+    )
     return (
         corpus.select(
             F.col(id_col).alias("neighbor_id"),
@@ -146,7 +157,7 @@ def _assign(
             S.dot(vv, vv, dim).alias("cn"),
         )
         .withColumn(
-            "cell", S.ivf_assign_cell(F.col("cv"), F.col("cn"), cents)
+            "cell", assign(F.col("cv"), F.col("cn"), cents)
         )
     )
 
@@ -162,6 +173,9 @@ def build_ann_index(
     assignment: str = "pandas",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    metric: str = "cosine",
+    pq_m: int | None = None,
+    pq_stride: int = 10,
 ) -> dict:
     """Build (or fully rebuild) the index from the corpus table's
     CURRENT snapshot. Returns ``{"source_version", "n_centroids",
@@ -204,7 +218,22 @@ def build_ann_index(
         "assignment": assignment,
         "id_col": id_col,
         "vec_col": vec_col,
+        "metric": metric,
     }
+    codebooks = None
+    if pq_m:
+        # PQ codebooks ride the centroids commit meta (O(m * K * sd)
+        # doubles — metadata-sized) so serving and refresh resolve
+        # them PINNED exactly like the centroids themselves
+        codebooks = S.pq_codebooks(
+            corpus, m=pq_m, stride=pq_stride, id_col=id_col,
+            vec_col=vec_col,
+        )
+        params["pq_m"] = pq_m
+        params["pq_stride"] = pq_stride
+        params["pq_codebooks"] = [
+            [[cid, list(cw)] for cid, cw in cb] for cb in codebooks
+        ]
     cent_df = spark.createDataFrame(
         [(cid, vec) for cid, vec in cents],
         "cid bigint, cvec array<double>",
@@ -213,7 +242,11 @@ def build_ann_index(
         spark, cent_df, _subdir(index_dir, _CENTROIDS),
         mode="overwrite", meta={**params, "source_version": v},
     )
-    assigned = _assign(corpus, cents, assignment, id_col, vec_col)
+    assigned = _assign(corpus, cents, assignment, id_col, vec_col, metric)
+    if codebooks:
+        assigned = assigned.select(
+            "*", *S.pq_code_cols(F.col("cv"), codebooks)
+        )
     # co-locate each cell before the partitioned write: without this,
     # every input task writes a sliver into every cell directory and
     # the store fragments into O(tasks x cells) tiny files (measured
@@ -301,6 +334,9 @@ def _refresh_once(
             assignment=meta.get("assignment", "pandas"),
             id_col=meta.get("id_col", "vec_id"),
             vec_col=meta.get("vec_col", "embedding"),
+            metric=meta.get("metric", "cosine"),
+            pq_m=meta.get("pq_m"),
+            pq_stride=meta.get("pq_stride", 10),
         ) | {"action": "rebuilt"}
 
     non_append = [
@@ -327,7 +363,17 @@ def _refresh_once(
         assigned = _assign(
             new_rows, cents, meta.get("assignment", "pandas"),
             meta.get("id_col", "vec_id"), meta.get("vec_col", "embedding"),
-        ).repartition(F.col("cell"))  # see build: one file per cell
+            meta.get("metric", "cosine"),
+        )
+        if meta.get("pq_m"):
+            # encode the batch with the FROZEN codebooks pinned to the
+            # same centroids commit — exactly the stale-model posture
+            # the drift threshold bounds for the cells themselves
+            cbs = _meta_codebooks(meta)
+            assigned = assigned.select(
+                "*", *S.pq_code_cols(F.col("cv"), cbs)
+            )
+        assigned = assigned.repartition(F.col("cell"))  # one file per cell
         write_versioned(
             spark, assigned, adir, mode="append", partition_by=["cell"],
             expected_version=a_v, meta=commit_meta,
@@ -426,4 +472,117 @@ def ivf_topk_indexed(
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rnk", F.row_number().over(w)).filter(
         F.col("rnk") <= k
+    )
+
+
+def _meta_codebooks(meta: dict) -> list[list[tuple[int, list[float]]]]:
+    """The PQ codebooks recorded in the pinned centroids commit meta,
+    back in the (cid, values) shape the encode/ADC helpers take."""
+    raw = meta.get("pq_codebooks")
+    if not raw:
+        raise ValueError(
+            "index was built without PQ (pq_m unset) — rebuild with "
+            "build_ann_index(..., pq_m=...)"
+        )
+    return [
+        [(int(cid), [float(x) for x in cw]) for cid, cw in cb]
+        for cb in raw
+    ]
+
+
+def ivfpq_topk_indexed(
+    spark: SparkSession,
+    queries_df: DataFrame,
+    index_dir: str,
+    k: int = 5,
+    nprobe: int = 2,
+    shortlist: int = 25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    prune: bool = True,
+) -> DataFrame:
+    """Serve the composed IVFADC stack FROM the stored index
+    (the persisted twin of :func:`operators.similarity.ivfpq_topk`):
+    probed cells become a static partition filter on the
+    cell-partitioned assignments scan, ADC scores the STORED codes
+    against each query's distance tables, and only the shortlist's
+    stored vectors feed the exact-L2 rerank — no corpus access, no
+    re-encoding, no re-clustering on the query path. Requires a build
+    with ``metric='l2'`` and ``pq_m`` set; centroids AND codebooks
+    resolve pinned through the assignments commit, so a concurrent
+    rebuild is never half-visible. Output contract matches the
+    on-the-fly form: (query_id, neighbor_id, l2_dist, rnk)."""
+    from pyspark.sql import Window as W
+
+    meta = _index_meta(index_dir)
+    if meta.get("metric") != "l2":
+        raise ValueError(
+            "ivfpq_topk_indexed needs an l2-metric index (build with "
+            "metric='l2'); this index records "
+            f"metric={meta.get('metric')!r}"
+        )
+    cents = load_centroids(
+        spark, index_dir, version=meta["centroids_version"]
+    )
+    codebooks = _meta_codebooks(meta)
+    m = len(codebooks)
+    dim = len(cents[0][1])
+    vv = F.col(vec_col).cast("array<double>")
+    vnorm = S.dot(vv, vv, dim)
+    q = queries_df.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(
+            S.ivf_probe_cells_l2(vv, vnorm, cents, nprobe)
+        ).alias("cell"),
+        vv.alias("qv"),
+        vnorm.alias("qn"),
+        *S.pq_dqt_cols(vv, codebooks),
+    )
+    c = read_versioned(spark, _subdir(index_dir, _ASSIGNMENTS))
+    if prune:
+        # bounded collect — O(queries x nprobe) rows by the small-
+        # query-batch contract; static isin prunes unprobed cells
+        probed = sorted(
+            r["cell"] for r in q.select("cell").distinct().collect()
+        )
+        c = c.filter(F.col("cell").isin(probed))
+    # bcast: O(queries x nprobe) — query batch
+    pair = (
+        c.drop("cv", "cn")
+        .join(F.broadcast(q.drop("qv", "qn")), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    short = (
+        pair.select(
+            "query_id", "neighbor_id",
+            S.pq_adc_score(m).alias("adc_dist"),
+        )
+        .withColumn("srn", F.row_number().over(w))
+        .filter(F.col("srn") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    # rerank from the STORED vectors (cv, cn ride the assignments
+    # table) — the index serves end-to-end without touching the corpus
+    stored = read_versioned(spark, _subdir(index_dir, _ASSIGNMENTS))
+    if prune:
+        stored = stored.filter(F.col("cell").isin(probed))
+    qv = q.select("query_id", "qv", "qn").distinct()
+    dist = (
+        F.col("qn") - F.lit(2.0) * S.dot(F.col("qv"), F.col("cv"), dim)
+    ) + F.col("cn")
+    scored = (
+        short.join(F.broadcast(qv), "query_id")
+        .join(stored.select("neighbor_id", "cv", "cn"), "neighbor_id")
+        .select("query_id", "neighbor_id", dist.alias("l2_dist"))
+    )
+    w2 = W.partitionBy("query_id").orderBy(
+        F.asc("l2_dist"), F.asc("neighbor_id")
+    )
+    return scored.withColumn(
+        "rnk", F.row_number().over(w2).cast("int")
+    ).filter(F.col("rnk") <= k).select(
+        "query_id", "neighbor_id", "l2_dist", "rnk"
     )

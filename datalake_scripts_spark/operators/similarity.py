@@ -601,23 +601,10 @@ def pq_encode(
     nearest codeword (L2, tie -> lowest codeword id) in that subspace's
     codebook. Entirely map-side: the codebooks ride as literals, so a
     1000-executor encode has no shuffle and no join."""
-    m = len(codebooks)
-    sd = len(codebooks[0][0][1])
     vec = F.col(vec_col).cast("array<double>")
-    cols = [F.col(id_col).alias(out_id)]
-    for j in range(m):
-        sub = F.slice(vec, j * sd + 1, sd)
-        sn = dot(sub, sub, sd)
-        structs = [
-            F.struct(
-                _l2_expr(sn, sub, cw).alias("d"),
-                F.lit(idx).cast("int").alias("idx"),
-            )
-            for idx, (_cid, cw) in enumerate(codebooks[j])
-        ]
-        best = structs[0] if len(structs) == 1 else F.least(*structs)
-        cols.append(best["idx"].alias(f"code_{j}"))
-    return df.select(*cols)
+    return df.select(
+        F.col(id_col).alias(out_id), *pq_code_cols(vec, codebooks)
+    )
 
 
 def pq_codebooks(
@@ -661,30 +648,19 @@ def pq_topk(
     per-query top-k window. Returns (query_id, neighbor_id, adc_dist,
     rnk), self-pairs excluded, ties -> lowest neighbor_id."""
     codebooks = pq_codebooks(corpus_df, m, stride, id_col, vec_col)
-    sd = len(codebooks[0][0][1])
     codes = pq_encode(corpus_df, codebooks, id_col, vec_col,
                       out_id="neighbor_id")
     vec = F.col(vec_col).cast("array<double>")
-    qcols = [F.col(id_col).alias("query_id")]
-    for j in range(m):
-        sub = F.slice(vec, j * sd + 1, sd)
-        sn = dot(sub, sub, sd)
-        qcols.append(
-            F.array(
-                *[_l2_expr(sn, sub, cw) for _cid, cw in codebooks[j]]
-            ).alias(f"dqt_{j}")
-        )
-    q = queries_df.select(*qcols)
+    q = queries_df.select(
+        F.col(id_col).alias("query_id"), *pq_dqt_cols(vec, codebooks)
+    )
     # bcast: O(queries * m * |codebook|) doubles — the query batch
     pair = codes.join(
         F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
     )
-    score = F.element_at(F.col("dqt_0"), F.col("code_0") + 1)
-    for j in range(1, m):
-        score = score + F.element_at(
-            F.col(f"dqt_{j}"), F.col(f"code_{j}") + 1
-        )
-    scored = pair.select("query_id", "neighbor_id", score.alias("adc_dist"))
+    scored = pair.select(
+        "query_id", "neighbor_id", pq_adc_score(m).alias("adc_dist")
+    )
     w = W.partitionBy("query_id").orderBy(
         F.asc("adc_dist"), F.asc("neighbor_id")
     )
@@ -777,3 +753,181 @@ def pq_rerank_topk(
     ).filter(F.col("rnk") <= k).select(
         "query_id", "neighbor_id", "l2_dist", "rnk"
     )
+
+
+def _l2_argmin_structs(sub: Column, sub_norm: Column, cents) -> list[Column]:
+    """(L2^2 distance, id) structs against inlined centroid literals —
+    F.least over them IS ORDER BY d ASC, id ASC LIMIT 1."""
+    return [
+        F.struct(
+            _l2_expr(sub_norm, sub, cvec).alias("d"),
+            F.lit(cid).cast("bigint").alias("cid"),
+        )
+        for cid, cvec in cents
+    ]
+
+
+def ivfpq_topk(
+    queries_df: DataFrame,
+    corpus_df: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    shortlist: int = 25,
+    m: int = 8,
+    stride: int = 10,
+    cell_stride: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The composed production ANN stack — IVF cell pruning x PQ
+    compression x exact rerank (the IVFADC scheme of Jégou et al.):
+
+    1. corpus vectors get an IVF cell (argmin L2 to stride-seeded
+       centroids) AND m PQ codes, in ONE map-side select — no shuffle;
+    2. each query probes its ``nprobe`` nearest cells and carries its
+       ADC distance tables; candidates come from an equi-join on the
+       cell id (only probed cells' codes are touched — at 100 TB with
+       cell-partitioned storage this is a static partition prune, see
+       operators.ann_index);
+    3. ADC shortlists ``shortlist`` candidates per query from the
+       compressed codes; only those join back to full vectors for the
+       exact-L2 rerank.
+
+    Both metric stages use the engine-identical L2 combination, so the
+    full stack — cells, probes, codes, ADC, rerank — is replicated by
+    the SQL oracle. Returns (query_id, neighbor_id, l2_dist, rnk)."""
+    cents = ivf_centroids(corpus_df, cell_stride, id_col, vec_col)
+    codebooks = pq_codebooks(corpus_df, m, stride, id_col, vec_col)
+    dim = _dim_of(corpus_df, vec_col)
+    vec = F.col(vec_col).cast("array<double>")
+    vnorm = dot(vec, vec, dim)
+
+    # corpus: cell + codes, one map-side projection
+    coded = corpus_df.select(
+        F.col(id_col).alias("neighbor_id"),
+        ivf_assign_cell_l2(vec, vnorm, cents).alias("cell"),
+        *pq_code_cols(vec, codebooks),
+    )
+
+    # queries: probed cells + ADC tables, map-side
+    q = queries_df.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(
+            ivf_probe_cells_l2(vec, vnorm, cents, nprobe)
+        ).alias("cell"),
+        *pq_dqt_cols(vec, codebooks),
+    )
+
+    # bcast: O(queries * nprobe) — query batch
+    pair = coded.join(F.broadcast(q), "cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    short = (
+        pair.select(
+            "query_id", "neighbor_id", pq_adc_score(m).alias("adc_dist")
+        )
+        .withColumn("srn", F.row_number().over(w))
+        .filter(F.col("srn") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+
+    qv = queries_df.select(
+        F.col(id_col).alias("query_id"), vec.alias("qv"),
+        vnorm.alias("qn"),
+    )
+    cv = corpus_df.select(
+        F.col(id_col).alias("neighbor_id"), vec.alias("cv"),
+        vnorm.alias("cn"),
+    )
+    dist = (
+        F.col("qn") - F.lit(2.0) * dot(F.col("qv"), F.col("cv"), dim)
+    ) + F.col("cn")
+    # bcast: O(queries) — rerank joins the shortlist only
+    scored = (
+        short.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select("query_id", "neighbor_id", dist.alias("l2_dist"))
+    )
+    w2 = W.partitionBy("query_id").orderBy(
+        F.asc("l2_dist"), F.asc("neighbor_id")
+    )
+    return scored.withColumn(
+        "rnk", F.row_number().over(w2).cast("int")
+    ).filter(F.col("rnk") <= k).select(
+        "query_id", "neighbor_id", "l2_dist", "rnk"
+    )
+
+
+def ivf_assign_cell_l2(vec: Column, vec_norm: Column, cents) -> Column:
+    """Nearest-centroid cell id under L2 (the FAISS-default IVF
+    metric; the cosine twin is :func:`ivf_assign_cell`) — map-side,
+    inline centroid literals, no shuffle."""
+    structs = _l2_argmin_structs(vec, vec_norm, cents)
+    best = structs[0] if len(structs) == 1 else F.least(*structs)
+    return best["cid"]
+
+
+def ivf_probe_cells_l2(
+    vec: Column, vec_norm: Column, cents, nprobe: int
+) -> Column:
+    """Array of the ``nprobe`` nearest cell ids under L2, map-side."""
+    arr = F.array(*_l2_argmin_structs(vec, vec_norm, cents))
+    return F.transform(
+        F.slice(F.sort_array(arr), 1, nprobe), lambda s: s["cid"]
+    )
+
+
+def pq_code_cols(
+    vec: Column, codebooks: list[list[tuple[int, list[float]]]]
+) -> list[Column]:
+    """The m PQ code columns (0-based codeword indexes, L2 argmin, tie
+    -> lowest codeword id) for a double-array vector column — the
+    reusable map-side encode the persisted index shares with
+    :func:`pq_encode`."""
+    sd = len(codebooks[0][0][1])
+    out = []
+    for j, cb in enumerate(codebooks):
+        sub = F.slice(vec, j * sd + 1, sd)
+        sn = dot(sub, sub, sd)
+        structs = [
+            F.struct(
+                _l2_expr(sn, sub, cw).alias("d"),
+                F.lit(idx).cast("int").alias("idx"),
+            )
+            for idx, (_cid, cw) in enumerate(cb)
+        ]
+        best = structs[0] if len(structs) == 1 else F.least(*structs)
+        out.append(best["idx"].alias(f"code_{j}"))
+    return out
+
+
+def pq_dqt_cols(
+    vec: Column, codebooks: list[list[tuple[int, list[float]]]]
+) -> list[Column]:
+    """The m per-query ADC distance-table columns (``dqt_j`` =
+    array<double> over the codebook), map-side."""
+    sd = len(codebooks[0][0][1])
+    out = []
+    for j, cb in enumerate(codebooks):
+        sub = F.slice(vec, j * sd + 1, sd)
+        sn = dot(sub, sub, sd)
+        out.append(
+            F.array(*[_l2_expr(sn, sub, cw) for _cid, cw in cb]).alias(
+                f"dqt_{j}"
+            )
+        )
+    return out
+
+
+def pq_adc_score(m: int) -> Column:
+    """Fixed-order (left-assoc) ADC sum over the m lookups — float
+    addition order is part of the cross-engine contract."""
+    score = F.element_at(F.col("dqt_0"), F.col("code_0") + 1)
+    for j in range(1, m):
+        score = score + F.element_at(
+            F.col(f"dqt_{j}"), F.col(f"code_{j}") + 1
+        )
+    return score

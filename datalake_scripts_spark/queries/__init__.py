@@ -55,6 +55,8 @@ DRIVER_PRIORITY = [
     "ann_pq_topk",  # r11: product-quantization ADC top-k
     "ann_pq_rerank_topk",  # r11: ADC shortlist + exact rerank serve
     "ann_pq_recall",  # r11: dual-tier recall harness
+    "ann_ivfpq_topk",  # r11: composed IVFADC stack (prune+ADC+rerank)
+    "ann_ivfpq_indexed_topk",  # r11: IVFADC served from stored index
     # --- stalest driver rows (last checked r6), staleness rotation ---
     "bpe_first_merges",
     "bpe_second_merge",
@@ -96,8 +98,6 @@ DRIVER_PRIORITY = [
     "select_docs_token_budget",
     "sketch_mg_heavy_hitters_exact",
     "text_bm25_topk_pruned",
-    "versioned_chunked_pruning",
-    "versioned_stats_drift",
     # (remaining r6-stale and all r7+ names rotate in next rounds;
     # docs/driver_checked.json keeps every name's first-green rank)
 ]

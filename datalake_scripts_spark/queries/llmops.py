@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from ..operators import dedup as D
 from ..operators import similarity as S
 from ..operators import text as X
-from .registry import query, t
+from .registry import REGISTRY, query, t
 
 # Shared DuckDB fragments ---------------------------------------------------
 SQL_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
@@ -3245,4 +3245,99 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_exact",
         (F.col("_ha") * 1.0 / F.col("n_exact")).alias("recall_adc_at_5"),
         (F.col("_hr") * 1.0 / F.col("n_exact")).alias("recall_rerank_at_5"),
+    )
+
+
+_IVFPQ_CELL_STRIDE, _IVFPQ_NPROBE, _IVFPQ_SHORTLIST = 50, 2, 25
+
+
+@query(
+    "ann_ivfpq_topk",
+    sql=f"""
+    WITH {_pq_ctes()},
+    cellc AS (SELECT vec_id AS ccid, v AS ccvec FROM e
+              WHERE vec_id % {_IVFPQ_CELL_STRIDE} = 0),
+    cells AS (
+      SELECT vec_id, ccid AS cell FROM (
+        SELECT e.vec_id, c.ccid, ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_pq_l2('e.v', 'c.ccvec')} ASC, c.ccid ASC
+               ) AS rn
+        FROM e CROSS JOIN cellc c) x WHERE rn = 1),
+    probes AS (
+      SELECT query_id, ccid AS cell FROM (
+        SELECT q.query_id, c.ccid, ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {_pq_l2('qe.v', 'c.ccvec')} ASC, c.ccid ASC
+               ) AS rn
+        FROM qids q JOIN e qe ON qe.vec_id = q.query_id
+        CROSS JOIN cellc c) x WHERE rn <= {_IVFPQ_NPROBE}),
+    padc AS (
+      SELECT a.query_id, a.neighbor_id, a.adc_dist
+      FROM adc a
+      JOIN cells nc ON nc.vec_id = a.neighbor_id
+      JOIN probes p ON p.query_id = a.query_id AND p.cell = nc.cell),
+    short AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY adc_dist ASC, neighbor_id ASC) AS rn
+        FROM padc) x WHERE rn <= {_IVFPQ_SHORTLIST})
+    SELECT query_id, neighbor_id, l2_dist, CAST(rnk AS INT) AS rnk FROM (
+      SELECT s.query_id, s.neighbor_id,
+             {_pq_l2('qe.v', 'e.v')} AS l2_dist,
+             ROW_NUMBER() OVER (PARTITION BY s.query_id ORDER BY
+               {_pq_l2('qe.v', 'e.v')} ASC, s.neighbor_id ASC) AS rnk
+      FROM short s
+      JOIN e qe ON qe.vec_id = s.query_id
+      JOIN e ON e.vec_id = s.neighbor_id) y
+    WHERE rnk <= 5
+    """,
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed production ANN stack (IVFADC, operators.similarity.
+    ivfpq_topk): IVF cells prune the corpus to the 2 probed cells, PQ
+    codes ADC-score only those candidates (m table lookups per pair,
+    compressed-code scan), and the 25-deep shortlist alone joins back
+    to full vectors for the exact-L2 rerank. Cell assignment + PQ
+    encode happen in ONE map-side corpus projection (no shuffle); the
+    oracle replicates cells, probes, codes, ADC sums, shortlist, and
+    rerank bit-for-bit."""
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    return S.ivfpq_topk(
+        q, emb, k=5, nprobe=_IVFPQ_NPROBE, shortlist=_IVFPQ_SHORTLIST,
+        m=_PQ_M, stride=_PQ_STRIDE, cell_stride=_IVFPQ_CELL_STRIDE,
+    )
+
+
+@query("ann_ivfpq_indexed_topk", sql=REGISTRY["ann_ivfpq_topk"].sql)
+def ann_ivfpq_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC served FROM the persisted index (operators.ann_index.
+    ivfpq_topk_indexed): cells, PQ codes, and full vectors are built
+    ONCE into the cell-partitioned assignments table (codebooks ride
+    the pinned centroids commit meta), then the probe -> ADC ->
+    rerank stack runs end-to-end against the stored index with zero
+    corpus access. Stride centroids + literal assignment make the
+    served result hash-exact EQUAL to the on-the-fly ann_ivfpq_topk —
+    the same stride-twin proof the IVF and BM25 indexes carry: the
+    index changes WHERE the work happens, not WHAT is computed."""
+    import tempfile
+
+    from ..operators import ann_index as AI
+    from ..operators import versioned as V
+
+    emb = t(spark, sf_dir, "embeddings")
+    corpus_dir = tempfile.mkdtemp(prefix="ivfpq_corpus_")
+    index_dir = tempfile.mkdtemp(prefix="ivfpq_index_")
+    V.write_versioned(spark, emb, corpus_dir, mode="append")
+    AI.build_ann_index(
+        spark, corpus_dir, index_dir,
+        centroids="stride", stride=_IVFPQ_CELL_STRIDE,
+        assignment="literal", metric="l2",
+        pq_m=_PQ_M, pq_stride=_PQ_STRIDE,
+    )
+    q = emb.filter(F.col("vec_id") < 10)
+    return AI.ivfpq_topk_indexed(
+        spark, q, index_dir, k=5, nprobe=_IVFPQ_NPROBE,
+        shortlist=_IVFPQ_SHORTLIST,
     )

@@ -51,3 +51,72 @@ def test_rerank_recall_not_below_adc(spark, emb):
            for r in S.pq_rerank_topk(q, emb, k=5, shortlist=50, m=8,
                                      stride=10).collect()}
     assert len(rer & ex) >= len(adc & ex)
+
+
+def test_ivfpq_full_probe_full_shortlist_equals_exact(spark, emb):
+    """With every cell probed and the shortlist covering the corpus,
+    IVFADC degenerates to exact L2 top-k — the approximation lives
+    only in the probe/shortlist cuts."""
+    n = emb.count()
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = S.l2_brute_topk(q, emb, k=5)
+    got = S.ivfpq_topk(
+        q, emb, k=5, nprobe=n, shortlist=n, m=8, stride=10,
+        cell_stride=50,
+    )
+    key = lambda r: (r["query_id"], r["rnk"], r["neighbor_id"])  # noqa: E731
+    assert sorted(map(key, got.collect())) == sorted(
+        map(key, exact.collect())
+    )
+
+
+def test_persisted_ivfpq_index_serves_and_refreshes(spark, emb, tmp_path):
+    """Build the l2+PQ index, serve == on-the-fly IVFADC; append to the
+    corpus, refresh (codes encoded with the FROZEN codebooks), and the
+    refreshed serve equals a from-scratch rebuild's serve."""
+    from datalake_scripts_spark.operators import ann_index as AI
+    from datalake_scripts_spark.operators import versioned as V
+
+    corpus = str(tmp_path / "corpus")
+    idx = str(tmp_path / "idx")
+    part1 = emb.filter(F.col("vec_id") % 7 != 0)
+    V.write_versioned(spark, part1, corpus, mode="append")
+    AI.build_ann_index(
+        spark, corpus, idx, centroids="stride", stride=50,
+        assignment="literal", metric="l2", pq_m=8, pq_stride=10,
+    )
+    q = emb.filter(F.col("vec_id") < 10)
+    got = AI.ivfpq_topk_indexed(spark, q, idx, k=5, nprobe=2, shortlist=25)
+    want = S.ivfpq_topk(
+        q, V.read_versioned(spark, corpus), k=5, nprobe=2, shortlist=25,
+        m=8, stride=10, cell_stride=50,
+    )
+    key = lambda r: (r["query_id"], r["rnk"], r["neighbor_id"],
+                     r["l2_dist"])  # noqa: E731
+    assert sorted(map(key, got.collect())) == sorted(
+        map(key, want.collect())
+    )
+
+    # append + refresh: new vectors encoded against frozen codebooks
+    V.write_versioned(
+        spark, emb.filter(F.col("vec_id") % 7 == 0), corpus, mode="append"
+    )
+    res = AI.refresh_ann_index(spark, corpus, idx, drift_threshold=10.0)
+    assert res["action"] == "assigned" and res["n_new"] > 0
+    a = V.read_versioned(
+        spark, AI._subdir(idx, AI._ASSIGNMENTS)
+    )
+    assert a.filter(F.col("code_0").isNull()).count() == 0
+    got2 = AI.ivfpq_topk_indexed(spark, q, idx, k=5, nprobe=2, shortlist=25)
+    assert got2.count() == 50
+
+    def test_refuses_cosine_index():
+        idx2 = str(tmp_path / "idx2")
+        AI.build_ann_index(
+            spark, corpus, idx2, centroids="stride", stride=50,
+            assignment="literal",
+        )
+        with pytest.raises(ValueError, match="l2-metric"):
+            AI.ivfpq_topk_indexed(spark, q, idx2)
+
+    test_refuses_cosine_index()
