@@ -176,6 +176,8 @@ def build_ann_index(
     metric: str = "cosine",
     pq_m: int | None = None,
     pq_stride: int = 10,
+    pq_max_codewords: int = 50,
+    max_centroids: int | None = None,
 ) -> dict:
     """Build (or fully rebuild) the index from the corpus table's
     CURRENT snapshot. Returns ``{"source_version", "n_centroids",
@@ -205,7 +207,8 @@ def build_ann_index(
         )
     else:
         cents = S.ivf_centroids(
-            corpus, stride=stride, id_col=id_col, vec_col=vec_col
+            corpus, stride=stride, id_col=id_col, vec_col=vec_col,
+            max_centroids=max_centroids,
         )
     if not cents:
         raise ValueError(f"{corpus_dir} has no vectors to index")
@@ -219,6 +222,7 @@ def build_ann_index(
         "id_col": id_col,
         "vec_col": vec_col,
         "metric": metric,
+        "max_centroids": max_centroids,
     }
     codebooks = None
     if pq_m:
@@ -227,10 +231,11 @@ def build_ann_index(
         # them PINNED exactly like the centroids themselves
         codebooks = S.pq_codebooks(
             corpus, m=pq_m, stride=pq_stride, id_col=id_col,
-            vec_col=vec_col,
+            vec_col=vec_col, max_codewords=pq_max_codewords,
         )
         params["pq_m"] = pq_m
         params["pq_stride"] = pq_stride
+        params["pq_max_codewords"] = pq_max_codewords
         params["pq_codebooks"] = [
             [[cid, list(cw)] for cid, cw in cb] for cb in codebooks
         ]
@@ -337,6 +342,8 @@ def _refresh_once(
             metric=meta.get("metric", "cosine"),
             pq_m=meta.get("pq_m"),
             pq_stride=meta.get("pq_stride", 10),
+            pq_max_codewords=meta.get("pq_max_codewords", 50),
+            max_centroids=meta.get("max_centroids"),
         ) | {"action": "rebuilt"}
 
     non_append = [

@@ -215,16 +215,23 @@ def ivf_centroids(
     stride: int = 50,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_centroids: int | None = None,
 ) -> list[tuple[int, list[float]]]:
     """Deterministic seeded centroids: every ``stride``-th corpus vector
     by id. A modular pick keeps the DuckDB oracle exactly expressible
     while exercising the identical plan shape — but the collected row
-    count GROWS with the corpus (|C|/stride), so this is the
-    oracle-twin path only; production uses
+    count GROWS with the corpus (|C|/stride) unless ``max_centroids``
+    caps it (id < stride * max, still a pure SQL predicate: a capped
+    pick is a MODEL CONSTANT like a trained codebook, which is what
+    keeps inline-literal plans corpus-size-independent at scale).
+    Uncapped remains the legacy oracle-twin path; production uses
     :func:`ivf_centroids_kmeans`, whose driver footprint is constant.
     Returns driver-side (cid, float32-exact values)."""
+    picked = corpus_df.filter((F.col(id_col) % stride) == 0)
+    if max_centroids is not None:
+        picked = picked.filter(F.col(id_col) < stride * max_centroids)
     rows = (
-        corpus_df.filter((F.col(id_col) % stride) == 0)
+        picked
         .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
         .collect()
     )
@@ -613,12 +620,20 @@ def pq_codebooks(
     stride: int = 50,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_codewords: int = 50,
 ) -> list[list[tuple[int, list[float]]]]:
     """Per-subspace codebooks from the stride-seeded sample (oracle
     twin of ivf_centroids, sliced): codebooks[j] = [(cid, subvector)]
-    sorted by cid. Codeword INDEX therefore equals rank-by-cid, which
-    is what pq_encode emits and the SQL oracle reconstructs."""
-    cents = ivf_centroids(corpus_df, stride, id_col, vec_col)
+    sorted by cid. ``max_codewords`` CAPS the book (id < stride * max)
+    so codebook size — and therefore the map-side encode plan and the
+    per-query ADC table — is a model constant, not corpus-linear (an
+    uncapped stride book at sf1 is 5000 codewords/subspace: a 40k-term
+    encode expression; a real PQ codebook is K=256 regardless of
+    corpus). Codeword INDEX equals rank-by-cid, which is what
+    pq_encode emits and the SQL oracle reconstructs."""
+    cents = ivf_centroids(
+        corpus_df, stride, id_col, vec_col, max_centroids=max_codewords
+    )
     if not cents:
         raise ValueError("empty corpus: no codewords")
     d = len(cents[0][1])
@@ -639,6 +654,7 @@ def pq_topk(
     stride: int = 50,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_codewords: int = 50,
 ) -> DataFrame:
     """PQ-ADC approximate top-k by L2: encode the corpus map-side, give
     each query an m x |codebook| distance table (computed once per
@@ -647,7 +663,9 @@ def pq_topk(
     broadcast of the query batch; the only wide op is the final
     per-query top-k window. Returns (query_id, neighbor_id, adc_dist,
     rnk), self-pairs excluded, ties -> lowest neighbor_id."""
-    codebooks = pq_codebooks(corpus_df, m, stride, id_col, vec_col)
+    codebooks = pq_codebooks(
+        corpus_df, m, stride, id_col, vec_col, max_codewords
+    )
     codes = pq_encode(corpus_df, codebooks, id_col, vec_col,
                       out_id="neighbor_id")
     vec = F.col(vec_col).cast("array<double>")
@@ -712,6 +730,7 @@ def pq_rerank_topk(
     stride: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_codewords: int = 50,
 ) -> DataFrame:
     """The production PQ serve shape: ADC shortlists ``shortlist``
     candidates per query from the COMPRESSED codes, then only the
@@ -724,7 +743,7 @@ def pq_rerank_topk(
     (query_id, neighbor_id, l2_dist, rnk)."""
     short = pq_topk(
         queries_df, corpus_df, k=shortlist, m=m, stride=stride,
-        id_col=id_col, vec_col=vec_col,
+        id_col=id_col, vec_col=vec_col, max_codewords=max_codewords,
     ).select("query_id", "neighbor_id")
     dim = _dim_of(corpus_df, vec_col)
     v = F.col(vec_col).cast("array<double>")
@@ -778,6 +797,8 @@ def ivfpq_topk(
     cell_stride: int = 50,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_codewords: int = 50,
+    max_cells: int = 10,
 ) -> DataFrame:
     """The composed production ANN stack — IVF cell pruning x PQ
     compression x exact rerank (the IVFADC scheme of Jégou et al.):
@@ -796,8 +817,12 @@ def ivfpq_topk(
     Both metric stages use the engine-identical L2 combination, so the
     full stack — cells, probes, codes, ADC, rerank — is replicated by
     the SQL oracle. Returns (query_id, neighbor_id, l2_dist, rnk)."""
-    cents = ivf_centroids(corpus_df, cell_stride, id_col, vec_col)
-    codebooks = pq_codebooks(corpus_df, m, stride, id_col, vec_col)
+    cents = ivf_centroids(
+        corpus_df, cell_stride, id_col, vec_col, max_centroids=max_cells
+    )
+    codebooks = pq_codebooks(
+        corpus_df, m, stride, id_col, vec_col, max_codewords
+    )
     dim = _dim_of(corpus_df, vec_col)
     vec = F.col(vec_col).cast("array<double>")
     vnorm = dot(vec, vec, dim)

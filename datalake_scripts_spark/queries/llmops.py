@@ -3082,6 +3082,13 @@ def _pq_l2(a: str, b: str) -> str:
 
 
 _PQ_M, _PQ_SD, _PQ_STRIDE = 8, 8, 10
+# codebook/cell caps: model constants, corpus-size-independent (a
+# stride pick WITHOUT a cap grows with the corpus — 5000 codewords per
+# subspace at sf1 — which is neither how a trained codebook behaves
+# nor a plan Spark should build). id < stride*K keeps the oracle a
+# pure predicate; at sf<=0.01 (<=500 vectors) the cap is a no-op, so
+# driver-checked results are unchanged.
+_PQ_K = 50
 
 
 def _pq_ctes() -> str:
@@ -3096,7 +3103,8 @@ def _pq_ctes() -> str:
     return f"""
     e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     cent AS (SELECT vec_id AS cid, v AS cvec FROM e
-             WHERE vec_id % {_PQ_STRIDE} = 0),
+             WHERE vec_id % {_PQ_STRIDE} = 0
+               AND vec_id < {_PQ_STRIDE * _PQ_K}),
     subd AS (SELECT unnest(range({_PQ_M})) AS j),
     encd AS (
       SELECT e.vec_id, j, c.cid, {enc_d} AS d
@@ -3141,7 +3149,9 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit."""
     emb = t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
-    return S.pq_topk(q, emb, k=3, m=_PQ_M, stride=_PQ_STRIDE)
+    return S.pq_topk(
+        q, emb, k=3, m=_PQ_M, stride=_PQ_STRIDE, max_codewords=_PQ_K
+    )
 
 
 _PQ_SHORTLIST = 50
@@ -3183,7 +3193,8 @@ def ann_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
     return S.pq_rerank_topk(
-        q, emb, k=5, shortlist=_PQ_SHORTLIST, m=_PQ_M, stride=_PQ_STRIDE
+        q, emb, k=5, shortlist=_PQ_SHORTLIST, m=_PQ_M, stride=_PQ_STRIDE,
+        max_codewords=_PQ_K,
     )
 
 
@@ -3228,11 +3239,12 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-verified."""
     emb = t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
-    pq5 = S.pq_topk(q, emb, k=5, m=_PQ_M, stride=_PQ_STRIDE).select(
-        "query_id", "neighbor_id"
-    )
+    pq5 = S.pq_topk(
+        q, emb, k=5, m=_PQ_M, stride=_PQ_STRIDE, max_codewords=_PQ_K
+    ).select("query_id", "neighbor_id")
     rer5 = S.pq_rerank_topk(
-        q, emb, k=5, shortlist=_PQ_SHORTLIST, m=_PQ_M, stride=_PQ_STRIDE
+        q, emb, k=5, shortlist=_PQ_SHORTLIST, m=_PQ_M, stride=_PQ_STRIDE,
+        max_codewords=_PQ_K,
     ).select("query_id", "neighbor_id")
     ex5 = S.l2_brute_topk(q, emb, k=5).select("query_id", "neighbor_id")
     n_exact = ex5.count()
@@ -3249,6 +3261,7 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _IVFPQ_CELL_STRIDE, _IVFPQ_NPROBE, _IVFPQ_SHORTLIST = 50, 2, 25
+_IVFPQ_NCELLS = 10  # cell-count cap, same model-constant rationale
 
 
 @query(
@@ -3256,7 +3269,8 @@ _IVFPQ_CELL_STRIDE, _IVFPQ_NPROBE, _IVFPQ_SHORTLIST = 50, 2, 25
     sql=f"""
     WITH {_pq_ctes()},
     cellc AS (SELECT vec_id AS ccid, v AS ccvec FROM e
-              WHERE vec_id % {_IVFPQ_CELL_STRIDE} = 0),
+              WHERE vec_id % {_IVFPQ_CELL_STRIDE} = 0
+                AND vec_id < {_IVFPQ_CELL_STRIDE * _IVFPQ_NCELLS}),
     cells AS (
       SELECT vec_id, ccid AS cell FROM (
         SELECT e.vec_id, c.ccid, ROW_NUMBER() OVER (
@@ -3307,6 +3321,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivfpq_topk(
         q, emb, k=5, nprobe=_IVFPQ_NPROBE, shortlist=_IVFPQ_SHORTLIST,
         m=_PQ_M, stride=_PQ_STRIDE, cell_stride=_IVFPQ_CELL_STRIDE,
+        max_codewords=_PQ_K, max_cells=_IVFPQ_NCELLS,
     )
 
 
@@ -3335,6 +3350,7 @@ def ann_ivfpq_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         centroids="stride", stride=_IVFPQ_CELL_STRIDE,
         assignment="literal", metric="l2",
         pq_m=_PQ_M, pq_stride=_PQ_STRIDE,
+        pq_max_codewords=_PQ_K, max_centroids=_IVFPQ_NCELLS,
     )
     q = emb.filter(F.col("vec_id") < 10)
     return AI.ivfpq_topk_indexed(
