@@ -19,6 +19,7 @@ kill).
 
 from __future__ import annotations
 
+import os
 import sys
 import threading
 import time
@@ -37,8 +38,13 @@ TABLES = (
 def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        # the driver's testdata tables are single files; gen_sf.py's
+        # are Spark-written DIRECTORIES of part files — glob those
+        if os.path.isdir(path):
+            path = os.path.join(path, "*.parquet")
         con.sql(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
         )
     return con
 
