@@ -580,6 +580,7 @@ def ivfpq_topk_indexed(
     dist = (
         F.col("qn") - F.lit(2.0) * S.dot(F.col("qv"), F.col("cv"), dim)
     ) + F.col("cn")
+    # bcast: O(queries) — the query batch, small by the ANN contract
     scored = (
         short.join(F.broadcast(qv), "query_id")
         .join(stored.select("neighbor_id", "cv", "cn"), "neighbor_id")

@@ -710,6 +710,7 @@ def l2_brute_topk(
     dist = (
         F.col("qn") - F.lit(2.0) * dot(F.col("qv"), F.col("cv"), dim)
     ) + F.col("cn")
+    # bcast: O(queries) — the query batch, small by the ANN contract
     scored = c.join(
         F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
     ).select("query_id", "neighbor_id", dist.alias("l2_dist"))
