@@ -178,6 +178,7 @@ def build_ann_index(
     pq_stride: int = 10,
     pq_max_codewords: int = 50,
     max_centroids: int | None = None,
+    pq_encode: str = "arrow",
 ) -> dict:
     """Build (or fully rebuild) the index from the corpus table's
     CURRENT snapshot. Returns ``{"source_version", "n_centroids",
@@ -236,6 +237,7 @@ def build_ann_index(
         params["pq_m"] = pq_m
         params["pq_stride"] = pq_stride
         params["pq_max_codewords"] = pq_max_codewords
+        params["pq_encode"] = pq_encode
         params["pq_codebooks"] = [
             [[cid, list(cw)] for cid, cw in cb] for cb in codebooks
         ]
@@ -249,9 +251,16 @@ def build_ann_index(
     )
     assigned = _assign(corpus, cents, assignment, id_col, vec_col, metric)
     if codebooks:
-        assigned = assigned.select(
-            "*", *S.pq_code_cols(F.col("cv"), codebooks)
-        )
+        if pq_encode == "arrow":
+            # production encode: numpy argmin per Arrow batch (codes
+            # agree with the literal fold path — see pq_codes_arrow)
+            assigned = S.pq_codes_arrow(
+                assigned, codebooks, vec_col="cv", drop_vec=False
+            )
+        else:
+            assigned = assigned.select(
+                "*", *S.pq_code_cols(F.col("cv"), codebooks)
+            )
     # co-locate each cell before the partitioned write: without this,
     # every input task writes a sliver into every cell directory and
     # the store fragments into O(tasks x cells) tiny files (measured
@@ -377,9 +386,14 @@ def _refresh_once(
             # same centroids commit — exactly the stale-model posture
             # the drift threshold bounds for the cells themselves
             cbs = _meta_codebooks(meta)
-            assigned = assigned.select(
-                "*", *S.pq_code_cols(F.col("cv"), cbs)
-            )
+            if meta.get("pq_encode", "arrow") == "arrow":
+                assigned = S.pq_codes_arrow(
+                    assigned, cbs, vec_col="cv", drop_vec=False
+                )
+            else:
+                assigned = assigned.select(
+                    "*", *S.pq_code_cols(F.col("cv"), cbs)
+                )
         assigned = assigned.repartition(F.col("cell"))  # one file per cell
         write_versioned(
             spark, assigned, adir, mode="append", partition_by=["cell"],
@@ -507,6 +521,7 @@ def ivfpq_topk_indexed(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     prune: bool = True,
+    qtables: str = "driver",
 ) -> DataFrame:
     """Serve the composed IVFADC stack FROM the stored index
     (the persisted twin of :func:`operators.similarity.ivfpq_topk`):
@@ -536,27 +551,43 @@ def ivfpq_topk_indexed(
     dim = len(cents[0][1])
     vv = F.col(vec_col).cast("array<double>")
     vnorm = S.dot(vv, vv, dim)
-    q = queries_df.select(
-        F.col(id_col).alias("query_id"),
-        F.explode(
-            S.ivf_probe_cells_l2(vv, vnorm, cents, nprobe)
-        ).alias("cell"),
-        vv.alias("qv"),
-        vnorm.alias("qn"),
-        *S.pq_dqt_cols(vv, codebooks),
-    )
+    if qtables == "driver":
+        # probes + ADC tables folded driver-side (bit-identical Python
+        # folds, O(|Q|) collect) and shipped as data — the literal
+        # projection is a ~4k-node plan whose analysis/codegen is a
+        # multi-second constant per serve
+        qt = S.pq_query_tables(
+            queries_df, codebooks, id_col, vec_col,
+            cell_cents=cents, nprobe=nprobe,
+        )
+        qfull = queries_df.select(
+            F.col(id_col).cast("bigint").alias("query_id"),
+            vv.alias("qv"), vnorm.alias("qn"),
+        )
+    else:
+        q = queries_df.select(
+            F.col(id_col).alias("query_id"),
+            F.explode(
+                S.ivf_probe_cells_l2(vv, vnorm, cents, nprobe)
+            ).alias("cell"),
+            vv.alias("qv"),
+            vnorm.alias("qn"),
+            *S.pq_dqt_cols(vv, codebooks),
+        )
+        qt = q.drop("qv", "qn")
+        qfull = q.select("query_id", "qv", "qn").distinct()
     c = read_versioned(spark, _subdir(index_dir, _ASSIGNMENTS))
     if prune:
         # bounded collect — O(queries x nprobe) rows by the small-
         # query-batch contract; static isin prunes unprobed cells
         probed = sorted(
-            r["cell"] for r in q.select("cell").distinct().collect()
+            r["cell"] for r in qt.select("cell").distinct().collect()
         )
         c = c.filter(F.col("cell").isin(probed))
     # bcast: O(queries x nprobe) — query batch
     pair = (
         c.drop("cv", "cn")
-        .join(F.broadcast(q.drop("qv", "qn")), "cell")
+        .join(F.broadcast(qt), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
     )
     w = W.partitionBy("query_id").orderBy(
@@ -576,7 +607,7 @@ def ivfpq_topk_indexed(
     stored = read_versioned(spark, _subdir(index_dir, _ASSIGNMENTS))
     if prune:
         stored = stored.filter(F.col("cell").isin(probed))
-    qv = q.select("query_id", "qv", "qn").distinct()
+    qv = qfull.distinct()
     dist = (
         F.col("qn") - F.lit(2.0) * S.dot(F.col("qv"), F.col("cv"), dim)
     ) + F.col("cn")

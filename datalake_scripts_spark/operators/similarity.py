@@ -655,6 +655,7 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_codewords: int = 50,
+    encode: str = "arrow",
 ) -> DataFrame:
     """PQ-ADC approximate top-k by L2: encode the corpus map-side, give
     each query an m x |codebook| distance table (computed once per
@@ -662,16 +663,37 @@ def pq_topk(
     FIXED-ORDER sum of m table lookups — no per-pair d-term fold. One
     broadcast of the query batch; the only wide op is the final
     per-query top-k window. Returns (query_id, neighbor_id, adc_dist,
-    rnk), self-pairs excluded, ties -> lowest neighbor_id."""
+    rnk), self-pairs excluded, ties -> lowest neighbor_id.
+
+    ``encode`` picks the corpus-encode tier: "arrow" (default — numpy
+    argmin per Arrow batch, the production path, flat interpreter
+    cost) or "literal" (inlined fold expressions, the SQL-replicable
+    oracle twin). Both emit identical integer codes (tested), and the
+    ADC sum is always the JVM-side fold over the LITERAL query tables,
+    so the result is hash-identical either way."""
     codebooks = pq_codebooks(
         corpus_df, m, stride, id_col, vec_col, max_codewords
     )
-    codes = pq_encode(corpus_df, codebooks, id_col, vec_col,
-                      out_id="neighbor_id")
-    vec = F.col(vec_col).cast("array<double>")
-    q = queries_df.select(
-        F.col(id_col).alias("query_id"), *pq_dqt_cols(vec, codebooks)
-    )
+    if encode == "arrow":
+        codes = pq_codes_arrow(
+            corpus_df.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("__pqv"),
+            ),
+            codebooks, vec_col="__pqv",
+        )
+    else:
+        codes = pq_encode(corpus_df, codebooks, id_col, vec_col,
+                          out_id="neighbor_id")
+    if encode == "arrow":
+        # ADC tables computed driver-side (bit-identical Python folds)
+        # and shipped as data, not as a ~4k-node literal plan
+        q = pq_query_tables(queries_df, codebooks, id_col, vec_col)
+    else:
+        vec = F.col(vec_col).cast("array<double>")
+        q = queries_df.select(
+            F.col(id_col).alias("query_id"), *pq_dqt_cols(vec, codebooks)
+        )
     # bcast: O(queries * m * |codebook|) doubles — the query batch
     pair = codes.join(
         F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
@@ -732,6 +754,7 @@ def pq_rerank_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_codewords: int = 50,
+    encode: str = "arrow",
 ) -> DataFrame:
     """The production PQ serve shape: ADC shortlists ``shortlist``
     candidates per query from the COMPRESSED codes, then only the
@@ -745,6 +768,7 @@ def pq_rerank_topk(
     short = pq_topk(
         queries_df, corpus_df, k=shortlist, m=m, stride=stride,
         id_col=id_col, vec_col=vec_col, max_codewords=max_codewords,
+        encode=encode,
     ).select("query_id", "neighbor_id")
     dim = _dim_of(corpus_df, vec_col)
     v = F.col(vec_col).cast("array<double>")
@@ -800,6 +824,7 @@ def ivfpq_topk(
     vec_col: str = "embedding",
     max_codewords: int = 50,
     max_cells: int = 10,
+    encode: str = "arrow",
 ) -> DataFrame:
     """The composed production ANN stack — IVF cell pruning x PQ
     compression x exact rerank (the IVFADC scheme of Jégou et al.):
@@ -828,21 +853,38 @@ def ivfpq_topk(
     vec = F.col(vec_col).cast("array<double>")
     vnorm = dot(vec, vec, dim)
 
-    # corpus: cell + codes, one map-side projection
-    coded = corpus_df.select(
-        F.col(id_col).alias("neighbor_id"),
-        ivf_assign_cell_l2(vec, vnorm, cents).alias("cell"),
-        *pq_code_cols(vec, codebooks),
-    )
+    # corpus: cell + codes, one map-side projection (Arrow tier does
+    # both in a single numpy pass; literal tier is the oracle twin)
+    if encode == "arrow":
+        coded = pq_codes_arrow(
+            corpus_df.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("__pqv"),
+            ),
+            codebooks, vec_col="__pqv", cell_cents=cents,
+        )
+    else:
+        coded = corpus_df.select(
+            F.col(id_col).alias("neighbor_id"),
+            ivf_assign_cell_l2(vec, vnorm, cents).alias("cell"),
+            *pq_code_cols(vec, codebooks),
+        )
 
-    # queries: probed cells + ADC tables, map-side
-    q = queries_df.select(
-        F.col(id_col).alias("query_id"),
-        F.explode(
-            ivf_probe_cells_l2(vec, vnorm, cents, nprobe)
-        ).alias("cell"),
-        *pq_dqt_cols(vec, codebooks),
-    )
+    # queries: probed cells + ADC tables
+    if encode == "arrow":
+        # driver-side folds (bit-identical), shipped as data not plan
+        q = pq_query_tables(
+            queries_df, codebooks, id_col, vec_col,
+            cell_cents=cents, nprobe=nprobe,
+        )
+    else:
+        q = queries_df.select(
+            F.col(id_col).alias("query_id"),
+            F.explode(
+                ivf_probe_cells_l2(vec, vnorm, cents, nprobe)
+            ).alias("cell"),
+            *pq_dqt_cols(vec, codebooks),
+        )
 
     # bcast: O(queries * nprobe) — query batch
     pair = coded.join(F.broadcast(q), "cell").filter(
@@ -957,3 +999,196 @@ def pq_adc_score(m: int) -> Column:
             F.col(f"dqt_{j}"), F.col(f"code_{j}") + 1
         )
     return score
+
+
+# ------------------------------------------------- PQ production tier
+# The literal-inlined encode above is the ORACLE TWIN: every distance
+# is a sequential fold both engines state identically, so codes, ADC
+# sums, and ranks are bit-replicable in SQL. It is also interpretation
+# -bound — m*K inlined l2-fold expressions per corpus row (~400 at
+# m=8, K=50) — measured corpus-linear and 55% of the r11 full-suite
+# wall. The production tier below is the same pattern the IVF family
+# carries (ivf_assign_pandas): one numpy/BLAS argmin per Arrow batch
+# against the broadcast codebook tensor, O(m*K*sd) FLOPs per row, flat
+# in interpreter cost. Codes are integer argmins (tie -> lowest index,
+# numpy first-occurrence — the same contract as pq_code_cols), so the
+# two paths agree except on exact float ties between distinct
+# codewords; agreement is asserted in tests across SFs, and the ADC
+# score downstream is still computed JVM-side from the LITERAL query
+# distance tables, so the served result stays bit-identical to the
+# SQL oracle whenever the codes agree.
+
+
+def _codebook_tensors(codebooks):
+    """Per-subspace (K, sd) float64 codeword matrices, index order."""
+    import numpy as np
+
+    return [
+        np.array([cw for _cid, cw in cb], dtype=np.float64)
+        for cb in codebooks
+    ]
+
+
+def pq_codes_arrow(
+    df: DataFrame,
+    codebooks: list[list[tuple[int, list[float]]]],
+    vec_col: str = "embedding",
+    drop_vec: bool = True,
+    cell_cents: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """Arrow/numpy PQ encode — the 100 TB path. Appends
+    ``code_0..code_{m-1}`` (int, argmin codeword index per subspace)
+    to the input schema (minus ``vec_col`` when ``drop_vec``); when
+    ``cell_cents`` is given, also appends the L2-nearest ``cell``
+    (bigint) in the same single map-side pass, so the composed IVFADC
+    corpus projection (cell + codes) is ONE Arrow stage — no shuffle,
+    no join, exactly the shape of the literal ivfpq_topk projection.
+
+    Distances use the BLAS form ||a||^2 - 2a.b + ||b||^2; not
+    bit-identical to the sequential fold, but the emitted CODES are
+    integers that agree with pq_code_cols unless two codewords tie to
+    the last ulp (asserted across SFs in tests/test_similarity.py,
+    the ivf_assign_pandas convention)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        IntegerType, LongType, StructField, StructType,
+    )
+
+    CB = _codebook_tensors(codebooks)
+    m = len(CB)
+    sd = CB[0].shape[1]
+    cb_norms = [(C * C).sum(axis=1) for C in CB]
+    if cell_cents is not None:
+        cents_sorted = sorted(cell_cents, key=lambda c: c[0])
+        CC = np.array([v for _cid, v in cents_sorted], dtype=np.float64)
+        cc_ids = np.array([cid for cid, _v in cents_sorted], dtype=np.int64)
+        cc_norms = (CC * CC).sum(axis=1)
+
+    src = df.withColumn(vec_col, F.col(vec_col).cast("array<double>"))
+    keep = [
+        f for f in src.schema.fields
+        if not (drop_vec and f.name == vec_col)
+    ]
+    keep_names = [f.name for f in keep]
+    out_fields = list(keep)
+    if cell_cents is not None:
+        out_fields.append(StructField("cell", LongType(), False))
+    out_fields += [
+        StructField(f"code_{j}", IntegerType(), False) for j in range(m)
+    ]
+    out_schema = StructType(out_fields)
+
+    def _encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:  # np.stack rejects empty partitions
+                continue
+            V = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            out = pdf[keep_names].copy()
+            if cell_cents is not None:
+                vn = (V * V).sum(axis=1)
+                d2c = vn[:, None] - 2.0 * (V @ CC.T) + cc_norms[None, :]
+                # argmin first-occurrence over cid-ascending rows ==
+                # tie -> lowest cid, the ivf_assign_cell_l2 contract
+                out["cell"] = cc_ids[d2c.argmin(axis=1)]
+            for j in range(m):
+                sub = V[:, j * sd:(j + 1) * sd]
+                d2 = (
+                    (sub * sub).sum(axis=1)[:, None]
+                    - 2.0 * (sub @ CB[j].T)
+                    + cb_norms[j][None, :]
+                )
+                out[f"code_{j}"] = d2.argmin(axis=1).astype(np.int32)
+            yield out
+
+    return src.mapInPandas(_encode, out_schema)
+
+
+def _fold_dot_py(a, b) -> float:
+    """Pure-Python sequential dot — left-to-right IEEE double ops,
+    bit-identical to the engine fold (:func:`dot`) and to DuckDB's
+    list_dot_product on the same double values (the established
+    _l2_expr codeword-norm precedent)."""
+    s = 0.0
+    for x, y in zip(a, b):
+        s = s + float(x) * float(y)
+    return s
+
+
+def pq_query_tables(
+    queries_df: DataFrame,
+    codebooks: list[list[tuple[int, list[float]]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_cents: list[tuple[int, list[float]]] | None = None,
+    nprobe: int | None = None,
+) -> DataFrame:
+    """Driver-computed per-query ADC distance tables — and, when
+    ``cell_cents``/``nprobe`` are given, probed cells (one row per
+    query x probe, the exploded shape the IVFADC join takes) — as a
+    SMALL DataFrame: (query_id, [cell,] dqt_0..dqt_{m-1}).
+
+    Why driver-side: the literal :func:`pq_dqt_cols` projection inlines
+    m*K fold expressions (~4k plan nodes at m=8, K=50); analysis +
+    codegen of that plan is a multi-second CONSTANT per serve (3.4 MiB
+    task binaries) regardless of corpus size. The query batch is small
+    by the ANN contract, so the same doubles are folded here in pure
+    Python — left-to-right IEEE ops, bit-identical to the engine fold
+    and the SQL oracle — and shipped as DATA instead of PLAN.
+    Collect is O(|Q| * dim), bounded by the small-query-batch contract
+    (the same bound every broadcast of the query batch relies on)."""
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, LongType, StructField, StructType,
+    )
+
+    m = len(codebooks)
+    sd = len(codebooks[0][0][1])
+    # pre-fold codeword norms once (driver-side, fold order)
+    cb_norms = [
+        [_fold_dot_py(cw, cw) for _cid, cw in cb] for cb in codebooks
+    ]
+    # bounded collect: O(|Q|) rows — the ANN small-query-batch contract
+    rows = queries_df.select(
+        F.col(id_col).cast("bigint").alias("qid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).collect()
+    if cell_cents is not None:
+        cents_sorted = sorted(cell_cents, key=lambda c: c[0])
+        cc_norms = [_fold_dot_py(v, v) for _cid, v in cents_sorted]
+    data = []
+    for r in rows:
+        v = [float(x) for x in r["v"]]
+        dqts = []
+        for j, cb in enumerate(codebooks):
+            sub = v[j * sd:(j + 1) * sd]
+            sn = _fold_dot_py(sub, sub)
+            dqts.append([
+                (sn - 2.0 * _fold_dot_py(sub, cw)) + cb_norms[j][ki]
+                for ki, (_cid, cw) in enumerate(cb)
+            ])
+        if cell_cents is None:
+            data.append((r["qid"], *dqts))
+        else:
+            vn = _fold_dot_py(v, v)
+            # (d, cid) ascending == ORDER BY d ASC, cid ASC — the
+            # ivf_probe_cells_l2 struct-sort contract
+            scored = sorted(
+                (
+                    (vn - 2.0 * _fold_dot_py(v, cv)) + cc_norms[ci],
+                    cid,
+                )
+                for ci, (cid, cv) in enumerate(cents_sorted)
+            )
+            for d, cid in scored[: nprobe or 1]:
+                data.append((r["qid"], cid, *dqts))
+    fields = [StructField("query_id", LongType(), False)]
+    if cell_cents is not None:
+        fields.append(StructField("cell", LongType(), False))
+    fields += [
+        StructField(f"dqt_{j}", ArrayType(DoubleType(), False), False)
+        for j in range(m)
+    ]
+    spark = queries_df.sparkSession
+    return spark.createDataFrame(data, StructType(fields))

@@ -120,3 +120,80 @@ def test_persisted_ivfpq_index_serves_and_refreshes(spark, emb, tmp_path):
             AI.ivfpq_topk_indexed(spark, q, idx2)
 
     test_refuses_cosine_index()
+
+
+# ------------------------------------------------ arrow twin (r12)
+# The production encode tier (pq_codes_arrow / pq_query_tables) must
+# agree with the literal oracle twin: integer codes exactly (numpy
+# argmin vs fold argmin), ADC distances and final rows BIT-identical
+# (the ADC sum always reads the driver/literal-fold query tables).
+# Same convention as test_ivf_pandas_assignment_agrees_with_literal.
+
+SF01 = "/root/testdata/sf0.01"
+
+
+def test_arrow_codes_agree_with_literal(spark):
+    for sf in (SF, SF01):
+        emb = read_table(spark, sf, "embeddings")
+        cbs = S.pq_codebooks(emb, m=8, stride=10, max_codewords=50)
+        lit = S.pq_encode(emb, cbs).collect()
+        arr = S.pq_codes_arrow(
+            emb.select(F.col("vec_id"), F.col("embedding")), cbs,
+            vec_col="embedding",
+        ).collect()
+        key = lambda r: r["vec_id"]  # noqa: E731
+        lit_map = {r["vec_id"]: tuple(r[f"code_{j}"] for j in range(8))
+                   for r in lit}
+        arr_map = {r["vec_id"]: tuple(r[f"code_{j}"] for j in range(8))
+                   for r in arr}
+        assert lit_map == arr_map, f"code mismatch at {sf}"
+
+
+def test_arrow_cell_assign_agrees_with_literal_l2(spark, emb):
+    cbs = S.pq_codebooks(emb, m=8, stride=10, max_codewords=50)
+    cents = S.ivf_centroids(emb, stride=20, max_centroids=10)
+    vec = F.col("embedding").cast("array<double>")
+    lit = emb.select(
+        F.col("vec_id"),
+        S.ivf_assign_cell_l2(vec, S.dot(vec, vec), cents).alias("cell"),
+    ).collect()
+    arr = S.pq_codes_arrow(
+        emb.select("vec_id", "embedding"), cbs,
+        vec_col="embedding", cell_cents=cents,
+    ).select("vec_id", "cell").collect()
+    assert {r["vec_id"]: r["cell"] for r in lit} == \
+           {r["vec_id"]: r["cell"] for r in arr}
+
+
+def test_query_tables_bit_identical_to_literal(spark, emb):
+    """Driver-side Python folds == engine folds, to the last bit."""
+    cbs = S.pq_codebooks(emb, m=8, stride=10, max_codewords=50)
+    q = emb.filter(F.col("vec_id") < 10)
+    vec = F.col("embedding").cast("array<double>")
+    lit = q.select(
+        F.col("vec_id").alias("query_id"), *S.pq_dqt_cols(vec, cbs)
+    ).collect()
+    drv = S.pq_query_tables(q, cbs).collect()
+    lit_map = {r["query_id"]: [list(r[f"dqt_{j}"]) for j in range(8)]
+               for r in lit}
+    drv_map = {r["query_id"]: [list(r[f"dqt_{j}"]) for j in range(8)]
+               for r in drv}
+    assert lit_map == drv_map  # exact float equality, not approx
+
+
+def test_pq_topk_arrow_bit_identical_to_literal(spark, emb):
+    q = emb.filter(F.col("vec_id") < 10)
+    key = lambda r: tuple(r)  # noqa: E731
+    a = S.pq_topk(q, emb, k=5, m=8, stride=10, encode="arrow").collect()
+    b = S.pq_topk(q, emb, k=5, m=8, stride=10, encode="literal").collect()
+    assert sorted(map(key, a)) == sorted(map(key, b))
+
+
+def test_ivfpq_topk_arrow_bit_identical_to_literal(spark, emb):
+    q = emb.filter(F.col("vec_id") < 10)
+    kw = dict(k=5, nprobe=2, shortlist=25, m=8, stride=10,
+              cell_stride=20, max_cells=10)
+    key = lambda r: tuple(r)  # noqa: E731
+    a = S.ivfpq_topk(q, emb, encode="arrow", **kw).collect()
+    b = S.ivfpq_topk(q, emb, encode="literal", **kw).collect()
+    assert sorted(map(key, a)) == sorted(map(key, b))
