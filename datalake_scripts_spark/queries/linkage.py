@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.linkage import (
+    block_salt_width,
     comparison_patterns,
     fs_em,
     fs_em_sql,
@@ -64,11 +65,31 @@ _SQL_SIDE_B = f"""
   FROM ({_SQL_SIDE_A})
 """
 
+# block cap (VERDICT r11 ask #3): salt the 25-value nation block with
+# key % W, W routed from the measured cross-pair mass — the exact
+# integer formula block_salt_width states, replicated here so the
+# ROUTING DECISION is oracle-checked (the dedup auto-tier discipline).
+# True matches share `key` across sides, so every one survives any W;
+# only non-match candidate mass is cut. At sf<=0.01, W=1 (no-op).
+_LINK_MAX_PAIRS = 2_000_000
+
+_SQL_WBLK = f"""
+  wblk AS (
+    SELECT CAST(GREATEST(1, (SUM(ca * cb) + {_LINK_MAX_PAIRS} - 1)
+                            // {_LINK_MAX_PAIRS}) AS BIGINT) AS w
+    FROM (SELECT nat, COUNT(*) AS ca FROM ({_SQL_SIDE_A}) GROUP BY nat) xa
+    JOIN (SELECT nat, COUNT(*) AS cb FROM ({_SQL_SIDE_B}) GROUP BY nat) xb
+      USING (nat))
+"""
+
 _SQL_PAIRS = f"""
+  WITH {_SQL_WBLK}
   SELECT CAST(a.name = b.name AS INT) AS g_name,
          CAST(a.seg = b.seg AS INT) AS g_seg,
          CAST(a.bucket = b.bucket AS INT) AS g_bucket
-  FROM ({_SQL_SIDE_A}) a JOIN ({_SQL_SIDE_B}) b ON a.nat = b.nat
+  FROM ({_SQL_SIDE_A}) a JOIN ({_SQL_SIDE_B}) b
+    ON a.nat = b.nat
+   AND (a.key % (SELECT w FROM wblk)) = (b.key % (SELECT w FROM wblk))
 """
 
 _EM_SQL = fs_em_sql(_SQL_PAIRS, _GCOLS, n_iter=_N_ITER)
@@ -102,11 +123,15 @@ def _linkage_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.when(_nibble(3) < 4, F.lit(1)).otherwise(F.lit(0))
         ).alias("bucket"),
     )
-    al, bl = a.alias("a"), b.alias("b")
-    # 25 nation blocks: AQE size-picks the join strategy (no forced
-    # broadcast — side B scales with SF); the downstream aggregation is
-    # map-side combinable to <= 2^K rows, so block skew never shuffles.
-    pairs = al.join(bl, "nat").select(
+    # 25 nation blocks, salted with key % W when the measured pair mass
+    # exceeds the cap (W=1 below it — sf<=0.01 unchanged). AQE
+    # size-picks the join strategy (no forced broadcast — side B scales
+    # with SF); the downstream aggregation is map-side combinable to
+    # <= 2^K rows, so block skew never shuffles.
+    w = block_salt_width(a, b, "nat", max_pairs=_LINK_MAX_PAIRS)
+    al = a.withColumn("salt", F.col("key") % F.lit(w)).alias("a")
+    bl = b.withColumn("salt", F.col("key") % F.lit(w)).alias("b")
+    pairs = al.join(bl, ["nat", "salt"]).select(
         (F.col("a.name") == F.col("b.name")).cast("int").alias("g_name"),
         (F.col("a.seg") == F.col("b.seg")).cast("int").alias("g_seg"),
         (F.col("a.bucket") == F.col("b.bucket")).cast("int").alias("g_bucket"),
@@ -175,11 +200,14 @@ def linkage_fs_match_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql=_EM_SQL
     + """
     , pairids AS (
+      WITH {wblk}
       SELECT a.key AS key_a, b.key AS key_b,
              CAST(a.name = b.name AS INT) AS g_name,
              CAST(a.seg = b.seg AS INT) AS g_seg,
              CAST(a.bucket = b.bucket AS INT) AS g_bucket
-      FROM ({side_a}) a JOIN ({side_b}) b ON a.nat = b.nat)
+      FROM ({side_a}) a JOIN ({side_b}) b
+        ON a.nat = b.nat
+       AND (a.key % (SELECT w FROM wblk)) = (b.key % (SELECT w FROM wblk)))
     SELECT p.key_a, p.key_b,
            CAST(s.pf AS DOUBLE) / 1000000.0 AS match_prob
     FROM pairids p
@@ -187,7 +215,8 @@ def linkage_fs_match_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
       ON s.g_name = p.g_name AND s.g_seg = p.g_seg
      AND s.g_bucket = p.g_bucket
     WHERE s.pf >= 900000
-    """.format(side_a=_SQL_SIDE_A, side_b=_SQL_SIDE_B),
+    """.format(side_a=_SQL_SIDE_A, side_b=_SQL_SIDE_B,
+               wblk=_SQL_WBLK),
 )
 def linkage_fs_matched_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pair-level linkage deliverable: candidate pairs whose gamma
@@ -218,8 +247,10 @@ def linkage_fs_matched_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.when(_nibble(3) < 4, F.lit(1)).otherwise(F.lit(0))
         ).alias("bucket"),
     )
-    al, bl = a.alias("a"), b.alias("b")
-    pairs = al.join(bl, "nat").select(
+    w = block_salt_width(a, b, "nat", max_pairs=_LINK_MAX_PAIRS)
+    al = a.withColumn("salt", F.col("key") % F.lit(w)).alias("a")
+    bl = b.withColumn("salt", F.col("key") % F.lit(w)).alias("b")
+    pairs = al.join(bl, ["nat", "salt"]).select(
         F.col("a.key").alias("key_a"),
         F.col("b.key").alias("key_b"),
         (F.col("a.name") == F.col("b.name")).cast("int").alias("g_name"),
