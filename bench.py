@@ -186,14 +186,101 @@ def main() -> None:
     # uses; the artifact then explains itself: raw total, normalized
     # total, and the normalized vs-prior ratio on shared queries.
     out.update(_env_normalize(timings, sf))
-    print(json.dumps(out))
+    # The driver snapshots only the LAST 2000 BYTES of stdout and
+    # parses the JSON line from that window: r11's line grew past it
+    # (50 queries + env fields) and the artifact recorded parsed=None.
+    # Emit the one stdout line COMPACT (no spaces, 2-decimal query
+    # times — the 1-centisecond loss is far below run-to-run noise)
+    # and mirror the full-precision object to BENCH_LOCAL.json for
+    # humans and the round notes.
+    full = dict(out)
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as fh:
+            json.dump(full, fh, indent=1)
+            fh.write("\n")
+    except OSError:
+        pass
+    out["queries"] = {k: round(v, 2) for k, v in timings.items()}
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 1900:  # keep headroom inside the 2000-byte window
+        # drop the least essential env diagnostics first, never queries
+        for k in ("shared_prior_sec", "shared_total_sec", "prior_artifact",
+                  "env_factor_raw", "normalized_total_sec"):
+            out.pop(k, None)
+            line = json.dumps(out, separators=(",", ":"))
+            if len(line) <= 1900:
+                break
+    print(line)
+
+
+def _current_round(here: str) -> int | None:
+    """The in-progress round, derived from the newest graded artifact:
+    CORRECTNESS_r{N}.json exists only once round N has been driven, so
+    while round N+1 is being built the max is N. Used to exclude the
+    current round's own BENCH artifact from prior selection (ADVICE
+    r11: once the driver writes BENCH_r{N}.json, a same-round re-run
+    would otherwise normalize against itself and mask drift)."""
+    import glob
+    import re
+
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(here, "CORRECTNESS_r[0-9]*.json"))
+        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+    ]
+    return max(rounds) + 1 if rounds else None
+
+
+def _recover_tail(wrapper: dict) -> dict | None:
+    """Salvage a prior artifact whose JSON line outgrew the driver's
+    2000-byte stdout window (BENCH_r11: parsed=None, the line's head
+    cut off). The per-query dict survives intact in the captured tail
+    — extract the balanced ``"queries": {...}`` fragment and pair it
+    with the wrapper's sf."""
+    tail = wrapper.get("tail") or ""
+    i = tail.find('"queries"')
+    if i < 0:
+        return None
+    j = tail.find("{", i)
+    if j < 0:
+        return None
+    depth, k = 0, j
+    for k in range(j, len(tail)):
+        if tail[k] == "{":
+            depth += 1
+        elif tail[k] == "}":
+            depth -= 1
+            if depth == 0:
+                break
+    else:
+        return None
+    try:
+        queries = json.loads(tail[j:k + 1])
+    except json.JSONDecodeError:
+        return None
+    if not isinstance(queries, dict) or not queries:
+        return None
+    return {"sf": wrapper.get("sf"), "queries": queries}
 
 
 def _env_normalize(timings: dict[str, float], sf) -> dict:
     import glob
+    import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    arts = sorted(glob.glob(os.path.join(here, "BENCH_r[0-9]*.json")))
+    # numeric round sort (lexicographic breaks past r99) and exclusion
+    # of the current round's own artifact (ADVICE r11)
+    cur = _current_round(here)
+    arts = sorted(
+        (
+            p
+            for p in glob.glob(os.path.join(here, "BENCH_r[0-9]*.json"))
+            if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+            and (cur is None or int(m.group(1)) < cur)
+        ),
+        key=lambda p: int(re.search(r"BENCH_r(\d+)\.json$", p).group(1)),
+    )
     prior = None
     for p in reversed(arts):
         try:
@@ -201,7 +288,7 @@ def _env_normalize(timings: dict[str, float], sf) -> dict:
         except (json.JSONDecodeError, OSError):
             continue
         # the driver wraps bench.py's JSON line under "parsed"
-        cand = cand.get("parsed") or cand
+        cand = cand.get("parsed") or _recover_tail(cand) or cand
         if cand.get("sf") == sf and cand.get("queries"):
             prior = cand
             prior_path = os.path.basename(p)

@@ -240,7 +240,10 @@ def _deserialize_positions(buf: bytes) -> tuple[int, ...]:
             run_flags = [False] * n
         elif (cookie & 0xFFFF) == _SERIAL_COOKIE_RUN:
             has_run = True
-            n = (cookie >> 16) + 1
+            # mask before shifting: the cookie word is unpacked as
+            # SIGNED int32, so a legal bitmap with >= 32769 containers
+            # sets bit 31 and the bare shift would go negative
+            n = ((cookie >> 16) & 0xFFFF) + 1
             nbytes = (n + 7) // 8
             bitset = buf[pos + 4: pos + 4 + nbytes]
             run_flags = [
@@ -1135,6 +1138,59 @@ def write_delta_checkpoint(
 
     # ---- V2 shape: sidecar file(s) + UUID-named top-level manifest
     header, file_actions = rows[:2], rows[2:]
+
+    # PROTOCOL.md allows v2 checkpoints only on tables whose COMMITTED
+    # protocol advertises the v2Checkpoint feature — upgrading just the
+    # checkpoint's protocol row would let log-replay readers and
+    # checkpoint-bootstrap readers see different protocols, and a
+    # reader honoring _last_checkpoint without v2 support would hit
+    # the UUID manifest with no protocol gate (ADVICE r11). If the
+    # table doesn't advertise it yet, COMMIT the upgrade at v+1 and
+    # checkpoint that version; refuse for historical versions (a
+    # protocol action can't be inserted retroactively mid-chain).
+    if "v2Checkpoint" not in set((protocol or {}).get("readerFeatures") or []):
+        if v != commits[-1]:
+            raise ValueError(
+                f"cannot write a v2 checkpoint at historical version {v}: "
+                "the table protocol does not advertise the v2Checkpoint "
+                "feature there, and the upgrade commit can only land at "
+                "the head — checkpoint the head, or pre-upgrade the table"
+            )
+        proto_row = dict(rows[0]["protocol"])
+        implied_r = {1: [], 2: ["columnMapping"]}.get(
+            proto_row.get("minReaderVersion", 1),
+            proto_row.get("readerFeatures") or [],
+        )
+        implied_w = {
+            2: ["appendOnly", "invariants"],
+            5: ["appendOnly", "invariants", "columnMapping"],
+        }.get(
+            proto_row.get("minWriterVersion", 2),
+            proto_row.get("writerFeatures") or [],
+        )
+        upgraded = {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": sorted(set(implied_r) | {"v2Checkpoint"}),
+            "writerFeatures": sorted(set(implied_w) | {"v2Checkpoint"}),
+        }
+        new_v = v + 1
+        commit_path = os.path.join(log_dir, f"{new_v:020d}.json")
+        if os.path.exists(commit_path):
+            raise FileExistsError(
+                f"{commit_path} already exists — concurrent writer?"
+            )
+        tmp_commit = commit_path + ".tmp"
+        with open(tmp_commit, "w") as fh:
+            fh.write(json.dumps({"commitInfo": {
+                "timestamp": int(time.time() * 1000),
+                "operation": "UPGRADE PROTOCOL",
+                "operationParameters": {},
+            }}) + "\n")
+            fh.write(json.dumps({"protocol": upgraded}) + "\n")
+        os.replace(tmp_commit, commit_path)
+        v = new_v
+        header[0] = {"protocol": upgraded}
     sc_dir = os.path.join(log_dir, "_sidecars")
     os.makedirs(sc_dir, exist_ok=True)
     sc_name = f"{uuid.uuid4()}.parquet"
@@ -1146,27 +1202,6 @@ def write_delta_checkpoint(
     sc_path = os.path.join(sc_dir, sc_name)
     os.replace(sc_tmp, sc_path)
 
-    # v2 checkpoints require the v2Checkpoint reader feature; merge it
-    # into the table-features protocol (upgrade from 1/2 or 2/5 keeps
-    # every previously-implied feature explicit, as PROTOCOL.md asks)
-    proto_row = dict(rows[0]["protocol"])
-    implied_r = {1: [], 2: ["columnMapping"]}.get(
-        proto_row.get("minReaderVersion", 1),
-        proto_row.get("readerFeatures") or [],
-    )
-    implied_w = {
-        2: ["appendOnly", "invariants"],
-        5: ["appendOnly", "invariants", "columnMapping"],
-    }.get(
-        proto_row.get("minWriterVersion", 2),
-        proto_row.get("writerFeatures") or [],
-    )
-    header[0] = {"protocol": {
-        "minReaderVersion": 3,
-        "minWriterVersion": 7,
-        "readerFeatures": sorted(set(implied_r) | {"v2Checkpoint"}),
-        "writerFeatures": sorted(set(implied_w) | {"v2Checkpoint"}),
-    }}
     cpmeta_t = pa.struct([
         ("version", pa.int64()),
         ("tags", str_map),

@@ -101,7 +101,10 @@ def _parse_roaring_bitmap32(buf: bytes, pos: int):
         run_flags = [False] * n
         p = pos + 8
     elif (cookie & 0xFFFF) == 12347:  # SERIAL_COOKIE (run-capable)
-        n = (cookie >> 16) + 1
+        # cookie is unpacked unsigned here, so the shift alone is
+        # safe, but mask anyway to keep both parsers literally
+        # identical on this line (the interop twin unpacks signed)
+        n = ((cookie >> 16) & 0xFFFF) + 1
         nbytes = (n + 7) // 8
         bits = buf[pos + 4: pos + 4 + nbytes]
         run_flags = [bool(bits[i // 8] >> (i % 8) & 1) for i in range(n)]

@@ -191,25 +191,41 @@ def test_corrupt_ondisk_dv_refuses(spark, dv_table):
 
 
 def test_v2_checkpoint_roundtrip(spark, sf_dir, tmp_path):
-    """V2 (UUID-named + sidecar) checkpoint: written, read back by the
-    independent reader after the covered JSON is log-cleaned, and
-    adopted by import_delta_log — both previously refused v2."""
+    """V2 (UUID-named + sidecar) checkpoint: the v2Checkpoint protocol
+    upgrade is COMMITTED to the log (ADVICE r11 — log-replay readers
+    and checkpoint-bootstrap readers must see the same protocol), the
+    checkpoint covers the upgrade commit, the reader bootstraps from
+    it after log-cleaning, and import_delta_log adopts."""
     base = str(tmp_path / "tbl")
     V.write_versioned(spark, _orders(spark, sf_dir, 0, 2000), base, mode="append")
     V.write_versioned(spark, _orders(spark, sf_dir, 2000, 3000), base, mode="append")
     V.delete_versioned(spark, base, "o_orderkey < 50")
     log_dir = export_delta_log(base)
-    cp_path = write_delta_checkpoint(base, version=1, v2=True)
+    # historical version on a non-advertising table: refused (the
+    # upgrade commit can only land at the head)
+    with pytest.raises(ValueError, match="v2Checkpoint"):
+        write_delta_checkpoint(base, version=1, v2=True)
+    cp_path = write_delta_checkpoint(base, v2=True)
     assert os.path.basename(cp_path).count(".") == 3  # UUID-named
     assert os.path.isdir(os.path.join(log_dir, "_sidecars"))
-    for dv in range(2):
+    # the upgrade landed as commit 3 and the checkpoint covers it
+    assert os.path.basename(cp_path).startswith(f"{3:020d}.")
+    up = [json.loads(x)
+          for x in open(os.path.join(log_dir, f"{3:020d}.json"))
+          .read().splitlines() if x.strip()]
+    proto = next(a["protocol"] for a in up if "protocol" in a)
+    assert "v2Checkpoint" in proto["readerFeatures"]
+    # an advertising table gets NO second upgrade commit
+    write_delta_checkpoint(base, v2=True)
+    assert not os.path.exists(os.path.join(log_dir, f"{4:020d}.json"))
+    for dv in range(4):
         os.remove(os.path.join(log_dir, f"{dv:020d}.json"))
     log = DeltaLog(base)
     snap = log.snapshot()
     assert "v2Checkpoint" in (snap.protocol.get("readerFeatures") or [])
     assert log.to_rows() == _spark_rows(spark, base)
-    assert log.to_rows(1) == _spark_rows(spark, base, version=2)
-    # adoption bootstraps from the v2 checkpoint + JSON tail
+    assert log.to_rows(3) == _spark_rows(spark, base)
+    # adoption bootstraps from the v2 checkpoint
     want = _spark_rows(spark, base)
     _drop_manifests(base)
     v = import_delta_log(base)
@@ -223,12 +239,13 @@ def test_v2_json_manifest_reads(spark, sf_dir, tmp_path):
     V.write_versioned(spark, _orders(spark, sf_dir, 0, 1500), base, mode="append")
     V.write_versioned(spark, _orders(spark, sf_dir, 1500, 2000), base, mode="append")
     log_dir = export_delta_log(base)
-    cp_path = write_delta_checkpoint(base, version=1, v2=True)
-    want = DeltaLog(base).to_rows(1)
-    snap = DeltaLog(base).snapshot(1)
+    # head checkpoint: the protocol upgrade commits at 2, cp covers it
+    cp_path = write_delta_checkpoint(base, v2=True)
+    want = DeltaLog(base).to_rows(2)
+    snap = DeltaLog(base).snapshot(2)
     sc_name = os.listdir(os.path.join(log_dir, "_sidecars"))[0]
     rows = [
-        {"checkpointMetadata": {"version": 1}},
+        {"checkpointMetadata": {"version": 2}},
         {"protocol": snap.protocol},
         {"metaData": snap.metadata},
         {"sidecar": {
@@ -240,14 +257,109 @@ def test_v2_json_manifest_reads(spark, sf_dir, tmp_path):
     ]
     os.remove(cp_path)
     json_cp = os.path.join(
-        log_dir, f"{1:020d}.checkpoint.{uuid.uuid4()}.json"
+        log_dir, f"{2:020d}.checkpoint.{uuid.uuid4()}.json"
     )
     with open(json_cp, "w") as fh:
         fh.write("\n".join(json.dumps(r) for r in rows) + "\n")
-    for dv in range(2):
+    for dv in range(3):
         os.remove(os.path.join(log_dir, f"{dv:020d}.json"))
     assert DeltaLog(base).to_rows() == want
     _drop_manifests(base)
     v = import_delta_log(base)
     assert sorted(map(tuple, V.read_versioned(spark, base, version=v)
                       .collect())) == want
+
+
+def _reencode_with_runs(raw: bytes) -> bytes:
+    """Re-serialize an exporter (no-run) RoaringBitmapArray payload
+    through the INDEPENDENT run-capable encoder in
+    tests/test_roaring_runs.py — producing the cookie-12347 byte
+    stream delta-spark may write, from a different implementation than
+    the parsers under test (ADVICE r11, medium)."""
+    from datalake_scripts_spark.operators.delta_interop import (
+        _deserialize_positions,
+    )
+    from tests.test_roaring_runs import rb32_runs, rbarray
+
+    positions = _deserialize_positions(raw)
+    by_hi: dict[int, dict[int, list[int]]] = {}
+    for p in positions:
+        by_hi.setdefault(p >> 32, {}).setdefault(
+            (p >> 16) & 0xFFFF, []
+        ).append(p & 0xFFFF)
+    n_bitmaps = max(by_hi) + 1 if by_hi else 0
+    bitmaps = []
+    for hi in range(n_bitmaps):
+        containers = []
+        for key, lows in sorted(by_hi.get(hi, {}).items()):
+            runs, s, prev = [], None, None
+            for x in sorted(lows):
+                if s is None:
+                    s = prev = x
+                elif x == prev + 1:
+                    prev = x
+                else:
+                    runs.append((s, prev - s + 1))
+                    s = prev = x
+            runs.append((s, prev - s + 1))
+            containers.append((key, "run", runs))
+        bitmaps.append(rb32_runs(containers))
+    return rbarray(bitmaps)
+
+
+def test_reader_reads_run_serialized_ondisk_dv(spark, dv_table):
+    """End-to-end: on-disk 'u' DVs whose payload uses RUN containers
+    (cookie 12347) — the encoding the exporter never writes — read
+    through DeltaLog with identical rows."""
+    from datalake_scripts_spark.operators.delta_interop import (
+        _dv_file_path,
+    )
+
+    want = _spark_rows(spark, dv_table)
+    _inline_to_ondisk(dv_table, "u")
+    log_dir = os.path.join(dv_table, "_delta_log")
+
+    def _ondisk_blob(dv):
+        path = _dv_file_path(dv_table, dv)
+        with open(path, "rb") as fh:
+            buf = fh.read()
+        (size,) = struct.unpack_from(">i", buf, dv["offset"])
+        return buf[dv["offset"] + 4: dv["offset"] + 4 + size]
+
+    # re-encode every referenced blob with run containers, then patch
+    # all descriptors to point into one fresh .bin
+    commits = sorted(
+        c for c in os.listdir(log_dir)
+        if c.endswith(".json") and c[:20].isdigit()
+    )
+    lines_by_commit = {
+        c: [json.loads(x)
+            for x in open(os.path.join(log_dir, c)).read().splitlines()
+            if x.strip()]
+        for c in commits
+    }
+    dv_refs = [
+        a[key]["deletionVector"]
+        for lines in lines_by_commit.values()
+        for a in lines
+        for key in ("add", "remove")
+        if a.get(key, {}).get("deletionVector", {}).get("storageType") == "u"
+    ]
+    assert dv_refs
+    blobs, order = [], {}
+    rr_of = []
+    for dv in dv_refs:
+        rr = _reencode_with_runs(_ondisk_blob(dv))
+        rr_of.append(rr)
+        if rr not in order:
+            order[rr] = len(blobs)
+            blobs.append(rr)
+    enc, _path, offsets = _write_dv_bin(dv_table, blobs, prefix="rr")
+    for dv, rr in zip(dv_refs, rr_of):
+        dv["pathOrInlineDv"] = enc
+        dv["offset"] = offsets[order[rr]]
+        dv["sizeInBytes"] = len(rr)
+    for c, lines in lines_by_commit.items():
+        with open(os.path.join(log_dir, c), "w") as fh:
+            fh.write("\n".join(json.dumps(a) for a in lines) + "\n")
+    assert DeltaLog(dv_table).to_rows() == want
