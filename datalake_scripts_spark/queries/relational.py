@@ -62,8 +62,8 @@ def _ts(s: str) -> Column:
     SELECT l_returnflag, l_linestatus,
            CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM({SQL_REV}) AS DOUBLE) AS sum_disc_price,
-           CAST(SUM({SQL_REV} * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE) AS sum_charge,
+           CAST(ROUND(SUM({SQL_REV}), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(ROUND(SUM({SQL_REV} * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))), 2) AS DOUBLE) AS sum_charge,
            CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
            CAST(SUM(CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
@@ -85,8 +85,19 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
         F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-        F.sum(revenue()).cast("double").alias("sum_disc_price"),
-        F.sum(revenue() * (one() + dec("l_tax", 3, 2))).cast("double").alias("sum_charge"),
+        # money sums ROUNDED to cents (scale 2) before the double cast:
+        # at sf1 the scale-6 charge sum's integer mantissa exceeds
+        # 2^53 and DuckDB's wide-decimal->double goes through int128
+        # with DOUBLE rounding (~1.5 ulp off the correctly-rounded
+        # value Spark/BigDecimal produce); at scale 2 the mantissa
+        # stays exact in both engines until sums reach ~9e13. ROUND,
+        # not a narrowing decimal cast: Spark's cast rounds HALF_UP
+        # but DuckDB's TRUNCATES on scale reduction, while both
+        # engines' ROUND is half-away-from-zero on positive decimals
+        F.round(F.sum(revenue()), 2).cast("double")
+        .alias("sum_disc_price"),
+        F.round(F.sum(revenue() * (one() + dec("l_tax", 3, 2))), 2)
+        .cast("double").alias("sum_charge"),
         (F.sum(dec("l_quantity")).cast("double") / cnt).alias("avg_qty"),
         (F.sum(dec("l_extendedprice")).cast("double") / cnt).alias("avg_price"),
         (F.sum(dec("l_discount", 3, 2)).cast("double") / cnt).alias("avg_disc"),
