@@ -88,7 +88,26 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _silence_windowexec_warn(spark)
     return spark
+
+
+def _silence_windowexec_warn(spark: SparkSession) -> None:
+    """Raise the log level of WindowExec's 'No Partition Defined'
+    warning. The only unpartitioned windows in this engine run over
+    metadata-sized relations (<= 1001-row budget/bucket aggregates —
+    deliberate single-partition passes, each annotated at the call
+    site), so the per-task warning is pure noise in test and bench
+    output. Best-effort via the JVM's log4j2 Configurator; a plain
+    driver session without this helper just keeps the warning."""
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:
+        pass
 
 
 def apply_runtime_conf(spark: SparkSession) -> None:
