@@ -656,6 +656,7 @@ def pq_topk(
     vec_col: str = "embedding",
     max_codewords: int = 50,
     encode: str = "arrow",
+    codebooks: list[list[tuple[int, list[float]]]] | None = None,
 ) -> DataFrame:
     """PQ-ADC approximate top-k by L2: encode the corpus map-side, give
     each query an m x |codebook| distance table (computed once per
@@ -670,10 +671,15 @@ def pq_topk(
     cost) or "literal" (inlined fold expressions, the SQL-replicable
     oracle twin). Both emit identical integer codes (tested), and the
     ADC sum is always the JVM-side fold over the LITERAL query tables,
-    so the result is hash-identical either way."""
-    codebooks = pq_codebooks(
-        corpus_df, m, stride, id_col, vec_col, max_codewords
-    )
+    so the result is hash-identical either way.
+
+    ``codebooks`` overrides the stride derivation — pass
+    :func:`pq_codebooks_kmeans` output for the trained production
+    books (rows-only check: k-means isn't SQL-expressible)."""
+    if codebooks is None:
+        codebooks = pq_codebooks(
+            corpus_df, m, stride, id_col, vec_col, max_codewords
+        )
     if encode == "arrow":
         codes = pq_codes_arrow(
             corpus_df.select(
@@ -755,6 +761,7 @@ def pq_rerank_topk(
     vec_col: str = "embedding",
     max_codewords: int = 50,
     encode: str = "arrow",
+    codebooks: list[list[tuple[int, list[float]]]] | None = None,
 ) -> DataFrame:
     """The production PQ serve shape: ADC shortlists ``shortlist``
     candidates per query from the COMPRESSED codes, then only the
@@ -768,7 +775,7 @@ def pq_rerank_topk(
     short = pq_topk(
         queries_df, corpus_df, k=shortlist, m=m, stride=stride,
         id_col=id_col, vec_col=vec_col, max_codewords=max_codewords,
-        encode=encode,
+        encode=encode, codebooks=codebooks,
     ).select("query_id", "neighbor_id")
     dim = _dim_of(corpus_df, vec_col)
     v = F.col(vec_col).cast("array<double>")
@@ -1192,3 +1199,61 @@ def pq_query_tables(
     ]
     spark = queries_df.sparkSession
     return spark.createDataFrame(data, StructType(fields))
+
+
+def pq_codebooks_kmeans(
+    corpus_df: DataFrame,
+    m: int = 8,
+    n_codewords: int = 256,
+    max_sample: int = 10_000,
+    iters: int = 5,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[tuple[int, list[float]]]]:
+    """K-means-trained PQ codebooks — the production training path
+    (Jégou et al. train per-subspace codebooks with k-means; the
+    stride books in :func:`pq_codebooks` are the SQL-replicable oracle
+    twin). Same bounded-driver contract as :func:`ivf_centroids_kmeans`:
+    ONE sample of <= max_sample vectors regardless of corpus size, then
+    ``iters`` Lloyd iterations per subspace in numpy under plain L2
+    (PQ's metric — not the cosine rule the IVF cell trainer uses).
+    Deterministic for a fixed corpus + seed. Returns the
+    codebooks[j] = [(index, subvector)] shape every encode/ADC helper
+    takes, with codeword ids equal to train-order indexes."""
+    import numpy as np
+
+    n = corpus_df.count()
+    if n == 0:
+        return []
+    sample = corpus_df.select(F.col(vec_col).cast("array<double>").alias("v"))
+    if n > max_sample:
+        # 1.2x oversample so the post-limit sample is (almost) always full
+        sample = sample.sample(
+            fraction=min(1.0, 1.2 * max_sample / n), seed=seed
+        )
+    rows = sample.limit(max_sample).collect()  # bounded by max_sample
+    X = np.asarray([list(r["v"]) for r in rows], dtype=np.float64)
+    d = X.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sd = d // m
+    k = min(n_codewords, len(X))
+    rng = np.random.default_rng(seed)
+    books: list[list[tuple[int, list[float]]]] = []
+    for j in range(m):
+        S_j = X[:, j * sd:(j + 1) * sd]
+        C = S_j[rng.choice(len(S_j), size=k, replace=False)].copy()
+        for _ in range(iters):
+            d2 = (
+                (S_j * S_j).sum(axis=1)[:, None]
+                - 2.0 * (S_j @ C.T)
+                + (C * C).sum(axis=1)[None, :]
+            )
+            assign = d2.argmin(axis=1)
+            for c in range(k):
+                members = S_j[assign == c]
+                # empty-cluster guard: re-seed from the sample
+                C[c] = members.mean(axis=0) if len(members) else S_j[c % len(S_j)]
+        books.append([(int(c), [float(x) for x in C[c]]) for c in range(k)])
+    return books

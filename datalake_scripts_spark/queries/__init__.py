@@ -47,58 +47,58 @@ from . import autotier  # noqa: F401,E402
 # re-verified against current code as regression tripwires.
 DRIVER_PRIORITY = [
     # --- never driver-checked (their only chance at a first row) ---
-    "dedup_auto_tier",  # r11: regime router -> widened exact tier
-    "dedup_auto_tier_exact",  # r11: permissive budget keeps base tier
-    "dedup_auto_tier_lsh",  # r11: tight budget falls through to LSH
-    "dedup_containment_auto_tier",  # r11: containment widening router
-    "text_bm25_index_nopos",  # r11: BM25-only index (positions opt-in)
-    "ann_pq_topk",  # r11: product-quantization ADC top-k
-    "ann_pq_rerank_topk",  # r11: ADC shortlist + exact rerank serve
-    "ann_pq_recall",  # r11: dual-tier recall harness
-    "ann_ivfpq_topk",  # r11: composed IVFADC stack (prune+ADC+rerank)
-    "ann_ivfpq_indexed_topk",  # r11: IVFADC served from stored index
-    # --- stalest driver rows (last checked r6), staleness rotation ---
-    "bpe_first_merges",
-    "bpe_second_merge",
-    "case_when_balance_tiers",
-    "distinct_order_months",
-    "dsir_importance_select",
-    "entity_resolution_canonical",
-    "events_mad_outliers",
-    "events_signup_purchase_funnel",
-    "graph_bfs_customer_reach",
-    "grouping_sets_explicit",
-    "join_anti_dormant_customers",
-    "join_broadcast_brand_revenue",
-    "join_inner_orders_customers",
-    "join_left_order_counts",
-    "join_semi_active_customers",
-    "mixture_temperature_targets",
-    "multimodal_decode_census",
-    "provenance_partition_lineage",
-    "q10_returned_revenue",
-    "q13_order_count_distribution",
-    "q14_promo_revenue_share",
-    "q15_top_supplier",
-    "q16_supplier_variety",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_predicates",
-    "q1_pricing_summary",
-    "q21_waiting_suppliers",
-    "q22_dormant_high_balance",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_bilateral_volume",
-    "q8_national_market_share",
-    "quality_nb_classifier",
-    "retrieval_hybrid_rrf",
-    "scalar_date_functions",
-    "select_docs_token_budget",
-    "sketch_mg_heavy_hitters_exact",
-    "text_bm25_topk_pruned",
-    # (remaining r6-stale and all r7+ names rotate in next rounds;
+    "ann_pq_kmeans_rerank_topk",  # r12: k-means books + Arrow encode serve
+    "ann_pq_recall_clustered",  # r12: PQ recall on the clustered fixture
+    # --- stalest driver rows (last checked r6/r7), rotation ---
+    "versioned_chunked_pruning",
+    "versioned_stats_drift",
+    "agg_histogram_prices",
+    "agg_regression_trend",
+    "ann_brute_force_topk",
+    "ann_lsh_bucketed_topk",
+    "array_to_csv_string",
+    "array_transform_filter",
+    "asof_join_purchase_to_signup",
+    "catalog_named_tables",
+    "decontaminate_against_benchmark",
+    "dedup_duplicate_clusters",
+    "dedup_embedding_cosine",
+    "dedup_exact_subset_keys",
+    "dedup_incremental_batch",
+    "dedup_paragraph_chunks",
+    "delta_interop_roundtrip",
+    "embedding_vector_stats",
+    "events_tumbling_hourly",
+    "graph_triangle_suppliers",
+    "json_extract_props",
+    "json_variant_typed_extract",
+    "keys_surrogate_orders",
+    "map_explode_key_value",
+    "match_fuzzy_part_names",
+    "multimodal_binary_metadata",
+    "multimodal_progressive_roundtrip",
+    "nested_explode_child_table",
+    "nested_shred_three_levels",
+    "quality_gopher_rules",
+    "range_join_value_tiers",
+    "regex_parse_bracketed_log",
+    "scalar_math_functions",
+    "scalar_string_functions",
+    "set_except_nations",
+    "set_intersect_nations",
+    "set_union_distinct",
+    "set_union_high_value_parties",
+    "sort_limit_top_orders",
+    "string_split_part",
+    "subquery_correlated_exists",
+    "subquery_in_segment",
+    "subquery_scalar_above_avg",
+    "unpivot_order_metrics",
+    "versioned_column_mapping",
+    "versioned_deletion_vectors",
+    "versioned_hidden_partitioning",
+    "versioned_merge_into",
+    # (remaining stale names rotate in next rounds;
     # docs/driver_checked.json keeps every name's first-green rank)
 ]
 

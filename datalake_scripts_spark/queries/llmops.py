@@ -3350,6 +3350,28 @@ def ann_pq_recall_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ann_pq_kmeans_rerank_topk")
+def ann_pq_kmeans_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL production PQ serve: k-means-trained codebooks
+    (operators.similarity.pq_codebooks_kmeans — bounded driver sample,
+    per-subspace Lloyd under L2, the Jegou et al. training path) +
+    Arrow/numpy encode + driver-folded ADC tables + exact rerank.
+    Rows-only check (k-means isn't SQL-expressible) — the
+    ann_ivf_kmeans_topk convention; the stride-codebook twin
+    ann_pq_rerank_topk is the hash-exact oracle form, and codebook
+    determinism + the full-shortlist==exact property are asserted in
+    tests/test_pq.py."""
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    books = S.pq_codebooks_kmeans(
+        emb, m=_PQ_M, n_codewords=32, max_sample=2000
+    )
+    return S.pq_rerank_topk(
+        q, emb, k=5, shortlist=_PQ_SHORTLIST, m=_PQ_M,
+        codebooks=books,
+    )
+
+
 _IVFPQ_CELL_STRIDE, _IVFPQ_NPROBE, _IVFPQ_SHORTLIST = 50, 2, 25
 _IVFPQ_NCELLS = 10  # cell-count cap, same model-constant rationale
 

@@ -197,3 +197,39 @@ def test_ivfpq_topk_arrow_bit_identical_to_literal(spark, emb):
     a = S.ivfpq_topk(q, emb, encode="arrow", **kw).collect()
     b = S.ivfpq_topk(q, emb, encode="literal", **kw).collect()
     assert sorted(map(key, a)) == sorted(map(key, b))
+
+
+# --------------------------------------------- k-means books (r12)
+def test_kmeans_codebooks_shape_and_determinism(spark, emb):
+    b1 = S.pq_codebooks_kmeans(emb, m=8, n_codewords=16, max_sample=500)
+    b2 = S.pq_codebooks_kmeans(emb, m=8, n_codewords=16, max_sample=500)
+    assert b1 == b2  # fixed corpus + seed -> identical books
+    assert len(b1) == 8
+    assert all(len(cb) == 16 for cb in b1)
+    assert len(b1[0][0][1]) == 8
+    # codeword count is a MODEL constant: a 10x corpus yields the same
+    # book size (bounded sample), unlike an uncapped stride pick
+    b3 = S.pq_codebooks_kmeans(
+        spark.range(0).selectExpr("id as vec_id",
+                                  "array(0.0) as embedding"),
+        m=1, n_codewords=16,
+    )
+    assert b3 == []
+
+
+def test_kmeans_full_shortlist_rerank_equals_exact(spark, emb):
+    """Same invariant as the stride books: with the shortlist covering
+    the corpus, PQ+rerank IS exact L2 top-k regardless of codebook
+    quality — the trained books change recall, never correctness of
+    the rerank tier."""
+    n = emb.count()
+    q = emb.filter(F.col("vec_id") < 5)
+    books = S.pq_codebooks_kmeans(emb, m=8, n_codewords=16,
+                                  max_sample=500)
+    rer = S.pq_rerank_topk(q, emb, k=5, shortlist=n, m=8,
+                           codebooks=books)
+    exact = S.l2_brute_topk(q, emb, k=5)
+    key = lambda r: (r["query_id"], r["rnk"], r["neighbor_id"])  # noqa: E731
+    assert sorted(map(key, rer.collect())) == sorted(
+        map(key, exact.collect())
+    )
