@@ -114,6 +114,15 @@ BENCH_QUERIES = [
     # round 11: PQ — compressed-code ADC scan + exact rerank (the new
     # ANN compression tier; the rerank form is the production serve)
     "ann_pq_rerank_topk",
+    # round 12 additions: the PRODUCTION PQ serve (k-means codebooks +
+    # Arrow encode — the path a real corpus runs, vs the stride/literal
+    # oracle twin above), the capped-blocking FS linkage (the probe +
+    # salt-routing cost is the number that matters), and the DOULION
+    # sampled-triangle estimator (the dense-graph scale path next to
+    # exact graph_triangle_suppliers)
+    "ann_pq_kmeans_rerank_topk",
+    "linkage_fs_match_patterns",
+    "graph_triangle_sampled_estimate",
 ]
 
 

@@ -49,6 +49,7 @@ DRIVER_PRIORITY = [
     # --- never driver-checked (their only chance at a first row) ---
     "ann_pq_kmeans_rerank_topk",  # r12: k-means books + Arrow encode serve
     "ann_pq_recall_clustered",  # r12: PQ recall on the clustered fixture
+    "graph_triangle_sampled_estimate",  # r12: DOULION sampled triangles
     # --- stalest driver rows (last checked r6/r7), rotation ---
     "versioned_chunked_pruning",
     "versioned_stats_drift",

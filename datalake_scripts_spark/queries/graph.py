@@ -198,3 +198,106 @@ def graph_bfs_customer_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hop")
     )
+
+
+# DOULION edge-sampled triangle estimate (Tsourakakis et al., KDD'09):
+# keep each UNDIRECTED edge with probability p via a deterministic
+# md5-nibble coin on the canonical (a,b) pair — the same coin pattern
+# the linkage fixture uses, so both engines keep the identical edge
+# set — count triangles on the sparsified graph, scale by 1/p^3.
+# Why it exists: the co-fulfillment graph DENSIFIES toward complete as
+# SF grows (sf1: 21.3M undirected edges over 10k suppliers — 43% of
+# complete — and a MEASURED 7.3e9 oriented-wedge mass, docs/
+# BENCH_SF1_NOTES.md), so exact enumeration is a cluster-scale job by
+# construction; DOULION is the standard production estimator, cutting
+# wedge mass by ~p^2 (256x at p=1/16) while keeping the estimate
+# unbiased. Exact-integer sampled count; only the final scale is a
+# double. p is a model constant sized to the target regime the same
+# way the PQ codebook caps are: at p=1/4 the sf1 sampled graph still
+# carries ~450M oriented wedges (measured: the single-node oracle
+# blew its 580s timeout); at p=1/16 it is ~28M — tractable on ONE
+# node, trivially sharded on a cluster — while sf0.01's 4950-edge
+# complete graph still keeps 331 edges / a ~50-triangle sample, so
+# the estimator path is genuinely exercised at the correctness gate.
+_TRI_P_NIBBLES = 1  # keep-probability = 1/16
+
+_TRIANGLE_SAMPLED_SQL = f"""
+WITH os AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
+und0 AS (SELECT DISTINCT LEAST(a.sk, b.sk) AS a, GREATEST(a.sk, b.sk) AS b
+         FROM os a JOIN os b ON a.ok = b.ok AND a.sk <> b.sk),
+und AS (SELECT a, b FROM und0
+        WHERE instr('0123456789abcdef',
+                    substr(md5(CAST(a AS VARCHAR) || '_' ||
+                               CAST(b AS VARCHAR)), 1, 1)) - 1
+              < {_TRI_P_NIBBLES}),
+deg AS (SELECT node, COUNT(*) AS degree FROM
+        (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+        GROUP BY node),
+o AS (SELECT CASE WHEN x.degree < y.degree
+                    OR (x.degree = y.degree AND und.a < und.b)
+                  THEN und.a ELSE und.b END AS u,
+             CASE WHEN x.degree < y.degree
+                    OR (x.degree = y.degree AND und.a < und.b)
+                  THEN und.b ELSE und.a END AS v
+      FROM und JOIN deg x ON x.node = und.a JOIN deg y ON y.node = und.b),
+tp AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+       FROM o e1 JOIN o e2 ON e1.v = e2.u),
+tri AS (SELECT x FROM tp
+        JOIN und ON LEAST(x, z) = und.a AND GREATEST(x, z) = und.b)
+SELECT CAST((SELECT COUNT(*) FROM und) AS BIGINT) AS n_sampled_edges,
+       CAST((SELECT COUNT(*) FROM tri) AS BIGINT) AS n_sampled_triangles,
+       CAST((SELECT COUNT(*) FROM tri) AS DOUBLE)
+         * {16.0 ** 3 / _TRI_P_NIBBLES ** 3} AS est_triangles
+"""
+
+
+@query("graph_triangle_sampled_estimate", sql=_TRIANGLE_SAMPLED_SQL)
+def graph_triangle_sampled_estimate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DOULION triangle estimate over the supplier co-fulfillment
+    graph: deterministic md5-coin edge sampling at p=1/16 (both
+    engines keep the identical sparsified edge set, so the sampled
+    count — and therefore the estimate — is hash-exact, not just
+    statistically close), compact-forward enumeration on the
+    sparsified graph, scale by 1/p^3. The production path for dense
+    co-occurrence graphs where exact enumeration's wedge mass
+    (measured 7.3e9 at sf1) is a cluster-scale job. Both output
+    scalars fold out of the ONE triangle_counts pass (sum(degree)/2
+    is the sampled edge count) — no second action recomputing the
+    co-fulfillment self-join."""
+    from ..operators.graph import triangle_counts
+
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk")
+    ).distinct()
+    a, b = li.alias("a"), li.alias("b")
+    und = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok"))
+               & (F.col("a.sk") != F.col("b.sk")))
+        .select(
+            F.least(F.col("a.sk"), F.col("b.sk")).alias("a"),
+            F.greatest(F.col("a.sk"), F.col("b.sk")).alias("b"),
+        )
+        .distinct()
+        .filter(
+            F.expr(
+                "instr('0123456789abcdef', substr(md5(CAST(a AS STRING)"
+                " || '_' || CAST(b AS STRING)), 1, 1)) - 1"
+            ) < F.lit(_TRI_P_NIBBLES)
+        )
+    )
+    per_node = triangle_counts(und.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ))
+    scale = 16.0 ** 3 / _TRI_P_NIBBLES ** 3
+    agg = per_node.agg(
+        F.coalesce(F.sum("degree"), F.lit(0)).alias("deg2"),
+        F.coalesce(F.sum("n_triangles"), F.lit(0)).alias("t3"),
+    )
+    return agg.select(
+        (F.col("deg2") / 2).cast("bigint").alias("n_sampled_edges"),
+        (F.col("t3") / 3).cast("bigint").alias("n_sampled_triangles"),
+        ((F.col("t3") / 3).cast("double") * F.lit(scale))
+        .alias("est_triangles"),
+    )
