@@ -229,3 +229,84 @@ def bfs_hops(
         ).localCheckpoint()
         frontier = nxt
     return visited
+
+
+def kcore_rounds(
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Synchronous k-core peeling census over an undirected graph given
+    as a SYMMETRIC directed edge list (both directions present): each
+    round drops every node whose current degree is below ``k`` and
+    restricts the edge list to survivors, then records (round, n_nodes,
+    n_edges, sum_nodes). Returns one census row per round, 1..rounds.
+
+    k-core is the standard structural quality filter on web/co-occurrence
+    graphs (spam rings and boilerplate clusters live in shallow cores;
+    see PAPERS.md on graph-based corpus curation). The fixed ``rounds``
+    unroll keeps the computation deterministic and oracle-replicable
+    (the BFS/PageRank convention); production convergence runs reuse the
+    checkpoint-per-round loop of dedup.connected_components_star with an
+    isEmpty() early-exit, which this loop also takes once the core is
+    empty or stable-sized (the census rows for the remaining fixed
+    rounds are then computed from the stabilized edge set — identical
+    output, no wasted shuffles).
+
+    Scale shape: each round is one partial-aggregated degree count plus
+    two hash joins on the node key — no whole-graph state beyond the
+    current edge list, which shrinks monotonically. localCheckpoint per
+    round keeps the plan constant-size.
+
+    Exactness: degrees and node ids are integers; every census column is
+    an exact integer aggregate, so the output is partition-independent
+    and hash-identical to an unrolled SQL oracle.
+    """
+    cur = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    censuses = []
+    stable = False
+    prev_edges: int | None = None
+    for r in range(1, rounds + 1):
+        if not stable:
+            keep = (
+                cur.groupBy("src")
+                .agg(F.count(F.lit(1)).alias("d"))
+                .filter(F.col("d") >= k)
+                .select(F.col("src").alias("node"))
+            )
+            cur = (
+                cur.join(keep.select(F.col("node").alias("src")), "src")
+                .join(keep.select(F.col("node").alias("dst")), "dst")
+                .select("src", "dst")
+                .localCheckpoint()
+            )
+            n_directed = cur.count()  # bounded driver scalar (census row)
+            if prev_edges is not None and n_directed == prev_edges:
+                stable = True  # fixpoint: further peels are identity
+            if n_directed == 0:
+                stable = True
+            prev_edges = n_directed
+        censuses.append(
+            cur.groupBy().agg(
+                F.count_distinct(F.col("src"))
+                .cast("bigint").alias("n_nodes"),
+                (F.count(F.lit(1)) / 2).cast("bigint").alias("n_edges"),
+                F.coalesce(F.sum_distinct(F.col("src")), F.lit(0))
+                .cast("bigint").alias("sum_nodes"),
+            ).select(
+                F.lit(r).cast("int").alias("round"),
+                "n_nodes",
+                "n_edges",
+                "sum_nodes",
+            )
+        )
+    out = censuses[0]
+    for c in censuses[1:]:
+        out = out.unionByName(c)
+    return out.orderBy("round")
