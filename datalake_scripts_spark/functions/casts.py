@@ -47,3 +47,57 @@ def array_to_csv(col: str | Column, sep: str = ",") -> Column:
     """array<string> -> delimited string, to fit row-store text columns
     (``F.concat_ws(',', internal_ip_addresses)``, zoom_proc.py:200-203)."""
     return F.concat_ws(sep, F.col(col) if isinstance(col, str) else col)
+
+
+# --- exact wide-integer -> double, identical across engines ----------
+#
+# Casting a >2^53 DECIMAL(38,0) to DOUBLE is engine-divergent: DuckDB
+# routes wide decimals through int128 with DOUBLE rounding (~1.5 ulp),
+# Spark/BigDecimal rounds once (the q1-at-sf1 finding,
+# queries/relational.py:88). For statistics whose exact integer moments
+# inherently exceed 2^63 (e.g. n*Syy - Sy^2 combinations), the fix is
+# to make BOTH engines run the same recipe: split the integer exactly
+# at 2^63 (hi = v div 2^63, lo = v mod 2^63 — pure integer ops), cast
+# each half int64->double (a single, IEEE-defined rounding in every
+# engine), and recombine as sign * (hi * 2^63 + lo) — the 2^63 factor
+# is a power of two, so the multiply is exact and the single add is
+# the only rounding. The result can differ from the correctly-rounded
+# direct conversion by <=1 ulp, but it is BIT-IDENTICAL across
+# engines, which is the contract that matters. Domain: |v| < 9.2e36
+# (Spark's decimal DIV widens to an intermediate decimal(38,20), which
+# overflows once the quotient needs >18 integer digits — far above any
+# n*Syy - Sy^2 moment combination, which tops out ~1e25 at sf1000).
+
+_SHIFT = "9223372036854775808"  # 2^63; > int64 max, so DuckDB reads
+# it as HUGEINT and Spark as DECIMAL(19,0) — both exact
+_SHIFT_D = "9.223372036854775808E18"
+
+
+def big_double_spark_sql(e: str) -> str:
+    """Spark SQL fragment: exact-split DOUBLE of wide-integer ``e``
+    (DECIMAL dividend DIV yields BIGINT in Spark)."""
+    return (
+        f"(CASE WHEN ({e}) < 0 THEN -1.0 ELSE 1.0 END) * "
+        f"(CAST(ABS({e}) DIV {_SHIFT} AS DOUBLE) * {_SHIFT_D}"
+        f" + CAST(CAST(ABS({e}) % {_SHIFT} AS BIGINT) AS DOUBLE))"
+    )
+
+
+def big_double_duck_sql(e: str) -> str:
+    """DuckDB SQL fragment: the same exact-split recipe. The operand
+    is forced through HUGEINT first: DuckDB's ``//`` on DECIMAL does
+    ROUNDED division (27154328762842519076 // 2^63 = 3, not 2), which
+    silently corrupts the hi half for values past 2^53 — on HUGEINT it
+    truncates, matching Spark's DIV."""
+    a = f"CAST(ABS({e}) AS HUGEINT)"
+    return (
+        f"(CASE WHEN ({e}) < 0 THEN -1.0 ELSE 1.0 END) * "
+        f"(CAST(CAST({a} // {_SHIFT} AS BIGINT) AS DOUBLE) * {_SHIFT_D}"
+        f" + CAST(CAST({a} % {_SHIFT} AS BIGINT) AS DOUBLE))"
+    )
+
+
+def big_double(e: str) -> Column:
+    """Column form of :func:`big_double_spark_sql` (``e`` is a SQL
+    fragment/column name visible in the current plan)."""
+    return F.expr(big_double_spark_sql(e))

@@ -50,6 +50,8 @@ DRIVER_PRIORITY = [
     "ann_pq_kmeans_rerank_topk",  # r12: k-means books + Arrow encode serve
     "ann_pq_recall_clustered",  # r12: PQ recall on the clustered fixture
     "graph_triangle_sampled_estimate",  # r12: DOULION sampled triangles
+    "graph_kcore_census",  # r12: k-core peeling census
+    "agg_correlation_per_nation",  # r12: exact Pearson+Spearman, big_double
     # --- stalest driver rows (last checked r6/r7), rotation ---
     "versioned_chunked_pruning",
     "versioned_stats_drift",

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from ..functions.casts import big_double, big_double_duck_sql
 from ..io import register_views
 from .registry import query, t
 from .relational import SQL_REV, dec, one, revenue, _ts
@@ -779,3 +780,209 @@ def mining_part_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("lift"), "part_a", "part_b").limit(20)
+
+
+# DuckDB twin of functions.casts.big_double: the exact-split
+# wide-integer->double recipe is injected below so both engines run
+# bit-identical final arithmetic (see big_double_duck_sql for the
+# DECIMAL-vs-HUGEINT `//` gotcha this avoids).
+_CORR_SQL = """
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * 100) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY o_custkey),
+    xy AS (
+      SELECT c.c_nationkey AS nk,
+             CAST(CAST(c.c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS x,
+             CAST(COALESCE(s.cents, 0) AS BIGINT) AS y
+      FROM customer c LEFT JOIN spend s ON s.o_custkey = c.c_custkey),
+    ranked AS (
+      SELECT nk, x, y,
+             CAST(RANK() OVER (PARTITION BY nk ORDER BY x ASC)
+                  - RANK() OVER (PARTITION BY nk ORDER BY x DESC)
+                  AS BIGINT) AS dx,
+             CAST(RANK() OVER (PARTITION BY nk ORDER BY y ASC)
+                  - RANK() OVER (PARTITION BY nk ORDER BY y DESC)
+                  AS BIGINT) AS dy
+      FROM xy),
+    s AS (
+      SELECT nk,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS DECIMAL(38,0)) AS sxx,
+             CAST(SUM(y * y) AS DECIMAL(38,0)) AS syy,
+             CAST(SUM(x * y) AS DECIMAL(38,0)) AS sxy,
+             CAST(SUM(dx * dx) AS DECIMAL(38,0)) AS rxx,
+             CAST(SUM(dy * dy) AS DECIMAL(38,0)) AS ryy,
+             CAST(SUM(dx * dy) AS DECIMAL(38,0)) AS rxy,
+             corr(CAST(x AS DOUBLE), CAST(y AS DOUBLE)) AS native
+      FROM ranked GROUP BY nk),
+    w AS (
+      SELECT n_name, n, native,
+             CAST(n AS DECIMAL(38,0)) * sxy
+               - CAST(sx AS DECIMAL(38,0)) * sy AS wpnum,
+             CAST(n AS DECIMAL(38,0)) * sxx
+               - CAST(sx AS DECIMAL(38,0)) * sx AS wpdx,
+             CAST(n AS DECIMAL(38,0)) * syy
+               - CAST(sy AS DECIMAL(38,0)) * sy AS wpdy,
+             CAST(n AS DECIMAL(38,0)) * rxy AS wrnum,
+             CAST(n AS DECIMAL(38,0)) * rxx AS wrdx,
+             CAST(n AS DECIMAL(38,0)) * ryy AS wrdy
+      FROM s JOIN nation ON n_nationkey = nk),
+    f AS (
+      SELECT n_name, n, native,
+             {bd_pnum} AS pnum, {bd_pdx} AS pdx, {bd_pdy} AS pdy,
+             {bd_rnum} AS rnum, {bd_rdx} AS rdx, {bd_rdy} AS rdy
+      FROM w),
+    r AS (
+      SELECT n_name, n AS n_custs,
+             CASE WHEN pdx > 0.0 AND pdy > 0.0
+                  THEN pnum / (SQRT(pdx) * SQRT(pdy)) END AS pearson_r,
+             CASE WHEN rdx > 0.0 AND rdy > 0.0
+                  THEN rnum / (SQRT(rdx) * SQRT(rdy)) END AS spearman_rho,
+             native
+      FROM f)
+    SELECT n_name, n_custs, pearson_r, spearman_rho,
+           ABS(native - pearson_r) <= 1e-6 * ABS(native) AS native_agrees
+    FROM r ORDER BY n_name
+    """.format(
+    bd_pnum=big_double_duck_sql("wpnum"),
+    bd_pdx=big_double_duck_sql("wpdx"),
+    bd_pdy=big_double_duck_sql("wpdy"),
+    bd_rnum=big_double_duck_sql("wrnum"),
+    bd_rdx=big_double_duck_sql("wrdx"),
+    bd_rdy=big_double_duck_sql("wrdy"),
+)
+
+
+@query(
+    "agg_correlation_per_nation",
+    sql=_CORR_SQL,
+)
+def agg_correlation_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Pearson correlation + Spearman rank correlation
+    between a customer's account balance and their lifetime order
+    spend — the grouped bivariate-statistics operator (feature/target
+    association scans in a curation pipeline).
+
+    Determinism contract (the agg_regression_trend convention): both
+    coefficients come from EXACT integer sums — cents-BIGINT values,
+    DECIMAL(38,0) second moments (y*y overflows BIGINT at sf>=1 on the
+    Spark side, where sum(long) wraps silently), combined n*Sxy-Sx*Sy
+    style in DECIMAL(38,0) — then one identical double expression with
+    correctly-rounded sqrt, so both engines produce bit-equal doubles.
+    Spearman avoids fractional tied ranks by correlating
+    dx = rank_asc - rank_desc (an exact-integer affine image of the
+    average tie rank: 2*avg_rank - (n+1); correlation is affine-
+    invariant, so rho is unchanged). The native double-accumulating
+    corr() is emitted only as a tolerance flag.
+
+    Scale shape: one partial-agg groupBy(custkey), one customer join,
+    ONE window exchange per nation key (asc and desc rank specs share
+    the partitioning, so Catalyst plans one Exchange + two sorts), one
+    partial-agg groupBy(nation). Zero-variance groups yield NULL, not
+    a divide-by-zero, under an identical CASE in both engines."""
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+    xy = (
+        cust.join(spend, spend.o_custkey == cust.c_custkey, "left")
+        .select(
+            F.col("c_nationkey").alias("nk"),
+            (F.col("c_acctbal").cast("decimal(12,2)") * 100)
+            .cast("bigint")
+            .alias("x"),
+            F.coalesce(F.col("cents"), F.lit(0)).cast("bigint").alias("y"),
+        )
+    )
+    wnk = W.partitionBy("nk")
+    ranked = xy.select(
+        "nk",
+        "x",
+        "y",
+        (
+            F.rank().over(wnk.orderBy(F.col("x").asc()))
+            - F.rank().over(wnk.orderBy(F.col("x").desc()))
+        ).cast("bigint").alias("dx"),
+        (
+            F.rank().over(wnk.orderBy(F.col("y").asc()))
+            - F.rank().over(wnk.orderBy(F.col("y").desc()))
+        ).cast("bigint").alias("dy"),
+    )
+    d38 = "decimal(38,0)"
+    s = ranked.groupBy("nk").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(d38)).cast(d38).alias("sxx"),
+        F.sum(F.col("y").cast(d38) * F.col("y").cast(d38)).cast(d38).alias("syy"),
+        F.sum(F.col("x").cast(d38) * F.col("y").cast(d38)).cast(d38).alias("sxy"),
+        F.sum((F.col("dx") * F.col("dx")).cast(d38)).cast(d38).alias("rxx"),
+        F.sum((F.col("dy") * F.col("dy")).cast(d38)).cast(d38).alias("ryy"),
+        F.sum((F.col("dx") * F.col("dy")).cast(d38)).cast(d38).alias("rxy"),
+        F.corr(F.col("x").cast("double"), F.col("y").cast("double")).alias(
+            "native"
+        ),
+    )
+    w = (
+        s.join(nation, nation.n_nationkey == s.nk)
+        .select(
+            "n_name",
+            "n",
+            "native",
+            F.expr(
+                "CAST(n AS DECIMAL(38,0)) * sxy"
+                " - CAST(sx AS DECIMAL(38,0)) * sy"
+            ).alias("wpnum"),
+            F.expr(
+                "CAST(n AS DECIMAL(38,0)) * sxx"
+                " - CAST(sx AS DECIMAL(38,0)) * sx"
+            ).alias("wpdx"),
+            F.expr(
+                "CAST(n AS DECIMAL(38,0)) * syy"
+                " - CAST(sy AS DECIMAL(38,0)) * sy"
+            ).alias("wpdy"),
+            F.expr("CAST(n AS DECIMAL(38,0)) * rxy").alias("wrnum"),
+            F.expr("CAST(n AS DECIMAL(38,0)) * rxx").alias("wrdx"),
+            F.expr("CAST(n AS DECIMAL(38,0)) * ryy").alias("wrdy"),
+        )
+    )
+    f = w.select(
+        "n_name",
+        "n",
+        "native",
+        big_double("wpnum").alias("pnum"),
+        big_double("wpdx").alias("pdx"),
+        big_double("wpdy").alias("pdy"),
+        big_double("wrnum").alias("rnum"),
+        big_double("wrdx").alias("rdx"),
+        big_double("wrdy").alias("rdy"),
+    )
+    pearson = F.when(
+        (F.col("pdx") > 0.0) & (F.col("pdy") > 0.0),
+        F.col("pnum") / (F.sqrt(F.col("pdx")) * F.sqrt(F.col("pdy"))),
+    )
+    spearman = F.when(
+        (F.col("rdx") > 0.0) & (F.col("rdy") > 0.0),
+        F.col("rnum") / (F.sqrt(F.col("rdx")) * F.sqrt(F.col("rdy"))),
+    )
+    return (
+        f.select(
+            "n_name",
+            F.col("n").alias("n_custs"),
+            pearson.alias("pearson_r"),
+            spearman.alias("spearman_rho"),
+            (
+                F.abs(F.col("native") - pearson)
+                <= F.lit(1e-6) * F.abs(F.col("native"))
+            ).alias("native_agrees"),
+        )
+        .orderBy("n_name")
+    )

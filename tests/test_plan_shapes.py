@@ -294,6 +294,12 @@ LINT_ALLOWLIST = {
     # two 1-row snapshot summaries (latest + time-travel v1): global
     # aggs reduce map-side, one partial row per task crosses
     "versioned_column_mapping": {"single-partition-exchange"},
+    # 1-row sampled-edge/triangle census: global sums reduce map-side
+    # on the sparsified (p=1/16) edge list, one partial row per task
+    "graph_triangle_sampled_estimate": {"single-partition-exchange"},
+    # per-round 1-row peel census rows (count/sum partials map-side);
+    # the peel joins themselves stay node-key partitioned
+    "graph_kcore_census": {"single-partition-exchange"},
 }
 
 
