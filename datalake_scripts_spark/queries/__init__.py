@@ -52,6 +52,7 @@ DRIVER_PRIORITY = [
     "graph_triangle_sampled_estimate",  # r12: DOULION sampled triangles
     "graph_kcore_census",  # r12: k-core peeling census
     "agg_correlation_per_nation",  # r12: exact Pearson+Spearman, big_double
+    "events_seasonal_decompose",  # r12: additive STL-style decomposition
     # --- stalest driver rows (last checked r6/r7), rotation ---
     "versioned_chunked_pruning",
     "versioned_stats_drift",

@@ -1501,3 +1501,121 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("mad") > 0) & (ratio > 3.0))
         .select("user_id", "event_id", "value", "med", "mad", ratio.alias("dev_ratio"))
     )
+
+
+@query(
+    "events_seasonal_decompose",
+    sql="""
+    WITH hourly AS (
+      SELECT time_bucket(INTERVAL 1 HOUR, ts) AS h, event_type,
+             SUM(CAST(value AS DECIMAL(12,2))) AS obs
+      FROM events GROUP BY 1, 2),
+    wd AS (
+      SELECT h, event_type, obs,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n,
+             SUM(obs) OVER (PARTITION BY event_type ORDER BY h
+                            ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING)
+               AS num
+      FROM hourly),
+    trimmed AS (
+      SELECT * FROM wd WHERE rn >= 13 AND rn <= n - 11),
+    seas AS (
+      SELECT event_type, EXTRACT(hour FROM h) AS hod,
+             CAST(COUNT(*) AS BIGINT) AS m,
+             SUM(obs) AS ssum, SUM(num) AS nsum
+      FROM trimmed GROUP BY 1, 2),
+    parts AS (
+      SELECT t.event_type, t.h AS window_start,
+             CAST(t.obs AS DOUBLE) AS observed,
+             CAST(t.num AS DOUBLE) / 24.0 AS trend,
+             CAST(24 * s.ssum - s.nsum AS DOUBLE)
+               / (24.0 * CAST(s.m AS DOUBLE)) AS seasonal
+      FROM trimmed t
+      JOIN seas s ON s.event_type = t.event_type
+                 AND s.hod = EXTRACT(hour FROM t.h))
+    SELECT event_type, window_start, observed, trend, seasonal,
+           observed - trend - seasonal AS residual
+    FROM parts
+    """,
+)
+def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the hourly value
+    series per event type: trend = centered 24-row moving average,
+    seasonal = hour-of-day mean deviation, residual = the rest — the
+    batch time-series operator behind anomaly baselines (subtract
+    seasonality before thresholding; compose with
+    events_resample_ffill_hourly first when the grid has gaps, the
+    rows-frame is over OBSERVED hours).
+
+    Determinism contract: every aggregate stays DECIMAL-exact — hourly
+    sums, the 24-row window sum, and the per-(type,hod) group sums.
+    The series is TRIMMED to complete windows (rn in [13, n-11]), so
+    the MA divisor is the constant 24 and the seasonal mean folds to
+    (24*sum(obs) - sum(num)) / (24*m) — an exact decimal numerator
+    over an integer denominator, avoiding any order-dependent double
+    accumulation. Final doubles come from <2^53 decimal mantissas
+    (exact conversion in both engines) through identical expression
+    trees. One shuffle for the hourly agg, ONE window exchange per
+    event_type (row_number/count/MA share the partitioning), one
+    partial-agg for the seasonal profile joined back (dim-sized,
+    types x 24 rows, AQE broadcasts)."""
+    ev = t(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.sum(F.col("value").cast("decimal(12,2)")).alias("obs")
+        )
+        .select(
+            F.col("window.start").alias("h"), "event_type", "obs"
+        )
+    )
+    wp = W.partitionBy("event_type").orderBy("h")
+    wd = hourly.select(
+        "h",
+        "event_type",
+        "obs",
+        F.row_number().over(wp).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("event_type")).alias("n"),
+        F.sum("obs").over(wp.rowsBetween(-12, 11)).alias("num"),
+    )
+    trimmed = wd.filter(
+        (F.col("rn") >= 13) & (F.col("rn") <= F.col("n") - 11)
+    )
+    seas = (
+        trimmed.groupBy(
+            "event_type", F.hour("h").alias("hod")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("m"),
+            F.sum("obs").alias("ssum"),
+            F.sum("num").alias("nsum"),
+        )
+    )
+    parts = (
+        trimmed.alias("t").join(
+            seas.alias("s"),
+            (F.col("t.event_type") == F.col("s.event_type"))
+            & (F.hour(F.col("t.h")) == F.col("s.hod")),
+        )
+        .select(
+            F.col("t.event_type").alias("event_type"),
+            F.col("t.h").alias("window_start"),
+            F.col("t.obs").cast("double").alias("observed"),
+            (F.col("t.num").cast("double") / F.lit(24.0)).alias("trend"),
+            (
+                (F.lit(24) * F.col("s.ssum") - F.col("s.nsum")).cast("double")
+                / (F.lit(24.0) * F.col("s.m").cast("double"))
+            ).alias("seasonal"),
+        )
+    )
+    return parts.select(
+        "event_type",
+        "window_start",
+        "observed",
+        "trend",
+        "seasonal",
+        (
+            F.col("observed") - F.col("trend") - F.col("seasonal")
+        ).alias("residual"),
+    )
