@@ -273,13 +273,18 @@ def _recover_tail(wrapper: dict) -> dict | None:
     return {"sf": wrapper.get("sf"), "queries": queries}
 
 
-def _env_normalize(timings: dict[str, float], sf) -> dict:
+def _select_prior(sf) -> tuple[dict | None, str | None]:
+    """The prior-round artifact env normalization compares against:
+    newest BENCH_r{N}.json at the same sf with N below the current
+    round (numeric sort — lexicographic breaks past r99; exclusion of
+    the current round per ADVICE r11), salvaging clipped artifacts via
+    _recover_tail. Split out so tests normalize against the SAME
+    artifact the production path picks (the r12 test broke by assuming
+    the prior was forever r10)."""
     import glob
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    # numeric round sort (lexicographic breaks past r99) and exclusion
-    # of the current round's own artifact (ADVICE r11)
     cur = _current_round(here)
     arts = sorted(
         (
@@ -290,7 +295,6 @@ def _env_normalize(timings: dict[str, float], sf) -> dict:
         ),
         key=lambda p: int(re.search(r"BENCH_r(\d+)\.json$", p).group(1)),
     )
-    prior = None
     for p in reversed(arts):
         try:
             cand = json.load(open(p))
@@ -299,9 +303,12 @@ def _env_normalize(timings: dict[str, float], sf) -> dict:
         # the driver wraps bench.py's JSON line under "parsed"
         cand = cand.get("parsed") or _recover_tail(cand) or cand
         if cand.get("sf") == sf and cand.get("queries"):
-            prior = cand
-            prior_path = os.path.basename(p)
-            break
+            return cand, os.path.basename(p)
+    return None, None
+
+
+def _env_normalize(timings: dict[str, float], sf) -> dict:
+    prior, prior_path = _select_prior(sf)
     if prior is None:
         return {}
     pq = prior["queries"]

@@ -33,6 +33,7 @@ from . import dimensional  # noqa: F401,E402
 from . import linkage  # noqa: F401,E402
 from . import textindex  # noqa: F401,E402
 from . import autotier  # noqa: F401,E402
+from . import stats  # noqa: F401,E402
 
 
 # The driver's correctness sweep checks the FIRST 50 entries of

@@ -1,0 +1,172 @@
+"""Distribution-comparison statistics over the events table: exact
+rank/ECDF-based two-sample tests, the quality-drift detectors of a
+curation pipeline (did this source's value distribution shift vs that
+one? is split A distributed like split B?).
+
+The reference has no statistics surface; these extend the exact-moment
+family (agg_regression_trend, agg_correlation_per_nation) with
+nonparametric tests. The determinism contract is the same everywhere:
+the statistic's core is EXACT integer arithmetic (scaled ECDF gaps,
+doubled rank sums, tie-group cubes), and doubles appear only in final
+identical expression trees — so every value is partition-independent
+and hash-equal to the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from .registry import query, t
+
+# Two-sided two-sample Kolmogorov-Smirnov over every ordered pair of
+# event types. With ties, the ECDFs are compared AFTER each distinct
+# value absorbs all its ties (the standard discrete-data convention):
+# per distinct v, cumA = #{a <= v}, cumB = #{b <= v};
+# D = max |cumA/n - cumB/m| = max |cumA*m - cumB*n| / (n*m) — the
+# numerator is exact BIGINT, so D is one exact-integer ratio cast once.
+_KS_SQL = """
+WITH counts AS (
+  SELECT event_type, CAST(value AS DECIMAL(12,2)) AS v,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2),
+totals AS (
+  SELECT event_type, CAST(SUM(c) AS BIGINT) AS nt FROM counts GROUP BY 1),
+pairs AS (
+  SELECT a.event_type AS ta, b.event_type AS tb, a.nt AS n, b.nt AS m
+  FROM totals a JOIN totals b ON a.event_type < b.event_type),
+grid AS (
+  SELECT DISTINCT p.ta, p.tb, c.v
+  FROM pairs p JOIN counts c ON c.event_type IN (p.ta, p.tb)),
+joined AS (
+  SELECT g.ta, g.tb, g.v,
+         COALESCE(ca.c, 0) AS ca, COALESCE(cb.c, 0) AS cb
+  FROM grid g
+  LEFT JOIN counts ca ON ca.event_type = g.ta AND ca.v = g.v
+  LEFT JOIN counts cb ON cb.event_type = g.tb AND cb.v = g.v),
+cum AS (
+  SELECT ta, tb, v,
+         SUM(ca) OVER (PARTITION BY ta, tb ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS cuma,
+         SUM(cb) OVER (PARTITION BY ta, tb ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS cumb
+  FROM joined),
+d AS (
+  SELECT c.ta, c.tb, p.n, p.m,
+         MAX(ABS(c.cuma * p.m - c.cumb * p.n)) AS d_scaled
+  FROM cum c JOIN pairs p ON p.ta = c.ta AND p.tb = c.tb
+  GROUP BY c.ta, c.tb, p.n, p.m)
+SELECT ta AS type_a, tb AS type_b, n, m,
+       CAST(d_scaled AS BIGINT) AS d_scaled,
+       CAST(d_scaled AS DOUBLE)
+         / (CAST(n AS DOUBLE) * CAST(m AS DOUBLE)) AS ks_d,
+       (CAST(d_scaled AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(m AS DOUBLE)))
+         * SQRT(CAST(n AS DOUBLE) * CAST(m AS DOUBLE)
+                / (CAST(n AS DOUBLE) + CAST(m AS DOUBLE))) AS ks_stat
+FROM d ORDER BY ta, tb
+"""
+
+
+@query("stats_ks_two_sample", sql=_KS_SQL)
+def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS distance between the value distributions of every
+    ordered event-type pair (10 rows): per-pair merged distinct-value
+    grid, cumulative tie-absorbed ECDF counts, and the exact scaled
+    sup-gap max|cumA*m - cumB*n| as BIGINT; ks_d and the
+    sqrt(nm/(n+m))-normalized statistic are single identical double
+    expressions (no exp-based p-value on purpose: libm exp is not
+    correctly rounded, so it cannot be in the hash contract).
+
+    Scale shape: one partial-agg groupBy(type, value) — the only pass
+    over the raw events — then everything downstream is on the
+    distinct-value profile (types x values, data-size-independent-ish);
+    pair fan-out joins are on that profile, cumsums share one
+    (pair)-key window exchange, and the final max is a partial agg.
+    At 100 TB the profile is the only state that grows, and only with
+    value cardinality, not row count."""
+    ev = t(spark, sf_dir, "events")
+    counts = (
+        ev.groupBy(
+            "event_type", F.col("value").cast("decimal(12,2)").alias("v")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    totals = counts.groupBy("event_type").agg(
+        F.sum("c").cast("bigint").alias("nt")
+    )
+    a, b = totals.alias("a"), totals.alias("b")
+    pairs = a.join(
+        b, F.col("a.event_type") < F.col("b.event_type")
+    ).select(
+        F.col("a.event_type").alias("ta"),
+        F.col("b.event_type").alias("tb"),
+        F.col("a.nt").alias("n"),
+        F.col("b.nt").alias("m"),
+    )
+    # grid: each pair's merged distinct values. counts is dim-profile
+    # sized (types x distinct values), so the pair fan-out is bounded
+    # by |pairs| x |profile|, never by raw rows.
+    grid = (
+        pairs.join(
+            counts.alias("c"),
+            (F.col("c.event_type") == F.col("ta"))
+            | (F.col("c.event_type") == F.col("tb")),
+        )
+        .select("ta", "tb", "v")
+        .distinct()
+    )
+    ca = counts.select(
+        F.col("event_type").alias("eta"), F.col("v").alias("va"),
+        F.col("c").alias("ca"),
+    )
+    cb = counts.select(
+        F.col("event_type").alias("etb"), F.col("v").alias("vb"),
+        F.col("c").alias("cb"),
+    )
+    joined = (
+        grid.join(
+            ca, (F.col("eta") == F.col("ta")) & (F.col("va") == F.col("v")),
+            "left",
+        )
+        .join(
+            cb, (F.col("etb") == F.col("tb")) & (F.col("vb") == F.col("v")),
+            "left",
+        )
+        .select(
+            "ta", "tb", "v",
+            F.coalesce(F.col("ca"), F.lit(0)).alias("ca"),
+            F.coalesce(F.col("cb"), F.lit(0)).alias("cb"),
+        )
+    )
+    wcum = (
+        W.partitionBy("ta", "tb")
+        .orderBy("v")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = joined.select(
+        "ta", "tb",
+        F.sum("ca").over(wcum).alias("cuma"),
+        F.sum("cb").over(wcum).alias("cumb"),
+    )
+    d = (
+        cum.join(pairs, ["ta", "tb"])
+        .groupBy("ta", "tb", "n", "m")
+        .agg(
+            F.max(
+                F.abs(F.col("cuma") * F.col("m") - F.col("cumb") * F.col("n"))
+            ).cast("bigint").alias("d_scaled")
+        )
+    )
+    nd = F.col("n").cast("double")
+    md = F.col("m").cast("double")
+    ks_d = F.col("d_scaled").cast("double") / (nd * md)
+    return d.select(
+        F.col("ta").alias("type_a"),
+        F.col("tb").alias("type_b"),
+        "n",
+        "m",
+        "d_scaled",
+        ks_d.alias("ks_d"),
+        (ks_d * F.sqrt(nd * md / (nd + md))).alias("ks_stat"),
+    ).orderBy("type_a", "type_b")

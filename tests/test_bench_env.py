@@ -9,8 +9,13 @@ from bench import _env_normalize  # noqa: E402
 
 
 def _prior():
-    with open("/root/repo/BENCH_r10.json") as fh:
-        return json.load(fh)["parsed"]["queries"]
+    # the SAME artifact _env_normalize will select (hardcoding a round
+    # number here is how this test broke once BENCH_r11 landed)
+    from bench import _select_prior
+
+    prior, path = _select_prior(0.1)
+    assert prior is not None and path.startswith("BENCH_r")
+    return prior["queries"]
 
 
 def test_uniform_drift_normalizes_to_parity():
