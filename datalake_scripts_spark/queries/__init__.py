@@ -54,6 +54,8 @@ DRIVER_PRIORITY = [
     "graph_kcore_census",  # r12: k-core peeling census
     "agg_correlation_per_nation",  # r12: exact Pearson+Spearman, big_double
     "events_seasonal_decompose",  # r12: additive STL-style decomposition
+    "stats_ks_two_sample",  # r12: exact scaled-ECDF sup-gap per type pair
+    "stats_mannwhitney_u",  # r12: tie-corrected rank-sum per type pair
     # --- stalest driver rows (last checked r6/r7), rotation ---
     "versioned_chunked_pruning",
     "versioned_stats_drift",

@@ -170,3 +170,188 @@ def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ks_d.alias("ks_d"),
         (ks_d * F.sqrt(nd * md / (nd + md))).alias("ks_stat"),
     ).orderBy("type_a", "type_b")
+
+
+# Mann-Whitney U (Wilcoxon rank-sum) per event-type pair, with the
+# tie-corrected normal approximation. Everything folds over the SAME
+# per-pair distinct-value profile as the KS test — tie-group rank
+# algebra instead of row-level ranks: a tie group of size c sitting
+# above C=cum-c smaller values has rank_asc = C+1 and
+# rank_desc = N-cum+1 for every member, so the A-side rank sums are
+# profile-local products (ca*(C+1), ca*(N-cum+1)), and
+# 2*R_A = sum_asc - sum_desc + n*(N+1) is exact BIGINT (the
+# rank_asc-rank_desc doubling trick of agg_correlation_per_nation).
+# The tie term T = sum(c^3 - c) can reach N^3 (~8e18 at sf1 if fully
+# tied), so it accumulates in DECIMAL(38,0) and crosses to double via
+# the exact-split big_double recipe.
+from ..functions.casts import big_double, big_double_duck_sql  # noqa: E402
+
+_MWU_SQL = """
+WITH counts AS (
+  SELECT event_type, CAST(value AS DECIMAL(12,2)) AS v,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2),
+totals AS (
+  SELECT event_type, CAST(SUM(c) AS BIGINT) AS nt FROM counts GROUP BY 1),
+pairs AS (
+  SELECT a.event_type AS ta, b.event_type AS tb, a.nt AS n, b.nt AS m
+  FROM totals a JOIN totals b ON a.event_type < b.event_type),
+grid AS (
+  SELECT DISTINCT p.ta, p.tb, c.v
+  FROM pairs p JOIN counts c ON c.event_type IN (p.ta, p.tb)),
+joined AS (
+  SELECT g.ta, g.tb, g.v,
+         COALESCE(ca.c, 0) AS ca, COALESCE(cb.c, 0) AS cb
+  FROM grid g
+  LEFT JOIN counts ca ON ca.event_type = g.ta AND ca.v = g.v
+  LEFT JOIN counts cb ON cb.event_type = g.tb AND cb.v = g.v),
+cum AS (
+  SELECT ta, tb, v, ca, cb, ca + cb AS c,
+         SUM(ca + cb) OVER (PARTITION BY ta, tb ORDER BY v
+                            ROWS UNBOUNDED PRECEDING) AS cumn
+  FROM joined),
+s AS (
+  SELECT c.ta, c.tb, p.n, p.m, p.n + p.m AS nn,
+         CAST(SUM(c.ca * (c.cumn - c.c + 1)) AS BIGINT) AS sasc,
+         CAST(SUM(c.ca * (p.n + p.m - c.cumn + 1)) AS BIGINT) AS sdesc,
+         CAST(SUM(CAST(c.c AS DECIMAL(38,0)) * c.c * c.c - c.c)
+              AS DECIMAL(38,0)) AS tie_t
+  FROM cum c JOIN pairs p ON p.ta = c.ta AND p.tb = c.tb
+  GROUP BY c.ta, c.tb, p.n, p.m),
+u AS (
+  SELECT ta, tb, n, m, nn, tie_t,
+         sasc - sdesc + n * (nn + 1) - n * (n + 1) AS u2
+  FROM s)
+SELECT ta AS type_a, tb AS type_b, n, m,
+       CAST(u2 AS BIGINT) AS u2_a,
+       CAST(u2 AS DOUBLE) / 2.0 AS u_a,
+       {bd_tie} AS tie_term,
+       (CAST(u2 AS DOUBLE) / 2.0
+        - CAST(n AS DOUBLE) * CAST(m AS DOUBLE) / 2.0)
+       / SQRT(
+           CAST(n AS DOUBLE) * CAST(m AS DOUBLE) / 12.0
+           * (CAST(nn AS DOUBLE) + 1.0
+              - ({bd_tie})
+                / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0)))
+         ) AS z
+FROM u ORDER BY ta, tb
+""".format(bd_tie=big_double_duck_sql("tie_t"))
+
+
+@query("stats_mannwhitney_u", sql=_MWU_SQL)
+def stats_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U between the value distributions of every ordered
+    event-type pair (10 rows): exact doubled statistic
+    2U_A = sum_asc - sum_desc + n(N+1) - n(n+1) from tie-group rank
+    algebra on the per-pair distinct-value profile (no row-level rank
+    explosion), DECIMAL(38,0) tie term, and the tie-corrected z as one
+    identical double expression (sqrt only — correctly rounded IEEE;
+    no erf/exp p-value in the hash contract). Same scale shape as
+    stats_ks_two_sample: one raw-events pass, everything else on the
+    value profile."""
+    ev = t(spark, sf_dir, "events")
+    counts = (
+        ev.groupBy(
+            "event_type", F.col("value").cast("decimal(12,2)").alias("v")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    totals = counts.groupBy("event_type").agg(
+        F.sum("c").cast("bigint").alias("nt")
+    )
+    a, b = totals.alias("a"), totals.alias("b")
+    pairs = a.join(
+        b, F.col("a.event_type") < F.col("b.event_type")
+    ).select(
+        F.col("a.event_type").alias("ta"),
+        F.col("b.event_type").alias("tb"),
+        F.col("a.nt").alias("n"),
+        F.col("b.nt").alias("m"),
+    )
+    grid = (
+        pairs.join(
+            counts.alias("c"),
+            (F.col("c.event_type") == F.col("ta"))
+            | (F.col("c.event_type") == F.col("tb")),
+        )
+        .select("ta", "tb", "v")
+        .distinct()
+    )
+    ca = counts.select(
+        F.col("event_type").alias("eta"), F.col("v").alias("va"),
+        F.col("c").alias("ca"),
+    )
+    cb = counts.select(
+        F.col("event_type").alias("etb"), F.col("v").alias("vb"),
+        F.col("c").alias("cb"),
+    )
+    joined = (
+        grid.join(
+            ca, (F.col("eta") == F.col("ta")) & (F.col("va") == F.col("v")),
+            "left",
+        )
+        .join(
+            cb, (F.col("etb") == F.col("tb")) & (F.col("vb") == F.col("v")),
+            "left",
+        )
+        .select(
+            "ta", "tb", "v",
+            F.coalesce(F.col("ca"), F.lit(0)).alias("ca"),
+            F.coalesce(F.col("cb"), F.lit(0)).alias("cb"),
+        )
+    )
+    wcum = (
+        W.partitionBy("ta", "tb")
+        .orderBy("v")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = joined.select(
+        "ta", "tb",
+        "ca",
+        (F.col("ca") + F.col("cb")).alias("c"),
+        F.sum(F.col("ca") + F.col("cb")).over(wcum).alias("cumn"),
+    )
+    s = (
+        cum.join(pairs, ["ta", "tb"])
+        .groupBy("ta", "tb", "n", "m")
+        .agg(
+            F.sum(
+                F.col("ca") * (F.col("cumn") - F.col("c") + 1)
+            ).cast("bigint").alias("sasc"),
+            F.sum(
+                F.col("ca") * (F.col("n") + F.col("m") - F.col("cumn") + 1)
+            ).cast("bigint").alias("sdesc"),
+            F.sum(
+                F.col("c").cast("decimal(38,0)") * F.col("c") * F.col("c")
+                - F.col("c")
+            ).cast("decimal(38,0)").alias("tie_t"),
+        )
+    )
+    u = s.select(
+        "ta", "tb", "n", "m", "tie_t",
+        (F.col("n") + F.col("m")).alias("nn"),
+        (
+            F.col("sasc") - F.col("sdesc")
+            + F.col("n") * (F.col("n") + F.col("m") + 1)
+            - F.col("n") * (F.col("n") + 1)
+        ).alias("u2"),
+    )
+    nd = F.col("n").cast("double")
+    md = F.col("m").cast("double")
+    nnd = F.col("nn").cast("double")
+    ud = F.col("u2").cast("double") / F.lit(2.0)
+    tie_d = big_double("tie_t")
+    var = (
+        nd * md / F.lit(12.0)
+        * (nnd + F.lit(1.0) - tie_d / (nnd * (nnd - F.lit(1.0))))
+    )
+    return u.select(
+        F.col("ta").alias("type_a"),
+        F.col("tb").alias("type_b"),
+        "n",
+        "m",
+        F.col("u2").cast("bigint").alias("u2_a"),
+        ud.alias("u_a"),
+        tie_d.alias("tie_term"),
+        ((ud - nd * md / F.lit(2.0)) / F.sqrt(var)).alias("z"),
+    ).orderBy("type_a", "type_b")
