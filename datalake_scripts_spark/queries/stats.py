@@ -355,3 +355,84 @@ def stats_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         tie_d.alias("tie_term"),
         ((ud - nd * md / F.lit(2.0)) / F.sqrt(var)).alias("z"),
     ).orderBy("type_a", "type_b")
+
+
+# Chi-square contingency cells for event_type x hour-of-day. The
+# per-cell contribution (O*N - R*C)^2 / (R*C*N) is emitted PER CELL
+# (types x 24 rows) rather than summed: the numerator (O*N - R*C)^2
+# is exact DECIMAL(38,0) crossing to double via big_double and the
+# denominator fits int64, so each cell is deterministic — but a SUM of
+# those doubles would be partition-order-dependent, which is exactly
+# what the hash contract forbids. Consumers fold the total in one
+# deterministic pass over 24*types rows (trivially driver-side).
+_CHI2_SQL = """
+WITH o AS (
+  SELECT event_type, EXTRACT(hour FROM ts) AS hod,
+         CAST(COUNT(*) AS BIGINT) AS o
+  FROM events GROUP BY 1, 2),
+r AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS rt FROM o GROUP BY 1),
+c AS (SELECT hod, CAST(SUM(o) AS BIGINT) AS ct FROM o GROUP BY 1),
+n AS (SELECT CAST(SUM(o) AS BIGINT) AS nt FROM o),
+cells AS (
+  SELECT o.event_type, o.hod, o.o, r.rt, c.ct, n.nt,
+         CAST(o.o * n.nt - r.rt * c.ct AS DECIMAL(38,0))
+           * (o.o * n.nt - r.rt * c.ct) AS diff2
+  FROM o JOIN r ON r.event_type = o.event_type
+         JOIN c ON c.hod = o.hod
+         CROSS JOIN n)
+SELECT event_type, CAST(hod AS INT) AS hod, o AS observed,
+       CAST(rt * ct AS DOUBLE) / CAST(nt AS DOUBLE) AS expected,
+       ({bd_diff2})
+         / (CAST(rt * ct AS DOUBLE) * CAST(nt AS DOUBLE)) AS contrib
+FROM cells ORDER BY event_type, hod
+""".format(bd_diff2=big_double_duck_sql("diff2"))
+
+
+@query("stats_chi2_cells", sql=_CHI2_SQL)
+def stats_chi2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence cells over the event_type x hour-of-day
+    contingency table: observed counts, expected R*C/N, and the exact
+    per-cell contribution (O*N - R*C)^2 / (R*C*N) — the categorical
+    drift detector (is traffic mix independent of hour?). Numerator
+    exact in DECIMAL(38,0) through big_double (O*N - R*C can reach
+    ~1e12, its square 1e24); denominator R*C*N fits int64 at any SF the
+    events table reaches. Emitted per cell, NOT summed: a double total
+    would be partition-order-dependent; the 24 x types cells fold
+    deterministically consumer-side. One raw pass (groupBy type,hod);
+    marginals are dim-sized partial aggs joined back broadcast."""
+    ev = t(spark, sf_dir, "events")
+    o = (
+        ev.groupBy("event_type", F.hour("ts").alias("hod"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    )
+    r = o.groupBy("event_type").agg(F.sum("o").cast("bigint").alias("rt"))
+    c = o.groupBy("hod").agg(F.sum("o").cast("bigint").alias("ct"))
+    n = o.groupBy().agg(F.sum("o").cast("bigint").alias("nt"))
+    diff = F.col("o") * F.col("nt") - F.col("rt") * F.col("ct")
+    cells = (
+        o.join(r, "event_type")
+        .join(c, "hod")
+        # bcast: O(1) — single-row grand-total attach
+        .crossJoin(F.broadcast(n))
+        .select(
+            "event_type",
+            F.col("hod").cast("int").alias("hod"),
+            F.col("o").alias("observed"),
+            (
+                (F.col("rt") * F.col("ct")).cast("double")
+                / F.col("nt").cast("double")
+            ).alias("expected"),
+            (diff.cast("decimal(38,0)") * diff).alias("diff2"),
+            (
+                (F.col("rt") * F.col("ct")).cast("double")
+                * F.col("nt").cast("double")
+            ).alias("den"),
+        )
+    )
+    return cells.select(
+        "event_type",
+        "hod",
+        "observed",
+        "expected",
+        (big_double("diff2") / F.col("den")).alias("contrib"),
+    ).orderBy("event_type", "hod")

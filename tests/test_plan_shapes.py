@@ -300,6 +300,13 @@ LINT_ALLOWLIST = {
     # per-round 1-row peel census rows (count/sum partials map-side);
     # the peel joins themselves stay node-key partitioned
     "graph_kcore_census": {"single-partition-exchange"},
+    # grand-total N is a 1-row scalar attached via broadcast cross
+    # (the mixture_temperature_targets convention); marginal aggs
+    # reduce map-side
+    "stats_chi2_cells": {
+        "cartesian-product",
+        "single-partition-exchange",
+    },
 }
 
 
