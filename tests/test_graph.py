@@ -152,3 +152,78 @@ def test_bfs_hops_hand_checked_and_properties(spark):
     )
     got_cyc = {r.node: r.hop for r in bfs_hops(cyc, seeds, max_hops=9).collect()}
     assert got_cyc == {1: 0, 2: 1, 3: 2}
+
+
+def _sym(pairs):
+    out = []
+    for a, b in pairs:
+        out += [(a, b), (b, a)]
+    return out
+
+
+def test_kcore_rounds_hand_checked(spark):
+    """Triangle {1,2,3} + pendant chain 3-4, 4-5 at k=2: round 1 peels
+    the degree-1 node 5, round 2 peels 4 (its degree fell to 1), the
+    triangle is the stable 2-core; census rows then repeat via the
+    fixpoint early-exit (no further shuffles, identical rows)."""
+    from datalake_scripts_spark.operators.graph import kcore_rounds
+
+    e = spark.createDataFrame(
+        _sym([(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]),
+        "src long, dst long",
+    )
+    rows = {r.round: r for r in kcore_rounds(e, k=2, rounds=4).collect()}
+    assert rows[1].n_nodes == 4 and rows[1].n_edges == 4  # 5 peeled
+    assert rows[2].n_nodes == 3 and rows[2].n_edges == 3  # 4 peeled
+    assert rows[3].n_nodes == 3 and rows[3].n_edges == 3  # fixpoint
+    assert rows[4].n_nodes == 3 and rows[4].sum_nodes == 6  # 1+2+3
+
+
+def test_kcore_rounds_empties_and_reports_zero(spark):
+    """A path graph has no 2-core: the census must reach (0,0,0) and
+    keep reporting it, not error on empty aggregates."""
+    from datalake_scripts_spark.operators.graph import kcore_rounds
+
+    e = spark.createDataFrame(
+        _sym([(1, 2), (2, 3), (3, 4)]), "src long, dst long"
+    )
+    rows = {r.round: r for r in kcore_rounds(e, k=2, rounds=3).collect()}
+    # round 1 peels the endpoints, round 2 peels the rest
+    assert rows[1].n_nodes == 2 and rows[1].n_edges == 1
+    assert rows[2].n_nodes == 0 and rows[2].n_edges == 0
+    assert rows[3].n_nodes == 0 and rows[3].sum_nodes == 0
+
+
+def test_kcore_rounds_matches_true_core_on_random_graph(spark):
+    """Enough synchronous rounds converge to the true k-core (the
+    fixpoint of iterative peeling) — checked against a pure-Python
+    peel on a deterministic pseudo-random graph."""
+    import hashlib
+
+    from datalake_scripts_spark.operators.graph import kcore_rounds
+
+    und = set()
+    for i in range(300):
+        h = hashlib.md5(f"edge{i}".encode()).hexdigest()
+        a, b = int(h[:4], 16) % 40, int(h[4:8], 16) % 40
+        if a != b:
+            und.add((min(a, b), max(a, b)))
+    k = 4
+    # python fixpoint peel
+    cur = set(und)
+    while True:
+        deg = {}
+        for a, b in cur:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        keep = {n for n, d in deg.items() if d >= k}
+        nxt = {(a, b) for a, b in cur if a in keep and b in keep}
+        if nxt == cur:
+            break
+        cur = nxt
+    true_nodes = {x for e in cur for x in e}
+    df = spark.createDataFrame(_sym(sorted(und)), "src long, dst long")
+    last = kcore_rounds(df, k=k, rounds=12).orderBy("round").collect()[-1]
+    assert last.n_nodes == len(true_nodes)
+    assert last.n_edges == len(cur)
+    assert last.sum_nodes == sum(true_nodes)
