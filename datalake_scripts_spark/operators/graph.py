@@ -310,3 +310,80 @@ def kcore_rounds(
     for c in censuses[1:]:
         out = out.unionByName(c)
     return out.orderBy("round")
+
+
+def pagerank_personalized(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Personalized PageRank (non-normalized ``r' = (1-d)*is_seed + d *
+    Sum r/outdeg``): mass teleports only to the SEED set, so rank decays
+    with distance from the seeds — the "trusted-seed quality prior" of
+    web-corpus curation (seed known-good domains, propagate trust along
+    links; the TrustRank construction). Same exact BIGINT nano-unit
+    arithmetic and one-shuffle-per-round shape as pagerank_fixed;
+    non-seed nodes start (and teleport) at 0, so unreachable nodes
+    stay exactly 0 and the result is engine- and partition-exact.
+    """
+    edges = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).distinct()
+    edges = edges.localCheckpoint(eager=False)
+    seeds = seeds.select(
+        F.col(seeds.columns[0]).alias("node")
+    ).distinct().localCheckpoint(eager=False)
+
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .unionByName(seeds.select("node"))
+        .distinct()
+    )
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("od"))
+    contrib_edges = edges.join(outdeg, "src").localCheckpoint(eager=False)
+
+    base_nodes = nodes.join(
+        seeds.select("node", F.lit(True).alias("_seed")), "node", "left"
+    ).select(
+        "node",
+        F.when(F.col("_seed"), F.lit(BASE)).otherwise(F.lit(0))
+        .cast("long")
+        .alias("base"),
+    ).localCheckpoint(eager=False)
+
+    ranks = base_nodes.select(
+        "node",
+        F.when(F.col("base") > 0, F.lit(RANK_ONE)).otherwise(F.lit(0))
+        .cast("long")
+        .alias("rank_nano"),
+    )
+    for _ in range(iterations):
+        contribs = (
+            contrib_edges.join(
+                ranks, contrib_edges["src"] == ranks["node"], "inner"
+            )
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank_nano DIV od").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            base_nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.col("base")
+                    + F.expr(f"({DAMP_NUM} * coalesce(s, 0L)) DIV {DAMP_DEN}")
+                ).cast("long").alias("rank_nano"),
+            )
+        )
+    return ranks.select(
+        "node",
+        "rank_nano",
+        (F.col("rank_nano").cast("double") / F.lit(float(RANK_ONE))).alias("rank"),
+    )

@@ -57,6 +57,7 @@ DRIVER_PRIORITY = [
     "stats_ks_two_sample",  # r12: exact scaled-ECDF sup-gap per type pair
     "stats_mannwhitney_u",  # r12: tie-corrected rank-sum per type pair
     "stats_chi2_cells",  # r12: exact contingency contributions
+    "graph_pagerank_personalized",  # r12: TrustRank-style seeded prior
     # --- stalest driver rows (last checked r6/r7), rotation ---
     "versioned_chunked_pruning",
     "versioned_stats_drift",

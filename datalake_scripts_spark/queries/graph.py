@@ -375,3 +375,73 @@ def graph_kcore_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c AS src", "p AS dst"
     ).unionByName(pair.select(part, cust).selectExpr("p AS src", "c AS dst"))
     return kcore_rounds(edges, k=_KCORE_K, rounds=_KCORE_ROUNDS)
+
+
+# Personalized PageRank: teleport mass restricted to a deterministic
+# seed set (every 10th supplier, suppkey % 10 == 1 — non-empty at all
+# SFs), so rank decays with link distance from the seeds: the
+# TrustRank-style trusted-seed quality prior of corpus curation.
+# Oracle: the identical nano-unit BIGINT recurrence, 3 rounds unrolled,
+# with the base term gated on seed membership.
+_PPR_SQL = """
+WITH os AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
+edges AS (SELECT DISTINCT a.sk AS src, b.sk AS dst
+          FROM os a JOIN os b ON a.ok = b.ok AND a.sk <> b.sk),
+seeds AS (SELECT s_suppkey AS node FROM supplier WHERE s_suppkey % 10 = 1),
+nodes AS (SELECT DISTINCT node FROM
+          (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
+           UNION ALL SELECT node FROM seeds)),
+bn AS (SELECT n.node,
+              CASE WHEN s.node IS NOT NULL
+                   THEN CAST(150000000 AS BIGINT) ELSE 0 END AS base,
+              CASE WHEN s.node IS NOT NULL
+                   THEN CAST(1000000000 AS BIGINT) ELSE 0 END AS r0
+       FROM nodes n LEFT JOIN seeds s ON s.node = n.node),
+outdeg AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY src),
+ce AS (SELECT e.src, e.dst, o.od FROM edges e JOIN outdeg o ON e.src = o.src),
+c1 AS (SELECT ce.dst AS node, SUM(b.r0 // ce.od) AS s
+       FROM ce JOIN bn b ON ce.src = b.node GROUP BY ce.dst),
+r1 AS (SELECT b.node, b.base, CAST(b.base + (85 * COALESCE(c1.s, 0)) // 100
+                                   AS BIGINT) AS r
+       FROM bn b LEFT JOIN c1 ON b.node = c1.node),
+c2 AS (SELECT ce.dst AS node, SUM(r1.r // ce.od) AS s
+       FROM ce JOIN r1 ON ce.src = r1.node GROUP BY ce.dst),
+r2 AS (SELECT b.node, b.base, CAST(b.base + (85 * COALESCE(c2.s, 0)) // 100
+                                   AS BIGINT) AS r
+       FROM r1 b LEFT JOIN c2 ON b.node = c2.node),
+c3 AS (SELECT ce.dst AS node, SUM(r2.r // ce.od) AS s
+       FROM ce JOIN r2 ON ce.src = r2.node GROUP BY ce.dst),
+r3 AS (SELECT b.node, CAST(b.base + (85 * COALESCE(c3.s, 0)) // 100
+                           AS BIGINT) AS r
+       FROM r2 b LEFT JOIN c3 ON b.node = c3.node)
+SELECT node, r AS rank_nano, CAST(r AS DOUBLE) / 1000000000.0 AS rank
+FROM r3
+"""
+
+
+@query("graph_pagerank_personalized", sql=_PPR_SQL)
+def graph_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized (seed-anchored) PageRank over the supplier
+    co-fulfillment graph, seeds = every 10th supplier: teleport mass
+    goes only to seeds, so rank measures link-trust distance from the
+    seed set (the TrustRank construction behind trusted-domain corpus
+    priors). Same one-shuffle-per-round, exact BIGINT nano-unit shape
+    as graph_pagerank_suppliers
+    (operators/graph.py:pagerank_personalized); non-seed, unreachable
+    nodes remain exactly 0."""
+    from ..operators.graph import pagerank_personalized
+
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk")
+    ).distinct()
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.sk") != F.col("b.sk")))
+        .select(F.col("a.sk").alias("src"), F.col("b.sk").alias("dst"))
+    )
+    seeds = (
+        t(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") % 10 == 1)
+        .select(F.col("s_suppkey").alias("node"))
+    )
+    return pagerank_personalized(edges, seeds, iterations=3)

@@ -227,3 +227,42 @@ def test_kcore_rounds_matches_true_core_on_random_graph(spark):
     assert last.n_nodes == len(true_nodes)
     assert last.n_edges == len(cur)
     assert last.sum_nodes == sum(true_nodes)
+
+
+def test_personalized_pagerank_hand_computed(spark):
+    """Path graph 1-2-3-4 (both directions), seed {1}: the 3-round
+    nano-unit recurrence is pinned by hand (note: NON-normalized PPR on
+    a bipartite path oscillates — node 1 donates its whole mass each
+    round, so hop-monotone decay is NOT a property of the push form;
+    the invariant that matters is exactness + zero on the seedless
+    component). Unreachable 9/10 are exactly 0."""
+    from datalake_scripts_spark.operators.graph import (
+        BASE,
+        pagerank_personalized,
+    )
+
+    e = spark.createDataFrame(
+        _sym([(1, 2), (2, 3), (3, 4), (9, 10)]), "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {
+        r.node: r.rank_nano
+        for r in pagerank_personalized(e, seeds, iterations=3).collect()
+    }
+    # r1 = [150M, 850M, 0, 0]; r2 = [511.25M, 127.5M, 361.25M, 0];
+    # r3 below — every step exact integer DIV
+    assert got == {
+        1: 204187500,
+        2: 588093750,
+        3: 54187500,
+        4: 153531250,
+        9: 0,
+        10: 0,
+    }
+    # isolated seed: contributions never arrive, rank settles at base
+    lone = spark.createDataFrame([(42,)], "node long")
+    got2 = {
+        r.node: r.rank_nano
+        for r in pagerank_personalized(e, lone, iterations=2).collect()
+    }
+    assert got2[42] == BASE
