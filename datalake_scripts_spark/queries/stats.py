@@ -91,6 +91,12 @@ def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", F.col("value").cast("decimal(12,2)").alias("v")
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        # materialize the profile: every downstream branch (totals,
+        # grid, both probe sides) reads this, not a fresh raw-events
+        # scan — the executed plan otherwise re-scanned the fact table
+        # once per consumer (observed: 14 scans), which at 100 TB IS
+        # the query cost
+        .localCheckpoint(eager=False)
     )
     totals = counts.groupBy("event_type").agg(
         F.sum("c").cast("bigint").alias("nt")
@@ -255,6 +261,12 @@ def stats_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", F.col("value").cast("decimal(12,2)").alias("v")
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        # materialize the profile: every downstream branch (totals,
+        # grid, both probe sides) reads this, not a fresh raw-events
+        # scan — the executed plan otherwise re-scanned the fact table
+        # once per consumer (observed: 14 scans), which at 100 TB IS
+        # the query cost
+        .localCheckpoint(eager=False)
     )
     totals = counts.groupBy("event_type").agg(
         F.sum("c").cast("bigint").alias("nt")
