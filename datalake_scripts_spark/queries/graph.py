@@ -17,27 +17,30 @@ from .registry import query, t
 # DuckDB oracle: the SAME nano-unit BIGINT recurrence, 3 rounds
 # unrolled as CTEs. `//` is DuckDB's integer division == Spark's DIV on
 # positive BIGINTs; integer sums are order-independent, so both engines
-# are bit-identical.
+# are bit-identical. CTEs MATERIALIZED: DuckDB inlines plain CTEs per
+# reference and the doubly-referenced round chain re-evaluates
+# exponentially (oracle timeout at sf1's 21M-edge graph; the
+# graph_kcore_census finding).
 _PAGERANK_SQL = """
-WITH os AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
-edges AS (SELECT DISTINCT a.sk AS src, b.sk AS dst
+WITH os AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
+edges AS MATERIALIZED (SELECT DISTINCT a.sk AS src, b.sk AS dst
           FROM os a JOIN os b ON a.ok = b.ok AND a.sk <> b.sk),
-nodes AS (SELECT DISTINCT node FROM
+nodes AS MATERIALIZED (SELECT DISTINCT node FROM
           (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
-outdeg AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY src),
-ce AS (SELECT e.src, e.dst, o.od FROM edges e JOIN outdeg o ON e.src = o.src),
-r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM nodes),
-c1 AS (SELECT ce.dst AS node, SUM(r0.r // ce.od) AS s
+outdeg AS MATERIALIZED (SELECT src, COUNT(*) AS od FROM edges GROUP BY src),
+ce AS MATERIALIZED (SELECT e.src, e.dst, o.od FROM edges e JOIN outdeg o ON e.src = o.src),
+r0 AS MATERIALIZED (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM nodes),
+c1 AS MATERIALIZED (SELECT ce.dst AS node, SUM(r0.r // ce.od) AS s
        FROM ce JOIN r0 ON ce.src = r0.node GROUP BY ce.dst),
-r1 AS (SELECT n.node, CAST(150000000 + (85 * COALESCE(c1.s, 0)) // 100 AS BIGINT) AS r
+r1 AS MATERIALIZED (SELECT n.node, CAST(150000000 + (85 * COALESCE(c1.s, 0)) // 100 AS BIGINT) AS r
        FROM nodes n LEFT JOIN c1 ON n.node = c1.node),
-c2 AS (SELECT ce.dst AS node, SUM(r1.r // ce.od) AS s
+c2 AS MATERIALIZED (SELECT ce.dst AS node, SUM(r1.r // ce.od) AS s
        FROM ce JOIN r1 ON ce.src = r1.node GROUP BY ce.dst),
-r2 AS (SELECT n.node, CAST(150000000 + (85 * COALESCE(c2.s, 0)) // 100 AS BIGINT) AS r
+r2 AS MATERIALIZED (SELECT n.node, CAST(150000000 + (85 * COALESCE(c2.s, 0)) // 100 AS BIGINT) AS r
        FROM nodes n LEFT JOIN c2 ON n.node = c2.node),
-c3 AS (SELECT ce.dst AS node, SUM(r2.r // ce.od) AS s
+c3 AS MATERIALIZED (SELECT ce.dst AS node, SUM(r2.r // ce.od) AS s
        FROM ce JOIN r2 ON ce.src = r2.node GROUP BY ce.dst),
-r3 AS (SELECT n.node, CAST(150000000 + (85 * COALESCE(c3.s, 0)) // 100 AS BIGINT) AS r
+r3 AS MATERIALIZED (SELECT n.node, CAST(150000000 + (85 * COALESCE(c3.s, 0)) // 100 AS BIGINT) AS r
        FROM nodes n LEFT JOIN c3 ON n.node = c3.node)
 SELECT node, r AS rank_nano, CAST(r AS DOUBLE) / 1000000000.0 AS rank
 FROM r3
@@ -382,36 +385,39 @@ def graph_kcore_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SFs), so rank decays with link distance from the seeds: the
 # TrustRank-style trusted-seed quality prior of corpus curation.
 # Oracle: the identical nano-unit BIGINT recurrence, 3 rounds unrolled,
-# with the base term gated on seed membership.
+# with the base term gated on seed membership. Every CTE is
+# MATERIALIZED — the doubly-referenced round chain re-inlines
+# exponentially otherwise (the graph_kcore_census finding; at sf1 the
+# plain form blew the 600s oracle watchdog on the 21M-edge graph).
 _PPR_SQL = """
-WITH os AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
-edges AS (SELECT DISTINCT a.sk AS src, b.sk AS dst
+WITH os AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
+edges AS MATERIALIZED (SELECT DISTINCT a.sk AS src, b.sk AS dst
           FROM os a JOIN os b ON a.ok = b.ok AND a.sk <> b.sk),
-seeds AS (SELECT s_suppkey AS node FROM supplier WHERE s_suppkey % 10 = 1),
-nodes AS (SELECT DISTINCT node FROM
+seeds AS MATERIALIZED (SELECT s_suppkey AS node FROM supplier WHERE s_suppkey % 10 = 1),
+nodes AS MATERIALIZED (SELECT DISTINCT node FROM
           (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
            UNION ALL SELECT node FROM seeds)),
-bn AS (SELECT n.node,
+bn AS MATERIALIZED (SELECT n.node,
               CASE WHEN s.node IS NOT NULL
                    THEN CAST(150000000 AS BIGINT) ELSE 0 END AS base,
               CASE WHEN s.node IS NOT NULL
                    THEN CAST(1000000000 AS BIGINT) ELSE 0 END AS r0
        FROM nodes n LEFT JOIN seeds s ON s.node = n.node),
-outdeg AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY src),
-ce AS (SELECT e.src, e.dst, o.od FROM edges e JOIN outdeg o ON e.src = o.src),
-c1 AS (SELECT ce.dst AS node, SUM(b.r0 // ce.od) AS s
+outdeg AS MATERIALIZED (SELECT src, COUNT(*) AS od FROM edges GROUP BY src),
+ce AS MATERIALIZED (SELECT e.src, e.dst, o.od FROM edges e JOIN outdeg o ON e.src = o.src),
+c1 AS MATERIALIZED (SELECT ce.dst AS node, SUM(b.r0 // ce.od) AS s
        FROM ce JOIN bn b ON ce.src = b.node GROUP BY ce.dst),
-r1 AS (SELECT b.node, b.base, CAST(b.base + (85 * COALESCE(c1.s, 0)) // 100
+r1 AS MATERIALIZED (SELECT b.node, b.base, CAST(b.base + (85 * COALESCE(c1.s, 0)) // 100
                                    AS BIGINT) AS r
        FROM bn b LEFT JOIN c1 ON b.node = c1.node),
-c2 AS (SELECT ce.dst AS node, SUM(r1.r // ce.od) AS s
+c2 AS MATERIALIZED (SELECT ce.dst AS node, SUM(r1.r // ce.od) AS s
        FROM ce JOIN r1 ON ce.src = r1.node GROUP BY ce.dst),
-r2 AS (SELECT b.node, b.base, CAST(b.base + (85 * COALESCE(c2.s, 0)) // 100
+r2 AS MATERIALIZED (SELECT b.node, b.base, CAST(b.base + (85 * COALESCE(c2.s, 0)) // 100
                                    AS BIGINT) AS r
        FROM r1 b LEFT JOIN c2 ON b.node = c2.node),
-c3 AS (SELECT ce.dst AS node, SUM(r2.r // ce.od) AS s
+c3 AS MATERIALIZED (SELECT ce.dst AS node, SUM(r2.r // ce.od) AS s
        FROM ce JOIN r2 ON ce.src = r2.node GROUP BY ce.dst),
-r3 AS (SELECT b.node, CAST(b.base + (85 * COALESCE(c3.s, 0)) // 100
+r3 AS MATERIALIZED (SELECT b.node, CAST(b.base + (85 * COALESCE(c3.s, 0)) // 100
                            AS BIGINT) AS r
        FROM r2 b LEFT JOIN c3 ON b.node = c3.node)
 SELECT node, r AS rank_nano, CAST(r AS DOUBLE) / 1000000000.0 AS rank
