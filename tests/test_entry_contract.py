@@ -11,6 +11,21 @@ def test_entry_returns_rows(spark):
     assert df.count() > 0
 
 
+# The five engine-specific paths with no DuckDB twin (xxhash64 hash
+# family, k-means state). Each has a documented hash-exact oracle twin
+# already driver-green (e.g. dedup_minhash_lsh_md5; the stride-book
+# ann_pq_rerank_topk for the r12 k-means PQ serve). They ride in the
+# prefix ON PURPOSE (VERDICT r4 ask #2: every registry entry gets a
+# driver row, the rows-only ones included).
+ROWS_ONLY_OK = {
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_ivf_topk_vectorized",
+    "ann_ivf_kmeans_topk",
+    "ann_pq_kmeans_rerank_topk",
+}
+
+
 def test_registry_consistency():
     import __spark_entry__ as e
 
@@ -18,27 +33,9 @@ def test_registry_consistency():
     assert len(qs) >= 60
     assert set(sqls) <= set(qs)
     # non-SQL-expressible ops are the documented exceptions
-    assert set(qs) - set(sqls) == {
-        # xxhash64 production paths; md5 twins are oracle-backed
-        "dedup_minhash_lsh",
-        "dedup_simhash",
-        # numpy/Arrow assignment paths; stride twin is oracle-backed
-        "ann_ivf_topk_vectorized",
-        "ann_ivf_kmeans_topk",
-    }
+    assert set(qs) - set(sqls) == ROWS_ONLY_OK
 
 
-# The four engine-specific paths with no DuckDB twin (xxhash64 hash
-# family, k-means state). Each has a documented hash-exact oracle twin
-# already driver-green (e.g. dedup_minhash_lsh_md5). They ride in the
-# round-5 prefix ON PURPOSE (VERDICT r4 ask #2: every registry entry
-# gets a driver row, the rows-only ones included, by end of round 5).
-ROWS_ONLY_OK = {
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "ann_ivf_topk_vectorized",
-    "ann_ivf_kmeans_topk",
-}
 
 
 def test_driver_priority_prefix():
