@@ -156,9 +156,10 @@ def _assign(
             vv.alias("cv"),
             S.dot(vv, vv, dim).alias("cn"),
         )
-        .withColumn(
-            "cell", assign(F.col("cv"), F.col("cn"), cents)
-        )
+        # SQL-text columns: one py4j crossing for the whole centroid
+        # argmax instead of O(n_centroids) Column-API round-trips
+        # (construction was 1.1 s of this build at sf0.1)
+        .withColumn("cell", assign("cv", "cn", cents))
     )
 
 
@@ -241,8 +242,18 @@ def build_ann_index(
         params["pq_codebooks"] = [
             [[cid, list(cw)] for cid, cw in cb] for cb in codebooks
         ]
+    # one slice -> one data file: the centroid table is metadata-sized
+    # by contract (<= max_centroids rows), but a default createDataFrame
+    # fans it across every core — measured 32 near-empty files per
+    # build, each paying listing + footer-stats + scan-task overhead on
+    # every subsequent load (guide §6 small-files). parallelize(_, 1),
+    # NOT coalesce(1): coalesce keeps the 32 pickled parent slices and
+    # evaluates them SEQUENTIALLY in the one task (measured 0.45 s ->
+    # 3.9 s on the centroids write).
     cent_df = spark.createDataFrame(
-        [(cid, vec) for cid, vec in cents],
+        spark.sparkContext.parallelize(
+            [(cid, vec) for cid, vec in cents], 1
+        ),
         "cid bigint, cvec array<double>",
     )
     c_new = write_versioned(
@@ -456,23 +467,20 @@ def ivf_topk_indexed(
             .withColumnRenamed("cn", "qn")
         )
     else:
-        q = (
-            queries_df.select(
-                F.col(id_col).alias("query_id"),
-                vv.alias("qv"),
-                S.dot(vv, vv, dim).alias("qn"),
-            )
-            .withColumn(
-                "cell",
-                F.explode(
-                    S.ivf_probe_cells(F.col("qv"), F.col("qn"), cents, nprobe)
-                ),
-            )
+        # driver-computed query table (bit-identical to the literal
+        # probe — see S.ivf_query_table): the inline centroid-fold
+        # expression made ANALYSIS a >1 s constant on every serve
+        # action, and the probed-cell collect was a second full pass
+        # over the same expression (guide §1.2)
+        q = S.ivf_query_table(
+            queries_df, cents, nprobe, id_col=id_col, vec_col=vec_col
         )
     c = read_versioned(spark, _subdir(index_dir, _ASSIGNMENTS))
     if prune:
         # bounded collect (see docstring): a static isin on the hive
-        # partition column lets the scan skip unprobed cells entirely
+        # partition column lets the scan skip unprobed cells entirely.
+        # The local query table makes this a LocalRelation scan, not a
+        # re-evaluation of the probe expression.
         probed = sorted(
             r["cell"] for r in q.select("cell").distinct().collect()
         )

@@ -880,7 +880,7 @@ def semantic_dedup(
             "vec_id", "v", S.dot(F.col("v"), F.col("v"), dim).alias("vn")
         )
         cells = e.withColumn(
-            "cell", S.ivf_assign_cell(F.col("v"), F.col("vn"), cents)
+            "cell", S.ivf_assign_cell("v", "vn", cents)
         )
     a, b = cells.alias("a"), cells.alias("b")
     near = S.cosine_with_norms(

@@ -19,6 +19,7 @@ so both engines produce bit-identical doubles.
 
 from __future__ import annotations
 
+import math
 import struct
 
 from pyspark.sql import Column, DataFrame
@@ -311,11 +312,48 @@ def _centroid_scores(vec: Column, vec_norm: Column, cents) -> list[tuple[int, Co
     return out
 
 
-def ivf_assign_cell(vec: Column, vec_norm: Column, cents) -> Column:
+def _cosine_struct_sqls(vec_sql: str, norm_sql: str, cents) -> list[str]:
+    """SQL text of the per-centroid (cosine, -cid) probe structs —
+    parses to the identical expression tree the Column-API build
+    produced, but crosses py4j ONCE as a single F.expr instead of
+    O(n_centroids) gateway round-trips per fold/struct/alias
+    (construction, not execution, was 1.1 s of a 2000-row build —
+    the srp_bucket finding applied to the IVF family; guide §1.2)."""
+    out = []
+    for cid, cvec in cents:
+        cn = 0.0
+        for x in cvec:
+            cn += x * x
+        score = (
+            f"({dot_sql_literal(vec_sql, cvec)})"
+            f" / sqrt(({norm_sql}) * {_sql_double(cn)})"
+        )
+        out.append(
+            f"named_struct('ccos', {score},"
+            f" 'ncid', CAST({-int(cid)} AS BIGINT))"
+        )
+    return out
+
+
+def ivf_assign_cell(
+    vec: Column | str, vec_norm: Column | str, cents
+) -> Column:
     """Nearest-centroid cell id, computed entirely map-side (no join, no
     shuffle — the IVF assignment path that survives a 1000-executor
     scale-up). max over (cosine, -cid) structs == ORDER BY cosine DESC,
-    cid ASC with row_number()=1."""
+    cid ASC with row_number()=1.
+
+    Pass ``vec``/``vec_norm`` as SQL text (column names/expressions)
+    for the single-crossing construction; Column inputs keep the
+    legacy per-centroid build (same expression, slower to assemble)."""
+    if isinstance(vec, str) and isinstance(vec_norm, str):
+        structs = _cosine_struct_sqls(vec, vec_norm, cents)
+        best = (
+            structs[0]
+            if len(structs) == 1
+            else f"greatest({', '.join(structs)})"
+        )
+        return F.expr(f"CAST(-(({best}).ncid) AS BIGINT)")
     structs = [
         F.struct(c.alias("ccos"), F.lit(-cid).cast("bigint").alias("ncid"))
         for cid, c in _centroid_scores(vec, vec_norm, cents)
@@ -324,10 +362,19 @@ def ivf_assign_cell(vec: Column, vec_norm: Column, cents) -> Column:
     return (-best["ncid"]).cast("bigint")
 
 
-def ivf_probe_cells(vec: Column, vec_norm: Column, cents, nprobe: int) -> Column:
+def ivf_probe_cells(
+    vec: Column | str, vec_norm: Column | str, cents, nprobe: int
+) -> Column:
     """Array of the ``nprobe`` nearest cell ids, map-side: sort an
     inline (cosine, -cid) struct array descending and slice — no window,
-    no shuffle on the query side."""
+    no shuffle on the query side. SQL-text inputs take the
+    single-crossing construction (see :func:`ivf_assign_cell`)."""
+    if isinstance(vec, str) and isinstance(vec_norm, str):
+        arr = ", ".join(_cosine_struct_sqls(vec, vec_norm, cents))
+        return F.expr(
+            f"transform(slice(sort_array(array({arr}), false), 1, "
+            f"{int(nprobe)}), s -> -s.ncid)"
+        )
     arr = F.array(
         *[
             F.struct(c.alias("ccos"), F.lit(-cid).cast("bigint").alias("ncid"))
@@ -450,7 +497,7 @@ def ivf_topk(
                 vv.alias("cv"),
                 dot(vv, vv, dim).alias("cn"),
             )
-            .withColumn("cell", ivf_assign_cell(F.col("cv"), F.col("cn"), cents))
+            .withColumn("cell", ivf_assign_cell("cv", "cn", cents))
         )
         q = (
             queries_df.select(
@@ -460,7 +507,7 @@ def ivf_topk(
             )
             .withColumn(
                 "cell",
-                F.explode(ivf_probe_cells(F.col("qv"), F.col("qn"), cents, nprobe)),
+                F.explode(ivf_probe_cells("qv", "qn", cents, nprobe)),
             )
         )
     scored = (
@@ -524,7 +571,7 @@ def ivf_topk_multi(
         F.col(id_col).alias("neighbor_id"),
         vv.alias("cv"),
         dot(vv, vv, dim).alias("cn"),
-    ).withColumn("cell", ivf_assign_cell(F.col("cv"), F.col("cn"), cents))
+    ).withColumn("cell", ivf_assign_cell("cv", "cn", cents))
     q = queries_df.select(
         F.col(id_col).alias("query_id"),
         vv.alias("qv"),
@@ -534,7 +581,7 @@ def ivf_topk_multi(
         "qv",
         "qn",
         F.posexplode(
-            ivf_probe_cells(F.col("qv"), F.col("qn"), cents, max_np)
+            ivf_probe_cells("qv", "qn", cents, max_np)
         ).alias("pos", "cell"),
     )
     scored = (
@@ -936,19 +983,55 @@ def ivfpq_topk(
     )
 
 
-def ivf_assign_cell_l2(vec: Column, vec_norm: Column, cents) -> Column:
+def _l2_struct_sqls(vec_sql: str, norm_sql: str, cents) -> list[str]:
+    """SQL text of the (L2^2, cid) argmin structs — the l2 twin of
+    :func:`_cosine_struct_sqls` (one py4j crossing; identical parsed
+    expression to :func:`_l2_argmin_structs`)."""
+    out = []
+    for cid, cvec in cents:
+        cn = 0.0
+        for x in cvec:
+            cn = cn + float(x) * float(x)
+        d = (
+            f"(({norm_sql}) - 2.0D * ({dot_sql_literal(vec_sql, cvec)}))"
+            f" + {_sql_double(cn)}"
+        )
+        out.append(
+            f"named_struct('d', {d}, 'cid', CAST({int(cid)} AS BIGINT))"
+        )
+    return out
+
+
+def ivf_assign_cell_l2(
+    vec: Column | str, vec_norm: Column | str, cents
+) -> Column:
     """Nearest-centroid cell id under L2 (the FAISS-default IVF
     metric; the cosine twin is :func:`ivf_assign_cell`) — map-side,
-    inline centroid literals, no shuffle."""
+    inline centroid literals, no shuffle. SQL-text inputs take the
+    single-crossing construction (see :func:`ivf_assign_cell`)."""
+    if isinstance(vec, str) and isinstance(vec_norm, str):
+        structs = _l2_struct_sqls(vec, vec_norm, cents)
+        best = (
+            structs[0]
+            if len(structs) == 1
+            else f"least({', '.join(structs)})"
+        )
+        return F.expr(f"({best}).cid")
     structs = _l2_argmin_structs(vec, vec_norm, cents)
     best = structs[0] if len(structs) == 1 else F.least(*structs)
     return best["cid"]
 
 
 def ivf_probe_cells_l2(
-    vec: Column, vec_norm: Column, cents, nprobe: int
+    vec: Column | str, vec_norm: Column | str, cents, nprobe: int
 ) -> Column:
     """Array of the ``nprobe`` nearest cell ids under L2, map-side."""
+    if isinstance(vec, str) and isinstance(vec_norm, str):
+        arr = ", ".join(_l2_struct_sqls(vec, vec_norm, cents))
+        return F.expr(
+            f"transform(slice(sort_array(array({arr})), 1, "
+            f"{int(nprobe)}), s -> s.cid)"
+        )
     arr = F.array(*_l2_argmin_structs(vec, vec_norm, cents))
     return F.transform(
         F.slice(F.sort_array(arr), 1, nprobe), lambda s: s["cid"]
@@ -1124,6 +1207,79 @@ def _fold_dot_py(a, b) -> float:
     return s
 
 
+def _double_total_order_key(x: float) -> int:
+    """Sortable integer key reproducing Spark/Java's total order on
+    doubles (Double.compare: -0.0 < 0.0, NaN greatest) — the order
+    sort_array uses on the (cosine, -cid) probe structs. Python's <
+    on floats treats -0.0 == 0.0 and is undefined under NaN, so a
+    driver-side replication of an engine sort must key on the bits."""
+    b = struct.unpack(">q", struct.pack(">d", float(x)))[0]
+    return b if b >= 0 else b ^ 0x7FFFFFFFFFFFFFFF
+
+
+def ivf_query_table(
+    queries_df: DataFrame,
+    cents,
+    nprobe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Driver-computed IVF query batch — (query_id, qv, qn, cell), one
+    row per probed cell — replacing the map-side literal probe
+    (:func:`ivf_probe_cells`) on the SERVE path.
+
+    Why driver-side (guide §1.2 per-task work + the pq_query_tables
+    precedent): the literal probe inlines one from_json + dim-term fold
+    + sqrt per centroid into the plan; ANALYSIS of that ~5k-node tree
+    is a >1 s constant per action that references it, and the serve
+    references it twice (probed-cell collect + the broadcast join).
+    The query batch is bounded by the same small-batch contract the
+    broadcast relies on, so the identical doubles are folded here in
+    pure Python — left-to-right IEEE ops (:func:`_fold_dot_py`),
+    cosine = dot / sqrt(qn * cn) with math.sqrt == Java Math.sqrt
+    (both correctly rounded), and the (cosine DESC, cid ASC) order
+    reproduced under Java's total order on doubles
+    (:func:`_double_total_order_key`) — and shipped as DATA.
+    Bit-identical output is asserted against the literal probe in
+    tests/test_ann_index_serve.py."""
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, LongType, StructField, StructType,
+    )
+
+    cn_by_cid = [(cid, _fold_dot_py(cv, cv), cv) for cid, cv in cents]
+    rows = queries_df.select(
+        F.col(id_col).cast("bigint").alias("qid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).collect()  # bounded: the ANN small-query-batch contract
+    data = []
+    for r in rows:
+        v = [float(x) for x in r["v"]]
+        qn = _fold_dot_py(v, v)
+        scored = sorted(
+            (
+                -_double_total_order_key(
+                    _fold_dot_py(v, cv) / math.sqrt(qn * cn)
+                ),
+                cid,
+            )
+            for cid, cn, cv in cn_by_cid
+        )
+        for _key, cid in scored[: max(nprobe, 0)]:
+            data.append((int(r["qid"]), v, qn, int(cid)))
+    schema = StructType([
+        StructField("query_id", LongType(), False),
+        StructField("qv", ArrayType(DoubleType(), False), False),
+        StructField("qn", DoubleType(), False),
+        StructField("cell", LongType(), False),
+    ])
+    spark = queries_df.sparkSession
+    # 1-slice parallelize: see pq_query_tables — avoids a per-core
+    # fan-out of a few dozen rows on every consuming action
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(data, 1), schema
+    )
+
+
 def pq_query_tables(
     queries_df: DataFrame,
     codebooks: list[list[tuple[int, list[float]]]],
@@ -1198,7 +1354,12 @@ def pq_query_tables(
         for j in range(m)
     ]
     spark = queries_df.sparkSession
-    return spark.createDataFrame(data, StructType(fields))
+    # 1-slice parallelize: the default createDataFrame pickles this
+    # bounded batch into one near-empty Python slice PER CORE, and
+    # every downstream action pays a 32-task Python evaluation of it
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(data, 1), StructType(fields)
+    )
 
 
 def pq_codebooks_kmeans(

@@ -194,3 +194,81 @@ def test_ivf_recall_monotone_and_floor(spark, sf_dir):
     assert all(r.n_exact == 50 for r in rows)  # 10 queries x k=5
     by_np = {r.nprobe: r.recall_at_5 for r in rows}
     assert by_np[2] >= 0.35
+
+
+def test_sql_text_assign_probe_twins(spark, sf_dir):
+    """r12 optimization: the SQL-text builders (one py4j crossing) of
+    the IVF assign/probe expressions produce identical cells to the
+    legacy Column-API builds, for both metrics, on the real fixture."""
+    from pyspark.sql import functions as F
+
+    from datalake_scripts_spark.io import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    vv = F.col("embedding").cast("array<double>")
+    cents = S.ivf_centroids(emb, stride=50)
+    base = emb.select(
+        F.col("vec_id").alias("id"), vv.alias("cv"), S.dot(vv, vv).alias("cn")
+    )
+    for col_fn, sql_args in (
+        (S.ivf_assign_cell, ("cv", "cn")),
+        (S.ivf_assign_cell_l2, ("cv", "cn")),
+    ):
+        a = base.withColumn(
+            "cell", col_fn(F.col("cv"), F.col("cn"), cents)
+        ).select("id", "cell").collect()
+        b = base.withColumn("cell", col_fn(*sql_args, cents)).select(
+            "id", "cell"
+        ).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    for col_fn in (S.ivf_probe_cells, S.ivf_probe_cells_l2):
+        a = base.withColumn(
+            "cells", col_fn(F.col("cv"), F.col("cn"), cents, 3)
+        ).select("id", "cells").collect()
+        b = base.withColumn("cells", col_fn("cv", "cn", cents, 3)).select(
+            "id", "cells"
+        ).collect()
+        assert [(r["id"], list(r["cells"])) for r in a] == [
+            (r["id"], list(r["cells"])) for r in b
+        ]
+
+
+def test_ivf_query_table_matches_literal_probe(spark, sf_dir):
+    """r12 optimization: the driver-side serve query table is
+    bit-identical (qn bits, qv bits, probed cells, row multiplicity)
+    to the literal map-side probe it replaced."""
+    import struct as st
+
+    from pyspark.sql import functions as F
+
+    from datalake_scripts_spark.io import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    cents = S.ivf_centroids(emb, stride=50)
+    dim = len(cents[0][1])
+    vv = F.col("embedding").cast("array<double>")
+    lit = (
+        q.select(
+            F.col("vec_id").alias("query_id"),
+            vv.alias("qv"),
+            S.dot(vv, vv, dim).alias("qn"),
+        )
+        .withColumn(
+            "cell",
+            F.explode(S.ivf_probe_cells("qv", "qn", cents, 2)),
+        )
+        .orderBy("query_id", "cell")
+        .collect()
+    )
+    drv = (
+        S.ivf_query_table(q, cents, 2)
+        .orderBy("query_id", "cell")
+        .collect()
+    )
+    bits = lambda x: st.pack(">d", float(x))  # noqa: E731
+    assert len(lit) == len(drv) and len(drv) > 0
+    for a, b in zip(drv, lit):
+        assert (a["query_id"], a["cell"]) == (b["query_id"], b["cell"])
+        assert bits(a["qn"]) == bits(b["qn"])
+        assert all(bits(x) == bits(y) for x, y in zip(a["qv"], b["qv"]))
