@@ -388,8 +388,14 @@ def minhash_lsh_pairs(
     max_df_frac: float = 0.5,
     min_df_keep: int = 100,
     hash_family: str = "xxhash64",
+    capped_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash + banded LSH candidate pairs, verified with exact Jaccard.
+
+    ``capped_shingles`` (a checkpointed, already-capped shingle table —
+    e.g. from the auto-tier router's probe) skips the internal
+    explode + hot-cap passes; output is identical because the capped
+    table is deterministic in the input.
 
     signatures -> split into ``bands`` bands of r=num_hashes/bands rows ->
     bucket-join on (band_idx, band_hash) -> exact-Jaccard verify of
@@ -409,10 +415,13 @@ def minhash_lsh_pairs(
     # would recompute a lazy cache per branch, and checkpoint blocks are
     # GC'd after the query instead of pinning the session's CacheManager
     # (see ngram_jaccard_pairs barrier note).
-    sh0 = _shingle_table(df, id_col, text_col, n).localCheckpoint()
-    sh = cap_shingle_df(
-        sh0, ["shingle"], df.count(), max_df_frac, min_df_keep
-    ).localCheckpoint()
+    if capped_shingles is not None:
+        sh = capped_shingles
+    else:
+        sh0 = _shingle_table(df, id_col, text_col, n).localCheckpoint()
+        sh = cap_shingle_df(
+            sh0, ["shingle"], df.count(), max_df_frac, min_df_keep
+        ).localCheckpoint()
     sig = minhash_signatures(
         df, id_col, text_col, n, num_hashes, shingles=sh, hash_family=hash_family
     )
@@ -1371,6 +1380,78 @@ def shingle_pair_mass(dfs: DataFrame, df_col: str = "_df") -> int:
     return int(row or 0) // 2
 
 
+class _WidthTables:
+    """Per-width router probe state that doubles as the chosen tier's
+    input (r12 optimization): ``sh0`` (uncapped shingle table, ckpt'd)
+    and ``dfs_full`` (UNcapped per-shingle df counts, ckpt'd — small,
+    vocabulary-sized) are the only materializations; everything else
+    is derived lazily:
+
+    - ``mass``: pair mass of the capped universe, from ``dfs_full``
+      filtered to ``_df <= cap`` — exact because
+      :func:`cap_shingle_df` drops whole shingle GROUPS, so surviving
+      groups keep their uncapped counts (asserted in
+      tests/test_autotier.py::test_probe_matches_materialized_stats);
+    - ``ranked()``: the capped (id[, block], shingle, _df) relation the
+      exact tiers take via ``ranked_shingles`` — sh0 anti-joined
+      against the broadcastable hot list, joined with the capped dfs.
+      Consumed exactly once downstream (the packed aggregation, itself
+      ckpt'd), so it needs no checkpoint of its own.
+
+    vs the old `_capped_df_stats` (3 eager checkpoints incl. the big
+    CAPPED shingle table + a separate hot-agg pass + a separate mass
+    aggregation): one fewer full-table materialization per width, the
+    mass scalar rides the small dfs table, and a REJECTED width wastes
+    only sh0 + dfs_full (guide §1.2/§2.4)."""
+
+    def __init__(self, df, id_col, text_col, n, block_col,
+                 max_df_frac, min_df_keep, n_docs=None):
+        self.join_keys = ["shingle"] + ([block_col] if block_col else [])
+        self.n_docs = df.count() if n_docs is None else n_docs
+        self.cap = max(max_df_frac * self.n_docs, float(min_df_keep))
+        self.sh0 = _shingle_table(
+            df, id_col, text_col, n, block_col
+        ).localCheckpoint()
+        self.dfs_full = (
+            self.sh0.groupBy(*self.join_keys)
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .localCheckpoint()
+        )
+
+    @property
+    def mass(self) -> int:
+        return shingle_pair_mass(
+            self.dfs_full.filter(F.col("_df") <= self.cap)
+        )
+
+    def ranked(self) -> DataFrame:
+        hot = (
+            self.dfs_full.filter(F.col("_df") > self.cap)
+            .select(*self.join_keys)
+        )
+        # bcast: O(cap) — the hot-shingle list is bounded by contract
+        return (
+            self.sh0.join(F.broadcast(hot), self.join_keys, "left_anti")
+            .join(
+                self.dfs_full.filter(F.col("_df") <= self.cap),
+                self.join_keys,
+            )
+        )
+
+    def capped(self) -> DataFrame:
+        """The capped shingle table WITHOUT the df attach (the MinHash
+        tier's input shape), checkpointed — its consumers (signatures,
+        sizes, both verify sides) branch 4 ways."""
+        hot = (
+            self.dfs_full.filter(F.col("_df") > self.cap)
+            .select(*self.join_keys)
+        )
+        # bcast: O(cap) — hot list bounded by contract
+        return self.sh0.join(
+            F.broadcast(hot), self.join_keys, "left_anti"
+        ).localCheckpoint()
+
+
 def _capped_df_stats(
     df: DataFrame,
     id_col: str,
@@ -1449,28 +1530,35 @@ def auto_near_dup_pairs(
     tier when it is chosen (the capped/df tables are passed through).
     """
     budget = int(mass_budget_per_doc)
-    sh, dfs, join_keys, n_docs = _capped_df_stats(
+    # fused probe/stats (r12, :class:`_WidthTables`): each probed width
+    # materializes only sh0 + the small df relation; the mass scalar is
+    # a tiny agg on the latter, the chosen exact tier consumes the SAME
+    # tables via ranked_shingles, and the LSH tier reuses the base
+    # width's capped table — no width materializes anything its branch
+    # does not use (guide §1.2: don't compute things you throw away)
+    base = _WidthTables(
         df, id_col, text_col, n, block_col, max_df_frac, min_df_keep
     )
-    if shingle_pair_mass(dfs) <= budget * n_docs:
+    if base.mass <= budget * base.n_docs:
         out = ngram_jaccard_pairs(
             df, id_col, text_col, n=n, threshold=threshold,
             block_col=block_col, max_df_frac=max_df_frac,
             min_df_keep=min_df_keep,
-            ranked_shingles=sh.join(dfs, join_keys),
+            ranked_shingles=base.ranked(),
         )
         tier = f"exact_n{n}"
     else:
         n_w = n + widen_step
-        sh_w, dfs_w, join_keys_w, _ = _capped_df_stats(
-            df, id_col, text_col, n_w, block_col, max_df_frac, min_df_keep
+        wide = _WidthTables(
+            df, id_col, text_col, n_w, block_col, max_df_frac,
+            min_df_keep, n_docs=base.n_docs,
         )
-        if shingle_pair_mass(dfs_w) <= budget * n_docs:
+        if wide.mass <= budget * base.n_docs:
             out = ngram_jaccard_pairs(
                 df, id_col, text_col, n=n_w, threshold=threshold,
                 block_col=block_col, max_df_frac=max_df_frac,
                 min_df_keep=min_df_keep,
-                ranked_shingles=sh_w.join(dfs_w, join_keys_w),
+                ranked_shingles=wide.ranked(),
             )
             tier = f"exact_n{n_w}"
         else:
@@ -1479,6 +1567,7 @@ def auto_near_dup_pairs(
                 bands=bands, verify_threshold=threshold,
                 max_df_frac=max_df_frac, min_df_keep=min_df_keep,
                 hash_family=hash_family,
+                capped_shingles=base.capped(),
             )
             tier = f"minhash_n{n}"
     return out.select(
@@ -1516,20 +1605,21 @@ def auto_containment_pairs(
     """
     budget = int(mass_budget_per_doc)
     n_cur = n
+    n_docs: int | None = None
     for step in range(max_widenings + 1):
-        sh, dfs, join_keys, n_docs = _capped_df_stats(
-            df, id_col, text_col, n_cur, block_col, max_df_frac, min_df_keep
+        tables = _WidthTables(
+            df, id_col, text_col, n_cur, block_col, max_df_frac,
+            min_df_keep, n_docs=n_docs,
         )
+        n_docs = tables.n_docs
         # short-circuit: the final width runs unconditionally, no probe
-        if step == max_widenings or (
-            shingle_pair_mass(dfs) <= budget * n_docs
-        ):
+        if step == max_widenings or tables.mass <= budget * n_docs:
             break
         n_cur += widen_step
     out = containment_pairs(
         df, id_col, text_col, n=n_cur, threshold=threshold,
         block_col=block_col, max_df_frac=max_df_frac,
         min_df_keep=min_df_keep,
-        ranked_shingles=sh.join(dfs, join_keys),
+        ranked_shingles=tables.ranked(),
     )
     return out.select(*out.columns, F.lit(f"exact_n{n_cur}").alias("tier"))

@@ -142,3 +142,35 @@ def test_pair_mass_scalar_exact(spark):
     )
     # 3*2/2 + 0 + 5*4/2 = 3 + 10
     assert D.shingle_pair_mass(dfs) == 13
+
+
+def test_probe_matches_materialized_stats(diverse, saturated):
+    """r12 optimization: the fused router probe (_WidthTables) yields
+    the identical (mass, n_docs) scalar AND the identical ranked
+    relation the materialized _capped_df_stats pipeline produced — the
+    identity being that cap_shingle_df drops whole shingle groups, so
+    capped dfs == uncapped dfs filtered to the cap."""
+    for fixture in (diverse, saturated):
+        for n in (2, 4):
+            sh, dfs, jk, nd = D._capped_df_stats(
+                fixture, "doc_id", "text", n, None, 0.5, 3
+            )
+            expected_mass = D.shingle_pair_mass(dfs)
+            wt = D._WidthTables(fixture, "doc_id", "text", n, None, 0.5, 3)
+            assert (wt.mass, wt.n_docs) == (expected_mass, nd)
+            old_ranked = sorted(
+                map(tuple, sh.join(dfs, jk).select(
+                    "doc_id", "shingle", "_df").collect())
+            )
+            new_ranked = sorted(
+                map(tuple, wt.ranked().select(
+                    "doc_id", "shingle", "_df").collect())
+            )
+            assert old_ranked == new_ranked
+            old_capped = sorted(
+                map(tuple, sh.select("doc_id", "shingle").collect())
+            )
+            new_capped = sorted(
+                map(tuple, wt.capped().select("doc_id", "shingle").collect())
+            )
+            assert old_capped == new_capped
