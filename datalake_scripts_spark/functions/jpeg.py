@@ -419,21 +419,31 @@ def _build_huffman(bits: bytes, vals: bytes):
         return hit
     if len(bits) != 16 or len(vals) != sum(bits):
         raise ValueError("truncated JPEG huffman table")
-    packed = np.zeros(1 << 16, dtype=np.int32)  # (length << 8) | symbol
+    # canonical codes fill the 16-bit window CONTIGUOUSLY from 0 (next
+    # length's first slot starts exactly where the previous length
+    # ended), so the LUT is a concatenation of [entry] * run_length
+    # blocks plus a zero tail — built with C-speed list repetition.
+    # The previous numpy-fill + .tolist() build cost ~0.8 ms per table
+    # and dominated PROGRESSIVE decode (each scan carries its own
+    # optimal table, so the cache cannot amortize it): 54% of the
+    # whole codec profile was this function (r12, guide §1.2).
+    lut: list = []
     code, k = 0, 0
     for length in range(1, 17):
         if code + bits[length - 1] > (1 << length):
             raise ValueError("overfull JPEG huffman table")
+        run = 1 << (16 - length)
         for _ in range(bits[length - 1]):
-            lo = code << (16 - length)
-            hi = lo + (1 << (16 - length))
-            packed[lo:hi] = (length << 8) | vals[k]
+            lut += [(length << 8) | vals[k]] * run
             code += 1
             k += 1
         code <<= 1
-    lut = packed.tolist()  # plain-list indexing beats numpy scalars ~10x
+    if len(lut) < (1 << 16):
+        lut += [0] * ((1 << 16) - len(lut))
     if len(_LUT_CACHE) > 64:
-        _LUT_CACHE.clear()  # bound memory; tables are cheap to rebuild
+        # evict one (FIFO) instead of clearing: a mass clear of 64
+        # 65536-entry lists showed up as 0.4 s of deallocation spikes
+        _LUT_CACHE.pop(next(iter(_LUT_CACHE)))
     _LUT_CACHE[key] = lut
     return lut
 
@@ -1161,17 +1171,24 @@ def _optimal_huffman(symbols) -> tuple[bytes, bytes]:
     freq[256] = 1  # dummy: guarantees the all-ones code stays unused
     codesize = [0] * 257
     others = [-1] * 257
+    # scan only live symbols (freq > 0), in ascending index order — the
+    # selection (LAST index among minima, via <=) is identical to the
+    # original full 0..256 scans, because dead entries can never win;
+    # live count is the scan's distinct-symbol count (tens), not 257
+    # (r12: this loop pair was ~0.3 s of the codec profile)
+    alive = [i for i in range(257) if freq[i]]
     while True:
         c1, v = -1, None
-        for i in range(257):
-            if freq[i] and (v is None or freq[i] <= v):
+        for i in alive:
+            if v is None or freq[i] <= v:
                 v, c1 = freq[i], i
         c2, v = -1, None
-        for i in range(257):
-            if freq[i] and i != c1 and (v is None or freq[i] <= v):
+        for i in alive:
+            if i != c1 and (v is None or freq[i] <= v):
                 v, c2 = freq[i], i
         if c2 < 0:
             break
+        alive.remove(c2)
         freq[c1] += freq[c2]
         freq[c2] = 0
         codesize[c1] += 1
@@ -1200,12 +1217,13 @@ def _optimal_huffman(symbols) -> tuple[bytes, bytes]:
     while bits[length] == 0:
         length -= 1
     bits[length] -= 1  # remove the dummy's (longest) code point
-    vals = bytes(
-        i
-        for size in range(1, 33)
-        for i in range(256)
-        if codesize[i] == size
-    )
+    # bucket by code size in one pass (identical order to the old
+    # 32 x 256 scan: sizes ascending, symbol index ascending within)
+    by_size: list[list[int]] = [[] for _ in range(33)]
+    for i in range(256):
+        if 1 <= codesize[i] <= 32:
+            by_size[codesize[i]].append(i)
+    vals = b"".join(bytes(b) for b in by_size[1:])
     return bytes(bits[1:17]), vals
 
 
