@@ -215,9 +215,11 @@ def build_text_index(
     # ANN build applies identically here)
     corpus = read_versioned(spark, corpus_dir, version=v)
     tok = _tokenize(corpus, id_col, text_col)
-    docstats = tok.groupBy("doc_id").agg(F.sum(F.lit(1)).alias("dl"))
-    stats = docstats.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
+    # corpus scalars straight off the token stream — no per-doc groupBy
+    # and no positions collect_list, just one partial-agg pass
+    stats = tok.agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("total_len"),
     ).collect()[0]
     postings = (
         _postings_agg(tok, positions=positions)
@@ -239,6 +241,13 @@ def build_text_index(
             "total_len": int(stats["total_len"] or 0),
             "positions": positions,
         },
+    )
+    # docstats from the COMMITTED postings (dl = SUM(tf), the
+    # repair_docstats identity): a column-pruned (doc_id, tf) parquet
+    # read instead of a third tokenize pass over the whole corpus
+    docstats = (
+        read_versioned(spark, pdir, version=p_new)
+        .groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     )
     d_new = write_versioned(
         spark, docstats, ddir, mode="overwrite",
@@ -316,9 +325,11 @@ def _refresh_once(spark: SparkSession, corpus_dir: str, index_dir: str) -> dict:
         meta = _index_meta(index_dir)
     new_docs = read_changes(spark, corpus_dir, v0, cur).drop("_change_type")
     tok = _tokenize(new_docs, meta["id_col"], meta["text_col"])
-    docstats = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = docstats.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
+    # batch scalars straight off the token stream (same shape as the
+    # build: no per-doc groupBy, no positions payload)
+    stats = tok.agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("total_len"),
     ).collect()[0]
     n_new = int(stats["n_docs"] or 0)
     base_meta = {
@@ -351,6 +362,13 @@ def _refresh_once(spark: SparkSession, corpus_dir: str, index_dir: str) -> dict:
     p_new = write_versioned(
         spark, postings, pdir, mode="append", partition_by=["bucket"],
         expected_version=p_v, meta=base_meta,
+    )
+    # docstats delta from the COMMITTED batch (change feed reads just
+    # the files this append added, column-pruned to doc_id/tf) — not a
+    # third tokenize pass over the batch
+    docstats = (
+        read_changes(spark, pdir, p_v, p_new).drop("_change_type")
+        .groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     )
     # delta materialization, keyed to the postings commit it covers; a
     # crash before this line is healed by repair_docstats on next touch
