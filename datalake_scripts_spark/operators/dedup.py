@@ -692,6 +692,8 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 15) -> DataFrame:
         hop = labels.select(
             F.col("doc_id").alias("_lbl"), F.col("cluster_id").alias("hop_label")
         )
+        # the convergence flag rides along in the same join (old label is
+        # already on the row) — no separate old-vs-new join per round
         new_labels = (
             labels.join(nbr, labels.doc_id == nbr.src, "left")
             .join(hop, labels.cluster_id == hop._lbl, "left")
@@ -701,18 +703,19 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 15) -> DataFrame:
                     F.col("cluster_id"),
                     F.coalesce("nbr_label", F.col("cluster_id")),
                     F.coalesce("hop_label", F.col("cluster_id")),
-                ).alias("cluster_id"),
+                ).alias("new_cluster_id"),
+                F.col("cluster_id").alias("_old"),
             )
             .localCheckpoint()
         )
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            new_labels.filter(F.col("new_cluster_id") != F.col("_old"))
             .limit(1)
             .count()
         )
-        labels = new_labels
+        labels = new_labels.select(
+            "doc_id", F.col("new_cluster_id").alias("cluster_id")
+        )
         if changed == 0:
             converged = True
             break

@@ -211,6 +211,12 @@ def bfs_hops(
     so the result is trivially partition-independent and equal to a
     recursive-CTE oracle computing MIN(hop) per node.
     """
+    # materialize the edge list once: every round's frontier join scans
+    # this, not the upstream derivation (the pagerank_fixed contract —
+    # without it round h replays the full edge derivation h times)
+    edges = edges.select(
+        F.col(src).alias(src), F.col(dst).alias(dst)
+    ).localCheckpoint(eager=False)
     seeds = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
     visited = seeds.select("node", F.lit(0).alias("hop")).localCheckpoint()
     frontier = seeds.localCheckpoint()
@@ -224,9 +230,11 @@ def bfs_hops(
         )
         if nxt.isEmpty():
             break
-        visited = visited.unionByName(
-            nxt.select("node", F.lit(h).alias("hop"))
-        ).localCheckpoint()
+        # visited stays a lazy union of CHECKPOINTED frontiers: the
+        # leaves are materialized, so nothing recomputes, and we skip
+        # re-writing the whole visited set every round (O(V * hops));
+        # the union tree depth is bounded by max_hops.
+        visited = visited.unionByName(nxt.select("node", F.lit(h).alias("hop")))
         frontier = nxt
     return visited
 

@@ -113,8 +113,12 @@ def graph_triangle_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk")
     ).distinct()
     a, b = li.alias("a"), li.alias("b")
+    # a.sk < b.sk (not <>): emits each unordered pair once, halving the
+    # self-join output shuffled into triangle_counts' distinct — the
+    # operator's LEAST/GREATEST canonicalization is then a no-op, so the
+    # undirected edge set (and the result) is identical.
     edges = (
-        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.sk") != F.col("b.sk")))
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.sk") < F.col("b.sk")))
         .select(F.col("a.sk").alias("src"), F.col("b.sk").alias("dst"))
     )
     from ..operators.graph import triangle_counts
@@ -275,13 +279,12 @@ def graph_triangle_sampled_estimate(
         F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk")
     ).distinct()
     a, b = li.alias("a"), li.alias("b")
+    # a.sk < b.sk: each unordered pair emitted once, already canonical —
+    # half the self-join output of the <> + LEAST/GREATEST form, same set.
     und = (
         a.join(b, (F.col("a.ok") == F.col("b.ok"))
-               & (F.col("a.sk") != F.col("b.sk")))
-        .select(
-            F.least(F.col("a.sk"), F.col("b.sk")).alias("a"),
-            F.greatest(F.col("a.sk"), F.col("b.sk")).alias("b"),
-        )
+               & (F.col("a.sk") < F.col("b.sk")))
+        .select(F.col("a.sk").alias("a"), F.col("b.sk").alias("b"))
         .distinct()
         .filter(
             F.expr(
