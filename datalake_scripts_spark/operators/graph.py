@@ -203,9 +203,12 @@ def bfs_hops(
     BFS: each round is ONE shuffle join (frontier against the edge
     list on the source key) plus an anti-join against the visited set,
     so round h touches only the h-th frontier, never the whole graph.
-    Both frontier and visited are localCheckpoint()-ed every round
-    (same contract as dedup.connected_components: constant-size plans,
-    no Catalyst re-analysis of the join history).
+    Each round's frontier is localCheckpoint()-ed (same contract as
+    dedup.connected_components: constant-size plans, no Catalyst
+    re-analysis of the join history); visited stays a lazy union of
+    those checkpointed frontiers — its leaves are materialized, so
+    nothing recomputes, and the whole visited set is never re-written
+    per round.
 
     Exactness: hop numbers are the round index — no arithmetic at all —
     so the result is trivially partition-independent and equal to a
