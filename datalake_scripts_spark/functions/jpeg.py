@@ -393,17 +393,6 @@ def encode_jpeg(
 # ---------------------------------------------------------------------------
 
 
-class _BitReader:
-    """Entropy-stream reader state; the hot-loop bit math lives in
-    :func:`_decode_coeff`, which works on these fields as locals."""
-
-    def __init__(self, data: bytes) -> None:
-        self.data = data
-        self.pos = 0
-        self.acc = 0
-        self.nbits = 0
-
-
 _LUT_CACHE: dict[bytes, list] = {}
 
 
@@ -446,51 +435,6 @@ def _build_huffman(bits: bytes, vals: bytes):
         _LUT_CACHE.pop(next(iter(_LUT_CACHE)))
     _LUT_CACHE[key] = lut
     return lut
-
-
-def _decode_coeff(br: _BitReader, lut: list, ac: bool) -> tuple:
-    """THE decode hot loop (one call per DC/AC coefficient): huffman
-    symbol via the 16-bit-peek LUT, its magnitude bits, and the
-    sign-extended value — all in one pass over local reader state.
-    Returns (run, extended_value, is_eob_or_zrl_symbol_for_ac). For
-    DC (``ac=False``) run is 0 and the value is the diff."""
-    data, pos, nbits, acc = br.data, br.pos, br.nbits, br.acc
-    while nbits < 16 and pos < len(data):
-        acc = (acc << 8) | data[pos]
-        pos += 1
-        nbits += 8
-    if nbits >= 16:
-        w = (acc >> (nbits - 16)) & 0xFFFF
-    else:
-        w = (acc << (16 - nbits)) & 0xFFFF
-    entry = lut[w]
-    length = entry >> 8
-    if length == 0 or length > nbits:
-        raise ValueError("invalid JPEG huffman code")
-    nbits -= length
-    acc &= (1 << nbits) - 1
-    sym = entry & 0xFF
-    if ac:
-        run, s = sym >> 4, sym & 0xF
-    else:
-        run, s = 0, sym
-        if s > 11:
-            raise ValueError("invalid DC size")
-    if s == 0:
-        br.data, br.pos, br.nbits, br.acc = data, pos, nbits, acc
-        return run, 0, True
-    while nbits < s:
-        if pos >= len(data):
-            raise ValueError("JPEG entropy stream truncated")
-        acc = (acc << 8) | data[pos]
-        pos += 1
-        nbits += 8
-    nbits -= s
-    bits = (acc >> nbits) & ((1 << s) - 1)
-    acc &= (1 << nbits) - 1
-    br.data, br.pos, br.nbits, br.acc = data, pos, nbits, acc
-    value = bits if bits >= (1 << (s - 1)) else bits - (1 << s) + 1
-    return run, value, False
 
 
 def _parse_dqt(payload: bytes, qts: dict) -> None:
@@ -545,13 +489,19 @@ def _entropy_intervals(data: bytes, start: int) -> tuple[list[bytes], int]:
     intervals: list[bytes] = []
     cur = bytearray()
     p = start
-    while p < len(data):
-        b = data[p]
-        if b != 0xFF:
-            cur.append(b)
-            p += 1
-            continue
-        nxt = data[p + 1] if p + 1 < len(data) else 0xD9
+    n = len(data)
+    # copy non-FF runs as C-speed slices (bytes.find) instead of one
+    # Python iteration per byte — this pass was ~15% of progressive
+    # decode (r12 profile); split/unstuff decisions are unchanged
+    while p < n:
+        f = data.find(0xFF, p)
+        if f < 0:
+            cur += data[p:]
+            p = n
+            break
+        cur += data[p:f]
+        p = f
+        nxt = data[p + 1] if p + 1 < n else 0xD9
         if nxt == 0x00:
             cur.append(0xFF)
             p += 2
@@ -713,7 +663,23 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     # one matmul pair per block (measured ~2x decode win)
     blocks_zz: list[list] = [[] for _ in comps]
     blocks_at: list[list] = [[] for _ in comps]
-    br = _BitReader(intervals[0])
+    # resolve tables ONCE per scan (they cannot change mid-scan) and
+    # decode with the bit-reader state in plain locals: the previous
+    # one-call-per-coefficient shape (_decode_coeff) paid a Python call
+    # + 8 attribute syncs per coefficient — ~45% of baseline decode
+    # (r12 profile, guide §4.2's "make the per-batch inner loop native
+    # speed" applied to the interpreter itself)
+    per_comp = []
+    for ci, td, ta in order:
+        comp = comps[ci]
+        dc_t = huff.get((0, td))
+        ac_t = huff.get((1, ta))
+        if dc_t is None or ac_t is None or comp["tq"] not in qts:
+            raise ValueError("JPEG scan references missing table")
+        per_comp.append((ci, comp["v"], comp["h"], dc_t, ac_t))
+    bdata = intervals[0]
+    dlen = len(bdata)
+    pos = nbits = acc = 0
     interval_i = 0
     preds = [0] * len(comps)
     mcu = 0
@@ -723,37 +689,97 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 interval_i += 1
                 if interval_i >= len(intervals):
                     raise ValueError("JPEG missing restart interval data")
-                br = _BitReader(intervals[interval_i])
+                bdata = intervals[interval_i]
+                dlen = len(bdata)
+                pos = nbits = acc = 0
                 preds = [0] * len(comps)
-            for ci, td, ta in order:
-                comp = comps[ci]
-                dc_t = huff.get((0, td))
-                ac_t = huff.get((1, ta))
-                if dc_t is None or ac_t is None or comp["tq"] not in qts:
-                    raise ValueError("JPEG scan references missing table")
-                for v in range(comp["v"]):
-                    for hsub in range(comp["h"]):
+            for ci, cv, ch, dc_t, ac_t in per_comp:
+                for v in range(cv):
+                    for hsub in range(ch):
                         zz = [0] * 64
-                        _r, diff, _z = _decode_coeff(br, dc_t, False)
-                        preds[ci] += diff
+                        # DC: huffman size symbol + magnitude bits
+                        while nbits < 16 and pos < dlen:
+                            acc = (acc << 8) | bdata[pos]
+                            pos += 1
+                            nbits += 8
+                        if nbits >= 16:
+                            w_ = (acc >> (nbits - 16)) & 0xFFFF
+                        else:
+                            w_ = (acc << (16 - nbits)) & 0xFFFF
+                        entry = dc_t[w_]
+                        length = entry >> 8
+                        if length == 0 or length > nbits:
+                            raise ValueError("invalid JPEG huffman code")
+                        nbits -= length
+                        acc &= (1 << nbits) - 1
+                        s = entry & 0xFF
+                        if s > 11:
+                            raise ValueError("invalid DC size")
+                        if s:
+                            while nbits < s:
+                                if pos >= dlen:
+                                    raise ValueError(
+                                        "JPEG entropy stream truncated"
+                                    )
+                                acc = (acc << 8) | bdata[pos]
+                                pos += 1
+                                nbits += 8
+                            nbits -= s
+                            bits_ = (acc >> nbits) & ((1 << s) - 1)
+                            acc &= (1 << nbits) - 1
+                            preds[ci] += (
+                                bits_
+                                if bits_ >= (1 << (s - 1))
+                                else bits_ - (1 << s) + 1
+                            )
                         zz[0] = preds[ci]
+                        # AC: (run, size) symbols to EOB
                         k = 1
                         while k < 64:
-                            r, val, zero = _decode_coeff(br, ac_t, True)
-                            if zero:
-                                if r == 15:
+                            while nbits < 16 and pos < dlen:
+                                acc = (acc << 8) | bdata[pos]
+                                pos += 1
+                                nbits += 8
+                            if nbits >= 16:
+                                w_ = (acc >> (nbits - 16)) & 0xFFFF
+                            else:
+                                w_ = (acc << (16 - nbits)) & 0xFFFF
+                            entry = ac_t[w_]
+                            length = entry >> 8
+                            if length == 0 or length > nbits:
+                                raise ValueError("invalid JPEG huffman code")
+                            nbits -= length
+                            acc &= (1 << nbits) - 1
+                            sym = entry & 0xFF
+                            s = sym & 0xF
+                            if s == 0:
+                                if sym >> 4 == 15:
                                     k += 16  # ZRL
                                     continue
                                 break  # EOB
-                            k += r
+                            k += sym >> 4
                             if k > 63:
                                 raise ValueError("AC run past block end")
-                            zz[k] = val
+                            while nbits < s:
+                                if pos >= dlen:
+                                    raise ValueError(
+                                        "JPEG entropy stream truncated"
+                                    )
+                                acc = (acc << 8) | bdata[pos]
+                                pos += 1
+                                nbits += 8
+                            nbits -= s
+                            bits_ = (acc >> nbits) & ((1 << s) - 1)
+                            acc &= (1 << nbits) - 1
+                            zz[k] = (
+                                bits_
+                                if bits_ >= (1 << (s - 1))
+                                else bits_ - (1 << s) + 1
+                            )
                             k += 1
                         blocks_zz[ci].append(zz)
                         blocks_at[ci].append(
-                            ((my * comp["v"] + v) * 8,
-                             (mx * comp["h"] + hsub) * 8)
+                            ((my * cv + v) * 8, (mx * ch + hsub) * 8)
                         )
             mcu += 1
 
@@ -801,52 +827,6 @@ def decode_jpeg(data: bytes) -> np.ndarray:
 # (G.1.2.2-G.1.2.3: EOB runs, ZRL, correction bits) in the same shape
 # libjpeg documents them — first/refine x DC/AC.
 # ---------------------------------------------------------------------------
-
-
-def _read_bits(br: _BitReader, n: int) -> int:
-    """``n`` raw bits from the entropy stream (refinement bits, EOB-run
-    extensions, sign bits)."""
-    if n == 0:
-        return 0
-    data, pos, nbits, acc = br.data, br.pos, br.nbits, br.acc
-    while nbits < n:
-        if pos >= len(data):
-            raise ValueError("JPEG entropy stream truncated")
-        acc = (acc << 8) | data[pos]
-        pos += 1
-        nbits += 8
-    nbits -= n
-    out = (acc >> nbits) & ((1 << n) - 1)
-    acc &= (1 << nbits) - 1
-    br.pos, br.nbits, br.acc = pos, nbits, acc
-    return out
-
-
-def _read_huff(br: _BitReader, lut: list) -> int:
-    """One huffman symbol via the 16-bit-peek LUT (no magnitude bits —
-    progressive scans interleave raw bits the caller reads itself)."""
-    data, pos, nbits, acc = br.data, br.pos, br.nbits, br.acc
-    while nbits < 16 and pos < len(data):
-        acc = (acc << 8) | data[pos]
-        pos += 1
-        nbits += 8
-    if nbits >= 16:
-        w = (acc >> (nbits - 16)) & 0xFFFF
-    else:
-        w = (acc << (16 - nbits)) & 0xFFFF
-    entry = lut[w]
-    length = entry >> 8
-    if length == 0 or length > nbits:
-        raise ValueError("invalid JPEG huffman code")
-    nbits -= length
-    acc &= (1 << nbits) - 1
-    br.pos, br.nbits, br.acc = pos, nbits, acc
-    return entry & 0xFF
-
-
-def _extend(bits: int, s: int) -> int:
-    """T.81 F.2.2.1 EXTEND: ``s`` magnitude bits -> signed value."""
-    return bits if bits >= (1 << (s - 1)) else bits - (1 << s) + 1
 
 
 def _scan_grid(comp: dict, h: int, w: int, hmax: int, vmax: int):
@@ -1040,7 +1020,17 @@ def _decode_progressive_scan(
                 raise ValueError("JPEG scan references missing table")
             luts[tid] = huff[(tclass, tid)]
 
-    br = _BitReader(intervals[0])
+    # Bit-reader state rides in plain locals across the whole scan
+    # (bdata/dlen/pos/nbits/acc), with the huffman-peek and raw-bit
+    # reads inlined: the previous one-call-per-symbol/-bit shape
+    # (_read_huff / _read_bits, a call + 8 attribute syncs each, one
+    # PER REFINEMENT BIT) was the dominant cost of progressive decode
+    # (r12 profile; guide §4.2 applied to the interpreter itself).
+    # Decode semantics are unchanged — same refills, same masks, same
+    # error messages.
+    bdata = intervals[0]
+    dlen = len(bdata)
+    pos = nbits = acc = 0
     interval_i = 0
     preds = [0] * len(comps)
     eobrun = 0
@@ -1051,17 +1041,59 @@ def _decode_progressive_scan(
             interval_i += 1
             if interval_i >= len(intervals):
                 raise ValueError("JPEG missing restart interval data")
-            br = _BitReader(intervals[interval_i])
+            bdata = intervals[interval_i]
+            dlen = len(bdata)
+            pos = nbits = acc = 0
             preds = [0] * len(comps)
             eobrun = 0
         for ci, tid, blk in unit:
             if dc_scan and ah == 0:
-                _r, diff, _z = _decode_coeff(br, luts[tid], False)
-                preds[ci] += diff
+                # DC first: huffman size symbol + magnitude bits
+                while nbits < 16 and pos < dlen:
+                    acc = (acc << 8) | bdata[pos]
+                    pos += 1
+                    nbits += 8
+                if nbits >= 16:
+                    w_ = (acc >> (nbits - 16)) & 0xFFFF
+                else:
+                    w_ = (acc << (16 - nbits)) & 0xFFFF
+                entry = luts[tid][w_]
+                length = entry >> 8
+                if length == 0 or length > nbits:
+                    raise ValueError("invalid JPEG huffman code")
+                nbits -= length
+                acc &= (1 << nbits) - 1
+                s = entry & 0xFF
+                if s > 11:
+                    raise ValueError("invalid DC size")
+                if s:
+                    while nbits < s:
+                        if pos >= dlen:
+                            raise ValueError("JPEG entropy stream truncated")
+                        acc = (acc << 8) | bdata[pos]
+                        pos += 1
+                        nbits += 8
+                    nbits -= s
+                    bits_ = (acc >> nbits) & ((1 << s) - 1)
+                    acc &= (1 << nbits) - 1
+                    preds[ci] += (
+                        bits_
+                        if bits_ >= (1 << (s - 1))
+                        else bits_ - (1 << s) + 1
+                    )
                 blk[0] = preds[ci] << al
             elif dc_scan:
-                if _read_bits(br, 1):
+                # DC refinement: one raw bit per block
+                if nbits < 1:
+                    if pos >= dlen:
+                        raise ValueError("JPEG entropy stream truncated")
+                    acc = (acc << 8) | bdata[pos]
+                    pos += 1
+                    nbits += 8
+                nbits -= 1
+                if (acc >> nbits) & 1:
                     blk[0] |= p1
+                acc &= (1 << nbits) - 1
             elif ah == 0:
                 # AC first scan (G.1.2.2): EOB runs span blocks
                 if eobrun > 0:
@@ -1070,19 +1102,58 @@ def _decode_progressive_scan(
                 k = ss
                 lut = luts[tid]
                 while k <= se:
-                    sym = _read_huff(br, lut)
+                    while nbits < 16 and pos < dlen:
+                        acc = (acc << 8) | bdata[pos]
+                        pos += 1
+                        nbits += 8
+                    if nbits >= 16:
+                        w_ = (acc >> (nbits - 16)) & 0xFFFF
+                    else:
+                        w_ = (acc << (16 - nbits)) & 0xFFFF
+                    entry = lut[w_]
+                    length = entry >> 8
+                    if length == 0 or length > nbits:
+                        raise ValueError("invalid JPEG huffman code")
+                    nbits -= length
+                    acc &= (1 << nbits) - 1
+                    sym = entry & 0xFF
                     r, s = sym >> 4, sym & 0xF
                     if s:
                         k += r
                         if k > se:
                             raise ValueError("AC run past band end")
-                        blk[k] = _extend(_read_bits(br, s), s) << al
+                        while nbits < s:
+                            if pos >= dlen:
+                                raise ValueError(
+                                    "JPEG entropy stream truncated"
+                                )
+                            acc = (acc << 8) | bdata[pos]
+                            pos += 1
+                            nbits += 8
+                        nbits -= s
+                        bits_ = (acc >> nbits) & ((1 << s) - 1)
+                        acc &= (1 << nbits) - 1
+                        blk[k] = (
+                            bits_
+                            if bits_ >= (1 << (s - 1))
+                            else bits_ - (1 << s) + 1
+                        ) << al
                         k += 1
                     else:
                         if r != 15:
                             eobrun = (1 << r) - 1
                             if r:
-                                eobrun += _read_bits(br, r)
+                                while nbits < r:
+                                    if pos >= dlen:
+                                        raise ValueError(
+                                            "JPEG entropy stream truncated"
+                                        )
+                                    acc = (acc << 8) | bdata[pos]
+                                    pos += 1
+                                    nbits += 8
+                                nbits -= r
+                                eobrun += (acc >> nbits) & ((1 << r) - 1)
+                                acc &= (1 << nbits) - 1
                             break
                         k += 16  # ZRL
             else:
@@ -1092,7 +1163,21 @@ def _decode_progressive_scan(
                 k = ss
                 if eobrun == 0:
                     while k <= se:
-                        sym = _read_huff(br, lut)
+                        while nbits < 16 and pos < dlen:
+                            acc = (acc << 8) | bdata[pos]
+                            pos += 1
+                            nbits += 8
+                        if nbits >= 16:
+                            w_ = (acc >> (nbits - 16)) & 0xFFFF
+                        else:
+                            w_ = (acc << (16 - nbits)) & 0xFFFF
+                        entry = lut[w_]
+                        length = entry >> 8
+                        if length == 0 or length > nbits:
+                            raise ValueError("invalid JPEG huffman code")
+                        nbits -= length
+                        acc &= (1 << nbits) - 1
+                        sym = entry & 0xFF
                         r, s = sym >> 4, sym & 0xF
                         newval = 0
                         if s:
@@ -1100,16 +1185,47 @@ def _decode_progressive_scan(
                                 raise ValueError(
                                     "invalid refinement magnitude"
                                 )
-                            newval = p1 if _read_bits(br, 1) else m1
+                            if nbits < 1:
+                                if pos >= dlen:
+                                    raise ValueError(
+                                        "JPEG entropy stream truncated"
+                                    )
+                                acc = (acc << 8) | bdata[pos]
+                                pos += 1
+                                nbits += 8
+                            nbits -= 1
+                            newval = p1 if (acc >> nbits) & 1 else m1
+                            acc &= (1 << nbits) - 1
                         elif r != 15:
                             eobrun = 1 << r
                             if r:
-                                eobrun += _read_bits(br, r)
+                                while nbits < r:
+                                    if pos >= dlen:
+                                        raise ValueError(
+                                            "JPEG entropy stream truncated"
+                                        )
+                                    acc = (acc << 8) | bdata[pos]
+                                    pos += 1
+                                    nbits += 8
+                                nbits -= r
+                                eobrun += (acc >> nbits) & ((1 << r) - 1)
+                                acc &= (1 << nbits) - 1
                             break
                         while k <= se:
                             v = blk[k]
                             if v != 0:
-                                if _read_bits(br, 1) and (v & p1) == 0:
+                                if nbits < 1:
+                                    if pos >= dlen:
+                                        raise ValueError(
+                                            "JPEG entropy stream truncated"
+                                        )
+                                    acc = (acc << 8) | bdata[pos]
+                                    pos += 1
+                                    nbits += 8
+                                nbits -= 1
+                                bit_ = (acc >> nbits) & 1
+                                acc &= (1 << nbits) - 1
+                                if bit_ and (v & p1) == 0:
                                     blk[k] = v + (p1 if v >= 0 else m1)
                             else:
                                 if r == 0:
@@ -1124,7 +1240,18 @@ def _decode_progressive_scan(
                     while k <= se:
                         v = blk[k]
                         if v != 0:
-                            if _read_bits(br, 1) and (v & p1) == 0:
+                            if nbits < 1:
+                                if pos >= dlen:
+                                    raise ValueError(
+                                        "JPEG entropy stream truncated"
+                                    )
+                                acc = (acc << 8) | bdata[pos]
+                                pos += 1
+                                nbits += 8
+                            nbits -= 1
+                            bit_ = (acc >> nbits) & 1
+                            acc &= (1 << nbits) - 1
+                            if bit_ and (v & p1) == 0:
                                 blk[k] = v + (p1 if v >= 0 else m1)
                         k += 1
                     eobrun -= 1
@@ -1227,6 +1354,20 @@ def _optimal_huffman(symbols) -> tuple[bytes, bytes]:
     return bytes(bits[1:17]), vals
 
 
+# Progressive-encoder token stream: ops are PACKED INTS, not tuples —
+# the tuple-per-token form allocated ~4M tuples per image and made
+# _serialize_ops string-compare op kinds (r12 profile: ~40% of
+# progressive encode was token plumbing). Layout:
+#   huffman symbol  : 0..255 (the symbol itself)
+#   raw bits        : _OP_BITS | (nbits << 16) | value   (value < 2^16)
+#   restart marker  : _OP_RST | n
+# The emitted symbol/bit sequence is unchanged, so the output bytes
+# are identical.
+_OP_BITS = 1 << 30
+_OP_RST = 1 << 29
+_OP_BIT1 = _OP_BITS | (1 << 16)  # one raw bit: _OP_BIT1 | bit
+
+
 def _dc_first_ops(ops, blocks, al, preds, ci):
     """blocks: the block list for one unit in MCU/component order."""
     for blk in blocks:
@@ -1234,9 +1375,13 @@ def _dc_first_ops(ops, blocks, al, preds, ci):
         diff = val - preds[ci]
         preds[ci] = val
         size = abs(diff).bit_length()
-        ops.append(("s", size))
+        ops.append(size)
         if size:
-            ops.append(("b", diff if diff > 0 else diff + (1 << size) - 1, size))
+            ops.append(
+                _OP_BITS | (size << 16)
+                | ((diff if diff > 0 else diff + (1 << size) - 1)
+                   & ((1 << size) - 1))
+            )
 
 
 class _AcState:
@@ -1252,12 +1397,11 @@ class _AcState:
     def flush(self, ops) -> None:
         if self.eobrun > 0:
             r = self.eobrun.bit_length() - 1
-            ops.append(("s", r << 4))
+            ops.append(r << 4)
             if r:
-                ops.append(("b", self.eobrun - (1 << r), r))
+                ops.append(_OP_BITS | (r << 16) | (self.eobrun - (1 << r)))
             self.eobrun = 0
-            for bit in self.pending:
-                ops.append(("b", bit, 1))
+            ops.extend(self.pending)  # already-packed 1-bit ops
             self.pending = []
 
 
@@ -1265,19 +1409,23 @@ def _ac_first_ops(ops, blk, ss, se, al, st: _AcState) -> None:
     """One block of an AC first scan (G.1.2.2): point transform toward
     zero, (run,size) symbols, ZRL, cross-block EOB runs."""
     r = 0
-    for k in range(ss, se + 1):
-        v = blk[k]
-        v = (v >> al) if v >= 0 else -((-v) >> al)
+    # point-transform the whole band in one listcomp (C-speed) instead
+    # of per-coefficient branches in the loop
+    vals = [(v >> al) if v >= 0 else -((-v) >> al) for v in blk[ss : se + 1]]
+    for v in vals:
         if v == 0:
             r += 1
             continue
         st.flush(ops)
         while r > 15:
-            ops.append(("s", 0xF0))
+            ops.append(0xF0)
             r -= 16
         size = abs(v).bit_length()
-        ops.append(("s", (r << 4) | size))
-        ops.append(("b", v if v > 0 else v + (1 << size) - 1, size))
+        ops.append((r << 4) | size)
+        ops.append(
+            _OP_BITS | (size << 16)
+            | ((v if v > 0 else v + (1 << size) - 1) & ((1 << size) - 1))
+        )
         r = 0
     if r > 0:
         st.eobrun += 1
@@ -1289,15 +1437,14 @@ def _ac_refine_ops(ops, blk, ss, se, al, st: _AcState) -> None:
     """One block of an AC refinement scan (G.1.2.3): correction bits
     for already-nonzero history, (run,1)+sign for newly-nonzero, runs
     measured over zero-history positions only."""
-    absvals = []
+    absvals = [abs(v) >> al for v in blk[ss : se + 1]]
     eob = ss - 1  # position of the LAST newly-nonzero coefficient
-    for k in range(ss, se + 1):
-        a = abs(blk[k]) >> al
-        absvals.append(a)
-        if a == 1:
-            eob = k
+    for i in range(len(absvals) - 1, -1, -1):
+        if absvals[i] == 1:
+            eob = ss + i
+            break
     r = 0
-    br: list[int] = []  # correction bits since the last emitted symbol
+    br: list[int] = []  # packed correction bits since the last symbol
     for k in range(ss, se + 1):
         a = absvals[k - ss]
         if a == 0:
@@ -1305,19 +1452,17 @@ def _ac_refine_ops(ops, blk, ss, se, al, st: _AcState) -> None:
             continue
         while r > 15 and k <= eob:
             st.flush(ops)
-            ops.append(("s", 0xF0))
+            ops.append(0xF0)
             r -= 16
-            for bit in br:
-                ops.append(("b", bit, 1))
+            ops.extend(br)
             br = []
         if a > 1:
-            br.append(a & 1)
+            br.append(_OP_BIT1 | (a & 1))
             continue
         st.flush(ops)
-        ops.append(("s", (r << 4) | 1))
-        ops.append(("b", 1 if blk[k] > 0 else 0, 1))
-        for bit in br:
-            ops.append(("b", bit, 1))
+        ops.append((r << 4) | 1)
+        ops.append(_OP_BIT1 | (1 if blk[k] > 0 else 0))
+        ops.extend(br)
         br = []
         r = 0
     if r > 0 or br:
@@ -1328,9 +1473,9 @@ def _ac_refine_ops(ops, blk, ss, se, al, st: _AcState) -> None:
 
 
 def _serialize_ops(ops, codes) -> bytes:
-    """Token stream -> byte-stuffed entropy bytes. ("s", sym) huffman
-    symbols, ("b", value, nbits) raw bits, ("rst", n) a restart marker
-    (pad to byte with 1s, emit unstuffed FFD0+n)."""
+    """Packed-int token stream -> byte-stuffed entropy bytes: huffman
+    symbols (< 256), raw bits (_OP_BITS), restart markers (_OP_RST —
+    pad to byte with 1s, emit unstuffed FFD0+n)."""
     buf = bytearray()
     acc, nbits = 0, 0
 
@@ -1349,16 +1494,17 @@ def _serialize_ops(ops, codes) -> bytes:
         acc = 0
 
     for op in ops:
-        if op[0] == "s":
-            length, code = codes[op[1]]
+        if op < 256:  # huffman symbol
+            length, code = codes[op]
             acc = (acc << length) | code
             nbits += length
-        elif op[0] == "b":
-            acc = (acc << op[2]) | (op[1] & ((1 << op[2]) - 1))
-            nbits += op[2]
+        elif op & _OP_BITS:  # raw bits: value already masked at pack time
+            n = (op >> 16) & 0x1FFF
+            acc = (acc << n) | (op & 0xFFFF)
+            nbits += n
         else:  # restart marker
             _flush_byte_aligned()
-            buf += bytes([0xFF, 0xD0 + op[1]])
+            buf += bytes([0xFF, 0xD0 + (op & 7)])
             continue
         while nbits >= 8:
             nbits -= 8
@@ -1443,21 +1589,21 @@ def encode_jpeg_progressive(
         for ui, unit in enumerate(units):
             if restart and ui and ui % restart == 0:
                 st.flush(ops)
-                ops.append(("rst", rstn & 7))
+                ops.append(_OP_RST | (rstn & 7))
                 rstn += 1
                 preds = [0] * len(comps)
             for ci, blk in unit:
                 if dc_scan and ah == 0:
                     _dc_first_ops(ops, [blk], al, preds, ci)
                 elif dc_scan:
-                    ops.append(("b", (blk[0] >> al) & 1, 1))
+                    ops.append(_OP_BIT1 | ((blk[0] >> al) & 1))
                 elif ah == 0:
                     _ac_first_ops(ops, blk, ss, se, al, st)
                 else:
                     _ac_refine_ops(ops, blk, ss, se, al, st)
         st.flush(ops)
 
-        syms = [op[1] for op in ops if op[0] == "s"]
+        syms = [op for op in ops if op < 256]
         codes: dict = {}
         if syms:
             bits, vals = _optimal_huffman(syms)
