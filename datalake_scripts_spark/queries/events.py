@@ -449,8 +449,12 @@ def stream_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = tempfile.mkdtemp(prefix="stream_funnel_")
     typed.write.mode("overwrite").parquet(src)
     name = f"stfun_{_uuid.uuid4().hex[:10]}"
-    # state partitions sized to the source bytes (state_partitions_for)
-    with state_partitions_for(spark, src):
+    # state partitions: bytes-sized but floored at defaultParallelism —
+    # the stateful op here is applyInPandasWithState (Python compute
+    # per partition); the bytes-derived 4 partitions serialized it
+    # (r13 A/B: 2.96 s -> 1.96-2.05 s at >= 8 partitions; see
+    # state_partitions_for docstring)
+    with state_partitions_for(spark, src, floor_parallelism=True):
         q = (
             streaming_funnel(
                 stream_from_directory(spark, src), watermark="90 days"

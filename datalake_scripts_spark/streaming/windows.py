@@ -46,6 +46,7 @@ def state_partitions_for(
     src: str,
     target_bytes: int = 32 * 1024 * 1024,
     min_parts: int = 4,
+    floor_parallelism: bool = False,
 ):
     """Scale-adaptive state-partition count for a streaming query over
     a file source (r12 optimization, guide §2.2/§1.2 applied to
@@ -66,6 +67,19 @@ def state_partitions_for(
     partitions and a large source keeps them. Results are unchanged —
     partitioning only moves rows across stores.
 
+    ``floor_parallelism=True`` additionally floors the count at the
+    cluster's ``defaultParallelism`` (still capped by the session
+    setting). Use it for streams whose stateful operator runs PYTHON
+    per-partition work (``applyInPandasWithState`` /
+    ``transformWithStateInPandas``): there the per-batch cost is
+    compute spread across partitions, not per-store commit overhead,
+    and shrinking below the core count serializes it — measured at
+    sf0.1 (r13, isolated fresh-JVM medians): the funnel stream ran
+    2.96 s at the bytes-derived 4 partitions vs 1.96-2.05 s at >= 8;
+    the JVM-stateful rolling-distinct stream shows the opposite
+    (2.87 s bytes-derived vs 4.0 s at the session setting), which is
+    why the floor is opt-in per operator class rather than global.
+
     Restores the session setting on exit; the streaming query keeps
     the pinned count for its lifetime (Spark reads it at start)."""
     total = 0
@@ -76,7 +90,10 @@ def state_partitions_for(
             except OSError:
                 pass
     cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    n = max(min_parts, min(cur, -(-total // target_bytes)))
+    floor = min_parts
+    if floor_parallelism:
+        floor = max(floor, spark.sparkContext.defaultParallelism)
+    n = max(min(cur, floor), min(cur, -(-total // target_bytes)))
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
     try:
         yield n

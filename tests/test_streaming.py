@@ -383,3 +383,44 @@ def test_stream_stream_interval_join_equals_batch(spark, events_dir):
         (r.user_id, r.event_id, r.event_id_r) for r in batch.collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_state_partitions_for_policies(spark, events_dir):
+    """Sizing contract of state_partitions_for (r13): bytes-derived,
+    clamped to the session setting, optional defaultParallelism floor
+    for Python-stateful operators — and the session value is restored
+    on exit."""
+    from datalake_scripts_spark.streaming import state_partitions_for
+
+    cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    par = spark.sparkContext.defaultParallelism
+
+    # tiny source, default policy: bytes-derived floor of 4 (per-store
+    # commit overhead dominates JVM-stateful streams)
+    with state_partitions_for(spark, events_dir) as n:
+        want = max(4, min(cur, -(-_dir_bytes(events_dir) // (32 << 20))))
+        assert n == want
+        assert int(spark.conf.get("spark.sql.shuffle.partitions")) == n
+    assert int(spark.conf.get("spark.sql.shuffle.partitions")) == cur
+
+    # floor_parallelism: never below min(session, defaultParallelism)
+    # (Python-stateful operators parallelize compute across stores),
+    # never above the session setting
+    with state_partitions_for(spark, events_dir, floor_parallelism=True) as n:
+        assert n >= min(cur, par)
+        assert n <= cur
+    assert int(spark.conf.get("spark.sql.shuffle.partitions")) == cur
+
+    # a huge-bytes source derivation is still capped by the session
+    with state_partitions_for(spark, events_dir, target_bytes=1) as n:
+        assert n == cur
+
+
+def _dir_bytes(path):
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return total
