@@ -1038,7 +1038,11 @@ def _stage_dv(df: DataFrame, table_dir: str) -> str:
     and placed under data/ so vacuum's walk handles it like any other
     manifest-referenced object."""
     staging = os.path.join(table_dir, f"_staging_{uuid.uuid4().hex}")
-    df.repartition(1).write.mode("overwrite").parquet(staging)
+    # coalesce, not repartition: every caller hands a checkpoint-backed
+    # frame, so the single write task reads materialized blocks — no
+    # shuffle, and no sort-before-repartition pass (round-robin
+    # repartition(1) pays both; guide §2.4)
+    df.coalesce(1).write.mode("overwrite").parquet(staging)
     data_dir = os.path.join(table_dir, "data")
     os.makedirs(data_dir, exist_ok=True)
     rel = None
@@ -2613,17 +2617,19 @@ def delete_versioned(
     if v == 0:
         raise FileNotFoundError(f"no committed version in {table_dir}")
     manifest = _load_manifest(table_dir, v)
+    if deletion_vectors:
+        # single-scan path: discovery and position capture fuse into
+        # one candidates scan (see _delete_via_dv)
+        return _delete_via_dv(
+            spark, table_dir, v, manifest, predicate, skip_filter, meta,
+            guard=_dml_guard(manifest, skip_filter),
+        )
     touched = _predicate_touched_files(
         spark, table_dir, manifest, predicate, skip_filter,
         raw_scan=purge_hidden,
     )
     if not touched:
         return v, 0
-    if deletion_vectors:
-        return _delete_via_dv(
-            spark, table_dir, v, manifest, predicate, touched, meta,
-            guard=_dml_guard(manifest, skip_filter),
-        )
     # NULL-safe complement: SQL DELETE removes only rows where the
     # predicate is TRUE; rows where it evaluates to NULL must be KEPT.
     # A bare ~expr would drop them (NOT NULL = NULL = filtered out).
@@ -2697,32 +2703,50 @@ def _delete_via_dv(
     v: int,
     manifest: dict,
     predicate: str,
-    touched: list[str],
+    skip_filter: list[tuple] | None,
     meta: dict | None,
     guard=None,
 ) -> tuple[int, int]:
     """Merge-on-read DELETE: stage one DV parquet of the newly-deleted
     (file basename, row position) pairs and commit it alongside the
-    UNCHANGED file list. Positions are computed on the RAW file read
-    minus rows already in earlier DVs, so DV objects for the same file
-    are disjoint by construction and simply stack."""
+    UNCHANGED file list. Positions come from the DV-APPLIED positional
+    read (``_metadata.row_index`` is assigned before the anti-join), so
+    they are raw-file positions minus rows already in earlier DVs — DV
+    objects for the same file are disjoint by construction and stack.
+
+    Single-scan shape (r13, guide §1.2 "remove unnecessary passes"):
+    the old path scanned stats-candidates once for touched-file
+    discovery and then re-scanned the touched subset for positions —
+    two full predicate scans plus a third recompute at the DV stage
+    write. Here ONE candidates scan materializes the newly-deleted
+    (file, pos) pairs via localCheckpoint; the touched-file set IS the
+    key set of the per-file counts (a file is touched iff it holds a
+    visible matching row), and the DV stage writes from the checkpoint."""
     from pyspark.sql import functions as F
 
-    raw = _read_manifest_files(
-        spark, manifest, table_dir, touched, apply_dvs=False,
-        with_position=True,
-    )
-    matches = raw.filter(
-        F.coalesce(F.expr(predicate), F.lit(False))
-    ).select(
-        F.col(_DV_FILE_COL).alias("file_base"),
-        F.col(_DV_POS_COL).cast("bigint").alias("pos"),
-    )
-    prior = _dv_union(spark, table_dir, manifest)
+    skip = (
+        _physicalize_filter(skip_filter, manifest.get("schema")) or []
+    ) + _translate_skip_filter(
+        skip_filter, _manifest_partition_spec(manifest),
+        manifest.get("schema"),
+    ) or None
+    all_files, all_stats = _expand_manifest(table_dir, manifest, skip)
+    candidates = [
+        f for f in all_files if _file_may_match(all_stats.get(f), skip)
+    ]
+    if not candidates:
+        return v, 0
+    by_base = {os.path.basename(f): f for f in candidates}
     newly = (
-        matches.join(prior, ["file_base", "pos"], "left_anti")
-        if prior is not None
-        else matches
+        _read_manifest_files(
+            spark, manifest, table_dir, candidates, with_position=True
+        )
+        .filter(F.coalesce(F.expr(predicate), F.lit(False)))
+        .select(
+            F.col(_DV_FILE_COL).alias("file_base"),
+            F.col(_DV_POS_COL).cast("bigint").alias("pos"),
+        )
+        .localCheckpoint()  # read twice: per-file counts + DV stage
     )
     # O(touched files) driver rows — same size class as the manifest
     per_file = {
@@ -2733,6 +2757,7 @@ def _delete_via_dv(
     }
     if not per_file:
         return v, 0  # every matching row was already deleted
+    touched = sorted(by_base[b] for b in per_file if b in by_base)
     dv_rel = _stage_dv(newly, table_dir)
     n_deleted = sum(per_file.values())
     files, stats = _expand_manifest(table_dir, manifest)
@@ -2778,7 +2803,7 @@ def _update_via_dv(
     predicate: str,
     set_exprs: dict[str, str],
     declared: dict,
-    touched: list[str],
+    skip_filter: list[tuple] | None,
     meta: dict | None,
     guard=None,
 ) -> tuple[int, int]:
@@ -2787,11 +2812,29 @@ def _update_via_dv(
     as fresh files. One commit, O(changed rows) written. Positions come
     from the DV-APPLIED positional read, so already-deleted rows can
     neither match nor re-enter, and the new DV is disjoint with every
-    prior one by construction."""
+    prior one by construction.
+
+    Single-scan shape (r13, same as _delete_via_dv): the stats-pruned
+    candidates scan both discovers the touched files (the key set of
+    the per-file match counts) and materializes the matched rows —
+    the old separate discovery pass is gone."""
     from pyspark.sql import functions as F
 
+    skip = (
+        _physicalize_filter(skip_filter, manifest.get("schema")) or []
+    ) + _translate_skip_filter(
+        skip_filter, _manifest_partition_spec(manifest),
+        manifest.get("schema"),
+    ) or None
+    all_files, all_stats = _expand_manifest(table_dir, manifest, skip)
+    candidates = [
+        f for f in all_files if _file_may_match(all_stats.get(f), skip)
+    ]
+    if not candidates:
+        return v, 0
+    by_base = {os.path.basename(f): f for f in candidates}
     raw = _read_manifest_files(
-        spark, manifest, table_dir, touched, with_position=True
+        spark, manifest, table_dir, candidates, with_position=True
     )
     matched = raw.filter(
         F.coalesce(F.expr(predicate), F.lit(False))
@@ -2806,6 +2849,7 @@ def _update_via_dv(
     }
     if not per_file:
         return v, 0
+    touched = sorted(by_base[b] for b in per_file if b in by_base)
     dv_rel = _stage_dv(
         matched.select(
             F.col(_DV_FILE_COL).alias("file_base"),
@@ -3123,17 +3167,19 @@ def update_versioned(
             raise ValueError(f"update sets unknown column(s): {sorted(unknown)}")
     else:
         declared = {}
+    if deletion_vectors:
+        # single-scan path: discovery and match capture fuse into one
+        # candidates scan (see _update_via_dv)
+        return _update_via_dv(
+            spark, table_dir, v, manifest, predicate, set_exprs,
+            declared, skip_filter, meta,
+            guard=_dml_guard(manifest, skip_filter),
+        )
     touched = _predicate_touched_files(
         spark, table_dir, manifest, predicate, skip_filter
     )
     if not touched:
         return v, 0
-    if deletion_vectors:
-        return _update_via_dv(
-            spark, table_dir, v, manifest, predicate, set_exprs,
-            declared, touched, meta,
-            guard=_dml_guard(manifest, skip_filter),
-        )
     old_rows = _read_manifest_files(spark, manifest, table_dir, touched)
     pred = F.expr(predicate)
     cols = []
@@ -3294,22 +3340,33 @@ def merge_versioned(
     manifest = _load_manifest(table_dir, v)
     schema_json = manifest.get("schema")
 
-    dup = source.groupBy(*on).count().filter(F.col("count") > 1)
-    if dup.limit(1).count() > 0:
-        raise ValueError(f"source has duplicate keys on {on}")
     src = source.localCheckpoint()  # pin: read twice (discovery + join)
 
-    # phase 0: prune the DISCOVERY scan by the source's key envelope —
+    # phase 0 (ONE job, r13 fusion — guide §1.2): duplicate-key guard
+    # and the source key envelope share a single aggregate over the
+    # checkpointed source. min/max over the distinct keys equal min/max
+    # over the raw rows, so the envelope is unchanged; the dup check is
+    # max(per-key count) > 1, the same predicate the old
+    # groupBy+filter+limit job evaluated.
+    bounds = (
+        src.groupBy(*on)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .agg(
+            F.max("__n").alias("__mx"),
+            *[F.min(k).alias(f"_mn_{k}") for k in on],
+            *[F.max(k).alias(f"_mx_{k}") for k in on],
+        )
+        .first()
+    )
+    if bounds is not None and int(bounds["__mx"] or 0) > 1:
+        raise ValueError(f"source has duplicate keys on {on}")
+
     # files whose manifest min/max provably exclude every source key
     # can neither match (update/delete) nor disqualify an insert, so
     # the whole merge reads only stats-candidates. On a key-clustered
     # or bucketed layout this makes merge cost track the TOUCHED
     # region, not the table (Delta's data-skipping-before-merge); on a
     # scattered layout it degrades to the full scan it was.
-    bounds = src.agg(
-        *[F.min(k).alias(f"_mn_{k}") for k in on],
-        *[F.max(k).alias(f"_mx_{k}") for k in on],
-    ).first()
     env = []
     for k in on:
         mn, mx = bounds[f"_mn_{k}"], bounds[f"_mx_{k}"]
@@ -3612,18 +3669,20 @@ def _merge_via_dv(
         )
         .localCheckpoint()  # read thrice: DV stage, counters, images
     )
-    per_file = {
-        r["file_base"]: r["n"]
-        for r in affected.groupBy("file_base")
-        .agg(F.count(F.lit(1)).alias("n"))
+    # ONE collect (r13 fusion): per-file DV counts and the global
+    # deleted/affected totals come from the same O(touched files)
+    # aggregate rows
+    pf_rows = (
+        affected.groupBy("file_base")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("__del").cast("long")).alias("d"),
+        )
         .collect()
-    }
-    counts_row = affected.agg(
-        F.sum(F.col("__del").cast("long")).alias("d"),
-        F.count(F.lit(1)).alias("a"),
-    ).first()
-    n_deleted = int(counts_row["d"] or 0)
-    n_updated = int(counts_row["a"]) - n_deleted
+    )
+    per_file = {r["file_base"]: r["n"] for r in pf_rows}
+    n_deleted = sum(int(r["d"] or 0) for r in pf_rows)
+    n_updated = sum(int(r["n"]) for r in pf_rows) - n_deleted
 
     parts = []
     if n_updated:
