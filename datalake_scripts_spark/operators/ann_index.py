@@ -64,6 +64,7 @@ from .versioned import (
     CommitConflict,
     _expand_manifest,
     _load_manifest,
+    _mapping_enabled,
     current_version,
     read_changes,
     read_versioned,
@@ -117,7 +118,39 @@ def load_centroids(
     assignment/probe path accepts — O(n_centroids) rows by
     construction. ``version`` pins a centroids snapshot (serving and
     refresh pass the one recorded by the latest assignments commit);
-    None reads the head."""
+    None reads the head.
+
+    The table is metadata-sized BY CONTRACT (<= max_centroids rows,
+    written by build_ann_index alone: flat layout, no DVs, no column
+    mapping), so it is read driver-side with pyarrow — the same size
+    class as the manifest itself — instead of paying a Spark job per
+    serve (r13, guide §5: the job was pure scheduling overhead). Any
+    table feature the fast path can't honor falls back to the full
+    versioned read."""
+    cdir = _subdir(index_dir, _CENTROIDS)
+    try:
+        v = version if version is not None else current_version(cdir)
+        manifest = _load_manifest(cdir, v)
+        if not manifest.get("dvs") and not _mapping_enabled(
+            manifest.get("schema")
+        ):
+            files, _stats = _expand_manifest(cdir, manifest)
+            import pyarrow.parquet as pq
+
+            out: list[tuple[int, list[float]]] = []
+            for f in files:
+                tbl = pq.read_table(
+                    os.path.join(cdir, f), columns=["cid", "cvec"]
+                )
+                cids = tbl.column("cid").to_pylist()
+                vecs = tbl.column("cvec").to_pylist()
+                out.extend(
+                    (int(c), [float(x) for x in vec])
+                    for c, vec in zip(cids, vecs)
+                )
+            return sorted(out)
+    except (FileNotFoundError, KeyError):
+        pass  # unexpected layout: take the versioned-reader path
     rows = read_versioned(
         spark, _subdir(index_dir, _CENTROIDS), version=version
     ).collect()
@@ -471,20 +504,23 @@ def ivf_topk_indexed(
         # probe — see S.ivf_query_table): the inline centroid-fold
         # expression made ANALYSIS a >1 s constant on every serve
         # action, and the probed-cell collect was a second full pass
-        # over the same expression (guide §1.2)
-        q = S.ivf_query_table(
-            queries_df, cents, nprobe, id_col=id_col, vec_col=vec_col
+        # over the same expression (guide §1.2). return_cells hands
+        # the probed cells back without a distinct+collect job (r13).
+        q, probed_cells = S.ivf_query_table(
+            queries_df, cents, nprobe, id_col=id_col, vec_col=vec_col,
+            return_cells=True,
         )
     c = read_versioned(spark, _subdir(index_dir, _ASSIGNMENTS))
     if prune:
-        # bounded collect (see docstring): a static isin on the hive
-        # partition column lets the scan skip unprobed cells entirely.
-        # The local query table makes this a LocalRelation scan, not a
-        # re-evaluation of the probe expression.
-        probed = sorted(
-            r["cell"] for r in q.select("cell").distinct().collect()
-        )
-        c = c.filter(F.col("cell").isin(probed))
+        # probed cells — O(queries x nprobe), bounded by the small-
+        # query-batch contract: a static isin on the hive partition
+        # column lets the scan skip unprobed cells entirely. The
+        # pandas path still derives them with one bounded collect.
+        if meta.get("assignment") == "pandas":
+            probed_cells = sorted(
+                r["cell"] for r in q.select("cell").distinct().collect()
+            )
+        c = c.filter(F.col("cell").isin(probed_cells))
     scored = (
         # bcast: O(queries x nprobe) — the query batch, small by contract
         c.join(F.broadcast(q), "cell")
@@ -564,9 +600,9 @@ def ivfpq_topk_indexed(
         # folds, O(|Q|) collect) and shipped as data — the literal
         # projection is a ~4k-node plan whose analysis/codegen is a
         # multi-second constant per serve
-        qt = S.pq_query_tables(
+        qt, probed_cells = S.pq_query_tables(
             queries_df, codebooks, id_col, vec_col,
-            cell_cents=cents, nprobe=nprobe,
+            cell_cents=cents, nprobe=nprobe, return_cells=True,
         )
         qfull = queries_df.select(
             F.col(id_col).cast("bigint").alias("query_id"),
@@ -586,10 +622,15 @@ def ivfpq_topk_indexed(
         qfull = q.select("query_id", "qv", "qn").distinct()
     c = read_versioned(spark, _subdir(index_dir, _ASSIGNMENTS))
     if prune:
-        # bounded collect — O(queries x nprobe) rows by the small-
-        # query-batch contract; static isin prunes unprobed cells
-        probed = sorted(
-            r["cell"] for r in qt.select("cell").distinct().collect()
+        # probed cells — O(queries x nprobe) by the small-query-batch
+        # contract; the driver path already knows them (return_cells),
+        # the literal path derives them with one bounded collect
+        probed = (
+            probed_cells
+            if qtables == "driver"
+            else sorted(
+                r["cell"] for r in qt.select("cell").distinct().collect()
+            )
         )
         c = c.filter(F.col("cell").isin(probed))
     # bcast: O(queries x nprobe) — query batch

@@ -1223,7 +1223,8 @@ def ivf_query_table(
     nprobe: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
+    return_cells: bool = False,
+):
     """Driver-computed IVF query batch — (query_id, qv, qn, cell), one
     row per probed cell — replacing the map-side literal probe
     (:func:`ivf_probe_cells`) on the SERVE path.
@@ -1241,7 +1242,12 @@ def ivf_query_table(
     reproduced under Java's total order on doubles
     (:func:`_double_total_order_key`) — and shipped as DATA.
     Bit-identical output is asserted against the literal probe in
-    tests/test_ann_index_serve.py."""
+    tests/test_ann_index_serve.py.
+
+    ``return_cells=True`` returns ``(df, sorted_distinct_cells)`` — the
+    probed cells are already known here, so serve paths that prune by
+    cell skip a distinct+collect job over the query table (r13, guide
+    §1.2: don't recompute what the driver just computed)."""
     from pyspark.sql.types import (
         ArrayType, DoubleType, LongType, StructField, StructType,
     )
@@ -1275,9 +1281,12 @@ def ivf_query_table(
     spark = queries_df.sparkSession
     # 1-slice parallelize: see pq_query_tables — avoids a per-core
     # fan-out of a few dozen rows on every consuming action
-    return spark.createDataFrame(
+    df = spark.createDataFrame(
         spark.sparkContext.parallelize(data, 1), schema
     )
+    if return_cells:
+        return df, sorted({row[3] for row in data})
+    return df
 
 
 def pq_query_tables(
@@ -1287,7 +1296,8 @@ def pq_query_tables(
     vec_col: str = "embedding",
     cell_cents: list[tuple[int, list[float]]] | None = None,
     nprobe: int | None = None,
-) -> DataFrame:
+    return_cells: bool = False,
+):
     """Driver-computed per-query ADC distance tables — and, when
     ``cell_cents``/``nprobe`` are given, probed cells (one row per
     query x probe, the exploded shape the IVFADC join takes) — as a
@@ -1357,9 +1367,19 @@ def pq_query_tables(
     # 1-slice parallelize: the default createDataFrame pickles this
     # bounded batch into one near-empty Python slice PER CORE, and
     # every downstream action pays a 32-task Python evaluation of it
-    return spark.createDataFrame(
+    df = spark.createDataFrame(
         spark.sparkContext.parallelize(data, 1), StructType(fields)
     )
+    if return_cells:
+        # probed cells were just computed here — hand them back so
+        # pruning serve paths skip a distinct+collect job (r13)
+        cells = (
+            sorted({row[1] for row in data})
+            if cell_cents is not None
+            else []
+        )
+        return df, cells
+    return df
 
 
 def pq_codebooks_kmeans(
