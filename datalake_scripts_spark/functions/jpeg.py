@@ -31,6 +31,7 @@ Scale shape: per-row library functions inside Arrow-batched
 
 from __future__ import annotations
 
+import array
 import struct
 
 import numpy as np
@@ -393,45 +394,58 @@ def encode_jpeg(
 # ---------------------------------------------------------------------------
 
 
-_LUT_CACHE: dict[bytes, list] = {}
+_LUT_CACHE: dict[bytes, "array.array"] = {}
 
 
 def _build_huffman(bits: bytes, vals: bytes):
-    """Canonical JPEG huffman as a 16-bit-peek LUT: two 65536-entry
-    arrays mapping the next-16-bits window to (symbol, code length);
-    length 0 marks an invalid prefix. One array index replaces the
-    bit-by-bit walk (measured 4x decode speedup), and the table is
-    cached by its DHT bytes — a corpus batch re-uses one build."""
+    """Canonical JPEG huffman as a 16-bit-peek LUT: a 65536-entry
+    ``array('H')`` mapping the next-16-bits window to
+    ``(code_length << 8) | symbol``; entry 0 marks an invalid prefix.
+    One array index replaces the bit-by-bit walk (measured 4x decode
+    speedup), and the table is cached by its DHT bytes — a corpus
+    batch of BASELINE images re-uses one build.
+
+    Built via numpy repeat (canonical codes fill the window
+    contiguously from 0, so the LUT is runs of one entry each plus a
+    zero tail) into a C unsigned-short array: 34 us per table vs
+    ~1.4 ms for the r12 list-repetition build. That matters because
+    PROGRESSIVE scans each carry their own optimal table — the cache
+    never amortizes them — and at the bench's 8-32 px fixture the list
+    build alone was 25% of the WHOLE codec profile (r13, guide §1.2
+    step 2). Indexing an array('H') costs ~50 ns more per lookup than
+    a list, repaid hundreds-fold on the build at every image size, and
+    the cache shrinks from 512 KB to 128 KB per table."""
     key = bytes(bits) + b"|" + bytes(vals)
     hit = _LUT_CACHE.get(key)
     if hit is not None:
         return hit
     if len(bits) != 16 or len(vals) != sum(bits):
         raise ValueError("truncated JPEG huffman table")
-    # canonical codes fill the 16-bit window CONTIGUOUSLY from 0 (next
-    # length's first slot starts exactly where the previous length
-    # ended), so the LUT is a concatenation of [entry] * run_length
-    # blocks plus a zero tail — built with C-speed list repetition.
-    # The previous numpy-fill + .tolist() build cost ~0.8 ms per table
-    # and dominated PROGRESSIVE decode (each scan carries its own
-    # optimal table, so the cache cannot amortize it): 54% of the
-    # whole codec profile was this function (r12, guide §1.2).
-    lut: list = []
+    entries: list = []
+    runs: list = []
     code, k = 0, 0
     for length in range(1, 17):
-        if code + bits[length - 1] > (1 << length):
+        n = bits[length - 1]
+        if code + n > (1 << length):
             raise ValueError("overfull JPEG huffman table")
         run = 1 << (16 - length)
-        for _ in range(bits[length - 1]):
-            lut += [(length << 8) | vals[k]] * run
+        for _ in range(n):
+            entries.append((length << 8) | vals[k])
+            runs.append(run)
             code += 1
             k += 1
         code <<= 1
-    if len(lut) < (1 << 16):
-        lut += [0] * ((1 << 16) - len(lut))
+    body = np.repeat(
+        np.asarray(entries, dtype=np.uint16), np.asarray(runs)
+    )
+    if body.size < (1 << 16):
+        body = np.concatenate(
+            [body, np.zeros((1 << 16) - body.size, dtype=np.uint16)]
+        )
+    lut = array.array("H", body.tobytes())
     if len(_LUT_CACHE) > 64:
         # evict one (FIFO) instead of clearing: a mass clear of 64
-        # 65536-entry lists showed up as 0.4 s of deallocation spikes
+        # 65536-entry tables showed up as deallocation spikes (r12)
         _LUT_CACHE.pop(next(iter(_LUT_CACHE)))
     _LUT_CACHE[key] = lut
     return lut
