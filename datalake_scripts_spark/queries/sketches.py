@@ -414,9 +414,22 @@ def sketch_mg_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame
     only rows matching the broadcast candidate list. Nothing scales
     with the distinct-item count except the bounded summaries."""
     docs = t(spark, sf_dir, "documents")
-    # single-file test tables scan as ONE task: spread the doc rows so
-    # the Misra-Gries pass parallelizes (O(docs) shuffle, not O(tokens))
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    # spread the doc rows so the Misra-Gries pass parallelizes
+    # (O(docs) shuffle, not O(tokens)) — sized from the source bytes,
+    # clamped to the session setting (bytes_partitions): the old
+    # defaultParallelism count fanned a megabyte fixture across 32
+    # near-empty Python tasks, making the query run FASTER on 8 cores
+    # than 32 (r13 baseline ratio 0.70; VERDICT r12 ask #4). The MG
+    # candidate SET varies with partitioning, the RESULT never does.
+    import os as _os
+
+    from ..operators.scale import bytes_partitions
+
+    n = bytes_partitions(
+        spark, _os.path.join(sf_dir, "documents.parquet")
+    )
+    if n > 1:
+        docs = docs.repartition(n)
     items = docs.select(F.explode(X.tokens("text")).alias("item"))
     from ..operators.heavyhitters import heavy_hitters_exact
 

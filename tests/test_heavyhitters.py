@@ -91,3 +91,25 @@ def test_candidate_summaries_are_bounded_and_superset(spark):
     true = Counter(rows)
     lb = cand.groupBy("item").agg(F.max("lb").alias("lb")).collect()
     assert all(r.lb <= true[r.item] for r in lb)
+
+
+def test_bytes_partitions_clamps(spark, tmp_path):
+    """bytes_partitions (r13): ceil(bytes/target) clamped to
+    [min_parts, session shuffle setting] — the state_partitions_for
+    discipline for batch repartitions."""
+    from datalake_scripts_spark.operators.scale import bytes_partitions
+
+    f = tmp_path / "blob.bin"
+    f.write_bytes(b"x" * (3 * 1024 * 1024))
+    cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # 3 MB at a 1 MB target -> 3, unless the session setting is lower
+    assert bytes_partitions(
+        spark, str(f), target_bytes=1024 * 1024
+    ) == min(cur, 3)
+    # tiny source floors at min_parts
+    assert bytes_partitions(spark, str(f)) == 1
+    assert bytes_partitions(spark, str(f), min_parts=2) == max(
+        2, min(cur, 1)
+    )
+    # huge derivation is capped by the session setting (walks dirs too)
+    assert bytes_partitions(spark, str(tmp_path), target_bytes=1) == cur
