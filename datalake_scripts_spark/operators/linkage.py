@@ -260,12 +260,24 @@ def block_salt_width(
     in both engines). At max_pairs defaults, sf<=0.01 masses return
     W=1 — the pair set, EM trajectory, and driver ledger are unchanged
     below the cap."""
-    ca = a.groupBy(block_col).agg(F.count(F.lit(1)).alias("ca"))
-    cb = b.groupBy(block_col).agg(F.count(F.lit(1)).alias("cb"))
-    row = (
-        ca.join(cb, block_col)
-        .select(F.sum(F.col("ca") * F.col("cb")).alias("mass"))
-        .first()  # bounded: single aggregate row
-    )
+    if b is a:
+        # self-probe fast path (r13, guide §1.2): when the caller knows
+        # side B carries the SAME (key, block) rows as side A — the
+        # linkage fixture's B is a value-perturbing projection of A —
+        # per-block counts are equal by construction, so the cross-pair
+        # mass is sum(ca^2) from ONE side's scan. The B side's derived
+        # columns (md5 coins) are never computed for the probe.
+        ca = a.groupBy(block_col).agg(F.count(F.lit(1)).alias("ca"))
+        row = ca.select(
+            F.sum(F.col("ca") * F.col("ca")).alias("mass")
+        ).first()
+    else:
+        ca = a.groupBy(block_col).agg(F.count(F.lit(1)).alias("ca"))
+        cb = b.groupBy(block_col).agg(F.count(F.lit(1)).alias("cb"))
+        row = (
+            ca.join(cb, block_col)
+            .select(F.sum(F.col("ca") * F.col("cb")).alias("mass"))
+            .first()  # bounded: single aggregate row
+        )
     mass = int(row["mass"] or 0)
     return max(1, (mass + max_pairs - 1) // max_pairs)
