@@ -1438,3 +1438,84 @@ def pq_codebooks_kmeans(
                 C[c] = members.mean(axis=0) if len(members) else S_j[c % len(S_j)]
         books.append([(int(c), [float(x) for x in C[c]]) for c in range(k)])
     return books
+
+
+PQ_KMEANS_SCALE_BITS = 20  # quantization scale 2^20 (exact in doubles)
+
+
+def pq_codebooks_kmeans_exact(
+    corpus_df: DataFrame,
+    m: int = 8,
+    n_codewords: int = 32,
+    max_sample: int = 2000,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[tuple[int, list[float]]]]:
+    """K-means-trained PQ codebooks whose every arithmetic step is
+    cross-engine replicable (r13, VERDICT r12 ask #5) — the
+    SQL-expressible sibling of :func:`pq_codebooks_kmeans`, so the
+    full production serve (train + Arrow encode + driver-folded ADC +
+    rerank) gets a hash-exact DuckDB oracle instead of a rows-only
+    check.
+
+    Determinism recipe (every step stated identically by the oracle's
+    unrolled CTEs):
+
+    - sample = rows with ``id_col < max_sample`` (the fixture's ids are
+      dense from 0, so this is the bounded-driver-sample contract in a
+      predicate DuckDB can state);
+    - subvectors quantize to integers: ``floor(x * 2^20)`` — the
+      power-of-two scaling only shifts the double's exponent, so the
+      product is exact and the floor unambiguous in both engines;
+    - Lloyd runs on INTEGERS: distances are exact integer sums (no
+      float addition order), argmin ties break to the lowest codeword
+      id, centroid updates are floored integer means
+      (``sum // count``, Python floor semantics — the SQL twin states
+      the same value as ``(s - ((s % n + n) % n)) // n``), empty
+      clusters re-seed from sample row ``cid % n_sample``;
+    - init = the first ``k`` sample rows (k = min(n_codewords, n));
+    - the returned codewords are ``c / 2^20`` — again exponent-only,
+      so the doubles are bit-identical across engines.
+
+    Training quality is the same Lloyd dynamics as the float trainer
+    (the 2^-20 quantization is far below the embeddings' scale);
+    recall properties are asserted by the existing PQ harness."""
+    import numpy as np
+
+    sample = (
+        corpus_df.filter(F.col(id_col) < max_sample)
+        .select(F.col(vec_col).cast("array<double>").alias("v"))
+        .orderBy(F.col(id_col))
+    )
+    rows = sample.collect()  # bounded by max_sample (dense-id contract)
+    if not rows:
+        return []
+    X = np.asarray([list(r["v"]) for r in rows], dtype=np.float64)
+    d = X.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sd = d // m
+    n = len(X)
+    k = min(n_codewords, n)
+    scale = float(1 << PQ_KMEANS_SCALE_BITS)
+    Q = np.floor(X * scale).astype(np.int64)
+    books: list[list[tuple[int, list[float]]]] = []
+    for j in range(m):
+        S_j = Q[:, j * sd:(j + 1) * sd]
+        C = S_j[:k].copy()
+        for _ in range(iters):
+            diff = S_j[:, None, :] - C[None, :, :]
+            d2 = (diff * diff).sum(axis=2)
+            assign = d2.argmin(axis=1)  # ties -> lowest cid
+            for c in range(k):
+                members = S_j[assign == c]
+                if len(members):
+                    # floored integer mean, coordinate-wise
+                    C[c] = members.sum(axis=0) // len(members)
+                else:
+                    C[c] = S_j[c % n]
+        books.append(
+            [(int(c), [float(x) / scale for x in C[c]]) for c in range(k)]
+        )
+    return books

@@ -3350,21 +3350,134 @@ def ann_pq_recall_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_pq_kmeans_rerank_topk")
+_PQKM_K, _PQKM_SAMPLE, _PQKM_ITERS = 32, 2000, 5
+
+
+def _pq_kmeans_sql() -> str:
+    """Unrolled exact-integer Lloyd (the linkage fs_em_sql discipline
+    applied to k-means, VERDICT r12 ask #5): every sufficient statistic
+    is an exact BIGINT — subvectors quantize to floor(x * 2^20)
+    (power-of-two scaling is exponent-only, so the product is exact),
+    distances are integer sums, centroid updates are floored integer
+    means, ties break to the lowest codeword id — so the trained
+    codebooks (ints / 2^20) are bit-identical to
+    operators.similarity.pq_codebooks_kmeans_exact, and the serve is
+    the same ADC + rerank SQL the stride twin uses."""
+    sd, m = _PQ_SD, _PQ_M
+    sc = float(1 << S.PQ_KMEANS_SCALE_BITS)
+    d2i = " + ".join(
+        f"(s.q[{i}]-c.c[{i}])*(s.q[{i}]-c.c[{i}])" for i in range(1, sd + 1)
+    )
+
+    def fd(s_: str, n_: str) -> str:
+        # Python floor division in SQL (DuckDB // truncates toward 0,
+        # but (s - pmod(s, n)) is exactly divisible, so the truncated
+        # quotient IS the floor)
+        return f"((({s_}) - (((({s_}) % ({n_})) + ({n_})) % ({n_}))) // ({n_}))"
+
+    nsamp = "(SELECT COUNT(DISTINCT sid) FROM sq)"
+    mean_list = ", ".join(fd(f"g.s{i}", "g.cnt") for i in range(1, sd + 1))
+    sums = ", ".join(f"SUM(q[{i}]) AS s{i}" for i in range(1, sd + 1))
+    parts = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"subd AS (SELECT unnest(range({m})) AS j)",
+        f"""sq AS (
+      SELECT e.vec_id AS sid, subd.j,
+             list_transform({_pq_slice('e.v', 'subd.j', sd)},
+                            x -> CAST(FLOOR(x * {sc}) AS BIGINT)) AS q
+      FROM e CROSS JOIN subd WHERE e.vec_id < {_PQKM_SAMPLE})""",
+        f"k0 AS (SELECT j, sid AS cid, q AS c FROM sq WHERE sid < {_PQKM_K})",
+    ]
+    for i in range(1, _PQKM_ITERS + 1):
+        parts.append(f"""a{i} AS (
+      SELECT s.sid, s.j, s.q, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY s.j, s.sid
+                                ORDER BY {d2i} ASC, c.cid ASC) AS rn
+      FROM sq s JOIN k{i - 1} c ON c.j = s.j)""")
+        parts.append(f"""g{i} AS (
+      SELECT j, cid, COUNT(*) AS cnt, {sums}
+      FROM a{i} WHERE rn = 1 GROUP BY j, cid)""")
+        parts.append(f"""k{i} AS (
+      SELECT i0.j, i0.cid,
+             CASE WHEN g.cnt IS NULL THEN r.q
+                  ELSE [{mean_list}] END AS c
+      FROM (SELECT j, cid FROM k0) i0
+      LEFT JOIN g{i} g ON g.j = i0.j AND g.cid = i0.cid
+      JOIN sq r ON r.j = i0.j AND r.sid = (i0.cid % {nsamp}))""")
+    parts.append(
+        f"cb AS (SELECT j, cid, list_transform(c, x -> CAST(x AS DOUBLE)"
+        f" / {sc}) AS cw FROM k{_PQKM_ITERS})"
+    )
+    # serve: encode + ADC + shortlist + exact rerank — the stride twin's
+    # shape with per-subspace trained codewords joined on (j, cid)
+    enc_d = _pq_l2(_pq_slice("e.v", "cb.j", sd), "cb.cw")
+    adc_d = _pq_l2(_pq_slice("qe.v", "cd.j", sd), "cb.cw")
+    terms = [f"MAX(CASE WHEN j = {j} THEN d END)" for j in range(m)]
+    ssum = terms[0]
+    for t_ in terms[1:]:
+        ssum = f"({ssum} + {t_})"
+    parts.append(f"""encd AS (
+      SELECT e.vec_id, cb.j, cb.cid, {enc_d} AS d
+      FROM e CROSS JOIN cb)""")
+    parts.append("""codes AS (
+      SELECT vec_id, j, cid FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                                     ORDER BY d ASC, cid ASC) AS rn
+        FROM encd) x WHERE rn = 1)""")
+    parts.append("qids AS (SELECT vec_id AS query_id FROM e WHERE vec_id < 10)")
+    parts.append(f"""qd AS (
+      SELECT q.query_id, cd.vec_id AS neighbor_id, cd.j, {adc_d} AS d
+      FROM codes cd
+      JOIN qids q ON q.query_id <> cd.vec_id
+      JOIN e qe ON qe.vec_id = q.query_id
+      JOIN cb ON cb.j = cd.j AND cb.cid = cd.cid)""")
+    parts.append(f"""adc AS (
+      SELECT query_id, neighbor_id, {ssum} AS adc_dist
+      FROM qd GROUP BY 1, 2)""")
+    parts.append(f"""short AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY adc_dist ASC, neighbor_id ASC) AS rnk
+        FROM adc) x WHERE rnk <= {_PQ_SHORTLIST})""")
+    parts.append(f"""rer AS (
+      SELECT query_id, neighbor_id, l2_dist,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY l2_dist ASC, neighbor_id ASC) AS rnk
+      FROM (
+        SELECT s.query_id, s.neighbor_id,
+               {_pq_l2('qe.v', 'e.v')} AS l2_dist
+        FROM short s
+        JOIN e qe ON qe.vec_id = s.query_id
+        JOIN e ON e.vec_id = s.neighbor_id) y)""")
+    return "WITH " + ",\n    ".join(parts)
+
+
+@query(
+    "ann_pq_kmeans_rerank_topk",
+    sql=f"""
+    {_pq_kmeans_sql()}
+    SELECT query_id, neighbor_id, l2_dist, CAST(rnk AS INT) AS rnk
+    FROM rer WHERE rnk <= 5
+    """,
+)
 def ann_pq_kmeans_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL production PQ serve: k-means-trained codebooks
-    (operators.similarity.pq_codebooks_kmeans — bounded driver sample,
-    per-subspace Lloyd under L2, the Jegou et al. training path) +
-    Arrow/numpy encode + driver-folded ADC tables + exact rerank.
-    Rows-only check (k-means isn't SQL-expressible) — the
-    ann_ivf_kmeans_topk convention; the stride-codebook twin
-    ann_pq_rerank_topk is the hash-exact oracle form, and codebook
-    determinism + the full-shortlist==exact property are asserted in
+    (operators.similarity.pq_codebooks_kmeans_exact — bounded driver
+    sample, per-subspace Lloyd under L2, the Jegou et al. training
+    path, run on exact-integer quantized subvectors) + Arrow/numpy
+    encode + driver-folded ADC tables + exact rerank. Hash-exact
+    DuckDB oracle (VERDICT r12 ask #5): the trainer's every arithmetic
+    step is integer-exact (see _pq_kmeans_sql), so the oracle unrolls
+    the Lloyd iterations as CTEs — the linkage EM discipline — and
+    then states the same ADC + rerank the stride twin
+    ann_pq_rerank_topk uses. Codebook equality between the numpy
+    trainer and the SQL CTEs is additionally unit-tested in
     tests/test_pq.py."""
     emb = t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
-    books = S.pq_codebooks_kmeans(
-        emb, m=_PQ_M, n_codewords=32, max_sample=2000
+    books = S.pq_codebooks_kmeans_exact(
+        emb, m=_PQ_M, n_codewords=_PQKM_K, max_sample=_PQKM_SAMPLE,
+        iters=_PQKM_ITERS,
     )
     return S.pq_rerank_topk(
         q, emb, k=5, shortlist=_PQ_SHORTLIST, m=_PQ_M,

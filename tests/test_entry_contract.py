@@ -22,7 +22,8 @@ ROWS_ONLY_OK = {
     "dedup_simhash",
     "ann_ivf_topk_vectorized",
     "ann_ivf_kmeans_topk",
-    "ann_pq_kmeans_rerank_topk",
+    # ann_pq_kmeans_rerank_topk graduated to a hash-exact oracle in
+    # r13: the trainer runs exact-integer Lloyd (VERDICT r12 ask #5)
 }
 
 
@@ -43,7 +44,7 @@ def test_driver_priority_prefix():
     iteration order; pin the curated prefix so an import reshuffle can't
     silently rotate families out of the checked window, and require an
     oracle (hash-exact check, not rows-only) for every prefix entry
-    outside the four documented engine-specific paths."""
+    outside the documented engine-specific paths."""
     import __spark_entry__ as e
     from datalake_scripts_spark.queries import DRIVER_PRIORITY
 
